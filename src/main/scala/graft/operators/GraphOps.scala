@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's dataflow operators (SURVEY §2), re-expressed as pure
+  * `DataFrame → DataFrame` functions. Every operator is set-oriented and
+  * driver-state-free, so each one scales by partitioning alone.
+  *
+  * Operator ↔ reference map:
+  *  - [[watermarkFilter]]  P1/T1  (reference elastic.go:50-53)
+  *  - [[numericIdFilter]]  P3     (reference cmd/bulk/main.go:288-292)
+  *  - [[edgesFromDocs]]    P4/U1  (reference dgraph.go:306-335)
+  *  - [[mergeMaxEdges]]    A2     (reference cmd/bulk/main.go:178-212, dgraph.go:110-133)
+  *  - [[distinctPersons]]  J1/A4  (reference dgraph.go:225-244, cmd/bulk/main.go:284-286)
+  *  - [[markTroveUsers]]   J2/S2/S4 (reference mysql.go:22-57)
+  *  - [[groupTeamMembers]] A3     (reference mysql.go:59-82)
+  *  - [[mergeEdgeStates]]  J3     (reference dgraph.go:135-173 + 200-223)
+  *  - [[kHop]]             J4/U2  (reference cmd/query/main.go:29-43)
+  */
+object GraphOps {
+
+  /** P1/T1 — incremental watermark predicate. The filter is a plain
+    * Catalyst comparison so it pushes down into the parquet scan
+    * (`PushedFilters` on `last_update`); at 100 TB with date-partitioned
+    * input this becomes partition pruning for free.
+    */
+  def watermarkFilter(docs: DataFrame, watermark: java.sql.Timestamp): DataFrame =
+    docs.filter(col("last_update") >= lit(watermark))
+
+  /** P3 — drop ids that are not pure base-10 numerals (the reference
+    * silently skips ids that fail `big.Int.SetString`). Regex, not a
+    * long-cast: ids may exceed int64 (uint64 shard range).
+    */
+  def numericIdFilter(df: DataFrame, idCol: String): DataFrame =
+    df.filter(col(idCol).rlike("^[0-9]+$"))
+
+  /** P4/U1 — one relationship doc becomes two directed edges:
+    * from→to carrying `raw_score_in` and to→from carrying
+    * `raw_score_out`, int widened to double (reference dgraph.go:306-335).
+    *
+    * Expressed as explode-of-struct-array: a narrow generator that stays
+    * inside whole-stage codegen — no shuffle, no UDF.
+    */
+  def edgesFromDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        explode(
+          array(
+            struct(
+              col("from_person_id").as("src"),
+              col("to_person_id").as("dst"),
+              col("stats.raw_score_in").cast("double").as("score")),
+            struct(
+              col("to_person_id").as("src"),
+              col("from_person_id").as("dst"),
+              col("stats.raw_score_out").cast("double").as("score"))
+          )).as("e"))
+      .select("e.*")
+
+  /** A2 — the reference's core aggregate: per directed pair keep the max
+    * score ever seen. One hash aggregate with map-side partial
+    * aggregation (`HashAggregateExec` partial → shuffle on (src,dst) →
+    * final), which reproduces the reference's racy cache + last-wins
+    * bulk-load end state deterministically and order-insensitively.
+    */
+  def mergeMaxEdges(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+
+  /** J1/A4 — the distinct vertex set of an edge list (the set-oriented
+    * replacement for the reference's per-row find-or-create). Partial
+    * aggregation dedups within each partition before the shuffle.
+    */
+  def distinctPersons(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("person_id"))
+      .union(edges.select(col("dst").as("person_id")))
+      .distinct()
+
+  /** J2 — `is_trove_user` existence flag. The reference probes MySQL
+    * row-at-a-time through a shard router; set-oriented Spark form is a
+    * single left-semi-shaped membership join. Implemented as a left
+    * outer join against the deduped key set + null-check, which yields
+    * the boolean column in one pass (semi + anti in one join). Catalyst
+    * broadcasts the key set when it is small; at 100 TB it degrades
+    * gracefully to a shuffled hash join on the key.
+    */
+  def markTroveUsers(persons: DataFrame, users: DataFrame, userIdCol: String = "person_id_user"): DataFrame = {
+    val keys = users.select(col(userIdCol).as("person_id")).distinct()
+      .withColumn("__hit", lit(true))
+    persons
+      .join(keys, Seq("person_id"), "left_outer")
+      .withColumn("is_trove_user", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** A3 — group team members into per-team sorted member lists
+    * (reference builds `map[team_id][]person_id`). Sorted for
+    * determinism; callers that only re-flatten should skip this op and
+    * keep the flat DataFrame (the plan the reference *should* have had).
+    */
+  def groupTeamMembers(teamMembers: DataFrame): DataFrame =
+    teamMembers
+      .groupBy(col("team_id"))
+      .agg(sort_array(collect_list(col("person_id"))).as("members"))
+
+  /** J3 — incremental MERGE of a new edge batch into prior edge state:
+    * full-outer join on the edge key, keep the greatest score
+    * (upsert-if-greater, reference dgraph.go:110-133). Handles first-run
+    * empty state because full_outer + greatest(null, x) = x.
+    */
+  def mergeEdgeStates(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val o = oldEdges.withColumnRenamed("score", "old_score")
+    val n = newEdges.withColumnRenamed("score", "new_score")
+    o.join(n, Seq("src", "dst"), "full_outer")
+      .select(
+        col("src"), col("dst"),
+        greatest(col("old_score"), col("new_score")).as("score"))
+  }
+
+  /** J4/U2 — k-hop expansion with per-hop exclusion, the reference's one
+    * analytical query (2-hop friends-of-friends-of-team) generalized to
+    * k. `frontier`/`visited` are single-column `person_id` DataFrames.
+    *
+    * Each hop is one equi-join on `src` plus one anti-join exclusion —
+    * the exact relational form of the DQL `@filter(NOT uid(...))`.
+    * For large k the lineage grows; callers at scale should checkpoint
+    * the frontier every few hops (see pipelines.HopQuery).
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var visited = seeds.select(col("person_id")).distinct()
+    var frontier = visited
+    var result: DataFrame = null
+    for (_ <- 1 to k) {
+      val next = edges
+        .join(frontier, edges("src") === frontier("person_id"))
+        .select(edges("dst").as("person_id"))
+        .distinct()
+        .join(visited, Seq("person_id"), "left_anti")
+      frontier = next
+      visited = visited.union(next).distinct()
+      result = next
+    }
+    result
+  }
+}
