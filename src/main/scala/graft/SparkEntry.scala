@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.GraphOps
+import graft.functions.Hashing
+import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
 import graft.sinks.Rdf
 import graft.sources.Tables
 
@@ -91,7 +92,12 @@ object SparkEntry {
   // Queries
   // ---------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extendedQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ extendedOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1+T1: watermark-filtered incremental scan (predicate pushes to parquet)
     "s1_watermark_scan" -> ((s, dir) => {
       GraphOps.watermarkFilter(docsOf(s, dir), java.sql.Timestamp.valueOf(WATERMARK))
@@ -225,10 +231,341 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------------
+  // Extended surface: LLM-data-pipeline operators (SURVEY §7.4)
+  // ---------------------------------------------------------------------------
+
+  private def extendedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis ------------------------------------------------------
+    "t_token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "t_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "t_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.portableHash)),
+
+    // -- deduplication ------------------------------------------------------
+    "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "d_shingle_sets" -> ((s, dir) =>
+      Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.portableHash)),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.portableHash)),
+    "d_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(
+        Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.portableHash), 8)),
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 4, 2, 500, Hashing.portableHash)),
+    "d_simhash_sigs" -> ((s, dir) =>
+      Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.portableHash)),
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.portableHash), 3)),
+
+    // -- similarity search --------------------------------------------------
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
+    "sim_lsh_neighbors" -> ((s, dir) =>
+      Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
+    "sim_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L)),
+
+    // -- event-time windows -------------------------------------------------
+    "e_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir), 3600000L)),
+    "e_sliding" -> ((s, dir) => EventOps.sliding(Tables.events(s, dir), 3600000L, 900000L)),
+    "e_sessions" -> ((s, dir) => EventOps.sessions(Tables.events(s, dir), 1800000L)),
+    "e_latest_per_key" -> ((s, dir) => EventOps.latestPerKey(Tables.events(s, dir))),
+
+    // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
+    "m_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir))))
+  )
+
+  // -- DuckDB oracle fragments for the extended surface ----------------------
+
+  /** DuckDB twin of [[Hashing.portableHash]]. */
+  private def ph(s: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a*31 + b) % 1000000007)"
+
+  /** DuckDB twin of [[TextOps.tokens]]. */
+  private val TOKS = """regexp_extract_all(text, '\S+')"""
+
+  /** DuckDB twin of [[Dedup.shingles]] (n=3, portable hash). */
+  private val SHINGLES =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len($TOKS) >= 3
+       |      THEN list_transform(range(1, len($TOKS) - 1),
+       |           i -> ${ph(s"array_to_string(($TOKS)[i:i+2], ' ')")})
+       |      ELSE [] END) AS sh
+       |    FROM documents))""".stripMargin
+
+  /** DuckDB twin of [[Dedup.minhashSignatures]] (k=8) over SHINGLES. */
+  private val MINHASH =
+    s"""$SHINGLES,
+       |mh AS (
+       |  SELECT doc_id, j,
+       |         min(((((j+1)*961748941) % 1000000007) * (sh % 1000000007)
+       |              + ((j+1)*982451653) % 1000000007) % 1000000007) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+       |  GROUP BY doc_id, j)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.simhashSignatures]] (32-bit, portable hash). */
+  private val SIMHASH =
+    s"""tok AS (
+       |  SELECT doc_id, h, count(*) AS cnt FROM (
+       |    SELECT doc_id, ${ph("tok")} AS h
+       |    FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents))
+       |  GROUP BY doc_id, h),
+       |v AS (
+       |  SELECT doc_id, b, sum(cnt * (((h >> b) & 1)*2 - 1)) AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+       |  GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b)
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM v GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.quantize]] over `embeddings`. */
+  private val QVEC =
+    """qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings)""".stripMargin
+
+  /** QVEC + squared norms ([[Similarity.normQ]]). */
+  private val QNORM =
+    s"""$QVEC,
+       |qn AS (SELECT vec_id, q,
+       |              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
+       |       FROM qv)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.dotQ]]. */
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i])) AS BIGINT)"
+
+  /** Jaccard verification tail shared by the two near-dup oracles:
+    * exact |∩|/|∪| over shingle sets for candidate pairs in `cands`.
+    */
+  private val JACCARD_TAIL =
+    """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS n_inter
+      |  FROM cands c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
+      |       CAST(floor(n_inter*1000/(sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_e3
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE floor(n_inter*1000/(sa.n_sh + sb.n_sh - n_inter)) >= 500""".stripMargin
+
+  private def extendedOracles: Map[String, String] = Map(
+    "t_token_counts" ->
+      s"""SELECT doc_id,
+         |       CAST(len($TOKS) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |         AS n_bpe_tokens,
+         |       CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "t_quality" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, $TOKS AS toks,
+         |         CAST(length(text) AS BIGINT) AS nchar,
+         |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+         |         CAST(len(list_filter(toks, t -> list_contains(
+         |           ['the','a','an','of','and','to','in','is','it','on'], t))) AS BIGINT) AS stop_hits,
+         |         nchar, alpha
+         |  FROM s)
+         |SELECT doc_id, ntok AS n_tokens,
+         |       CAST(floor(nchar*1000/ntok) AS BIGINT) AS mean_tok_len_e3,
+         |       CAST(floor(stop_hits*1000/ntok) AS BIGINT) AS stop_ratio_e3,
+         |       CAST(floor(alpha*1000/nchar) AS BIGINT) AS alpha_ratio_e3,
+         |       (ntok >= 5 AND ntok <= 100000 AND stop_hits*1000 >= ntok*10) AS keep
+         |FROM t""".stripMargin,
+
+    "t_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(toks, t -> list_contains(['the','a','is','and','of'], t))) AS en,
+         |    len(list_filter(toks, t -> list_contains(['el','la','los','de','que'], t))) AS es,
+         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+         |    len(list_filter(toks, t -> list_contains(['le','les','des','une','est'], t))) AS fr
+         |  FROM s)
+         |SELECT doc_id,
+         |       CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+         |            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |            WHEN es >= de AND es >= fr THEN 'es'
+         |            WHEN de >= fr THEN 'de'
+         |            ELSE 'fr' END AS pred_lang
+         |FROM c""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, ${ph("text")} AS fp FROM documents""",
+
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "d_shingle_sets" ->
+      s"""WITH $SHINGLES
+         |SELECT doc_id, sh FROM sh""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH $SHINGLES,
+         |capped AS (
+         |  SELECT doc_id, sh FROM sh
+         |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |$JACCARD_TAIL""".stripMargin,
+
+    "d_minhash_sigs" ->
+      s"""WITH $MINHASH
+         |SELECT doc_id, j, mh FROM mh""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $MINHASH,
+         |banded AS (
+         |  SELECT doc_id, j // 2 AS band,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY j)),
+         |                     (a, b) -> (a*31 + b % 1000000007) % 1000000007) AS band_sig
+         |  FROM mh GROUP BY doc_id, band),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+         |$JACCARD_TAIL""".stripMargin,
+
+    "d_simhash_sigs" ->
+      s"""WITH $SIMHASH
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH $SIMHASH,
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |FROM cands
+         |JOIN sig sa ON sa.doc_id = doc_a
+         |JOIN sig sb ON sb.doc_id = doc_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
+
+    "sim_cosine_topk" ->
+      s"""WITH $QNORM,
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("qq.q", "c.q")} AS dot_q,
+         |         CAST(qq.nq AS DOUBLE)*CAST(c.nq AS DOUBLE) AS nn
+         |  FROM qn c JOIN qn qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    "sim_lsh_neighbors" ->
+      s"""WITH $QVEC,
+         |s AS (
+         |  SELECT vec_id, q, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qv CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, q,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << j)
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, q)
+         |SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       ${dotSql("qq.q", "c.q")} AS dot_q
+         |FROM bk c JOIN bk qq
+         |  ON c.bucket = qq.bucket AND qq.vec_id < 8 AND c.vec_id <> qq.vec_id""".stripMargin,
+
+    "sim_near_dup" ->
+      s"""WITH $QNORM,
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, dot_q FROM pairs
+         |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    "e_tumbling" ->
+      """SELECT CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e_sliding" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events),
+        |x AS (
+        |  SELECT CAST(floor(t/900000)*900000 AS BIGINT) - off*900000 AS window_start_ms,
+        |         event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS off))
+        |SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(floor(value*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "e_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |l AS (SELECT user_id, t,
+        |             lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t FROM e),
+        |n AS (SELECT user_id, t,
+        |             CASE WHEN prev_t IS NULL OR t - prev_t >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |      FROM l),
+        |s AS (SELECT user_id, t,
+        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                              ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM n)
+        |SELECT user_id, CAST(MIN(t) AS BIGINT) AS session_start_ms,
+        |       CAST(MAX(t) AS BIGINT) AS last_event_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+
+    "e_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "m_decode_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+        |       32 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS width,
+        |       32 + CAST(ascii(substring(text, 1, 1)) AS BIGINT) % 224 AS height
+        |FROM documents""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------------
   // Oracles — DuckDB ANSI SQL over the same parquet tables
   // ---------------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "s1_watermark_scan" ->
       s"""WITH $DOCS
          |SELECT CAST(floor(epoch(last_update)) AS BIGINT) AS last_update_s,

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deduplication operators for LLM training-data pipelines, in rising
+  * fuzziness: exact, word-n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup (the latter in [[Similarity]]).
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregate on the text (or its hash —
+  *    group on `fastHash(text)` at 100 TB so the shuffle carries 8
+  *    bytes, not documents).
+  *  - Candidate generation is always *blocked* (LSH bands / shared
+  *    rare shingles), never all-pairs. Document-frequency capping
+  *    drops stop-shingles so hot buckets can't quadratic-blow-up —
+  *    the standard skew guard for LSH joins.
+  *  - Verification joins happen only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) id per identical text + the
+    * duplicate count. One shuffle, map-side partial agg.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"), length(col(textCol)).cast("long").as("n_chars_m"))
+
+  /** Distinct word-`n`-gram shingle hashes per document:
+    * `(doc_id, sh)` rows. Shingles are hashed immediately so the
+    * exploded rows are fixed-width.
+    */
+  def shingles(
+      docs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Column => Column = Hashing.fastHash): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => hash(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("sh")).distinct()
+  }
+
+  /** Drop shingles whose document frequency exceeds `maxDf` — the
+    * stop-shingle/skew guard. A shingle present in thousands of docs
+    * generates O(df²) candidate pairs and near-zero signal.
+    */
+  def dfCap(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    sh.join(rare, Seq("sh"))
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs share ≥1 (df-capped)
+    * shingle; Jaccard is verified exactly on the full shingle sets.
+    * Returns `(doc_a, doc_b, jaccard_e3)` with `doc_a < doc_b`,
+    * `jaccard_e3 = floor(1000*|∩|/|∪|) >= threshE3`.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      maxDf: Int = 50,
+      threshE3: Int = 500,
+      hash: Column => Column = Hashing.fastHash): DataFrame = {
+    val sh = shingles(docs, n, hash = hash).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val capped = dfCap(sh, maxDf)
+    val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_e3"))
+      .filter(col("jaccard_e3") >= threshE3)
+  }
+
+  /** MinHash signatures: `(doc_id, j, mh)` for permutations
+    * `j = 0..k-1`, `mh = min over shingles of (a_j*sh + b_j) mod P`.
+    * The perm table is tiny and broadcast; the aggregate is one
+    * map-side-combined shuffle on `doc_id`.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame = {
+    val spark = sh.sparkSession
+    val perms = spark.range(k).select(col("id").as("j"))
+    sh.join(broadcast(perms))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(Hashing.minhashPerm(col("sh") % Hashing.P, col("j"))).as("mh"))
+  }
+
+  /** MinHash + LSH near-dup: signatures are banded (`bands` bands of
+    * `rowsPerBand` perms, k = bands*rowsPerBand); docs colliding on any
+    * band signature become candidates; candidates are verified with
+    * exact Jaccard over the shingle sets. Returns
+    * `(doc_a, doc_b, jaccard_e3)`.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      threshE3: Int = 500,
+      hash: Column => Column = Hashing.fastHash): DataFrame = {
+    val sh = shingles(docs, n, hash = hash).cache()
+    val sig = minhashSignatures(sh, bands * rowsPerBand)
+    // band signature: fold the band's minhashes into one value
+    val banded = sig
+      .withColumn("band", (col("j") / rowsPerBand).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      // j-ordered fold → deterministic band signature
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
+        lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    val cands = l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val aSh = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val bSh = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cands.join(aSh, Seq("doc_a")).join(bSh, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_e3"))
+      .filter(col("jaccard_e3") >= threshE3)
+  }
+
+  /** SimHash signatures: 32-bit, token-frequency weighted. Bit `b` is
+    * set iff `Σ_tokens cnt·(2·bit_b(H(tok))−1) >= 0`. Pure integer
+    * arithmetic (bit extraction via shift), one shuffle on doc_id.
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      hash: Column => Column = Hashing.fastHash,
+      bits: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), hash(col("tok")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bitsDf = spark.range(bits).select(col("id").cast("int").as("b"))
+    tok.join(broadcast(bitsDf))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("cnt") * (expr("shiftright(h, b) & 1") * 2 - 1)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") >= 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
+    * pairs sharing any byte-band are candidates; verified by Hamming
+    * distance ≤ `maxHamming`.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = sigs.sparkSession
+    val bands = spark.range(4).select(col("id").cast("int").as("band"))
+    val banded = sigs.join(broadcast(bands))
+      .select(col("doc_id"), col("band"),
+        expr("shiftright(simhash, band * 8) & 255").as("band_val"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_val"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_val"))
+    val cands = l.join(r, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Design rules for 100 TB: every op is a narrow projection (no
+  * shuffle), built from codegen'd `functions._` expressions — no UDFs.
+  * Integer outputs throughout (ratios are scaled by 1000 and floored)
+  * so results are exact and engine-portable.
+  */
+object TextOps {
+
+  /** Whitespace tokens as an array column. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish subword pretokenization: letter runs, digit runs, single
+    * punctuation — the standard byte-pair pre-split shape.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Token counts per document (whitespace + BPE-ish). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(bpeTokens(col(textCol))).cast("long").as("n_bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars_m"))
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+
+  /** Quality heuristics: token count, mean token length (×1000),
+    * stopword ratio (×1000), alpha-char ratio (×1000), and a boolean
+    * `keep` flag combining the usual pretraining filters
+    * (length bounds + stopword floor).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nChar = length(col(textCol)).cast("long")
+    val stopHits = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val alpha = length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      floor(nChar * 1000 / nTok).cast("long").as("mean_tok_len_e3"),
+      floor(stopHits * 1000 / nTok).cast("long").as("stop_ratio_e3"),
+      floor(alpha * 1000 / nChar).cast("long").as("alpha_ratio_e3"),
+      (nTok >= 5 && nTok <= 100000 && stopHits * 1000 >= nTok * 10).as("keep"))
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "une", "est"))
+
+  /** N-gram/marker-word language ID heuristic. CJK codepoints short-cut
+    * to `zh`; otherwise argmax of per-language marker-token hits with a
+    * fixed priority order on ties (en > es > de > fr) so the output is
+    * total-order deterministic.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val cnt = Markers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isInCollection(ws))).cast("long")
+    }
+    val Seq(en, es, de, fr) = cnt.map(_._2)
+    docs.select(
+      col("doc_id"),
+      when(col(textCol).rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Whole-document rolling-hash fingerprint. `hash` defaults to the
+    * xxhash64 fast path; pass [[Hashing.portableHash]] for
+    * engine-portable values.
+    */
+  def fingerprint(
+      docs: DataFrame,
+      textCol: String = "text",
+      hash: Column => Column = Hashing.fastHash): DataFrame =
+    docs.select(col("doc_id"), hash(col(textCol)).as("fp"))
+}

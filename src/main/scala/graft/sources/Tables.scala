@@ -34,7 +34,19 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright. Read it as nanos-since-epoch (legacy long
+    * mapping) and rebuild a microsecond TimestampType — integer `div`,
+    * not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
+    * float division would corrupt low bits. µs truncation matches what
+    * DuckDB's TIMESTAMP does with the same file, so oracle comparisons
+    * on event-time are exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

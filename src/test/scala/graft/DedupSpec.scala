@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.Hashing
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf: DataFrame = Seq(
+    (1L, "a b c d"),
+    (2L, "a b c d"), // exact dup of 1
+    (3L, "a b c x"), // near dup of 1 (2/3 trigram overlap? 1/3 — below thresh)
+    (4L, "z y w v")).toDF("doc_id", "text")
+
+  test("exact dedup: canonical min id + copy count per identical text") {
+    val out = Dedup.exactDedup(docsDf)
+    assert(rowSet(out) === Set(
+      Seq(1L, 2L, 7L), Seq(3L, 1L, 7L), Seq(4L, 1L, 7L)))
+  }
+
+  test("shingles: n-gram count and degenerate short docs") {
+    val sh = Dedup.shingles(docsDf, 3)
+    // 4 tokens -> 2 trigrams per doc; doc1/doc2 share both hashes
+    val counts = sh.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    val short = Dedup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"), 3)
+    assert(short.count() === 0)
+  }
+
+  test("ngram jaccard: exact dups score 1000, sub-threshold pairs drop") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, n = 3, maxDf = 50, threshE3 = 500)
+    // (1,2) jaccard=1.0; (1,3)/(2,3) share 1 of 3 shingles = 333 -> dropped
+    assert(rowSet(pairs) === Set(Seq(1L, 2L, 1000L)))
+  }
+
+  test("minhash: identical shingle sets give identical signatures") {
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docsDf, 3), k = 8)
+    assert(sigs.count() === 4 * 8)
+    val byDoc = sigs.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) === byDoc(2L))
+    assert(byDoc(1L) !== byDoc(4L))
+  }
+
+  test("minhash LSH: exact dups collide in every band and verify at 1000") {
+    val pairs = Dedup.minhashLshPairs(docsDf, n = 3, bands = 4, rowsPerBand = 2)
+    assert(rowSet(pairs) === Set(Seq(1L, 2L, 1000L)))
+  }
+
+  test("simhash: identical texts identical sigs; pairs found at hamming 0") {
+    val sigs = Dedup.simhashSignatures(docsDf)
+    val byDoc = sigs.as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) === byDoc(2L))
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 0)
+    assert(rowSet(pairs).contains(Seq(1L, 2L, 0L)))
+    // no false pair between unrelated docs at hamming 0 unless sigs equal
+    assert(rowSet(pairs).forall {
+      case Seq(a: Long, b: Long, _) => byDoc(a) === byDoc(b)
+    })
+  }
+
+  test("dfCap drops shingles above the document-frequency cap") {
+    val sh = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 99L))
+      .toDF("doc_id", "sh")
+    assert(rowSet(Dedup.dfCap(sh, maxDf = 2)) === Set(Seq(99L, 1L)))
+  }
+
+  test("portable and fast hash tiers agree on dedup verdicts") {
+    val fast = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.fastHash)
+    val portable = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.portableHash)
+    assert(rowSet(fast) === rowSet(portable))
+  }
+}

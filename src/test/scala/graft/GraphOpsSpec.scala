@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{Edge, RelationshipDoc, Stats}
+import graft.operators.GraphOps
+
+/** SURVEY §5.1 — unit specs for the reference-parity operators,
+  * including the §5.2 order-insensitivity property for A2 (the property
+  * the reference only gets via sorted scan + monotone emission).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val docs = Seq(
+    RelationshipDoc(ts("2024-01-01 00:00:00"), "A", "B", Stats(3, 7)),
+    RelationshipDoc(ts("2024-02-01 00:00:00"), "A", "B", Stats(5, 2)),
+    RelationshipDoc(ts("2024-03-01 00:00:00"), "B", "C", Stats(1, 9)))
+
+  private def docsDf: DataFrame = docs.toDF()
+
+  test("P4: each doc explodes into exactly two directed edges with swapped endpoints") {
+    val edges = GraphOps.edgesFromDocs(docsDf)
+    assert(edges.count() === 2 * docs.length)
+    assert(rowSet(edges) === Set(
+      Seq("A", "B", 3.0), Seq("B", "A", 7.0),
+      Seq("A", "B", 5.0), Seq("B", "A", 2.0),
+      Seq("B", "C", 1.0), Seq("C", "B", 9.0)))
+  }
+
+  test("A2: groupBy-max equals the hand-computed per-pair maximum") {
+    val merged = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docsDf))
+    assert(rowSet(merged) === Set(
+      Seq("A", "B", 5.0), Seq("B", "A", 7.0),
+      Seq("B", "C", 1.0), Seq("C", "B", 9.0)))
+  }
+
+  test("A2 property: result is insensitive to input row order and duplication") {
+    val base = Seq(Edge("A", "B", 1), Edge("A", "B", 9), Edge("C", "D", 4))
+    val expected = Set[Seq[Any]](Seq("A", "B", 9.0), Seq("C", "D", 4.0))
+    for (perm <- base.permutations.take(6).toSeq :+ (base ++ base)) {
+      assert(rowSet(GraphOps.mergeMaxEdges(perm.toDF())) === expected)
+    }
+  }
+
+  test("P1: watermark filter keeps rows at or after the watermark") {
+    val kept = GraphOps.watermarkFilter(docsDf, ts("2024-02-01 00:00:00"))
+    assert(kept.count() === 2)
+  }
+
+  test("P3: numeric-id filter drops non-base-10 ids, keeps uint64-range ids") {
+    val df = Seq("123", "18446744073709551615", "12a", "", "C7").toDF("id")
+    assert(strings(GraphOps.numericIdFilter(df, "id"), "id")
+      === Set("123", "18446744073709551615"))
+  }
+
+  test("A4/J1: distinctPersons is the distinct union of endpoints") {
+    val persons = GraphOps.distinctPersons(GraphOps.edgesFromDocs(docsDf))
+    assert(strings(persons, "person_id") === Set("A", "B", "C"))
+  }
+
+  test("J2: markTroveUsers flags via membership join, matches isin oracle") {
+    val persons = Seq("A", "B", "C").toDF("person_id")
+    val users = Seq("B", "B", "X").toDF("person_id_user")
+    val flagged = GraphOps.markTroveUsers(persons, users)
+    assert(rowSet(flagged) === Set(
+      Seq("A", false), Seq("B", true), Seq("C", false)))
+  }
+
+  test("A3: groupTeamMembers yields sorted member lists") {
+    val tm = Seq(("T1", "P2"), ("T1", "P1"), ("T2", "P3")).toDF("team_id", "person_id")
+    val grouped = GraphOps.groupTeamMembers(tm)
+    assert(rowSet(grouped) === Set(
+      Seq("T1", Seq("P1", "P2")), Seq("T2", Seq("P3"))))
+  }
+
+  test("J3: mergeEdgeStates keeps the greatest score, handles one-sided keys") {
+    val old = Seq(Edge("A", "B", 5), Edge("X", "Y", 2)).toDF()
+    val nw = Seq(Edge("A", "B", 3), Edge("B", "C", 7)).toDF()
+    assert(rowSet(GraphOps.mergeEdgeStates(old, nw)) === Set(
+      Seq("A", "B", 5.0), Seq("X", "Y", 2.0), Seq("B", "C", 7.0)))
+  }
+
+  test("J3: merge against empty prior state is the new state") {
+    val empty = Seq.empty[Edge].toDF()
+    val nw = Seq(Edge("A", "B", 3)).toDF()
+    assert(rowSet(GraphOps.mergeEdgeStates(empty, nw)) === Set(Seq("A", "B", 3.0)))
+  }
+
+  test("J4: 2-hop expansion on a toy graph excludes prior hops") {
+    // A->B, B->C, C->D, B->A: from {A}, hop1={B}, hop2={C} (A excluded)
+    val edges = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1), Edge("B", "A", 1)).toDF()
+    val seeds = Seq("A").toDF("person_id")
+    assert(strings(GraphOps.kHop(edges, seeds, 1), "person_id") === Set("B"))
+    assert(strings(GraphOps.kHop(edges, seeds, 2), "person_id") === Set("C"))
+    assert(strings(GraphOps.kHop(edges, seeds, 3), "person_id") === Set("D"))
+    assert(strings(GraphOps.kHop(edges, seeds, 4), "person_id") === Set.empty[String])
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("portableHash matches the hand-computed polynomial") {
+    // h0=7; "ab": (7*31+97)=314; (314*31+98)=9832
+    val out = Seq("ab").toDF("s").select(Hashing.portableHash(col("s"))).head().getLong(0)
+    assert(out === 9832L)
+  }
+
+  test("token counts: whitespace vs BPE-ish pretokenization") {
+    val df = Seq((1L, "Hello, world 42")).toDF("doc_id", "text")
+    // ws: ["Hello,","world","42"]; bpe: ["Hello",",","world","42"]; chars: 15
+    assert(rowSet(TextOps.tokenCounts(df)) === Set(Seq(1L, 3L, 4L, 15L)))
+  }
+
+  test("quality score: exact scaled ratios and keep flag") {
+    val df = Seq((1L, "the the the the the")).toDF("doc_id", "text")
+    // ntok=5 nchar=19 stop=5 alpha=15
+    assert(rowSet(TextOps.qualityScore(df)) === Set(
+      Seq(1L, 5L, 19L * 1000 / 5, 1000L, 15L * 1000 / 19, true)))
+  }
+
+  test("language id: marker argmax with CJK short-circuit") {
+    val df = Seq(
+      (1L, "the cat is proud of it and the dog"),
+      (2L, "el perro la casa los gatos de que"),
+      (3L, "der hund die katze das haus und ist"),
+      (4L, "le chien les chats des maisons une est"),
+      (5L, "中文 text")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.langId(df)) === Set(
+      Seq(1L, "en"), Seq(2L, "es"), Seq(3L, "de"), Seq(4L, "fr"), Seq(5L, "zh")))
+  }
+
+  test("fingerprint: equal texts equal fp, distinct texts distinct fp") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
