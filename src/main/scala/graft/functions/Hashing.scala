@@ -33,13 +33,23 @@ object Hashing {
   /** Engine-portable polynomial rolling hash:
     * `h_0 = 7; h_i = (31*h_{i-1} + codepoint_i) mod P`.
     *
+    * Served by the native codegen'd [[NativeOps.portableHash]] — a tight
+    * codepoint loop, ~10× the interpreted-HOF throughput at sf0.1.
+    * [[portableHashHof]] keeps the pure-`functions._` formulation as the
+    * differential-test twin (both must stay bit-identical).
+    *
     * DuckDB twin (see SparkEntry oracle fragments):
     * {{{
     * list_reduce(list_prepend(7, list_transform(string_split(s, ''),
     *   c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a*31 + b) % 1000000007)
     * }}}
     */
-  def portableHash(c: Column): Column =
+  def portableHash(c: Column): Column = NativeOps.portableHash(c)
+
+  /** The higher-order-function formulation of [[portableHash]] (slow
+    * path, kept as the bit-identity oracle for the native kernel).
+    */
+  def portableHashHof(c: Column): Column =
     aggregate(
       // position-indexed char extraction, NOT split(c, ""): Java regex
       // split with limit -1 keeps a trailing empty string that DuckDB's

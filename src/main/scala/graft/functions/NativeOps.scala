@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native expressions — tight JVM loops the
+  * codegen emits single calls to. Shared by interpreted `eval` and
+  * generated code so both paths are bit-identical by construction.
+  */
+object NativeKernels {
+  final val P = 1000000007L
+
+  /** Bit-identical twin of the HOF [[Hashing.portableHashHof]] chain
+    * `aggregate(transform(sequence(1, greatest(len,1)), i =>
+    * ascii(substr(s,i,1))), 7, (h,x) => (h*31+x) % P)`:
+    * fold codepoints left-to-right; the empty string contributes one
+    * zero step (ascii("") = 0), exactly like the HOF's greatest(len,1).
+    */
+  def portableHash(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return (7L * 31) % P
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Integer dot product of two long arrays (equal length expected —
+    * truncates to the shorter, unlike zip_with's null padding, which
+    * would null the whole sum; equal-dim inputs are the contract).
+    */
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Squared norm of a long array. */
+  def normQ(a: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val v = a.getLong(i); acc += v * v; i += 1 }
+    acc
+  }
+
+  /** `floor(x*1e6 + 0.5)` per element, float input. */
+  def quantizeF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Math.floor(a.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `floor(x*1e6 + 0.5)` per element, double input. */
+  def quantizeD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Math.floor(a.getDouble(i) * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native, codegen'd twin of the portable polynomial string hash.
+  * StringType → LongType; null-intolerant.
+  */
+case class PortableHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.portableHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.portableHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PortableHashExpr =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product over `array<bigint>` columns. */
+case class DotQExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.dotQ($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotQExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared norm over an `array<bigint>` column. */
+case class NormQExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.normQ(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.normQ($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormQExpr =
+    copy(child = newChild)
+}
+
+/** Per-element `floor(x*1e6 + 0.5)` quantization of a float/double
+  * array into `array<bigint>`.
+  */
+case class QuantizeE6Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"quantizeE6: unsupported $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    if (isFloat) NativeKernels.quantizeF(input.asInstanceOf[ArrayData])
+    else NativeKernels.quantizeD(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "quantizeF" else "quantizeD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.$fn($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QuantizeE6Expr =
+    copy(child = newChild)
+}
+
+/** Public Column-level face of the native expressions. */
+object NativeOps {
+  def portableHash(c: Column): Column = Bridge.column(PortableHashExpr(Bridge.expression(c)))
+  def dotQ(a: Column, b: Column): Column =
+    Bridge.column(DotQExpr(Bridge.expression(a), Bridge.expression(b)))
+  def normQ(a: Column): Column = Bridge.column(NormQExpr(Bridge.expression(a)))
+  def quantizeE6(a: Column): Column = Bridge.column(QuantizeE6Expr(Bridge.expression(a)))
+}

@@ -87,15 +87,25 @@ object Dedup {
 
   /** MinHash signatures: `(doc_id, j, mh)` for permutations
     * `j = 0..k-1`, `mh = min over shingles of (a_j*sh + b_j) mod P`.
-    * The perm table is tiny and broadcast; the aggregate is one
-    * map-side-combined shuffle on `doc_id`.
+    *
+    * Single-pass: all k permutation minima are computed as k parallel
+    * `min` aggregates in ONE hash aggregate on `doc_id`, then unpivoted
+    * with `posexplode`. Versus the join-with-perms formulation this
+    * avoids the k× row explosion AND the (doc_id, j) shuffle — the
+    * shuffle carries one k-column partial row per (partition, doc).
+    * MinHash is duplicate-insensitive, so callers may feed
+    * non-deduplicated shingle streams.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame = {
-    val spark = sh.sparkSession
-    val perms = spark.range(k).select(col("id").as("j"))
-    sh.join(broadcast(perms))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(Hashing.minhashPerm(col("sh") % Hashing.P, col("j"))).as("mh"))
+    val mins = (0 until k).map { j =>
+      min(Hashing.minhashPerm(col("sh") % Hashing.P, lit(j.toLong))).as(s"mh$j")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until k).map(j => col(s"mh$j")): _*)).as(Seq("j", "mh")))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
   }
 
   /** MinHash + LSH near-dup: signatures are banded (`bands` bands of
@@ -142,48 +152,61 @@ object Dedup {
   }
 
   /** SimHash signatures: 32-bit, token-frequency weighted. Bit `b` is
-    * set iff `Σ_tokens cnt·(2·bit_b(H(tok))−1) >= 0`. Pure integer
-    * arithmetic (bit extraction via shift), one shuffle on doc_id.
+    * set iff `Σ_tokens (2·bit_b(H(tok))−1) >= 0` (each token instance
+    * contributes ±1 per bit, which equals the per-distinct-token
+    * `cnt·±1` formulation).
+    *
+    * Single-pass: all `bits` component sums are parallel aggregates in
+    * ONE hash aggregate on `doc_id` — no bit-table join, no `bits`×
+    * row explosion, one shuffle carrying a `bits`-column partial per
+    * (partition, doc). The final signature assembles from the sums as a
+    * pure projection.
     */
   def simhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
       hash: Column => Column = Hashing.fastHash,
       bits: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    val tok = docs
+    val toks = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy(col("doc_id"), hash(col("tok")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
-    val bitsDf = spark.range(bits).select(col("id").cast("int").as("b"))
-    tok.join(broadcast(bitsDf))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("cnt") * (expr("shiftright(h, b) & 1") * 2 - 1)).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") >= 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), hash(col("tok")).as("h"))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until bits).map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
-    * pairs sharing any byte-band are candidates; verified by Hamming
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one identical band); pairs
+    * sharing any byte-band are candidates; verified by Hamming
     * distance ≤ `maxHamming`.
+    *
+    * The signature rides along INTO the band join, so Hamming is
+    * verified inline on each collision and the (expensive) distinct
+    * runs over surviving pairs only — no join-back against the
+    * signature table, and hot buckets never materialize their full
+    * candidate set past the codegen'd filter.
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = sigs.sparkSession
     val bands = spark.range(4).select(col("id").cast("int").as("band"))
     val banded = sigs.join(broadcast(bands))
-      .select(col("doc_id"), col("band"),
+      .select(col("doc_id"), col("simhash"), col("band"),
         expr("shiftright(simhash, band * 8) & 255").as("band_val"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_val"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_val"))
-    val cands = l.join(r, Seq("band", "band_val"))
+    val l = banded.select(
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
+    val r = banded.select(
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"), col("band"), col("band_val"))
+    l.join(r, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

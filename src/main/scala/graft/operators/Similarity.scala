@@ -27,17 +27,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** `floor(x·1e6 + 0.5)` per element — the exactness contract. */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000000.0 + lit(0.5)).cast("long"))
+  /** `floor(x·1e6 + 0.5)` per element — the exactness contract.
+    * Native codegen kernel; the HOF twin
+    * `transform(vec, x => floor(x.cast("double")*1e6 + 0.5).cast("long"))`
+    * is bit-identical (differential-tested in SimilaritySpec).
+    */
+  def quantize(vec: Column): Column = graft.functions.NativeOps.quantizeE6(vec)
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors (native kernel —
+    * the hot loop of every pairwise scorer).
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.NativeOps.dotQ(a, b)
 
-  /** Squared norm of a quantized vector. */
-  def normQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  /** Squared norm of a quantized vector (native kernel). */
+  def normQ(a: Column): Column = graft.functions.NativeOps.normQ(a)
 
   private def withQuant(embeddings: DataFrame): DataFrame =
     embeddings.select(

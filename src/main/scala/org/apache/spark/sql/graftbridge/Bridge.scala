@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Catalyst Expression bridge.
+  *
+  * Spark 4 made `Column` a thin wrapper over a connect-compatible
+  * `ColumnNode`; the classic-backend conversion helpers live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This shim (compiled inside the `org.apache.spark.sql`
+  * package tree — our own source, no Spark code copied) re-exports the
+  * two conversions so graft's native expressions can participate in the
+  * public Column algebra.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

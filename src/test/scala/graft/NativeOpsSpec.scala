@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, NativeOps}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Differential specs: every native codegen kernel must be
+  * BIT-IDENTICAL to its pure-`functions._` HOF twin — the HOF twin is
+  * what the DuckDB oracle mirrors, so any drift here silently breaks
+  * the cross-engine gate. Runs over the real sf0.001 fixtures (which
+  * include CJK and punctuation-heavy text), not just toy rows.
+  */
+class NativeOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def hofPortableHash(c: org.apache.spark.sql.Column) =
+    aggregate(
+      transform(
+        sequence(lit(1), greatest(length(c), lit(1))),
+        i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(7L),
+      (h, x) => (h * 31 + x) % Hashing.P)
+
+  test("native portableHash == HOF twin on all fixture documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val mismatches = docs.select(
+      NativeOps.portableHash(col("text")).as("native"),
+      hofPortableHash(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(mismatches.count() === 0)
+  }
+
+  test("native portableHash == HOF twin on edge-case strings") {
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "中文漢字", "émixed 中 ascii", "😀 emoji",
+      "tab\tand\nnewline", "0123456789" * 50).toDF("s")
+    val bad = edge.select(
+      NativeOps.portableHash(col("s")).as("native"),
+      hofPortableHash(col("s")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("native quantize/dot/norm == HOF twins on all fixture embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def hofQuant(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * 1000000.0 + lit(0.5)).cast("long"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    def hofNorm(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+    val q = emb.select(
+      col("vec_id"),
+      Similarity.quantize(col("embedding")).as("nq"),
+      hofQuant(col("embedding")).as("hq"))
+    assert(q.filter(col("nq") =!= col("hq")).count() === 0)
+    val d = q.select(
+      NativeOps.dotQ(col("nq"), col("nq")).as("nd"),
+      hofDot(col("hq"), col("hq")).as("hd"),
+      NativeOps.normQ(col("nq")).as("nn"),
+      hofNorm(col("hq")).as("hn"))
+    assert(d.filter(col("nd") =!= col("hd") || col("nn") =!= col("hn")).count() === 0)
+  }
+
+  test("native kernels survive codegen (no fallback row)") {
+    // inputs derive from range's id so ConstantFolding can't collapse
+    // the projection — the expressions must go through doGenCode
+    val v = array((col("id") + 1).cast("float"), lit(2.0f))
+    val df = spark.range(1).select(
+      NativeOps.portableHash(
+        concat(lit("ab"), when(col("id") === 0, "c").otherwise("x"))).as("h"),
+      NativeOps.dotQ(NativeOps.quantizeE6(v), NativeOps.quantizeE6(v)).as("d"))
+    // "*(n)" prefix = WholeStageCodegen stage in the simple plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+    // hash("abc"): 7→(7*31+97)=314→(314*31+98)=9832→(9832*31+99)=304891
+    assert(df.head() === org.apache.spark.sql.Row(304891L, 5000000000000L))
+  }
+}
