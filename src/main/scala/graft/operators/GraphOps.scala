@@ -123,15 +123,18 @@ object GraphOps {
     *
     * Each hop is one equi-join on `src` plus one anti-join exclusion —
     * the exact relational form of the DQL `@filter(NOT uid(...))`.
-    * For large k the lineage grows; callers at scale should checkpoint
-    * the frontier every few hops (see pipelines.HopQuery).
+    *
+    * Iterative joins grow lineage (and re-execute the whole prefix on
+    * every reference): every `checkpointEvery` hops the frontier and
+    * visited sets are localCheckpoint'ed, truncating the plan — the
+    * standard iterative-graph pattern on Spark.
     */
-  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int, checkpointEvery: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var visited = seeds.select(col("person_id")).distinct()
     var frontier = visited
     var result: DataFrame = null
-    for (_ <- 1 to k) {
+    for (hop <- 1 to k) {
       val next = edges
         .join(frontier, edges("src") === frontier("person_id"))
         .select(edges("dst").as("person_id"))
@@ -139,6 +142,10 @@ object GraphOps {
         .join(visited, Seq("person_id"), "left_anti")
       frontier = next
       visited = visited.union(next).distinct()
+      if (checkpointEvery > 0 && hop % checkpointEvery == 0 && hop < k) {
+        frontier = frontier.localCheckpoint()
+        visited = visited.localCheckpoint()
+      }
       result = next
     }
     result

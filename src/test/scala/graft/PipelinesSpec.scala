@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{RelationshipDoc, Stats}
+import graft.operators.GraphOps
+import graft.pipelines.Pipelines
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val docs = Seq(
+    RelationshipDoc(ts("2024-01-01 00:00:00"), "A", "B", Stats(3, 7)),
+    RelationshipDoc(ts("2024-02-01 00:00:00"), "A", "B", Stats(5, 2)),
+    RelationshipDoc(ts("2024-03-01 00:00:00"), "B", "C", Stats(1, 9)))
+
+  test("bulk pipeline writes all four triple families to one directory") {
+    val out = Files.createTempDirectory("graft_rdf").toString
+    val users = Seq("A").toDF("person_id_user")
+    val tm = Seq(("T1", "A"), ("T1", "B")).toDF("team_id", "person_id")
+    Pipelines.bulk(docs.toDF(), users, tm, out)
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines.contains("_:T1 <team_id> \"T1\" ."))
+    assert(lines.contains("_:T1 <has_member> _:A ."))
+    assert(lines.contains("_:A <person_id> \"A\" ."))
+    assert(lines.contains("_:A <is_trove_user> \"true\"^^<xs:boolean> ."))
+    assert(lines.contains("_:B <is_trove_user> \"false\"^^<xs:boolean> ."))
+    assert(lines.contains("_:A <has_connection> _:B (score=5) ."))
+    assert(lines.contains("_:C <has_connection> _:B (score=9) ."))
+  }
+
+  test("incremental etl over split watermarks equals one-shot merge of all docs") {
+    val full = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docs.toDF()))
+    // run 1: everything before Feb 15; run 2: the rest, merged into run 1
+    val s1 = Pipelines.etlIncrement(None, docs.toDF()
+      .filter(col("last_update") < lit(ts("2024-02-15 00:00:00"))), ts("1970-01-01 00:00:00"))
+    val s2 = Pipelines.etlIncrement(Some(s1), docs.toDF(), ts("2024-02-15 00:00:00"))
+    assert(rowSet(s2) === rowSet(full))
+  }
+
+  test("etl state round-trips through parquet") {
+    val dir = Files.createTempDirectory("graft_state").toString + "/state"
+    assert(Pipelines.readState(spark, dir).isEmpty)
+    val s1 = Pipelines.etlIncrement(None, docs.toDF(), ts("1970-01-01 00:00:00"))
+    Pipelines.writeState(s1, dir)
+    val back = Pipelines.readState(spark, dir)
+    assert(back.isDefined)
+    assert(rowSet(back.get) === rowSet(s1))
+  }
+
+  test("hop query matches the reference DQL shape on a toy team") {
+    val tm = Seq(("T1", "A")).toDF("team_id", "person_id")
+    val edges = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docs.toDF()))
+    // from {A}: hop1 = {B}; hop2 = connections(B) − {A,B} = {C}
+    assert(strings(Pipelines.hopQuery(edges, tm, "T1", 2), "person_id") === Set("C"))
+  }
+
+  test("kHop with aggressive checkpointing matches un-checkpointed result") {
+    val edges = Seq(
+      graft.model.Edge("A", "B", 1), graft.model.Edge("B", "C", 1),
+      graft.model.Edge("C", "D", 1), graft.model.Edge("D", "E", 1)).toDF()
+    val seeds = Seq("A").toDF("person_id")
+    val plain = strings(GraphOps.kHop(edges, seeds, 4, checkpointEvery = 0), "person_id")
+    val ckpt = strings(GraphOps.kHop(edges, seeds, 4, checkpointEvery = 1), "person_id")
+    assert(plain === ckpt)
+    assert(plain === Set("E"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.{Edge, RelationshipDoc, Stats}
+import graft.streaming.{EdgeStreams, EventStreams}
+
+/** Structured Streaming specs via MemoryStream: watermark late-data
+  * eviction, windowed aggregation, and the T3 stateful
+  * upsert-if-greater (monotone emissions).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(event_id: Long, user_id: String, event_type: String, ts: Timestamp, value: Double)
+
+  private def t(sec: Long) = new Timestamp(sec * 1000)
+
+  test("tumbling stream: finalized windows exclude late data behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumbling(in.toDF(), delay = "10 seconds", size = "60 seconds")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events in window [0,60); head event at t=100 pushes
+      // the watermark to 90 at the NEXT trigger, finalizing [0,60)
+      in.addData(
+        Ev(1, "u1", "click", t(5), 1.0),
+        Ev(2, "u1", "click", t(20), 2.0),
+        Ev(3, "u1", "click", t(100), 4.0))
+      q.processAllAvailable()
+      // batch 2: late event for the already-finalized window — dropped
+      in.addData(Ev(4, "u1", "click", t(30), 100.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark past window [60,120) to flush it
+      in.addData(Ev(5, "u1", "click", t(200), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 30000L))) // late 100.0 NOT counted
+      assert(rows.contains((60000L, "click", 1L, 40000L)))
+    } finally q.stop()
+  }
+
+  test("session stream: gap merge inside the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessions(in.toDF(), delay = "5 seconds", gap = "30 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, "u1", "x", t(0), 0), Ev(2, "u1", "x", t(10), 0), // one session
+        Ev(3, "u1", "x", t(100), 0)) // second session
+      q.processAllAvailable()
+      in.addData(Ev(9, "u9", "x", t(1000), 0)) // flush watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("u1", 0L, 2L)))
+      assert(rows.contains(("u1", 100000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("T3 upsert-if-greater: emits only strict max increases per edge key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RelationshipDoc]
+    val edges = EdgeStreams.edgesFromDocStream(in.toDF())
+    val q = EdgeStreams.upsertIfGreater(edges)
+      .writeStream.format("memory").queryName("upsert_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(RelationshipDoc(t(0), "A", "B", Stats(3, 7)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("upsert_out").as[Edge].collect().toSet
+      assert(afterB1 === Set(Edge("A", "B", 3.0), Edge("B", "A", 7.0)))
+      // lower score: no emission; higher score: one emission
+      in.addData(RelationshipDoc(t(1), "A", "B", Stats(2, 9)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("upsert_out").as[Edge].collect().toSet
+      assert(afterB2 === Set(Edge("A", "B", 3.0), Edge("B", "A", 7.0), Edge("B", "A", 9.0)))
+      // final state per key equals the batch groupBy-max
+      val finalPerKey = afterB2.groupBy(e => (e.src, e.dst)).view
+        .mapValues(_.map(_.score).max).toMap
+      assert(finalPerKey === Map(("A", "B") -> 3.0, ("B", "A") -> 9.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedup(in.toDF(), delay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, "u1", "x", t(0), 1.0), Ev(1, "u1", "x", t(0), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, "u1", "x", t(1), 1.0), Ev(2, "u1", "x", t(2), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2) // ids {1,2} once each
+    } finally q.stop()
+  }
+}
