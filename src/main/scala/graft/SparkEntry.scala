@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
 import graft.sinks.Rdf
 import graft.sources.Tables
 
@@ -275,7 +275,43 @@ object SparkEntry {
 
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
     "m_decode_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir))))
+      Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+
+    // -- as-of join: latest purchase at-or-before each click, per user
+    "j_asof_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("p_value_e4"))
+      AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("p_event_id", "p_value_e4"), "p_event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("asof_p_event_id"), col("asof_p_value_e4"))
+    }),
+
+    // -- IVF ANN: probe-limited approximate top-k (the similarity scale path)
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 4, 5)),
+
+    // -- grouping sets: rollup over the pricing summary
+    "agg_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // -- JSON property extraction (F6) from the events props column
+    "e_props_json" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    })
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -551,6 +587,78 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "j_asof_purchase" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, event_id AS p_event_id,
+        |         CAST(floor(value*10000 + 0.5) AS BIGINT) AS p_value_e4
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts AS t, 0 AS side, CAST(NULL AS BIGINT) AS tb,
+        |         event_id, CAST(NULL AS BIGINT) AS p_event_id,
+        |         CAST(NULL AS BIGINT) AS p_value_e4
+        |  FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, p_event_id, NULL, p_event_id, p_value_e4 FROM r),
+        |w AS (
+        |  SELECT user_id, t, side, event_id,
+        |         last_value(p_event_id IGNORE NULLS) OVER win AS asof_p_event_id,
+        |         last_value(p_value_e4 IGNORE NULLS) OVER win AS asof_p_value_e4
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t ASC, side DESC, tb ASC
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, CAST(epoch_ms(t) AS BIGINT) AS ts_ms,
+        |       asof_p_event_id, asof_p_value_e4
+        |FROM w WHERE side = 0""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $QNORM,
+         |cent AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, q, nq, cid FROM (
+         |    SELECT v.vec_id, v.q, v.nq, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq AS DOUBLE)) DESC,
+         |             c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qq, qn2, cid FROM (
+         |    SELECT v.vec_id AS query_id, v.q AS qq, v.nq AS qn2, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq AS DOUBLE)) DESC,
+         |             c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cent c WHERE v.vec_id < 8)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${dotSql("p.qq", "a.q")} AS dot_q,
+         |         CAST(p.qn2 AS DOUBLE)*CAST(a.nq AS DOUBLE) AS nn
+         |  FROM probes p JOIN asg a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "e_props_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "m_decode_meta" ->
       """SELECT doc_id,

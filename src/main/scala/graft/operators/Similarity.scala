@@ -107,6 +107,58 @@ object Similarity {
         dotQ(col("qq"), col("q")).as("dot_q"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the coarse-
+    * quantizer scale path: assign every corpus vector to its nearest of
+    * `nCentroids` centroid cells; queries probe only their `nProbe`
+    * nearest cells; exact top-k runs within the probed candidates.
+    *
+    * Centroids here are the deterministic stand-in `vec_id <
+    * nCentroids` (a production build plugs k-means|| output into the
+    * same frame — everything downstream is unchanged). The centroid set
+    * broadcasts; assignment is one pass over the corpus (broadcast
+    * nested-loop × nCentroids, then a per-vector argmax window); the
+    * candidate join shuffles on the cell id — recall is tunable by
+    * nProbe, cost scales with corpus/nCentroids per probe instead of
+    * the whole corpus.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val corpus = withQuant(embeddings)
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      vecs.join(broadcast(cents))
+        .withColumn("ccos",
+          dotQ(col("q"), col("cq")).cast("double") /
+            sqrt(col("nq").cast("double") * col("cnq").cast("double")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .drop("cq", "cnq", "ccos", "crn")
+    }
+    val assigned = nearestCells(corpus, 1)
+    val probes = nearestCells(corpus.filter(queryPred), nProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"), col("cid"))
+    val scored = assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("qq"), col("q")).as("dot_q"),
+        (col("qn").cast("double") * col("nq").cast("double")).as("nn"))
+      .withColumn("cos", col("dot_q").cast("double") / sqrt(col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ τ.
     * Exact all-pairs within LSH buckets when `blocked`, else brute
     * force (n² — correctness oracle / small corpora only).

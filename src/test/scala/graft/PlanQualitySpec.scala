@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, GraphOps, Similarity}
+import graft.sources.Tables
+
+/** Physical-plan quality gates — the 100 TB checklist as executable
+  * assertions. These pin the *shape* of the plan (pushdown, pruning,
+  * broadcast, partial aggregation), not timings, so a regression that
+  * silently de-optimizes a plan fails CI even though sf0.001 hides the
+  * cost.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scanString(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+
+  test("watermark filter pushes down to the parquet scan") {
+    val docs = Tables.relationshipDocs(spark, sfDir)
+    val filtered = GraphOps.watermarkFilter(docs, Timestamp.valueOf("1995-06-01 00:00:00"))
+    val scans = scanString(filtered)
+    assert(scans.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"watermark predicate did not reach the scan:\n$scans")
+  }
+
+  test("narrow projections prune the parquet read schema") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+    val scans = scanString(li)
+    assert(scans.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected 2-column read schema, got:\n$scans")
+  }
+
+  test("doc->edges explode stays inside one codegen stage (no shuffle)") {
+    val edges = GraphOps.edgesFromDocs(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_shipdate").as("last_update"),
+          col("o_custkey").cast("string").as("from_person_id"),
+          col("l_suppkey").cast("string").as("to_person_id"),
+          struct(col("l_quantity").cast("int").as("raw_score_in"),
+            lit(1).as("raw_score_out")).as("stats")))
+    // the generate itself must not introduce an exchange beyond the join's
+    val plan = formatted(edges)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"explode added shuffles:\n$plan") // join sides only
+  }
+
+  test("merge-max is a partial+final hash aggregate (map-side combine)") {
+    val merged = GraphOps.mergeMaxEdges(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)))
+    val plan = formatted(merged)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("merge_max") ||
+      "HashAggregate.*max".r.findFirstIn(plan).isDefined,
+      s"expected max aggregate:\n$plan")
+  }
+
+  test("small dimension joins broadcast (trove-user membership)") {
+    val persons = GraphOps.distinctPersons(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)))
+    val flagged = GraphOps.markTroveUsers(persons, Tables.troveUsers(spark, sfDir))
+    val plan = formatted(flagged)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership join should broadcast the key set at this size:\n$plan")
+  }
+
+  test("cosine top-k broadcasts the query side, not the corpus") {
+    val topk = Similarity.cosineTopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4, 3)
+    val plan = formatted(topk)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query set should broadcast:\n$plan")
+  }
+
+  test("exact dedup aggregates with partial (map-side) combine") {
+    val out = Dedup.exactDedup(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+}
