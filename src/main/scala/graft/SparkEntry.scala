@@ -276,6 +276,12 @@ object SparkEntry {
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
     "m_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
+    "m_resize_meta" -> ((s, dir) =>
+      Multimodal.resizeMeta(Multimodal.withPayload(Tables.documents(s, dir)), 64, 64)),
+    "m_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)), 7)),
+    "m_block_stats" -> ((s, dir) =>
+      Multimodal.blockStats(Tables.documents(s, dir), 64)),
 
     // -- as-of join: latest purchase at-or-before each click, per user
     "j_asof_purchase" -> ((s, dir) => {
@@ -666,7 +672,45 @@ object SparkEntry {
         |       lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
         |       32 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS width,
         |       32 + CAST(ascii(substring(text, 1, 1)) AS BIGINT) % 224 AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m_resize_meta" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         32 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS width,
+        |         32 + CAST(ascii(substring(text, 1, 1)) AS BIGINT) % 224 AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, width, height,
+        |         least(1000, least(64000 // width, 64000 // height)) AS scale_e3
+        |  FROM dims)
+        |SELECT doc_id, width, height,
+        |       width * scale_e3 // 1000 AS out_w,
+        |       height * scale_e3 // 1000 AS out_h
+        |FROM s""".stripMargin,
+
+    "m_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         8 + CAST(octet_length(encode(text)) AS BIGINT) % 120 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, unnest(range(0, n_frames, 7)) AS frame_idx, n_frames
+        |FROM v""".stripMargin,
+
+    "m_block_stats" ->
+      """WITH cp AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (i - 1) // 64 AS block_no,
+        |         CAST(unicode(substring(text, i, 1)) AS BIGINT) AS cpv
+        |  FROM cp)
+        |SELECT doc_id, block_no,
+        |       COUNT(*) AS n_cp,
+        |       CAST(SUM(cpv) AS BIGINT) AS sum_cp,
+        |       CAST(MIN(cpv) AS BIGINT) AS min_cp,
+        |       CAST(MAX(cpv) AS BIGINT) AS max_cp
+        |FROM c GROUP BY doc_id, block_no""".stripMargin
   )
 
   // ---------------------------------------------------------------------------

@@ -81,4 +81,100 @@ object Multimodal {
       (lit(32L) + nBytes % 480).as("width"),
       (lit(32L) + ascii(substring(col(textCol), 1, 1)) % 224).as("height"))
   }
+
+  /** Fit-into-box resize planning: integer fixed-point (e3) scale so
+    * the plan is exact and portable. A real build hands (w, h, rw, rh)
+    * to the codec; the arithmetic IS the production resize plan.
+    */
+  object FakeResizer {
+    def plan(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long) = {
+      val scaleE3 = math.min(1000L, math.min(maxW * 1000 / w, maxH * 1000 / h))
+      (w * scaleE3 / 1000, h * scaleE3 / 1000)
+    }
+  }
+
+  /** Resize metadata over partitions: decode dims (stub codec) + the
+    * integer fit-into-box plan, batched per partition like a real
+    * image pipeline (codec/scaler state amortized across the batch).
+    */
+  def resizeMeta(withPayloadDf: DataFrame, maxW: Long, maxH: Long, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloadDf.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (_, _, w, h) = FakeDecoder.decode(r.getAs[Array[Byte]](1))
+          val (rw, rh) = FakeResizer.plan(w, h, maxW, maxH)
+          Row(id, w, h, rw, rh)
+        }
+      }(encoder)
+  }
+
+  /** Frame sampling over a (stub) video payload: one output row per
+    * sampled frame index — the generator shape (`Iterator.flatMap`)
+    * a real frame extractor drops into. Frame count derives
+    * deterministically from the payload size.
+    */
+  def frameSample(withPayloadDf: DataFrame, stride: Int, idCol: String = "doc_id"): DataFrame = {
+    require(stride >= 1)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloadDf.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val nFrames = 8L + (r.getAs[Array[Byte]](1).length.toLong % 120L)
+          (0L until nFrames by stride.toLong).iterator.map(i => Row(id, i, nFrames))
+        }
+      }(encoder)
+  }
+
+  /** Feature extraction: per-block codepoint statistics (block =
+    * `blockSize` consecutive codepoints) — the batched per-partition
+    * loop a real embedding/feature extractor uses, with exact integer
+    * outputs so the whole pipeline is oracle-checkable.
+    */
+  def blockStats(docs: DataFrame, blockSize: Int = 64, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockSize >= 1)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("block_no", LongType, nullable = false),
+      StructField("n_cp", LongType, nullable = false),
+      StructField("sum_cp", LongType, nullable = false),
+      StructField("min_cp", LongType, nullable = false),
+      StructField("max_cp", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col(idCol), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val s = r.getString(1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var i = 0        // UTF-16 offset
+          var cpIdx = 0L   // codepoint index
+          var bNo = 0L; var n = 0L; var sum = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          def flush(): Unit = if (n > 0) { out += Row(id, bNo, n, sum, mn, mx) }
+          while (i < s.length) {
+            val cp = s.codePointAt(i)
+            val b = cpIdx / blockSize
+            if (b != bNo) { flush(); bNo = b; n = 0; sum = 0; mn = Long.MaxValue; mx = Long.MinValue }
+            n += 1; sum += cp; mn = math.min(mn, cp); mx = math.max(mx, cp)
+            cpIdx += 1
+            i += Character.charCount(cp)
+          }
+          flush()
+          out.iterator
+        }
+      }(encoder)
+  }
 }

@@ -39,4 +39,23 @@ class RdfSpec extends SparkSpec {
     val sqlTwin = Multimodal.metaSql(docs)
     assert(rowSet(decoded) === rowSet(sqlTwin))
   }
+
+  test("multimodal: resize plan fits the box and preserves aspect ratio") {
+    assert(Multimodal.FakeResizer.plan(480, 240, 64, 64) === ((63L, 31L)))
+    assert(Multimodal.FakeResizer.plan(32, 32, 64, 64) === ((32L, 32L))) // never upscale
+  }
+
+  test("multimodal: frame sampling emits stride-spaced indices") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text") // 4 bytes -> 12 frames
+    val out = Multimodal.frameSample(Multimodal.withPayload(docs), 7)
+    assert(rowSet(out) === Set(Seq(1L, 0L, 12L), Seq(1L, 7L, 12L)))
+  }
+
+  test("multimodal: block stats over codepoints, block boundary exact") {
+    val docs = Seq((1L, "ab" + ("x" * 63))).toDF("doc_id", "text") // 65 cps -> 2 blocks
+    val out = Multimodal.blockStats(docs, 64).collect().map(_.toSeq).toSet
+    assert(out === Set(
+      Seq(1L, 0L, 64L, 97L + 98L + 62L * 120L, 97L, 120L),
+      Seq(1L, 1L, 1L, 120L, 120L, 120L)))
+  }
 }
