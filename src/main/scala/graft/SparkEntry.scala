@@ -258,6 +258,13 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.portableHash), 3)),
+    "d_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponents(
+        Dedup.simhashPairs(
+          Dedup.simhashSignatures(docs, hash = Hashing.portableHash), 3),
+        docs.select(col("doc_id")))
+    }),
 
     // -- similarity search --------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) =>
@@ -511,6 +518,29 @@ object SparkEntry {
          |JOIN sig sa ON sa.doc_id = doc_a
          |JOIN sig sb ON sb.doc_id = doc_b
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
+
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v)
+         |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH $QNORM,

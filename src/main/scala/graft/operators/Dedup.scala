@@ -181,6 +181,45 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns pairwise near-duplicates into dedup CLUSTERS (each doc maps
+    * to its component's minimum id, the canonical representative).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels; fixpoint when no
+    * label changes. Rounds = graph diameter (near-dup components are
+    * tiny, so 2–4 rounds in practice). Each round is one join + one
+    * aggregate; lineage is cut by localCheckpoint per round — the same
+    * pattern as [[GraphOps.kHop]].
+    *
+    * `vertices` supplies the full id universe so singletons appear as
+    * their own component.
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin").isNotNull && col("nmin") < col("label")).as("__changed"))
+        .localCheckpoint()
+      changed = updated.filter(col("__changed")).count()
+      labels = updated.select(col("doc_id"), col("label"))
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("component_id"))
+  }
+
   /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes
     * (pigeonhole: hamming ≤ 3 ⇒ at least one identical band); pairs
     * sharing any byte-band are candidates; verified by Hamming

@@ -61,6 +61,23 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("connected components: chains merge to min label, singletons stand alone") {
+    // components: {1,2,3,4} (path), {5,6}, singleton {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val verts = (1L to 7L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, verts)
+    assert(rowSet(cc) === Set(
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L),
+      Seq(5L, 5L), Seq(6L, 5L), Seq(7L, 7L)))
+  }
+
+  test("connected components: empty pair set leaves every doc a singleton") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val verts = (1L to 3L).toDF("doc_id")
+    assert(rowSet(Dedup.connectedComponents(pairs, verts)) ===
+      Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
+  }
+
   test("dfCap drops shingles above the document-frequency cap") {
     val sh = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 99L))
       .toDF("doc_id", "sh")
