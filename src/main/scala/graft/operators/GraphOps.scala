@@ -93,6 +93,17 @@ object GraphOps {
       .drop("__hit")
   }
 
+  /** A5 — pipeline observability (the reference's progress counters,
+    * elastic.go:87-98, done the Spark way): named metrics attached to
+    * the flow, collected per action via `observedMetrics` (batch) or
+    * `StreamingQueryProgress` (streams) — zero extra passes, no
+    * driver-side counting loop.
+    */
+  def observed(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col(df.columns.head).isNull, 1L).otherwise(0L)).as("null_first_col"))
+
   /** A3 — group team members into per-team sorted member lists
     * (reference builds `map[team_id][]person_id`). Sorted for
     * determinism; callers that only re-flatten should skip this op and

@@ -1,10 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.model.Edge
+import graft.operators.GraphOps
+import graft.pipelines.Pipelines
 
 /** Streaming form of the reference's `etl` binary (SURVEY §3.1): an
   * incremental doc stream → directed scored edges → stateful
@@ -53,5 +56,41 @@ object EdgeStreams {
             Iterator(Edge(src, dst, best))
           } else Iterator.empty
       }
+  }
+
+  /** The full incremental ETL loop as a file-driven stream: watch a
+    * directory of relationship-doc parquet, per micro-batch explode to
+    * edges, max-merge the batch, and MERGE into the persistent parquet
+    * edge state (conflict-free full-outer + greatest — the semantics
+    * the reference implements with per-row transactions and retry
+    * loops, dgraph.go:53-223).
+    *
+    * `Trigger.AvailableNow` drains everything present then stops —
+    * the batch-incremental cadence; a `ProcessingTime` trigger turns
+    * the same code into a continuous pipeline. Source offsets live in
+    * the checkpoint, replacing the reference's hand-logged watermark.
+    */
+  def runFileEtl(
+      spark: SparkSession,
+      inDir: String,
+      docSchema: StructType,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val docs = spark.readStream.schema(docSchema).parquet(inDir)
+    val mergeBatch: (Dataset[Edge], Long) => Unit = { (batch, _) =>
+      val merged = GraphOps.mergeMaxEdges(batch.toDF())
+      val next = Pipelines.readState(batch.sparkSession, stateDir)
+        .fold(merged)(GraphOps.mergeEdgeStates(_, merged))
+        // materialize BEFORE overwriting the state we just read from
+        .localCheckpoint()
+      Pipelines.writeState(next, stateDir)
+    }
+    edgesFromDocStream(docs)
+      .writeStream
+      .foreachBatch(mergeBatch)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 }

@@ -92,6 +92,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(rowSet(GraphOps.mergeEdgeStates(empty, nw)) === Set(Seq("A", "B", 3.0)))
   }
 
+  test("A5: observed metrics report row counts without an extra pass") {
+    val df = GraphOps.observed(docsDf, "docs_progress")
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("docs_progress"))
+    assert(metrics("docs_progress").getAs[Long]("rows") === 3L)
+    assert(metrics("docs_progress").getAs[Long]("null_first_col") === 0L)
+  }
+
   test("J4: 2-hop expansion on a toy graph excludes prior hops") {
     // A->B, B->C, C->D, B->A: from {A}, hop1={B}, hop2={C} (A excluded)
     val edges = Seq(

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file etl: AvailableNow drains new files and merges into parquet state") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_etl").toString
+    val (inDir, stateDir, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    val schema = Seq.empty[RelationshipDoc].toDF().schema
+
+    // batch 1
+    Seq(RelationshipDoc(t(0), "A", "B", Stats(3, 7)))
+      .toDF().write.mode("append").parquet(inDir)
+    EdgeStreams.runFileEtl(spark, inDir, schema, stateDir, ckpt).awaitTermination()
+    val s1 = spark.read.parquet(stateDir)
+    assert(rowSet(s1) === Set(Seq("A", "B", 3.0), Seq("B", "A", 7.0)))
+
+    // batch 2: one lower (ignored), one higher (upserted), one new pair
+    Seq(
+      RelationshipDoc(t(10), "A", "B", Stats(2, 9)),
+      RelationshipDoc(t(11), "C", "D", Stats(1, 1)))
+      .toDF().write.mode("append").parquet(inDir)
+    EdgeStreams.runFileEtl(spark, inDir, schema, stateDir, ckpt).awaitTermination()
+    val s2 = spark.read.parquet(stateDir)
+    assert(rowSet(s2) === Set(
+      Seq("A", "B", 3.0), Seq("B", "A", 9.0),
+      Seq("C", "D", 1.0), Seq("D", "C", 1.0)))
+  }
+
   test("streaming dedup within watermark drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
