@@ -1,0 +1,142 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom imperative aggregates for the sketch operators: one
+  * array-typed buffer updated in a tight JVM loop per input row,
+  * replacing `bits`/`k` parallel SQL aggregate columns. Bit-identical
+  * to the column formulations (DedupSpec + the DuckDB oracle pin it);
+  * ~an order of magnitude fewer aggregate-update calls.
+  */
+object NativeAggs {
+
+  /** SimHash component sums: buffer[b] += 2*bit_b(h)−1 per input hash;
+    * eval assembles the signature long (bit b set iff buffer[b] >= 0).
+    */
+  case class SimHashAgg(
+      child: Expression,
+      bits: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var b = 0
+        while (b < bits) { buf(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bits) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      var sig = 0L
+      var b = 0
+      while (b < bits) { if (buf(b) >= 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = bytesToLongs(bytes)
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): SimHashAgg =
+      copy(child = newChildren.head)
+  }
+
+  /** All k MinHash permutation minima in one buffer:
+    * buffer[j] = min over inputs of (a_j·(sh mod P) + b_j) mod P with
+    * the same deterministic coefficients as [[Hashing.minhashPerm]].
+    */
+  case class MinHashAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    private val P = Hashing.P
+    private val as: Array[Long] = Array.tabulate(k)(j => ((j + 1) * 961748941L) % P)
+    private val bs: Array[Long] = Array.tabulate(k)(j => ((j + 1) * 982451653L) % P)
+
+    override def createAggregationBuffer(): Array[Long] =
+      Array.fill(k)(Long.MaxValue)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long] % P
+        var j = 0
+        while (j < k) {
+          val p = (as(j) * h + bs(j)) % P
+          if (p < buf(j)) buf(j) = p
+          j += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < k) { if (b2(j) < b1(j)) b1(j) = b2(j); j += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = bytesToLongs(bytes)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MinHashAgg =
+      copy(child = newChildren.head)
+  }
+
+  private def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(a.length * 8)
+    a.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getLong())
+  }
+
+  /** Column faces. */
+  def simhashAgg(c: Column, bits: Int): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(c), bits).toAggregateExpression())
+  def minhashAgg(c: Column, k: Int): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(c), k).toAggregateExpression())
+}

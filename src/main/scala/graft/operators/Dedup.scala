@@ -88,25 +88,20 @@ object Dedup {
   /** MinHash signatures: `(doc_id, j, mh)` for permutations
     * `j = 0..k-1`, `mh = min over shingles of (a_j*sh + b_j) mod P`.
     *
-    * Single-pass: all k permutation minima are computed as k parallel
-    * `min` aggregates in ONE hash aggregate on `doc_id`, then unpivoted
-    * with `posexplode`. Versus the join-with-perms formulation this
-    * avoids the k× row explosion AND the (doc_id, j) shuffle — the
-    * shuffle carries one k-column partial row per (partition, doc).
-    * MinHash is duplicate-insensitive, so callers may feed
-    * non-deduplicated shingle streams.
+    * Single-pass: all k permutation minima live in ONE array-buffered
+    * imperative aggregate ([[graft.functions.NativeAggs.MinHashAgg]] —
+    * a tight k-iteration loop per shingle), then unpivot with
+    * `posexplode`. Versus the join-with-perms formulation this avoids
+    * the k× row explosion AND the (doc_id, j) shuffle — the shuffle
+    * carries one k-long partial buffer per (partition, doc). MinHash is
+    * duplicate-insensitive, so callers may feed non-deduplicated
+    * shingle streams.
     */
-  def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame = {
-    val mins = (0 until k).map { j =>
-      min(Hashing.minhashPerm(col("sh") % Hashing.P, lit(j.toLong))).as(s"mh$j")
-    }
+  def minhashSignatures(sh: DataFrame, k: Int = 8): DataFrame =
     sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(
-        col("doc_id"),
-        posexplode(array((0 until k).map(j => col(s"mh$j")): _*)).as(Seq("j", "mh")))
+      .agg(graft.functions.NativeAggs.minhashAgg(col("sh"), k).as("mhs"))
+      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("j", "mh")))
       .select(col("doc_id"), col("j").cast("long").as("j"), col("mh"))
-  }
 
   /** MinHash + LSH near-dup: signatures are banded (`bands` bands of
     * `rowsPerBand` perms, k = bands*rowsPerBand); docs colliding on any
@@ -156,48 +151,45 @@ object Dedup {
     * contributes ±1 per bit, which equals the per-distinct-token
     * `cnt·±1` formulation).
     *
-    * Single-pass: all `bits` component sums are parallel aggregates in
-    * ONE hash aggregate on `doc_id` — no bit-table join, no `bits`×
-    * row explosion, one shuffle carrying a `bits`-column partial per
-    * (partition, doc). The final signature assembles from the sums as a
-    * pure projection.
+    * Single-pass: all `bits` component sums live in one array-buffered
+    * imperative aggregate ([[graft.functions.NativeAggs.SimHashAgg]])
+    * — no bit-table join, no `bits`× row explosion, one shuffle
+    * carrying a `bits`-long partial buffer per (partition, doc); the
+    * signature assembles in `eval`.
     */
   def simhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
       hash: Column => Column = Hashing.fastHash,
       bits: Int = 32): DataFrame = {
-    val toks = docs
+    docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), hash(col("tok")).as("h"))
-    val sums = (0 until bits).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
-    }
-    toks.groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until bits).map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.NativeAggs.simhashAgg(col("h"), bits).as("simhash"))
   }
 
   /** Connected components over an undirected pair list — the step that
     * turns pairwise near-duplicates into dedup CLUSTERS (each doc maps
     * to its component's minimum id, the canonical representative).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * min of its own label and its neighbors' labels; fixpoint when no
-    * label changes. Rounds = graph diameter (near-dup components are
-    * tiny, so 2–4 rounds in practice). Each round is one join + one
-    * aggregate; lineage is cut by localCheckpoint per round — the same
-    * pattern as [[GraphOps.kHop]].
+    * Iterative min-label propagation with pointer jumping: each round
+    * every vertex takes the min of its own, its neighbors', and its
+    * label's label (path halving) — fixpoint in O(log diameter) rounds
+    * instead of O(diameter). Each round is two joins + one aggregate;
+    * lineage is cut by localCheckpoint per round — the same pattern as
+    * [[GraphOps.kHop]].
     *
     * `vertices` supplies the full id universe so singletons appear as
     * their own component.
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // materialize the (small) pair list ONCE — every propagation round
+    // joins against it, and without the checkpoint each round would
+    // re-execute the whole upstream candidate-generation pipeline
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
     var changed = 1L
     var round = 0
@@ -206,15 +198,22 @@ object Dedup {
         .join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, Seq("doc_id"), "left_outer")
         .select(
-          col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin").isNotNull && col("nmin") < col("label")).as("__changed"))
+          col("doc_id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: follow one indirection (labels are monotone
+      // decreasing and label(x) <= x, so label-of-label only improves)
+      val lmap = stepped.select(col("doc_id").as("ld"), col("label").as("ll"))
+      val jumped = stepped
+        .join(lmap, stepped("label") === col("ld"), "left_outer")
+        .select(
+          stepped("doc_id"), col("old_label"),
+          least(stepped("label"), coalesce(col("ll"), stepped("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.filter(col("__changed")).count()
-      labels = updated.select(col("doc_id"), col("label"))
+      changed = jumped.filter(col("label") < col("old_label")).count()
+      labels = jumped.select(col("doc_id"), col("label"))
       round += 1
     }
     labels.select(col("doc_id"), col("label").as("component_id"))
