@@ -241,6 +241,20 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.portableHash)),
+    "t_hash_split" -> ((s, dir) =>
+      TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.portableHash)),
+    "t_quality_topk" -> ((s, dir) =>
+      TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
+    "e_pivot_types" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          col("click").as("n_click"), col("view").as("n_view"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("error").as("n_error"))
+    }),
 
     // -- deduplication ------------------------------------------------------
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -462,6 +476,37 @@ object SparkEntry {
 
     "t_fingerprint" ->
       s"""SELECT doc_id, ${ph("text")} AS fp FROM documents""",
+
+    "t_hash_split" ->
+      s"""WITH b AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "t_quality_topk" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1000
+         |              / length(text)) AS BIGINT) AS alpha_ratio_e3
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_tokens, alpha_ratio_e3, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang, source
+         |    ORDER BY alpha_ratio_e3 DESC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM q)
+         |WHERE rn <= 3""".stripMargin,
+
+    "e_pivot_types" ->
+      """SELECT user_id,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,

@@ -147,4 +147,15 @@ object NativeOps {
     Bridge.column(DotQExpr(Bridge.expression(a), Bridge.expression(b)))
   def normQ(a: Column): Column = Bridge.column(NormQExpr(Bridge.expression(a)))
   def quantizeE6(a: Column): Column = Bridge.column(QuantizeE6Expr(Bridge.expression(a)))
+
+  /** Make every native kernel callable from `spark.sql(...)` text:
+    * `graft_portable_hash(s)`, `graft_dot_q(a, b)`, `graft_norm_q(a)`,
+    * `graft_quantize_e6(a)`. Idempotent per session.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_portable_hash", es => PortableHashExpr(es.head))
+    Bridge.registerFunction(spark, "graft_dot_q", es => DotQExpr(es(0), es(1)))
+    Bridge.registerFunction(spark, "graft_norm_q", es => NormQExpr(es.head))
+    Bridge.registerFunction(spark, "graft_quantize_e6", es => QuantizeE6Expr(es.head))
+  }
 }

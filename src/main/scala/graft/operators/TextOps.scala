@@ -89,4 +89,43 @@ object TextOps {
       textCol: String = "text",
       hash: Column => Column = Hashing.fastHash): DataFrame =
     docs.select(col("doc_id"), hash(col(textCol)).as("fp"))
+
+  /** Deterministic train/val/test split by content hash — the
+    * reproducible alternative to `rand()` sampling: the same document
+    * lands in the same split on every run, every engine, any partition
+    * layout. Buckets are permille of the hash ring; splits are
+    * `[0,train)` → train, `[train,train+val)` → val, rest → test.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      trainPermille: Int,
+      valPermille: Int,
+      textCol: String = "text",
+      hash: Column => Column = Hashing.fastHash): DataFrame = {
+    require(trainPermille + valPermille <= 1000)
+    val bucket = pmod(hash(col(textCol)), lit(1000L))
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPermille, "train")
+        .when(bucket < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Curation top-k: the `k` highest-quality documents per group
+    * (e.g. per language × source) — quality-score ranking with a
+    * deterministic id tiebreak; the standard "keep the best N per
+    * stratum" selection.
+    */
+  def qualityTopK(docs: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs).select(
+      col("doc_id"), col("n_tokens"), col("alpha_ratio_e3"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("alpha_ratio_e3").desc, col("doc_id").asc)
+    docs.select((groupCols.map(col) :+ col("doc_id")): _*)
+      .join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

@@ -38,6 +38,43 @@ class TextOpsSpec extends SparkSpec {
       Seq(1L, "en"), Seq(2L, "es"), Seq(3L, "de"), Seq(4L, "fr"), Seq(5L, "zh")))
   }
 
+  test("graft_* kernels callable from SQL text after registration") {
+    graft.functions.NativeOps.registerSql(spark)
+    val r = spark.sql(
+      "SELECT graft_portable_hash('ab') AS h, " +
+        "graft_dot_q(array(2L, 3L), array(4L, 5L)) AS d, " +
+        "graft_norm_q(graft_quantize_e6(array(CAST(1.0 AS FLOAT)))) AS n").head()
+    assert(r.getLong(0) === 9832L)
+    assert(r.getLong(1) === 23L)
+    assert(r.getLong(2) === 1000000L * 1000000L)
+  }
+
+  test("hash split: deterministic buckets, boundaries respected") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
+    val s1 = TextOps.hashSplit(docs, 800, 100)
+    val s2 = TextOps.hashSplit(docs, 800, 100)
+    assert(rowSet(s1) === rowSet(s2)) // rerun-stable
+    val bad = s1.filter(
+      (col("bucket") < 800 && col("split") =!= "train") ||
+        (col("bucket") >= 800 && col("bucket") < 900 && col("split") =!= "val") ||
+        (col("bucket") >= 900 && col("split") =!= "test"))
+    assert(bad.count() === 0)
+  }
+
+  test("quality top-k keeps at most k docs per group, ranked by alpha ratio") {
+    val docs = Seq(
+      (1L, "en", "s1", "all alpha words here"),
+      (2L, "en", "s1", "mixed 123 456 !!"),
+      (3L, "en", "s1", "also full alpha text"),
+      (4L, "fr", "s1", "texte"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.qualityTopK(docs, Seq("lang", "source"), 2)
+    val perGroup = out.groupBy(col("lang"), col("source")).count().collect()
+    assert(perGroup.forall(_.getLong(2) <= 2))
+    // doc 2 (lowest alpha ratio) must be the one dropped from en/s1
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(2L))
+  }
+
   test("fingerprint: equal texts equal fp, distinct texts distinct fp") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(df).as[(Long, Long)].collect().toMap
