@@ -25,16 +25,16 @@ object Scratch {
 
     val docs = Tables.documents(spark, dir)
     time("warmup count")(docs.count())
-    val sh = Dedup.shingles(docs, 3, hash = Hashing.portableHash)
+    val sh = Dedup.shingles(docs, 3, hash = Hashing.Portable)
     time("shingles (native portable)")(sh.count())
     time("minhash sigs (single-pass)")(Dedup.minhashSignatures(sh, 8).count())
     time("ngram jaccard")(
-      Dedup.ngramJaccardPairs(docs, 3, 50, 500, Hashing.portableHash).count())
+      Dedup.ngramJaccardPairs(docs, 3, 50, 500, Hashing.Portable).count())
     val emb = Tables.embeddings(spark, dir)
     time("sim near-dup (native dot)")(
       graft.operators.Similarity.cosineNearDupPairs(emb, 400000L).count())
     time("simhash pairs")(
-      Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.portableHash), 3).count())
+      Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3).count())
     spark.stop()
   }
 }

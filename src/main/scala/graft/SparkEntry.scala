@@ -240,9 +240,9 @@ object SparkEntry {
     "t_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.portableHash)),
+      TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_hash_split" -> ((s, dir) =>
-      TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.portableHash)),
+      TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.Portable)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     "e_pivot_types" -> ((s, dir) => {
@@ -259,24 +259,24 @@ object SparkEntry {
     // -- deduplication ------------------------------------------------------
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_shingle_sets" -> ((s, dir) =>
-      Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.portableHash)),
+      Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable)),
     "d_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.portableHash)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.Portable)),
     "d_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(
-        Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.portableHash), 8)),
+        Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable), 8)),
     "d_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 4, 2, 500, Hashing.portableHash)),
+      Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 4, 2, 500, Hashing.Portable)),
     "d_simhash_sigs" -> ((s, dir) =>
-      Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.portableHash)),
+      Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.Portable)),
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
-        Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.portableHash), 3)),
+        Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.Portable), 3)),
     "d_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.connectedComponents(
         Dedup.simhashPairs(
-          Dedup.simhashSignatures(docs, hash = Hashing.portableHash), 3),
+          Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3),
         docs.select(col("doc_id")))
     }),
 

@@ -27,6 +27,22 @@ object Hashing {
     */
   val P: Long = 1000000007L
 
+  /** Hash tier as a value: usable directly as a `Column => Column`,
+    * while letting kernelized operators (shingling) dispatch to the
+    * fused native path for the same tier.
+    */
+  sealed abstract class HashTier extends (Column => Column) {
+    def portable: Boolean
+  }
+  case object Fast extends HashTier {
+    def apply(c: Column): Column = fastHash(c)
+    def portable: Boolean = false
+  }
+  case object Portable extends HashTier {
+    def apply(c: Column): Column = portableHash(c)
+    def portable: Boolean = true
+  }
+
   /** xxhash64 — the scale-path default. */
   def fastHash(c: Column): Column = xxhash64(c)
 

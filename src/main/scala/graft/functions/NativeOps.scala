@@ -78,6 +78,107 @@ object NativeKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Java-regex `\s` membership (ASCII five + vertical tab) — the
+    * whitespace class of `regexp_extract_all(text, '\\S+')`, which the
+    * shingle kernels must tokenize identically to.
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def tokenBounds(str: String): Array[Int] = {
+    // flat (start, end) pairs of maximal non-whitespace runs
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < str.length) {
+      while (i < str.length && isWs(str.charAt(i))) i += 1
+      if (i < str.length) {
+        val s = i
+        while (i < str.length && !isWs(str.charAt(i))) i += 1
+        bounds += s += i
+      }
+    }
+    bounds.toArray
+  }
+
+  /** All word-n-gram shingle hashes of a document in ONE pass —
+    * bit-identical to `portableHash(concat_ws(" ", slice(tokens, i, n)))`
+    * per gram, with no token array, gram string, or lambda-chain
+    * materialization. Duplicates preserved (callers dedup after
+    * explode).
+    */
+  def shingleHashesPortable(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val b = tokenBounds(str)
+    val nTok = b.length / 2
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    var g = 0
+    while (g <= nTok - n) {
+      var h = 7L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31 + 32) % P // the joining space
+        var ci = b(2 * (g + j))
+        val ce = b(2 * (g + j) + 1)
+        while (ci < ce) {
+          val cp = str.codePointAt(ci)
+          h = (h * 31 + cp) % P
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fast-tier twin: xxhash64(seed 42, same bytes as the joined gram
+    * string) — byte-level tokenization is safe because every UTF-8
+    * continuation byte is >= 0x80 and all `\s` members are ASCII.
+    */
+  def shingleHashesXx(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    @inline def ws(x: Byte): Boolean =
+      x == 0x20 || x == 0x09 || x == 0x0a || x == 0x0b || x == 0x0c || x == 0x0d
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && ws(bytes(i))) i += 1
+      if (i < bytes.length) {
+        val st = i
+        while (i < bytes.length && !ws(bytes(i))) i += 1
+        bounds += st += i
+      }
+    }
+    val nTok = bounds.length / 2
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    var scratch = new Array[Byte](64)
+    val out = new Array[Long](nTok - n + 1)
+    var g = 0
+    while (g <= nTok - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val st = bounds(2 * (g + j)); val en = bounds(2 * (g + j) + 1)
+        val need = len + (en - st) + 1
+        if (need > scratch.length) {
+          val bigger = new Array[Byte](Integer.highestOneBit(need) * 2)
+          System.arraycopy(scratch, 0, bigger, 0, len)
+          scratch = bigger
+        }
+        if (j > 0) { scratch(len) = 0x20; len += 1 }
+        System.arraycopy(bytes, st, scratch, len, en - st)
+        len += en - st
+        j += 1
+      }
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native, codegen'd twin of the portable polynomial string hash.
@@ -118,6 +219,27 @@ case class NormQExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass word-n-gram shingle hashes: StringType → array<bigint>,
+  * one element per gram (duplicates preserved). `portable` picks the
+  * polynomial tier; otherwise xxhash64 (seed 42), both bit-identical
+  * to hashing the `concat_ws(" ", slice(tokens, i, n))` gram strings.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int, portable: Boolean)
+  extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    if (portable) NativeKernels.shingleHashesPortable(input.asInstanceOf[UTF8String], n)
+    else NativeKernels.shingleHashesXx(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "shingleHashesPortable" else "shingleHashesXx"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.$fn($c, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** Per-element `floor(x*1e6 + 0.5)` quantization of a float/double
   * array into `array<bigint>`.
   */
@@ -147,6 +269,8 @@ object NativeOps {
     Bridge.column(DotQExpr(Bridge.expression(a), Bridge.expression(b)))
   def normQ(a: Column): Column = Bridge.column(NormQExpr(Bridge.expression(a)))
   def quantizeE6(a: Column): Column = Bridge.column(QuantizeE6Expr(Bridge.expression(a)))
+  def shingleHashes(c: Column, n: Int, portable: Boolean): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(c), n, portable))
 
   /** Make every native kernel callable from `spark.sql(...)` text:
     * `graft_portable_hash(s)`, `graft_dot_q(a, b)`, `graft_norm_q(a)`,

@@ -30,22 +30,21 @@ object Dedup {
       .select(col("canonical_id"), col("n_copies"), length(col(textCol)).cast("long").as("n_chars_m"))
 
   /** Distinct word-`n`-gram shingle hashes per document:
-    * `(doc_id, sh)` rows. Shingles are hashed immediately so the
-    * exploded rows are fixed-width.
+    * `(doc_id, sh)` rows. The tokenize→gram→hash chain is ONE fused
+    * native generator ([[graft.functions.ShingleHashesExpr]]) — no
+    * token arrays, gram strings, or interpreted lambdas; per-doc cost
+    * is a single pass over the text per tier.
     */
   def shingles(
       docs: DataFrame,
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id",
-      hash: Column => Column = Hashing.fastHash): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => hash(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
-    docs.select(col(idCol).as("doc_id"), explode(grams).as("sh")).distinct()
-  }
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.NativeOps.shingleHashes(col(textCol), n, hash.portable)).as("sh"))
+      .distinct()
 
   /** Drop shingles whose document frequency exceeds `maxDf` — the
     * stop-shingle/skew guard. A shingle present in thousands of docs
@@ -67,7 +66,7 @@ object Dedup {
       n: Int = 3,
       maxDf: Int = 50,
       threshE3: Int = 500,
-      hash: Column => Column = Hashing.fastHash): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val capped = dfCap(sh, maxDf)
@@ -115,7 +114,7 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       threshE3: Int = 500,
-      hash: Column => Column = Hashing.fastHash): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     val sig = minhashSignatures(sh, bands * rowsPerBand)
     // band signature: fold the band's minhashes into one value
@@ -160,7 +159,7 @@ object Dedup {
   def simhashSignatures(
       docs: DataFrame,
       textCol: String = "text",
-      hash: Column => Column = Hashing.fastHash,
+      hash: Hashing.HashTier = Hashing.Fast,
       bits: Int = 32): DataFrame = {
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))

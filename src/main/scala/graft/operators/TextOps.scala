@@ -87,7 +87,7 @@ object TextOps {
   def fingerprint(
       docs: DataFrame,
       textCol: String = "text",
-      hash: Column => Column = Hashing.fastHash): DataFrame =
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame =
     docs.select(col("doc_id"), hash(col(textCol)).as("fp"))
 
   /** Deterministic train/val/test split by content hash — the
@@ -101,7 +101,7 @@ object TextOps {
       trainPermille: Int,
       valPermille: Int,
       textCol: String = "text",
-      hash: Column => Column = Hashing.fastHash): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     require(trainPermille + valPermille <= 1000)
     val bucket = pmod(hash(col(textCol)), lit(1000L))
     docs.select(

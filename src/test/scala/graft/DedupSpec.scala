@@ -85,8 +85,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("portable and fast hash tiers agree on dedup verdicts") {
-    val fast = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.fastHash)
-    val portable = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.portableHash)
+    val fast = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.Fast)
+    val portable = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.Portable)
     assert(rowSet(fast) === rowSet(portable))
   }
 }

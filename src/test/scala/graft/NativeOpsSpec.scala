@@ -65,6 +65,24 @@ class NativeOpsSpec extends SparkSpec {
     assert(d.filter(col("nd") =!= col("hd") || col("nn") =!= col("hn")).count() === 0)
   }
 
+  test("fused shingle kernel == tokenize/slice/hash HOF chain, both tiers") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    for ((tier, hofHash) <- Seq[(Boolean, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      (true, hofPortableHash), (false, xxhash64(_)))) {
+      val toks = TextOps.tokens(col("text"))
+      val hofGrams = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => hofHash(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+        .otherwise(array().cast("array<bigint>"))
+      val bad = docs.select(
+        NativeOps.shingleHashes(col("text"), 3, portable = tier).as("native"),
+        hofGrams.as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(bad.count() === 0, s"tier portable=$tier diverged")
+    }
+  }
+
   test("native kernels survive codegen (no fallback row)") {
     // inputs derive from range's id so ConstantFolding can't collapse
     // the projection — the expressions must go through doGenCode
