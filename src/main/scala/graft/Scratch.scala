@@ -35,6 +35,11 @@ object Scratch {
       graft.operators.Similarity.cosineNearDupPairs(emb, 400000L).count())
     time("simhash pairs")(
       Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3).count())
+    val j4 = SparkEntry.queries("j4_two_hop")(spark, dir)
+    time("j4_two_hop")(j4.count())
+    val plan = j4.queryExecution.executedPlan.toString
+    println("[scratch] j4 ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).size)
+    println("[scratch] j4 scan count: " + "Scan parquet".r.findAllIn(plan).size)
     spark.stop()
   }
 }

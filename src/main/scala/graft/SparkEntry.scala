@@ -166,6 +166,13 @@ object SparkEntry {
           .select(col("person_id_user").as("person_id")))
     }),
 
+    // U: intersect — persons that ARE trove users (set form of J2's true side)
+    "u_intersect_trove" -> ((s, dir) => {
+      GraphOps.distinctPersons(edgesOf(s, dir))
+        .intersect(Tables.troveUsers(s, dir)
+          .select(col("person_id_user").as("person_id")))
+    }),
+
     // S6+P5: RDF edge triples, byte-format pinned to the reference
     "s6_rdf_edges" -> ((s, dir) => Rdf.edgeTriples(mergedOf(s, dir))),
 
@@ -884,6 +891,13 @@ object SparkEntry {
          |  SELECT src AS person_id FROM edges
          |  UNION ALL SELECT dst FROM edges)
          |EXCEPT SELECT person_id_user FROM users""".stripMargin,
+
+    "u_intersect_trove" ->
+      s"""WITH $EDGES, $USERS
+         |SELECT DISTINCT person_id FROM (
+         |  SELECT src AS person_id FROM edges
+         |  UNION ALL SELECT dst FROM edges)
+         |INTERSECT SELECT person_id_user FROM users""".stripMargin,
 
     "s6_rdf_edges" ->
       s"""WITH $MERGED

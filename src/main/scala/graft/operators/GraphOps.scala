@@ -142,13 +142,18 @@ object GraphOps {
     */
   def kHop(edges: DataFrame, seeds: DataFrame, k: Int, checkpointEvery: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // k>1 references the edge list once per hop; materialize it so the
+    // upstream pipeline (scan→join→explode→merge at 100 TB) doesn't
+    // re-execute k times — executedPlan showed zero exchange reuse
+    // across hops without this
+    val e = if (k > 1) edges.localCheckpoint() else edges
     var visited = seeds.select(col("person_id")).distinct()
     var frontier = visited
     var result: DataFrame = null
     for (hop <- 1 to k) {
-      val next = edges
-        .join(frontier, edges("src") === frontier("person_id"))
-        .select(edges("dst").as("person_id"))
+      val next = e
+        .join(frontier, e("src") === frontier("person_id"))
+        .select(e("dst").as("person_id"))
         .distinct()
         .join(visited, Seq("person_id"), "left_anti")
       frontier = next

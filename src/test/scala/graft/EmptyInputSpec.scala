@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.model.{Edge, RelationshipDoc}
+import graft.operators._
+
+/** Degenerate-input robustness: every operator must return an EMPTY
+  * result (not throw, not NaN, not null rows) on empty inputs — at
+  * 100 TB some partition, some day, will be empty.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyEdges: DataFrame = Seq.empty[Edge].toDF()
+
+  test("graph operators on empty inputs") {
+    val docs = Seq.empty[RelationshipDoc].toDF()
+    assert(GraphOps.edgesFromDocs(docs).count() === 0)
+    assert(GraphOps.mergeMaxEdges(emptyEdges).count() === 0)
+    assert(GraphOps.distinctPersons(emptyEdges).count() === 0)
+    assert(GraphOps.kHop(emptyEdges, Seq("A").toDF("person_id"), 2).count() === 0)
+    assert(GraphOps.markTroveUsers(
+      Seq.empty[(String)].toDF("person_id"),
+      Seq.empty[String].toDF("person_id_user")).count() === 0)
+  }
+
+  test("dedup operators on empty inputs") {
+    assert(Dedup.exactDedup(emptyDocs).count() === 0)
+    assert(Dedup.shingles(emptyDocs, 3).count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.minhashSignatures(Dedup.shingles(emptyDocs, 3)).count() === 0)
+    assert(Dedup.simhashSignatures(emptyDocs).count() === 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      Seq.empty[Long].toDF("doc_id")).count() === 0)
+  }
+
+  test("whitespace-only and tiny documents produce no shingles, no crash") {
+    val docs = Seq((1L, ""), (2L, "   \t\n  "), (3L, "one"), (4L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.shingles(docs, 3).count() === 0)
+    assert(Dedup.simhashSignatures(docs).count() === 2) // docs 3 and 4 have tokens
+    // fingerprint defined for ALL docs, including empty text
+    assert(TextOps.fingerprint(docs, hash = Hashing.Portable).count() === 4)
+  }
+
+  test("similarity and text operators on empty inputs") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(emptyEmb, col("vec_id") < 8, 5).count() === 0)
+    assert(Similarity.cosineNearDupPairs(emptyEmb, 400000L).count() === 0)
+    assert(Similarity.ivfTopK(emptyEmb, col("vec_id") < 8, 4, 2, 5).count() === 0)
+    assert(TextOps.tokenCounts(emptyDocs).count() === 0)
+    assert(TextOps.langId(emptyDocs).count() === 0)
+    assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)
+  }
+
+  test("as-of join with empty right side keeps all left rows, null payload") {
+    val left = Seq((1L, "k", new java.sql.Timestamp(1000))).toDF("id", "k", "lt")
+    val right = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rt", "rid")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("rid"), "rid")
+    assert(rowSet(out) === Set(Seq(1L, "k", new java.sql.Timestamp(1000), null)))
+  }
+}
