@@ -234,6 +234,25 @@ object SparkEntry {
         .agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // Date arithmetic: monthly order volumes with exact cents
+    "agg_monthly_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(e2(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // HLL sketch: approx distinct (no cross-engine oracle — Spark's
+    // HLL++ and DuckDB's HLL differ by construction; driver records the
+    // weaker rows-only check). Exactness bound spec'd in ApproxSpec.
+    "x_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     })
   )
 
@@ -965,6 +984,14 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin
   )
 }

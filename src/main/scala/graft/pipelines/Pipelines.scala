@@ -53,16 +53,29 @@ object Pipelines {
     priorState.fold(fresh)(GraphOps.mergeEdgeStates(_, fresh))
   }
 
-  /** Edge-state sink: partitioned by bucketed src hash would need a
-    * metastore table; plain parquet keeps the state portable. At scale,
-    * write `.bucketBy(n, "src", "dst")` into a table so successive
-    * merges co-locate without a shuffle.
-    */
+  /** Edge-state sink: plain parquet keeps the state portable. */
   def writeState(state: DataFrame, path: String): Unit =
     state.write.mode("overwrite").parquet(path)
 
   def readState(spark: SparkSession, path: String): Option[DataFrame] =
     if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+
+  /** Bucketed edge-state table: hash-bucketed AND sorted on the merge
+    * key, so the recurring incremental merge (a full-outer join on
+    * (src, dst) every batch) reads both sides pre-partitioned — no
+    * shuffle of the accumulated state, which at 100 TB dwarfs each
+    * increment. PipelinesSpec asserts the bucketed self-merge plans
+    * with zero exchanges.
+    */
+  def writeStateBucketed(state: DataFrame, table: String, buckets: Int): Unit =
+    state.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "src", "dst")
+      .sortBy("src", "dst")
+      .saveAsTable(table)
+
+  def readStateTable(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
 
   /** §3.3 `query` — k-hop team expansion (k=2 in the reference DQL);
     * [[GraphOps.kHop]] checkpoints frontier lineage internally for

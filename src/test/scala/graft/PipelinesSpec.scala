@@ -53,6 +53,30 @@ class PipelinesSpec extends SparkSpec {
     assert(rowSet(back.get) === rowSet(s1))
   }
 
+  test("bucketed state: merge joins two bucketed tables with zero exchanges") {
+    import graft.model.Edge
+    val s1 = Seq(Edge("A", "B", 5), Edge("X", "Y", 2)).toDF()
+    val s2 = Seq(Edge("A", "B", 7), Edge("B", "C", 1)).toDF()
+    Pipelines.writeStateBucketed(s1, "state_old", 4)
+    Pipelines.writeStateBucketed(s2, "state_new", 4)
+    val old = Pipelines.readStateTable(spark, "state_old").get
+    val nw = Pipelines.readStateTable(spark, "state_new").get
+    val merged = GraphOps.mergeEdgeStates(old, nw)
+    assert(rowSet(merged) === Set(
+      Seq("A", "B", 7.0), Seq("X", "Y", 2.0), Seq("B", "C", 1.0)))
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed merge should not shuffle either side:\n$plan")
+  }
+
+  test("approx distinct stays within HLL++ error of the exact count") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
   test("hop query matches the reference DQL shape on a toy team") {
     val tm = Seq(("T1", "A")).toDF("team_id", "person_id")
     val edges = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docs.toDF()))
