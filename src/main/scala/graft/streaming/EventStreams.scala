@@ -60,4 +60,36 @@ object EventStreams {
     */
   def dedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user within `[l.ts, l.ts + horizon]`. Both
+    * sides carry watermarks, so the join state (buffered unmatched
+    * rows) is evicted once the interval can no longer match — the
+    * bounded-state form of "attribute purchases to the click that
+    * preceded them".
+    */
+  def attributionJoin(
+      left: DataFrame,
+      right: DataFrame,
+      delay: String,
+      horizonSeconds: Long): DataFrame = {
+    val l = left.select(
+      col("event_id").as("l_event_id"), col("user_id"),
+      col("ts").as("l_ts")).withWatermark("l_ts", delay)
+    val r = right.select(
+      col("event_id").as("r_event_id"), col("user_id").as("r_user_id"),
+      col("ts").as("r_ts"),
+      floor(col("value") * 10000 + 0.5).cast("long").as("r_value_e4"))
+      .withWatermark("r_ts", delay)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(
+        col("l_event_id"), col("user_id"),
+        unix_millis(col("l_ts")).as("l_ts_ms"),
+        col("r_event_id"),
+        unix_millis(col("r_ts")).as("r_ts_ms"),
+        col("r_value_e4"))
+  }
 }

@@ -114,6 +114,27 @@ class StreamingSpec extends SparkSpec {
       Seq("C", "D", 1.0), Seq("D", "C", 1.0)))
   }
 
+  test("stream-stream interval join pairs events only inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF(), purchases.toDF(), delay = "5 seconds", horizonSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(1, "u1", "click", t(100), 0))
+      purchases.addData(
+        Ev(10, "u1", "purchase", t(130), 9.0), // inside 60s horizon
+        Ev(11, "u1", "purchase", t(200), 5.0), // outside
+        Ev(12, "u2", "purchase", t(120), 1.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(rows === Set((1L, "u1", 100000L, 10L, 130000L, 90000L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
