@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.Hashing
+import graft.model.Edge
+import graft.operators.{Dedup, GraphOps}
+
+/** ScalaCheck properties (SURVEY §5.2): the algebraic laws the engine
+  * depends on, checked over generated inputs rather than fixtures.
+  */
+object GraftProps extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genEdge: Gen[Edge] = for {
+    s <- Gen.oneOf("A", "B", "C", "D", "E")
+    d <- Gen.oneOf("A", "B", "C", "D", "E")
+    v <- Gen.chooseNum(0.0, 100.0)
+  } yield Edge(s, d, v)
+
+  private val genEdges: Gen[List[Edge]] = Gen.listOfN(12, genEdge)
+
+  /** A2: merge-max is order- and duplication-insensitive — the law the
+    * reference only achieves via sorted scans + monotone emission.
+    */
+  property("mergeMax order-insensitive") = forAll(genEdges) { edges =>
+    edges.isEmpty || {
+      val a = GraphOps.mergeMaxEdges(edges.toDF()).collect().map(_.toSeq).toSet
+      val b = GraphOps.mergeMaxEdges(scala.util.Random.shuffle(edges).toDF())
+        .collect().map(_.toSeq).toSet
+      val c = GraphOps.mergeMaxEdges((edges ++ edges).toDF()).collect().map(_.toSeq).toSet
+      a == b && a == c
+    }
+  }
+
+  /** J3: merging in two batches equals merging in one (associativity of
+    * the incremental state merge).
+    */
+  property("mergeEdgeStates associative with mergeMax") = forAll(genEdges) { edges =>
+    edges.size < 2 || {
+      val (xs, ys) = edges.splitAt(edges.size / 2)
+      val oneShot = GraphOps.mergeMaxEdges(edges.toDF()).collect().map(_.toSeq).toSet
+      val stepped = GraphOps.mergeEdgeStates(
+        GraphOps.mergeMaxEdges(xs.toDF()), GraphOps.mergeMaxEdges(ys.toDF()))
+        .collect().map(_.toSeq).toSet
+      oneShot == stepped
+    }
+  }
+
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("中文"),
+      Gen.const("the"), Gen.const(""))).map(_.mkString(" "))
+
+  /** Native portable hash ≡ the HOF chain the DuckDB oracle mirrors. */
+  property("portableHash native == HOF") = forAll(genText) { s =>
+    import org.apache.spark.sql.functions._
+    val df = Seq(s).toDF("t").select(
+      graft.functions.NativeOps.portableHash(col("t")).as("n"),
+      aggregate(
+        transform(sequence(lit(1), greatest(length(col("t")), lit(1))),
+          i => ascii(col("t").substr(i, lit(1))).cast("long")),
+        lit(7L), (h, x) => (h * 31 + x) % Hashing.P).as("h"))
+    val r = df.head()
+    r.getLong(0) == r.getLong(1)
+  }
+
+  /** MinHash signatures are invariant under shingle duplication
+    * (min is idempotent) — the property that lets callers skip dedup.
+    */
+  property("minhash duplication-invariant") = forAll(Gen.listOfN(6, Gen.chooseNum(0L, 1000000L))) { sh =>
+    sh.isEmpty || {
+      val once = Dedup.minhashSignatures(
+        sh.map(h => (1L, h)).toDF("doc_id", "sh"), 4).collect().map(_.toSeq).toSet
+      val dup = Dedup.minhashSignatures(
+        (sh ++ sh).map(h => (1L, h)).toDF("doc_id", "sh"), 4).collect().map(_.toSeq).toSet
+      once == dup
+    }
+  }
+
+  /** Salted join ≡ plain join for any salt factor. */
+  property("saltedJoin equals plain join") =
+    forAll(genEdges, Gen.chooseNum(1, 7)) { (edges, saltF) =>
+      edges.isEmpty || {
+        val fact = edges.toDF()
+        val dim = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("src", "grp")
+        val plain = fact.join(dim, Seq("src")).collect().map(_.toSeq).toSet
+        val salted = graft.operators.Skew.saltedJoin(fact, dim, Seq("src"), saltF, Seq("dst"))
+          .collect().map(_.toSeq).toSet
+        plain == salted
+      }
+    }
+}
