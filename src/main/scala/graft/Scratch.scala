@@ -3,8 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
-import graft.operators.Dedup
+import graft.operators.GraphOps
 import graft.sources.Tables
 
 /** Dev-only profiling harness (not part of the driver contract). */
@@ -23,23 +22,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.documents(spark, dir)
-    time("warmup count")(docs.count())
-    val sh = Dedup.shingles(docs, 3, hash = Hashing.Portable)
-    time("shingles (native portable)")(sh.count())
-    time("minhash sigs (single-pass)")(Dedup.minhashSignatures(sh, 8).count())
-    time("ngram jaccard")(
-      Dedup.ngramJaccardPairs(docs, 3, 50, 500, Hashing.Portable).count())
-    val emb = Tables.embeddings(spark, dir)
-    time("sim near-dup (native dot)")(
-      graft.operators.Similarity.cosineNearDupPairs(emb, 400000L).count())
-    time("simhash pairs")(
-      Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3).count())
-    val j4 = SparkEntry.queries("j4_two_hop")(spark, dir)
-    time("j4_two_hop")(j4.count())
-    val plan = j4.queryExecution.executedPlan.toString
-    println("[scratch] j4 ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).size)
-    println("[scratch] j4 scan count: " + "Scan parquet".r.findAllIn(plan).size)
+    def edges = GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, dir))
+    def seeds = Tables.teamMembers(spark, dir)
+      .filter(col("team_id") === "N1").select(col("person_id"))
+
+    time("warmup")(GraphOps.kHop(edges, seeds, 2).count())
+    for (i <- 1 to 3) {
+      time(s"j4 raw+ckpt r$i")(GraphOps.kHop(edges, seeds, 2).count())
+      time(s"j4 raw nockpt r$i")(
+        GraphOps.kHop(edges, seeds, 2, materializeEdges = false).count())
+    }
     spark.stop()
   }
 }

@@ -73,7 +73,10 @@ object SparkEntry {
 
   private def docsOf(s: SparkSession, dir: String): DataFrame = Tables.relationshipDocs(s, dir)
   private def edgesOf(s: SparkSession, dir: String): DataFrame = GraphOps.edgesFromDocs(docsOf(s, dir))
-  private def mergedOf(s: SparkSession, dir: String): DataFrame = GraphOps.mergeMaxEdges(edgesOf(s, dir))
+  // preShuffle: this derivation yields near-unique (src,dst) keys
+  // (~1.02 docs/pair), where the map-side partial agg is pure overhead
+  private def mergedOf(s: SparkSession, dir: String): DataFrame =
+    GraphOps.mergeMaxEdges(edgesOf(s, dir), preShuffle = true)
 
   /** Exact money quantization — identical IEEE expression in DuckDB. */
   private def e2(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5).cast("long")
@@ -146,17 +149,22 @@ object SparkEntry {
       val docs = docsOf(s, dir)
       val wm = java.sql.Timestamp.valueOf(WATERMARK)
       val old = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(
-        docs.filter(col("last_update") < lit(wm))))
+        docs.filter(col("last_update") < lit(wm))), preShuffle = true)
       val nw = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(
-        docs.filter(col("last_update") >= lit(wm))))
+        docs.filter(col("last_update") >= lit(wm))), preShuffle = true)
       GraphOps.mergeEdgeStates(old, nw)
     }),
 
-    // J4+U2: 2-hop team expansion with per-hop exclusion
+    // J4+U2: 2-hop team expansion with per-hop exclusion. Fed the RAW
+    // edge list: reachability is invariant under the max-merge (kHop's
+    // per-hop distinct subsumes it), so the groupBy-max shuffle would be
+    // dead computation here — same rows, one less shuffle.
     "j4_two_hop" -> ((s, dir) => {
       val seeds = Tables.teamMembers(s, dir)
         .filter(col("team_id") === "N1").select(col("person_id"))
-      GraphOps.kHop(mergedOf(s, dir), seeds, 2)
+      // materializeEdges=false: upstream is one broadcast-join scan —
+      // recomputing it per hop is cheaper than checkpointing 2N pairs
+      GraphOps.kHop(edgesOf(s, dir), seeds, 2, materializeEdges = false)
     }),
 
     // U2: except (anti + distinct) — persons that are not trove users

