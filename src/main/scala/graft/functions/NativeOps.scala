@@ -272,14 +272,12 @@ object NativeOps {
   def shingleHashes(c: Column, n: Int, portable: Boolean): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(c), n, portable))
 
-  /** Make every native kernel callable from `spark.sql(...)` text:
-    * `graft_portable_hash(s)`, `graft_dot_q(a, b)`, `graft_norm_q(a)`,
-    * `graft_quantize_e6(a)`. Idempotent per session.
+  /** Make every native kernel callable from `spark.sql(...)` text on an
+    * EXISTING session (same table as [[graft.GraftExtensions]], which is
+    * the build-time path). Idempotent per session.
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "graft_portable_hash", es => PortableHashExpr(es.head))
-    Bridge.registerFunction(spark, "graft_dot_q", es => DotQExpr(es(0), es(1)))
-    Bridge.registerFunction(spark, "graft_norm_q", es => NormQExpr(es.head))
-    Bridge.registerFunction(spark, "graft_quantize_e6", es => QuantizeE6Expr(es.head))
-  }
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      Bridge.registerFunction(spark, ident.funcName, builder)
+    }
 }

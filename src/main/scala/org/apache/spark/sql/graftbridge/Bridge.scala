@@ -27,4 +27,14 @@ object Bridge {
       name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply an extensions object's function injections to a live
+    * session's registry — the test hook for the
+    * `spark.sql.extensions` build path (`registerFunctions` is
+    * `private[sql]`, hence surfaced here).
+    */
+  def applyFunctionInjections(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -90,4 +90,30 @@ class PlanQualitySpec extends SparkSpec {
     val plan = formatted(out)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
+
+  test("kHop never plans a max aggregate (dead-agg elimination)") {
+    // reachability is invariant under mergeMaxEdges; kHop projects to
+    // (src,dst) internally, so even when fed the merged edge list the
+    // score column must not survive into the hop loop's plan
+    val seeds = Tables.teamMembers(spark, sfDir)
+      .filter(col("team_id") === "N1").select(col("person_id"))
+    val edges = GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir))
+    val plan = formatted(GraphOps.kHop(edges, seeds, 2, materializeEdges = false))
+    assert(!plan.contains("max("), s"hop plan still aggregates scores:\n$plan")
+  }
+
+  test("pre-shuffled merge-max puts the exchange below the aggregate") {
+    // preShuffle: for near-unique keys the map side must be a plain
+    // hash-shuffle write — no HashAggregate anywhere below the Exchange
+    val merged = GraphOps.mergeMaxEdges(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)),
+      preShuffle = true)
+    // tree-string order: whatever prints after the exchange line is
+    // below it (AQE's plan wrapper hides children from collect())
+    val plan = formatted(merged)
+    val ex = plan.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, s"expected a repartition exchange:\n$plan")
+    assert(!plan.substring(ex).contains("HashAggregate"),
+      s"partial agg survived below the pre-shuffle exchange:\n$plan")
+  }
 }
