@@ -24,6 +24,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // isolation: drop any cache/checkpoint blocks a query left behind
+      // so later queries aren't timed against its memory footprint
+      spark.sqlContext.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

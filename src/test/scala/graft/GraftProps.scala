@@ -80,6 +80,20 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  /** J4: reachability is invariant under the max-merge — the law that
+    * lets kHop skip the groupBy-max shuffle (dead-agg elimination).
+    */
+  property("kHop invariant under mergeMax") = forAll(genEdges, Gen.chooseNum(1, 3)) { (edges, k) =>
+    edges.isEmpty || {
+      val seeds = Seq("A").toDF("person_id")
+      val raw = GraphOps.kHop(edges.toDF(), seeds, k, materializeEdges = false)
+        .collect().map(_.getString(0)).toSet
+      val merged = GraphOps.kHop(GraphOps.mergeMaxEdges(edges.toDF()), seeds, k,
+        materializeEdges = false).collect().map(_.getString(0)).toSet
+      raw == merged
+    }
+  }
+
   /** Salted join ≡ plain join for any salt factor. */
   property("saltedJoin equals plain join") =
     forAll(genEdges, Gen.chooseNum(1, 7)) { (edges, saltF) =>
