@@ -372,7 +372,14 @@ object SparkEntry {
       Tables.events(s, dir).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-    })
+    }),
+
+    // -- flagship composition: the full curation DAG (quality gate →
+    //    exact dedup → SimHash near-dup clusters → hash split) with a
+    //    single DuckDB oracle over the whole chain
+    "pipe_curation" -> ((s, dir) =>
+      graft.pipelines.Curation.curate(
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable))
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -407,12 +414,14 @@ object SparkEntry {
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
        |  GROUP BY doc_id, j)""".stripMargin
 
-  /** DuckDB twin of [[Dedup.simhashSignatures]] (32-bit, portable hash). */
-  private val SIMHASH =
+  /** DuckDB twin of [[Dedup.simhashSignatures]] (32-bit, portable
+    * hash) over any `(doc_id, text)` source.
+    */
+  private def simhashSql(src: String): String =
     s"""tok AS (
        |  SELECT doc_id, h, count(*) AS cnt FROM (
        |    SELECT doc_id, ${ph("tok")} AS h
-       |    FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents))
+       |    FROM (SELECT doc_id, unnest($TOKS) AS tok FROM $src))
        |  GROUP BY doc_id, h),
        |v AS (
        |  SELECT doc_id, b, sum(cnt * (((h >> b) & 1)*2 - 1)) AS v
@@ -423,6 +432,8 @@ object SparkEntry {
        |         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b)
        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |  FROM v GROUP BY doc_id)""".stripMargin
+
+  private val SIMHASH = simhashSql("documents")
 
   /** DuckDB twin of [[Similarity.quantize]] over `embeddings`. */
   private val QVEC =
@@ -805,6 +816,47 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, unnest(range(0, n_frames, 7)) AS frame_idx, n_frames
         |FROM v""".stripMargin,
+
+    "pipe_curation" ->
+      s"""WITH RECURSIVE
+         |kq AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |cd0 AS (
+         |  SELECT doc_id, text FROM kq
+         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+         |    AND len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','of','and','to','in','is','it','on'], t)))*1000
+         |        >= len(toks)*10),
+         |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
+         |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
+         |${simhashSql("cd")},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM cd
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+         |surv AS (
+         |  SELECT c.doc_id, c.text FROM cd c
+         |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
+         |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM surv)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
 
     "m_block_stats" ->
       """WITH cp AS (

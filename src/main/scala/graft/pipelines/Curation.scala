@@ -1,0 +1,55 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.{Dedup, TextOps}
+
+/** The canonical LLM training-data curation DAG, composed end-to-end
+  * from the operator library (SURVEY §7.4):
+  *
+  *   quality gate → exact dedup → near-dup clustering → split assign
+  *
+  * Every stage is a `DataFrame → DataFrame` set operation — no driver
+  * state, so the pipeline scales by partitioning alone:
+  *
+  *  1. quality gate: length/stopword heuristics ([[TextOps.qualityScore]]),
+  *     a narrow projection + filter (no shuffle);
+  *  2. exact dedup: one hash aggregate on text, keep the minimum id per
+  *     identical body ([[Dedup.exactDedup]]);
+  *  3. near-dup clustering: SimHash signatures → banded candidate pairs →
+  *     Hamming verify → connected components; each cluster keeps its
+  *     minimum id ([[Dedup.simhashPairs]], [[Dedup.connectedComponents]]);
+  *  4. deterministic split: content-hash permille buckets
+  *     ([[TextOps.hashSplit]]) — rerun-stable, engine-portable, layout-
+  *     independent (vs `rand()` sampling).
+  *
+  * Output: one row per surviving document `(doc_id, bucket, split)`.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      trainPermille: Int = 800,
+      valPermille: Int = 100,
+      maxHamming: Int = 3,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    // 1. quality gate — semi-join against the keep set (broadcastable;
+    // degrades to a shuffled semi-join at scale)
+    val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
+    val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // 2. exact dedup — survivors are the per-text canonical (min) ids
+    val exactIds = Dedup.exactDedup(quality).select(col("canonical_id").as("doc_id"))
+    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    // 3. near-dup clusters — keep each component's minimum id (the
+    // exact-dedup canonicalization lifted to fuzzy equality)
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhashSignatures(exact, hash = hash), maxHamming)
+    val comps = Dedup.connectedComponents(pairs, exact.select(col("doc_id")))
+    val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
+    val survivors = exact.join(canon, Seq("doc_id"), "left_semi")
+    // 4. deterministic content-hash split
+    TextOps.hashSplit(survivors, trainPermille, valPermille, hash = hash)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.operators.TextOps
+import graft.pipelines.Curation
+
+/** End-to-end curation DAG: each stage's drop reason is pinned with a
+  * purpose-built document.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quality-passing base text: >=5 tokens, >=1% stopwords
+  private val base = "the cat sat on the mat today"
+
+  private val docs = Seq(
+    (1L, base),                                   // survives
+    (2L, base),                                   // exact dup of 1 -> dropped
+    (3L, "mat the today on sat cat the"),         // permutation of 1's tokens:
+                                                  // identical SimHash (bag-of-
+                                                  // tokens) -> clustered w/ 1,
+                                                  // dropped as non-minimum
+    (4L, "x y z"),                                // < 5 tokens -> quality drop
+    (5L, "a completely different document with the usual stopwords in it and more")
+  ).toDF("doc_id", "text")
+
+  test("curate: survivors, drop reasons, and split assignment") {
+    val out = Curation.curate(docs, 800, 100, 3, Hashing.Portable)
+      .select("doc_id", "bucket", "split")
+    val survivors = out.collect().map(r => r.getLong(0)).toSet
+    assert(survivors === Set(1L, 5L))
+
+    // split columns must equal hashSplit applied to the surviving docs
+    val expected = TextOps.hashSplit(
+      docs.filter(col("doc_id").isin(1L, 5L)), 800, 100, hash = Hashing.Portable)
+    assert(rowSet(out) === rowSet(expected))
+  }
+
+  test("curate on empty input is empty, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.curate(empty, 800, 100, 3, Hashing.Portable).count() === 0L)
+  }
+
+  test("curate is idempotent: re-curating the survivors is a no-op") {
+    val once = Curation.curate(docs, 800, 100, 3, Hashing.Portable)
+    val kept = docs.join(once.select("doc_id"), Seq("doc_id"), "left_semi")
+    val twice = Curation.curate(kept, 800, 100, 3, Hashing.Portable)
+    assert(rowSet(once) === rowSet(twice))
+  }
+}
