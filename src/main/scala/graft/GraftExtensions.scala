@@ -22,8 +22,11 @@ import graft.functions.{DotQExpr, NormQExpr, PortableHashExpr, QuantizeE6Expr, S
   * exists for sessions we don't build — e.g. the driver's).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extensions (SURVEY §2.3 absent tier)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -354,6 +354,24 @@ object SparkEntry {
           col("asof_p_event_id"), col("asof_p_value_e4"))
     }),
 
+    // -- as-of via the custom LogicalPlan/Strategy/Exec path — same
+    //    oracle as j_asof_purchase, so the DuckDB hash proves the native
+    //    sort-merge exec ≡ the union+window composition on real data
+    "j_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("p_value_e4"))
+      AsofJoin.asofJoinNative(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("p_event_id", "p_value_e4"), "p_event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("asof_p_event_id"), col("asof_p_value_e4"))
+    }),
+
     // -- IVF ANN: probe-limited approximate top-k (the similarity scale path)
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 4, 5)),
@@ -471,6 +489,34 @@ object SparkEntry {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE floor(n_inter*1000/(sa.n_sh + sb.n_sh - n_inter)) >= 500""".stripMargin
+
+  /** As-of join oracle (DuckDB twin of the union+window composition),
+    * shared by the window-form and native-exec queries.
+    */
+  private val ASOF_SQL =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, ts, event_id AS p_event_id,
+      |         CAST(floor(value*10000 + 0.5) AS BIGINT) AS p_value_e4
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, ts AS t, 0 AS side, CAST(NULL AS BIGINT) AS tb,
+      |         event_id, CAST(NULL AS BIGINT) AS p_event_id,
+      |         CAST(NULL AS BIGINT) AS p_value_e4
+      |  FROM l
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, p_event_id, NULL, p_event_id, p_value_e4 FROM r),
+      |w AS (
+      |  SELECT user_id, t, side, event_id,
+      |         last_value(p_event_id IGNORE NULLS) OVER win AS asof_p_event_id,
+      |         last_value(p_value_e4 IGNORE NULLS) OVER win AS asof_p_value_e4
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY t ASC, side DESC, tb ASC
+      |                 ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, CAST(epoch_ms(t) AS BIGINT) AS ts_ms,
+      |       asof_p_event_id, asof_p_value_e4
+      |FROM w WHERE side = 0""".stripMargin
 
   private def extendedOracles: Map[String, String] = Map(
     "t_token_counts" ->
@@ -714,30 +760,10 @@ object SparkEntry {
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
 
-    "j_asof_purchase" ->
-      """WITH l AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |r AS (
-        |  SELECT user_id, ts, event_id AS p_event_id,
-        |         CAST(floor(value*10000 + 0.5) AS BIGINT) AS p_value_e4
-        |  FROM events WHERE event_type = 'purchase'),
-        |u AS (
-        |  SELECT user_id, ts AS t, 0 AS side, CAST(NULL AS BIGINT) AS tb,
-        |         event_id, CAST(NULL AS BIGINT) AS p_event_id,
-        |         CAST(NULL AS BIGINT) AS p_value_e4
-        |  FROM l
-        |  UNION ALL
-        |  SELECT user_id, ts, 1, p_event_id, NULL, p_event_id, p_value_e4 FROM r),
-        |w AS (
-        |  SELECT user_id, t, side, event_id,
-        |         last_value(p_event_id IGNORE NULLS) OVER win AS asof_p_event_id,
-        |         last_value(p_value_e4 IGNORE NULLS) OVER win AS asof_p_value_e4
-        |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY t ASC, side DESC, tb ASC
-        |                 ROWS UNBOUNDED PRECEDING))
-        |SELECT event_id, user_id, CAST(epoch_ms(t) AS BIGINT) AS ts_ms,
-        |       asof_p_event_id, asof_p_value_e4
-        |FROM w WHERE side = 0""".stripMargin,
+    "j_asof_purchase" -> ASOF_SQL,
+    // identical oracle on purpose: the hash-compare proves the native
+    // AsofJoinExec path computes exactly what the window form does
+    "j_asof_native" -> ASOF_SQL,
 
     "sim_ivf_topk" ->
       s"""WITH $QNORM,

@@ -65,4 +65,32 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String], tiebreak: String): DataFrame =
     asofJoin(left, right, Seq(key), leftTime, rightTime, payload, tiebreak)
+
+  /** Whole-operator form: same semantics through the custom
+    * `AsofJoinNode → AsofJoinStrategy → AsofJoinExec` path
+    * ([[graft.plans.AsofJoinPlan]]) — a single streaming merge per key
+    * partition instead of union+window. Registers the planner strategy
+    * on the session idempotently.
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsofJoinStrategy.install(spark)
+    // Re-alias the right side so its output attributes get fresh
+    // exprIds: when both sides derive from the same relation (self
+    // as-of), the analyzer's DeduplicateRelations re-ids the right
+    // subtree but cannot know our node's rightKeys/rightTime belong to
+    // it — distinct ids at construction remove the ambiguity outright.
+    val rFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    org.apache.spark.sql.graftbridge.Bridge.dataset(spark,
+      graft.plans.AsofJoinNode.resolve(
+        left.queryExecution.analyzed, rFresh.queryExecution.analyzed,
+        keys, leftTime, rightTime, payload, tiebreak))
+  }
 }

@@ -37,4 +37,24 @@ object Bridge {
       ext: org.apache.spark.sql.SparkSessionExtensions,
       spark: org.apache.spark.sql.SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`).
+    */
+  def dataset(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session — the
+    * post-build equivalent of `SparkSessionExtensions.injectPlannerStrategy`.
+    */
+  def addStrategy(
+      spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

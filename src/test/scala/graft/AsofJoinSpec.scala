@@ -42,6 +42,51 @@ class AsofJoinSpec extends SparkSpec {
     assert(rowSet(out) === Set(Seq(1L, "u1", t(10), 9L, "high")))
   }
 
+  test("native as-of exec: same semantics as the union+window form") {
+    val left = Seq(
+      (1L, "u1", t(10)), (2L, "u1", t(20)), (3L, "u1", t(3)), (4L, "u2", t(50))
+    ).toDF("id", "k", "lt")
+    val right = Seq(
+      ("u1", t(5), 100L, "a"), ("u1", t(20), 200L, "b"), ("u1", t(30), 300L, "c")
+    ).toDF("k", "rt", "rid", "payload")
+    val native = AsofJoin.asofJoinNative(left, right, Seq("k"), "lt", "rt",
+      Seq("rid", "payload"), "rid")
+    val windowed = AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt",
+      Seq("rid", "payload"), "rid")
+    assert(rowSet(native) === rowSet(windowed))
+  }
+
+  test("native as-of exec: tiebreak, plan shape, and randomized equivalence") {
+    // max-tiebreak at equal times
+    val left = Seq((1L, "u1", t(10))).toDF("id", "k", "lt")
+    val right = Seq(
+      ("u1", t(10), 7L, "low"), ("u1", t(10), 9L, "high"), ("u1", t(10), 8L, "mid")
+    ).toDF("k", "rt", "rid", "payload")
+    val out = AsofJoin.asofJoinNative(left, right, Seq("k"), "lt", "rt",
+      Seq("rid", "payload"), "rid")
+    assert(rowSet(out) === Set(Seq(1L, "u1", t(10), 9L, "high")))
+
+    // the custom exec is actually planned, with planner-inserted
+    // exchanges + sorts on both sides
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec not planned:\n$plan")
+    assert(!plan.contains("!AsofJoin"), s"exec flagged invalid (missing input):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2, plan)
+    assert("Sort ".r.findAllIn(plan).size >= 2, plan)
+
+    // randomized equivalence vs the union+window form (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val bigLeft = (1L to 300L).map(i =>
+      (i, s"u${rnd.nextInt(8)}", t(rnd.nextInt(100).toLong))).toDF("id", "k", "lt")
+    val bigRight = (1L to 200L).map(i =>
+      (s"u${rnd.nextInt(10)}", t(rnd.nextInt(100).toLong), i, s"p$i")).toDF("k", "rt", "rid", "payload")
+    val n = AsofJoin.asofJoinNative(bigLeft, bigRight, Seq("k"), "lt", "rt",
+      Seq("rid", "payload"), "rid")
+    val w = AsofJoin.asofJoin(bigLeft, bigRight, Seq("k"), "lt", "rt",
+      Seq("rid", "payload"), "rid")
+    assert(rowSet(n) === rowSet(w))
+  }
+
   test("IVF top-k equals brute force when queries probe all cells") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
