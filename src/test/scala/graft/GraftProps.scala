@@ -94,6 +94,25 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  /** Connected components ≡ a driver-side union-find on random graphs
+    * (min-id representative per component, singletons included).
+    */
+  property("connectedComponents equals union-find") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L)))) { rawPairs =>
+      val pairs = rawPairs.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map((1L to 8L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to 8L).map(i => Seq[Any](i, find(i))).toSet
+      val got = Dedup.connectedComponents(
+        pairs.toDF("doc_a", "doc_b"), (1L to 8L).toDF("doc_id"))
+        .collect().map(_.toSeq).toSet
+      got == expected
+    }
+
   /** Salted join ≡ plain join for any salt factor. */
   property("saltedJoin equals plain join") =
     forAll(genEdges, Gen.chooseNum(1, 7)) { (edges, saltF) =>
