@@ -372,6 +372,34 @@ object SparkEntry {
           col("asof_p_event_id"), col("asof_p_value_e4"))
     }),
 
+    // -- interval/range join: clicks inside 1h attribution windows
+    //    around sampled purchases (bucket-replicated equi-join, no
+    //    cross product)
+    "j_range_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_millis(col("ts")).as("t"))
+      val windows = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("purchase_id"),
+          unix_millis(col("ts")).as("w_start"),
+          (unix_millis(col("ts")) + 3600000L).as("w_end"))
+      graft.operators.RangeJoin.intervalJoin(clicks, "t", windows, "w_start", "w_end", 900000L)
+        .select(col("click_id"), col("purchase_id"), col("t"), col("w_start"))
+    }),
+
+    // -- ordered-set aggregate: exact median over integer cents (the
+    //    interpolated midpoint of BIGINTs is IEEE-exact in both engines)
+    "agg_median_price" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          floor(expr(
+            "percentile(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 0.5)") * 10)
+            .cast("long").as("median_cents_e1"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // -- IVF ANN: probe-limited approximate top-k (the similarity scale path)
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 4, 5)),
@@ -759,6 +787,24 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "j_range_window" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, epoch_ms(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id,
+        |         epoch_ms(ts) AS w_start, epoch_ms(ts) + 3600000 AS w_end
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0)
+        |SELECT click_id, purchase_id, t, w_start
+        |FROM c JOIN p ON t >= w_start AND t <= w_end""".stripMargin,
+
+    "agg_median_price" ->
+      """SELECT o_orderstatus,
+        |       CAST(floor(quantile_cont(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), 0.5)*10)
+        |            AS BIGINT) AS median_cents_e1,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "j_asof_purchase" -> ASOF_SQL,
     // identical oracle on purpose: the hash-compare proves the native
