@@ -25,8 +25,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // isolation: drop any cache/checkpoint blocks a query left behind
-      // so later queries aren't timed against its memory footprint
+      // so later queries aren't timed against its memory footprint.
+      // clearCache only covers df.cache/persist; localCheckpoint blocks
+      // are plain persisted RDDs and need explicit unpersist.
       spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -31,10 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def lit[A](e: Expression, what: String): A = e match {
-    case Literal(v, _) => v.asInstanceOf[A]
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"graft_shingle_hashes: $what must be a literal, got $other")
+      s"graft_shingle_hashes: $what must be an integer literal, got $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_shingle_hashes: $what must be a boolean literal, got $other")
   }
 
   /** The single source of truth for name → builder; shared with
@@ -57,6 +63,6 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       es => ShingleHashesExpr(es.head,
-        lit[Int](es(1), "n"), lit[Boolean](es(2), "portable")))
+        intLit(es(1), "n"), boolLit(es(2), "portable")))
   )
 }

@@ -36,10 +36,15 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+    val iv = intervals
+      // drop inverted intervals: sequence() would otherwise silently
+      // produce a DESCENDING bucket range (step -1), replicating one
+      // corrupt row into ~|e-s|/w junk buckets or failing the job
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth).cast("long"),
+          floor(col(endCol) / bucketWidth).cast("long"))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")

@@ -39,9 +39,14 @@ object Curation {
     // degrades to a shuffled semi-join at scale)
     val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
     val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
-    // 2. exact dedup — survivors are the per-text canonical (min) ids
+    // 2. exact dedup — survivors are the per-text canonical (min) ids.
+    // Materialized once: both the near-dup stage (which runs its own
+    // jobs for candidate pairs) and the final split re-read this frame,
+    // and exchange reuse does not span separate query executions — so
+    // without the checkpoint the full-corpus groupBy-on-text shuffle
+    // would execute twice.
     val exactIds = Dedup.exactDedup(quality).select(col("canonical_id").as("doc_id"))
-    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi").localCheckpoint()
     // 3. near-dup clusters — keep each component's minimum id (the
     // exact-dedup canonicalization lifted to fuzzy equality)
     val pairs = Dedup.simhashPairs(

@@ -71,10 +71,18 @@ object AsofJoinNode {
     val payloadAttrs = payload.map(attr(right, _))
     val asofAttrs = payloadAttrs.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
-    AsofJoinNode(
-      left, right,
-      keys.map(attr(left, _)), keys.map(attr(right, _)),
-      attr(left, leftTime), attr(right, rightTime),
+    val (lk, rk) = (keys.map(attr(left, _)), keys.map(attr(right, _)))
+    val (lt, rt) = (attr(left, leftTime), attr(right, rightTime))
+    // the merge compares raw key/time values across sides — mismatched
+    // types (e.g. timestamp vs pre-converted long) would compare
+    // garbage silently, so fail at construction like a join would
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"asofJoin: key type mismatch ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"asofJoin: time type mismatch $leftTime: ${lt.dataType} vs $rightTime: ${rt.dataType}")
+    AsofJoinNode(left, right, lk, rk, lt, rt,
       attr(right, tiebreak), payloadAttrs, asofAttrs)
   }
 }

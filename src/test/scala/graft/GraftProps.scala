@@ -26,15 +26,17 @@ object GraftProps extends Properties("graft") {
   /** A2: merge-max is order- and duplication-insensitive — the law the
     * reference only achieves via sorted scans + monotone emission.
     */
-  property("mergeMax order-insensitive") = forAll(genEdges) { edges =>
-    edges.isEmpty || {
-      val a = GraphOps.mergeMaxEdges(edges.toDF()).collect().map(_.toSeq).toSet
-      val b = GraphOps.mergeMaxEdges(scala.util.Random.shuffle(edges).toDF())
-        .collect().map(_.toSeq).toSet
-      val c = GraphOps.mergeMaxEdges((edges ++ edges).toDF()).collect().map(_.toSeq).toSet
-      a == b && a == c
+  property("mergeMax order-insensitive") =
+    forAll(genEdges, Gen.chooseNum(0L, Long.MaxValue)) { (edges, seed) =>
+      edges.isEmpty || {
+        // seeded permutation so a ScalaCheck failure replays exactly
+        val shuffled = new scala.util.Random(seed).shuffle(edges)
+        val a = GraphOps.mergeMaxEdges(edges.toDF()).collect().map(_.toSeq).toSet
+        val b = GraphOps.mergeMaxEdges(shuffled.toDF()).collect().map(_.toSeq).toSet
+        val c = GraphOps.mergeMaxEdges((edges ++ edges).toDF()).collect().map(_.toSeq).toSet
+        a == b && a == c
+      }
     }
-  }
 
   /** J3: merging in two batches equals merging in one (associativity of
     * the incremental state merge).

@@ -36,6 +36,13 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("inverted intervals are dropped, not exploded into junk buckets") {
+    val bad = intervals.union(Seq((99L, 1000000L, 0L)).toDF("iid", "s", "e"))
+    val out = RangeJoin.intervalJoin(points, "t", bad, "s", "e", 4L)
+      .select(col("pid"), col("iid"))
+    assert(rowSet(out) === expected)
+  }
+
   test("equivalent to the naive cross+filter join on random data") {
     val rnd = new scala.util.Random(7)
     val ps = (1L to 200L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("pid", "t")
