@@ -16,21 +16,33 @@ object Bench {
     try {
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    // best-of-2 per query: reports steady-state cost, damping one-off
-    // JIT/GC/scheduler noise (observed ±40% single-run variance)
+    // best-of-N per query: reports steady-state cost, damping one-off
+    // JIT/GC/scheduler noise (observed ±40% single-run variance).
+    // Cheap queries get 2 trials; queries still >1s after two trials
+    // get a third — the heavy tail is where a single GC/scheduler spike
+    // would otherwise distort the round-over-round comparison.
+    // A query that throws reports -1 (visible breakage, not a timing).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def trial(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      val two = Seq(trial(), trial())
+      val times = if (two.forall(_ >= 0) && two.min > 1.0) two :+ trial() else two
       // isolation: drop any cache/checkpoint blocks a query left behind
       // so later queries aren't timed against its memory footprint.
       // clearCache only covers df.cache/persist; localCheckpoint blocks
       // are plain persisted RDDs and need explicit unpersist.
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
