@@ -311,7 +311,8 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.simhashPairs(
           Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3),
-        docs.select(col("doc_id")))
+        docs.select(col("doc_id")),
+        broadcastLabels = true)
     }),
 
     // -- similarity search --------------------------------------------------

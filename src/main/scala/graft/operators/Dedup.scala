@@ -182,19 +182,35 @@ object Dedup {
     * `vertices` supplies the full id universe so singletons appear as
     * their own component.
     */
-  def connectedComponents(pairs: DataFrame, vertices: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // materialize the (small) pair list ONCE — every propagation round
-    // joins against it, and without the checkpoint each round would
-    // re-execute the whole upstream candidate-generation pipeline
+  def connectedComponents(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      maxRounds: Int = 20,
+      broadcastLabels: Boolean = false): DataFrame = {
+    // materialize the pair list ONCE — every propagation round joins
+    // against it, and without the checkpoint each round would re-execute
+    // the whole upstream candidate-generation pipeline. Pre-partitioned
+    // on the join key (v): localCheckpoint preserves the partitioning,
+    // so in the shuffle-join mode each round moves only the label table.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // broadcastLabels: the checkpointed edge list has no size stats,
+      // so Catalyst plans a sort-merge join that re-sorts the FULL edge
+      // list every round (measured ~2s/round at sf0.1). When the caller
+      // knows the vertex set fits an executor (dedup clustering over a
+      // bounded doc set), broadcasting the label table turns each round
+      // into one broadcast-hash pass over the pre-materialized edges —
+      // no shuffle, no sort. At billions of vertices leave it false:
+      // the co-partitioned shuffle join is the scale path.
+      val lside = if (broadcastLabels) broadcast(labels) else labels
       val neighborMin = edges
-        .join(labels, edges("v") === labels("doc_id"))
+        .join(lside, edges("v") === lside("doc_id"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
       val stepped = labels

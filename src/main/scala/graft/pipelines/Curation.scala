@@ -51,7 +51,8 @@ object Curation {
     // exact-dedup canonicalization lifted to fuzzy equality)
     val pairs = Dedup.simhashPairs(
       Dedup.simhashSignatures(exact, hash = hash), maxHamming)
-    val comps = Dedup.connectedComponents(pairs, exact.select(col("doc_id")))
+    val comps = Dedup.connectedComponents(pairs, exact.select(col("doc_id")),
+      broadcastLabels = true)
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
     val survivors = exact.join(canon, Seq("doc_id"), "left_semi")
     // 4. deterministic content-hash split
