@@ -28,6 +28,10 @@ object NativeAggs {
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+    // bits > 64 would wrap the 1L << b shift in eval, silently
+    // corrupting low signature bits
+    require(bits >= 1 && bits <= 64, s"SimHashAgg: bits must be in [1, 64], got $bits")
+
     override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -78,6 +82,8 @@ object NativeAggs {
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
+
+    require(k >= 1, s"MinHashAgg: k must be >= 1, got $k")
 
     private val P = Hashing.P
     private val as: Array[Long] = Array.tabulate(k)(j => ((j + 1) * 961748941L) % P)

@@ -21,12 +21,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Decoded-media metadata schema — the typed face of the opaque blob. */
+  /** Decoded-media metadata schema — the typed face of the opaque blob.
+    * Nullable: a null payload decodes to null metadata (matching the
+    * SQL twin, where every expression over a null input is null).
+    */
   val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("magic_hex", StringType, nullable = false),
-    StructField("width", LongType, nullable = false),
-    StructField("height", LongType, nullable = false)))
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("magic_hex", StringType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true)))
 
   /** STUB — deterministic fake decode. A real build links an image
     * codec here (same signature: bytes in, metadata out); everything
@@ -37,7 +40,15 @@ object Multimodal {
       val n = payload.length.toLong
       val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
       val w = 32L + (n % 480L)
-      val h = 32L + ((if (n > 0) (payload(0) & 0xffL) else 0L) % 224L)
+      // first CODEPOINT (payloads are UTF-8 text in the fixture path),
+      // matching the SQL twin's ascii(substring(text,1,1)) — using the
+      // raw first BYTE would diverge for any non-ASCII leading char
+      val first =
+        if (n > 0)
+          new String(payload, 0, math.min(4, payload.length), java.nio.charset.StandardCharsets.UTF_8)
+            .codePointAt(0).toLong
+        else 0L
+      val h = 32L + (first % 224L)
       (n, magic, w, h)
     }
   }
@@ -61,8 +72,12 @@ object Multimodal {
         // per-partition decoder init would go here (codec handles, buffers)
         rows.map { r =>
           val id = r.getLong(0)
-          val (n, magic, w, h) = FakeDecoder.decode(r.getAs[Array[Byte]](1))
-          Row(id, n, magic, w, h)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Row(id, null, null, null, null) // SQL-twin parity
+          else {
+            val (n, magic, w, h) = FakeDecoder.decode(payload)
+            Row(id, n, magic, w, h)
+          }
         }
       }(encoder)
   }
@@ -88,8 +103,14 @@ object Multimodal {
     */
   object FakeResizer {
     def plan(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long) = {
-      val scaleE3 = math.min(1000L, math.min(maxW * 1000 / w, maxH * 1000 / h))
-      (w * scaleE3 / 1000, h * scaleE3 / 1000)
+      // degenerate dims map to (0, 0) instead of dividing by zero — a
+      // real decoder can emit 0×0 for corrupt frames; one bad row must
+      // not kill the partition task
+      if (w <= 0 || h <= 0) (0L, 0L)
+      else {
+        val scaleE3 = math.min(1000L, math.min(maxW * 1000 / w, maxH * 1000 / h))
+        (w * scaleE3 / 1000, h * scaleE3 / 1000)
+      }
     }
   }
 
@@ -100,18 +121,22 @@ object Multimodal {
   def resizeMeta(withPayloadDf: DataFrame, maxW: Long, maxH: Long, idCol: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
-      StructField("width", LongType, nullable = false),
-      StructField("height", LongType, nullable = false),
-      StructField("out_w", LongType, nullable = false),
-      StructField("out_h", LongType, nullable = false)))
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("out_w", LongType, nullable = true),
+      StructField("out_h", LongType, nullable = true)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     withPayloadDf.select(col(idCol), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val (_, _, w, h) = FakeDecoder.decode(r.getAs[Array[Byte]](1))
-          val (rw, rh) = FakeResizer.plan(w, h, maxW, maxH)
-          Row(id, w, h, rw, rh)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Row(id, null, null, null, null) // SQL-twin parity
+          else {
+            val (_, _, w, h) = FakeDecoder.decode(payload)
+            val (rw, rh) = FakeResizer.plan(w, h, maxW, maxH)
+            Row(id, w, h, rw, rh)
+          }
         }
       }(encoder)
   }
@@ -132,8 +157,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val nFrames = 8L + (r.getAs[Array[Byte]](1).length.toLong % 120L)
-          (0L until nFrames by stride.toLong).iterator.map(i => Row(id, i, nFrames))
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Iterator.empty // SQL twin: range over null is empty
+          else {
+            val nFrames = 8L + (payload.length.toLong % 120L)
+            (0L until nFrames by stride.toLong).iterator.map(i => Row(id, i, nFrames))
+          }
         }
       }(encoder)
   }
@@ -158,23 +187,28 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val s = r.getString(1)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var i = 0        // UTF-16 offset
-          var cpIdx = 0L   // codepoint index
-          var bNo = 0L; var n = 0L; var sum = 0L
-          var mn = Long.MaxValue; var mx = Long.MinValue
-          def flush(): Unit = if (n > 0) { out += Row(id, bNo, n, sum, mn, mx) }
-          while (i < s.length) {
-            val cp = s.codePointAt(i)
-            val b = cpIdx / blockSize
-            if (b != bNo) { flush(); bNo = b; n = 0; sum = 0; mn = Long.MaxValue; mx = Long.MinValue }
-            n += 1; sum += cp; mn = math.min(mn, cp); mx = math.max(mx, cp)
-            cpIdx += 1
-            i += Character.charCount(cp)
-          }
-          flush()
-          out.iterator
+          if (s == null) Iterator.empty
+          else blockRows(id, s, blockSize)
         }
       }(encoder)
+  }
+
+  private def blockRows(id: Long, s: String, blockSize: Int): Iterator[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var i = 0        // UTF-16 offset
+    var cpIdx = 0L   // codepoint index
+    var bNo = 0L; var n = 0L; var sum = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    def flush(): Unit = if (n > 0) { out += Row(id, bNo, n, sum, mn, mx) }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val b = cpIdx / blockSize
+      if (b != bNo) { flush(); bNo = b; n = 0; sum = 0; mn = Long.MaxValue; mx = Long.MinValue }
+      n += 1; sum += cp; mn = math.min(mn, cp); mx = math.max(mx, cp)
+      cpIdx += 1
+      i += Character.charCount(cp)
+    }
+    flush()
+    out.iterator
   }
 }

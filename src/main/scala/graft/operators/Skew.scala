@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Add a deterministic salt column derived from `idCols`. */
-  def withSalt(df: DataFrame, saltFactor: Int, idCols: Seq[String]): DataFrame =
+  def withSalt(df: DataFrame, saltFactor: Int, idCols: Seq[String]): DataFrame = {
+    // saltFactor = 0 would make pmod return NULL for every row and the
+    // downstream join silently empty — fail fast instead
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     df.withColumn("__salt", pmod(xxhash64(idCols.map(col): _*), lit(saltFactor)).cast("int"))
+  }
 
   /** Replicate each row `saltFactor`× with salt 0..saltFactor-1. */
-  def replicated(df: DataFrame, saltFactor: Int): DataFrame =
+  def replicated(df: DataFrame, saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     df.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt").cast("int"))
+  }
 
   /** Skew-safe inner equi-join: salt the fact side, replicate the dim
     * side, join on keys + salt. Result is identical to

@@ -57,8 +57,48 @@ object Pipelines {
   def writeState(state: DataFrame, path: String): Unit =
     state.write.mode("overwrite").parquet(path)
 
-  def readState(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Existence via the Hadoop filesystem of the PATH (java.io.File
+    * would silently report s3a://… / hdfs://… state as absent and the
+    * incremental merge would quietly start from scratch every batch).
+    */
+  def readState(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (hfs, p) = fs(spark, path)
+    if (hfs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Crash-safe state replacement: write the new state to a staging
+    * dir (parquet's `_SUCCESS` marks completion), then delete + rename.
+    * [[readStateSafe]] falls back to a COMPLETE staging dir, so every
+    * crash window leaves a readable full state:
+    *  - crash during staging write → main intact, staging has no _SUCCESS;
+    *  - crash between delete and rename → staging complete, fallback reads it;
+    *  - rename is an atomic dir move on HDFS/local (not on S3A — there,
+    *    point `path` at a metadata-consistent store or use a manifest).
+    */
+  def writeStateAtomic(state: DataFrame, path: String): Unit = {
+    val spark = state.sparkSession
+    val staging = path + ".staging"
+    state.write.mode("overwrite").parquet(staging)
+    val (hfs, p) = fs(spark, path)
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    if (hfs.exists(p)) hfs.delete(p, true)
+    hfs.rename(sp, p)
+  }
+
+  /** [[readState]] with the staging fallback of [[writeStateAtomic]]. */
+  def readStateSafe(spark: SparkSession, path: String): Option[DataFrame] = {
+    val (hfs, p) = fs(spark, path)
+    val sp = new org.apache.hadoop.fs.Path(path + ".staging")
+    val success = new org.apache.hadoop.fs.Path(path + ".staging/_SUCCESS")
+    if (hfs.exists(p)) Some(spark.read.parquet(path))
+    else if (hfs.exists(success)) Some(spark.read.parquet(sp.toString))
+    else None
+  }
 
   /** Bucketed edge-state table: hash-bucketed AND sorted on the merge
     * key, so the recurring incremental merge (a full-outer join on

@@ -40,7 +40,11 @@ object Sharded {
     (0 until n).map { i =>
       val l = bounds(i)
       val h = bounds(i + 1) - 1
-      s"CAST($keyCol AS DECIMAL(20,0)) >= $l AND CAST($keyCol AS DECIMAL(20,0)) <= $h"
+      // compare the RAW column against decimal literals — wrapping the
+      // column in CAST(...) would defeat the database's key index and
+      // turn every partition read into a full table scan; bare
+      // comparisons let MySQL range-scan BIGINT UNSIGNED keys directly
+      s"$keyCol >= $l AND $keyCol <= $h"
     }.toArray
   }
 
@@ -53,11 +57,13 @@ object Sharded {
       shards: Seq[Shard],
       keyCol: String,
       partitionsPerShard: Int,
-      props: Properties): DataFrame =
+      props: Properties): DataFrame = {
+    require(shards.nonEmpty, "readSharded: empty shard list (misconfigured source?)")
     shards.map { sh =>
       spark.read.jdbc(
         sh.url, sh.table,
         rangePredicates(keyCol, sh.lo, sh.hi, partitionsPerShard),
         props)
     }.reduce(_ unionByName _)
+  }
 }

@@ -79,11 +79,16 @@ object EdgeStreams {
     val docs = spark.readStream.schema(docSchema).parquet(inDir)
     val mergeBatch: (Dataset[Edge], Long) => Unit = { (batch, _) =>
       val merged = GraphOps.mergeMaxEdges(batch.toDF())
-      val next = Pipelines.readState(batch.sparkSession, stateDir)
+      // readStateSafe + writeStateAtomic: a crash in any window leaves a
+      // complete readable state (main or _SUCCESS-marked staging) — a
+      // plain overwrite would destroy the accumulated max-merge state if
+      // the job died mid-write, which the streaming checkpoint cannot
+      // replay (it only re-runs the in-flight batch)
+      val next = Pipelines.readStateSafe(batch.sparkSession, stateDir)
         .fold(merged)(GraphOps.mergeEdgeStates(_, merged))
         // materialize BEFORE overwriting the state we just read from
         .localCheckpoint()
-      Pipelines.writeState(next, stateDir)
+      Pipelines.writeStateAtomic(next, stateDir)
     }
     edgesFromDocStream(docs)
       .writeStream

@@ -44,15 +44,21 @@ object EventStreams {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value_e4"))
 
-  /** Session windows per user (gap-merged by the state store). */
+  /** Session windows per user (gap-merged by the state store).
+    * `last_event_ms` is the max event time, NOT `session_window.end`
+    * (which is last event + gap) — matching the batch twin exactly.
+    */
   def sessions(events: DataFrame, delay: String, gap: String): DataFrame =
     events
       .withWatermark("ts", delay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(
+        max(unix_millis(col("ts"))).as("last_event_ms"),
+        count(lit(1)).as("n_events"))
       .select(
         col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("last_event_ms"),
         col("n_events"))
 
   /** Streaming exact dedup on event id, state bounded by the watermark

@@ -59,9 +59,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Ev(9, "u9", "x", t(1000), 0)) // flush watermark
       q.processAllAvailable()
-      val rows = spark.table("sess_out").as[(String, Long, Long)].collect().toSet
-      assert(rows.contains(("u1", 0L, 2L)))
-      assert(rows.contains(("u1", 100000L, 1L)))
+      val rows = spark.table("sess_out").as[(String, Long, Long, Long)].collect().toSet
+      assert(rows.contains(("u1", 0L, 10000L, 2L)))
+      assert(rows.contains(("u1", 100000L, 100000L, 1L)))
     } finally q.stop()
   }
 
