@@ -53,6 +53,27 @@ class PipelinesSpec extends SparkSpec {
     assert(rowSet(back.get) === rowSet(s1))
   }
 
+  test("atomic state write: every crash window leaves a readable full state") {
+    val dir = Files.createTempDirectory("graft_atomic").toString + "/state"
+    val s1 = Pipelines.etlIncrement(None, docs.toDF(), ts("1970-01-01 00:00:00"))
+
+    // normal path: staging promoted to main, no staging residue
+    Pipelines.writeStateAtomic(s1, dir)
+    assert(rowSet(Pipelines.readStateSafe(spark, dir).get) === rowSet(s1))
+    assert(!new java.io.File(dir + ".staging").exists())
+
+    // crash between delete(main) and rename: only a COMPLETE staging dir
+    // remains -> fallback must read it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".staging"))
+    assert(rowSet(Pipelines.readStateSafe(spark, dir).get) === rowSet(s1))
+
+    // crash mid-staging-write: staging without _SUCCESS is IGNORED
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".staging/_SUCCESS"), false)
+    assert(Pipelines.readStateSafe(spark, dir).isEmpty)
+  }
+
   test("bucketed state: merge joins two bucketed tables with zero exchanges") {
     import graft.model.Edge
     val s1 = Seq(Edge("A", "B", 5), Edge("X", "Y", 2)).toDF()
