@@ -43,6 +43,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(rowSet(out) === expected)
   }
 
+  test("plans as an equi-join on the bucket — never nested-loop/cartesian") {
+    val plan = RangeJoin.intervalJoin(points, "t", intervals, "s", "e", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a product plan:\n$plan")
+    assert(plan.contains("__bucket"), s"bucket key missing from the join:\n$plan")
+  }
+
   test("equivalent to the naive cross+filter join on random data") {
     val rnd = new scala.util.Random(7)
     val ps = (1L to 200L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("pid", "t")
