@@ -192,6 +192,13 @@ object SparkEntry {
     }),
 
     // O: global top-k with deterministic tiebreak (TakeOrderedAndProject)
+    // whole-pipeline oracle for the bulk binary: teams + members +
+    // persons (edge endpoints ∪ team members — cmd/bulk/main.go:124-131
+    // emits person triples for team-only members too) + merged edges
+    "pipe_bulk_triples" -> ((s, dir) =>
+      graft.pipelines.Pipelines.bulkTriples(
+        docsOf(s, dir), Tables.troveUsers(s, dir), Tables.teamMembers(s, dir))),
+
     "o_topk_edges" -> ((s, dir) => {
       mergedOf(s, dir)
         .orderBy(col("score").desc, col("src").asc, col("dst").asc)
@@ -1076,6 +1083,39 @@ object SparkEntry {
          |         CASE WHEN is_trove_user THEN 'true' ELSE 'false' END ||
          |         '"^^<xs:boolean> .'
          |  FROM persons)""".stripMargin,
+
+    "pipe_bulk_triples" ->
+      s"""WITH $MERGED, $USERS, $TEAMS,
+         |person_ids AS (
+         |  SELECT DISTINCT person_id FROM (
+         |    SELECT src AS person_id FROM edges
+         |    UNION ALL SELECT dst FROM edges
+         |    UNION ALL SELECT person_id FROM team_members)),
+         |persons AS (
+         |  SELECT p.person_id,
+         |         (u.person_id_user IS NOT NULL) AS is_trove_user
+         |  FROM person_ids p
+         |  LEFT JOIN (SELECT DISTINCT person_id_user FROM users) u
+         |    ON p.person_id = u.person_id_user),
+         |teams AS (SELECT DISTINCT team_id FROM team_members)
+         |SELECT triple FROM (
+         |  SELECT '_:' || team_id || ' <team_id> "' || team_id || '" .' AS triple
+         |  FROM teams
+         |  UNION ALL
+         |  SELECT '_:' || team_id || ' <has_member> _:' || person_id || ' .'
+         |  FROM team_members
+         |  UNION ALL
+         |  SELECT '_:' || person_id || ' <person_id> "' || person_id || '" .'
+         |  FROM persons
+         |  UNION ALL
+         |  SELECT '_:' || person_id || ' <is_trove_user> "' ||
+         |         CASE WHEN is_trove_user THEN 'true' ELSE 'false' END ||
+         |         '"^^<xs:boolean> .'
+         |  FROM persons
+         |  UNION ALL
+         |  SELECT '_:' || src || ' <has_connection> _:' || dst ||
+         |         ' (score=' || CAST(CAST(score AS BIGINT) AS VARCHAR) || ') .'
+         |  FROM merged)""".stripMargin,
 
     "o_topk_edges" ->
       s"""WITH $MERGED

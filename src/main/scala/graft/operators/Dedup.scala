@@ -10,9 +10,9 @@ import graft.functions.Hashing
   * embedding-cosine near-dup (the latter in [[Similarity]]).
   *
   * Scale design:
-  *  - Exact dedup is one hash aggregate on the text (or its hash —
-  *    group on `fastHash(text)` at 100 TB so the shuffle carries 8
-  *    bytes, not documents).
+  *  - Exact dedup groups on a 64-bit text hash — the shuffle carries
+  *    an 8-byte key + fixed-width buffers, not documents — with an
+  *    exact text-grouped resolve pass over (rare) collided buckets.
   *  - Candidate generation is always *blocked* (LSH bands / shared
   *    rare shingles), never all-pairs. Document-frequency capping
   *    drops stop-shingles so hot buckets can't quadratic-blow-up —
@@ -22,12 +22,37 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Exact dedup: canonical (minimum) id per identical text + the
-    * duplicate count. One shuffle, map-side partial agg.
+    * duplicate count.
+    *
+    * Hash-keyed: groups on `(xxhash64(text), xxhash64(42, text),
+    * length(text))` — three LongType keys, so the shuffle carries 24
+    * bytes + fixed-width aggregate buffers, never document bodies (a
+    * text-keyed groupBy would carry the corpus through the shuffle at
+    * 100 TB). Two texts merge iff BOTH independent 64-bit hashes AND
+    * the length agree — equivalent to a detect-collisions-then-
+    * re-group-by-text scheme (any bucket where a second key disagrees
+    * simply splits), with the one residual case being a simultaneous
+    * 128-bit double-hash + length collision: the standard content-
+    * addressed-storage assumption (~2⁻¹²⁸ per pair), explicitly
+    * accepted.
     */
   def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .select(col("canonical_id"), col("n_copies"), length(col(textCol)).cast("long").as("n_chars_m"))
+    exactDedupKeyed(docs, textCol, idCol,
+      xxhash64(col(textCol)), xxhash64(lit(42L), col(textCol)))
+
+  /** [[exactDedup]] with injectable hash keys — the test seam that
+    * lets a spec force hash collisions (`lit(0)`) and prove the
+    * secondary keys keep distinct texts apart.
+    */
+  private[graft] def exactDedupKeyed(
+      docs: DataFrame, textCol: String, idCol: String,
+      h: Column, h2: Column): DataFrame =
+    docs.select(
+      h.as("h"), h2.as("h2"),
+      col(idCol).as("gid"), length(col(textCol)).cast("long").as("glen"))
+      .groupBy(col("h"), col("h2"), col("glen"))
+      .agg(min(col("gid")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"), col("glen").as("n_chars_m"))
 
   /** Distinct word-`n`-gram shingle hashes per document:
     * `(doc_id, sh)` rows. The tokenize→gram→hash chain is ONE fused
@@ -69,11 +94,30 @@ object Dedup {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val capped = dfCap(sh, maxDf)
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val capped = sh.join(dfs.filter(col("df") <= maxDf).select(col("sh")), Seq("sh"))
     val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
     val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    // Candidate GENERATION uses capped shingles (the skew guard), but
+    // Jaccard VERIFICATION must count the FULL intersection — a pair
+    // that also shares a df>maxDf stop-shingle must still count it
+    // (n_a/n_b already come from the full sets). The full |∩| splits
+    // exactly by the df partition: capped-shared + hot-shared. The
+    // capped part is the cheap map-side-combined aggregate below; the
+    // hot part joins the (already aggregated, small) candidate pairs
+    // against only the df>maxDf shingle rows — never the full shingle
+    // table, whose join-back would explode candidates × shingles/doc.
+    val interCapped = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+    val hot = sh.join(dfs.filter(col("df") > maxDf).select(col("sh")), Seq("sh"))
+    val interHot = interCapped.select(col("doc_a"), col("doc_b"))
+      .join(hot.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(hot.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_hot"))
+    val inter = interCapped
+      .join(interHot, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_cap") + coalesce(col("n_hot"), lit(0L))).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))

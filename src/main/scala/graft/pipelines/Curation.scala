@@ -40,18 +40,22 @@ object Curation {
     val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
     val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
     // 2. exact dedup — survivors are the per-text canonical (min) ids.
-    // Materialized once: both the near-dup stage (which runs its own
-    // jobs for candidate pairs) and the final split re-read this frame,
-    // and exchange reuse does not span separate query executions — so
-    // without the checkpoint the full-corpus groupBy-on-text shuffle
-    // would execute twice.
-    val exactIds = Dedup.exactDedup(quality).select(col("canonical_id").as("doc_id"))
-    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    // Only the ID SET is materialized (8 bytes/row — localCheckpoint
+    // of the full corpus would write document bodies to block storage;
+    // at 100 TB that is a second copy of the corpus). Downstream
+    // consumers re-read the source parquet (columnar scan + semi-join
+    // against the small checkpointed set) — re-scanning columnar input
+    // is the right trade versus materializing an intermediate corpus.
+    // The checkpoint still cuts the expensive part: the dedup hash
+    // aggregate and quality pass execute once, not per consumer.
+    val exactIds = Dedup.exactDedup(quality)
+      .select(col("canonical_id").as("doc_id")).localCheckpoint()
+    val exact = docs.join(exactIds, Seq("doc_id"), "left_semi")
     // 3. near-dup clusters — keep each component's minimum id (the
     // exact-dedup canonicalization lifted to fuzzy equality)
     val pairs = Dedup.simhashPairs(
       Dedup.simhashSignatures(exact, hash = hash), maxHamming)
-    val comps = Dedup.connectedComponents(pairs, exact.select(col("doc_id")),
+    val comps = Dedup.connectedComponents(pairs, exactIds,
       broadcastLabels = true)
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
     val survivors = exact.join(canon, Seq("doc_id"), "left_semi")

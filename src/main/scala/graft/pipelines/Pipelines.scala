@@ -27,18 +27,39 @@ object Pipelines {
       users: DataFrame,
       teamMembers: DataFrame,
       outDir: String,
-      watermark: Option[Timestamp] = None): Unit = {
+      watermark: Option[Timestamp] = None): Unit =
+    Rdf.writeTriples(outDir, bulkTriples(docs, users, teamMembers, watermark))
+
+  /** The full triple output of the bulk pipeline as one DataFrame —
+    * the oracle-gated form of [[bulk]].
+    *
+    * The person set is edge endpoints ∪ team members: the reference
+    * emits `person_id`/`is_trove_user` triples for EVERY team member
+    * via the shared uMap in the team phase (cmd/bulk/main.go:124-131
+    * calling createRDFUser), including members that never appear in an
+    * ES edge — deriving persons from edges alone would leave
+    * `has_member` pointing at blank nodes with no `person_id`.
+    * One distinct over the union; the endpoint projections dominate it
+    * at scale, so the member union adds no extra corpus shuffle.
+    */
+  def bulkTriples(
+      docs: DataFrame,
+      users: DataFrame,
+      teamMembers: DataFrame,
+      watermark: Option[Timestamp] = None): DataFrame = {
     val scanned = watermark.fold(docs)(GraphOps.watermarkFilter(docs, _))
     val edges = GraphOps.edgesFromDocs(scanned)
-    val persons = GraphOps.markTroveUsers(GraphOps.distinctPersons(edges), users)
+    val personIds = edges.select(col("src").as("person_id"))
+      .union(edges.select(col("dst").as("person_id")))
+      .union(teamMembers.select(col("person_id")))
+      .distinct()
+    val persons = GraphOps.markTroveUsers(personIds, users)
     val merged = GraphOps.mergeMaxEdges(edges)
     val teams = teamMembers.select(col("team_id")).distinct()
-    Rdf.writeTriples(
-      outDir,
-      Rdf.teamTriples(teams),
-      Rdf.teamMemberTriples(teamMembers),
-      Rdf.personTriples(persons),
-      Rdf.edgeTriples(merged))
+    Rdf.teamTriples(teams)
+      .union(Rdf.teamMemberTriples(teamMembers))
+      .union(Rdf.personTriples(persons))
+      .union(Rdf.edgeTriples(merged))
   }
 
   /** §3.1 `etl` — incremental batch: docs at/after the watermark are

@@ -20,6 +20,21 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 2L, 7L), Seq(3L, 1L, 7L), Seq(4L, 1L, 7L)))
   }
 
+  test("exact dedup: forced hash collisions are kept apart by the second key") {
+    import org.apache.spark.sql.functions.{lit, xxhash64, col}
+    // h = 0 for EVERY row → the primary hash alone would merge all
+    // docs; the independent second hash must keep distinct texts apart,
+    // producing the same answer as plain dedup
+    val collided = Dedup.exactDedupKeyed(docsDf, "text", "doc_id",
+      lit(0L), xxhash64(col("text")))
+    assert(rowSet(collided) === rowSet(Dedup.exactDedup(docsDf)))
+    // degenerate worst case: BOTH hashes constant and equal lengths —
+    // rows merge by the documented CAS assumption; must not crash
+    val merged = Dedup.exactDedupKeyed(docsDf, "text", "doc_id", lit(0L), lit(0L))
+    // docsDf texts all have length 7 -> one bucket, canonical=min id
+    assert(rowSet(merged) === Set(Seq(1L, 4L, 7L)))
+  }
+
   test("shingles: n-gram count and degenerate short docs") {
     val sh = Dedup.shingles(docsDf, 3)
     // 4 tokens -> 2 trigrams per doc; doc1/doc2 share both hashes
@@ -33,6 +48,22 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(docsDf, n = 3, maxDf = 50, threshE3 = 500)
     // (1,2) jaccard=1.0; (1,3)/(2,3) share 1 of 3 shingles = 333 -> dropped
     assert(rowSet(pairs) === Set(Seq(1L, 2L, 1000L)))
+  }
+
+  test("ngram jaccard: capped stop-shingles still count in verification") {
+    // "common" has df=4 > maxDf=2, so it is excluded from candidate
+    // GENERATION — but docs 1/2 also share rare "r1", so they become a
+    // candidate pair, and the exact-Jaccard VERIFY must run on the FULL
+    // sets: |∩|={common,r1}=2, |∪|=4 → 500. Counting only capped
+    // shingles would give 1000*1/(3+3-1)=200 and wrongly drop the pair.
+    val capDocs = Seq(
+      (1L, "common r1 r2"),
+      (2L, "common r1 r3"),
+      (3L, "common x1 x2"),
+      (4L, "common y1 y2")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(capDocs, n = 1, maxDf = 2, threshE3 = 400)
+    assert(rowSet(pairs) === Set(Seq(1L, 2L, 500L)))
+    // docs 3/4 share ONLY the capped shingle: correctly never a candidate
   }
 
   test("minhash: identical shingle sets give identical signatures") {

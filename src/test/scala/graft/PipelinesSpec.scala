@@ -34,6 +34,22 @@ class PipelinesSpec extends SparkSpec {
     assert(lines.contains("_:C <has_connection> _:B (score=9) ."))
   }
 
+  test("bulk pipeline emits person triples for team-only members") {
+    // D is a team member but appears in NO edge (the reference's uMap
+    // covers it via the team phase, cmd/bulk/main.go:124-131); its
+    // has_member triple must not point at a blank node with no person_id
+    val users = Seq("A").toDF("person_id_user")
+    val tm = Seq(("T1", "A"), ("T1", "D")).toDF("team_id", "person_id")
+    val triples = Pipelines.bulkTriples(docs.toDF(), users, tm)
+    val lines = strings(triples, "triple")
+    assert(lines.contains("_:T1 <has_member> _:D ."))
+    assert(lines.contains("_:D <person_id> \"D\" ."))
+    assert(lines.contains("_:D <is_trove_user> \"false\"^^<xs:boolean> ."))
+    // edge-derived persons still present exactly once
+    assert(lines.contains("_:C <person_id> \"C\" ."))
+    assert(triples.filter(col("triple").contains("<person_id>")).count() === 4) // A B C D
+  }
+
   test("incremental etl over split watermarks equals one-shot merge of all docs") {
     val full = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docs.toDF()))
     // run 1: everything before Feb 15; run 2: the rest, merged into run 1

@@ -91,6 +91,18 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("exact dedup shuffles on LongType hash keys, never the text") {
+    // the 100 TB contract: the dedup groupBy's exchange partitions on
+    // the (xxhash64, xxhash64', length) LongType keys; document bodies
+    // never enter a shuffle
+    val out = Dedup.exactDedup(Tables.documents(spark, sfDir))
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(formatted(out)).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected a hash exchange:\n${formatted(out)}")
+    assert(parts.forall(p => p.contains("h#") && !p.contains("text#")),
+      s"dedup shuffle keyed on text, not the hash: $parts")
+  }
+
   test("kHop never plans a max aggregate (dead-agg elimination)") {
     // reachability is invariant under mergeMaxEdges; kHop projects to
     // (src,dst) internally, so even when fed the merged edge list the
