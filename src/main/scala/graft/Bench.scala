@@ -46,8 +46,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries (-1 sentinel) must not lower the aggregate: sum
+    // only successes and surface the failure count so round-over-round
+    // totals stay comparable (and a broken query is loud, not hidden)
+    val ok = results.values.filter(_ >= 0)
+    val nFailed = results.size - ok.size
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

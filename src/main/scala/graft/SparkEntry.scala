@@ -327,8 +327,10 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
     "sim_lsh_neighbors" -> ((s, dir) =>
       Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
-    "sim_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L)),
+    // blocked (LSH-bucketed) near-dup is the gated + benched path — the
+    // brute crossJoin form is O(n²) and lives in SimilaritySpec only
+    "sim_near_dup_blocked" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
 
     // -- event-time windows -------------------------------------------------
     "e_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir), 3600000L)),
@@ -408,9 +410,19 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
-    // -- IVF ANN: probe-limited approximate top-k (the similarity scale path)
+    // -- IVF ANN: probe-limited approximate top-k (the similarity scale
+    //    path). kmeansIters=0 selects the closed-form stand-in centroids
+    //    so the oracle can replicate restricted-probe behavior in SQL.
     "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 4, 5)),
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 4, 5,
+        kmeansIters = 0)),
+
+    // -- IVF with REAL k-means centroids at full probe: the result is
+    //    centroid-independent there, so the brute-force SQL is an exact
+    //    oracle — a green row proving the k-means path end-to-end
+    //    (restricted-probe recall is spec-gated, SimilaritySpec)
+    "sim_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 16, 16, 5)),
 
     // -- grouping sets: rollup over the pricing summary
     "agg_rollup" -> ((s, dir) => {
@@ -553,6 +565,25 @@ object SparkEntry {
       |SELECT event_id, user_id, CAST(epoch_ms(t) AS BIGINT) AS ts_ms,
       |       asof_p_event_id, asof_p_value_e4
       |FROM w WHERE side = 0""".stripMargin
+
+  /** Brute-force cosine top-k oracle — shared by `sim_cosine_topk` and
+    * `sim_ivf_kmeans` (full-probe IVF ≡ brute force).
+    */
+  private lazy val BRUTE_TOPK_SQL =
+    s"""WITH $QNORM,
+       |scored AS (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("qq.q", "c.q")} AS dot_q,
+       |         CAST(qq.nq AS DOUBLE)*CAST(c.nq AS DOUBLE) AS nn
+       |  FROM qn c JOIN qn qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot_q,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY query_id
+       |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
+       |         AS BIGINT) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
   private def extendedOracles: Map[String, String] = Map(
     "t_token_counts" ->
@@ -714,21 +745,12 @@ object SparkEntry {
          |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
          |FROM reach GROUP BY a""".stripMargin,
 
-    "sim_cosine_topk" ->
-      s"""WITH $QNORM,
-         |scored AS (
-         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         ${dotSql("qq.q", "c.q")} AS dot_q,
-         |         CAST(qq.nq AS DOUBLE)*CAST(c.nq AS DOUBLE) AS nn
-         |  FROM qn c JOIN qn qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, dot_q,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY query_id
-         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
-         |         AS BIGINT) AS "rank"
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+    "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // identical oracle on purpose: at FULL probe IVF's result is
+    // centroid-independent, so the brute-force hash proves the k-means
+    // centroid path computes exactly the brute top-k
+    "sim_ivf_kmeans" -> BRUTE_TOPK_SQL,
 
     "sim_lsh_neighbors" ->
       s"""WITH $QVEC,
@@ -747,13 +769,32 @@ object SparkEntry {
          |FROM bk c JOIN bk qq
          |  ON c.bucket = qq.bucket AND qq.vec_id < 8 AND c.vec_id <> qq.vec_id""".stripMargin,
 
-    "sim_near_dup" ->
+    // banded-LSH candidates (4 bands × 4 planes, OR-construction; the
+    // portable planeWeight closed form reproduces Similarity.lshBandBuckets
+    // exactly), then exact verification over candidate pairs
+    "sim_near_dup_blocked" ->
       s"""WITH $QNORM,
+         |s AS (
+         |  SELECT vec_id, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qn CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, j // 4 AS band,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  SELECT c.id_a, c.id_b,
          |         ${dotSql("a.q", "b.q")} AS dot_q,
          |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
-         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id)
+         |  FROM cands c
+         |  JOIN qn a ON a.vec_id = c.id_a
+         |  JOIN qn b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, dot_q FROM pairs
          |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
 

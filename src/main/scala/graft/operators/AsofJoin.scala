@@ -35,16 +35,21 @@ object AsofJoin {
     val rstruct = struct((payload :+ tiebreak).distinct.map(col): _*)
     val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val rrowType = right.select(rstruct).schema.head.dataType
+    // order ties by the tiebreak's NATURAL type (string, timestamp,
+    // numeric all sort correctly) — a cast("long") would null out
+    // non-numeric tiebreaks and make equal-time resolution
+    // nondeterministic, diverging from the native exec's ordering
+    val tbType = right.select(col(tiebreak)).schema.head.dataType
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(0).as("__side"),
-        lit(null).cast("long").as("__tb"),
+        lit(null).cast(tbType).as("__tb"),
         struct(leftCols.map(col): _*).as("__lrow"),
         lit(null).cast(rrowType).as("__rrow")): _*)
     val rTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(1).as("__side"),
-        col(tiebreak).cast("long").as("__tb"),
+        col(tiebreak).as("__tb"),
         lit(null).cast(lrowType).as("__lrow"),
         rstruct.as("__rrow")): _*)
     val w = Window

@@ -81,15 +81,35 @@ object Similarity {
   /** Sign-random-projection bucket id: bit `j` of the bucket is the
     * sign of `Σ_i q_i · w(i,j)` over `planes` integer hyperplanes.
     */
-  def lshBucket(q: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { j =>
+  def lshBucket(q: Column, planes: Int): Column = lshBucketRange(q, 0, planes)
+
+  /** Bucket over the plane range `[offset, offset+n)` — bit `j` uses
+    * global plane `offset + j`, so bands draw disjoint hyperplanes.
+    */
+  private def lshBucketRange(q: Column, offset: Int, n: Int): Column = {
+    val bits = (0 until n).map { j =>
+      val jj = (offset + j).toLong
       val s = aggregate(
-        zip_with(q, sequence(lit(0), size(q) - 1), (x, i) => x * planeWeight(i, lit(j.toLong))),
+        zip_with(q, sequence(lit(0), size(q) - 1), (x, i) => x * planeWeight(i, lit(jj))),
         lit(0L), (acc, v) => acc + v)
       when(s >= 0, lit(1L) * (1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
+
+  /** Banded LSH buckets: `bands` entries of `(band, bucket)`, band `b`
+    * hashing planes `[b·rowsPerBand, (b+1)·rowsPerBand)`. OR-construction:
+    * two vectors are candidates iff ANY band bucket matches — the
+    * standard recall amplifier (a single AND-of-all-planes bucket has
+    * collision probability (1−θ/π)^planes, near zero even for close
+    * pairs; banding raises it to 1−(1−p^r)^b).
+    */
+  def lshBandBuckets(q: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        lshBucketRange(q, b * rowsPerBand, rowsPerBand).as("bucket"))
+    }: _*)
 
   /** LSH-bucketed ANN: queries probe only their own bucket. Returns all
     * same-bucket candidates with exact integer dot products —
@@ -107,29 +127,83 @@ object Similarity {
         dotQ(col("qq"), col("q")).as("dot_q"))
   }
 
+  /** Deterministic Lloyd k-means over the quantized corpus — real IVF
+    * centroids (vs the `vec_id < k` stand-in).
+    *
+    * Init is hash-seeded: the `k` vectors with the smallest
+    * `xxhash64(vec_id)` — pseudo-random spread, rerun-stable, no RNG
+    * state. Each of the (small, fixed) `iters` rounds is ONE corpus
+    * pass: broadcast the k centroids, per-vector argmax cell, then an
+    * element-wise integer mean per cell (k·dim grouped rows). The
+    * centroid set itself lives on the driver between rounds — k·dim
+    * longs, bounded regardless of corpus size (the same structure
+    * Spark MLlib's KMeans uses). Empty or all-zero cells keep their
+    * previous centroid.
+    */
+  private[graft] def kmeansCentroidsQ(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def centsDf(cents: Array[(Long, Seq[Long])]): DataFrame =
+      cents.toSeq.toDF("cid", "cq").withColumn("cnq", normQ(col("cq")))
+    var cents: Array[(Long, Seq[Long])] = corpus
+      .select(col("vec_id"), col("q"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+    if (cents.isEmpty) return centsDf(cents) // empty corpus -> empty cells
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+      val sums = corpus.join(broadcast(centsDf(cents)))
+        .withColumn("ccos",
+          dotQ(col("q"), col("cq")).cast("double") /
+            sqrt(col("nq").cast("double") * col("cnq").cast("double")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            floor(col("sv") / col("n")).cast("long").as("m")))),
+          s => s("m")).as("cq"))
+      val next = sums.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      cents = cents.map { case (cid, old) =>
+        val c = next.getOrElse(cid, old)
+        (cid, if (c.forall(_ == 0L)) old else c)
+      }
+    }
+    centsDf(cents)
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the coarse-
     * quantizer scale path: assign every corpus vector to its nearest of
     * `nCentroids` centroid cells; queries probe only their `nProbe`
     * nearest cells; exact top-k runs within the probed candidates.
     *
-    * Centroids here are the deterministic stand-in `vec_id <
-    * nCentroids` (a production build plugs k-means|| output into the
-    * same frame — everything downstream is unchanged). The centroid set
-    * broadcasts; assignment is one pass over the corpus (broadcast
-    * nested-loop × nCentroids, then a per-vector argmax window); the
-    * candidate join shuffles on the cell id — recall is tunable by
-    * nProbe, cost scales with corpus/nCentroids per probe instead of
-    * the whole corpus.
+    * Centroids come from [[kmeansCentroidsQ]] (`kmeansIters` Lloyd
+    * rounds, hash-seeded deterministic init); `kmeansIters = 0` selects
+    * the `vec_id < nCentroids` stand-in instead — closed-form, so an
+    * external SQL oracle can replicate the whole operator including
+    * restricted-probe behavior. The centroid set broadcasts; assignment
+    * is one pass over the corpus (broadcast nested-loop × nCentroids,
+    * then a per-vector argmax window); the candidate join shuffles on
+    * the cell id — recall is tunable by nProbe, cost scales with
+    * corpus/nCentroids per probe instead of the whole corpus.
     */
   def ivfTopK(
       embeddings: DataFrame,
       queryPred: Column,
       nCentroids: Int,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      kmeansIters: Int = 4): DataFrame = {
     val corpus = withQuant(embeddings)
-    val cents = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val cents =
+      if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCentroids, kmeansIters)
+      else corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
     def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)
@@ -160,29 +234,62 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ τ.
-    * Exact all-pairs within LSH buckets when `blocked`, else brute
-    * force (n² — correctness oracle / small corpora only).
     * `cosE6` threshold is in 1e-6 units (e.g. 950000 = 0.95).
     * Output `(id_a, id_b, dot_q)`, `id_a < id_b`.
+    *
+    * `blocked = true` is the scale path: banded-LSH candidate
+    * generation (`bands` × `rowsPerBand` sign-projection planes,
+    * OR-construction over bands), distinct candidate pairs, then exact
+    * verification — emitted pairs are exact, recall is the banded
+    * collision probability (identical vectors always collide). The
+    * band join shuffles only `(band, bucket, id)`; vectors re-attach
+    * to the (already-distinct, much smaller) candidate pairs.
+    *
+    * `blocked = false` is brute force (n² — correctness baseline for
+    * specs / small corpora only): a real cross join, NOT a
+    * constant-key equi-join, which would hash every row into one
+    * partition; crossJoin keeps the left side partitioned.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, cosE6: Long, blocked: Boolean = false): DataFrame = {
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      cosE6: Long,
+      blocked: Boolean = false,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
     val corpus = withQuant(embeddings)
-    val a = corpus.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("n_b"))
-    // blocked: equi-join on LSH bucket (the scale path). Unblocked: a real
-    // cross join — NOT a constant-key equi-join, which would hash every
-    // row into one partition; crossJoin keeps the left side partitioned.
-    val paired =
-      if (blocked)
-        a.withColumn("bucket", lshBucket(col("q_a"), 16))
-          .join(b.withColumn("bucket", lshBucket(col("q_b"), 16)), Seq("bucket"))
-      else a.crossJoin(b)
-    paired.filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        dotQ(col("q_a"), col("q_b")).as("dot_q"),
-        (col("n_a").cast("double") * col("n_b").cast("double")).as("nn"))
-      .filter(col("dot_q").cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(col("nn")))
-      .select(col("id_a"), col("id_b"), col("dot_q"))
+    val thresh = (dq: Column, nn: Column) =>
+      dq.cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(nn)
+    if (blocked) {
+      val withB = corpus.select(
+        col("vec_id"),
+        explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cands = withB.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+        .join(withB.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cands
+        .join(corpus.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a")),
+          Seq("id_a"))
+        .join(corpus.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("n_b")),
+          Seq("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          dotQ(col("q_a"), col("q_b")).as("dot_q"),
+          (col("n_a").cast("double") * col("n_b").cast("double")).as("nn"))
+        .filter(thresh(col("dot_q"), col("nn")))
+        .select(col("id_a"), col("id_b"), col("dot_q"))
+    } else {
+      val a = corpus.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("n_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          dotQ(col("q_a"), col("q_b")).as("dot_q"),
+          (col("n_a").cast("double") * col("n_b").cast("double")).as("nn"))
+        .filter(thresh(col("dot_q"), col("nn")))
+        .select(col("id_a"), col("id_b"), col("dot_q"))
+    }
   }
 }

@@ -6,12 +6,22 @@ import org.apache.spark.sql.functions._
 /** RDF N-Quads sink (SURVEY §2.1 S6 / §2.2 P5) — the bulk path's triple
   * file for Dgraph's offline bulk loader.
   *
-  * Byte format pinned to the reference (cmd/bulk/main.go:271-328):
+  * BYTE FORMAT pinned to the reference (cmd/bulk/main.go:271-328):
   *  - blank-node subjects/objects: `_:<id>`
   *  - boolean literal is typed: `"true"^^<xs:boolean>`
   *  - edge facet inline with *integer* rendering: `(score=5)` even
   *    though scores are stored as doubles (reference renders with %d at
   *    cmd/bulk/main.go:325-326).
+  *
+  * EDGE DIRECTION / SCORE PAIRING deliberately follows the shared
+  * transform `dgraph.go TransformElasticToDgraph` (from→to carries
+  * `raw_score_in`, to→from carries `raw_score_out`) — the convention
+  * the live `etl` binary writes. The reference is internally
+  * inconsistent here: `cmd/bulk/main.go createRDFRelationships` pairs
+  * the directions the OTHER way (to→from with RawScoreIn), so its bulk
+  * and live outputs disagree with each other. One engine cannot match
+  * both; the "pinned to cmd/bulk/main.go" claim above covers byte
+  * format only, not the direction/score pairing.
   *
   * All formatters are codegen'd `format_string` projections — string
   * construction happens inside whole-stage codegen, no UDFs. The sink

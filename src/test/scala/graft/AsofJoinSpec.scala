@@ -42,6 +42,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(rowSet(out) === Set(Seq(1L, "u1", t(10), 9L, "high")))
   }
 
+  test("non-numeric tiebreak orders by natural type, matching the native exec") {
+    // a string tiebreak would become all-null under a cast("long")
+    // ordering — ties must still resolve deterministically to the max
+    val left = Seq((1L, "u1", t(10))).toDF("id", "k", "lt")
+    val right = Seq(
+      ("u1", t(10), "aa", 1L), ("u1", t(10), "zz", 2L), ("u1", t(10), "mm", 3L)
+    ).toDF("k", "rt", "tag", "rid")
+    val windowed = AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt",
+      Seq("tag", "rid"), "tag")
+    assert(rowSet(windowed) === Set(Seq(1L, "u1", t(10), "zz", 2L)))
+    val native = AsofJoin.asofJoinNative(left, right, Seq("k"), "lt", "rt",
+      Seq("tag", "rid"), "tag")
+    assert(rowSet(native) === rowSet(windowed))
+  }
+
   test("native as-of exec: same semantics as the union+window form") {
     val left = Seq(
       (1L, "u1", t(10)), (2L, "u1", t(20)), (3L, "u1", t(3)), (4L, "u2", t(50))

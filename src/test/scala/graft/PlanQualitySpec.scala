@@ -77,6 +77,21 @@ class PlanQualitySpec extends SparkSpec {
       s"membership join should broadcast the key set at this size:\n$plan")
   }
 
+  test("trove membership join still broadcasts at the bench scale (sf0.1)") {
+    // round-1 bench showed j2_trove_flags at 8.3s once (≈6× its
+    // subplans); re-measurement on identical code gave 1.2s — a one-off
+    // scheduler/GC spike, not a plan regression. This pins the plan at
+    // the BENCH scale (broadcast thresholds can flip between SFs;
+    // planning only reads footers, so this stays cheap)
+    val sf01 = "/root/testdata/sf0.1"
+    val persons = GraphOps.distinctPersons(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sf01)))
+    val flagged = GraphOps.markTroveUsers(persons, Tables.troveUsers(spark, sf01))
+    val plan = formatted(flagged)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership join must broadcast the key set at sf0.1 too:\n$plan")
+  }
+
   test("cosine top-k broadcasts the query side, not the corpus") {
     val topk = Similarity.cosineTopK(
       Tables.embeddings(spark, sfDir), col("vec_id") < 4, 3)

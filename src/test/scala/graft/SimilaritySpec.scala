@@ -37,6 +37,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rowSet(out) === Set(Seq(0L, 1L, 900000000000L)))
   }
 
+  test("blocked near-dup is a subset of brute force with identical scores") {
+    // the brute crossJoin form is the correctness baseline (spec-only —
+    // O(n²), never benched/gated); the LSH-blocked scale path must
+    // return a subset of it, agreeing exactly on every emitted pair,
+    // and must have perfect recall on identical-vector duplicates
+    // (equal vectors always share a bucket)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = rowSet(Similarity.cosineNearDupPairs(emb, 400000L))
+    val blocked = rowSet(Similarity.cosineNearDupPairs(emb, 400000L, blocked = true))
+    assert(blocked.subsetOf(brute), s"blocked emitted a non-brute pair")
+    assert(blocked.nonEmpty)
+    // perfect recall on EXACT duplicates: equal vectors share a bucket
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val eqPairs = q.as("a").join(q.as("b"),
+        col("a.q") === col("b.q") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedIds = blocked.map(r => (r(0), r(1)))
+    assert(eqPairs.forall(p => blockedIds.contains(p)),
+      "identical vectors must never be missed by bucketing")
+  }
+
+  test("IVF with k-means centroids: exact at full probe, recall@5 floor at probe 4/16") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = rowSet(Similarity.cosineTopK(emb, col("vec_id") < 8, 5))
+    // full probe covers every cell -> centroid-independent, must equal brute
+    val full = rowSet(Similarity.ivfTopK(emb, col("vec_id") < 8, 16, 16, 5))
+    assert(full === brute)
+    // restricted probe: deterministic (hash-seeded init, fixed data), so
+    // recall is a stable number — gate a floor on real k-means geometry
+    val probed = rowSet(Similarity.ivfTopK(emb, col("vec_id") < 8, 16, 4, 5))
+    val hit = probed.map(r => (r(0), r(1))).intersect(brute.map(r => (r(0), r(1)))).size
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 with 4/16 probes collapsed to $recall")
+  }
+
   test("LSH buckets: identical vectors always share a bucket; probe finds them") {
     val dup = Seq(
       (0L, Array(0.5f, 0.5f)),

@@ -8,6 +8,12 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.model.{Edge, RelationshipDoc, Stats}
 import graft.streaming.{EdgeStreams, EventStreams}
 
+/** Top-level (not inner) so `.as[FixEv]` deserialization works on
+  * parquet-sourced frames — inner classes can't be re-instantiated by
+  * the encoder without the enclosing scope.
+  */
+case class FixEv(event_id: Long, user_id: String, event_type: String, ts: Timestamp, value: Double)
+
 /** Structured Streaming specs via MemoryStream: watermark late-data
   * eviction, windowed aggregation, and the T3 stateful
   * upsert-if-greater (monotone emissions).
@@ -43,6 +49,36 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, String, Long, Long)].collect().toSet
       assert(rows.contains((0L, "click", 2L, 30000L))) // late 100.0 NOT counted
       assert(rows.contains((60000L, "click", 1L, 40000L)))
+    } finally q.stop()
+  }
+
+  test("tumbling stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // the real sf0.001 events table, replayed through a MemoryStream in
+    // ts-ordered chunks: the watermark only advances between batches, so
+    // ordered chunks guarantee no event is ever dropped as late — the
+    // streaming output over finalized windows must then equal the batch
+    // operator exactly (the cross-engine-twin proof for §2.9/T1)
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.tumbling(in.toDF(), delay = "10 seconds", size = "3600 seconds")
+      .writeStream.format("memory").queryName("tumble_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // flush sentinel two window-lengths past the end finalizes every
+      // real window; its own window never finalizes so it never appears
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("tumble_fixture"))
+      val batch = rowSet(graft.operators.EventOps.tumbling(evs.toSeq.toDF(), 3600000L))
+      assert(streamed === batch)
     } finally q.stop()
   }
 
