@@ -286,6 +286,15 @@ object SparkEntry {
       TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.Portable)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
+    "t_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir), hash = Hashing.Portable)),
+    // decontamination join: probes = every 50th doc as a stand-in
+    // benchmark set; self-pairs excluded
+    "d_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0), 3, 2, Hashing.Portable)
+        .filter(col("doc_id") =!= col("probe_id"))
+    }),
     "e_pivot_types" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
@@ -656,6 +665,36 @@ object SparkEntry {
          |    ORDER BY alpha_ratio_e3 DESC, doc_id ASC) AS BIGINT) AS rn
          |  FROM q)
          |WHERE rn <= 3""".stripMargin,
+
+    "t_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+         |bi AS (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")})
+         |      ELSE [] END) AS sh
+         |    FROM t) GROUP BY doc_id, sh),
+         |bia AS (SELECT doc_id, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS n_bi
+         |        FROM bi GROUP BY doc_id)
+         |SELECT b.doc_id, n_tokens,
+         |       CAST(CASE WHEN n_tokens > 0
+         |            THEN floor((n_tokens - n_distinct)*1000/n_tokens)
+         |            ELSE 0 END AS BIGINT) AS dup_token_ratio_e3,
+         |       CAST(CASE WHEN n_bi IS NOT NULL AND n_bi > 0
+         |            THEN floor(max_c*1000/n_bi)
+         |            ELSE 0 END AS BIGINT) AS top_bigram_ratio_e3
+         |FROM base b LEFT JOIN bia USING (doc_id)""".stripMargin,
+
+    "d_contamination" ->
+      s"""WITH $SHINGLES,
+         |p AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id % 50 = 0)
+         |SELECT s.doc_id, p.probe_id, count(*) AS n_shared
+         |FROM sh s JOIN p ON s.sh = p.sh AND s.doc_id <> p.probe_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "e_pivot_types" ->
       """SELECT user_id,

@@ -128,6 +128,34 @@ object Dedup {
       .filter(col("jaccard_e3") >= threshE3)
   }
 
+  /** Benchmark-contamination detection: corpus documents sharing at
+    * least `minShared` distinct word-`n`-gram shingles with any probe
+    * document (the eval/benchmark set). Returns
+    * `(doc_id, probe_id, n_shared)` — the decontamination join every
+    * pretraining pipeline runs before training.
+    *
+    * Scale shape: the probe side (benchmark suites — thousands of
+    * docs) is broadcast, so the corpus-side shingle stream never
+    * shuffles; the count aggregates on (doc, probe) with map-side
+    * combine. For probe sets too large to broadcast, drop the hint and
+    * the same plan degrades to a shuffled hash join on the 8-byte
+    * shingle key.
+    */
+  def contamination(
+      docs: DataFrame,
+      probes: DataFrame,
+      n: Int = 3,
+      minShared: Int = 5,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val dSh = shingles(docs, n, hash = hash)
+    val pSh = shingles(probes, n, hash = hash)
+      .select(col("doc_id").as("probe_id"), col("sh"))
+    dSh.join(broadcast(pSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures: `(doc_id, j, mh)` for permutations
     * `j = 0..k-1`, `mh = min over shingles of (a_j*sh + b_j) mod P`.
     *

@@ -80,6 +80,49 @@ object TextOps {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Repetition quality signals (the Gopher-rule family): the
+    * within-document redundancy measures that catch boilerplate and
+    * degenerate generations, which length/stopword filters miss.
+    *
+    *  - `dup_token_ratio_e3` — fraction of token instances that are
+    *    repeats of an earlier token (`(n − n_distinct)/n`), ×1000.
+    *    Pure narrow projection (array_distinct per row, no shuffle).
+    *  - `top_bigram_ratio_e3` — fraction of all word bigrams taken by
+    *    the single most frequent bigram, ×1000. Bigrams come from the
+    *    fused native shingle generator (hashes, not strings); the agg
+    *    is (doc, bigram)-grouped then doc-grouped — two shuffles of
+    *    8-byte keyed counts, never token text.
+    *
+    * Docs with no tokens / no bigrams score 0 (nothing repeats).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val bi = docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.NativeOps.shingleHashes(col(textCol), 2, hash.portable)).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_bi"))
+    base.join(bi, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          floor((col("n_tokens") - col("n_distinct")) * 1000 / col("n_tokens")))
+          .otherwise(0L).cast("long").as("dup_token_ratio_e3"),
+        when(col("n_bi").isNotNull && col("n_bi") > 0,
+          floor(col("max_c") * 1000 / col("n_bi")))
+          .otherwise(0L).cast("long").as("top_bigram_ratio_e3"))
+  }
+
   /** Whole-document rolling-hash fingerprint. `hash` defaults to the
     * xxhash64 fast path; pass [[Hashing.portableHash]] for
     * engine-portable values.

@@ -109,6 +109,18 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
   }
 
+  test("contamination: shared-shingle floor against a probe set") {
+    val corpus = Seq(
+      (1L, "p q r s t"), // shares {p q r, q r s} with probe 10 -> 2
+      (2L, "m n o p q"), // shares nothing 3-gram-wise with probe 10
+      (3L, "z z z z z")).toDF("doc_id", "text")
+    val probes = Seq((10L, "p q r s z")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, probes, n = 3, minShared = 2)
+    assert(rowSet(hits) === Set(Seq(1L, 10L, 2L)))
+    // floor of 3 excludes the 2-shingle overlap
+    assert(Dedup.contamination(corpus, probes, n = 3, minShared = 3).count() === 0)
+  }
+
   test("dfCap drops shingles above the document-frequency cap") {
     val sh = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 99L))
       .toDF("doc_id", "sh")

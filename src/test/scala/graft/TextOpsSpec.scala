@@ -75,6 +75,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(2L))
   }
 
+  test("repetition stats: dup-token and top-bigram ratios, degenerate docs score 0") {
+    val df = Seq(
+      (1L, "a a a a"),   // dup = (4-1)/4 = 750; bigram "a a" x3 of 3 = 1000
+      (2L, "a b c d"),   // dup = 0; 3 distinct bigrams -> 333
+      (3L, "x"),         // no bigrams -> 0
+      (4L, "")           // no tokens -> 0, 0
+    ).toDF("doc_id", "text")
+    assert(rowSet(TextOps.repetitionStats(df)) === Set(
+      Seq(1L, 4L, 750L, 1000L),
+      Seq(2L, 4L, 0L, 333L),
+      Seq(3L, 1L, 0L, 0L),
+      Seq(4L, 0L, 0L, 0L)))
+  }
+
   test("fingerprint: equal texts equal fp, distinct texts distinct fp") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextOps.fingerprint(df).as[(Long, Long)].collect().toMap
