@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
 import graft.operators.Dedup
@@ -26,31 +25,15 @@ object Scratch {
     val docs = Tables.documents(spark, dir)
     time("warmup")(docs.count())
 
-    // d_minhash_lsh stage costs (mirrors Dedup.minhashLshPairs internals)
-    val sh = Dedup.shingles(docs, 3, hash = Hashing.Portable).cache()
-    time("shingles")(sh.count())
-    val sig = Dedup.minhashSignatures(sh, 8)
-    time("minhash sigs")(sig.count())
-    val banded = sig
-      .withColumn("band", (col("j") / 2).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
-        lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
-    time("band sigs")(banded.count())
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
-    val cands = l.join(r, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    time("cands")(println("[scratch] n cands: " + cands.count()))
-    for (i <- 1 to 3)
-      time(s"full d_minhash_lsh r$i")(
-        Dedup.minhashLshPairs(docs, 3, 4, 2, 500, Hashing.Portable).count())
+    for (i <- 1 to 4) {
+      time(s"d_ngram_jaccard r$i")(
+        Dedup.ngramJaccardPairs(docs, 3, 50, 500, Hashing.Portable).count())
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     for (i <- 1 to 2)
-      time(s"full d_simhash_pairs r$i")(
-        Dedup.simhashPairs(Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3).count())
-    sh.unpersist()
+      time(s"d_minhash_lsh r$i")(
+        Dedup.minhashLshPairs(docs, 3, 4, 2, 500, Hashing.Portable).count())
     spark.stop()
   }
 }

@@ -107,8 +107,13 @@ object Dedup {
     // hot part joins the (already aggregated, small) candidate pairs
     // against only the df>maxDf shingle rows — never the full shingle
     // table, whose join-back would explode candidates × shingles/doc.
+    // materialized once: BOTH the hot-contribution join and the final
+    // result consume this aggregate, and exchange reuse does not always
+    // survive AQE re-planning — the pair table is small (post-agg), the
+    // self-join above it is not (same pattern as minhashLshPairs.banded)
     val interCapped = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
+      .localCheckpoint()
     val hot = sh.join(dfs.filter(col("df") > maxDf).select(col("sh")), Seq("sh"))
     val interHot = interCapped.select(col("doc_a"), col("doc_b"))
       .join(hot.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
