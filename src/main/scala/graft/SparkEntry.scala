@@ -454,7 +454,19 @@ object SparkEntry {
     //    single DuckDB oracle over the whole chain
     "pipe_curation" -> ((s, dir) =>
       graft.pipelines.Curation.curate(
-        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable))
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
+
+    // -- the FULL production chain: quality → repetition gate →
+    //    benchmark decontamination → exact dedup → SimHash clusters →
+    //    split, one whole-chain oracle (probes = every 50th doc)
+    "pipe_curation_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipelines.Curation.curate(
+        docs, 800, 100, 3, Hashing.Portable,
+        maxTopBigramE3 = 80,
+        probes = Some(docs.filter(col("doc_id") % 50 === 0)),
+        minSharedShingles = 2)
+    })
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -988,6 +1000,68 @@ object SparkEntry {
          |        >= len(toks)*10),
          |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
          |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
+         |${simhashSql("cd")},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM cd
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+         |surv AS (
+         |  SELECT c.doc_id, c.text FROM cd c
+         |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
+         |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM surv)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
+
+    "pipe_curation_full" ->
+      s"""WITH RECURSIVE
+         |kq AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |cd0 AS (
+         |  SELECT doc_id, text FROM kq
+         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+         |    AND len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','of','and','to','in','is','it','on'], t)))*1000
+         |        >= len(toks)*10),
+         |rep AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_bi > 0 THEN floor(max_c*1000/n_bi) ELSE 0 END AS tb
+         |  FROM (SELECT doc_id, max(c) AS max_c, sum(c) AS n_bi FROM (
+         |          SELECT doc_id, sh2, count(*) AS c FROM (
+         |            SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |              THEN list_transform(range(1, len(toks)),
+         |                   i -> ${ph("array_to_string(toks[i:i+1], ' ')")})
+         |              ELSE [] END) AS sh2
+         |            FROM kq) GROUP BY doc_id, sh2) GROUP BY doc_id)),
+         |$SHINGLES,
+         |conthit AS (
+         |  SELECT s.doc_id, p.probe_id FROM sh s
+         |  JOIN (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id % 50 = 0) p
+         |    ON s.sh = p.sh
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |cont AS (SELECT DISTINCT doc_id FROM conthit),
+         |cd1 AS (
+         |  SELECT c.doc_id, c.text FROM cd0 c
+         |  JOIN rep r ON r.doc_id = c.doc_id AND r.tb <= 80
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |exd AS (SELECT min(doc_id) AS doc_id FROM cd1 GROUP BY text),
+         |cd AS (SELECT c.doc_id, c.text FROM cd1 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
          |banded AS (
          |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val

@@ -29,16 +29,45 @@ import graft.operators.{Dedup, TextOps}
   */
 object Curation {
 
+  /** Optional extra gates (both off by default, so the base chain is
+    * unchanged):
+    *  - `maxTopBigramE3 < 1000` adds a repetition gate — docs whose
+    *    single most frequent bigram exceeds the given permille of all
+    *    bigrams are dropped ([[TextOps.repetitionStats]], the
+    *    Gopher-rule redundancy filter);
+    *  - `probes` adds benchmark decontamination — docs sharing ≥
+    *    `minSharedShingles` trigram shingles with ANY probe doc are
+    *    dropped ([[Dedup.contamination]]). Probe docs that are
+    *    themselves in the corpus self-match and are dropped too (the
+    *    usual "remove the benchmark from the training set" behavior).
+    */
   def curate(
       docs: DataFrame,
       trainPermille: Int = 800,
       valPermille: Int = 100,
       maxHamming: Int = 3,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      maxTopBigramE3: Int = 1000,
+      probes: Option[DataFrame] = None,
+      minSharedShingles: Int = 5): DataFrame = {
     // 1. quality gate — semi-join against the keep set (broadcastable;
     // degrades to a shuffled semi-join at scale)
     val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
-    val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    var quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // 1b. repetition gate (off at maxTopBigramE3 = 1000: the ratio
+    // cannot exceed 1000)
+    if (maxTopBigramE3 < 1000) {
+      val keepRep = TextOps.repetitionStats(docs, hash = hash)
+        .filter(col("top_bigram_ratio_e3") <= maxTopBigramE3)
+        .select(col("doc_id"))
+      quality = quality.join(keepRep, Seq("doc_id"), "left_semi")
+    }
+    // 1c. benchmark decontamination (anti-join against contaminated ids)
+    probes.foreach { p =>
+      val bad = Dedup.contamination(docs, p, 3, minSharedShingles, hash)
+        .select(col("doc_id")).distinct()
+      quality = quality.join(bad, Seq("doc_id"), "left_anti")
+    }
     // 2. exact dedup — survivors are the per-text canonical (min) ids.
     // Only the ID SET is materialized (8 bytes/row — localCheckpoint
     // of the full corpus would write document bodies to block storage;

@@ -38,6 +38,24 @@ class CurationSpec extends SparkSpec {
     assert(rowSet(out) === rowSet(expected))
   }
 
+  test("curate with repetition + decontamination gates drops by each reason") {
+    val gated = Seq(
+      (1L, base),                                            // survives
+      (5L, "a completely different document with the usual stopwords in it and more"),
+      // quality-passing but one bigram dominates -> repetition drop
+      (6L, "the spam the spam the spam the spam the spam the spam"),
+      // quality-passing but shares >= 2 trigrams with the probe -> decontaminated
+      (7L, "the benchmark question appears here verbatim in the corpus today")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "the benchmark question appears here too")).toDF("doc_id", "text")
+    val out = Curation.curate(gated, 800, 100, 3, Hashing.Portable,
+      maxTopBigramE3 = 400, probes = Some(probes), minSharedShingles = 2)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    // gates off -> base behavior keeps 6 and 7 too
+    val off = Curation.curate(gated, 800, 100, 3, Hashing.Portable)
+    assert(off.collect().map(_.getLong(0)).toSet === Set(1L, 5L, 6L, 7L))
+  }
+
   test("curate on empty input is empty, not an error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Curation.curate(empty, 800, 100, 3, Hashing.Portable).count() === 0L)
