@@ -115,6 +115,53 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
+  private val genWord: Gen[String] = Gen.oneOf("a", "b", "cat", "dog", "the", "x1")
+  private val genDoc: Gen[String] = Gen.listOfN(8, genWord).map(_.mkString(" "))
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.listOfN(6, genDoc).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  /** Hash-keyed exact dedup ≡ the text-grouped reference form on random
+    * docs (the differential proof that the LongType-shuffle rewrite
+    * changed the plan, not the answer).
+    */
+  property("exactDedup hash-keyed equals text-grouped") = forAll(genDocs) { docs =>
+    import org.apache.spark.sql.functions._
+    docs.isEmpty || {
+      val df = docs.toDF("doc_id", "text")
+      val reference = df.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .collect().map(_.toSeq).toSet
+      Dedup.exactDedup(df).collect().map(_.toSeq).toSet == reference
+    }
+  }
+
+  /** Contamination is antitone in the shared-shingle floor: raising
+    * `minShared` can only shrink the hit set.
+    */
+  property("contamination antitone in minShared") =
+    forAll(genDocs, Gen.chooseNum(1, 3)) { (docs, k) =>
+      docs.size < 2 || {
+        val df = docs.toDF("doc_id", "text")
+        val probes = docs.take(1).toDF("doc_id", "text")
+        def hits(m: Int) = Dedup.contamination(df, probes, 2, m)
+          .collect().map(_.toSeq).toSet
+        hits(k + 1).subsetOf(hits(k))
+      }
+    }
+
+  /** Repetition ratios are permille-bounded. */
+  property("repetitionStats ratios within [0,1000]") = forAll(genDocs) { docs =>
+    docs.isEmpty || {
+      graft.operators.TextOps.repetitionStats(docs.toDF("doc_id", "text"))
+        .collect().forall { r =>
+          val d = r.getLong(2); val t = r.getLong(3)
+          d >= 0 && d <= 1000 && t >= 0 && t <= 1000
+        }
+    }
+  }
+
   /** Salted join ≡ plain join for any salt factor. */
   property("saltedJoin equals plain join") =
     forAll(genEdges, Gen.chooseNum(1, 7)) { (edges, saltF) =>

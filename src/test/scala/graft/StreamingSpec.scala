@@ -101,6 +101,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // same replay protocol as the tumbling case, but for the hardest
+    // streaming state: gap-merged session windows. Proves the state
+    // store's merge logic computes exactly the batch lag/sum-over-window
+    // sessionization on real event data.
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.sessions(in.toDF(), delay = "10 seconds", gap = "1800 seconds")
+      .writeStream.format("memory").queryName("sess_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel a full gap + delay past the end closes every real session
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 3700000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("sess_fixture"))
+      val batch = rowSet(graft.operators.EventOps.sessions(evs.toSeq.toDF(), 1800000L))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("T3 upsert-if-greater: emits only strict max increases per edge key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RelationshipDoc]
