@@ -35,7 +35,10 @@ object Bench {
         }
       }
       val two = Seq(trial(), trial())
-      val times = if (two.forall(_ >= 0) && two.min > 1.0) two :+ trial() else two
+      // 0.5s threshold: mid-range queries are where one GC pause moves
+      // the round-over-round ratio most; sub-0.5s queries are too cheap
+      // to distort the total
+      val times = if (two.forall(_ >= 0) && two.min > 0.5) two :+ trial() else two
       // isolation: drop any cache/checkpoint blocks a query left behind
       // so later queries aren't timed against its memory footprint.
       // clearCache only covers df.cache/persist; localCheckpoint blocks

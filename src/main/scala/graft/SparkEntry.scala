@@ -341,6 +341,18 @@ object SparkEntry {
     "sim_near_dup_blocked" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
 
+    // embedding-side dedup clustering: connected components over the
+    // banded-LSH near-dup pairs — the semantic-dedup composition
+    // (cluster near-identical embeddings, keep the min-id exemplar)
+    "sim_dedup_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.connectedComponents(
+        Similarity.cosineNearDupPairs(emb, 400000L, blocked = true)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+        emb.select(col("vec_id").as("doc_id")),
+        broadcastLabels = true)
+    }),
+
     // -- event-time windows -------------------------------------------------
     "e_tumbling" -> ((s, dir) => EventOps.tumbling(Tables.events(s, dir), 3600000L)),
     "e_sliding" -> ((s, dir) => EventOps.sliding(Tables.events(s, dir), 3600000L, 900000L)),
@@ -848,6 +860,38 @@ object SparkEntry {
          |  JOIN qn b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, dot_q FROM pairs
          |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    "sim_dedup_clusters" ->
+      s"""WITH RECURSIVE $QNORM,
+         |s AS (
+         |  SELECT vec_id, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qn CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, j // 4 AS band,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cands c
+         |  JOIN qn a ON a.vec_id = c.id_a
+         |  JOIN qn b ON b.vec_id = c.id_b
+         |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) >=
+         |        (400000.0/1000000.0)*sqrt(CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE))),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v)
+         |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "e_tumbling" ->
       """SELECT CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS window_start_ms,
