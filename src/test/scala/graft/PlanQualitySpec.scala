@@ -118,6 +118,23 @@ class PlanQualitySpec extends SparkSpec {
       s"dedup shuffle keyed on text, not the hash: $parts")
   }
 
+  test("contamination broadcasts the probe shingles") {
+    val docs = Tables.documents(spark, sfDir)
+    val hits = Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0), 3, 2)
+    val plan = formatted(hits)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side should broadcast; the corpus shingle stream must not shuffle:\n$plan")
+  }
+
+  test("repetition stats never shuffle token text") {
+    val out = graft.operators.TextOps.repetitionStats(Tables.documents(spark, sfDir))
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(formatted(out)).map(_.group(1)).toList
+    assert(parts.nonEmpty)
+    assert(parts.forall(p => !p.contains("text#") && !p.contains("tok")),
+      s"repetition agg must key on doc_id/hash only: $parts")
+  }
+
   test("kHop never plans a max aggregate (dead-agg elimination)") {
     // reachability is invariant under mergeMaxEdges; kHop projects to
     // (src,dst) internally, so even when fed the merged edge list the
