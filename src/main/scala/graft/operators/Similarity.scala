@@ -140,6 +140,34 @@ object Similarity {
     * Spark MLlib's KMeans uses). Empty or all-zero cells keep their
     * previous centroid.
     */
+  /** Nearest-cell id as ONE narrow codegen projection: fold over a
+    * LITERAL array of `(cid, cq, cnq)` centroids (ascending cid, so
+    * strict-`>` keeps the lowest cid on cosine ties — identical to a
+    * `row_number` over (ccos DESC, cid ASC)). Centroid sets are
+    * k·dim longs, bounded regardless of corpus size, so shipping them
+    * as an expression literal is always legal — and the assignment
+    * then needs NO join, NO ×k row blowup, and NO per-vector window
+    * shuffle over the corpus. Expects `q`/`nq` columns in scope.
+    */
+  private def bestCellExpr(cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val arr = typedLit(cents)
+    aggregate(
+      arr,
+      struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("s")),
+      (acc, c) => {
+        val dot = aggregate(
+          zip_with(col("q"), c.getField("_2"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+        val s = dot.cast("double") /
+          sqrt(col("nq").cast("double") * c.getField("_3").cast("double"))
+        when(s > acc.getField("s"),
+          struct(c.getField("_1").as("cid"), s.as("s"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  private def withNorm3(cents: Array[(Long, Seq[Long])]): Seq[(Long, Seq[Long], Long)] =
+    cents.sortBy(_._1).map { case (cid, q) => (cid, q, q.map(x => x * x).sum) }.toSeq
+
   private[graft] def kmeansCentroidsQ(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -153,13 +181,10 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
     if (cents.isEmpty) return centsDf(cents) // empty corpus -> empty cells
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
-      val sums = corpus.join(broadcast(centsDf(cents)))
-        .withColumn("ccos",
-          dotQ(col("q"), col("cq")).cast("double") /
-            sqrt(col("nq").cast("double") * col("cnq").cast("double")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+      // one narrow pass: literal-array argmax assignment (no join, no
+      // window), then the element-wise integer mean per cell
+      val sums = corpus
+        .withColumn("cid", bestCellExpr(withNorm3(cents)))
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -204,19 +229,28 @@ object Similarity {
       if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCentroids, kmeansIters)
       else corpus.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
-    def nearestCells(vecs: DataFrame, n: Int): DataFrame = {
+    // CORPUS assignment is the narrow literal-array argmax — the
+    // join+window form would blow the corpus up ×nCentroids and then
+    // shuffle-sort it per vector, the one non-scalable step of the
+    // textbook composition. Centroids are k·dim longs (driver-bounded),
+    // so collecting them is always legal.
+    val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val assigned = corpus.withColumn("cid", bestCellExpr(centsArr))
+    // PROBE side stays join+window: the query set is small and needs
+    // top-nProbe cells, not an argmax
+    val probes = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)
-      vecs.join(broadcast(cents))
+      corpus.filter(queryPred).join(broadcast(cents))
         .withColumn("ccos",
           dotQ(col("q"), col("cq")).cast("double") /
             sqrt(col("nq").cast("double") * col("cnq").cast("double")))
         .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
+        .filter(col("crn") <= nProbe)
         .drop("cq", "cnq", "ccos", "crn")
     }
-    val assigned = nearestCells(corpus, 1)
-    val probes = nearestCells(corpus.filter(queryPred), nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"), col("cid"))
     val scored = assigned.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
