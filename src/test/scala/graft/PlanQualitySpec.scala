@@ -100,6 +100,17 @@ class PlanQualitySpec extends SparkSpec {
       s"query set should broadcast:\n$plan")
   }
 
+  test("cosine top-k gets the partial (map-side) window group limit") {
+    // the "only k rows per (query, partition) survive" claim rests on
+    // InferWindowGroupLimit planning a Partial WindowGroupLimit below
+    // the exchange for row_number()+filter(rank<=k) — pin it
+    val topk = Similarity.cosineTopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4, 3)
+    val plan = formatted(topk)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
   test("exact dedup aggregates with partial (map-side) combine") {
     val out = Dedup.exactDedup(Tables.documents(spark, sfDir))
     val plan = formatted(out)
