@@ -127,19 +127,6 @@ object Similarity {
         dotQ(col("qq"), col("q")).as("dot_q"))
   }
 
-  /** Deterministic Lloyd k-means over the quantized corpus — real IVF
-    * centroids (vs the `vec_id < k` stand-in).
-    *
-    * Init is hash-seeded: the `k` vectors with the smallest
-    * `xxhash64(vec_id)` — pseudo-random spread, rerun-stable, no RNG
-    * state. Each of the (small, fixed) `iters` rounds is ONE corpus
-    * pass: broadcast the k centroids, per-vector argmax cell, then an
-    * element-wise integer mean per cell (k·dim grouped rows). The
-    * centroid set itself lives on the driver between rounds — k·dim
-    * longs, bounded regardless of corpus size (the same structure
-    * Spark MLlib's KMeans uses). Empty or all-zero cells keep their
-    * previous centroid.
-    */
   /** Nearest-cell id as ONE narrow codegen projection: fold over a
     * LITERAL array of `(cid, cq, cnq)` centroids (ascending cid, so
     * strict-`>` keeps the lowest cid on cosine ties — identical to a
@@ -168,6 +155,19 @@ object Similarity {
   private def withNorm3(cents: Array[(Long, Seq[Long])]): Seq[(Long, Seq[Long], Long)] =
     cents.sortBy(_._1).map { case (cid, q) => (cid, q, q.map(x => x * x).sum) }.toSeq
 
+  /** Deterministic Lloyd k-means over the quantized corpus — real IVF
+    * centroids (vs the `vec_id < k` stand-in).
+    *
+    * Init is hash-seeded: the `k` vectors with the smallest
+    * `xxhash64(vec_id)` — pseudo-random spread, rerun-stable, no RNG
+    * state. Each of the (small, fixed) `iters` rounds is ONE narrow
+    * corpus pass ([[bestCellExpr]] literal-array argmax — no join, no
+    * window), then an element-wise integer mean per cell (k·dim
+    * grouped rows). The centroid set itself lives on the driver
+    * between rounds — k·dim longs, bounded regardless of corpus size
+    * (the same structure Spark MLlib's KMeans uses). Empty or all-zero
+    * cells keep their previous centroid.
+    */
   private[graft] def kmeansCentroidsQ(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -211,11 +211,14 @@ object Similarity {
     * rounds, hash-seeded deterministic init); `kmeansIters = 0` selects
     * the `vec_id < nCentroids` stand-in instead — closed-form, so an
     * external SQL oracle can replicate the whole operator including
-    * restricted-probe behavior. The centroid set broadcasts; assignment
-    * is one pass over the corpus (broadcast nested-loop × nCentroids,
-    * then a per-vector argmax window); the candidate join shuffles on
-    * the cell id — recall is tunable by nProbe, cost scales with
-    * corpus/nCentroids per probe instead of the whole corpus.
+    * restricted-probe behavior. Corpus assignment is the narrow
+    * [[bestCellExpr]] argmax (one projection pass, no shuffle); probes
+    * keep the broadcast-join + top-nProbe window (small query set); the
+    * candidate join shuffles on the cell id — recall is tunable by
+    * nProbe, cost scales with corpus/nCentroids per probe instead of
+    * the whole corpus. Zero-norm vectors are a documented edge: their
+    * cosine is NaN and they assign to no cell (cid −1), excluded from
+    * candidates.
     */
   def ivfTopK(
       embeddings: DataFrame,
