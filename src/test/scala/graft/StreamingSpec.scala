@@ -82,6 +82,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // completes the window-family parity trio (tumbling, sessions,
+    // sliding): overlapping windows mean each event lands in
+    // size/slide windows — the state-store bookkeeping differs most
+    // from batch here
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.sliding(in.toDF(), delay = "10 seconds",
+      size = "3600 seconds", slide = "900 seconds")
+      .writeStream.format("memory").queryName("slide_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("slide_fixture"))
+      val batch = rowSet(graft.operators.EventOps.sliding(
+        evs.toSeq.toDF(), 3600000L, 900000L))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session stream: gap merge inside the state store") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
