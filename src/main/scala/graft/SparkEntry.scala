@@ -288,6 +288,12 @@ object SparkEntry {
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     "t_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir), hash = Hashing.Portable)),
+    "t_domain_quota" -> ((s, dir) =>
+      TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
+    "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
+    "t_chunks" -> ((s, dir) =>
+      TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),
+    "t_tfidf_top3" -> ((s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), 3)),
     // decontamination join: probes = every 50th doc as a stand-in
     // benchmark set; self-pairs excluded
     "d_contamination" -> ((s, dir) => {
@@ -310,6 +316,8 @@ object SparkEntry {
     "d_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d_shingle_sets" -> ((s, dir) =>
       Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable)),
+    "d_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.Portable)),
     "d_minhash_sigs" -> ((s, dir) =>
@@ -334,6 +342,8 @@ object SparkEntry {
     // -- similarity search --------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
+    "sim_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "sim_lsh_neighbors" -> ((s, dir) =>
       Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
     // blocked (LSH-bucketed) near-dup is the gated + benched path — the
@@ -492,16 +502,18 @@ object SparkEntry {
   /** DuckDB twin of [[TextOps.tokens]]. */
   private val TOKS = """regexp_extract_all(text, '\S+')"""
 
-  /** DuckDB twin of [[Dedup.shingles]] (n=3, portable hash). */
-  private val SHINGLES =
+  /** DuckDB twin of [[Dedup.shingles]] (word n-grams, portable hash). */
+  private def shinglesSql(n: Int): String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest(
-       |      CASE WHEN len($TOKS) >= 3
-       |      THEN list_transform(range(1, len($TOKS) - 1),
-       |           i -> ${ph(s"array_to_string(($TOKS)[i:i+2], ' ')")})
+       |      CASE WHEN len($TOKS) >= $n
+       |      THEN list_transform(range(1, len($TOKS) - ${n - 2}),
+       |           i -> ${ph(s"array_to_string(($TOKS)[i:i+${n - 1}], ' ')")})
        |      ELSE [] END) AS sh
        |    FROM documents))""".stripMargin
+
+  private val SHINGLES = shinglesSql(3)
 
   /** DuckDB twin of [[Dedup.minhashSignatures]] (k=8) over SHINGLES. */
   private val MINHASH =
@@ -690,6 +702,48 @@ object SparkEntry {
          |  FROM q)
          |WHERE rn <= 3""".stripMargin,
 
+    "t_domain_quota" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ${ph("text")} ASC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin,
+
+    "t_vocab_topk" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($TOKS) AS tok FROM documents)
+         |GROUP BY tok
+         |ORDER BY n DESC, tok ASC
+         |LIMIT 20""".stripMargin,
+
+    "t_chunks" ->
+      s"""SELECT doc_id,
+         |       CAST(off AS BIGINT) AS off,
+         |       CAST(off // 48 AS BIGINT) AS chunk_idx,
+         |       CAST(length(substring(text, off + 1, 64)) AS BIGINT) AS chunk_len,
+         |       ${ph("substring(text, off + 1, 64)")} AS chunk_hash
+         |FROM (SELECT doc_id, text, unnest(range(0, length(text), 48)) AS off
+         |      FROM documents WHERE length(text) > 0)""".stripMargin,
+
+    "t_tfidf_top3" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT doc_id, tok, tf, score_e3, rn FROM (
+         |  SELECT tf.doc_id, tf.tok, tf.tf,
+         |         CAST((tf.tf * 1000 * n.n_docs) // dfq.df AS BIGINT) AS score_e3,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY tf.doc_id
+         |           ORDER BY (tf.tf * 1000 * n.n_docs) // dfq.df DESC, tf.tok ASC)
+         |           AS BIGINT) AS rn
+         |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
+         |WHERE rn <= 3""".stripMargin,
+
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |base AS (
@@ -737,6 +791,16 @@ object SparkEntry {
     "d_shingle_sets" ->
       s"""WITH $SHINGLES
          |SELECT doc_id, sh FROM sh""".stripMargin,
+
+    "d_dup_spans" ->
+      s"""WITH ${shinglesSql(8)},
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST(floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)*1000
+         |            / count(*)) AS BIGINT) AS dup_frac_e3
+         |FROM sh JOIN dfq USING (sh)
+         |GROUP BY doc_id""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $SHINGLES,
@@ -809,6 +873,28 @@ object SparkEntry {
          |FROM reach GROUP BY a""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    "sim_quantize_int8" ->
+      """WITH a AS (
+        |  SELECT vec_id,
+        |         CAST(len(embedding) AS BIGINT) AS dim,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |         embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, dim, amax,
+        |         list_transform(embedding, x ->
+        |           CAST(CASE WHEN amax > 0
+        |                THEN floor(CAST(x AS DOUBLE)*127/amax + 0.5)
+        |                ELSE 0 END AS BIGINT)) AS qv
+        |  FROM a)
+        |SELECT vec_id, dim,
+        |       CAST(floor(amax*1000000 + 0.5) AS BIGINT) AS amax_e6,
+        |       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
 
     // identical oracle on purpose: at FULL probe IVF's result is
     // centroid-independent, so the brute-force hash proves the k-means

@@ -133,6 +133,40 @@ object Dedup {
       .filter(col("jaccard_e3") >= threshE3)
   }
 
+  /** Per-document duplicated-span statistics — the exact-substring-
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): what fraction of a document's `n`-word
+    * windows also appears in at least one OTHER document. High
+    * `dup_frac_e3` marks boilerplate/templated docs that exact
+    * whole-doc dedup misses. Returns
+    * `(doc_id, n_spans, n_dup, dup_frac_e3)` for docs with ≥ 1 span
+    * (fewer than `n` tokens ⇒ no rows).
+    *
+    * Scale shape: spans are the fused shingle generator's 8-byte
+    * hashes; corpus span frequency is a map-side-combined count on the
+    * hash key; the join back to per-doc spans shuffles only
+    * `(hash, doc_id)` pairs — document text never leaves the scan.
+    */
+  def dupSpanStats(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol, hash)
+    // df counts DISTINCT docs per span (sh is distinct per doc), so
+    // df > 1 ⇔ the span occurs in at least one other document
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(
+        col("doc_id"), col("n_spans"), col("n_dup"),
+        floor(col("n_dup") * 1000 / col("n_spans")).cast("long").as("dup_frac_e3"))
+  }
+
   /** Benchmark-contamination detection: corpus documents sharing at
     * least `minShared` distinct word-`n`-gram shingles with any probe
     * document (the eval/benchmark set). Returns

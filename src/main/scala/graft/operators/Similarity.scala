@@ -329,4 +329,48 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("dot_q"))
     }
   }
+
+  /** Symmetric per-vector int8 quantization — the standard 4× embedding
+    * compression before ANN serving / index build: each component maps
+    * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the
+    * vector's max |component|. Emits the audit stats a quantization
+    * pass reports, all exact integers:
+    * `(vec_id, dim, amax_e6, sum_q, l1_q, n_sat)` — `n_sat` counts
+    * saturated (|q| = 127) components, `amax_e6 = floor(amax·1e6+0.5)`.
+    *
+    * Rounding is `floor(v + 0.5)` on an IEEE double — deterministic and
+    * engine-portable (the single divide by `amax` is the same double on
+    * every engine reading the same float32 input). Zero vectors
+    * quantize to all-zeros (guarded divide).
+    *
+    * Scale shape: pure narrow projection over the embedding array — no
+    * shuffle; the quantized array itself stays inside the row (callers
+    * that persist int8 vectors select `quantizeInt8Vec`).
+    */
+  def quantizeInt8(embeddings: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = quantizeInt8Vec(col(vecCol))
+    embeddings.select(
+      col(idCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      floor(amax(col(vecCol)) * 1e6 + 0.5).cast("long").as("amax_e6"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("sum_q"),
+      aggregate(q, lit(0L), (a, x) => a + abs(x)).as("l1_q"),
+      size(filter(q, x => abs(x) === 127)).cast("long").as("n_sat"))
+  }
+
+  /** Max |component| of a float vector, in double precision. */
+  private def amax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** The int8-quantized vector itself: `array<long>` of
+    * `floor(x·127/amax + 0.5)` per component (all zeros for a zero
+    * vector).
+    */
+  def quantizeInt8Vec(vec: Column): Column = {
+    val a = amax(vec)
+    transform(vec, x =>
+      when(a > 0d, floor(x.cast("double") * 127d / a + 0.5d))
+        .otherwise(0d).cast("long"))
+  }
 }

@@ -171,4 +171,109 @@ object TextOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Per-source quota sampling: keep at most `k` documents per value of
+    * `groupCol`, chosen as a *uniform deterministic sample* — ranked by
+    * content hash (tiebroken by id), so the same documents survive on
+    * every run, engine, and partition layout. This is the standard
+    * "cap each domain/dump at N docs" mixing step in pretraining-corpus
+    * assembly (no `rand()`, which would be irreproducible under
+    * retries).
+    *
+    * Scale shape: one shuffle on `groupCol`; the `row_number <= k`
+    * filter gets a partial WindowGroupLimit below the exchange
+    * (Spark 4 InferWindowGroupLimit), so each map task forwards at most
+    * `k` rows per group — a skewed mega-domain never materializes past
+    * the scan.
+    */
+  def domainQuota(
+      docs: DataFrame,
+      groupCol: String = "source",
+      k: Int = 10,
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(groupCol), hash(col(textCol)).as("hkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col(groupCol), col("rn"))
+  }
+
+  /** Corpus vocabulary top-k: the `k` most frequent whitespace tokens
+    * with their counts — the first pass of tokenizer/vocab induction.
+    * Deterministic total order: count desc, token asc.
+    *
+    * Scale shape: explode is a narrow generator; the count aggregate is
+    * map-side-combined on the token key; the global top-k is
+    * `TakeOrderedAndProject` (per-partition heads only — no global
+    * sort materializes).
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
+  /** Fixed-size strided character chunking — the "split long documents
+    * into overlapping training context windows" step. Emits one row per
+    * chunk at offsets `0, stride, 2·stride, … < length(text)`; the last
+    * chunk may be short (`chunk_len = min(chunkLen, n - off)`).
+    * `chunk_hash` carries the content fingerprint so downstream
+    * chunk-level dedup never needs the chunk text.
+    *
+    * Scale shape: pure narrow generator projection (sequence + explode
+    * + substr) — no shuffle, chunk text never leaves the row unless the
+    * caller selects it.
+    */
+  def charChunks(
+      docs: DataFrame,
+      chunkLen: Int = 64,
+      stride: Int = 48,
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    val chunk = col("__t").substr(col("off").cast("int") + 1, lit(chunkLen))
+    docs.select(col("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(
+        col("doc_id"), col("__t"),
+        explode(sequence(lit(0L), length(col("__t")).cast("long") - 1, lit(stride.toLong)))
+          .as("off"))
+      .select(
+        col("doc_id"),
+        col("off"),
+        (col("off") / stride).cast("long").as("chunk_idx"),
+        length(chunk).cast("long").as("chunk_len"),
+        hash(chunk).as("chunk_hash"))
+  }
+
+  /** TF-IDF top-`k` terms per document, in *exact integer arithmetic*:
+    * `score_e3 = (tf · 1000 · n_docs) div df` — a rational-idf variant
+    * (`idf = N/df` instead of `ln(N/df)`) that is rank-equivalent for
+    * fixed tf and avoids cross-engine libm divergence in the last ulp.
+    * Ties break by token asc; output `(doc_id, tok, tf, score_e3, rn)`.
+    *
+    * Scale shape: tf is a map-side-combined (doc, token) aggregate; df
+    * reuses tf's output grouped by token (8-byte-ish keys, no text
+    * bodies after the first agg); `n_docs` is a broadcast single-row
+    * frame, not a driver-side collect; the per-doc top-k gets a partial
+    * WindowGroupLimit below the exchange.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e3").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e3", expr("(tf * 1000 * n_docs) div df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("score_e3"), col("rn"))
+  }
 }

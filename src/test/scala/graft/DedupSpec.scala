@@ -132,4 +132,26 @@ class DedupSpec extends SparkSpec {
     val portable = Dedup.ngramJaccardPairs(docsDf, 3, 50, 500, Hashing.Portable)
     assert(rowSet(fast) === rowSet(portable))
   }
+
+  test("dup spans: cross-doc window fraction; short docs emit no rows") {
+    // n=3 spans — doc1: {a b c, b c d, c d e}; doc2: {a b c, b c x};
+    // doc3: {q r s}; doc4 has < 3 tokens -> no rows.
+    // Shared span 'a b c' (df=2) is the only duplicated one.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x"),
+      (3L, "q r s"),
+      (4L, "t u")).toDF("doc_id", "text")
+    assert(rowSet(Dedup.dupSpanStats(docs, n = 3)) === Set(
+      Seq(1L, 3L, 1L, 333L),
+      Seq(2L, 2L, 1L, 500L),
+      Seq(3L, 1L, 0L, 0L)))
+  }
+
+  test("dup spans: within-doc repeats don't count as duplication") {
+    // doc1 repeats its own span; distinct-per-doc spans mean df stays 1
+    val docs = Seq((1L, "a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
+    val out = rowSet(Dedup.dupSpanStats(docs, n = 3))
+    assert(out.forall(r => r(2) === 0L)) // n_dup = 0 everywhere
+  }
 }

@@ -83,4 +83,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).contains(1L))
     assert(!out.map(_._2).contains(2L)) // opposite sign vector lands in the complement bucket
   }
+
+  test("int8 quantization: hand-computed stats, saturation, zero-vector guard") {
+    val emb = Seq(
+      // q = [127, -63, 32]: floor(±x+0.5) rounds halves toward +inf,
+      // so -63.5 -> -63 while 31.75 -> 32
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f))          // zero vector -> all-zero q, amax_e6 = 0
+    ).toDF("vec_id", "embedding")
+    assert(rowSet(Similarity.quantizeInt8(emb)) === Set(
+      Seq(0L, 3L, 1000000L, 127L - 63L + 32L, 127L + 63L + 32L, 1L),
+      Seq(1L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("int8 quantized vector preserves cosine ranking on separated vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"), Similarity.quantizeInt8Vec(col("embedding")).as("qv"))
+      .as[(Long, Array[Long])].collect().toMap
+    def dot(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    // neighbor ranking for query 0: vec 1 (near) above vec 2 (orthogonal)
+    assert(dot(q(0L), q(1L)) > dot(q(0L), q(2L)))
+  }
 }

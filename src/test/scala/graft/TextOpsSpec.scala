@@ -95,4 +95,54 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("domain quota: at most k per group, hash-ordered, rerun-stable") {
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}", s"doc body number $i"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.domainQuota(docs, "source", 4)
+    val perGroup = out.groupBy(col("source")).count().collect()
+    assert(perGroup.length === 3 && perGroup.forall(_.getLong(1) === 4L))
+    assert(rowSet(out) === rowSet(TextOps.domainQuota(docs, "source", 4)))
+    // selection is by hash order: the kept set must equal the 4 lowest
+    // (hash, doc_id) keys per source, computed independently
+    val expected = docs
+      .select(col("doc_id"), col("source"), Hashing.fastHash(col("text")).as("h"))
+      .collect().toSeq.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r.getLong(2), r.getLong(0))).take(4).map(_.getLong(0))
+      }.toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expected)
+  }
+
+  test("vocab top-k: exact counts, count-desc token-asc order") {
+    val docs = Seq((1L, "b a b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val out = TextOps.vocabTopK(docs, 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
+  test("char chunks: strided offsets, short tail, content hash") {
+    // 10 chars, chunkLen=4, stride=3 -> offsets 0,3,6,9
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val out = TextOps.charChunks(docs, 4, 3)
+      .select("off", "chunk_idx", "chunk_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 0L, 4L), (3L, 1L, 4L), (6L, 2L, 4L), (9L, 3L, 1L)))
+    // chunk_hash is the content hash of the substring (spot-check off=3)
+    val h = TextOps.charChunks(docs, 4, 3, hash = Hashing.Portable)
+      .filter(col("off") === 3).select("chunk_hash").head().getLong(0)
+    val expect = Seq("defg").toDF("s")
+      .select(Hashing.portableHash(col("s"))).head().getLong(0)
+    assert(h === expect)
+  }
+
+  test("tfidf top-k: integer scores, rarity ranks above frequency") {
+    // 'rare' df=1, 'common' df=3 -> for doc 1 (tf 1 each):
+    // score(rare) = 1*1000*3/1 = 3000 > score(common) = 1000
+    val docs = Seq(
+      (1L, "rare common"), (2L, "common x"), (3L, "common y")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(docs, 1)
+    val top1 = out.filter(col("doc_id") === 1).head()
+    assert(top1.getString(1) === "rare" && top1.getLong(3) === 3000L && top1.getLong(4) === 1L)
+    // every doc contributes exactly k=1 row
+    assert(out.count() === 3)
+  }
 }
