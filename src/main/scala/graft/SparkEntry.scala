@@ -294,6 +294,8 @@ object SparkEntry {
     "t_chunks" -> ((s, dir) =>
       TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),
     "t_tfidf_top3" -> ((s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), 3)),
+    "t_length_quartiles" -> ((s, dir) =>
+      TextOps.lengthQuartiles(Tables.documents(s, dir))),
     // decontamination join: probes = every 50th doc as a stand-in
     // benchmark set; self-pairs excluded
     "d_contamination" -> ((s, dir) => {
@@ -318,6 +320,15 @@ object SparkEntry {
       Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable)),
     "d_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanStats(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
+    // incremental-ingest dedup: every 10th doc plays the "new batch",
+    // the rest the existing corpus
+    "d_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        hash = Hashing.Portable)
+    }),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.Portable)),
     "d_minhash_sigs" -> ((s, dir) =>
@@ -791,6 +802,21 @@ object SparkEntry {
     "d_shingle_sets" ->
       s"""WITH $SHINGLES
          |SELECT doc_id, sh FROM sh""".stripMargin,
+
+    "d_incremental" ->
+      """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |corp AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM inc
+        |WHERE text NOT IN (SELECT text FROM corp)
+        |GROUP BY text""".stripMargin,
+
+    "t_length_quartiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(floor(quantile_cont(n_chars, 0.25)*100 + 0.5) AS BIGINT) AS p25_e2,
+        |       CAST(floor(quantile_cont(n_chars, 0.5)*100 + 0.5) AS BIGINT) AS p50_e2,
+        |       CAST(floor(quantile_cont(n_chars, 0.75)*100 + 0.5) AS BIGINT) AS p75_e2
+        |FROM documents GROUP BY source""".stripMargin,
 
     "d_dup_spans" ->
       s"""WITH ${shinglesSql(8)},

@@ -54,6 +54,52 @@ object Dedup {
       .agg(min(col("gid")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"), col("glen").as("n_chars_m"))
 
+  /** Incremental dedup — the daily-increment shape: from a new batch of
+    * documents, keep only content NOT already present in the existing
+    * corpus, deduplicated within the batch (canonical minimum id +
+    * within-batch copy count). Equality is the same
+    * double-hash + length key as [[exactDedup]], so neither side's
+    * document text ever crosses a shuffle: the batch aggregates on
+    * 24-byte keys and anti-joins the corpus's key set.
+    *
+    * At 100 TB the corpus key set is the thing to persist between runs
+    * (bucketed by `h`, it makes the anti-join exchange-free on the
+    * corpus side); pass `corpusKeys = true` when `corpus` already holds
+    * `(h, h2, glen)` instead of raw documents.
+    */
+  def incrementalNew(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast,
+      corpusKeys: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame = df.select(
+      contentKey1(hash, textCol).as("h"),
+      contentKey2(hash, textCol).as("h2"),
+      length(col(textCol)).cast("long").as("glen"),
+      col(idCol).as("gid"))
+    val corpKeys =
+      if (corpusKeys) corpus.select(col("h"), col("h2"), col("glen"))
+      else keyed(corpus).select(col("h"), col("h2"), col("glen"))
+    keyed(incoming)
+      .groupBy(col("h"), col("h2"), col("glen"))
+      .agg(min(col("gid")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .join(corpKeys, Seq("h", "h2", "glen"), "left_anti")
+      .select(col("doc_id"), col("n_copies"))
+  }
+
+  /** Primary / secondary content keys per hash tier. The portable tier
+    * derives the second key by hashing a marker-prefixed text (same
+    * closed form in the DuckDB oracle); the fast tier uses xxhash64's
+    * seed slot.
+    */
+  private def contentKey1(hash: Hashing.HashTier, textCol: String): Column =
+    hash(col(textCol))
+  private def contentKey2(hash: Hashing.HashTier, textCol: String): Column =
+    if (hash.portable) hash(concat(lit("#"), col(textCol)))
+    else xxhash64(lit(42L), col(textCol))
+
   /** Distinct word-`n`-gram shingle hashes per document:
     * `(doc_id, sh)` rows. The tokenize→gram→hash chain is ONE fused
     * native generator ([[graft.functions.ShingleHashesExpr]]) — no

@@ -249,6 +249,32 @@ object TextOps {
         hash(chunk).as("chunk_hash"))
   }
 
+  /** Per-group document-length quartiles — the corpus-audit statistic
+    * every ingestion run reports (spot truncated dumps / boilerplate
+    * sources by their length distribution). Exact interpolated
+    * quantiles at the *dyadic* points 0.25/0.5/0.75: `(n−1)·p` and the
+    * interpolation fraction are exact in binary for dyadic `p`, so the
+    * doubles are bit-identical on every engine regardless of the
+    * interpolation formula's association — then scaled ×100 into
+    * BIGINTs (quartiles of integers are multiples of 0.25).
+    *
+    * Scale shape: one shuffle on the group key; Spark's `percentile`
+    * is a typed imperative aggregate with partial merge (a counts-map
+    * per group, fine for bounded length domains; for unbounded domains
+    * switch to `approx_percentile`).
+    */
+  def lengthQuartiles(
+      docs: DataFrame,
+      groupCol: String = "source",
+      lenCol: String = "n_chars"): DataFrame = {
+    def q(p: Double, name: String) =
+      floor(expr(s"percentile($lenCol, $p)") * 100 + 0.5).cast("long").as(name)
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        q(0.25, "p25_e2"), q(0.5, "p50_e2"), q(0.75, "p75_e2"))
+  }
+
   /** TF-IDF top-`k` terms per document, in *exact integer arithmetic*:
     * `score_e3 = (tf · 1000 · n_docs) div df` — a rational-idf variant
     * (`idf = N/df` instead of `ln(N/df)`) that is rank-equivalent for

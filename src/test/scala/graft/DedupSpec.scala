@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, length, lit, xxhash64}
 
 import graft.functions.Hashing
 import graft.operators.Dedup
@@ -146,6 +147,23 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 3L, 1L, 333L),
       Seq(2L, 2L, 1L, 500L),
       Seq(3L, 1L, 0L, 0L)))
+  }
+
+  test("incremental dedup: batch-internal copies collapse, corpus content drops") {
+    val incoming = Seq(
+      (10L, "fresh content"),
+      (12L, "fresh content"),   // batch-internal dup of 10
+      (14L, "already known"),   // present in corpus -> dropped
+      (16L, "also new")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "already known"), (2L, "other old")).toDF("doc_id", "text")
+    assert(rowSet(Dedup.incrementalNew(incoming, corpus)) === Set(
+      Seq(10L, 2L), Seq(16L, 1L)))
+    // corpusKeys mode: pre-computed (h, h2, glen) corpus key set
+    val keys = corpus.select(
+      xxhash64(col("text")).as("h"), xxhash64(lit(42L), col("text")).as("h2"),
+      length(col("text")).cast("long").as("glen"))
+    assert(rowSet(Dedup.incrementalNew(incoming, keys, corpusKeys = true)) === Set(
+      Seq(10L, 2L), Seq(16L, 1L)))
   }
 
   test("dup spans: within-doc repeats don't count as duplication") {

@@ -171,4 +171,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.substring(ex).contains("HashAggregate"),
       s"partial agg survived below the pre-shuffle exchange:\n$plan")
   }
+
+  test("domain quota gets the partial (map-side) window group limit") {
+    val q = graft.operators.TextOps.domainQuota(Tables.documents(spark, sfDir), "source", 10)
+    val plan = formatted(q)
+    // Partial + Final WindowGroupLimit: a skewed mega-source forwards at
+    // most k rows per group from each map task
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("char chunking is a pure narrow generator (no exchange)") {
+    val c = graft.operators.TextOps.charChunks(Tables.documents(spark, sfDir))
+    val plan = formatted(c)
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected a generator node:\n$plan")
+  }
+
+  test("int8 quantization is a narrow projection (no exchange, pruned scan)") {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val plan = formatted(q)
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
+
+  test("dup-span stats shuffle only 8-byte span hashes, never text") {
+    val d = Dedup.dupSpanStats(Tables.documents(spark, sfDir), 8)
+    val plan = formatted(d)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -134,6 +134,14 @@ class TextOpsSpec extends SparkSpec {
     assert(h === expect)
   }
 
+  test("length quartiles: exact interpolation at dyadic points") {
+    // lengths 10,20,30,40: p25 = 10 + 0.75*10 = 17.5, p50 = 25, p75 = 32.5
+    val docs = Seq(10L, 20L, 30L, 40L).zipWithIndex
+      .map { case (n, i) => (i.toLong, "s", n) }.toDF("doc_id", "source", "n_chars")
+    assert(rowSet(TextOps.lengthQuartiles(docs)) === Set(
+      Seq("s", 4L, 1750L, 2500L, 3250L)))
+  }
+
   test("tfidf top-k: integer scores, rarity ranks above frequency") {
     // 'rare' df=1, 'common' df=3 -> for doc 1 (tf 1 each):
     // score(rare) = 1*1000*3/1 = 3000 > score(common) = 1000
