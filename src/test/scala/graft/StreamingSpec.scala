@@ -14,6 +14,9 @@ import graft.streaming.{EdgeStreams, EventStreams}
   */
 case class FixEv(event_id: Long, user_id: String, event_type: String, ts: Timestamp, value: Double)
 
+/** Top-level for the same encoder reason as [[FixEv]]. */
+case class FixDoc(doc_id: Long, text: String)
+
 /** Structured Streaming specs via MemoryStream: watermark late-data
   * eviction, windowed aggregation, and the T3 stateful
   * upsert-if-greater (monotone emissions).
@@ -240,6 +243,34 @@ class StreamingSpec extends SparkSpec {
       in.addData(Ev(1, "u1", "x", t(1), 1.0), Ev(2, "u1", "x", t(2), 1.0))
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() === 2) // ids {1,2} once each
+    } finally q.stop()
+  }
+
+  test("streaming first-seen doc dedup equals batch exactDedup on an id-ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // sf0.001 documents are all-distinct; append late re-crawls (same
+    // text, higher ids) so the first-seen state is load-bearing
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val docs = base ++ base.take(20).map(d => d.copy(doc_id = d.doc_id + 100000L))
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.firstSeenDedup(in.toDF())
+      .writeStream.format("memory").queryName("doc_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("doc_dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      // id-ordered replay: first sight per content = min doc_id = the
+      // batch canonical choice
+      val batch = graft.operators.Dedup.exactDedup(docs.toSeq.toDF("doc_id", "text"))
+        .select("canonical_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      // duplicates exist in the fixture, so the dedup is load-bearing
+      assert(streamed.size < docs.length)
     } finally q.stop()
   }
 }
