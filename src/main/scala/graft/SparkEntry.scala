@@ -229,6 +229,32 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: the 6-table star join — fact tables join on keys,
+    // every dimension (supplier/customer/nation/region) broadcasts, one
+    // shuffle total (the final per-nation aggregate). The local-supplier
+    // condition (c_nationkey = s_nationkey) rides the supplier join.
+    "q5_region_revenue" -> ((s, dir) => {
+      val natRegion = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(natRegion), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+            .cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Window: top-2 customers per nation by balance (deterministic tiebreak)
     "w_rank_per_nation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1452,6 +1478,22 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey
         |ORDER BY revenue_e4 DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS revenue_e4,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
 
     "w_rank_per_nation" ->
       """SELECT c_nationkey, c_custkey, acctbal_cents, rn FROM (

@@ -37,4 +37,28 @@ object DocStreams {
       .withColumn("__glen", length(col(textCol)).cast("long"))
       .dropDuplicates("__h", "__h2", "__glen")
       .drop("__h", "__h2", "__glen")
+
+  /** Stream-static blocklist filter: drop stream documents whose
+    * content matches a static blocklist (takedown lists, eval-set
+    * exclusion) — a stateless stream-static left-anti join on the
+    * content key, with the (small) blocklist key set broadcast to every
+    * micro-batch. The static side is re-read per batch, so a blocklist
+    * update lands without restarting the query; neither side's text
+    * crosses the join.
+    */
+  def blocklistFilter(
+      stream: DataFrame,
+      blocklist: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val keys = blocklist.select(
+      xxhash64(col(textCol)).as("__h"),
+      xxhash64(lit(42L), col(textCol)).as("__h2"),
+      length(col(textCol)).cast("long").as("__glen"))
+    stream
+      .withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(lit(42L), col(textCol)))
+      .withColumn("__glen", length(col(textCol)).cast("long"))
+      .join(broadcast(keys), Seq("__h", "__h2", "__glen"), "left_anti")
+      .drop("__h", "__h2", "__glen")
+  }
 }

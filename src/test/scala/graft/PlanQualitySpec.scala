@@ -194,6 +194,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
   }
 
+  test("q5 star join: dimensions broadcast, one shuffle (the final agg)") {
+    val q5 = SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+    val plan = formatted(q5)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"star join must shuffle once at most:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"expected every dimension join to broadcast:\n$plan")
+  }
+
   test("dup-span stats shuffle only 8-byte span hashes, never text") {
     val d = Dedup.dupSpanStats(Tables.documents(spark, sfDir), 8)
     val plan = formatted(d)

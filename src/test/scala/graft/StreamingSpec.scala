@@ -273,4 +273,22 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size < docs.length)
     } finally q.stop()
   }
+
+  test("stream-static blocklist filter drops blocked content mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val blocklist = Seq((100L, "blocked body one"), (101L, "blocked body two"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.blocklistFilter(in.toDF(), blocklist)
+      .writeStream.format("memory").queryName("blocklist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(FixDoc(1L, "clean body"), FixDoc(2L, "blocked body one"))
+      q.processAllAvailable()
+      in.addData(FixDoc(3L, "blocked body two"), FixDoc(4L, "also clean"))
+      q.processAllAvailable()
+      val kept = spark.table("blocklist_out").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 4L))
+    } finally q.stop()
+  }
 }
