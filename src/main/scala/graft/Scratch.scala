@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.Hashing
-import graft.operators.Dedup
-import graft.sources.Tables
-
-/** Dev-only profiling harness (not part of the driver contract). */
+/** Dev-only profiling harness (not part of the driver contract):
+  * `runMain graft.Scratch <query> [query...]` times each named
+  * [[SparkEntry.queries]] entry 3× at `SPARK_GRAFT_SF_DIR`, clearing
+  * cache/checkpoint blocks between trials (same isolation as Bench).
+  */
 object Scratch {
   def time[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -22,18 +22,13 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.documents(spark, dir)
-    time("warmup")(docs.count())
-
-    for (i <- 1 to 4) {
-      time(s"d_ngram_jaccard r$i")(
-        Dedup.ngramJaccardPairs(docs, 3, 50, 500, Hashing.Portable).count())
+    val names = if (args.nonEmpty) args.toSeq else Seq("d_ngram_jaccard")
+    time("warmup")(graft.sources.Tables.documents(spark, dir).count())
+    for (n <- names; i <- 1 to 3) {
+      time(s"$n r$i")(SparkEntry.queries(n)(spark, dir).count())
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    for (i <- 1 to 2)
-      time(s"d_minhash_lsh r$i")(
-        Dedup.minhashLshPairs(docs, 3, 4, 2, 500, Hashing.Portable).count())
     spark.stop()
   }
 }
