@@ -205,6 +205,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Graph analytics: per-person degree/strength profile over the
+    // merged edge list — hub detection on the person graph. Two partial
+    // +final aggs on 8-byte-ish keys, one full-outer merge; no text,
+    // no edge list re-materialization.
+    "g_degree_stats" -> ((s, dir) => {
+      val merged = mergedOf(s, dir)
+      val out = merged.groupBy(col("src").as("person_id"))
+        .agg(count(lit(1)).as("out_deg"), sum(e2(col("score"))).as("out_score_e2"))
+      val in = merged.groupBy(col("dst").as("person_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      out.join(in, Seq("person_id"), "full_outer")
+        .select(
+          col("person_id"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_score_e2"), lit(0L)).as("out_score_e2"))
+    }),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1457,6 +1475,18 @@ object SparkEntry {
       s"""WITH $MERGED
          |SELECT src, dst, score FROM merged
          |ORDER BY score DESC, src ASC, dst ASC LIMIT 20""".stripMargin,
+
+    "g_degree_stats" ->
+      s"""WITH $MERGED,
+         |o AS (SELECT src AS person_id, COUNT(*) AS out_deg,
+         |             CAST(SUM(CAST(floor(score*100 + 0.5) AS BIGINT)) AS BIGINT) AS out_score_e2
+         |      FROM merged GROUP BY src),
+         |i AS (SELECT dst AS person_id, COUNT(*) AS in_deg FROM merged GROUP BY dst)
+         |SELECT coalesce(o.person_id, i.person_id) AS person_id,
+         |       coalesce(out_deg, 0) AS out_deg,
+         |       coalesce(in_deg, 0) AS in_deg,
+         |       coalesce(out_score_e2, 0) AS out_score_e2
+         |FROM o FULL OUTER JOIN i ON o.person_id = i.person_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

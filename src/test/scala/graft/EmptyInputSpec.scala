@@ -57,6 +57,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)
   }
 
+  test("round-3 operators on empty and degenerate inputs") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextOps.domainQuota(emptySrc, "source", 5).count() === 0)
+    assert(TextOps.vocabTopK(emptyDocs).count() === 0)
+    assert(TextOps.charChunks(emptyDocs).count() === 0)
+    assert(TextOps.tfidfTopK(emptyDocs).count() === 0)
+    assert(Dedup.dupSpanStats(emptyDocs).count() === 0)
+    assert(Dedup.incrementalNew(emptyDocs, emptyDocs).count() === 0)
+    assert(Similarity.quantizeInt8(emptyEmb).count() === 0)
+    // empty text chunks to nothing (offset generator guard), not a crash
+    val blank = Seq((1L, "")).toDF("doc_id", "text")
+    assert(TextOps.charChunks(blank).count() === 0)
+    // batch with empty corpus keeps everything (dedup within batch only)
+    val batch = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    assert(Dedup.incrementalNew(batch, emptyDocs).count() === 1)
+  }
+
   test("as-of join with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", new java.sql.Timestamp(1000))).toDF("id", "k", "lt")
     val right = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rt", "rid")

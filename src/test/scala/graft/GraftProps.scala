@@ -174,4 +174,69 @@ object GraftProps extends Properties("graft") {
         plain == salted
       }
     }
+
+  /** Chunking is a cover: every character position lands in ≥ 1 chunk,
+    * and with stride == chunkLen the chunks tile the text exactly.
+    */
+  property("charChunks covers the text") =
+    forAll(genDocs, Gen.chooseNum(1, 5), Gen.chooseNum(1, 5)) { (docs, len0, stride0) =>
+      import graft.operators.TextOps
+      val (len, stride) = (math.max(len0, stride0), math.min(len0, stride0))
+      docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val chunks = TextOps.charChunks(df, len, stride)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) // (doc, off, clen)
+          .groupBy(_._1)
+        docs.forall { case (id, text) =>
+          val covered = chunks.getOrElse(id, Array.empty)
+            .flatMap { case (_, off, clen) => off until (off + clen) }.toSet
+          covered == (0L until text.length.toLong).toSet
+        }
+      }
+    }
+
+  /** Quota sampling: at most k rows per group, a subset of the input,
+    * invariant to input order.
+    */
+  property("domainQuota bounded and order-insensitive") =
+    forAll(genDocs, Gen.chooseNum(1, 4), Gen.chooseNum(0L, Long.MaxValue)) { (docs, k, seed) =>
+      import graft.operators.TextOps
+      docs.isEmpty || {
+        val tagged = docs.map { case (id, t) => (id, s"g${id % 2}", t) }
+        val df = tagged.toDF("doc_id", "source", "text")
+        val out = TextOps.domainQuota(df, "source", k).collect()
+        val ids = out.map(_.getLong(0)).toSet
+        val shuffled = new scala.util.Random(seed).shuffle(tagged)
+        val ids2 = TextOps.domainQuota(shuffled.toDF("doc_id", "source", "text"), "source", k)
+          .collect().map(_.getLong(0)).toSet
+        out.groupBy(_.getString(1)).forall(_._2.length <= k) &&
+          ids.subsetOf(tagged.map(_._1).toSet) && ids == ids2
+      }
+    }
+
+  /** Incremental dedup converges: after admitting a batch, re-running
+    * it against corpus ∪ batch admits nothing.
+    */
+  property("incrementalNew idempotent") = forAll(genDocs, genDocs) { (batch0, corpus0) =>
+    (batch0.isEmpty || corpus0.isEmpty) || {
+      val batch = batch0.toDF("doc_id", "text")
+      val corpus = corpus0.map { case (id, t) => (id + 1000L, t) }.toDF("doc_id", "text")
+      Dedup.incrementalNew(batch, corpus.union(batch)).count() == 0L
+    }
+  }
+
+  /** Int8 quantization bounds: components clamp to [-127, 127], so
+    * l1 ≤ 127·dim and saturation count ≤ dim.
+    */
+  property("quantizeInt8 bounded") =
+    forAll(Gen.listOfN(4, Gen.listOfN(3, Gen.chooseNum(-10.0f, 10.0f)))) { vecs =>
+      vecs.isEmpty || {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding")
+        graft.operators.Similarity.quantizeInt8(df).collect().forall { r =>
+          val dim = r.getLong(1); val l1 = r.getLong(4); val sat = r.getLong(5)
+          l1 <= 127L * dim && sat <= dim && r.getLong(2) >= 0
+        }
+      }
+    }
 }
