@@ -533,6 +533,13 @@ object SparkEntry {
       graft.pipelines.Curation.curate(
         Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
 
+    // -- base chain + the corpus-mixing quota stage (1 doc per source
+    //    among the dedup survivors)
+    "pipe_curation_quota" -> ((s, dir) =>
+      graft.pipelines.Curation.curate(
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable,
+        quota = Some(("source", 1)))),
+
     // -- the FULL production chain: quality → repetition gate →
     //    benchmark decontamination → exact dedup → SimHash clusters →
     //    split, one whole-chain oracle (probes = every 50th doc)
@@ -1224,6 +1231,55 @@ object SparkEntry {
          |  SELECT c.doc_id, c.text FROM cd c
          |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
          |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM surv)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
+
+    "pipe_curation_quota" ->
+      s"""WITH RECURSIVE
+         |kq AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |cd0 AS (
+         |  SELECT doc_id, text FROM kq
+         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+         |    AND len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','of','and','to','in','is','it','on'], t)))*1000
+         |        >= len(toks)*10),
+         |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
+         |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
+         |${simhashSql("cd")},
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM cd
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+         |surv AS (
+         |  SELECT c.doc_id, c.text FROM cd c
+         |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
+         |mix AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT s.doc_id, s.text,
+         |           row_number() OVER (
+         |             PARTITION BY d.source
+         |             ORDER BY ${ph("s.text")} ASC, s.doc_id ASC) AS rn
+         |    FROM surv s JOIN documents d ON d.doc_id = s.doc_id)
+         |  WHERE rn <= 1),
+         |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM mix)
          |SELECT doc_id, bucket,
          |       CASE WHEN bucket < 800 THEN 'train'
          |            WHEN bucket < 900 THEN 'val'

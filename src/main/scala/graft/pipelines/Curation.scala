@@ -39,7 +39,12 @@ object Curation {
     *    `minSharedShingles` trigram shingles with ANY probe doc are
     *    dropped ([[Dedup.contamination]]). Probe docs that are
     *    themselves in the corpus self-match and are dropped too (the
-    *    usual "remove the benchmark from the training set" behavior).
+    *    usual "remove the benchmark from the training set" behavior);
+    *  - `quota = Some((groupCol, k))` caps each group's (e.g. domain's)
+    *    contribution among the dedup survivors to a deterministic
+    *    hash-ordered sample of `k` docs ([[TextOps.domainQuota]]) — the
+    *    corpus-mixing stage, applied after dedup so quota slots are
+    *    never wasted on duplicates.
     */
   def curate(
       docs: DataFrame,
@@ -49,7 +54,8 @@ object Curation {
       hash: Hashing.HashTier = Hashing.Fast,
       maxTopBigramE3: Int = 1000,
       probes: Option[DataFrame] = None,
-      minSharedShingles: Int = 5): DataFrame = {
+      minSharedShingles: Int = 5,
+      quota: Option[(String, Int)] = None): DataFrame = {
     // 1. quality gate — semi-join against the keep set (broadcastable;
     // degrades to a shuffled semi-join at scale)
     val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
@@ -88,7 +94,16 @@ object Curation {
       broadcastLabels = true)
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
     val survivors = exact.join(canon, Seq("doc_id"), "left_semi")
+    // 3b. per-group quota (corpus mixing): cap each group's surviving
+    // contribution with the deterministic hash-ordered sample
+    val mixed = quota match {
+      case Some((gcol, k)) =>
+        val kept = TextOps.domainQuota(survivors, gcol, k, hash = hash)
+          .select(col("doc_id"))
+        survivors.join(kept, Seq("doc_id"), "left_semi")
+      case None => survivors
+    }
     // 4. deterministic content-hash split
-    TextOps.hashSplit(survivors, trainPermille, valPermille, hash = hash)
+    TextOps.hashSplit(mixed, trainPermille, valPermille, hash = hash)
   }
 }

@@ -67,4 +67,22 @@ class CurationSpec extends SparkSpec {
     val twice = Curation.curate(kept, 800, 100, 3, Hashing.Portable)
     assert(rowSet(once) === rowSet(twice))
   }
+
+  test("curate quota stage caps each source's surviving contribution") {
+    // two distinct quality-passing docs per source; quota 1 keeps
+    // exactly one per source, chosen by content-hash order
+    val sourced = Seq(
+      (1L, "sA", base),
+      (2L, "sA", "a completely different document with the usual stopwords in it and more"),
+      (3L, "sB", "the quick brown fox jumps over the lazy dog again it seems"),
+      (4L, "sB", "yet another ordinary sentence with the common stopwords in it today")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(sourced, 800, 100, 3, Hashing.Portable,
+      quota = Some(("source", 1)))
+    val perSource = out.join(sourced, Seq("doc_id"))
+      .groupBy("source").count().collect()
+    assert(perSource.length === 2 && perSource.forall(_.getLong(1) === 1L))
+    // quota off keeps all four
+    assert(Curation.curate(sourced, 800, 100, 3, Hashing.Portable).count() === 4L)
+  }
 }
