@@ -167,6 +167,14 @@ object SparkEntry {
       GraphOps.kHop(edgesOf(s, dir), seeds, 2, materializeEdges = false)
     }),
 
+    // BFS depth labels from the same team seed — the traversal
+    // generalized from "who is 2 hops out" to "how far is everyone"
+    "g_bfs_depth" -> ((s, dir) => {
+      val seeds = Tables.teamMembers(s, dir)
+        .filter(col("team_id") === "N1").select(col("person_id"))
+      GraphOps.bfsDepths(edgesOf(s, dir), seeds, 3, materializeEdges = false)
+    }),
+
     // U2: except (anti + distinct) — persons that are not trove users
     "u2_except_non_trove" -> ((s, dir) => {
       GraphOps.distinctPersons(edgesOf(s, dir))
@@ -284,6 +292,34 @@ object SparkEntry {
           e2(col("c_acctbal")).as("acctbal_cents"),
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 2)
+    }),
+
+    // Analytic offset function: per-user event-over-event value change
+    // (lag over the event-time order — sessionized rate-of-change)
+    "w_score_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("value_e4"))
+        .withColumn("delta_e4",
+          (col("value_e4") - coalesce(lag(col("value_e4"), 1).over(w), col("value_e4")))
+            .cast("long"))
+        .drop("ts")
+    }),
+
+    // Distribution bucketing: per-language quality deciles (ntile) —
+    // the "keep the top decile per language" selection primitive
+    "t_quality_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("alpha_ratio_e3").desc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(TextOps.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("alpha_ratio_e3")), Seq("doc_id"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
     }),
 
     // Distinct aggregate
@@ -1454,6 +1490,18 @@ object SparkEntry {
          |  EXCEPT SELECT person_id FROM members)
          |SELECT person_id FROM hop2""".stripMargin,
 
+    "g_bfs_depth" ->
+      s"""WITH RECURSIVE $MERGED, $TEAMS,
+         |seeds AS (SELECT person_id FROM team_members WHERE team_id = 'N1'),
+         |walk(person_id, depth) AS (
+         |  SELECT person_id, 0 FROM seeds
+         |  UNION
+         |  SELECT m.dst, w.depth + 1
+         |  FROM merged m JOIN walk w ON m.src = w.person_id
+         |  WHERE w.depth < 3)
+         |SELECT person_id, CAST(min(depth) AS BIGINT) AS depth
+         |FROM walk GROUP BY person_id""".stripMargin,
+
     "u2_except_non_trove" ->
       s"""WITH $EDGES, $USERS
          |SELECT DISTINCT person_id FROM (
@@ -1590,6 +1638,29 @@ object SparkEntry {
         |           ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
         |  FROM customer)
         |WHERE rn <= 2""".stripMargin,
+
+    "w_score_delta" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4, ts
+        |  FROM events)
+        |SELECT event_id, user_id, value_e4,
+        |       CAST(value_e4 - coalesce(lag(value_e4, 1) OVER (
+        |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |         value_e4) AS BIGINT) AS delta_e4
+        |FROM v""".stripMargin,
+
+    "t_quality_deciles" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1000
+        |              / length(text)) AS BIGINT) AS alpha_ratio_e3
+        |  FROM documents)
+        |SELECT doc_id, lang, alpha_ratio_e3,
+        |       CAST(ntile(10) OVER (
+        |         PARTITION BY lang
+        |         ORDER BY alpha_ratio_e3 DESC, doc_id ASC) AS BIGINT) AS decile
+        |FROM q""".stripMargin,
 
     "agg_count_distinct" ->
       """SELECT l_returnflag,

@@ -187,4 +187,37 @@ object GraphOps {
     }
     result
   }
+
+  /** BFS depth labeling — [[kHop]] generalized to return every reached
+    * vertex with its hop distance from the seed set (`depth` 0 =
+    * seeds). The frontier loop explores in depth order and anti-joins
+    * the visited set, so each vertex is labeled on first reach = its
+    * minimum distance (the recursive-CTE `min(depth)` in the oracle).
+    * Same scale shape as kHop: per-hop distinct + anti-join, edge list
+    * materialized once, frontier checkpoints cut lineage growth.
+    */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      checkpointEvery: Int = 4, materializeEdges: Boolean = true): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val pairs = edges.select(col("src"), col("dst"))
+    val e = if (maxDepth > 1 && materializeEdges) pairs.localCheckpoint() else pairs
+    var visited = seeds.select(col("person_id")).distinct()
+      .withColumn("depth", lit(0L))
+    var frontier = visited.select(col("person_id"))
+    for (hop <- 1 to maxDepth) {
+      val next = e
+        .join(frontier, e("src") === frontier("person_id"))
+        .select(e("dst").as("person_id"))
+        .distinct()
+        .join(visited.select(col("person_id")), Seq("person_id"), "left_anti")
+      visited = visited.union(
+        next.select(col("person_id"), lit(hop.toLong).as("depth")))
+      frontier = next
+      if (checkpointEvery > 0 && hop % checkpointEvery == 0 && hop < maxDepth) {
+        frontier = frontier.localCheckpoint()
+        visited = visited.localCheckpoint()
+      }
+    }
+    visited
+  }
 }

@@ -111,4 +111,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(strings(GraphOps.kHop(edges, seeds, 3), "person_id") === Set("D"))
     assert(strings(GraphOps.kHop(edges, seeds, 4), "person_id") === Set.empty[String])
   }
+
+  test("bfsDepths labels first-reach distance; shortcut wins; unreached absent") {
+    // A -> B -> C -> D plus the A -> C shortcut; E isolated
+    val edges = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1), Edge("A", "C", 1),
+      Edge("E", "E", 1)).toDF()
+    val seeds = Seq("A").toDF("person_id")
+    val out = GraphOps.bfsDepths(edges, seeds, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("A" -> 0L, "B" -> 1L, "C" -> 1L, "D" -> 2L))
+    // maxDepth truncation
+    val shallow = GraphOps.bfsDepths(edges, seeds, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(shallow === Map("A" -> 0L, "B" -> 1L, "C" -> 1L))
+  }
 }
