@@ -467,6 +467,8 @@ object SparkEntry {
       Multimodal.resizeMeta(Multimodal.withPayload(Tables.documents(s, dir)), 64, 64)),
     "m_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)), 7)),
+    "m_payload_dedup" -> ((s, dir) =>
+      Multimodal.payloadDedup(Multimodal.withPayload(Tables.documents(s, dir)))),
     "m_block_stats" -> ((s, dir) =>
       Multimodal.blockStats(Tables.documents(s, dir), 64)),
 
@@ -1383,6 +1385,11 @@ object SparkEntry {
          |            WHEN bucket < 900 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM bk""".stripMargin,
+
+    "m_payload_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY text""".stripMargin,
 
     "m_block_stats" ->
       """WITH cp AS (

@@ -211,4 +211,25 @@ object Multimodal {
     flush()
     out.iterator
   }
+
+  /** Exact media dedup: canonical (minimum) id per identical binary
+    * payload — the asset-level twin of
+    * [[graft.operators.Dedup.exactDedup]], for image/audio/video
+    * columns where re-crawled bytes repeat. Groups on
+    * `(xxhash64(payload), xxhash64(42, payload), byte length)` — three
+    * LongType shuffle keys, so the (potentially huge) payload bytes
+    * never cross the shuffle; the 128-bit double-hash collision
+    * assumption is the same content-addressed-storage contract as
+    * exactDedup. Null payloads group together (SQL GROUP BY null
+    * semantics).
+    */
+  def payloadDedup(withPayloadDf: DataFrame, idCol: String = "doc_id"): DataFrame =
+    withPayloadDf.select(
+      xxhash64(col("payload")).as("h"),
+      xxhash64(lit(42L), col("payload")).as("h2"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      col(idCol).as("gid"))
+      .groupBy(col("h"), col("h2"), col("n_bytes"))
+      .agg(min(col("gid")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"), col("n_bytes"))
 }
