@@ -393,8 +393,15 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
       // pointer jump: follow one indirection (labels are monotone
-      // decreasing and label(x) <= x, so label-of-label only improves)
-      val lmap = stepped.select(col("doc_id").as("ld"), col("label").as("ll"))
+      // decreasing and label(x) <= x, so label-of-label only improves).
+      // The label map rides the same broadcast decision as the
+      // propagation join — unhinted, this self-join sort-merges
+      // (exchange + sort on both sides) every round. Measured at sf0.1:
+      // skipping the jump entirely is noise-equivalent on clique-shaped
+      // dedup graphs (they converge in 2-3 rounds either way); the jump
+      // stays for the chain/long-diameter worst case.
+      val lmap0 = stepped.select(col("doc_id").as("ld"), col("label").as("ll"))
+      val lmap = if (broadcastLabels) broadcast(lmap0) else lmap0
       // convergence metric rides the (eager) checkpoint job via observe
       // — one job per round, no count pass
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
