@@ -469,6 +469,18 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.withPayload(Tables.documents(s, dir)), 7)),
     "m_payload_dedup" -> ((s, dir) =>
       Multimodal.payloadDedup(Multimodal.withPayload(Tables.documents(s, dir)))),
+
+    // -- custom DataSource V2 connector (deterministic generator with
+    //    pushdown + pruning); the oracle regenerates the same corpus
+    //    from range() — proving the connector end-to-end
+    "dgen_source_stats" -> ((s, dir) =>
+      s.read.format(classOf[graft.sources.DocGenSource].getName)
+        .option("rows", 2000).option("partitions", 8).load()
+        .filter(col("doc_id") >= 500)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))),
     "m_block_stats" -> ((s, dir) =>
       Multimodal.blockStats(Tables.documents(s, dir), 64)),
 
@@ -1390,6 +1402,17 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_id, COUNT(*) AS n_copies,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY text""".stripMargin,
+
+    "dgen_source_stats" ->
+      """WITH g AS (
+        |  SELECT i AS doc_id,
+        |         'src' || CAST(i % 20 AS VARCHAR) AS source,
+        |         array_to_string(list_transform(range(0, 5 + i % 5),
+        |           j -> 'w' || CAST((i*31 + j) % 97 AS VARCHAR)), ' ') AS text
+        |  FROM (SELECT unnest(range(0, 2000)) AS i))
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM g WHERE doc_id >= 500 GROUP BY source""".stripMargin,
 
     "m_block_stats" ->
       """WITH cp AS (

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DocGen, DocGenSource}
+
+/** DataSource V2 connector: pushdown, pruning, and determinism gates —
+  * the custom-source tier's PlanQualitySpec.
+  */
+class DocGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(rows: Long = 1000L, partitions: Int = 8): DataFrame =
+    spark.read.format(classOf[DocGenSource].getName)
+      .option("rows", rows).option("partitions", partitions).load()
+
+  test("generates the closed-form corpus deterministically") {
+    val df = read(rows = 100, partitions = 4)
+    assert(df.count() === 100)
+    val r7 = df.filter(col("doc_id") === 7).head()
+    assert(r7.getString(1) === DocGen.sourceOf(7))
+    assert(r7.getString(2) === DocGen.textOf(7))
+    // rerun-stable
+    assert(rowSet(read(rows = 100, partitions = 4)) === rowSet(read(rows = 100, partitions = 7)))
+  }
+
+  test("doc_id filter pushes down and prunes input partitions") {
+    // 1000 rows / 8 partitions = 125 per slice; doc_id >= 900 survives
+    // only in the last slice -> exactly 1 task
+    val filtered = read().filter(col("doc_id") >= 900)
+    assert(filtered.count() === 100)
+    assert(filtered.rdd.getNumPartitions === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(doc_id,900)"),
+      s"filter did not reach the scan:\n$plan")
+    // the pushed filter is not re-evaluated wastefully: rows below the
+    // bound are never generated (range clipped at the reader)
+    val eq = read().filter(col("doc_id") === 423)
+    assert(eq.rdd.getNumPartitions === 1 && eq.count() === 1)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val ids = read().select(col("doc_id"))
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"expected 1-column read schema:\n$plan")
+    assert(ids.agg(sum(col("doc_id"))).head().getLong(0) === (0L until 1000L).sum)
+  }
+
+  test("non-pushable predicates stay as residual filters, results correct") {
+    val df = read(rows = 200).filter(col("source") === "src3")
+    // ids with id % 20 == 3 -> 10 of 200
+    assert(df.count() === 10)
+    assert(df.collect().forall(_.getString(1) == "src3"))
+  }
+}
