@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,14 +68,15 @@ private[sources] class DocGenTable extends Table with SupportsRead {
   override def name(): String = "docgen"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocGenScanBuilder(
       options.getLong("rows", 1000L),
-      options.getInt("partitions", 4))
+      options.getInt("partitions", 4),
+      options.getLong("rowsPerBatch", 250L))
 }
 
-private[sources] class DocGenScanBuilder(rows: Long, partitions: Int)
+private[sources] class DocGenScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L          // inclusive
@@ -112,17 +114,21 @@ private[sources] class DocGenScanBuilder(rows: Long, partitions: Int)
     // preserve generator field order regardless of projection order
     required = StructType(DocGen.Schema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new DocGenScan(rows, partitions, lo, hi, required, pushed)
+  override def build(): Scan =
+    new DocGenScan(rows, partitions, lo, hi, required, pushed, rowsPerBatch)
 }
 
 private[sources] case class DocGenSlice(start: Long, end: Long) extends InputPartition
 
 private[sources] class DocGenScan(
     rows: Long, partitions: Int, lo: Long, hi: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    rowsPerBatch: Long = 250L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocGenMicroBatchStream(rows, partitions, rowsPerBatch, required)
   override def description(): String =
     s"DocGenScan rows=$rows range=[$lo,$hi) " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
@@ -140,6 +146,57 @@ private[sources] class DocGenScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new DocGenReaderFactory(required)
+}
+
+/** The resumable-offset id in the stream — the T1 watermark contract
+  * (the reference logs the max seen `last_update` as a restart point,
+  * elastic.go:87-96) as a real Structured Streaming offset: `id` =
+  * next unread doc_id; serialized into the checkpoint, so a restarted
+  * query resumes exactly where the committed batch ended.
+  */
+private[sources] case class DocGenOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch form of the generator: each trigger admits
+  * `rowsPerBatch` more ids past the last committed offset
+  * (stateless start-based admission control) until `rows` is
+  * exhausted; every batch's id range splits into `partitions` parallel
+  * slices (same reader as the batch path). Offsets commit through the
+  * engine's checkpoint — the hand-rolled resumable scan of the
+  * reference (T1/T2) with exactly-once bookkeeping for free.
+  */
+private[sources] class DocGenMicroBatchStream(
+    rows: Long, partitions: Int, rowsPerBatch: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = DocGenOffset(0L)
+  override def deserializeOffset(json: String): Offset = DocGenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  // legacy entry point (engines use the admission-control overload)
+  override def latestOffset(): Offset = DocGenOffset(rows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocGenOffset].id
+    DocGenOffset(math.min(s + rowsPerBatch, rows))
+  }
+  override def reportLatestOffset(): Offset = DocGenOffset(rows)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[DocGenOffset].id
+    val hi = math.min(end.asInstanceOf[DocGenOffset].id, rows)
+    val n = math.max(1L, hi - lo)
+    val per = math.max(1L, (n + partitions - 1) / partitions)
+    (0 until partitions).iterator
+      .map(p => DocGenSlice(lo + p * per, math.min(lo + (p + 1) * per, hi)))
+      .filter(s => s.start < s.end)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required)
 }
 
 private[sources] class DocGenReaderFactory(required: StructType)

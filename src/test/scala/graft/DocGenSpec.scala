@@ -54,4 +54,60 @@ class DocGenSpec extends SparkSpec {
     assert(df.count() === 10)
     assert(df.collect().forall(_.getString(1) == "src3"))
   }
+
+  test("micro-batch stream: rate-limited batches replay the exact batch corpus") {
+    val q = spark.readStream.format(classOf[DocGenSource].getName)
+      .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 300)
+      .load()
+      .writeStream.format("memory").queryName("dgen_stream").start()
+    try {
+      // processAllAvailable only covers data admitted at invocation
+      // time — loop until the admitted corpus stops growing
+      var prev = -1L
+      var cur = 0L
+      while (cur != prev) {
+        q.processAllAvailable()
+        prev = cur
+        cur = spark.table("dgen_stream").count()
+      }
+      val streamed = rowSet(spark.table("dgen_stream"))
+      assert(streamed === rowSet(read(rows = 1000)))
+      // admission control actually batched: 1000 rows / 300 per trigger
+      // -> at least 4 committed micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
+
+  test("micro-batch stream resumes from the committed offset after restart") {
+    // memory sink can't recover a checkpoint — use the (fault-tolerant)
+    // file sink and read the output directory back
+    val ckpt = java.nio.file.Files.createTempDirectory("dgen_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dgen_out").toString
+    def start() = spark.readStream.format(classOf[DocGenSource].getName)
+      .option("rows", 900).option("partitions", 4).option("rowsPerBatch", 400)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      var prev = -1L; var cur = 0L
+      while (cur != prev) {
+        q.processAllAvailable()
+        prev = cur
+        cur = spark.read.parquet(out).count()
+      }
+    }
+    val q1 = start()
+    drain(q1); q1.stop()
+    assert(spark.read.parquet(out).count() === 900)
+    // restart against the same checkpoint: the committed offset is
+    // final, nothing re-emitted (a replay would duplicate ids)
+    val q2 = start()
+    try {
+      drain(q2)
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.length === 900 && ids.length === ids.distinct.length,
+        "restart re-emitted committed ids")
+    } finally q2.stop()
+  }
 }
