@@ -231,6 +231,12 @@ object SparkEntry {
           coalesce(col("out_score_e2"), lit(0L)).as("out_score_e2"))
     }),
 
+    // Fixed-iteration integer PageRank over the merged person graph;
+    // ranks/degrees are vertex-sized (bounded by the person universe)
+    // so each round's share table broadcasts — same switch as CC labels
+    "g_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(mergedOf(s, dir), 3, broadcastRanks = true)),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -374,6 +380,8 @@ object SparkEntry {
     "t_chunks" -> ((s, dir) =>
       TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),
     "t_tfidf_top3" -> ((s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), 3)),
+    "t_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
     "t_length_quartiles" -> ((s, dir) =>
       TextOps.lengthQuartiles(Tables.documents(s, dir))),
     // decontamination join: probes = every 50th doc as a stand-in
@@ -428,6 +436,18 @@ object SparkEntry {
           Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3),
         docs.select(col("doc_id")),
         broadcastLabels = true)
+    }),
+
+    // cluster-representative selection: the step after clustering in a
+    // production dedup chain — keep the best-quality member per cluster
+    "d_cluster_reps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.simhashPairs(
+          Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3),
+        docs.select(col("doc_id")),
+        broadcastLabels = true)
+      Dedup.clusterReps(clusters, TextOps.qualityScore(docs), "alpha_ratio_e3")
     }),
 
     // -- similarity search --------------------------------------------------
@@ -975,6 +995,93 @@ object SparkEntry {
          |JOIN sig sa ON sa.doc_id = doc_a
          |JOIN sig sb ON sb.doc_id = doc_b
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
+
+    "g_pagerank" ->
+      s"""WITH $MERGED,
+         |verts AS (SELECT src AS person_id FROM merged
+         |          UNION SELECT dst FROM merged),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+         |        FROM merged GROUP BY src),
+         |pr0 AS (SELECT person_id, CAST(1000000000 AS BIGINT) AS pr FROM verts),
+         |it1 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN pr0 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id),
+         |it2 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN it1 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id),
+         |it3 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN it2 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id)
+         |SELECT person_id, pr AS pr_e9 FROM it3""".stripMargin,
+
+    "t_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${ph("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |         CAST(len($TOKS) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |         CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t WHERE n_tok > 0),
+         |x AS (
+         |  SELECT doc_id, shard, n_tok, cum,
+         |         unnest(range((cum - n_tok) // 256, (cum - 1) // 256 + 1)) AS seq_id
+         |  FROM c)
+         |SELECT doc_id, shard, seq_id,
+         |       least(cum, (seq_id + 1) * 256)
+         |         - greatest(cum - n_tok, seq_id * 256) AS toks_in_seq
+         |FROM x""".stripMargin,
+
+    "d_cluster_reps" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (
+         |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1000
+         |              / length(text)) AS BIGINT) AS alpha_ratio_e3
+         |  FROM documents)
+         |SELECT component_id, doc_id AS rep_id, alpha_ratio_e3 FROM (
+         |  SELECT c.component_id, c.doc_id, q.alpha_ratio_e3,
+         |         row_number() OVER (PARTITION BY c.component_id
+         |                            ORDER BY q.alpha_ratio_e3 DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN q USING (doc_id))
+         |WHERE rn = 1""".stripMargin,
 
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $SIMHASH,

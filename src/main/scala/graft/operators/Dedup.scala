@@ -453,4 +453,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
+
+  /** Cluster-representative selection — the step after
+    * [[connectedComponents]] in a production dedup chain: keep ONE
+    * document per near-duplicate cluster, the highest-quality member
+    * (ties broken by min `doc_id` for determinism). Composes
+    * cluster labels with any integer quality metric (e.g.
+    * `TextOps.qualityScore`'s `alpha_ratio_e3`).
+    *
+    * Scale shape: equi-join on `doc_id` + top-1-per-cluster via
+    * row_number, which Spark plans with a partial WindowGroupLimit
+    * below the exchange — each map task forwards one candidate row per
+    * cluster, so the shuffle carries ~|clusters| rows, not |docs|. A
+    * giant cluster (the pathological near-dup blob) costs its owning
+    * partition a scan, never a materialized group.
+    */
+  def clusterReps(
+      clusters: DataFrame,
+      quality: DataFrame,
+      qualityCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    clusters.join(quality.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component_id"), col(idCol).as("rep_id"), col(qualityCol))
+  }
 }

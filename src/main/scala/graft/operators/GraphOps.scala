@@ -220,4 +220,63 @@ object GraphOps {
     }
     visited
   }
+
+  /** Fixed-iteration PageRank over a directed edge list, in exact
+    * integer arithmetic so every engine agrees bit-for-bit.
+    *
+    * Ranks are e9-scaled longs: `pr_0 = 10^9` for every vertex, then
+    * `pr_{t+1}(v) = 0.15·10^9 + (85 · Σ_{u→v} (pr_t(u) div outdeg(u)))
+    * div 100` — all `div`s are integral, so the DuckDB `//` twin is
+    * identical (all values are positive; mass lost to flooring and to
+    * dangling vertices is part of the pinned semantics, as in the
+    * standard power-iteration formulation without a dangling-mass
+    * redistribution term).
+    *
+    * Scale shape (same family as [[Dedup.connectedComponents]]):
+    *  - the per-iteration work is one vertex-sized join (rank ⋈ outdeg
+    *    → per-vertex share) and one edge-sized shuffle (edges ⋈ shares
+    *    on `src`, then groupBy `dst`) — O(E) per round, no row blowup;
+    *  - edges / vertices / degrees are computed once and
+    *    localCheckpoint'ed so the upstream pipeline never re-executes
+    *    across rounds (checkpointed frames lose size stats, hence the
+    *    explicit `broadcastRanks` switch for bounded vertex sets —
+    *    measured 3× per-round saving in the CC loop);
+    *  - `iters` is small and fixed (power iteration converges
+    *    geometrically), so rank lineage stays shallow with a
+    *    checkpoint every `checkpointEvery` rounds.
+    *
+    * Callers should pass a distinct edge list (e.g. [[mergeMaxEdges]]
+    * output) — duplicate (src,dst) rows would double-count contributions.
+    */
+  def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pairs = edges.select(col("src"), col("dst"))
+    val e = if (iters > 1) pairs.localCheckpoint() else pairs
+    val verts = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint()
+    var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
+    for (it <- 1 to iters) {
+      // per-vertex share first (vertex-sized join), THEN the edge join —
+      // keeps the integral division out of the edge-sized frame
+      val sharesRaw = pr.join(deg, pr("person_id") === deg("src"))
+        .select(pr("person_id").as("share_src"),
+          expr("pr_e9 div out_deg").as("share"))
+      val shares = if (broadcastRanks) broadcast(sharesRaw) else sharesRaw
+      val inbound = e.join(shares, e("src") === shares("share_src"))
+        .groupBy(e("dst").as("person_id"))
+        .agg(sum(col("share")).as("in_share"))
+      pr = verts.join(inbound, Seq("person_id"), "left_outer")
+        .select(col("person_id"),
+          (lit(150000000L) +
+            expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
 }

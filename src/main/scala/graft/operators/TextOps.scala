@@ -302,4 +302,51 @@ object TextOps {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("tok"), col("tf"), col("score_e3"), col("rn"))
   }
+
+  /** Token-budget sequence packing — the "concatenate documents, split
+    * at context-window boundaries" step that turns a curated corpus
+    * into fixed-length training sequences (GPT-style packing: documents
+    * may span a boundary; nothing is padded or dropped).
+    *
+    * Documents are routed to `nShards` independent pack streams by
+    * content-free id hash, ordered by `doc_id` within a shard, and laid
+    * end-to-end; sequence `s` of a shard covers token interval
+    * `[s·budget, (s+1)·budget)`. Emits one row per (document, sequence)
+    * overlap: `toks_in_seq` is the portion of the document landing in
+    * that sequence (sums to `n_tok` over the document, and to ≤budget
+    * over a sequence).
+    *
+    * Scale shape: the only shuffle is the window's hash-partition by
+    * `shard` + in-partition sort by `doc_id` — packing an ordered
+    * stream is inherently sequential, so the shard count IS the
+    * parallelism knob (at 100 TB: thousands of shards, each a few GB).
+    * The running total is a cumulative-sum window, the boundary fan-out
+    * a narrow sequence+explode (a doc spans `⌈n_tok/budget⌉+1` seqs at
+    * most — no quadratic blowup).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      nShards: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(
+        col(idCol),
+        pmod(hash(col(idCol).cast("string")), lit(nShards.toLong)).as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"(cum - n_tok) div $budget"), expr(s"(cum - 1) div $budget"))))
+      .select(
+        col(idCol), col("shard"), col("seq_id"),
+        (least(col("cum"), (col("seq_id") + 1) * budget) -
+          greatest(col("cum") - col("n_tok"), col("seq_id") * budget))
+          .as("toks_in_seq"))
+  }
 }

@@ -100,7 +100,11 @@ object Curation {
       case Some((gcol, k)) =>
         val kept = TextOps.domainQuota(survivors, gcol, k, hash = hash)
           .select(col("doc_id"))
-        survivors.join(kept, Seq("doc_id"), "left_semi")
+        // kept ⊆ survivors' ids, so one semi-join of the SOURCE against
+        // the quota ids is row-identical to survivors ⋈ kept — and skips
+        // re-executing the survivors join chain a second time as the
+        // left side (measured: the quota stage's main overhead)
+        docs.join(kept, Seq("doc_id"), "left_semi")
       case None => survivors
     }
     // 4. deterministic content-hash split

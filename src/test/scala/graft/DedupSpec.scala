@@ -172,4 +172,19 @@ class DedupSpec extends SparkSpec {
     val out = rowSet(Dedup.dupSpanStats(docs, n = 3))
     assert(out.forall(r => r(2) === 0L)) // n_dup = 0 everywhere
   }
+
+  test("clusterReps: one best-quality rep per component, min-id tiebreak") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (4L, 4L), (5L, 4L),           // cluster 4
+      (6L, 6L)                      // singleton
+    ).toDF("doc_id", "component_id")
+    val quality = Seq(
+      (1L, 500L), (2L, 900L), (3L, 900L), // 2 and 3 tie -> min id 2 wins
+      (4L, 100L), (5L, 300L),
+      (6L, 0L)).toDF("doc_id", "q_e3")
+    val reps = Dedup.clusterReps(clusters, quality, "q_e3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reps === Set((1L, 2L, 900L), (4L, 5L, 300L), (6L, 6L, 0L)))
+  }
 }

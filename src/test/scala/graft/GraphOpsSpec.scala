@@ -126,4 +126,32 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(shallow === Map("A" -> 0L, "B" -> 1L, "C" -> 1L))
   }
+
+  test("pageRank matches an in-test integer reference; broadcast form identical") {
+    // includes a dangling vertex (B has no out-edges? B->C exists; D is
+    // a pure source, C->A closes a cycle) and an in-degree-0 vertex (D)
+    val es = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C"))
+    val edges = es.toDF("src", "dst")
+
+    // reference: same e9-scaled integral arithmetic, driver-side
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ref = verts.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      es.foreach { case (u, v) => in(v) += ref(u) / deg(u) }
+      ref = verts.map(v => v -> (150000000L + 85L * in(v) / 100L)).toMap
+    }
+
+    val got = GraphOps.pageRank(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // sink-heavy C outranks everyone; pure-source D bottoms out at the base
+    assert(got("C") > got("A") && got("A") > got("D"))
+    assert(got("D") === 150000000L)
+
+    val broadcastGot = GraphOps.pageRank(edges, 3, broadcastRanks = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(broadcastGot === ref)
+  }
 }

@@ -153,4 +153,32 @@ class TextOpsSpec extends SparkSpec {
     // every doc contributes exactly k=1 row
     assert(out.count() === 3)
   }
+
+  test("packSequences: full coverage, budget cap, boundary-spanning docs") {
+    // one shard so the packing order is just doc_id; budget 5 tokens
+    val docs = Seq(
+      (1L, "t1 t2 t3"),          // 3 toks -> seq 0 [0,3)
+      (2L, "t1 t2 t3 t4"),       // 4 toks -> spans seq 0 (2) + seq 1 (2)
+      (3L, ""),                  // 0 toks -> dropped
+      (4L, "t1")).toDF("doc_id", "text") // 1 tok -> seq 1
+    val out = TextOps.packSequences(docs, budget = 5, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 0L, 3L), (2L, 0L, 2L), (2L, 1L, 2L), (4L, 1L, 1L)))
+  }
+
+  test("packSequences properties on a multi-shard corpus") {
+    val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, budget = 8, nShards = 4).cache()
+    // per-document token coverage: emitted portions sum to the doc's count
+    val perDoc = out.groupBy("doc_id").agg(sum("toks_in_seq").as("s"))
+      .join(docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n")), "doc_id")
+    assert(perDoc.filter(col("s") =!= col("n")).count() === 0)
+    // per-sequence budget: no (shard, seq) exceeds the budget, and every
+    // sequence except a shard's last is exactly full
+    val perSeq = out.groupBy("shard", "seq_id").agg(sum("toks_in_seq").as("s")).cache()
+    assert(perSeq.filter(col("s") > 8).count() === 0)
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("last"))
+    assert(perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") < col("last") && col("s") =!= 8).count() === 0)
+  }
 }
