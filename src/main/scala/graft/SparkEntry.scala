@@ -382,6 +382,9 @@ object SparkEntry {
     "t_tfidf_top3" -> ((s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), 3)),
     "t_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
+    "t_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir),
+        Seq("en" -> 500, "zh" -> 250), 800, hash = Hashing.Portable)),
     "t_length_quartiles" -> ((s, dir) =>
       TextOps.lengthQuartiles(Tables.documents(s, dir))),
     // decontamination join: probes = every 50th doc as a stand-in
@@ -1047,6 +1050,14 @@ object SparkEntry {
          |       least(cum, (seq_id + 1) * 256)
          |         - greatest(cum - n_tok, seq_id * 256) AS toks_in_seq
          |FROM x""".stripMargin,
+
+    "t_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, ${ph("text")} % 1000 AS bucket FROM documents)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 500
+         |                         WHEN 'zh' THEN 250
+         |                         ELSE 800 END""".stripMargin,
 
     "d_cluster_reps" ->
       s"""WITH RECURSIVE $SIMHASH,

@@ -303,6 +303,40 @@ object TextOps {
       .select(col("doc_id"), col("tok"), col("tf"), col("score_e3"), col("rn"))
   }
 
+  /** Rate-based stratified sampling — keep each stratum (language,
+    * source, …) at its own sampling rate, e.g. downsample web crawl to
+    * 30% while keeping books at 100%. The complement of
+    * [[domainQuota]]: rates instead of absolute caps, so the sample
+    * scales with the stratum.
+    *
+    * Deterministic: a document survives iff its content-hash permille
+    * bucket falls below the stratum's rate — rerun-stable, engine-
+    * portable, and *nested* (the rate-500 sample is a superset of the
+    * rate-250 sample, so mixture re-weighting never reshuffles already-
+    * selected data — the property `rand() < p` sampling lacks under
+    * retries).
+    *
+    * Scale shape: pure narrow filter, no shuffle; the when-chain rate
+    * lookup is codegen'd (strata lists are small and driver-bounded by
+    * construction — same literal-lookup rule as the IVF centroids).
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Seq[(String, Int)],
+      defaultPermille: Int,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(defaultPermille >= 0 && defaultPermille <= 1000, "defaultPermille in [0,1000]")
+    require(rates.forall { case (_, p) => p >= 0 && p <= 1000 }, "rates in [0,1000]")
+    val rate = rates.foldRight(lit(defaultPermille)) { case ((g, p), acc) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col(groupCol),
+        pmod(hash(col(textCol)), lit(1000L)).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
   /** Token-budget sequence packing — the "concatenate documents, split
     * at context-window boundaries" step that turns a curated corpus
     * into fixed-length training sequences (GPT-style packing: documents

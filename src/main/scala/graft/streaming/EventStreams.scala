@@ -73,12 +73,19 @@ object EventStreams {
     * rows) is evicted once the interval can no longer match — the
     * bounded-state form of "attribute purchases to the click that
     * preceded them".
+    *
+    * `joinType = "left_outer"` emits unconverted left events with null
+    * right columns — but only once the watermark proves no match can
+    * still arrive (the row leaves the state store at eviction time, so
+    * outer results trail the inner ones by the watermark delay; that
+    * lag is the price of exactly-once null-match semantics).
     */
   def attributionJoin(
       left: DataFrame,
       right: DataFrame,
       delay: String,
-      horizonSeconds: Long): DataFrame = {
+      horizonSeconds: Long,
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(
       col("event_id").as("l_event_id"), col("user_id"),
       col("ts").as("l_ts")).withWatermark("l_ts", delay)
@@ -90,7 +97,8 @@ object EventStreams {
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+      joinType)
       .select(
         col("l_event_id"), col("user_id"),
         unix_millis(col("l_ts")).as("l_ts_ms"),

@@ -231,6 +231,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched lefts after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventStreams.attributionJoin(
+      clicks.toDF(), purchases.toDF(), delay = "5 seconds",
+      horizonSeconds = 60, joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Ev(1, "u1", "click", t(100), 0), // will convert
+        Ev(2, "u2", "click", t(100), 0)) // never converts
+      purchases.addData(Ev(10, "u1", "purchase", t(130), 9.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past t(100)+horizon so u2's click is
+      // provably unmatchable and leaves the state store as a null-match
+      clicks.addData(Ev(3, "u3", "click", t(1000), 0))
+      purchases.addData(Ev(11, "u3", "purchase", t(1001), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_out")
+        .select("l_event_id", "r_event_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, Some(10L))))       // inner result
+      assert(rows.contains((2L, None)))            // outer null-match
+      assert(!rows.contains((3L, None)))           // still inside horizon
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

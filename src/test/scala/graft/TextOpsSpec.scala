@@ -166,6 +166,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Set((1L, 0L, 3L), (2L, 0L, 2L), (2L, 1L, 2L), (4L, 1L, 1L)))
   }
 
+  test("stratifiedSample: per-stratum rates, default fallback, nested samples") {
+    val docs = (1L to 400L).map { i =>
+      val g = Seq("en", "zh", "xx")((i % 3).toInt)
+      (i, g, s"doc body number $i")
+    }.toDF("doc_id", "lang", "text")
+    val out = TextOps.stratifiedSample(docs, Seq("en" -> 500, "zh" -> 0), 1000)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"))                  // rate 0 -> empty stratum
+    assert(byLang("xx") === 133L)                   // default 1000 -> all kept
+    assert(byLang.getOrElse("en", 0L) < 134L)       // rate 500 -> strict subset
+    // nested: the 250-permille sample is a subset of the 500-permille one
+    val s250 = TextOps.stratifiedSample(docs, Seq("en" -> 250), 1000)
+      .filter(col("lang") === "en").select("doc_id")
+    val s500 = TextOps.stratifiedSample(docs, Seq("en" -> 500), 1000)
+      .filter(col("lang") === "en").select("doc_id")
+    assert(s250.join(s500, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
   test("packSequences properties on a multi-shard corpus") {
     val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextOps.packSequences(docs, budget = 8, nShards = 4).cache()
