@@ -279,4 +279,43 @@ object GraphOps {
     }
     pr
   }
+
+  /** Bipartite co-occurrence projection: pairs of `src` vertices that
+    * share at least `minShared` distinct `dst` neighbors, with the
+    * shared count ("customers who buy from the same suppliers", doc
+    * pairs citing the same entities, …). The person graph here is
+    * bipartite, so this — not triangle counting, which is degenerate
+    * on odd-cycle-free graphs — is the neighborhood-similarity
+    * analytic that applies.
+    *
+    * The self-join is quadratic in per-`dst` fan-out, so hub vertices
+    * above `maxFanout` are dropped BEFORE pairing — the graph twin of
+    * [[Dedup.dfCap]]'s stop-shingle guard, and the same trade: hubs
+    * contribute pair-instances ~uniformly over everything (no signal),
+    * while the quadratic cost is exactly theirs. The cap is part of the
+    * operator's pinned semantics (the oracle applies it too), not a
+    * silent approximation.
+    *
+    * Scale shape: fan-out agg (8-byte keys) → capped self-join
+    * shuffled on `dst` → pair aggregate; every stage map-side-combines
+    * and the intermediate is ≤ maxFanout²/2 rows per dst.
+    */
+  def coOccurrencePairs(edges: DataFrame, maxFanout: Int, minShared: Int): DataFrame = {
+    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
+    val distinctEdges = edges.select(col("src"), col("dst")).distinct()
+    val keptDst = distinctEdges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("fanout"))
+      .filter(col("fanout") <= maxFanout)
+      .select(col("dst"))
+    // materialized once: the l/r branches of the self-join would
+    // otherwise re-execute the distinct + fan-out cap twice
+    val capped = distinctEdges.join(keptDst, Seq("dst")).localCheckpoint()
+    val l = capped.select(col("dst"), col("src").as("person_a"))
+    val r = capped.select(col("dst"), col("src").as("person_b"))
+    l.join(r, Seq("dst"))
+      .filter(col("person_a") < col("person_b"))
+      .groupBy(col("person_a"), col("person_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
