@@ -350,8 +350,14 @@ object Dedup {
     * eager localCheckpoint whose job also carries the convergence
     * metric via `observe` (labels only decrease, so the global label
     * sum is strictly monotone: equal sums across rounds ⇔ fixpoint —
-    * no extra count job, no old-label column). Label sums stay within
-    * Long for id domains up to ~3·10⁹ ids (n·maxId < 2⁶³).
+    * no extra count job, no old-label column). The sum is observed in
+    * `decimal(38,0)`, not Long: doc ids are arbitrary 64-bit values in
+    * this API (hash-derived ids are common), and a wrapped Long sum
+    * would silently break the monotonicity test and stop the loop
+    * early with wrong labels. 38 digits bounds exact sums up to
+    * ~10¹⁹ ids of magnitude 2⁶³ — beyond any vertex count Spark can
+    * hold — and costs one decimal add per row inside the
+    * already-running checkpoint job.
     *
     * `vertices` supplies the full id universe so singletons appear as
     * their own component.
@@ -371,7 +377,7 @@ object Dedup {
       .repartition(col("v"))
       .localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
-    var prevSum = Long.MaxValue
+    var prevSum: Option[BigDecimal] = None
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
@@ -410,10 +416,15 @@ object Dedup {
         .select(
           stepped("doc_id"),
           least(stepped("label"), coalesce(col("ll"), stepped("label"))).as("label"))
-        .observe(obs, sum(col("label")).as("label_sum"))
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
-      val labelSum = Option(obs.get("label_sum")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      changed = labelSum < prevSum
+      val labelSum = Option(obs.get("label_sum"))
+        .collect { case d: java.math.BigDecimal => BigDecimal(d) }
+      changed = (labelSum, prevSum) match {
+        case (Some(cur), Some(prev)) => cur < prev
+        case (Some(_), None)         => true  // first round: no prior sum yet
+        case (None, _)               => false // empty input: trivially converged
+      }
       prevSum = labelSum
       labels = jumped
       round += 1

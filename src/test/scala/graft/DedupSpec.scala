@@ -103,6 +103,24 @@ class DedupSpec extends SparkSpec {
       Seq(5L, 5L), Seq(6L, 5L), Seq(7L, 7L)))
   }
 
+  test("connected components: 64-bit hash-range ids that overflow a Long label sum") {
+    // 20 vertices near Long.MaxValue: a plain Long sum of labels wraps
+    // negative, which under the old Long-typed convergence metric made
+    // "sum decreased" meaningless and could stop the loop early. The
+    // decimal(38,0) observation must still converge to exact labels.
+    val base = Long.MaxValue - 40L
+    val ids = (0L until 20L).map(base + _)
+    // path over the first 10, a 2-clique, and 8 singletons
+    val pairs = ids.take(10).sliding(2).map(p => (p(0), p(1))).toSeq ++
+      Seq((ids(10), ids(11)))
+    val cc = Dedup.connectedComponents(
+      pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))
+    val expected = ids.take(10).map(i => Seq(i, ids.head)) ++
+      Seq(Seq(ids(10), ids(10)), Seq(ids(11), ids(10))) ++
+      ids.drop(12).map(i => Seq(i, i))
+    assert(rowSet(cc) === expected.toSet)
+  }
+
   test("connected components: empty pair set leaves every doc a singleton") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val verts = (1L to 3L).toDF("doc_id")
