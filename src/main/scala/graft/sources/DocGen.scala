@@ -127,8 +127,11 @@ private[sources] class DocGenScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // the pushed [lo,hi) bound travels into the stream: pushFilters claims
+  // doc_id predicates as fully applied (non-residual), so the streaming
+  // path must honor them too or filtered-out rows would leak unchecked
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DocGenMicroBatchStream(rows, partitions, rowsPerBatch, required)
+    new DocGenMicroBatchStream(rows, partitions, rowsPerBatch, required, lo, hi)
   override def description(): String =
     s"DocGenScan rows=$rows range=[$lo,$hi) " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.simpleString}"
@@ -154,39 +157,62 @@ private[sources] class DocGenScan(
   * next unread doc_id; serialized into the checkpoint, so a restarted
   * query resumes exactly where the committed batch ended.
   */
-private[sources] case class DocGenOffset(id: Long) extends Offset {
+private[graft] case class DocGenOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
-/** Micro-batch form of the generator: each trigger admits
-  * `rowsPerBatch` more ids past the last committed offset
-  * (stateless start-based admission control) until `rows` is
-  * exhausted; every batch's id range splits into `partitions` parallel
-  * slices (same reader as the batch path). Offsets commit through the
-  * engine's checkpoint — the hand-rolled resumable scan of the
-  * reference (T1/T2) with exactly-once bookkeeping for free.
+/** Micro-batch form of the generator: each trigger admits a capped
+  * count of ids past the last committed offset (stateless start-based
+  * admission control) until the pushed-down id range `[rangeLo,
+  * rangeHi)` is exhausted; every batch's id range splits into
+  * `partitions` parallel slices (same reader as the batch path).
+  * Offsets commit through the engine's checkpoint — the hand-rolled
+  * resumable scan of the reference (T1/T2) with exactly-once
+  * bookkeeping for free.
+  *
+  * The per-batch cap comes from the engine-supplied [[ReadLimit]]
+  * (`maxRows` / `allAvailable` / composite), so trigger-level
+  * admission settings win; `rowsPerBatch` is only the default limit
+  * and the fallback for limit shapes the source cannot interpret.
   */
-private[sources] class DocGenMicroBatchStream(
-    rows: Long, partitions: Int, rowsPerBatch: Long, required: StructType)
+private[graft] class DocGenMicroBatchStream(
+    rows: Long, partitions: Int, rowsPerBatch: Long, required: StructType,
+    rangeLo: Long = 0L, rangeHi: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = DocGenOffset(0L)
+  private val lastId = math.min(rows, rangeHi) // exclusive end of the stream
+  private val firstId = math.min(math.max(0L, rangeLo), lastId)
+
+  override def initialOffset(): Offset = DocGenOffset(firstId)
   override def deserializeOffset(json: String): Offset = DocGenOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   // legacy entry point (engines use the admission-control overload)
-  override def latestOffset(): Offset = DocGenOffset(rows)
+  override def latestOffset(): Offset = DocGenOffset(lastId)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[DocGenOffset].id
-    DocGenOffset(math.min(s + rowsPerBatch, rows))
+    val s = math.max(start.asInstanceOf[DocGenOffset].id, firstId)
+    DocGenOffset(math.min(s + batchCap(limit), lastId))
   }
-  override def reportLatestOffset(): Offset = DocGenOffset(rows)
+  override def reportLatestOffset(): Offset = DocGenOffset(lastId)
+
+  /** Row budget for one trigger, honoring the engine's admission
+    * control. A composite limit's tightest interpretable member wins.
+    */
+  private def batchCap(limit: ReadLimit): Long = limit match {
+    case r: streaming.ReadMaxRows => r.maxRows()
+    case _: streaming.ReadAllAvailable => Long.MaxValue - lastId // s + cap never overflows
+    case c: streaming.CompositeReadLimit =>
+      // only max-shaped members bound a batch (min-rows does not)
+      val caps = c.getReadLimits.collect { case r: streaming.ReadMaxRows => r.maxRows() }
+      if (caps.nonEmpty) caps.min else rowsPerBatch
+    case _ => rowsPerBatch // ReadMinRows etc.: no max semantics to apply
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[DocGenOffset].id
-    val hi = math.min(end.asInstanceOf[DocGenOffset].id, rows)
+    val lo = math.max(start.asInstanceOf[DocGenOffset].id, firstId)
+    val hi = math.min(end.asInstanceOf[DocGenOffset].id, lastId)
     val n = math.max(1L, hi - lo)
     val per = math.max(1L, (n + partitions - 1) / partitions)
     (0 until partitions).iterator

@@ -78,6 +78,46 @@ class DocGenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("micro-batch stream honors the pushed doc_id range") {
+    // pushFilters claims doc_id bounds as fully applied (non-residual),
+    // so the stream must clip to [lo,hi) itself — a leak here emits
+    // rows the filter promised to remove, with nothing re-checking them
+    val q = spark.readStream.format(classOf[DocGenSource].getName)
+      .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 300)
+      .load()
+      .filter(col("doc_id") >= 850 && col("doc_id") < 950)
+      .writeStream.format("memory").queryName("dgen_range").start()
+    try {
+      var prev = -1L; var cur = 0L
+      while (cur != prev) {
+        q.processAllAvailable()
+        prev = cur; cur = spark.table("dgen_range").count()
+      }
+      val ids = spark.table("dgen_range").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === (850L until 950L))
+    } finally q.stop()
+  }
+
+  test("admission control: the engine ReadLimit overrides rowsPerBatch") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{DocGenOffset, DocGenMicroBatchStream}
+    val s = new DocGenMicroBatchStream(1000L, 4, 250L, DocGen.Schema)
+    // trigger-level maxRows wins over the option
+    assert(s.latestOffset(DocGenOffset(0L), ReadLimit.maxRows(7L)) === DocGenOffset(7L))
+    // allAvailable admits the remainder
+    assert(s.latestOffset(DocGenOffset(40L), ReadLimit.allAvailable()) === DocGenOffset(1000L))
+    // composite: tightest max-shaped member
+    assert(s.latestOffset(DocGenOffset(0L),
+      ReadLimit.compositeLimit(Array(ReadLimit.minRows(1L, 0L), ReadLimit.maxRows(9L))))
+      === DocGenOffset(9L))
+    // uninterpretable (min-only) limit falls back to rowsPerBatch
+    assert(s.latestOffset(DocGenOffset(0L), ReadLimit.minRows(1L, 0L)) === DocGenOffset(250L))
+    // pushed range bounds both ends of the stream
+    val ranged = new DocGenMicroBatchStream(1000L, 4, 250L, DocGen.Schema, 300L, 600L)
+    assert(ranged.initialOffset() === DocGenOffset(300L))
+    assert(ranged.latestOffset(DocGenOffset(500L), ReadLimit.allAvailable()) === DocGenOffset(600L))
+  }
+
   test("micro-batch stream resumes from the committed offset after restart") {
     // memory sink can't recover a checkpoint — use the (fault-tolerant)
     // file sink and read the output directory back
