@@ -237,6 +237,12 @@ object SparkEntry {
     "g_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(mergedOf(s, dir), 3, broadcastRanks = true)),
 
+    // Bipartite co-occurrence projection: person pairs sharing >= 2
+    // distinct neighbors, hub dsts (fanout > 20) dropped before the
+    // quadratic pairing — the fanout cap is pinned operator semantics
+    "g_cooccurrence" -> ((s, dir) =>
+      GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2)),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1031,6 +1037,17 @@ object SparkEntry {
          |                  JOIN deg d ON m.src = d.src
          |    GROUP BY m.dst) i ON v.person_id = i.person_id)
          |SELECT person_id, pr AS pr_e9 FROM it3""".stripMargin,
+
+    "g_cooccurrence" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst))
+         |SELECT a.src AS person_a, b.src AS person_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2""".stripMargin,
 
     "t_pack_sequences" ->
       s"""WITH t AS (

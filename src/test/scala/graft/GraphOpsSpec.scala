@@ -154,4 +154,31 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(broadcastGot === ref)
   }
+
+  test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
+    // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
+    // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
+    val edges = Seq(
+      ("A", "x"), ("B", "x"),
+      ("A", "y"), ("B", "y"), ("C", "y"),
+      ("B", "z"), ("C", "z"),
+      ("A", "hub"), ("B", "hub"), ("C", "hub"), ("D", "hub"),
+      ("A", "x") // duplicate edge must not double-count
+    ).toDF("src", "dst")
+
+    // cap 3 drops hub: A-B share {x,y}=2, B-C share {y,z}=2, A-C share {y}=1
+    val got = GraphOps.coOccurrencePairs(edges, maxFanout = 3, minShared = 2)
+    assert(rowSet(got) === Set(Seq("A", "B", 2L), Seq("B", "C", 2L)))
+
+    // raising the cap admits hub: every pair gains one shared neighbor,
+    // and D (hub-only) now pairs with everyone at exactly 1
+    val all = GraphOps.coOccurrencePairs(edges, maxFanout = 10, minShared = 1)
+    assert(rowSet(all) === Set(
+      Seq("A", "B", 3L), Seq("B", "C", 3L), Seq("A", "C", 2L),
+      Seq("A", "D", 1L), Seq("B", "D", 1L), Seq("C", "D", 1L)))
+
+    // minShared filters after counting
+    assert(GraphOps.coOccurrencePairs(edges, maxFanout = 10, minShared = 4)
+      .count() === 0L)
+  }
 }
