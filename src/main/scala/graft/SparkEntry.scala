@@ -489,6 +489,16 @@ object SparkEntry {
     "e_sessions" -> ((s, dir) => EventOps.sessions(Tables.events(s, dir), 1800000L)),
     "e_latest_per_key" -> ((s, dir) => EventOps.latestPerKey(Tables.events(s, dir))),
 
+    // ordered conversion funnel, first-touch semantics
+    "e_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+
+    // first-order Markov transition counts per user stream
+    "e_transitions" -> ((s, dir) => EventOps.transitions(Tables.events(s, dir))),
+
+    // daily cohort retention counts (integer epoch-day periods)
+    "e_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
+
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
     "m_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
@@ -1279,6 +1289,42 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.t) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.t > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id AND e.t > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    "e_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM o WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "e_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS p FROM events),
+        |first AS (SELECT user_id, MIN(p) AS cohort_p FROM act GROUP BY 1)
+        |SELECT f.cohort_p, a.p - f.cohort_p AS period_offset, COUNT(*) AS n_users
+        |FROM act a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "j_range_window" ->
       """WITH c AS (

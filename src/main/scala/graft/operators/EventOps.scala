@@ -71,6 +71,80 @@ object EventOps {
       .select(col("user_id"), col("session_start_ms"), col("last_event_ms"), col("n_events"))
   }
 
+  /** Ordered conversion funnel with first-touch semantics: step k
+    * counts a user iff an event of `steps(k)` occurs strictly after
+    * the user's step-(k−1) reach time, where the reach time is the
+    * EARLIEST qualifying event (so later steps are measured against
+    * the first conversion, not any conversion — the standard product-
+    * analytics definition). Returns one row per step:
+    * `(step, event_type, n_users)`.
+    *
+    * Scale shape: one narrow type-filter + user-keyed min-agg per
+    * step, chained by an equi-join on `user_id`. The reached set only
+    * shrinks down the funnel, so every join after step 1 is
+    * candidate-sized, not corpus-sized; nothing is collected to the
+    * driver and each stage's shuffle carries (user_id, t) pairs only.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("t"))
+    var reached = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      val prev = reached.select(col("user_id"), col("t").as("prev_t"))
+      reached = e.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("t") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+      out = out.unionByName(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"), col("n_users")))
+    }
+    out
+  }
+
+  /** Event-to-event transition counts (the first-order Markov profile
+    * of user behavior): per user, events ordered by `(ts, event_id)`
+    * — event_id breaks timestamp ties deterministically — and each
+    * adjacent pair contributes one `(from_type, to_type)` count.
+    * One shuffle on `user_id` for the window, then an 8-byte-ish
+    * keyed count aggregate; event text/props never shuffle.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity period
+    * (`cohort_p` = `floor(epoch_ms / periodMs)` — daily by default;
+    * pure integer arithmetic both engines compute identically, no
+    * calendar semantics to disagree on), counted per period offset
+    * from that cohort. The `period_offset = 0` row is the cohort size.
+    *
+    * Scale shape: distinct (user, period) — the only corpus-sized
+    * shuffle, and it collapses each user's events to at most
+    * #periods rows — then a user-keyed min and a cohort-keyed count.
+    */
+  def retention(events: DataFrame, periodMs: Long = 86400000L): DataFrame = {
+    val act = events
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      // integer div, not `/`: keeps the period index exact Long math
+      .select(col("user_id"), expr(s"t div ${periodMs}L").as("p"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("p")).as("cohort_p"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_p"), (col("p") - col("cohort_p")).as("period_offset"))
+      // act is distinct per (user, period), so count(*) counts users
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Dedup-keep-latest per key (the reference's T3 stateful dedup,
     * batch form): latest event per (user_id, event_type), ties broken
     * by highest event_id.

@@ -59,4 +59,71 @@ class EventOpsSpec extends SparkSpec {
       Seq("u1", "view", 3L, 1500L),
       Seq("u2", "click", 4L, 1500L)))
   }
+
+  test("funnel: first-touch ordering — later steps only count after the first reach") {
+    val e = Seq(
+      // u1 converts in order: view@0 click@10 buy@20
+      (1L, "u1", "view", t(0L), 0.0),
+      (2L, "u1", "click", t(10L), 0.0),
+      (3L, "u1", "buy", t(20L), 0.0),
+      // u2 clicked BEFORE viewing; a later click converts
+      (4L, "u2", "click", t(5L), 0.0),
+      (5L, "u2", "view", t(10L), 0.0),
+      (6L, "u2", "click", t(15L), 0.0),
+      // u3 clicked only before its first view -> stops at step 1
+      (7L, "u3", "click", t(5L), 0.0),
+      (8L, "u3", "view", t(10L), 0.0),
+      // u4 never viewed -> not in the funnel at all
+      (9L, "u4", "buy", t(0L), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.funnel(e, Seq("view", "click", "buy"))
+    assert(rowSet(out) === Set(
+      Seq(1L, "view", 3L),   // u1, u2, u3
+      Seq(2L, "click", 2L),  // u1, u2 (u2's click@15 > view@10)
+      Seq(3L, "buy", 1L)))   // u1 only
+    // same-timestamp events do NOT convert (strictly-after semantics)
+    val tie = Seq(
+      (1L, "u1", "view", t(100L), 0.0),
+      (2L, "u1", "click", t(100L), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(rowSet(EventOps.funnel(tie, Seq("view", "click"))) ===
+      Set(Seq(1L, "view", 1L), Seq(2L, "click", 0L)))
+  }
+
+  test("transitions: adjacent pairs per user, event_id breaks ts ties") {
+    val e = Seq(
+      (1L, "u1", "a", t(0L), 0.0),
+      (2L, "u1", "b", t(10L), 0.0),
+      (3L, "u1", "a", t(20L), 0.0),
+      // u2: same ts -> order by event_id: c(4) then d(5)
+      (4L, "u2", "c", t(0L), 0.0),
+      (5L, "u2", "d", t(0L), 0.0),
+      // u3: single event -> no transition
+      (6L, "u3", "a", t(0L), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(rowSet(EventOps.transitions(e)) === Set(
+      Seq("a", "b", 1L), Seq("b", "a", 1L), Seq("c", "d", 1L)))
+  }
+
+  test("retention: cohort by first period, per-offset distinct user counts") {
+    // periodMs = 100 -> period index = ms div 100
+    val e = Seq(
+      // u1 first in period 0, active 0, 1 (twice), 3
+      (1L, "u1", "x", t(5L), 0.0),
+      (2L, "u1", "x", t(110L), 0.0),
+      (3L, "u1", "x", t(190L), 0.0),
+      (4L, "u1", "x", t(320L), 0.0),
+      // u2 first in period 0, active 0 only
+      (5L, "u2", "x", t(90L), 0.0),
+      // u3 first in period 1, active 1 + 2
+      (6L, "u3", "x", t(150L), 0.0),
+      (7L, "u3", "x", t(250L), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(rowSet(EventOps.retention(e, periodMs = 100L)) === Set(
+      Seq(0L, 0L, 2L), // u1, u2 in their cohort period
+      Seq(0L, 1L, 1L), // u1 (duplicate period-1 events count once)
+      Seq(0L, 3L, 1L), // u1 in period 3
+      Seq(1L, 0L, 1L), // u3
+      Seq(1L, 1L, 1L))) // u3 in period 2
+  }
 }
