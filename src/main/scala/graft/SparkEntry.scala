@@ -378,6 +378,21 @@ object SparkEntry {
       TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.Portable)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
+    // PII scrub over a synthesized contact corpus (the fixture text has
+    // no PII shapes, so the query derives one deterministically from
+    // customer — same construction in the oracle)
+    "t_pii_redact" -> ((s, dir) => {
+      val contact = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(
+          lit("Reach "), col("c_name"),
+          lit(" at user"), col("c_custkey").cast("string"), lit("@mail.example.org"),
+          lit(" or +1-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" (last ip 10.0."), (col("c_custkey") % 256).cast("string"), lit(".77)")
+        ).as("contact"))
+      TextOps.redactPii(contact, "contact")
+        .select(col("c_custkey"), col("contact_redacted"), col("n_redactions"))
+    }),
     "t_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_domain_quota" -> ((s, dir) =>
@@ -498,6 +513,27 @@ object SparkEntry {
 
     // daily cohort retention counts (integer epoch-day periods)
     "e_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
+
+    // fixed-width value histogram per event type (floor-bucketed; the
+    // double division is per-row IEEE-identical in both engines)
+    "e_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 5.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // exact sufficient statistics per event type: the variance/corr
+    // building blocks (n, Σx, Σx², min, max) as order-free BIGINTs —
+    // one map-side-combined aggregate, no doubles cross the engine
+    "agg_value_stats" -> ((s, dir) => {
+      val v2 = floor(col("value") * 100 + 0.5).cast("long")
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(v2).as("sum_e2"),
+          sum(v2 * v2).as("sumsq_e4"),
+          min(v2).as("min_e2"),
+          max(v2).as("max_e2"))
+    }),
 
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
     "m_decode_meta" -> ((s, dir) =>
@@ -852,6 +888,42 @@ object SparkEntry {
          |    ORDER BY alpha_ratio_e3 DESC, doc_id ASC) AS BIGINT) AS rn
          |  FROM q)
          |WHERE rn <= 3""".stripMargin,
+
+    "t_pii_redact" ->
+      """WITH contact AS (
+        |  SELECT c_custkey,
+        |         'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |         || '@mail.example.org or +1-555-'
+        |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |         || ' (last ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.77)'
+        |           AS contact
+        |  FROM customer),
+        |red AS (
+        |  SELECT c_custkey,
+        |         regexp_replace(regexp_replace(regexp_replace(contact,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |           '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS contact_redacted
+        |  FROM contact)
+        |SELECT c_custkey, contact_redacted,
+        |       CAST(len(regexp_extract_all(contact_redacted,
+        |            '<EMAIL>|<IP>|<PHONE>')) AS BIGINT) AS n_redactions
+        |FROM red""".stripMargin,
+
+    "e_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_value_stats" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS v2 FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(v2) AS BIGINT) AS sum_e2,
+        |       CAST(SUM(v2*v2) AS BIGINT) AS sumsq_e4,
+        |       MIN(v2) AS min_e2, MAX(v2) AS max_e2
+        |FROM v GROUP BY 1""".stripMargin,
 
     "t_domain_quota" ->
       s"""SELECT doc_id, source, rn FROM (

@@ -32,6 +32,38 @@ object TextOps {
       size(bpeTokens(col(textCol))).cast("long").as("n_bpe_tokens"),
       length(col(textCol)).cast("long").as("n_chars_m"))
 
+  /** PII scrubbing patterns, applied in order (email before phone so
+    * the local-part's digits can't half-match as a phone number; IP
+    * before phone so dotted quads don't). Patterns are written in the
+    * regex subset Java (Spark codegen) and RE2 (DuckDB, Go tooling)
+    * interpret identically — character classes and bounded repetition
+    * only, no lookaround, no backreferences — so the scrub is
+    * engine-portable and oracle-checkable.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact common PII shapes (emails, IPv4 addresses, phone-like
+    * digit runs) from `textCol`, appending `<textCol>_redacted` and an
+    * exact count of redactions made. A narrow codegen'd projection —
+    * the 100 TB shape for corpus scrubbing is "one pass, no shuffle",
+    * and this is that pass.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val red = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs
+      .withColumn(s"${textCol}_redacted", red)
+      // redaction count: tokens added minus tokens that were already
+      // there — cheaper proxy: count the sentinel markers in the output
+      .withColumn("n_redactions",
+        (size(regexp_extract_all(col(s"${textCol}_redacted"),
+          lit("<EMAIL>|<IP>|<PHONE>"), lit(0)))).cast("long"))
+  }
+
   private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
 
   /** Quality heuristics: token count, mean token length (×1000),

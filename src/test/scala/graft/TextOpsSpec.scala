@@ -20,6 +20,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.tokenCounts(df)) === Set(Seq(1L, 3L, 4L, 15L)))
   }
 
+  test("redactPii scrubs emails, IPs, phone-like runs; counts redactions") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co or call +1 (415) 555-0142 now"),
+      (2L, "server at 192.168.001.255 port 8080"),
+      (3L, "clean text, no pii at all"),
+      (4L, "two mails: a@b.io and c.d@e.org")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df).select(col("doc_id"), col("text_redacted"), col("n_redactions"))
+    assert(rowSet(out) === Set(
+      Seq(1L, "mail <EMAIL> or call <PHONE> now", 2L),
+      // port number is only 4 digits — not phone-shaped, survives
+      Seq(2L, "server at <IP> port 8080", 1L),
+      Seq(3L, "clean text, no pii at all", 0L),
+      Seq(4L, "two mails: <EMAIL> and <EMAIL>", 2L)))
+  }
+
   test("quality score: exact scaled ratios and keep flag") {
     val df = Seq((1L, "the the the the the")).toDF("doc_id", "text")
     // ntok=5 nchar=19 stop=5 alpha=15
