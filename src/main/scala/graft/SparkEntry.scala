@@ -432,6 +432,10 @@ object SparkEntry {
       Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable)),
     "d_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanStats(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
+    // exact-substring span removal: keep-first over non-overlapping
+    // 8-word blocks, reassembled retained text per doc
+    "d_span_removal" -> ((s, dir) =>
+      Dedup.spanRemoval(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
     // incremental-ingest dedup: every 10th doc plays the "new batch",
     // the rest the existing corpus
     "d_incremental" -> ((s, dir) => {
@@ -1039,6 +1043,32 @@ object SparkEntry {
          |            / count(*)) AS BIGINT) AS dup_frac_e3
          |FROM sh JOIN dfq USING (sh)
          |GROUP BY doc_id""".stripMargin,
+
+    "d_span_removal" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TOKS AS toks FROM documents WHERE len($TOKS) > 0),
+         |i AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range(0, (len(toks)-1)//8 + 1)) AS idx FROM t),
+         |b AS (
+         |  SELECT doc_id, idx,
+         |         array_to_string(toks[idx*8+1 : idx*8+8], ' ') AS block FROM i),
+         |hb AS (SELECT doc_id, idx, block, ${ph("block")} AS bh FROM b),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks
+         |        FROM hb GROUP BY 1),
+         |kept AS (
+         |  SELECT doc_id, idx, block FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY bh ORDER BY doc_id, idx) AS rn FROM hb)
+         |  WHERE rn = 1),
+         |ka AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(block, ' ' ORDER BY idx) AS retained_text
+         |  FROM kept GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_blocks,
+         |       COALESCE(ka.n_kept, 0) AS n_kept,
+         |       COALESCE(ka.retained_text, '') AS retained_text
+         |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $SHINGLES,

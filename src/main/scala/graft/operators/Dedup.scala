@@ -220,6 +220,58 @@ object Dedup {
         floor(col("n_dup") * 1000 / col("n_spans")).cast("long").as("dup_frac_e3"))
   }
 
+  /** Exact-substring span REMOVAL (keep-first): each document is cut
+    * into consecutive non-overlapping `n`-word blocks; a block
+    * instance survives iff it is the globally FIRST occurrence of its
+    * content (ordered by `(doc_id, idx)` — deterministic, and
+    * retry/rerun-stable). Returns per doc
+    * `(doc_id, n_blocks, n_kept, retained_text)` where `retained_text`
+    * is the surviving blocks re-joined in order — the
+    * remove-duplicated-substrings step of an exact-dedup training
+    * pipeline (vs [[dupSpanStats]], which only measures).
+    *
+    * Scale shape: the keep-first window ranks `(bh, doc_id, idx)` rows
+    * only — 24 bytes/block — so document text never rides the
+    * dedup shuffle; winners join back to the block stream by
+    * `(doc_id, idx)` (left-semi), and the final reassembly groups
+    * blocks of surviving docs once. Blocks are non-overlapping, so
+    * the blown-up intermediate is ≈ the corpus size, not n× it
+    * (shingles, by contrast, are n-overlapped).
+    */
+  def spanRemoval(
+      docs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nblk", expr(s"((size(toks) - 1) div $n) + 1"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, cast(nblk - 1 as long))")).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        expr(s"array_join(slice(toks, cast(idx * $n + 1 as int), $n), ' ')").as("block"))
+    val keyed = blocks.select(col("doc_id"), col("idx"), hash(col("block")).as("bh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bh")).orderBy(col("doc_id"), col("idx"))
+    val winners = keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("idx"))
+    val totals = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+    val kept = blocks.join(winners, Seq("doc_id", "idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("block")))),
+            x => x("block")), " ").as("retained_text"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("retained_text"), lit("")).as("retained_text"))
+  }
+
   /** Benchmark-contamination detection: corpus documents sharing at
     * least `minShared` distinct word-`n`-gram shingles with any probe
     * document (the eval/benchmark set). Returns

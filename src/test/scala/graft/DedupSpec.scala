@@ -128,6 +128,25 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
   }
 
+  test("spanRemoval: keep-first block dedup reassembles retained text") {
+    // n=2 blocks. doc 1: [a b][c d][a b] -> third block duplicates the
+    // first WITHIN the doc. doc 2 repeats doc 1's opening block and has
+    // a unique tail (odd token count -> short tail block survives).
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y z"),
+      (3L, "q r")).toDF("doc_id", "text")
+    val out = Dedup.spanRemoval(docs, n = 2)
+    assert(rowSet(out) === Set(
+      Seq(1L, 3L, 2L, "a b c d"),
+      Seq(2L, 3L, 2L, "x y z"),
+      Seq(3L, 1L, 1L, "q r")))
+    // a doc whose every block occurred earlier keeps nothing
+    val all = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(rowSet(Dedup.spanRemoval(all, n = 2)) ===
+      Set(Seq(1L, 1L, 1L, "a b"), Seq(2L, 1L, 0L, "")))
+  }
+
   test("contamination: shared-shingle floor against a probe set") {
     val corpus = Seq(
       (1L, "p q r s t"), // shares {p q r, q r s} with probe 10 -> 2
