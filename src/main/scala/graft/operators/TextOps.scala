@@ -178,14 +178,23 @@ object TextOps {
       textCol: String = "text",
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     require(trainPermille + valPermille <= 1000)
-    val bucket = pmod(hash(col(textCol)), lit(1000L))
-    docs.select(
-      col("doc_id"),
-      bucket.as("bucket"),
-      when(bucket < trainPermille, "train")
-        .when(bucket < trainPermille + valPermille, "val")
-        .otherwise("test").as("split"))
+    splitFromBucket(
+      docs.select(col("doc_id"), pmod(hash(col(textCol)), lit(1000L)).as("bucket")),
+      trainPermille, valPermille)
   }
+
+  /** Split assignment from an already-computed permille bucket —
+    * shared by [[hashSplit]] and callers that carry the content hash
+    * forward instead of re-scanning the corpus.
+    */
+  private[graft] def splitFromBucket(
+      df: DataFrame, trainPermille: Int, valPermille: Int): DataFrame =
+    df.select(
+      col("doc_id"),
+      col("bucket"),
+      when(col("bucket") < trainPermille, "train")
+        .when(col("bucket") < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
 
   /** Curation top-k: the `k` highest-quality documents per group
     * (e.g. per language × source) — quality-score ranking with a
@@ -223,14 +232,20 @@ object TextOps {
       groupCol: String = "source",
       k: Int = 10,
       textCol: String = "text",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      keepKey: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("hkey").asc, col("doc_id").asc)
-    docs.select(col("doc_id"), col(groupCol), hash(col(textCol)).as("hkey"))
+    val ranked = docs
+      .select(col("doc_id"), col(groupCol), hash(col(textCol)).as("hkey"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .select(col("doc_id"), col(groupCol), col("rn"))
+    // keepKey exposes the already-computed content hash so downstream
+    // stages (e.g. the split assignment in Curation) can derive their
+    // buckets without re-scanning and re-hashing the corpus
+    if (keepKey) ranked.select(col("doc_id"), col(groupCol), col("rn"), col("hkey"))
+    else ranked.select(col("doc_id"), col(groupCol), col("rn"))
   }
 
   /** Corpus vocabulary top-k: the `k` most frequent whitespace tokens

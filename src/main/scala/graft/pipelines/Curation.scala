@@ -95,19 +95,21 @@ object Curation {
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
     val survivors = exact.join(canon, Seq("doc_id"), "left_semi")
     // 3b. per-group quota (corpus mixing): cap each group's surviving
-    // contribution with the deterministic hash-ordered sample
-    val mixed = quota match {
+    // contribution with the deterministic hash-ordered sample. The
+    // quota window already hashes every surviving document's text, and
+    // the split bucket is a function of that same hash — so the split
+    // derives from the quota output directly (one corpus pass), rather
+    // than semi-joining the source and re-hashing (measured ~1s of the
+    // quota chain at sf0.1 was exactly that extra pass).
+    quota match {
       case Some((gcol, k)) =>
-        val kept = TextOps.domainQuota(survivors, gcol, k, hash = hash)
-          .select(col("doc_id"))
-        // kept ⊆ survivors' ids, so one semi-join of the SOURCE against
-        // the quota ids is row-identical to survivors ⋈ kept — and skips
-        // re-executing the survivors join chain a second time as the
-        // left side (measured: the quota stage's main overhead)
-        docs.join(kept, Seq("doc_id"), "left_semi")
-      case None => survivors
+        val kept = TextOps.domainQuota(survivors, gcol, k, hash = hash, keepKey = true)
+        TextOps.splitFromBucket(
+          kept.select(col("doc_id"), pmod(col("hkey"), lit(1000L)).as("bucket")),
+          trainPermille, valPermille)
+      case None =>
+        // 4. deterministic content-hash split
+        TextOps.hashSplit(survivors, trainPermille, valPermille, hash = hash)
     }
-    // 4. deterministic content-hash split
-    TextOps.hashSplit(mixed, trainPermille, valPermille, hash = hash)
   }
 }
