@@ -648,6 +648,34 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // full grouping-sets lattice (CUBE) — rollup's sibling; Spark
+    // expands both into one Expand + single aggregate, no per-set scans
+    "agg_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // mergeable aggregate state (the additive twin of J3's max-merge):
+    // partial (n, sum) states from two corpus halves merged by key —
+    // the incremental-view-maintenance primitive for count/sum/avg
+    "agg_state_merge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def state(df: DataFrame) = df.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("s"))
+      val old = state(li.filter(col("l_orderkey") % 2 === 0))
+      val nw = state(li.filter(col("l_orderkey") % 2 =!= 0))
+      old.select(col("l_suppkey"), col("n"), col("s"))
+        .join(nw.select(col("l_suppkey"), col("n").as("n2"), col("s").as("s2")),
+          Seq("l_suppkey"), "full_outer")
+        .select(
+          col("l_suppkey"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("s2"), lit(0L))).as("s"))
+    }),
+
     // -- JSON property extraction (F6) from the events props column
     "e_props_json" -> ((s, dir) => {
       Tables.events(s, dir).select(
@@ -1492,6 +1520,26 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_state_merge" ->
+      """WITH old AS (
+        |  SELECT l_suppkey, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |nw AS (
+        |  SELECT l_suppkey, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem WHERE l_orderkey % 2 <> 0 GROUP BY 1)
+        |SELECT COALESCE(old.l_suppkey, nw.l_suppkey) AS l_suppkey,
+        |       COALESCE(old.n, 0) + COALESCE(nw.n, 0) AS n,
+        |       COALESCE(old.s, 0) + COALESCE(nw.s, 0) AS s
+        |FROM old FULL OUTER JOIN nw ON old.l_suppkey = nw.l_suppkey""".stripMargin,
 
     "e_props_json" ->
       """SELECT event_id,

@@ -1,7 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Buffered event awaiting watermark finalization (streaming
+  * transitions state). Microsecond timestamps: the batch twin orders
+  * by the full-precision `ts` column, so a millisecond-truncated
+  * buffer would order same-ms events differently. Top-level: Spark
+  * encoders cannot resolve spec/object-nested case classes from
+  * executor deserializers.
+  */
+final case class BufferedEv(tsUs: Long, eventId: Long, eventType: String)
+
+/** Per-user transitions state: the last finalized event type + the
+  * not-yet-finalized buffer.
+  */
+final case class TransState(lastType: Option[String], buf: List[BufferedEv])
+
+/** One emitted transition instance (aggregate downstream for counts). */
+final case class TransitionRow(
+    user_id: String, from_type: String, to_type: String, at_us: Long)
 
 /** Structured Streaming forms of the event-time operators (SURVEY §2.9
   * — the true-streaming generalization of the reference's hand-rolled
@@ -66,6 +85,62 @@ object EventStreams {
     */
   def dedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming form of [[graft.operators.EventOps.transitions]]:
+    * per-user adjacent event pairs in event-time order, emitted
+    * exactly once. The hard part a batch window gets for free is
+    * ORDER under out-of-order arrival — solved here by buffering
+    * events in the state store and finalizing only those older than
+    * the watermark (nothing that could still precede them can
+    * arrive); `event_id` breaks timestamp ties, matching the batch
+    * twin. An event-time timeout drains each user's buffer as the
+    * watermark advances even if that user never speaks again.
+    *
+    * State per user = last finalized type + the in-flight buffer,
+    * bounded by the watermark delay × per-user event rate. Late
+    * events (below the watermark at arrival) are dropped — the same
+    * rows a `withWatermark` aggregation would discard.
+    */
+  def transitions(events: DataFrame, delay: String): Dataset[TransitionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(
+        col("user_id").cast("string").as("_1"),
+        col("event_type").as("_2"),
+        unix_micros(col("ts")).as("_3"),
+        col("event_id").as("_4"),
+        // the watermarked attribute itself must reach the stateful
+        // operator (the unsupported-op checker verifies it), even
+        // though the lambda reads the micros projection
+        col("ts").as("_5"))
+      .as[(String, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[TransState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(TransState(None, Nil))
+          // admit on-time arrivals; drop sub-watermark stragglers
+          val incoming = rows.map(r => BufferedEv(r._3, r._4, r._2))
+            .filter(_.tsUs >= wmUs).toList
+          val (ready, pending) = (st.buf ++ incoming).partition(_.tsUs < wmUs)
+          val ordered = ready.sortBy(e => (e.tsUs, e.eventId))
+          val emitted = List.newBuilder[TransitionRow]
+          var last = st.lastType
+          for (e <- ordered) {
+            last.foreach(f => emitted += TransitionRow(uid, f, e.eventType, e.tsUs))
+            last = Some(e.eventType)
+          }
+          state.update(TransState(last, pending))
+          // wake this user when the watermark passes its oldest
+          // buffered event, so buffers drain without new arrivals
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
+          emitted.result().iterator
+      }
+  }
 
   /** Stream-stream interval join: each left event pairs with right
     * events of the same user within `[l.ts, l.ts + horizon]`. Both

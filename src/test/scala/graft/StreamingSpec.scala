@@ -114,6 +114,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitions stream: watermark-ordered emission under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.transitions(in.toDF(), delay = "10 seconds")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1's first two events arrive OUT of order within one batch;
+      // nothing is emitted yet (all above the initial watermark)
+      in.addData(
+        Ev(1, "u1", "b", t(20), 0), Ev(2, "u1", "a", t(5), 0),
+        Ev(3, "u1", "c", t(40), 0))
+      q.processAllAvailable()
+      // watermark -> 30s: a@5 and b@20 finalize IN EVENT-TIME ORDER
+      in.addData(Ev(4, "u2", "x", t(100), 0))
+      q.processAllAvailable()
+      // watermark -> 190s: the timeout drains c@40 with no new u1 data
+      in.addData(Ev(5, "u3", "x", t(200), 0))
+      q.processAllAvailable()
+      // a late u1 event far below the watermark is dropped entirely
+      in.addData(Ev(6, "u1", "late", t(15), 0))
+      q.processAllAvailable()
+      val rows = spark.table("trans_out")
+        .as[(String, String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("u1", "a", "b", 20000000L),
+        ("u1", "b", "c", 40000000L)))
+    } finally q.stop()
+  }
+
+  test("transitions stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.transitions(in.toDF(), delay = "10 seconds")
+      .writeStream.format("memory").queryName("trans_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // far-future sentinel on an unused user advances the watermark so
+      // every real user's buffer drains via its event-time timeout; the
+      // sentinel user has one event, so it contributes no transitions
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("trans_fixture")
+        .groupBy($"from_type", $"to_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+      val batch = rowSet(graft.operators.EventOps.transitions(evs.toSeq.toDF()))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session stream: gap merge inside the state store") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
