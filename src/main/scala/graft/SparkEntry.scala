@@ -539,6 +539,15 @@ object SparkEntry {
           max(v2).as("max_e2"))
     }),
 
+    // Z-order (Morton) code for 2-D layout clustering — the data-
+    // skipping key behind Layout.zOrder; closed-form bit spreading,
+    // exactly reproducible cross-engine
+    "e_zorder" -> ((s, dir) => {
+      val x = pmod(col("user_id"), lit(65536L))
+      val y = pmod(floor(col("value") * 100 + 0.5).cast("long"), lit(65536L))
+      Tables.events(s, dir).select(col("event_id"), graft.operators.Layout.zValue(x, y))
+    }),
+
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
     "m_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.withPayload(Tables.documents(s, dir)))),
@@ -941,6 +950,22 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(contact_redacted,
         |            '<EMAIL>|<IP>|<PHONE>')) AS BIGINT) AS n_redactions
         |FROM red""".stripMargin,
+
+    "e_zorder" ->
+      """WITH b0 AS (
+        |  SELECT event_id,
+        |         CAST(user_id % 65536 AS BIGINT) AS x,
+        |         CAST(CAST(floor(value*100 + 0.5) AS BIGINT) % 65536 AS BIGINT) AS y
+        |  FROM events),
+        |b1 AS (SELECT event_id, ((x | (x<<8)) & 16711935) AS x,
+        |              ((y | (y<<8)) & 16711935) AS y FROM b0),
+        |b2 AS (SELECT event_id, ((x | (x<<4)) & 252645135) AS x,
+        |              ((y | (y<<4)) & 252645135) AS y FROM b1),
+        |b3 AS (SELECT event_id, ((x | (x<<2)) & 858993459) AS x,
+        |              ((y | (y<<2)) & 858993459) AS y FROM b2),
+        |b4 AS (SELECT event_id, ((x | (x<<1)) & 1431655765) AS x,
+        |              ((y | (y<<1)) & 1431655765) AS y FROM b3)
+        |SELECT event_id, (x | (y << 1)) AS zval FROM b4""".stripMargin,
 
     "e_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
