@@ -436,6 +436,13 @@ object SparkEntry {
     // 8-word blocks, reassembled retained text per doc
     "d_span_removal" -> ((s, dir) =>
       Dedup.spanRemoval(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
+    // edit-distance near-dup join over customer names, blocked on the
+    // digit prefix single edits cannot cross for in-range keys
+    "d_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("doc_id"), col("c_name")),
+        "c_name", substring(col("c_name"), 10, 6), maxDist = 1)),
     // incremental-ingest dedup: every 10th doc plays the "new batch",
     // the rest the existing corpus
     "d_incremental" -> ((s, dir) => {
@@ -546,6 +553,26 @@ object SparkEntry {
       val x = pmod(col("user_id"), lit(65536L))
       val y = pmod(floor(col("value") * 100 + 0.5).cast("long"), lit(65536L))
       Tables.events(s, dir).select(col("event_id"), graft.operators.Layout.zValue(x, y))
+    }),
+
+    // Per-type z-score outliers in pure integer arithmetic: flag
+    // events with (x−μ)² > k²·(E[x²]−μ²) at k=3, on cent-quantized
+    // values with floor-divided moments — no doubles cross the engine
+    // and no overflow (all terms ≤ ~1e9). One grouped aggregate
+    // broadcast back over one narrow pass.
+    "e_outliers" -> ((s, dir) => {
+      val v2 = floor(col("value") * 100 + 0.5).cast("long")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), v2.as("v2"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v2")).as("s"),
+          sum(col("v2") * col("v2")).as("sq"))
+        .select(col("event_type"),
+          expr("s div n").as("mu"),
+          expr("sq div n").as("msq"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter((col("v2") - col("mu")) * (col("v2") - col("mu")) >
+          lit(9L) * (col("msq") - col("mu") * col("mu")))
+        .select(col("event_id"), col("event_type"), col("v2"), col("mu"))
     }),
 
     // -- multimodal (mapPartitions decode plumbing vs SQL-expressible oracle)
@@ -967,6 +994,19 @@ object SparkEntry {
         |              ((y | (y<<1)) & 1431655765) AS y FROM b3)
         |SELECT event_id, (x | (y << 1)) AS zval FROM b4""".stripMargin,
 
+    "e_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS v2 FROM events),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(SUM(v2) // COUNT(*) AS BIGINT) AS mu,
+        |         CAST(SUM(v2*v2) // COUNT(*) AS BIGINT) AS msq
+        |  FROM v GROUP BY 1)
+        |SELECT event_id, v.event_type, v2, mu
+        |FROM v JOIN st ON v.event_type = st.event_type
+        |WHERE (v2 - mu)*(v2 - mu) > 9*(msq - mu*mu)""".stripMargin,
+
     "e_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
         |       COUNT(*) AS n
@@ -1122,6 +1162,16 @@ object SparkEntry {
          |       COALESCE(ka.n_kept, 0) AS n_kept,
          |       COALESCE(ka.retained_text, '') AS retained_text
          |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin,
+
+    "d_edit_pairs" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id, c_name AS s,
+        |         substring(c_name, 10, 6) AS blk FROM customer),
+        |ok AS (SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= 10000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM k a JOIN ok USING (blk) JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $SHINGLES,

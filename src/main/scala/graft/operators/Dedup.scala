@@ -272,6 +272,45 @@ object Dedup {
         coalesce(col("retained_text"), lit("")).as("retained_text"))
   }
 
+  /** Blocked edit-distance near-dup join: pairs of rows whose
+    * `strCol` values are within Levenshtein distance `maxDist`,
+    * restricted to pairs sharing the caller-supplied blocking key
+    * (`block`) — names/titles/short-identifier near-dup matching,
+    * the string sibling of the shingle-blocked Jaccard join.
+    *
+    * The block is PINNED semantics (the oracle applies it too), not a
+    * silent approximation: the caller chooses a key that provably
+    * covers the distance-`maxDist` pairs for their domain (e.g. a
+    * prefix that edits can't reach). `maxBucket` drops oversized
+    * blocks before the quadratic pairing — the [[dfCap]] skew guard.
+    *
+    * Scale shape: one count-agg + join to cap blocks, one shuffle on
+    * the block key for the self-join; each row carries one block key,
+    * so a pair occurs in exactly one bucket (no post-distinct); the
+    * O(len²) verify runs codegen'd on candidate pairs only.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      strCol: String,
+      block: Column,
+      maxDist: Int = 1,
+      maxBucket: Int = 10000,
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(strCol).as("s"), block.as("blk"))
+    val ok = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select(col("blk"))
+    // materialized once: the l/r self-join branches would otherwise
+    // re-execute the cap aggregation twice
+    val capped = keyed.join(ok, Seq("blk")).localCheckpoint()
+    val l = capped.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+    val r = capped.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Benchmark-contamination detection: corpus documents sharing at
     * least `minShared` distinct word-`n`-gram shingles with any probe
     * document (the eval/benchmark set). Returns

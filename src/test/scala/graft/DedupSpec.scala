@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L, 1L, "a b"), Seq(2L, 1L, 0L, "")))
   }
 
+  test("editDistancePairs: blocked candidates, verified distance, bucket cap") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val rows = Seq(
+      (1L, "alpha-001"), (2L, "alpha-002"), (3L, "alpha-zzz"),
+      (4L, "beta-001"), (5L, "beta-011")
+    ).toDF("doc_id", "name")
+    val blk = substring(col("name"), 1, 5)
+    // within-block verified pairs only; cross-block near-misses
+    // ("alpha-001" vs "beta-001") are out of scope by pinned semantics
+    assert(rowSet(Dedup.editDistancePairs(rows, "name", blk, maxDist = 1)) ===
+      Set(Seq(1L, 2L, 1L), Seq(4L, 5L, 1L)))
+    // distance 3 pair admitted when the threshold rises
+    assert(rowSet(Dedup.editDistancePairs(rows, "name", blk, maxDist = 3)) ===
+      Set(Seq(1L, 2L, 1L), Seq(1L, 3L, 3L), Seq(2L, 3L, 3L), Seq(4L, 5L, 1L)))
+    // bucket cap drops the oversized alpha block before pairing
+    assert(rowSet(Dedup.editDistancePairs(rows, "name", blk, maxDist = 1,
+      maxBucket = 2)) === Set(Seq(4L, 5L, 1L)))
+  }
+
   test("contamination: shared-shingle floor against a probe set") {
     val corpus = Seq(
       (1L, "p q r s t"), // shares {p q r, q r s} with probe 10 -> 2
