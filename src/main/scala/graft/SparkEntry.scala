@@ -436,13 +436,21 @@ object SparkEntry {
     // 8-word blocks, reassembled retained text per doc
     "d_span_removal" -> ((s, dir) =>
       Dedup.spanRemoval(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
-    // edit-distance near-dup join over customer names, blocked on the
-    // digit prefix single edits cannot cross for in-range keys
+    // general edit-distance join, pinned scope = pairs sharing the
+    // 7-digit key prefix (edits beyond it are out of scope by
+    // contract); the finer block keeps in-bucket pairing linear-ish
     "d_edit_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(
         Tables.customer(s, dir)
           .select(col("c_custkey").as("doc_id"), col("c_name")),
-        "c_name", substring(col("c_name"), 10, 6), maxDist = 1)),
+        "c_name", substring(col("c_name"), 10, 7), maxDist = 1)),
+    // exact single-substitution pairs over the full name corpus —
+    // interleaved-class pigeonhole, no caller block, no hot bucket
+    "d_hamming_pairs" -> ((s, dir) =>
+      Dedup.hammingNearDupPairs(
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("doc_id"), col("c_name")),
+        "c_name", maxSubs = 1)),
     // incremental-ingest dedup: every 10th doc plays the "new batch",
     // the rest the existing corpus
     "d_incremental" -> ((s, dir) => {
@@ -1166,12 +1174,33 @@ object SparkEntry {
     "d_edit_pairs" ->
       """WITH k AS (
         |  SELECT c_custkey AS id, c_name AS s,
-        |         substring(c_name, 10, 6) AS blk FROM customer),
+        |         substring(c_name, 10, 7) AS blk FROM customer),
         |ok AS (SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= 10000)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM k a JOIN ok USING (blk) JOIN k b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+
+    "d_hamming_pairs" ->
+      """WITH k AS (
+        |  SELECT c_custkey AS id, c_name AS s, length(c_name) AS len
+        |  FROM customer),
+        |cls AS (
+        |  SELECT id, s, len, r,
+        |         array_to_string(list_transform(
+        |           list_filter(range(1, len+1), i -> i % 2 = r),
+        |           i -> s[i:i]), '') AS v
+        |  FROM k CROSS JOIN (SELECT unnest(range(0, 2)) AS r)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM cls a JOIN cls b
+        |    ON a.len = b.len AND a.r = b.r AND a.v = b.v AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |       CAST(len(list_filter(range(1, length(s_a)+1),
+        |            i -> s_a[i:i] != s_b[i:i])) AS BIGINT) AS n_subs
+        |FROM cand
+        |WHERE len(list_filter(range(1, length(s_a)+1),
+        |      i -> s_a[i:i] != s_b[i:i])) <= 1""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $SHINGLES,

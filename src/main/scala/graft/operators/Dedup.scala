@@ -311,6 +311,112 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Exact Hamming near-dup join over equal-length strings: pairs
+    * within `maxSubs` substitutions, found by INTERLEAVED-class
+    * pigeonhole blocking — characters at positions `p ≡ r (mod k)`,
+    * `k = maxSubs + 1`, form class `r`; at most `maxSubs` edited
+    * positions can touch at most `maxSubs` classes, so every true
+    * pair agrees exactly on ≥ 1 class and is found by a self-join on
+    * `(len, class_idx, class_value)`. Interleaving is the point:
+    * template-shaped identifiers (constant prefixes) put their
+    * entropy in every class, where a prefix/segment split would make
+    * the constant segment one quadratic hot bucket (measured: the
+    * segment-blocked Levenshtein form of this query took 15s at
+    * sf0.1; this shape runs in ~1s).
+    *
+    * `maxBucket` caps residual hot classes (corpus-constant class
+    * values) — pinned, oracle-applied semantics like [[dfCap]].
+    * Verification computes the exact substitution count per distinct
+    * candidate pair.
+    */
+  def hammingNearDupPairs(
+      docs: DataFrame,
+      strCol: String,
+      maxSubs: Int = 1,
+      idCol: String = "doc_id",
+      maxBucket: Int = 100000): DataFrame =
+    if (maxSubs == 1) maskIndexPairs(docs, strCol, idCol, maxBucket)
+    else classPigeonholePairs(docs, strCol, maxSubs, idCol, maxBucket)
+
+  /** `maxSubs = 1` fast path: a substitution-neighborhood index (the
+    * SymSpell/deletion-neighborhood idea, specialized to equal-length
+    * substitutions). Each string indexes `len` variants with one
+    * position masked out; two strings are at Hamming ≤ 1 iff they
+    * share a masked variant (mask at the differing position — or at
+    * every position for exact duplicates). Candidates are therefore
+    * EXACTLY the result set (plus the multi-collision of dist-0
+    * pairs, removed by the final distinct): no edit-distance verify
+    * runs at all. Measured at sf0.1 this beats class-pigeonhole +
+    * banded-Levenshtein verify 3-4× — the verify over ~2M
+    * mostly-false class collisions was the whole cost.
+    *
+    * The trade is a `len`× key explosion, which is the right one for
+    * short identifier/title strings; for long strings prefer the
+    * class path (k keys/row regardless of length).
+    */
+  private def maskIndexPairs(
+      docs: DataFrame, strCol: String, idCol: String, maxBucket: Int): DataFrame = {
+    val masked = docs
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), length(col("s")).as("len"),
+        explode(expr(
+          """transform(sequence(1, length(s)), p -> struct(p as pos,
+            |concat(substring(s, 1, p-1), char(0), substring(s, p+1, length(s)-p)) as mv))""".stripMargin)).as("m"))
+      .select(col("id"), col("s"), col("len"),
+        col("m.pos").as("pos"), col("m.mv").as("mv"))
+    val ok = masked.groupBy(col("len"), col("pos"), col("mv"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("len"), col("pos"), col("mv"))
+    val capped = masked.join(ok, Seq("len", "pos", "mv")).localCheckpoint()
+    val l = capped.select(col("len"), col("pos"), col("mv"),
+      col("id").as("id_a"), col("s").as("s_a"))
+    val r = capped.select(col("len"), col("pos"), col("mv"),
+      col("id").as("id_b"), col("s").as("s_b"))
+    l.join(r, Seq("len", "pos", "mv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("s_a") === col("s_b"), 0L).otherwise(1L).as("n_subs"))
+      .distinct()
+  }
+
+  /** `maxSubs ≥ 2` path: interleaved-class pigeonhole candidates with
+    * an exact positional verify (see [[hammingNearDupPairs]] docs).
+    */
+  private def classPigeonholePairs(
+      docs: DataFrame, strCol: String, maxSubs: Int,
+      idCol: String, maxBucket: Int): DataFrame = {
+    val k = maxSubs + 1
+    val keyed = docs
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), length(col("s")).as("len"),
+        explode(expr(
+          s"""transform(sequence(0, ${k - 1}), r -> struct(r as cls_r,
+             |array_join(transform(filter(sequence(1, length(s)), i -> i % $k = r),
+             |i -> substring(s, i, 1)), '') as cls_v))""".stripMargin)).as("c"))
+      .select(col("id"), col("s"), col("len"),
+        col("c.cls_r").as("cls_r"), col("c.cls_v").as("cls_v"))
+    val ok = keyed.groupBy(col("len"), col("cls_r"), col("cls_v"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("len"), col("cls_r"), col("cls_v"))
+    // materialized once for the self-join (same reason as the banded
+    // LSH joins: both branches would re-run the class generator)
+    val capped = keyed.join(ok, Seq("len", "cls_r", "cls_v")).localCheckpoint()
+    val l = capped.select(col("len"), col("cls_r"), col("cls_v"),
+      col("id").as("id_a"), col("s").as("s_a"))
+    val r = capped.select(col("len"), col("cls_r"), col("cls_v"),
+      col("id").as("id_b"), col("s").as("s_b"))
+    l.join(r, Seq("len", "cls_r", "cls_v"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_subs", expr(
+        "size(filter(sequence(1, length(s_a)), i -> substring(s_a, i, 1) != substring(s_b, i, 1)))")
+        .cast("long"))
+      .filter(col("n_subs") <= maxSubs)
+      .select(col("id_a"), col("id_b"), col("n_subs"))
+      .distinct()
+  }
+
   /** Benchmark-contamination detection: corpus documents sharing at
     * least `minShared` distinct word-`n`-gram shingles with any probe
     * document (the eval/benchmark set). Returns

@@ -166,6 +166,28 @@ class DedupSpec extends SparkSpec {
       maxBucket = 2)) === Set(Seq(4L, 5L, 1L)))
   }
 
+  test("hammingNearDupPairs: interleaved-class pigeonhole finds all substitution pairs") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "prefix-001"), // 1<->2 differ at one even position
+      (2L, "prefix-002"), // 2<->3 differ at one odd position
+      (3L, "prefix-092"),
+      (4L, "prefix-xyz"), // 3 subs from everyone
+      (5L, "short")       // different length: never pairs
+    ).toDF("doc_id", "name")
+    val got = Dedup.hammingNearDupPairs(rows, "name", maxSubs = 1)
+    assert(rowSet(got) === Set(Seq(1L, 2L, 1L), Seq(2L, 3L, 1L)))
+    // maxSubs=2: 1<->3 (two subs) appears; both its classes are edited
+    // so it needs the k=3 class split to collide
+    val got2 = Dedup.hammingNearDupPairs(rows, "name", maxSubs = 2)
+    assert(rowSet(got2) === Set(
+      Seq(1L, 2L, 1L), Seq(2L, 3L, 1L), Seq(1L, 3L, 2L)))
+    // identical strings pair at 0 substitutions
+    val dup = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "name")
+    assert(rowSet(Dedup.hammingNearDupPairs(dup, "name", maxSubs = 1)) ===
+      Set(Seq(1L, 2L, 0L)))
+  }
+
   test("contamination: shared-shingle floor against a probe set") {
     val corpus = Seq(
       (1L, "p q r s t"), // shares {p q r, q r s} with probe 10 -> 2
