@@ -211,4 +211,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text")),
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("PII redaction is a pure narrow projection (no exchange)") {
+    val r = graft.operators.TextOps.redactPii(Tables.documents(spark, sfDir))
+    val plan = formatted(r)
+    assert(!plan.contains("Exchange"), s"redaction planned a shuffle:\n$plan")
+  }
+
+  test("z-value is a narrow projection; zOrder plans exactly one range exchange") {
+    import graft.operators.Layout
+    val ev = Tables.events(spark, sfDir)
+    val zv = ev.select(col("event_id"), Layout.zValue(col("user_id"), col("user_id")))
+    assert(!formatted(zv).contains("Exchange"),
+      s"z-value projection planned a shuffle:\n${formatted(zv)}")
+    val zo = Layout.zOrder(ev, "user_id", "event_id", 8)
+    val plan = formatted(zo)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size === 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected exactly one range exchange:\n${exchanges.mkString("\n")}")
+    // the clustering sort is in-partition (global=false in the Sort node)
+    val sortLine = plan.linesIterator.find(_.contains("Sort [zval")).getOrElse("")
+    assert(sortLine.contains("], false, 0"),
+      s"expected an in-partition (non-global) sort:\n$sortLine")
+  }
+
+  test("span removal ranks winners without shuffling block text") {
+    val d = Dedup.spanRemoval(Tables.documents(spark, sfDir), 8)
+    val plan = formatted(d)
+    // the keep-first window's exchange partitions on the block hash
+    // (bh) and must not carry the block string
+    val winExchange = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(bh")).toSeq
+    assert(winExchange.nonEmpty, s"no bh-keyed exchange found:\n$plan")
+    assert(!winExchange.exists(_.contains("block")),
+      s"block text crossed the ranking shuffle:\n${winExchange.mkString("\n")}")
+  }
+
+  test("funnel step joins stay on (user_id, t) pairs — no event payload shuffles") {
+    val f = graft.operators.EventOps.funnel(
+      Tables.events(spark, sfDir), Seq("view", "click", "purchase"))
+    val plan = formatted(f)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.contains("props") || e.contains("value")),
+      s"event payload crossed a funnel shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
