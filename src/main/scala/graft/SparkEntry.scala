@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{AsofJoin, Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, BloomJoin, Dedup, EventOps, GraphOps, Multimodal, Similarity, TextOps}
 import graft.sinks.Rdf
 import graft.sources.Tables
 
@@ -353,6 +353,30 @@ object SparkEntry {
           sum(e2(col("o_totalprice"))).as("total_cents"))
     }),
 
+    // Bloom-pruned big–big semi/anti join: the bloom bitset prunes the
+    // probe side BEFORE the join shuffle; the exact verifying join
+    // removes false positives, so semantics are exactly IN / NOT IN —
+    // which is what the oracle pins. mBits is sized ~10 bits/key at
+    // sf0.01 (fpp < 1%); at 100 TB the same 1-row bitset broadcasts
+    // where the key set itself could not.
+    "b_bloom_semi" -> ((s, dir) =>
+      BloomJoin.bloomSemiJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("l_orderkey")),
+        "l_orderkey", mBits = 1 << 18, k = 5)),
+
+    "b_bloom_anti" -> ((s, dir) =>
+      BloomJoin.bloomAntiJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey").as("l_orderkey")),
+        "l_orderkey", mBits = 1 << 20, k = 5)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("sum_qty"))),
+
     // HLL sketch: approx distinct (no cross-engine oracle — Spark's
     // HLL++ and DuckDB's HLL differ by construction; driver records the
     // weaker rows-only check). Exactness bound spec'd in ApproxSpec.
@@ -408,6 +432,19 @@ object SparkEntry {
         Seq("en" -> 500, "zh" -> 250), 800, hash = Hashing.Portable)),
     "t_length_quartiles" -> ((s, dir) =>
       TextOps.lengthQuartiles(Tables.documents(s, dir))),
+    // quality-weighted deterministic sampling (weight = doc length here:
+    // longer docs proportionally likelier to win a slot)
+    "t_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(Tables.documents(s, dir),
+        length(col("text")).cast("long"), "source", 10, hash = Hashing.Portable)),
+    // compaction planning over a (dir, file, size) listing — documents
+    // stand in for the file metadata table (source=dir, doc=file,
+    // text length=bytes)
+    "l_compaction_bins" -> ((s, dir) =>
+      graft.operators.Layout.compactionBins(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), length(col("text")).as("sz")),
+        "source", "doc_id", "sz", 4096L)),
     // decontamination join: probes = every 50th doc as a stand-in
     // benchmark set; self-pairs excluded
     "d_contamination" -> ((s, dir) => {
@@ -1320,6 +1357,32 @@ object SparkEntry {
          |                         WHEN 'zh' THEN 250
          |                         ELSE 800 END""".stripMargin,
 
+    "t_weighted_sample" ->
+      s"""SELECT doc_id, source, priority, rn FROM (
+         |  SELECT doc_id, source, priority,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY priority ASC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM (SELECT doc_id, source,
+         |               ${ph("text")} // greatest(CAST(length(text) AS BIGINT), 1)
+         |                 AS priority
+         |        FROM documents))
+         |WHERE rn <= 10""".stripMargin,
+
+    "l_compaction_bins" ->
+      """WITH listing AS (
+        |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS sz
+        |  FROM documents),
+        |plan AS (
+        |  SELECT source, sz,
+        |         (SUM(sz) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz) // 4096
+        |           AS bin
+        |  FROM listing)
+        |SELECT source, bin, COUNT(*) AS n_files,
+        |       CAST(SUM(sz) AS BIGINT) AS bin_bytes
+        |FROM plan GROUP BY source, bin""".stripMargin,
+
     "d_cluster_reps" ->
       s"""WITH RECURSIVE $SIMHASH,
          |banded AS (
@@ -2139,6 +2202,22 @@ object SparkEntry {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |         AS total_cents
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    // Bloom pruning is performance-only: the oracle is the plain
+    // semi/anti join the operator is exactly equivalent to.
+    "b_bloom_semi" ->
+      """SELECT l_orderkey, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "b_bloom_anti" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY l_suppkey""".stripMargin
   )
 }

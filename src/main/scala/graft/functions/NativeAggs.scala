@@ -129,6 +129,67 @@ object NativeAggs {
       copy(child = newChildren.head)
   }
 
+  /** Bloom-filter bitset over pre-hashed 64-bit keys: `mBits` bits as
+    * an `Array[Long]` buffer, `k` probe positions per key by double
+    * hashing (`h1 + i·h2 mod m` — Kirsch–Mitzenmacher, so one 64-bit
+    * hash feeds all k probes). The bitset never leaves the engine
+    * (probe positions are checked by [[BloomJoin.mightContain]] with
+    * the same closed form), so the fast xxhash64 tier is fine here —
+    * no cross-engine portability constraint.
+    */
+  case class BloomAgg(
+      child: Expression,
+      mBits: Int,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"BloomAgg: mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1 && k <= 16, s"BloomAgg: k must be in [1, 16], got $k")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        val h1 = java.lang.Math.floorMod(h, mBits.toLong)
+        val h2 = 1L + java.lang.Math.floorMod(h >>> 33, (mBits - 1).toLong)
+        var i = 0
+        while (i < k) {
+          val pos = ((h1 + i * h2) % mBits).toInt
+          buf(pos >> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = bytesToLongs(bytes)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomAgg =
+      copy(child = newChildren.head)
+  }
+
   private def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(a.length * 8)
     a.foreach(bb.putLong)
@@ -145,4 +206,6 @@ object NativeAggs {
     Bridge.column(SimHashAgg(Bridge.expression(c), bits).toAggregateExpression())
   def minhashAgg(c: Column, k: Int): Column =
     Bridge.column(MinHashAgg(Bridge.expression(c), k).toAggregateExpression())
+  def bloomAgg(c: Column, mBits: Int, k: Int): Column =
+    Bridge.column(BloomAgg(Bridge.expression(c), mBits, k).toAggregateExpression())
 }

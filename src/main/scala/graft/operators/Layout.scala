@@ -57,4 +57,55 @@ object Layout {
       .repartitionByRange(partitions, col("zval"))
       .sortWithinPartitions(col("zval"))
   }
+
+  /** Small-file compaction planner — the other half of table
+    * maintenance next to [[zOrder]]: assign each input file to an
+    * output bin of ~`targetBytes`, preserving source order within a
+    * directory (so downstream min/max stats stay as tight as the
+    * input's). The assignment is the closed-form sequential pack
+    *
+    *   bin = exclusive_running_sum(size) div targetBytes
+    *
+    * — every bin's payload lands in [targetBytes, targetBytes + max
+    * file size) except the last, bins never split a file, and the rule
+    * is a pure window expression: deterministic, engine-portable
+    * (DuckDB oracle runs the identical window), no driver-side greedy
+    * loop over a collected listing.
+    *
+    * Scale shape: this plans over file METADATA (path, size), not
+    * data — a 100 TB table is ~10⁶ listings, one shuffle on `dirCol`
+    * with an in-partition sort. Per-directory packing is inherently
+    * sequential (each bin depends on the running sum), so the
+    * directory/partition key IS the parallelism knob, exactly like
+    * [[TextOps.packSequences]]'s shards.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      dirCol: String,
+      fileCol: String,
+      sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(dirCol)).orderBy(col(fileCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .select(col(dirCol), col(fileCol), col(sizeCol).cast("long").as("__sz"))
+      .withColumn("__cum", sum(col("__sz")).over(w) - col("__sz"))
+      .select(col(dirCol), col(fileCol), col("__sz").as("size_bytes"),
+        expr(s"__cum div ${targetBytes}L").as("bin"))
+  }
+
+  /** Roll the per-file plan up to one row per output bin (what the
+    * rewrite job actually schedules): file count and payload bytes.
+    */
+  def compactionBins(
+      files: DataFrame,
+      dirCol: String,
+      fileCol: String,
+      sizeCol: String,
+      targetBytes: Long): DataFrame =
+    compactionPlan(files, dirCol, fileCol, sizeCol, targetBytes)
+      .groupBy(col(dirCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bin_bytes"))
 }

@@ -384,6 +384,43 @@ object TextOps {
       .filter(col("bucket") < rate)
   }
 
+  /** Deterministic weighted sampling without replacement: keep the `k`
+    * documents per stratum with the smallest priority
+    * `hash(text) div max(weight, 1)` — an integer rendition of the
+    * exponential-keys / A-ES trick (priority ~ u^(1/w) ranking): a
+    * document with twice the weight halves its priority scale, so
+    * higher-weight documents win proportionally more of the k slots,
+    * yet selection stays content-deterministic (rerun-, retry- and
+    * engine-stable; no `rand()`). The pretraining use: sample a fixed
+    * budget per source weighted by a quality score, instead of
+    * [[domainQuota]]'s uniform cap.
+    *
+    * Scale shape: identical to [[domainQuota]] — one shuffle on the
+    * stratum key; `row_number <= k` gets the partial WindowGroupLimit
+    * below the exchange, so a mega-stratum forwards at most k rows per
+    * map task.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      weight: Column,
+      groupCol: String = "source",
+      k: Int = 10,
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    docs
+      // pmod first: a non-negative dividend makes Spark's truncating
+      // `div` and DuckDB's flooring `//` agree
+      .select(col("doc_id"), col(groupCol),
+        pmod(hash(col(textCol)), lit(Hashing.P)).as("__h"),
+        greatest(weight.cast("long"), lit(1L)).as("__w"))
+      .select(col("doc_id"), col(groupCol), expr("__h div __w").as("priority"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Token-budget sequence packing — the "concatenate documents, split
     * at context-window boundaries" step that turns a curated corpus
     * into fixed-length training sequences (GPT-style packing: documents

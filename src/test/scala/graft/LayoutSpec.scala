@@ -78,4 +78,50 @@ class LayoutSpec extends SparkSpec {
       s"mean tile area ${areas.sum / areas.length} not compact")
     assert(parts.map(_.getAs[Long]("n")).sum === 64L * 64L)
   }
+
+  test("compactionPlan packs sequentially: bins never split, fill near target") {
+    val files = Seq(
+      ("a", "f01", 100L), ("a", "f02", 100L), ("a", "f03", 100L),
+      ("a", "f04", 250L), ("a", "f05", 10L), ("a", "f06", 300L),
+      ("b", "f01", 500L), ("b", "f02", 1L))
+      .toDF("dir", "file", "sz")
+    val plan = Layout.compactionPlan(files, "dir", "file", "sz", targetBytes = 256L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("bin")).toMap
+    // dir a: cum-excl 0,100,200,300,550,560 -> bins 0,0,0,1,2,2
+    assert(plan(("a", "f01")) === 0L)
+    assert(plan(("a", "f02")) === 0L)
+    assert(plan(("a", "f03")) === 0L)
+    assert(plan(("a", "f04")) === 1L)
+    assert(plan(("a", "f05")) === 2L)
+    assert(plan(("a", "f06")) === 2L)
+    // dirs pack independently
+    assert(plan(("b", "f01")) === 0L)
+    assert(plan(("b", "f02")) === 1L)
+  }
+
+  test("compaction bins reach the target before a new bin opens") {
+    // any prefix that opens bin k must have packed > k*target bytes
+    // before it (the closed form's fill guarantee)
+    val rnd = new scala.util.Random(13)
+    val files = (1 to 200).map(i => ("d", f"f$i%03d", (rnd.nextInt(400) + 1).toLong))
+    val plan = Layout.compactionPlan(files.toDF("dir", "file", "sz"),
+        "dir", "file", "sz", targetBytes = 1000L)
+      .orderBy(col("file"))
+      .collect()
+    var cum = 0L
+    plan.foreach { r =>
+      assert(r.getAs[Long]("bin") === cum / 1000L)
+      cum += r.getAs[Long]("size_bytes")
+    }
+    val bins = Layout.compactionBins(files.toDF("dir", "file", "sz"),
+        "dir", "file", "sz", targetBytes = 1000L)
+      .orderBy(col("bin")).collect()
+    // every bin except the last holds >= target (it only closes once
+    // the running sum crosses a multiple of target)
+    bins.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("bin_bytes") >= 1000L - 400L,
+        s"bin ${r.getAs[Long]("bin")} underfilled: ${r.getAs[Long]("bin_bytes")}")
+    }
+    assert(bins.map(_.getAs[Long]("bin_bytes")).sum === files.map(_._3).sum)
+  }
 }

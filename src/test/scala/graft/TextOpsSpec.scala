@@ -129,6 +129,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expected)
   }
 
+  test("weighted sample: k per group, priority = hash div weight, weight tilts odds") {
+    val docs = (1L to 60L).map(i => (i, s"src${i % 2}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.weightedSample(docs, length(col("text")).cast("long"), "source", 5)
+    val perGroup = out.groupBy(col("source")).count().collect()
+    assert(perGroup.length === 2 && perGroup.forall(_.getLong(1) === 5L))
+    // kept set = 5 smallest (pmod(hash,P) div weight, doc_id) per group
+    val expected = docs
+      .select(col("doc_id"), col("source"),
+        pmod(Hashing.fastHash(col("text")), lit(Hashing.P)).as("h"),
+        length(col("text")).cast("long").as("w"))
+      .collect().toSeq.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r.getLong(2) / r.getLong(3), r.getLong(0))).take(5).map(_.getLong(0))
+      }.toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === expected)
+    // weight dominance: a huge weight forces selection regardless of hash
+    val tilted = docs.withColumn("wt",
+      when(col("doc_id") === 2L, lit(1000000000L)).otherwise(lit(1L)))
+    val kept = TextOps.weightedSample(tilted, col("wt"), "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L), "priority ~ h/w must rank the heavy doc first")
+  }
+
   test("vocab top-k: exact counts, count-desc token-asc order") {
     val docs = Seq((1L, "b a b c"), (2L, "a b z")).toDF("doc_id", "text")
     val out = TextOps.vocabTopK(docs, 3).collect().map(r => (r.getString(0), r.getLong(1)))
