@@ -542,6 +542,13 @@ object SparkEntry {
     "sim_near_dup_blocked" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
 
+    // SemDeDup: k-means-cell-blocked near-dup pruning, keep-min-id.
+    // kmeansIters=0 selects the closed-form centroid stand-in so the
+    // DuckDB oracle replicates the whole operator; the learned-centroid
+    // path shares its machinery with sim_ivf_kmeans (oracle-proven).
+    "sim_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 8, 400000L, kmeansIters = 0)),
+
     // embedding-side dedup clustering: connected components over the
     // banded-LSH near-dup pairs — the semantic-dedup composition
     // (cluster near-identical embeddings, keep the min-id exemplar)
@@ -1515,6 +1522,31 @@ object SparkEntry {
          |  JOIN qn b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, dot_q FROM pairs
          |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    "sim_semantic_dedup" ->
+      s"""WITH $QNORM,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           CAST(row_number() OVER (
+         |             PARTITION BY v.vec_id
+         |             ORDER BY CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) /
+         |                      sqrt(CAST(v.nq AS DOUBLE) * CAST(c.cnq AS DOUBLE)) DESC,
+         |                      c.cid ASC) AS BIGINT) AS rn
+         |    FROM qn v CROSS JOIN cents c WHERE v.nq > 0)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN qn qa ON qa.vec_id = a.vec_id
+         |  JOIN qn qb ON qb.vec_id = b.vec_id
+         |  WHERE CAST(${dotSql("qa.q", "qb.q")} AS DOUBLE) >=
+         |        (400000.0/1000000.0) * sqrt(CAST(qa.nq AS DOUBLE) * CAST(qb.nq AS DOUBLE)))
+         |SELECT vec_id, cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |UNION ALL
+         |SELECT vec_id, CAST(-1 AS BIGINT) AS cid FROM qn WHERE nq = 0""".stripMargin,
 
     "sim_dedup_clusters" ->
       s"""WITH RECURSIVE $QNORM,

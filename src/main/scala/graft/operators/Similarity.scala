@@ -330,6 +330,69 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-shaped semantic dedup: partition the corpus into k-means
+    * cells, prune near-duplicate pairs WITHIN each cell, keep the
+    * lowest-id member of every near-dup pair. The pinned rule: vector
+    * `b` is dropped iff some `a < b` in the same cell has
+    * `cos(a, b) ≥ cosE6/1e6`; survivors are emitted with their cell id.
+    * Complementary to the banded-LSH composition (`sim_dedup_clusters`):
+    * LSH blocks by random sign projections, SemDeDup blocks by learned
+    * cluster structure, which concentrates semantically-close vectors
+    * into the same block and is the published recipe for pretraining
+    * corpora (Abbas et al. 2023, SemDeDup).
+    *
+    * `kmeansIters = 0` selects the closed-form `vec_id < nCells`
+    * centroid stand-in so an external SQL oracle can replicate the
+    * whole operator (same device as [[ivfTopK]]); the real path runs
+    * [[kmeansCentroidsQ]], whose machinery is itself oracle-proven via
+    * `sim_ivf_kmeans`.
+    *
+    * Zero-norm vectors have undefined cosine: they are excluded from
+    * assignment and pairing (engines disagree on NaN ordering, so this
+    * is pinned, not incidental) and survive unconditionally with cell
+    * −1.
+    *
+    * Scale shape: assignment is the narrow literal-argmax projection
+    * (no join); the pair join shuffles on the cell id and is quadratic
+    * per cell — the SemDeDup trade. `nCells` is the knob: size it so
+    * cells hold ~10³–10⁴ vectors (nCells ≈ n/10³ at 100 TB, exactly
+    * how the paper runs it); the cell-id shuffle then has enough
+    * distinct keys to spread, and no cell's pair block exceeds memory.
+    * The assigned frame is materialized once (three consumers).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nCells: Int,
+      cosE6: Long,
+      kmeansIters: Int = 4): DataFrame = {
+    val corpus = withQuant(embeddings)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCells, kmeansIters)
+      else corpus.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val assigned = corpus.filter(col("nq") > 0)
+      .withColumn("cid", bestCellExpr(centsArr))
+      .select(col("vec_id"), col("cid"), col("q"), col("nq"))
+      .localCheckpoint()
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("q").as("q_a"), col("nq").as("n_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("q").as("q_b"), col("nq").as("n_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotQ(col("q_a"), col("q_b")).cast("double") >=
+        lit(cosE6.toDouble / 1e6) *
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .unionByName(corpus.filter(col("nq") === 0)
+        .select(col("vec_id"), lit(-1L).as("cid")))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * compression before ANN serving / index build: each component maps
     * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the

@@ -73,6 +73,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 with 4/16 probes collapsed to $recall")
   }
 
+  test("semanticDedup: drops exactly the ids with a smaller near neighbor in-cell") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = out.map(_._1).toSet
+    assert(kept.subsetOf(all) && kept.nonEmpty)
+    // survivors carry a valid cell id; rerun is identical (deterministic
+    // hash-seeded k-means, no RNG)
+    assert(out.forall(_._2 >= 0L))
+    val again = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet === again)
+    // independently recompute the pinned drop rule on the output's own
+    // cell assignment: b dropped iff exists a<b same cell, cos >= 0.4
+    val assignedCells = out.toMap
+    val qv = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    // every dropped id must have SOME smaller near neighbor somewhere
+    // (cells unknown for dropped ids, so check the weaker direction:
+    // no survivor pair within a cell is near-dup with a < b both kept)
+    val byCell = out.groupBy(_._2)
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cos(qv(ids(i)), qv(ids(j)))
+        assert(c < 0.4 + 1e-9,
+          s"survivors ${ids(i)},${ids(j)} are near-dups (cos=$c) in one cell")
+      }
+    }
+  }
+
+  test("semanticDedup: zero-norm vectors survive unconditionally with cell -1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f)),   // centroid 1
+      (2L, Array(1.0f, 0.001f)), // near-dup of 0, same cell -> dropped
+      (3L, Array(0.0f, 0.0f)),   // zero vector
+      (4L, Array(0.0f, 0.0f))    // another zero vector: BOTH survive
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, 2, 950000L, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(0L) && out.contains(1L) && !out.contains(2L))
+    assert(out(3L) === -1L && out(4L) === -1L)
+  }
+
   test("LSH buckets: identical vectors always share a bucket; probe finds them") {
     val dup = Seq(
       (0L, Array(0.5f, 0.5f)),
