@@ -258,19 +258,26 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .select(col("src").as("dsrc"), col("out_deg"))
+    // out-degree rides the edge list, attached ONCE — the per-round
+    // form would re-join ranks to degrees every iteration, paying an
+    // extra vertex-sized shuffle join × iters. `pr_e9 div out_deg`
+    // evaluated per edge equals the per-vertex share joined outward
+    // (the divisor is constant per src), so results are bit-identical.
+    val degB = if (broadcastRanks) broadcast(deg) else deg
+    val ed = e.join(degB, col("src") === col("dsrc"))
+      .select(col("src").as("esrc"), col("dst"), col("out_deg"))
       .localCheckpoint()
     var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
     for (it <- 1 to iters) {
-      // per-vertex share first (vertex-sized join), THEN the edge join —
-      // keeps the integral division out of the edge-sized frame
-      val sharesRaw = pr.join(deg, pr("person_id") === deg("src"))
-        .select(pr("person_id").as("share_src"),
-          expr("pr_e9 div out_deg").as("share"))
-      val shares = if (broadcastRanks) broadcast(sharesRaw) else sharesRaw
-      val inbound = e.join(shares, e("src") === shares("share_src"))
-        .groupBy(e("dst").as("person_id"))
-        .agg(sum(col("share")).as("in_share"))
-      pr = verts.join(inbound, Seq("person_id"), "left_outer")
+      // both per-round frames are vertex-sized; with broadcastRanks a
+      // round's only exchange is the dst aggregation
+      val prIn = if (broadcastRanks) broadcast(pr) else pr
+      val inbound = ed.join(prIn, col("esrc") === prIn("person_id"))
+        .groupBy(col("dst").as("person_id"))
+        .agg(sum(expr("pr_e9 div out_deg")).as("in_share"))
+      val inB = if (broadcastRanks) broadcast(inbound) else inbound
+      pr = verts.join(inB, Seq("person_id"), "left_outer")
         .select(col("person_id"),
           (lit(150000000L) +
             expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
