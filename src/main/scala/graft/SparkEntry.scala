@@ -497,6 +497,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         hash = Hashing.Portable)
     }),
+    // fuzzy incremental ingest: near-dup pairs touching the new batch
+    // (doc_id % 5 == 0) against a persisted band-table index of the
+    // settled corpus — only colliding corpus docs re-shingle
+    "d_incr_near_dup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 5 === 0), corpus,
+        Dedup.bandTableOf(Dedup.shingles(corpus, 3, hash = Hashing.Portable), 4, 2),
+        3, 4, 2, 500, Hashing.Portable)
+    }),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.Portable)),
     "d_minhash_sigs" -> ((s, dir) =>
@@ -731,6 +742,20 @@ object SparkEntry {
     "agg_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // arbitrary grouping-sets lattice — the general form under ROLLUP
+    // and CUBE; Spark plans one Expand + a single aggregate, one scan
+    // for all three sets
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n_rows"))
@@ -1273,6 +1298,23 @@ object SparkEntry {
          |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
          |$JACCARD_TAIL""".stripMargin,
 
+    // identical banding to d_minhash_lsh, restricted to pairs touching
+    // the new batch — MinHash of a doc is ingest-invariant, so the
+    // full-corpus twin is the incremental operator's oracle
+    "d_incr_near_dup" ->
+      s"""WITH $MINHASH,
+         |banded AS (
+         |  SELECT doc_id, j // 2 AS band,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY j)),
+         |                     (a, b) -> (a*31 + b % 1000000007) % 1000000007) AS band_sig
+         |  FROM mh GROUP BY doc_id, band),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+         |  WHERE l.doc_id % 5 = 0 OR r.doc_id % 5 = 0),
+         |$JACCARD_TAIL""".stripMargin,
+
     "d_simhash_sigs" ->
       s"""WITH $SIMHASH
          |SELECT doc_id, simhash FROM sig""".stripMargin,
@@ -1725,6 +1767,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin,
 
     "agg_state_merge" ->
       """WITH old AS (

@@ -477,13 +477,29 @@ object Dedup {
       threshE3: Int = 500,
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
-    // band signature: fold the band's minhashes into one value.
-    // Materialized before the self-join: the l/r branches are separate
-    // subtrees to Catalyst, so without this the whole shingle→minhash→
-    // band pipeline executes twice (measured ~2.4s of the query's 3.7s)
-    // — and the banded table is tiny (docs × bands rows).
-    val banded = sig
+    val banded = bandTableOf(sh, bands, rowsPerBand)
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    val cands = l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    exactJaccardE3(cands, sh, threshE3)
+  }
+
+  /** LSH band table `(doc_id, band, band_sig)` of a shingle stream —
+    * band signature = j-ordered polynomial fold of the band's minhash
+    * minima. This IS the persistable near-dup index: an ingest pipeline
+    * writes it once per corpus and hands it to
+    * [[incrementalNearDupPairs]] on every subsequent batch.
+    *
+    * Materialized before any self/cross join: the join branches are
+    * separate subtrees to Catalyst, so without this the whole
+    * shingle→minhash→band pipeline executes once per branch (measured
+    * ~2.4s of 3.7s on the self-join query) — and the banded table is
+    * tiny (docs × bands rows).
+    */
+  def bandTableOf(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(sh, bands * rowsPerBand)
       .withColumn("band", (col("j") / rowsPerBand).cast("long"))
       .groupBy(col("doc_id"), col("band"))
       // j-ordered fold → deterministic band signature
@@ -491,11 +507,12 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
         lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
       .localCheckpoint()
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
-    val cands = l.join(r, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+
+  /** Exact-Jaccard verification tail shared by the LSH compositions:
+    * `|∩| / |∪|` (e3-quantized) over the shingle stream for each
+    * candidate pair, keeping pairs ≥ `threshE3`.
+    */
+  private def exactJaccardE3(cands: DataFrame, sh: DataFrame, threshE3: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val aSh = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val bSh = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -509,6 +526,51 @@ object Dedup {
         floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
           .cast("long").as("jaccard_e3"))
       .filter(col("jaccard_e3") >= threshE3)
+  }
+
+  /** Incremental fuzzy ingest — the MinHash twin of [[incrementalNew]]:
+    * near-dup pairs `(doc_a, doc_b, jaccard_e3)` where at least one
+    * side belongs to the NEW batch (new↔corpus and new↔new; settled
+    * corpus↔corpus pairs are the previous ingests' output and are not
+    * recomputed). `corpusBands` is the persisted [[bandTableOf]] index.
+    *
+    * The incremental contract: per batch, only (a) the new docs are
+    * shingled/minhashed, and (b) the corpus docs that actually collide
+    * on a band re-shingle for exact verification (semi-join on the
+    * candidate ids) — corpus text is never scanned beyond those
+    * matches, and the index grows by the new docs' band rows. At
+    * 100 TB this is the difference between re-banding the corpus per
+    * ingest and touching ~batch-sized state.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      corpusBands: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      threshE3: Int = 500,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val newSh = shingles(newDocs, n, hash = hash).cache()
+    val newBands = bandTableOf(newSh, bands, rowsPerBand)
+    val allBands = corpusBands.unionByName(newBands)
+    val l = allBands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val r = newBands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    // normalize (min, max): new↔new collisions arrive in both orders,
+    // new↔corpus in one — distinct collapses them either way
+    val cands = l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    // only corpus docs that collided re-shingle (the candidate id set
+    // is batch-sized, so the semi-join broadcasts)
+    val matchedIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val matchedCorpusSh = shingles(
+      corpus.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"),
+      n, hash = hash)
+    exactJaccardE3(cands, newSh.unionByName(matchedCorpusSh), threshE3)
   }
 
   /** SimHash signatures: 32-bit, token-frequency weighted. Bit `b` is

@@ -244,6 +244,31 @@ class DedupSpec extends SparkSpec {
       Seq(10L, 2L), Seq(16L, 1L)))
   }
 
+  test("incremental near-dup equals the batch LSH restricted to new-touching pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),  // corpus-internal dup (settled)
+      (3L, "completely different content with no overlap at all here"),
+      (5L, "the quick brown fox jumps over the lazy dog today"),   // new, dup of 1,2
+      (10L, "completely different content with no overlap at all here"), // new, dup of 3
+      (15L, "brand new text that matches nothing in the corpus ever"),
+      (20L, "brand new text that matches nothing in the corpus ever")    // new-new dup of 15
+    ).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 5 === 0
+    val corpus = docs.filter(!isNew)
+    val newDocs = docs.filter(isNew)
+    val bandIdx = Dedup.bandTableOf(Dedup.shingles(corpus, 3), 4, 2)
+    val inc = rowSet(Dedup.incrementalNearDupPairs(newDocs, corpus, bandIdx))
+    val full = rowSet(Dedup.minhashLshPairs(docs)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0))
+    assert(inc === full)
+    // settled corpus-internal pair (1,2) is NOT re-emitted
+    assert(!inc.exists(r => r(0) == 1L && r(1) == 2L))
+    // new-corpus and new-new near-dups are
+    assert(inc.exists(r => r(0) == 1L && r(1) == 5L))
+    assert(inc.exists(r => r(0) == 15L && r(1) == 20L))
+  }
+
   test("dup spans: within-doc repeats don't count as duplication") {
     // doc1 repeats its own span; distinct-per-doc spans mean df stays 1
     val docs = Seq((1L, "a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
