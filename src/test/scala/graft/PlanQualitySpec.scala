@@ -256,4 +256,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!exchanges.exists(e => e.contains("props") || e.contains("value")),
       s"event payload crossed a funnel shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("weighted sample gets the partial (map-side) window group limit") {
+    val q = graft.operators.TextOps.weightedSample(
+      Tables.documents(spark, sfDir), length(col("text")).cast("long"), "source", 10)
+    val plan = formatted(q)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("compaction plan is one metadata shuffle (hash by dir, in-partition sort)") {
+    val listing = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), length(col("text")).as("sz"))
+    val plan = formatted(graft.operators.Layout.compactionPlan(
+      listing, "source", "doc_id", "sz", 4096L))
+    assert("Exchange".r.findAllIn(plan).size === 1, s"expected one exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"packing must not global-sort:\n$plan")
+  }
+
+  test("bloom anti join: the definite-miss branch plans no join shuffle") {
+    // mightContain attaches via a single-row broadcast nested-loop join;
+    // the definite-miss rows must flow scan -> filter -> union with no
+    // hash exchange on their branch (that's the entire point: at 100 TB
+    // the anti join's shuffle carries only the ~matching slice)
+    val big = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+    val small = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val out = graft.operators.BloomJoin.bloomAntiJoin(big, small, "l_orderkey")
+    val plan = formatted(out)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"bitset must broadcast:\n$plan")
+    // exactly the verification join's exchanges (or fewer when it
+    // broadcasts); the miss branch adds none
+    val unionIdx = plan.indexOf("Union")
+    assert(unionIdx >= 0, s"expected union of miss + verified branches:\n$plan")
+  }
 }
