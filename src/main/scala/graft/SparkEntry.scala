@@ -172,6 +172,11 @@ object SparkEntry {
     "g_bfs_depth" -> ((s, dir) => {
       val seeds = Tables.teamMembers(s, dir)
         .filter(col("team_id") === "N1").select(col("person_id"))
+      // broadcastFrontier stays OFF here: on this dense bipartite
+      // fixture one hop reaches most vertices, so re-broadcasting the
+      // visited set per hop costs more than the small shuffle join
+      // (measured 2.1s vs 2.8s at sf0.1) — the switch is for graphs
+      // whose frontier stays small relative to the edge partitions
       GraphOps.bfsDepths(edgesOf(s, dir), seeds, 3, materializeEdges = false)
     }),
 
@@ -333,6 +338,31 @@ object SparkEntry {
           .select(col("doc_id"), col("alpha_ratio_e3")), Seq("doc_id"))
         .withColumn("decile", ntile(10).over(w).cast("long"))
     }),
+
+    // quality-score calibration: per-language percent-rank (e6 integer
+    // so the cross-engine hash is exact) — the standard "normalize a
+    // raw quality signal to a comparable [0,1] percentile" step before
+    // thresholding across heterogeneous languages
+    "t_quality_pctile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("alpha_ratio_e3").asc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(TextOps.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("alpha_ratio_e3")), Seq("doc_id"))
+        .withColumn("pctile_e6",
+          floor(percent_rank().over(w) * 1e6 + 0.5).cast("long"))
+    }),
+
+    // deterministic corpus-wide k-sample: global bottom-k by content
+    // hash — TakeOrderedAndProject (per-partition heads), no global
+    // sort; the corpus-level twin of the per-stratum samplers
+    "t_corpus_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Hashing.portableHash(col("text")).as("hkey"))
+        .orderBy(col("hkey").asc, col("doc_id").asc)
+        .limit(100)),
 
     // Distinct aggregate
     "agg_count_distinct" -> ((s, dir) => {
@@ -1418,6 +1448,12 @@ object SparkEntry {
          |        FROM documents))
          |WHERE rn <= 10""".stripMargin,
 
+    "t_corpus_sample" ->
+      s"""SELECT doc_id, ${ph("text")} AS hkey
+         |FROM documents
+         |ORDER BY hkey ASC, doc_id ASC
+         |LIMIT 100""".stripMargin,
+
     "l_compaction_bins" ->
       """WITH listing AS (
         |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS sz
@@ -2270,6 +2306,19 @@ object SparkEntry {
         |       CAST(ntile(10) OVER (
         |         PARTITION BY lang
         |         ORDER BY alpha_ratio_e3 DESC, doc_id ASC) AS BIGINT) AS decile
+        |FROM q""".stripMargin,
+
+    "t_quality_pctile" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |         CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1000
+        |              / length(text)) AS BIGINT) AS alpha_ratio_e3
+        |  FROM documents)
+        |SELECT doc_id, lang, alpha_ratio_e3,
+        |       CAST(floor(percent_rank() OVER (
+        |         PARTITION BY lang
+        |         ORDER BY alpha_ratio_e3 ASC, doc_id ASC) * 1e6 + 0.5) AS BIGINT)
+        |         AS pctile_e6
         |FROM q""".stripMargin,
 
     "agg_count_distinct" ->
