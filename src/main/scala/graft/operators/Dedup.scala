@@ -553,6 +553,26 @@ object Dedup {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val newSh = shingles(newDocs, n, hash = hash).cache()
     val newBands = bandTableOf(newSh, bands, rowsPerBand)
+    incrementalPairsCore(newSh, newBands, corpusBands, threshE3,
+      // only corpus docs that collided re-shingle (the candidate id
+      // set is batch-sized, so the semi-join broadcasts)
+      matchedIds => shingles(
+        corpus.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"),
+        n, hash = hash))
+  }
+
+  /** Shared incremental-LSH core: candidates from (index ∪ new) × new
+    * band collisions, exact-Jaccard verification over the new shingles
+    * plus whatever `corpusShOf(matchedIds)` supplies for the colliding
+    * corpus docs (re-shingled text for the batch form, persisted
+    * shingle-hash state for the streaming form).
+    */
+  private[graft] def incrementalPairsCore(
+      newSh: DataFrame,
+      newBands: DataFrame,
+      corpusBands: DataFrame,
+      threshE3: Int,
+      corpusShOf: DataFrame => DataFrame): DataFrame = {
     val allBands = corpusBands.unionByName(newBands)
     val l = allBands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val r = newBands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
@@ -563,14 +583,9 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
-    // only corpus docs that collided re-shingle (the candidate id set
-    // is batch-sized, so the semi-join broadcasts)
     val matchedIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val matchedCorpusSh = shingles(
-      corpus.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"),
-      n, hash = hash)
-    exactJaccardE3(cands, newSh.unionByName(matchedCorpusSh), threshE3)
+    exactJaccardE3(cands, newSh.unionByName(corpusShOf(matchedIds)), threshE3)
   }
 
   /** SimHash signatures: 32-bit, token-frequency weighted. Bit `b` is

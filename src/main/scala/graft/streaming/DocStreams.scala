@@ -2,6 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.functions.Hashing
+import graft.operators.Dedup
 
 /** Streaming twin of the document-dedup surface: the continuous-ingest
   * form of [[graft.operators.Dedup.exactDedup]] /
@@ -37,6 +42,69 @@ object DocStreams {
       .withColumn("__glen", length(col(textCol)).cast("long"))
       .dropDuplicates("__h", "__h2", "__glen")
       .drop("__h", "__h2", "__glen")
+
+  /** Continuous fuzzy ingest — the streaming twin of
+    * [[Dedup.incrementalNearDupPairs]]: each micro-batch is near-dup-
+    * checked against an on-disk LSH index (band table + shingle-hash
+    * table, both parquet under `stateDir`; document text never enters
+    * the state), emits its `(doc_a, doc_b, jaccard_e3)` pairs to
+    * `pairsDir`, and appends its own bands/shingles to the index.
+    *
+    * Per batch the work is batch-sized, not corpus-sized: only the new
+    * docs shingle/minhash, the band join probes the index on 16-byte
+    * keys, and only colliding corpus docs' shingle rows are read back
+    * for exact verification. The index grows by ~(bands + shingles)
+    * rows per doc — the same artifacts the batch pipeline would
+    * persist.
+    *
+    * Retry semantics: a replayed batch may re-append its band/shingle
+    * rows; every read side dedups (`dropDuplicates` on the full row),
+    * so duplicate state rows never corrupt candidates or Jaccard
+    * counts — appends are idempotent-by-read, the same trick as the
+    * salted-retry design in [[graft.operators.Skew]]. Pair output may
+    * duplicate across a replay; downstream consumers key on
+    * `(doc_a, doc_b)` (pair emission is deterministic).
+    */
+  def fuzzyIngest(
+      docs: DataFrame,
+      stateDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      threshE3: Int = 500,
+      hash: Hashing.HashTier = Hashing.Fast): StreamingQuery = {
+    val bandSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("band", LongType, nullable = false),
+      StructField("band_sig", LongType, nullable = false)))
+    val shSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sh", LongType, nullable = false)))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readState(sub: String, schema: StructType): DataFrame = {
+          val p = new java.io.File(s"$stateDir/$sub")
+          if (p.exists()) spark.read.schema(schema).parquet(p.toString).dropDuplicates()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val newSh = Dedup.shingles(batch, n, hash = hash).localCheckpoint()
+        val newBands = Dedup.bandTableOf(newSh, bands, rowsPerBand)
+        val stateSh = readState("sh", shSchema)
+        val stateBands = readState("bands", bandSchema)
+        val pairs = Dedup.incrementalPairsCore(
+          newSh, newBands, stateBands, threshE3,
+          matchedIds => stateSh.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"))
+        pairs.write.mode("append").parquet(pairsDir)
+        newBands.write.mode("append").parquet(s"$stateDir/bands")
+        newSh.write.mode("append").parquet(s"$stateDir/sh")
+      }
+      .start()
+  }
 
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set

@@ -362,6 +362,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzy ingest stream: accumulated pairs equal the full-batch LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.fuzzyIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/pairs", s"$dirs/ckpt")
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = rowSet(spark.read.parquet(s"$dirs/pairs"))
+      // every pair surfaces exactly when its later member ingests, so
+      // the accumulated output equals the one-shot batch LSH
+      val batch = rowSet(graft.operators.Dedup.minhashLshPairs(
+        base.toSeq.toDF("doc_id", "text")))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "fixture should contain near-dups")
+      // the index accumulated band + shingle state for every doc
+      val idx = spark.read.parquet(s"$dirs/state/bands")
+      assert(idx.select("doc_id").distinct().count() === base.length.toLong)
+    } finally q.stop()
+  }
+
   test("stream-static blocklist filter drops blocked content mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = Seq((100L, "blocked body one"), (101L, "blocked body two"))
