@@ -22,6 +22,17 @@ final case class TransState(lastType: Option[String], buf: List[BufferedEv])
 final case class TransitionRow(
     user_id: String, from_type: String, to_type: String, at_us: Long)
 
+/** Per-user funnel state: how many steps are complete, when the last
+  * one completed (µs), and the not-yet-finalized buffer.
+  */
+final case class FunnelState(stepIdx: Int, reachedUs: Long, buf: List[BufferedEv])
+
+/** One funnel advancement: user reached `step` (1-based) at `t_ms`.
+  * `groupBy(step).count` over this stream is the batch funnel's
+  * per-step user count.
+  */
+final case class FunnelRow(user_id: String, step: Long, event_type: String, t_ms: Long)
+
 /** Structured Streaming forms of the event-time operators (SURVEY §2.9
   * — the true-streaming generalization of the reference's hand-rolled
   * watermark incrementality at elastic.go:50-58 / cmd/etl/etl.go:19).
@@ -136,6 +147,62 @@ object EventStreams {
           state.update(TransState(last, pending))
           // wake this user when the watermark passes its oldest
           // buffered event, so buffers drain without new arrivals
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
+          emitted.result().iterator
+      }
+  }
+
+  /** Streaming conversion funnel — the stateful twin of
+    * [[graft.operators.EventOps.funnel]]: per user, events are
+    * finalized in `(ts, event_id)` order behind the watermark (same
+    * buffer discipline as [[transitions]]), and an ordered scan
+    * advances the user through `steps` — an event advances iff its
+    * type is the NEXT step and it is strictly later than the previous
+    * advancement (first step unconstrained). That scan picks exactly
+    * the batch form's `min t > prev_t` event per step, so the emitted
+    * `(user, step)` rows aggregate to the batch counts (spec-pinned on
+    * a fixture replay).
+    *
+    * State is O(1) per user beyond the watermark buffer: step index +
+    * one timestamp. Emission is append-mode per advancement; count
+    * per step downstream (a streaming global aggregate would force
+    * update mode on the whole query).
+    */
+  def funnel(events: DataFrame, delay: String, steps: Seq[String]): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(
+        col("user_id").cast("string").as("_1"),
+        col("event_type").as("_2"),
+        unix_micros(col("ts")).as("_3"),
+        col("event_id").as("_4"),
+        col("ts").as("_5"))
+      .as[(String, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Nil))
+          val incoming = rows.map(r => BufferedEv(r._3, r._4, r._2))
+            .filter(_.tsUs >= wmUs).toList
+          val (ready, pending) = (st.buf ++ incoming).partition(_.tsUs < wmUs)
+          val ordered = ready.sortBy(e => (e.tsUs, e.eventId))
+          var idx = st.stepIdx
+          var reached = st.reachedUs
+          val emitted = List.newBuilder[FunnelRow]
+          for (e <- ordered if idx < steps.length) {
+            if (e.eventType == steps(idx) && (idx == 0 || e.tsUs > reached)) {
+              reached = e.tsUs
+              idx += 1
+              emitted += FunnelRow(uid, idx.toLong, e.eventType, e.tsUs / 1000L)
+            }
+          }
+          state.update(FunnelState(idx, reached, pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
           emitted.result().iterator

@@ -173,6 +173,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.funnel(in.toDF(), delay = "10 seconds", steps = steps)
+      .writeStream.format("memory").queryName("funnel_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // sentinel advances the watermark so buffers drain; its type is
+      // not a funnel step, so it emits nothing
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("funnel_fixture")
+        .groupBy($"step", $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_users")))
+      val batch = rowSet(graft.operators.EventOps.funnel(evs.toSeq.toDF(), steps))
+      assert(streamed === batch)
+      // each user advances a given step at most once
+      val perUserStep = spark.table("funnel_fixture")
+        .groupBy($"user_id", $"step").count().filter($"count" > 1).count()
+      assert(perUserStep === 0L)
+    } finally q.stop()
+  }
+
+  test("funnel stream: out-of-order arrivals still advance in event-time order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.funnel(in.toDF(), delay = "10 seconds",
+        steps = Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click arrives BEFORE the view in arrival order, but after it in
+      // event time -> both steps complete once finalized
+      in.addData(Ev(2, "u1", "click", t(50), 1.0), Ev(1, "u1", "view", t(20), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(9, "zz", "flush", t(1000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ooo")
+        .select("user_id", "step", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows === Set(("u1", 1L, "view"), ("u1", 2L, "click")))
+    } finally q.stop()
+  }
+
   test("session stream: gap merge inside the state store") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
