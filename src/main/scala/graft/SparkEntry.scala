@@ -692,6 +692,13 @@ object SparkEntry {
     "m_block_stats" -> ((s, dir) =>
       Multimodal.blockStats(Tables.documents(s, dir), 64)),
 
+    // perceptual media near-dup: aHash fingerprint over content blocks,
+    // banded Hamming join — re-encoded/edited copies of a payload
+    // collide where exact payloadDedup cannot
+    "m_perceptual_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Multimodal.perceptualHash(Tables.documents(s, dir), 16), 3)),
+
     // -- as-of join: latest purchase at-or-before each click, per user
     "j_asof_purchase" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -2029,6 +2036,44 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_docs,
         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM g WHERE doc_id >= 500 GROUP BY source""".stripMargin,
+
+    "m_perceptual_pairs" ->
+      """WITH cp AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (i - 1) // 16 AS block_no,
+        |         CAST(unicode(substring(text, i, 1)) AS BIGINT) AS cpv
+        |  FROM cp),
+        |b AS (
+        |  SELECT doc_id, block_no,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cp,
+        |         CAST(SUM(cpv) AS BIGINT) AS sum_cp
+        |  FROM c GROUP BY doc_id, block_no),
+        |t AS (
+        |  SELECT doc_id, CAST(SUM(sum_cp) AS BIGINT) AS tot_sum,
+        |         CAST(SUM(n_cp) AS BIGINT) AS tot_n
+        |  FROM b GROUP BY doc_id),
+        |sig AS (
+        |  SELECT b.doc_id,
+        |         CAST(SUM(CASE WHEN sum_cp * tot_n > tot_sum * n_cp
+        |                       THEN CAST(1 AS BIGINT) << CAST(block_no AS INT)
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |  FROM b JOIN t USING (doc_id)
+        |  WHERE block_no < 32 GROUP BY b.doc_id),
+        |banded AS (
+        |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |FROM cands
+        |JOIN sig sa ON sa.doc_id = doc_a
+        |JOIN sig sb ON sb.doc_id = doc_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
 
     "m_block_stats" ->
       """WITH cp AS (

@@ -232,4 +232,34 @@ object Multimodal {
       .groupBy(col("h"), col("h2"), col("n_bytes"))
       .agg(min(col("gid")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"), col("n_bytes"))
+
+  /** Perceptual fingerprint of the (stubbed) media content — the aHash
+    * recipe (average-hash, the classic perceptual image hash) over
+    * [[blockStats]] blocks: bit `b` is set iff block `b`'s mean sample
+    * exceeds the whole-payload mean. Exact integers only: the mean
+    * comparison is the cross-multiplication
+    * `sum_b · n_total > sum_total · n_b` (no division, no floats), so
+    * every engine agrees bit-for-bit. 32 bits from the first 32
+    * blocks; shorter payloads leave high bits 0.
+    *
+    * Output `(doc_id, simhash)` plugs straight into
+    * [[Dedup.simhashPairs]]'s banded Hamming join — media near-dup
+    * (re-encoded/lightly-edited copies) with the same pigeonhole
+    * blocking as text SimHash. As with the codec stubs, the
+    * byte→sample decode is faked (codepoints stand in for pixels);
+    * the fingerprint algebra, banding, and plan shape are real.
+    */
+  def perceptualHash(docs: DataFrame, blockSize: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bs = blockStats(docs, blockSize, textCol, idCol)
+    val tot = bs.groupBy(col(idCol)).agg(
+      sum(col("sum_cp")).as("tot_sum"), sum(col("n_cp")).as("tot_n"))
+    bs.join(tot, Seq(idCol))
+      .filter(col("block_no") < 32)
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN sum_cp * tot_n > tot_sum * n_cp " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(block_no AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
 }

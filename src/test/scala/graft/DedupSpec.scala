@@ -269,6 +269,27 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists(r => r(0) == 15L && r(1) == 20L))
   }
 
+  test("perceptual hash: identical content identical bits; an edit flips few") {
+    // blocks with well-separated means ('a'-blocks vs 'z'-blocks) so a
+    // small edit can only flip the edited block's bit — a uniform
+    // fixture (all block means == global mean) would sit exactly on
+    // the comparison boundary and flip everything, the known aHash
+    // degenerate case
+    val base = (0 until 8).map(i => (if (i % 2 == 0) "a" else "z") * 16).mkString
+    val edited = base.updated(40, 'b').toString // inside a 'z' block
+    val docs = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val sigs = graft.operators.Multimodal.perceptualHash(docs, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    // a one-char edit perturbs one block's mean: small Hamming distance
+    val d = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(d <= 2, s"single edit flipped $d bits")
+    // composed pairs: exact copies at hamming 0, the edit within 3
+    val pairs = rowSet(Dedup.simhashPairs(
+      graft.operators.Multimodal.perceptualHash(docs, 16), 3))
+    assert(pairs.contains(Seq(1L, 2L, 0L)))
+  }
+
   test("dup spans: within-doc repeats don't count as duplication") {
     // doc1 repeats its own span; distinct-per-doc spans mean df stays 1
     val docs = Seq((1L, "a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
