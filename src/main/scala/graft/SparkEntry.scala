@@ -180,6 +180,10 @@ object SparkEntry {
       GraphOps.bfsDepths(edgesOf(s, dir), seeds, 3, materializeEdges = false)
     }),
 
+    // fixed-round k-core peel: strip the low-degree periphery of the
+    // person graph (3 unrolled peels, oracle-matched round for round)
+    "g_kcore" -> ((s, dir) => GraphOps.kCorePeel(mergedOf(s, dir), 32, 3)),
+
     // U2: except (anti + distinct) — persons that are not trove users
     "u2_except_non_trove" -> ((s, dir) => {
       GraphOps.distinctPersons(edgesOf(s, dir))
@@ -2282,6 +2286,26 @@ object SparkEntry {
          |       coalesce(in_deg, 0) AS in_deg,
          |       coalesce(out_score_e2, 0) AS out_score_e2
          |FROM o FULL OUTER JOIN i ON o.person_id = i.person_id""".stripMargin,
+
+    "g_kcore" ->
+      s"""WITH $MERGED,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM merged WHERE src <> dst),
+         |k1 AS (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+         |       GROUP BY v HAVING COUNT(*) >= 32),
+         |e1 AS (SELECT a, b FROM e0
+         |       WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+         |k2 AS (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+         |       GROUP BY v HAVING COUNT(*) >= 32),
+         |e2 AS (SELECT a, b FROM e1
+         |       WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+         |k3 AS (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+         |       GROUP BY v HAVING COUNT(*) >= 32),
+         |e3 AS (SELECT a, b FROM e2
+         |       WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+         |SELECT person_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS person_id FROM e3 UNION ALL SELECT b AS person_id FROM e3)
+         |GROUP BY person_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -338,4 +338,43 @@ object GraphOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Fixed-round k-core peel — the density filter that strips low-
+    * engagement periphery before community analytics: each round
+    * removes vertices whose degree in the UNDIRECTED deduped view is
+    * below `k`, together with their incident edges. Semantics are
+    * pinned to exactly `rounds` peels (the SQL oracle unrolls the same
+    * rounds); once a round removes nothing the result IS the exact
+    * k-core, and the spec checks that fixpoint on its fixtures.
+    * Output: each surviving vertex with its degree in the remaining
+    * subgraph.
+    *
+    * Scale shape (the [[Dedup.connectedComponents]] family): per round
+    * one degree aggregate (8-byte-ish keys) and two semi-joins of the
+    * edge list against the ≥k vertex set — O(E) per round, no blowup;
+    * the shrinking edge list is checkpointed per round so no lineage
+    * re-execution compounds. `rounds` is small and fixed: real peels
+    * remove the vast majority of sub-core vertices in the first 2-3
+    * rounds (the long convergence tail only chases chains).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1, got k=$k rounds=$rounds")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("person_id")).union(e.select(col("b").as("person_id")))
+      .groupBy(col("person_id")).agg(count(lit(1)).as("degree"))
+  }
 }

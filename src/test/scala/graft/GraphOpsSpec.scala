@@ -131,6 +131,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(bcast === out)
   }
 
+  test("kCorePeel: converged peel equals the exact k-core; chains need their rounds") {
+    // triangle A-B-C plus tail C-D: 2-core = the triangle (one round)
+    val tri = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1), Edge("C", "D", 1)).toDF()
+    val core = GraphOps.kCorePeel(tri, 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(core === Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+    // path A-B-C-D-E peels inward: round1 drops A,E; round2 B,D;
+    // round3 C -> empty. Fewer rounds leave the partial (pinned) result
+    val path = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1), Edge("D", "E", 1)).toDF()
+    assert(GraphOps.kCorePeel(path, 2, 3).count() === 0L)
+    val partial = GraphOps.kCorePeel(path, 2, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(partial === Map("B" -> 1L, "C" -> 2L, "D" -> 1L))
+    // direction and duplicate edges don't matter (undirected dedup)
+    val dup = Seq(
+      Edge("B", "A", 1), Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1),
+      Edge("C", "D", 1)).toDF()
+    assert(GraphOps.kCorePeel(dup, 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap === core)
+  }
+
   test("pageRank matches an in-test integer reference; broadcast form identical") {
     // includes a dangling vertex (B has no out-edges? B->C exists; D is
     // a pure source, C->A closes a cycle) and an in-degree-0 vertex (D)
