@@ -75,6 +75,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalNew(batch, emptyDocs).count() === 1)
   }
 
+  test("round-4 operators on empty and degenerate inputs") {
+    val emptyKeyed = Seq.empty[(Long, String)].toDF("k", "p")
+    // bloom joins: empty build side -> empty semi, full anti
+    val big = Seq((1L, "x"), (2L, "y")).toDF("k", "p")
+    assert(BloomJoin.bloomSemiJoin(big, emptyKeyed, "k").count() === 0)
+    assert(BloomJoin.bloomAntiJoin(big, emptyKeyed, "k").count() === 2)
+    assert(BloomJoin.bloomSemiJoin(emptyKeyed, big, "k").count() === 0)
+    // weighted sample / compaction / perceptual hash on empty frames
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextOps.weightedSample(emptySrc, length(col("text")).cast("long")).count() === 0)
+    assert(Layout.compactionPlan(
+      Seq.empty[(String, String, Long)].toDF("d", "f", "sz"), "d", "f", "sz", 100L)
+      .count() === 0)
+    assert(Multimodal.perceptualHash(emptyDocs).count() === 0)
+    // k-core on empty edges / all-self-loops
+    assert(GraphOps.kCorePeel(emptyEdges, 2, 2).count() === 0)
+    assert(GraphOps.kCorePeel(
+      Seq(graft.model.Edge("A", "A", 1)).toDF(), 1, 2).count() === 0)
+    // semantic dedup on empty corpus
+    assert(Similarity.semanticDedup(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 4, 900000L,
+      kmeansIters = 0).count() === 0)
+    // incremental near-dup: empty batch, empty corpus
+    val emptyBands = Dedup.bandTableOf(Dedup.shingles(emptyDocs, 3), 4, 2)
+    assert(Dedup.incrementalNearDupPairs(emptyDocs, emptyDocs, emptyBands).count() === 0)
+    val docs = Seq((1L, "some body of text here for shingles")).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDupPairs(docs, emptyDocs, emptyBands).count() === 0)
+  }
+
   test("as-of join with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", new java.sql.Timestamp(1000))).toDF("id", "k", "lt")
     val right = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rt", "rid")

@@ -225,6 +225,26 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  /** Bloom-pruned joins are EXACT for any key distribution and any
+    * (even badly undersized) filter geometry — false positives must
+    * always die in the verifying join.
+    */
+  property("bloom semi/anti equal plain semi/anti") =
+    forAll(
+      Gen.listOfN(25, Gen.chooseNum(0L, 40L)),
+      Gen.listOfN(10, Gen.chooseNum(0L, 60L)),
+      Gen.oneOf(64, 256, 4096)) { (bigKeys, smallKeys, mBits) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+      val small = smallKeys.toDF("k")
+      val semi = big.join(small, Seq("k"), "left_semi").collect().map(_.toSeq).toSet
+      val anti = big.join(small, Seq("k"), "left_anti").collect().map(_.toSeq).toSet
+      val bSemi = graft.operators.BloomJoin.bloomSemiJoin(big, small, "k", mBits, 3)
+        .collect().map(_.toSeq).toSet
+      val bAnti = graft.operators.BloomJoin.bloomAntiJoin(big, small, "k", mBits, 3)
+        .collect().map(_.toSeq).toSet
+      bSemi == semi && bAnti == anti
+    }
+
   /** Int8 quantization bounds: components clamp to [-127, 127], so
     * l1 ≤ 127·dim and saturation count ≤ dim.
     */
