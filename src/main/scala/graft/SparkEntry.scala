@@ -184,6 +184,10 @@ object SparkEntry {
     // person graph (3 unrolled peels, oracle-matched round for round)
     "g_kcore" -> ((s, dir) => GraphOps.kCorePeel(mergedOf(s, dir), 32, 3)),
 
+    // weight-proportional PageRank over the stored edge scores
+    "g_pagerank_weighted" -> ((s, dir) =>
+      GraphOps.pageRankWeighted(mergedOf(s, dir), 3, broadcastRanks = true)),
+
     // U2: except (anti + distinct) — persons that are not trove users
     "u2_except_non_trove" -> ((s, dir) => {
       GraphOps.distinctPersons(edgesOf(s, dir))
@@ -1407,6 +1411,40 @@ object SparkEntry {
          |    FROM merged m JOIN it2 p ON m.src = p.person_id
          |                  JOIN deg d ON m.src = d.src
          |    GROUP BY m.dst) i ON v.person_id = i.person_id)
+         |SELECT person_id, pr AS pr_e9 FROM it3""".stripMargin,
+
+    "g_pagerank_weighted" ->
+      s"""WITH $MERGED,
+         |verts AS (SELECT src AS person_id FROM merged
+         |          UNION SELECT dst FROM merged),
+         |tw AS (SELECT src,
+         |              CAST(SUM(CAST(floor(score*100 + 0.5) AS BIGINT)) AS BIGINT) AS tot_w
+         |       FROM merged GROUP BY src),
+         |ed AS (SELECT m.src, m.dst,
+         |              (CAST(floor(m.score*100 + 0.5) AS BIGINT) * 1000) // t.tot_w AS wn
+         |       FROM merged m JOIN tw t ON m.src = t.src WHERE t.tot_w > 0),
+         |pr0 AS (SELECT person_id, CAST(1000000000 AS BIGINT) AS pr FROM verts),
+         |it1 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS person_id, SUM((p.pr * e.wn) // 1000) AS s
+         |    FROM ed e JOIN pr0 p ON e.src = p.person_id
+         |    GROUP BY e.dst) i ON v.person_id = i.person_id),
+         |it2 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS person_id, SUM((p.pr * e.wn) // 1000) AS s
+         |    FROM ed e JOIN it1 p ON e.src = p.person_id
+         |    GROUP BY e.dst) i ON v.person_id = i.person_id),
+         |it3 AS (
+         |  SELECT v.person_id,
+         |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS person_id, SUM((p.pr * e.wn) // 1000) AS s
+         |    FROM ed e JOIN it2 p ON e.src = p.person_id
+         |    GROUP BY e.dst) i ON v.person_id = i.person_id)
          |SELECT person_id, pr AS pr_e9 FROM it3""".stripMargin,
 
     "g_cooccurrence" ->

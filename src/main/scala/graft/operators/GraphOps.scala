@@ -339,6 +339,57 @@ object GraphOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Weight-proportional PageRank — [[pageRank]] distributing each
+    * vertex's mass by EDGE WEIGHT instead of uniformly (the analytics
+    * the reference's stored-but-never-queried edge scores exist for:
+    * influence follows interaction strength). All-integer pinned
+    * semantics: weights quantize to e2 (`floor(score·100+0.5)`), each
+    * out-edge's fraction to permille (`wn = w·1000 div W(src)`), and a
+    * round's share is `(pr · wn) div 1000` — the permille step keeps
+    * `pr·wn` far from Long overflow (pr mass ≤ |V|·10⁹, wn ≤ 10³)
+    * where raw `pr·w` would not be. Vertices whose total out-weight is
+    * 0 dangle (their edges transfer nothing), like the unweighted
+    * form's mass flooring.
+    *
+    * Same loop shape as [[pageRank]]: weights attach to the edge list
+    * once; with `broadcastRanks` a round's only exchange is the dst
+    * aggregation.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pairs = edges.select(col("src"), col("dst"),
+      floor(col("score") * 100 + 0.5).cast("long").as("w_e2"))
+    val e = if (iters > 1) pairs.localCheckpoint() else pairs
+    val verts = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+      .localCheckpoint()
+    val tw = e.groupBy(col("src")).agg(sum(col("w_e2")).as("tot_w"))
+      .select(col("src").as("dsrc"), col("tot_w"))
+    val twB = if (broadcastRanks) broadcast(tw) else tw
+    val ed = e.join(twB, col("src") === col("dsrc"))
+      .filter(col("tot_w") > 0)
+      .select(col("src").as("esrc"), col("dst"),
+        expr("(w_e2 * 1000) div tot_w").as("wn"))
+      .localCheckpoint()
+    var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
+    for (it <- 1 to iters) {
+      val prIn = if (broadcastRanks) broadcast(pr) else pr
+      val inbound = ed.join(prIn, col("esrc") === prIn("person_id"))
+        .groupBy(col("dst").as("person_id"))
+        .agg(sum(expr("(pr_e9 * wn) div 1000")).as("in_share"))
+      val inB = if (broadcastRanks) broadcast(inbound) else inbound
+      pr = verts.join(inB, Seq("person_id"), "left_outer")
+        .select(col("person_id"),
+          (lit(150000000L) +
+            expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
   /** Fixed-round k-core peel — the density filter that strips low-
     * engagement periphery before community analytics: each round
     * removes vertices whose degree in the UNDIRECTED deduped view is

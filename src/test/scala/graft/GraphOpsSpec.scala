@@ -182,6 +182,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(broadcastGot === ref)
   }
 
+  test("pageRankWeighted matches an integer reference; weight skew shows in ranks") {
+    // A splits mass 9:1 between B and C; unweighted would split 1:1
+    val es = Seq(
+      ("A", "B", 9.0), ("A", "C", 1.0), ("B", "A", 1.0), ("C", "A", 1.0))
+    val edges = es.toDF("src", "dst", "score")
+
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val w = es.map { case (u, v, s) => (u, v) -> math.floor(s * 100 + 0.5).toLong }.toMap
+    val totW = es.groupBy(_._1).view.mapValues(_.map(e => w((e._1, e._2))).sum).toMap
+    val wn = w.map { case ((u, v), we) => (u, v) -> (we * 1000L) / totW(u) }
+    var ref = verts.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      es.foreach { case (u, v, _) => in(v) += ref(u) * wn((u, v)) / 1000L }
+      ref = verts.map(v => v -> (150000000L + 85L * in(v) / 100L)).toMap
+    }
+
+    val got = GraphOps.pageRankWeighted(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // the heavy edge dominates: B far outranks C
+    assert(got("B") > got("C"))
+    val broadcastGot = GraphOps.pageRankWeighted(edges, 3, broadcastRanks = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(broadcastGot === ref)
+  }
+
   test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
     // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
     // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
