@@ -73,7 +73,10 @@ object BloomJoin {
       .join(broadcast(bloomOf(small, keyCol, mBits, k)))
       .filter(mightContain(col("__bloom_bits"), xxhash64(col(keyCol)), mBits, k))
       .drop("__bloom_bits")
-    pruned.join(small.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    // no distinct() on the verify side: semi-join semantics dedup for
+    // free during the hash build, and the extra exchange+agg stage a
+    // distinct would plan buys nothing
+    pruned.join(small.select(col(keyCol)), Seq(keyCol), "left_semi")
   }
 
   /** `big LEFT ANTI JOIN small ON big.keyCol = small.keyCol`. Bloom
@@ -91,7 +94,7 @@ object BloomJoin {
     val definiteMiss = big.join(bloom).filter(!probe).drop("__bloom_bits")
     val maybe = big.join(bloom).filter(probe).drop("__bloom_bits")
     definiteMiss.unionByName(
-      maybe.join(small.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      maybe.join(small.select(col(keyCol)), Seq(keyCol), "left_anti")
         // left_anti keeps the left schema but reorders the join key
         // first; unionByName re-aligns
         .select(definiteMiss.columns.map(col).toIndexedSeq: _*))
