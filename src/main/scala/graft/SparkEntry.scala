@@ -362,6 +362,23 @@ object SparkEntry {
           floor(percent_rank().over(w) * 1e6 + 0.5).cast("long"))
     }),
 
+    // per-column null/empty audit — the ingest data-quality gate: one
+    // aggregate pass over the table, unpivoted to a row per column
+    "t_null_audit" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("nu_t"),
+          sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("em_t"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nu_l"),
+          sum(when(length(col("lang")) === 0, 1L).otherwise(0L)).as("em_l"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("nu_s"),
+          sum(when(length(col("source")) === 0, 1L).otherwise(0L)).as("em_s"))
+        .select(expr(
+          "stack(3, 'text', n, nu_t, em_t, 'lang', n, nu_l, em_l, " +
+            "'source', n, nu_s, em_s) AS (col_name, n_rows, n_null, n_empty)"))
+    }),
+
     // deterministic corpus-wide k-sample: global bottom-k by content
     // hash — TakeOrderedAndProject (per-partition heads), no global
     // sort; the corpus-level twin of the per-stratum samplers
@@ -1496,6 +1513,22 @@ object SparkEntry {
          |                 AS priority
          |        FROM documents))
          |WHERE rn <= 10""".stripMargin,
+
+    "t_null_audit" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_t,
+        |         CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS em_t,
+        |         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_l,
+        |         CAST(SUM(CASE WHEN length(lang) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS em_l,
+        |         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_s,
+        |         CAST(SUM(CASE WHEN length(source) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS em_s
+        |  FROM documents)
+        |SELECT 'text' AS col_name, n AS n_rows, nu_t AS n_null, em_t AS n_empty FROM a
+        |UNION ALL
+        |SELECT 'lang', n, nu_l, em_l FROM a
+        |UNION ALL
+        |SELECT 'source', n, nu_s, em_s FROM a""".stripMargin,
 
     "t_corpus_sample" ->
       s"""SELECT doc_id, ${ph("text")} AS hkey
