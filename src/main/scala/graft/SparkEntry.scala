@@ -432,6 +432,30 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast("long")).as("sum_qty"))),
 
+    // Pearson correlation from EXACT integer sufficient statistics:
+    // per-row quantization, exact integer sums (order-free), one final
+    // double expression per group — engine-portable where a naive
+    // corr() over doubles is not (its running sums are order-dependent)
+    "agg_correlation" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"),
+          floor(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") * 1e6 /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .cast("long").as("corr_e6"))
+    }),
+
     // HLL sketch: approx distinct (no cross-engine oracle — Spark's
     // HLL++ and DuckDB's HLL differ by construction; driver records the
     // weaker rows-only check). Exactness bound spec'd in ApproxSpec.
@@ -2474,6 +2498,27 @@ object SparkEntry {
         |       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |         AS total_cents
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "agg_correlation" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y*y) AS BIGINT) AS syy,
+        |         CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       CAST(floor(
+        |         CAST(n*sxy - sx*sy AS DOUBLE) * 1e6 /
+        |           sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
+        |       AS BIGINT) AS corr_e6
+        |FROM s""".stripMargin,
 
     // Bloom pruning is performance-only: the oracle is the plain
     // semi/anti join the operator is exactly equivalent to.
