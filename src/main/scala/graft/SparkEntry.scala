@@ -625,6 +625,10 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
     "sim_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    // MIPS: rank by raw inner product (magnitude matters) — all-integer
+    // ordering, no doubles anywhere
+    "sim_mips_topk" -> ((s, dir) =>
+      Similarity.mipsTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
     "sim_lsh_neighbors" -> ((s, dir) =>
       Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
     // blocked (LSH-bucketed) near-dup is the gated + benched path — the
@@ -1633,6 +1637,20 @@ object SparkEntry {
          |FROM reach GROUP BY a""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    "sim_mips_topk" ->
+      s"""WITH $QVEC,
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("qq.q", "c.q")} AS dot_q
+         |  FROM qv c JOIN qv qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY dot_q DESC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH a AS (

@@ -71,6 +71,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
   }
 
+  /** Brute-force maximum-inner-product top-k (MIPS) — cosine's
+    * unnormalized sibling and the actual retrieval objective when
+    * vector magnitude carries signal (recommender item scores,
+    * popularity-weighted embeddings). Entirely integer: ranking is on
+    * the exact quantized dot product, so unlike [[cosineTopK]] there
+    * is no double in the ordering at all. Same scale shape: broadcast
+    * query side, single corpus pass, partial window-group-limit top-k.
+    */
+  def mipsTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = withQuant(embeddings).select(col("vec_id"), col("q"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("qq"), col("q")).as("dot_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
+  }
+
   /** Deterministic integer hyperplane weight for (dimension i, plane j):
     * `((i+1)*1103515245 + (j+1)*12345) mod 2001 − 1000`. Same closed
     * form in the SQL oracle — no RNG state to ship.

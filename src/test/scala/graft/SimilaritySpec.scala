@@ -32,6 +32,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2, r._4)).toSeq === Seq((0L, 1L, 1L), (0L, 2L, 2L)))
   }
 
+  test("MIPS ranks by magnitude-weighted dot where cosine ranks by angle") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // query
+      (1L, Array(3.0f, 3.0f)),  // large magnitude, 45 degrees off
+      (2L, Array(0.9f, 0.0f))   // small magnitude, perfectly aligned
+    ).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(emb, col("vec_id") === 0, 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val cos = Similarity.cosineTopK(emb, col("vec_id") === 0, 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(mips === Seq(1L, 2L), "inner product favors the large vector")
+    assert(cos === Seq(2L, 1L), "cosine favors the aligned vector")
+  }
+
   test("cosine near-dup pairs finds exactly the one pair above 0.99") {
     val out = Similarity.cosineNearDupPairs(emb, cosE6 = 990000L)
     assert(rowSet(out) === Set(Seq(0L, 1L, 900000000000L)))
