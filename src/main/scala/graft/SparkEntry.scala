@@ -643,6 +643,14 @@ object SparkEntry {
     "sim_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), 8, 400000L, kmeansIters = 0)),
 
+    // capped SemDeDup: cells above maxCellSize sub-split by a portable
+    // vec_id hash (bounds every pair block), with a linear exact-dup
+    // pass recovering cos=1 pairs the id-hash split would separate.
+    // cap=32 < 500/8 so the sub-split is actually exercised at sf0.01.
+    "sim_semantic_dedup_capped" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 8, 400000L,
+        kmeansIters = 0, maxCellSize = Some(32))),
+
     // embedding-side dedup clustering: connected components over the
     // banded-LSH near-dup pairs — the semantic-dedup composition
     // (cluster near-identical embeddings, keep the min-id exemplar)
@@ -1570,9 +1578,9 @@ object SparkEntry {
         |  FROM documents),
         |plan AS (
         |  SELECT source, sz,
-        |         (SUM(sz) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |         CAST((SUM(sz) OVER (PARTITION BY source ORDER BY doc_id ASC
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz) // 4096
-        |           AS bin
+        |           AS BIGINT) AS bin
         |  FROM listing)
         |SELECT source, bin, COUNT(*) AS n_files,
         |       CAST(SUM(sz) AS BIGINT) AS bin_bytes
@@ -1727,7 +1735,8 @@ object SparkEntry {
 
     "sim_semantic_dedup" ->
       s"""WITH $QNORM,
-         |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn WHERE vec_id < 8),
+         |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn
+         |          WHERE vec_id < 8 AND nq > 0),
          |asg AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
@@ -1745,6 +1754,50 @@ object SparkEntry {
          |  JOIN qn qb ON qb.vec_id = b.vec_id
          |  WHERE CAST(${dotSql("qa.q", "qb.q")} AS DOUBLE) >=
          |        (400000.0/1000000.0) * sqrt(CAST(qa.nq AS DOUBLE) * CAST(qb.nq AS DOUBLE)))
+         |SELECT vec_id, cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |UNION ALL
+         |SELECT vec_id, CAST(-1 AS BIGINT) AS cid FROM qn WHERE nq = 0""".stripMargin,
+
+    // capped SemDeDup: same assignment, then cells sub-split into
+    // ceil(cell_n/32) sub-cells by the portable vec_id hash; near-dup
+    // pairs only within (cid, sub); exact duplicates (same q) dropped
+    // cell-wide by a linear grouped pass
+    "sim_semantic_dedup_capped" ->
+      s"""WITH $QNORM,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn
+         |          WHERE vec_id < 8 AND nq > 0),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           CAST(row_number() OVER (
+         |             PARTITION BY v.vec_id
+         |             ORDER BY CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) /
+         |                      sqrt(CAST(v.nq AS DOUBLE) * CAST(c.cnq AS DOUBLE)) DESC,
+         |                      c.cid ASC) AS BIGINT) AS rn
+         |    FROM qn v CROSS JOIN cents c WHERE v.nq > 0)
+         |  WHERE rn = 1),
+         |sizes AS (SELECT cid, COUNT(*) AS cell_n FROM asg GROUP BY cid),
+         |sub AS (
+         |  SELECT a.vec_id, a.cid,
+         |         ((a.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007
+         |           % CAST(ceil(CAST(s.cell_n AS DOUBLE) / 32) AS BIGINT) AS sub
+         |  FROM asg a JOIN sizes s ON s.cid = a.cid),
+         |dropped_near AS (
+         |  SELECT b.vec_id
+         |  FROM sub a JOIN sub b
+         |    ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  JOIN qn qa ON qa.vec_id = a.vec_id
+         |  JOIN qn qb ON qb.vec_id = b.vec_id
+         |  WHERE CAST(${dotSql("qa.q", "qb.q")} AS DOUBLE) >=
+         |        (400000.0/1000000.0) * sqrt(CAST(qa.nq AS DOUBLE) * CAST(qb.nq AS DOUBLE))),
+         |wq AS (SELECT a.vec_id, a.cid, v.q FROM asg a JOIN qn v ON v.vec_id = a.vec_id),
+         |keepx AS (SELECT cid, q, MIN(vec_id) AS keep_id FROM wq GROUP BY cid, q),
+         |dropped_exact AS (
+         |  SELECT w.vec_id FROM wq w JOIN keepx k ON k.cid = w.cid AND k.q = w.q
+         |  WHERE w.vec_id > k.keep_id),
+         |dropped AS (SELECT vec_id FROM dropped_near
+         |            UNION SELECT vec_id FROM dropped_exact)
          |SELECT vec_id, cid FROM asg
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |UNION ALL
@@ -1882,7 +1935,8 @@ object SparkEntry {
 
     "sim_ivf_topk" ->
       s"""WITH $QNORM,
-         |cent AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn
+         |         WHERE vec_id < 16 AND nq > 0),
          |asg AS (
          |  SELECT vec_id, q, nq, cid FROM (
          |    SELECT v.vec_id, v.q, v.nq, c.cid,
@@ -2550,8 +2604,9 @@ object SparkEntry {
       """SELECT l_suppkey, COUNT(*) AS n_items,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
-        |WHERE l_orderkey NOT IN
-        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o
+        |   WHERE o.o_orderkey = lineitem.l_orderkey AND o.o_totalprice > 150000)
         |GROUP BY l_suppkey""".stripMargin
   )
 }

@@ -197,7 +197,10 @@ object Similarity {
     import spark.implicits._
     def centsDf(cents: Array[(Long, Seq[Long])]): DataFrame =
       cents.toSeq.toDF("cid", "cq").withColumn("cnq", normQ(col("cq")))
+    // zero-norm vectors make every cosine against them NaN (and Spark
+    // orders NaN largest), so they are never eligible as centroids
     var cents: Array[(Long, Seq[Long])] = corpus
+      .filter(col("nq") > 0)
       .select(col("vec_id"), col("q"))
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(k)
@@ -252,9 +255,12 @@ object Similarity {
       k: Int,
       kmeansIters: Int = 4): DataFrame = {
     val corpus = withQuant(embeddings)
+    // nq > 0 on the stand-in: a zero-norm centroid scores NaN against
+    // every vector, and Spark orders NaN largest — the degenerate cell
+    // would capture the whole corpus (and diverge from the oracle)
     val cents =
       if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCentroids, kmeansIters)
-      else corpus.filter(col("vec_id") < nCentroids)
+      else corpus.filter(col("vec_id") < nCentroids && col("nq") > 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
     // CORPUS assignment is the narrow literal-array argmax — the
     // join+window form would blow the corpus up ×nCentroids and then
@@ -381,18 +387,34 @@ object Similarity {
     * per cell — the SemDeDup trade. `nCells` is the knob: size it so
     * cells hold ~10³–10⁴ vectors (nCells ≈ n/10³ at 100 TB, exactly
     * how the paper runs it); the cell-id shuffle then has enough
-    * distinct keys to spread, and no cell's pair block exceeds memory.
+    * distinct keys to spread. `maxCellSize` is the guard for when the
+    * sizing guess is wrong anyway (near-duplicate-heavy corpora
+    * concentrate into hot cells): any cell larger than the cap is
+    * sub-split into `ceil(cell_n / cap)` sub-cells by a portable hash
+    * of `vec_id`, bounding every pair block to ~cap² in expectation —
+    * the `dfCap` / `maxFanout` device applied to SemDeDup. Because an
+    * id-hash split can separate near-identical vectors, a LINEAR
+    * exact-duplicate pass (group by the full quantized vector within
+    * the cell) runs alongside, so cos=1 duplicates — the pairs a
+    * dedup must never miss — are caught regardless of the sub-split;
+    * sub-cap near-pairs across sub-cells are the documented recall
+    * trade, identical in kind to LSH banding. The pinned capped rule:
+    * `b` dropped iff (∃ a<b in the same cell with q_a = q_b) or
+    * (∃ a<b in the same (cell, sub-cell) with cos(a,b) ≥ τ).
     * The assigned frame is materialized once (three consumers).
     */
   def semanticDedup(
       embeddings: DataFrame,
       nCells: Int,
       cosE6: Long,
-      kmeansIters: Int = 4): DataFrame = {
+      kmeansIters: Int = 4,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val corpus = withQuant(embeddings)
+    // nq > 0: a zero-norm centroid stand-in would score NaN against the
+    // whole corpus (Spark orders NaN largest — degenerate capture cell)
     val cents =
       if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCells, kmeansIters)
-      else corpus.filter(col("vec_id") < nCells)
+      else corpus.filter(col("vec_id") < nCells && col("nq") > 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
     val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -401,16 +423,43 @@ object Similarity {
       .withColumn("cid", bestCellExpr(centsArr))
       .select(col("vec_id"), col("cid"), col("q"), col("nq"))
       .localCheckpoint()
-    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+    // sub-cell id: 0 everywhere when uncapped; otherwise a portable
+    // vec_id hash mod ceil(cell_n/cap). The sizes frame is ≤ nCells
+    // rows — broadcast, same bound as the centroid literal.
+    val subbed = maxCellSize match {
+      case None => assigned.withColumn("sub", lit(0L))
+      case Some(cap) =>
+        val P = graft.functions.Hashing.P
+        val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cell_n"))
+        assigned.join(broadcast(sizes), Seq("cid"))
+          .withColumn("sub",
+            ((col("vec_id") % P) * 1103515245L + 12345L) % P %
+              ceil(col("cell_n").cast("double") / cap).cast("long"))
+          .drop("cell_n")
+    }
+    val a = subbed.select(col("cid"), col("sub"), col("vec_id").as("id_a"),
       col("q").as("q_a"), col("nq").as("n_a"))
-    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+    val b = subbed.select(col("cid"), col("sub"), col("vec_id").as("id_b"),
       col("q").as("q_b"), col("nq").as("n_b"))
-    val dropped = a.join(b, Seq("cid"))
+    val droppedNear = a.join(b, Seq("cid", "sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(dotQ(col("q_a"), col("q_b")).cast("double") >=
         lit(cosE6.toDouble / 1e6) *
           sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
-      .select(col("id_b").as("vec_id")).distinct()
+      .select(col("id_b").as("vec_id"))
+    // linear exact-dup recovery under the cap: one grouped pass on
+    // (cid, q) — no pair blowup, so safe even when every vector is
+    // identical (the degenerate fixture the cap exists for)
+    val dropped = (maxCellSize match {
+      case None => droppedNear
+      case Some(_) =>
+        val keep = assigned.groupBy(col("cid"), col("q"))
+          .agg(min(col("vec_id")).as("keep_id"))
+        val droppedExact = assigned.join(keep, Seq("cid", "q"))
+          .filter(col("vec_id") > col("keep_id"))
+          .select(col("vec_id"))
+        droppedNear.unionByName(droppedExact)
+    }).distinct()
     assigned.select(col("vec_id"), col("cid"))
       .join(dropped, Seq("vec_id"), "left_anti")
       .unionByName(corpus.filter(col("nq") === 0)

@@ -275,6 +275,22 @@ class PlanQualitySpec extends SparkSpec {
       s"packing must not global-sort:\n$plan")
   }
 
+  test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,
+      maxCellSize = Some(32))
+    val plan = formatted(out)
+    // the ≤nCells cell-size frame must attach by broadcast, not a shuffle
+    // of the assigned corpus
+    assert(plan.contains("BroadcastExchange"),
+      s"cell-size attach should broadcast:\n$plan")
+    // the cap is only real if the pair join keys on (cid, sub) — a join
+    // keyed on cid alone is the uncapped quadratic
+    assert("Join [^\\n]*\\[cid#\\d+L?, sub#\\d+L?\\]".r.findFirstIn(plan).isDefined ||
+      "\\[cid#\\d+L?, sub#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"pair join does not key on the sub-split:\n$plan")
+  }
+
   test("bloom anti join: the definite-miss branch plans no join shuffle") {
     // mightContain attaches via a single-row broadcast nested-loop join;
     // the definite-miss rows must flow scan -> filter -> union with no

@@ -137,6 +137,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === -1L && out(4L) === -1L)
   }
 
+  test("capped semanticDedup: degenerate one-cell corpus stays bounded, keeps one rep") {
+    // the fixture the cap exists for: every vector identical -> one
+    // k-means cell, where the uncapped all-pairs join is n². The cap
+    // sub-splits by the portable vec_id hash (bounding each pair block)
+    // and the linear exact-dup pass still collapses the whole group.
+    val n = 200
+    val rows = (0L until n.toLong).map(i => (i, Array(0.6f, 0.8f))) :+
+      ((n.toLong, Array(-1.0f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cap = 8
+    val out = Similarity.semanticDedup(emb, 2, 950000L, kmeansIters = 0,
+      maxCellSize = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // all 200 identical vectors collapse to the min id despite the
+    // id-hash split separating them across sub-cells
+    assert(out.keySet === Set(0L, n.toLong), s"survivors: ${out.keySet}")
+    // boundedness: recompute the sub-split closed form — no sub-cell's
+    // pair block may exceed a small multiple of the cap
+    val P = graft.functions.Hashing.P
+    val nsub = math.ceil((n + 1).toDouble / cap).toLong
+    val sizes = (0L to n.toLong).groupBy(i => ((i % P) * 1103515245L + 12345L) % P % nsub)
+      .values.map(_.size)
+    assert(sizes.max <= 4 * cap, s"sub-cell blew past the cap: ${sizes.max}")
+  }
+
+  test("capped semanticDedup equals uncapped when the cap is not binding") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val unc = rowSet(Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0))
+    // cap far above any cell size -> nsub=1 everywhere; the exact-dup
+    // pass only re-drops pairs the cos>=τ join already drops (cos=1)
+    val cap = rowSet(Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,
+      maxCellSize = Some(1000000)))
+    assert(unc === cap)
+  }
+
   test("LSH buckets: identical vectors always share a bucket; probe finds them") {
     val dup = Seq(
       (0L, Array(0.5f, 0.5f)),
