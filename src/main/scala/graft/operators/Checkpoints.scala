@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage cuts for the iterative operators (connected components,
+  * PageRank, k-core, k-hop, BFS).
+  *
+  * Two durability modes, chosen by the `checkpointDir` knob every
+  * iterative operator threads through:
+  *
+  *  - `None` → `localCheckpoint()`: blocks live in executor storage
+  *    memory. Fast (no filesystem write) and right for single-JVM /
+  *    short-job use — but a lost executor loses blocks that are
+  *    UN-recomputable (the lineage was truncated), failing the job
+  *    mid-iteration.
+  *  - `Some(dir)` → reliable `checkpoint()`: blocks are written to a
+  *    (HDFS-compatible) checkpoint directory and survive executor
+  *    loss — the mode a 1000-executor job reading 100 TB should run,
+  *    where the probability of losing SOME executor over a multi-round
+  *    iteration approaches 1. Costs one distributed filesystem write
+  *    per cut.
+  *
+  * The SparkContext has ONE checkpoint dir: the first `Some(dir)` cut
+  * sets it if unset, later cuts reuse it (Spark creates a unique
+  * subdirectory per checkpoint, so operators never collide).
+  */
+object Checkpoints {
+
+  /** Materialize `df` and truncate its lineage, durable iff `dir` is
+    * set. Both modes are eager and preserve the physical partitioning
+    * (Spark's `Dataset.checkpoint` keeps `outputPartitioning` on the
+    * resulting `LogicalRDD` either way), so co-partitioned iterative
+    * joins keep their shuffle-free rounds in both.
+    */
+  def cut(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case None => df.localCheckpoint()
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      df.checkpoint()
+  }
+}

@@ -640,16 +640,17 @@ object Dedup {
       pairs: DataFrame,
       vertices: DataFrame,
       maxRounds: Int = 20,
-      broadcastLabels: Boolean = false): DataFrame = {
+      broadcastLabels: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     // materialize the pair list ONCE — every propagation round joins
     // against it, and without the checkpoint each round would re-execute
     // the whole upstream candidate-generation pipeline. Pre-partitioned
     // on the join key (v): localCheckpoint preserves the partitioning,
     // so in the shuffle-join mode each round moves only the label table.
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .repartition(col("v"))
-      .localCheckpoint()
+    val edges = Checkpoints.cut(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .repartition(col("v")), checkpointDir)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
     var prevSum: Option[BigDecimal] = None
     var changed = true
@@ -685,13 +686,14 @@ object Dedup {
       // convergence metric rides the (eager) checkpoint job via observe
       // — one job per round, no count pass
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
-      val jumped = stepped
-        .join(lmap, stepped("label") === col("ld"), "left_outer")
-        .select(
-          stepped("doc_id"),
-          least(stepped("label"), coalesce(col("ll"), stepped("label"))).as("label"))
-        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
-        .localCheckpoint()
+      val jumped = Checkpoints.cut(
+        stepped
+          .join(lmap, stepped("label") === col("ld"), "left_outer")
+          .select(
+            stepped("doc_id"),
+            least(stepped("label"), coalesce(col("ll"), stepped("label"))).as("label"))
+          .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum")),
+        checkpointDir)
       val labelSum = Option(obs.get("label_sum"))
         .collect { case d: java.math.BigDecimal => BigDecimal(d) }
       changed = (labelSum, prevSum) match {

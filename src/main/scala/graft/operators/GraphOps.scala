@@ -151,11 +151,15 @@ object GraphOps {
     *
     * Iterative joins grow lineage (and re-execute the whole prefix on
     * every reference): every `checkpointEvery` hops the frontier and
-    * visited sets are localCheckpoint'ed, truncating the plan — the
-    * standard iterative-graph pattern on Spark.
+    * visited sets are checkpointed, truncating the plan — the standard
+    * iterative-graph pattern on Spark. `checkpointDir` picks the
+    * durability mode (see [[Checkpoints.cut]]): unset = fast
+    * executor-memory localCheckpoint, set = reliable filesystem
+    * checkpoint that survives executor loss — the cluster-scale mode.
     */
   def kHop(edges: DataFrame, seeds: DataFrame, k: Int, checkpointEvery: Int = 4,
-      materializeEdges: Boolean = true): DataFrame = {
+      materializeEdges: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // Reachability only needs the (src,dst) pairs — project BEFORE any
     // materialization so scores/attributes never enter the hop loop.
@@ -167,7 +171,7 @@ object GraphOps {
     // re-executing k times — executedPlan showed zero exchange reuse
     // across hops without this. Skippable when the upstream is a cheap
     // scan and recompute beats the materialization write.
-    val e = if (k > 1 && materializeEdges) pairs.localCheckpoint() else pairs
+    val e = if (k > 1 && materializeEdges) Checkpoints.cut(pairs, checkpointDir) else pairs
     var visited = seeds.select(col("person_id")).distinct()
     var frontier = visited
     var result: DataFrame = null
@@ -180,8 +184,8 @@ object GraphOps {
       frontier = next
       visited = visited.union(next).distinct()
       if (checkpointEvery > 0 && hop % checkpointEvery == 0 && hop < k) {
-        frontier = frontier.localCheckpoint()
-        visited = visited.localCheckpoint()
+        frontier = Checkpoints.cut(frontier, checkpointDir)
+        visited = Checkpoints.cut(visited, checkpointDir)
       }
       result = next
     }
@@ -198,10 +202,11 @@ object GraphOps {
     */
   def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
       checkpointEvery: Int = 4, materializeEdges: Boolean = true,
-      broadcastFrontier: Boolean = false): DataFrame = {
+      broadcastFrontier: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val pairs = edges.select(col("src"), col("dst"))
-    val e = if (maxDepth > 1 && materializeEdges) pairs.localCheckpoint() else pairs
+    val e = if (maxDepth > 1 && materializeEdges) Checkpoints.cut(pairs, checkpointDir) else pairs
     var visited = seeds.select(col("person_id")).distinct()
       .withColumn("depth", lit(0L))
     var frontier = visited.select(col("person_id"))
@@ -227,8 +232,8 @@ object GraphOps {
         next.select(col("person_id"), lit(hop.toLong).as("depth")))
       frontier = next
       if (checkpointEvery > 0 && hop % checkpointEvery == 0 && hop < maxDepth) {
-        frontier = frontier.localCheckpoint()
-        visited = visited.localCheckpoint()
+        frontier = Checkpoints.cut(frontier, checkpointDir)
+        visited = Checkpoints.cut(visited, checkpointDir)
       }
     }
     visited
@@ -262,14 +267,15 @@ object GraphOps {
     * output) — duplicate (src,dst) rows would double-count contributions.
     */
   def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = edges.select(col("src"), col("dst"))
-    val e = if (iters > 1) pairs.localCheckpoint() else pairs
-    val verts = e.select(col("src").as("person_id"))
-      .union(e.select(col("dst").as("person_id")))
-      .distinct()
-      .localCheckpoint()
+    val e = if (iters > 1) Checkpoints.cut(pairs, checkpointDir) else pairs
+    val verts = Checkpoints.cut(
+      e.select(col("src").as("person_id"))
+        .union(e.select(col("dst").as("person_id")))
+        .distinct(), checkpointDir)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .select(col("src").as("dsrc"), col("out_deg"))
     // out-degree rides the edge list, attached ONCE — the per-round
@@ -278,9 +284,9 @@ object GraphOps {
     // evaluated per edge equals the per-vertex share joined outward
     // (the divisor is constant per src), so results are bit-identical.
     val degB = if (broadcastRanks) broadcast(deg) else deg
-    val ed = e.join(degB, col("src") === col("dsrc"))
-      .select(col("src").as("esrc"), col("dst"), col("out_deg"))
-      .localCheckpoint()
+    val ed = Checkpoints.cut(
+      e.join(degB, col("src") === col("dsrc"))
+        .select(col("src").as("esrc"), col("dst"), col("out_deg")), checkpointDir)
     var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
     for (it <- 1 to iters) {
       // both per-round frames are vertex-sized; with broadcastRanks a
@@ -295,7 +301,7 @@ object GraphOps {
           (lit(150000000L) +
             expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
-        pr = pr.localCheckpoint()
+        pr = Checkpoints.cut(pr, checkpointDir)
     }
     pr
   }
@@ -320,7 +326,8 @@ object GraphOps {
     * shuffled on `dst` → pair aggregate; every stage map-side-combines
     * and the intermediate is ≤ maxFanout²/2 rows per dst.
     */
-  def coOccurrencePairs(edges: DataFrame, maxFanout: Int, minShared: Int): DataFrame = {
+  def coOccurrencePairs(edges: DataFrame, maxFanout: Int, minShared: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
     val distinctEdges = edges.select(col("src"), col("dst")).distinct()
     val keptDst = distinctEdges.groupBy(col("dst"))
@@ -329,7 +336,7 @@ object GraphOps {
       .select(col("dst"))
     // materialized once: the l/r branches of the self-join would
     // otherwise re-execute the distinct + fan-out cap twice
-    val capped = distinctEdges.join(keptDst, Seq("dst")).localCheckpoint()
+    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
     val l = capped.select(col("dst"), col("src").as("person_a"))
     val r = capped.select(col("dst"), col("src").as("person_b"))
     l.join(r, Seq("dst"))
@@ -356,23 +363,24 @@ object GraphOps {
     * aggregation.
     */
   def pageRankWeighted(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = edges.select(col("src"), col("dst"),
       floor(col("score") * 100 + 0.5).cast("long").as("w_e2"))
-    val e = if (iters > 1) pairs.localCheckpoint() else pairs
-    val verts = e.select(col("src").as("person_id"))
-      .union(e.select(col("dst").as("person_id")))
-      .distinct()
-      .localCheckpoint()
+    val e = if (iters > 1) Checkpoints.cut(pairs, checkpointDir) else pairs
+    val verts = Checkpoints.cut(
+      e.select(col("src").as("person_id"))
+        .union(e.select(col("dst").as("person_id")))
+        .distinct(), checkpointDir)
     val tw = e.groupBy(col("src")).agg(sum(col("w_e2")).as("tot_w"))
       .select(col("src").as("dsrc"), col("tot_w"))
     val twB = if (broadcastRanks) broadcast(tw) else tw
-    val ed = e.join(twB, col("src") === col("dsrc"))
-      .filter(col("tot_w") > 0)
-      .select(col("src").as("esrc"), col("dst"),
-        expr("(w_e2 * 1000) div tot_w").as("wn"))
-      .localCheckpoint()
+    val ed = Checkpoints.cut(
+      e.join(twB, col("src") === col("dsrc"))
+        .filter(col("tot_w") > 0)
+        .select(col("src").as("esrc"), col("dst"),
+          expr("(w_e2 * 1000) div tot_w").as("wn")), checkpointDir)
     var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
     for (it <- 1 to iters) {
       val prIn = if (broadcastRanks) broadcast(pr) else pr
@@ -385,7 +393,7 @@ object GraphOps {
           (lit(150000000L) +
             expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
       if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
-        pr = pr.localCheckpoint()
+        pr = Checkpoints.cut(pr, checkpointDir)
     }
     pr
   }
@@ -408,22 +416,23 @@ object GraphOps {
     * remove the vast majority of sub-core vertices in the first 2-3
     * rounds (the long convergence tail only chases chains).
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1, got k=$k rounds=$rounds")
-    var e = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    var e = Checkpoints.cut(
+      edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct(), checkpointDir)
     for (_ <- 1 to rounds) {
       val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("v"))
-      e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+      e = Checkpoints.cut(
+        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"), checkpointDir)
     }
     e.select(col("a").as("person_id")).union(e.select(col("b").as("person_id")))
       .groupBy(col("person_id")).agg(count(lit(1)).as("degree"))

@@ -209,6 +209,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(broadcastGot === ref)
   }
 
+  test("reliable-checkpoint mode is result-identical across the iterative ops") {
+    // checkpointDir=Some(dir) swaps executor-memory localCheckpoint for
+    // durable filesystem checkpoints (executor loss survives on a real
+    // cluster); the lineage cut must not change any result
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = Some(dir)
+    val edges = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1), Edge("B", "A", 1)).toDF()
+    val seeds = Seq("A").toDF("person_id")
+    assert(strings(GraphOps.kHop(edges, seeds, 2, checkpointDir = ckpt), "person_id")
+      === strings(GraphOps.kHop(edges, seeds, 2), "person_id"))
+    assert(rowSet(GraphOps.bfsDepths(edges, seeds, 3, checkpointDir = ckpt))
+      === rowSet(GraphOps.bfsDepths(edges, seeds, 3)))
+    val es = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "C"))
+      .toDF("src", "dst")
+    assert(rowSet(GraphOps.pageRank(es, 5, checkpointEvery = 2, checkpointDir = ckpt))
+      === rowSet(GraphOps.pageRank(es, 5, checkpointEvery = 2)))
+    val wes = Seq(("A", "B", 9.0), ("A", "C", 1.0), ("B", "A", 1.0), ("C", "A", 1.0))
+      .toDF("src", "dst", "score")
+    assert(rowSet(GraphOps.pageRankWeighted(wes, 5, checkpointEvery = 2, checkpointDir = ckpt))
+      === rowSet(GraphOps.pageRankWeighted(wes, 5, checkpointEvery = 2)))
+    val tri = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1), Edge("C", "D", 1)).toDF()
+    assert(rowSet(GraphOps.kCorePeel(tri, 2, 3, checkpointDir = ckpt))
+      === rowSet(GraphOps.kCorePeel(tri, 2, 3)))
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val verts = (1L to 7L).toDF("doc_id")
+    assert(rowSet(graft.operators.Dedup.connectedComponents(pairs, verts, checkpointDir = ckpt))
+      === rowSet(graft.operators.Dedup.connectedComponents(pairs, verts)))
+    // durable checkpoint files actually landed under the knob's dir
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+      new java.io.File(dir).getName)))
+  }
+
   test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
     // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
     // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
