@@ -55,7 +55,15 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val nFailed = results.size - ok.size
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated past ~100 queries — persist the full
+    // JSON so every per-query time survives for round-over-round
+    // regression analysis
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

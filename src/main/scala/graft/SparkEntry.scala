@@ -456,13 +456,23 @@ object SparkEntry {
             .cast("long").as("corr_e6"))
     }),
 
-    // HLL sketch: approx distinct (no cross-engine oracle — Spark's
-    // HLL++ and DuckDB's HLL differ by construction; driver records the
-    // weaker rows-only check). Exactness bound spec'd in ApproxSpec.
+    // HLL sketch: Spark's HLL++ and DuckDB's HLL differ by construction,
+    // so the sketch VALUE can't cross-engine hash-match. Gate it anyway:
+    // emit the exact distinct count plus a Spark-side 10%-tolerance
+    // verdict; the oracle computes the same exact counts with approx_ok
+    // pinned TRUE — the row hash-matches iff the HLL estimate was in
+    // bound for every group. The permanent no_oracle asterisk becomes a
+    // real accuracy gate.
     "x_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx"))
+        .select(
+          col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")) <=
+            col("exact_orders").cast("double") * 0.1).as("approx_ok"))
     })
   )
 
@@ -2561,6 +2571,15 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the HLL estimate itself is engine-specific; the oracle pins the
+    // exact counts and approx_ok=TRUE, so a hash match certifies the
+    // Spark-side |approx - exact| <= 10% bound held for every group
+    "x_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "agg_monthly_orders" ->

@@ -8,11 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs; decode / feature
   * extraction runs batched per partition.
   *
-  * The container has no image/audio codecs, so [[FakeDecoder]] is a
-  * clearly-marked deterministic stand-in — it parses nothing, it
-  * derives plausible metadata from the bytes. Everything around it
-  * (schema, batching, partition-level iteration, metadata projection)
-  * is the real Spark plumbing a production decoder would drop into.
+  * The byte→media boundary is the [[MediaCodec]] trait: every operator
+  * that interprets payload bytes takes one as a parameter. The
+  * container has no image/audio codecs, so the default [[StubCodec]]
+  * is a clearly-marked deterministic stand-in — it parses nothing, it
+  * derives plausible metadata/samples from the bytes (codepoints stand
+  * in for pixels). A production build injects a real JPEG/PNG/PCM
+  * codec at the call site WITHOUT editing any operator; everything
+  * around the trait (schema, batching, partition-level iteration,
+  * metadata projection, fingerprint algebra) is the real Spark
+  * plumbing a production decoder drops into, and is what the oracle
+  * rows gate.
   *
   * Scale notes: payload columns are only ever passed through
   * `mapPartitions` (no per-row UDF setup cost, codec state amortized
@@ -31,11 +37,32 @@ object Multimodal {
     StructField("width", LongType, nullable = true),
     StructField("height", LongType, nullable = true)))
 
-  /** STUB — deterministic fake decode. A real build links an image
-    * codec here (same signature: bytes in, metadata out); everything
-    * downstream is unchanged.
+  /** The codec boundary: bytes in, decoded media out. Implementations
+    * MUST be cheap to construct / serializable (instances ship inside
+    * `mapPartitions` closures) and deterministic per input — the dedup
+    * and fingerprint operators rely on rerun-stable output.
     */
-  object FakeDecoder {
+  trait MediaCodec extends Serializable {
+    /** `(n_bytes, magic_hex, width, height)` of the decoded media. */
+    def decode(payload: Array[Byte]): (Long, String, Long, Long)
+
+    /** Number of extractable frames (video) / windows (audio). */
+    def frameCount(payload: Array[Byte]): Long
+
+    /** Decoded scalar samples (pixels row-major / PCM), as exact
+      * integers — feeds the perceptual fingerprint.
+      */
+    def samples(payload: Array[Byte]): Iterator[Long]
+  }
+
+  /** STUB — the deterministic fake codec (the container ships no real
+    * image/audio libraries). Metadata derives from byte length and
+    * leading codepoint; "samples" are the payload's UTF-8 codepoints.
+    * Deliberately SQL-expressible so every operator built on it stays
+    * oracle-checkable end to end; also the test implementation proving
+    * the trait seam carries everything the operators need.
+    */
+  object StubCodec extends MediaCodec {
     def decode(payload: Array[Byte]): (Long, String, Long, Long) = {
       val n = payload.length.toLong
       val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -51,6 +78,12 @@ object Multimodal {
       val h = 32L + (first % 224L)
       (n, magic, w, h)
     }
+
+    def frameCount(payload: Array[Byte]): Long =
+      8L + (payload.length.toLong % 120L)
+
+    def samples(payload: Array[Byte]): Iterator[Long] =
+      codePoints(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Attach a synthetic binary payload column (UTF-8 bytes of a text
@@ -62,7 +95,8 @@ object Multimodal {
   /** Batched decode over partitions: the production shape
     * (`mapPartitions`, codec state per partition, typed Row out).
     */
-  def decodeMeta(withPayloadDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def decodeMeta(withPayloadDf: DataFrame, idCol: String = "doc_id",
+      codec: MediaCodec = StubCodec): DataFrame = {
     val spark = withPayloadDf.sparkSession
     val outSchema = StructType(
       StructField(idCol, LongType, nullable = false) +: mediaMetaSchema.fields.toSeq)
@@ -75,7 +109,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Row(id, null, null, null, null) // SQL-twin parity
           else {
-            val (n, magic, w, h) = FakeDecoder.decode(payload)
+            val (n, magic, w, h) = codec.decode(payload)
             Row(id, n, magic, w, h)
           }
         }
@@ -83,7 +117,7 @@ object Multimodal {
   }
 
   /** Pure-SQL metadata projection (no decoder) — byte length + magic
-    * prefix + the FakeDecoder dimension formulas as Catalyst
+    * prefix + the [[StubCodec]] dimension formulas as Catalyst
     * expressions. Engine-portable; used by the oracle-checked query.
     */
   def metaSql(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -118,7 +152,8 @@ object Multimodal {
     * integer fit-into-box plan, batched per partition like a real
     * image pipeline (codec/scaler state amortized across the batch).
     */
-  def resizeMeta(withPayloadDf: DataFrame, maxW: Long, maxH: Long, idCol: String = "doc_id"): DataFrame = {
+  def resizeMeta(withPayloadDf: DataFrame, maxW: Long, maxH: Long,
+      idCol: String = "doc_id", codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("width", LongType, nullable = true),
@@ -133,7 +168,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Row(id, null, null, null, null) // SQL-twin parity
           else {
-            val (_, _, w, h) = FakeDecoder.decode(payload)
+            val (_, _, w, h) = codec.decode(payload)
             val (rw, rh) = FakeResizer.plan(w, h, maxW, maxH)
             Row(id, w, h, rw, rh)
           }
@@ -146,7 +181,8 @@ object Multimodal {
     * a real frame extractor drops into. Frame count derives
     * deterministically from the payload size.
     */
-  def frameSample(withPayloadDf: DataFrame, stride: Int, idCol: String = "doc_id"): DataFrame = {
+  def frameSample(withPayloadDf: DataFrame, stride: Int,
+      idCol: String = "doc_id", codec: MediaCodec = StubCodec): DataFrame = {
     require(stride >= 1)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -160,7 +196,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Iterator.empty // SQL twin: range over null is empty
           else {
-            val nFrames = 8L + (payload.length.toLong % 120L)
+            val nFrames = codec.frameCount(payload)
             (0L until nFrames by stride.toLong).iterator.map(i => Row(id, i, nFrames))
           }
         }
@@ -193,23 +229,65 @@ object Multimodal {
       }(encoder)
   }
 
-  private def blockRows(id: Long, s: String, blockSize: Int): Iterator[Row] = {
+  private def blockRows(id: Long, s: String, blockSize: Int): Iterator[Row] =
+    sampleBlockRows(id, codePoints(s), blockSize)
+
+  /** Codepoint iterator over a string (surrogate-pair aware). */
+  private[operators] def codePoints(s: String): Iterator[Long] = new Iterator[Long] {
+    private var i = 0 // UTF-16 offset
+    def hasNext: Boolean = i < s.length
+    def next(): Long = {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      cp.toLong
+    }
+  }
+
+  /** Streaming per-block (n, sum, min, max) over any sample iterator —
+    * shared by the text path and the codec path; O(1) state.
+    */
+  private def sampleBlockRows(id: Long, samples: Iterator[Long], blockSize: Int): Iterator[Row] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var i = 0        // UTF-16 offset
-    var cpIdx = 0L   // codepoint index
+    var idx = 0L     // sample index
     var bNo = 0L; var n = 0L; var sum = 0L
     var mn = Long.MaxValue; var mx = Long.MinValue
     def flush(): Unit = if (n > 0) { out += Row(id, bNo, n, sum, mn, mx) }
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val b = cpIdx / blockSize
+    while (samples.hasNext) {
+      val cp = samples.next()
+      val b = idx / blockSize
       if (b != bNo) { flush(); bNo = b; n = 0; sum = 0; mn = Long.MaxValue; mx = Long.MinValue }
       n += 1; sum += cp; mn = math.min(mn, cp); mx = math.max(mx, cp)
-      cpIdx += 1
-      i += Character.charCount(cp)
+      idx += 1
     }
     flush()
     out.iterator
+  }
+
+  /** [[blockStats]] over CODEC-DECODED samples of a binary payload —
+    * the media-side block statistics feeding [[perceptualHash]]. Same
+    * output schema as the text form; the sample source is the
+    * [[MediaCodec]] seam.
+    */
+  def payloadBlockStats(withPayloadDf: DataFrame, blockSize: Int,
+      idCol: String = "doc_id", codec: MediaCodec = StubCodec): DataFrame = {
+    require(blockSize >= 1)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("block_no", LongType, nullable = false),
+      StructField("n_cp", LongType, nullable = false),
+      StructField("sum_cp", LongType, nullable = false),
+      StructField("min_cp", LongType, nullable = false),
+      StructField("max_cp", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloadDf.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Iterator.empty
+          else sampleBlockRows(id, codec.samples(payload), blockSize)
+        }
+      }(encoder)
   }
 
   /** Exact media dedup: canonical (minimum) id per identical binary
@@ -245,13 +323,15 @@ object Multimodal {
     * Output `(doc_id, simhash)` plugs straight into
     * [[Dedup.simhashPairs]]'s banded Hamming join — media near-dup
     * (re-encoded/lightly-edited copies) with the same pigeonhole
-    * blocking as text SimHash. As with the codec stubs, the
-    * byte→sample decode is faked (codepoints stand in for pixels);
-    * the fingerprint algebra, banding, and plan shape are real.
+    * blocking as text SimHash. The byte→sample decode is the `codec`
+    * parameter ([[StubCodec]] by default: codepoints stand in for
+    * pixels); the fingerprint algebra, banding, and plan shape are
+    * codec-independent and real.
     */
   def perceptualHash(docs: DataFrame, blockSize: Int = 16,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bs = blockStats(docs, blockSize, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id",
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val bs = payloadBlockStats(withPayload(docs, textCol), blockSize, idCol, codec)
     val tot = bs.groupBy(col(idCol)).agg(
       sum(col("sum_cp")).as("tot_sum"), sum(col("n_cp")).as("tot_n"))
     bs.join(tot, Seq(idCol))

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.model.Edge
 import graft.operators.Multimodal
 import graft.sinks.Rdf
@@ -57,5 +59,38 @@ class RdfSpec extends SparkSpec {
     assert(out === Set(
       Seq(1L, 0L, 64L, 97L + 98L + 62L * 120L, 97L, 120L),
       Seq(1L, 1L, 1L, 120L, 120L, 120L)))
+  }
+
+  test("multimodal: a custom codec injects through the seam, operators unchanged") {
+    // a toy "real" codec: fixed 16x16 dims, 3 frames, bytes as samples —
+    // every operator must pick it up via the parameter alone
+    object ToyCodec extends Multimodal.MediaCodec {
+      def decode(p: Array[Byte]): (Long, String, Long, Long) =
+        (p.length.toLong, "beef", 16L, 16L)
+      def frameCount(p: Array[Byte]): Long = 3L
+      def samples(p: Array[Byte]): Iterator[Long] = p.iterator.map(b => (b & 0xff).toLong)
+    }
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val wp = Multimodal.withPayload(docs)
+    assert(rowSet(Multimodal.decodeMeta(wp, codec = ToyCodec))
+      === Set(Seq(1L, 4L, "beef", 16L, 16L)))
+    assert(rowSet(Multimodal.frameSample(wp, 2, codec = ToyCodec))
+      === Set(Seq(1L, 0L, 3L), Seq(1L, 2L, 3L)))
+    assert(rowSet(Multimodal.resizeMeta(wp, 8, 8, codec = ToyCodec))
+      === Set(Seq(1L, 16L, 16L, 8L, 8L)))
+    // stub-codec perceptual hash ≡ the text blockStats formulation
+    // (codepoint samples), pinning the refactor onto the seam
+    val viaCodec = rowSet(Multimodal.perceptualHash(docs, 2))
+    val bs = Multimodal.blockStats(docs, 2)
+    val tot = bs.groupBy(col("doc_id")).agg(
+      sum(col("sum_cp")).as("tot_sum"), sum(col("n_cp")).as("tot_n"))
+    val viaText = rowSet(bs.join(tot, Seq("doc_id"))
+      .filter(col("block_no") < 32)
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN sum_cp * tot_n > tot_sum * n_cp " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(block_no AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("simhash")))
+    assert(viaCodec === viaText)
   }
 }
