@@ -87,8 +87,13 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         def readState(sub: String, schema: StructType): DataFrame = {
-          val p = new java.io.File(s"$stateDir/$sub")
-          if (p.exists()) spark.read.schema(schema).parquet(p.toString).dropDuplicates()
+          // existence probe through the Hadoop FileSystem API: stateDir
+          // may be HDFS/S3 at cluster scale, where a java.io.File check
+          // would always read absent and silently dedup against an
+          // empty corpus
+          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString).dropDuplicates()
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         }

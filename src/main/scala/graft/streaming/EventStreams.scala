@@ -25,7 +25,7 @@ final case class TransitionRow(
 /** Per-user funnel state: how many steps are complete, when the last
   * one completed (µs), and the not-yet-finalized buffer.
   */
-final case class FunnelState(stepIdx: Int, reachedUs: Long, buf: List[BufferedEv])
+final case class FunnelState(stepIdx: Int, reachedMs: Long, buf: List[BufferedEv])
 
 /** One funnel advancement: user reached `step` (1-based) at `t_ms`.
   * `groupBy(step).count` over this stream is the batch funnel's
@@ -193,11 +193,16 @@ object EventStreams {
           val (ready, pending) = (st.buf ++ incoming).partition(_.tsUs < wmUs)
           val ordered = ready.sortBy(e => (e.tsUs, e.eventId))
           var idx = st.stepIdx
-          var reached = st.reachedUs
+          var reached = st.reachedMs
           val emitted = List.newBuilder[FunnelRow]
           for (e <- ordered if idx < steps.length) {
-            if (e.eventType == steps(idx) && (idx == 0 || e.tsUs > reached)) {
-              reached = e.tsUs
+            // advance at MILLISECOND granularity — the batch twin
+            // compares unix_millis, so a step event in the same ms as
+            // the previous advancement must not advance here either.
+            // (Scanning in micro order still picks the min-ms event:
+            // ms order is a coarsening of micro order.)
+            if (e.eventType == steps(idx) && (idx == 0 || e.tsUs / 1000L > reached)) {
+              reached = e.tsUs / 1000L
               idx += 1
               emitted += FunnelRow(uid, idx.toLong, e.eventType, e.tsUs / 1000L)
             }

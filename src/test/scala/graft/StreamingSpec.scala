@@ -227,6 +227,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream: same-millisecond step events match the batch ms clock") {
+    // the batch twin compares unix_millis; a click in the SAME ms as
+    // the view (different micros) must not advance the funnel here
+    // either — a later click does
+    implicit val sqlCtx = spark.sqlContext
+    def tUs(us: Long) = { val ts = new Timestamp(us / 1000); ts.setNanos(((us % 1000000) * 1000).toInt); ts }
+    val in = MemoryStream[Ev]
+    val q = EventStreams.funnel(in.toDF(), delay = "10 seconds",
+        steps = Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_msclock")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, "u1", "view", tUs(20000500L), 1.0),   // ms 20000, +500us
+        Ev(2, "u1", "click", tUs(20000900L), 1.0),  // SAME ms -> no advance
+        Ev(3, "u1", "click", tUs(20002000L), 1.0))  // ms 20002 -> advances
+      q.processAllAvailable()
+      in.addData(Ev(9, "zz", "flush", t(1000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_msclock")
+        .select("user_id", "step", "event_type", "t_ms")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(rows === Set(("u1", 1L, "view", 20000L), ("u1", 2L, "click", 20002L)))
+    } finally q.stop()
+  }
+
   test("session stream: gap merge inside the state store") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
