@@ -47,14 +47,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the 100+-query line short enough to
+    // survive log-tail truncation (sub-ms digits are noise anyway)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) must not lower the aggregate: sum
     // only successes and surface the failure count so round-over-round
     // totals stay comparable (and a broken query is loud, not hidden)
     val ok = results.values.filter(_ >= 0)
     val nFailed = results.size - ok.size
-    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val total = if (ok.nonEmpty) r3(ok.sum) else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
