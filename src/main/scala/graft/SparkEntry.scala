@@ -514,6 +514,10 @@ object SparkEntry {
     "t_chunks" -> ((s, dir) =>
       TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),
     "t_tfidf_top3" -> ((s, dir) => TextOps.tfidfTopK(Tables.documents(s, dir), 3)),
+    // BM25 lexical retrieval over the corpus — all-integer rational-idf
+    // pinned semantics (no transcendentals, so the oracle is exact)
+    "t_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), Seq("vector", "stream", "spark"), 20)),
     "t_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
     "t_stratified_sample" -> ((s, dir) =>
@@ -660,6 +664,12 @@ object SparkEntry {
     "sim_semantic_dedup_capped" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), 8, 400000L,
         kmeansIters = 0, maxCellSize = Some(32))),
+
+    // SSL-prototypes curation metric: rank within each k-means cell by
+    // cosine to the own centroid (kmeansIters=0 stand-in so the oracle
+    // replicates assignment + scoring + rank end-to-end)
+    "sim_prototypicality" -> ((s, dir) =>
+      Similarity.prototypicality(Tables.embeddings(s, dir), 8, kmeansIters = 0)),
 
     // embedding-side dedup clustering: connected components over the
     // banded-LSH near-dup pairs — the semantic-dedup composition
@@ -1249,6 +1259,44 @@ object SparkEntry {
          |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
          |WHERE rn <= 3""".stripMargin,
 
+    // BM25 with the pinned rational idf surrogate — every step integer
+    // (// is floor division, but all operands are non-negative so it
+    // matches Spark's truncating div exactly)
+    "t_bm25_topk" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl,
+         |         CAST(len(list_filter($TOKS, t -> t = 'vector')) AS BIGINT) AS tf_0,
+         |         CAST(len(list_filter($TOKS, t -> t = 'stream')) AS BIGINT) AS tf_1,
+         |         CAST(len(list_filter($TOKS, t -> t = 'spark')) AS BIGINT) AS tf_2
+         |  FROM documents),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS BIGINT) AS tot_tok,
+         |         CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         |         CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         |         CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+         |  FROM pd),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(
+         |      (CASE WHEN tf_0 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_0 + 1)) // (2*df_0 + 1) * tf_0 * 2200)
+         |          // (tf_0*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |       ELSE 0 END) +
+         |      (CASE WHEN tf_1 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_1 + 1)) // (2*df_1 + 1) * tf_1 * 2200)
+         |          // (tf_1*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |       ELSE 0 END) +
+         |      (CASE WHEN tf_2 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_2 + 1)) // (2*df_2 + 1) * tf_2 * 2200)
+         |          // (tf_2*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |       ELSE 0 END) AS BIGINT) AS score_e3
+         |  FROM pd CROSS JOIN c)
+         |SELECT doc_id, score_e3,
+         |       CAST(row_number() OVER (ORDER BY score_e3 DESC, doc_id ASC)
+         |         AS BIGINT) AS "rank"
+         |FROM s ORDER BY score_e3 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |base AS (
@@ -1768,6 +1816,37 @@ object SparkEntry {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |UNION ALL
          |SELECT vec_id, CAST(-1 AS BIGINT) AS cid FROM qn WHERE nq = 0""".stripMargin,
+
+    // prototypicality: same stand-in assignment as sim_semantic_dedup,
+    // then in-cell rank by cosine to the OWN centroid (sqrt is
+    // IEEE-correctly-rounded, so the double ordering is engine-exact)
+    "sim_prototypicality" ->
+      s"""WITH $QNORM,
+         |cents AS (SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qn
+         |          WHERE vec_id < 8 AND nq > 0),
+         |asg AS (
+         |  SELECT vec_id, q, nq, cid, cq, cnq FROM (
+         |    SELECT v.vec_id, v.q, v.nq, c.cid, c.cq, c.cnq,
+         |           row_number() OVER (
+         |             PARTITION BY v.vec_id
+         |             ORDER BY CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) /
+         |                      sqrt(CAST(v.nq AS DOUBLE) * CAST(c.cnq AS DOUBLE)) DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c WHERE v.nq > 0)
+         |  WHERE rn = 1),
+         |sc AS (
+         |  SELECT vec_id, cid, ${dotSql("q", "cq")} AS dot_q,
+         |         CAST(${dotSql("q", "cq")} AS DOUBLE) /
+         |           sqrt(CAST(nq AS DOUBLE) * CAST(cnq AS DOUBLE)) AS pcos
+         |  FROM asg)
+         |SELECT vec_id, cid, dot_q,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY cid ORDER BY pcos DESC, vec_id ASC)
+         |         AS BIGINT) AS rank_in_cell
+         |FROM sc
+         |UNION ALL
+         |SELECT vec_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM qn WHERE nq = 0""".stripMargin,
 
     // capped SemDeDup: same assignment, then cells sub-split into
     // ceil(cell_n/32) sub-cells by the portable vec_id hash; near-dup

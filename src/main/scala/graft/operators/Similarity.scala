@@ -466,6 +466,62 @@ object Similarity {
         .select(col("vec_id"), lit(-1L).as("cid")))
   }
 
+  /** Prototypicality ranking — the SSL-prototypes curation metric from
+    * the same line of work as SemDeDup (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): assign every vector to its nearest k-means
+    * cell and rank members within the cell by cosine TO THEIR OWN
+    * CENTROID. Low rank = most prototypical (cluster-typical,
+    * redundant); high rank = atypical (informative, or noise). A
+    * curation pipeline keeps a band of ranks — e.g. drop the most
+    * prototypical p% on large corpora, drop the most atypical p% on
+    * small/noisy ones — which is exactly what this output feeds.
+    *
+    * Output `(vec_id, cid, dot_q, rank_in_cell)`: `dot_q` is the exact
+    * integer dot with the own-cell centroid; the rank orders by cosine
+    * (sqrt is IEEE-correctly-rounded, so the double ordering is still
+    * engine-exact), descending, ties by vec_id. Zero-norm vectors get
+    * cell −1, dot 0, rank 0 (no defined prototype distance).
+    *
+    * Same machinery and scale shape as [[semanticDedup]]'s assignment:
+    * narrow literal-argmax (no join, no ×k blowup), then one
+    * window-group-limit-free rank per cell — the only shuffle is the
+    * cell partition. `kmeansIters = 0` selects the closed-form
+    * stand-in so the SQL oracle replicates the whole operator.
+    */
+  def prototypicality(
+      embeddings: DataFrame,
+      nCells: Int,
+      kmeansIters: Int = 4): DataFrame = {
+    val corpus = withQuant(embeddings)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCells, kmeansIters)
+      else corpus.filter(col("vec_id") < nCells && col("nq") > 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // re-fold the centroid literal to fetch the OWN cell's vector: the
+    // assignment already proved the argmax; here the same literal array
+    // yields (cid, dot, cnq) in one narrow pass — still no join
+    val assigned = corpus.filter(col("nq") > 0)
+      .withColumn("cid", bestCellExpr(centsArr))
+    val centLit = typedLit(centsArr)
+    val own = element_at(
+      filter(centLit, c => c.getField("_1") === col("cid")), 1)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    assigned
+      .withColumn("dot_q", aggregate(
+        zip_with(col("q"), own.getField("_2"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("pcos", col("dot_q").cast("double") /
+        sqrt(col("nq").cast("double") * own.getField("_3").cast("double")))
+      .withColumn("rank_in_cell", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cid"), col("dot_q"), col("rank_in_cell"))
+      .unionByName(corpus.filter(col("nq") === 0)
+        .select(col("vec_id"), lit(-1L).as("cid"), lit(0L).as("dot_q"),
+          lit(0L).as("rank_in_cell")))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * compression before ANN serving / index build: each component maps
     * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the

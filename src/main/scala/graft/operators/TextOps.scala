@@ -467,4 +467,78 @@ object TextOps {
           greatest(col("cum") - col("n_tok"), col("seq_id") * budget))
           .as("toks_in_seq"))
   }
+
+  /** BM25 retrieval scoring of every document against a fixed query
+    * term set, top-`k` by score — the lexical-retrieval sibling of the
+    * embedding top-k ([[Similarity.cosineTopK]]), and the scorer a
+    * RAG / data-selection pipeline runs over a curated corpus.
+    *
+    * All-integer pinned semantics (the library's exactness contract —
+    * no transcendentals, so no libm divergence between engines):
+    *  - `tf_t` = occurrences of term `t` (whitespace tokens, exact
+    *    match); `dl` = doc token count; `N`, `df_t`, `totTok` corpus
+    *    constants.
+    *  - idf surrogate, e3-scaled: `idf_e3 = (1000·(2N − 2df + 1)) div
+    *    (2df + 1)` — the BM25 idf argument `(N−df+0.5)/(df+0.5)`
+    *    doubled to clear the halves, floored. Monotone-decreasing in
+    *    df like log-idf; the log is deliberately dropped (pinned
+    *    rational surrogate) to keep every engine bit-identical.
+    *  - length norm, e3: `ln_e3 = 1000 − b_e3 + (b_e3·dl·N) div totTok`
+    *    (`b·dl/avgdl` with `avgdl = totTok/N` cleared of the divide).
+    *  - per-term score, e3: `(idf_e3·tf·(1000 + k1_e3)) div
+    *    (tf·1000 + (k1_e3·ln_e3) div 1000)`; doc score = Σ terms.
+    *
+    * Scale shape: `tf` per query term is a narrow `size(filter(...))`
+    * projection — the query set is small and fixed, so NO explode and
+    * NO (doc, term) shuffle; `df`/`totTok` are one global aggregate
+    * broadcast back (a 1-row frame); the only real shuffle is the
+    * final top-k, which gets the partial WindowGroupLimit. Output:
+    * `(doc_id, score_e3, rank)`, ties by doc_id.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1E3: Long = 1200L,
+      bE3: Long = 750L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size, "duplicate query terms")
+    val toks = tokens(col(textCol))
+    def tfCol(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("long")
+    val perDoc = docs.select(
+      col(idCol) +:
+        size(toks).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+    // corpus constants in ONE aggregate; a 1-row frame joined back by
+    // broadcast-nested-loop (no key, one row — effectively free)
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("tot_tok") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val consts = perDoc.agg(aggs.head, aggs.tail: _*)
+    val scored = perDoc.join(broadcast(consts))
+      .withColumn("ln_e3",
+        lit(1000L) - bE3 + expr(s"($bE3 * dl * n_docs) div tot_tok"))
+      .withColumn("score_e3",
+        queryTerms.indices.map { i =>
+          expr(
+            s"""CASE WHEN tf_$i > 0 THEN
+               |  ((1000 * (2*n_docs - 2*df_$i + 1)) div (2*df_$i + 1)
+               |    * tf_$i * (1000 + $k1E3))
+               |  div (tf_$i * 1000 + ($k1E3 * ln_e3) div 1000)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin)
+        }.reduce(_ + _))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-k, no global sort); the rank window then runs over k
+    // rows only, so its single-partition shape is harmless
+    val top = scored.select(col(idCol), col("score_e3"))
+      .orderBy(col("score_e3").desc, col(idCol).asc)
+      .limit(k)
+    val w = Window.orderBy(col("score_e3").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -275,6 +275,17 @@ class PlanQualitySpec extends SparkSpec {
       s"packing must not global-sort:\n$plan")
   }
 
+  test("bm25: per-term tf is a narrow projection (no explode), top-k partial") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.operators.TextOps.bm25TopK(docs, Seq("vector", "stream"), 10)
+    val plan = formatted(out)
+    // tf via size(filter(tokens)) — an exploded (doc, term) form would
+    // plan a Generate + a (doc_id, term) shuffle; neither may appear
+    assert(!plan.contains("Generate"), s"bm25 must not explode tokens:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be the distributed partial form:\n$plan")
+  }
+
   test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,

@@ -172,6 +172,28 @@ class SimilaritySpec extends SparkSpec {
     assert(unc === cap)
   }
 
+  test("prototypicality: in-cell rank by own-centroid cosine, zero-norm pinned") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid 0
+      (1L, Array(0.0f, 1.0f)),    // centroid 1
+      (2L, Array(1.0f, 0.001f)),  // cell 0, very close to centroid
+      (3L, Array(0.7f, 0.7f)),    // ties cos to both cents -> cell 0 (lowest cid)
+      (4L, Array(0.0f, 0.0f))     // zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypicality(emb, 2, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // centroid 0 is its own best prototype (cos 1, rank 1 by id tiebreak
+    // over vec 2's cos≈1); vec 3 is the least typical member of cell 0
+    assert(out(0L)._1 === 0L && out(2L)._1 === 0L && out(3L)._1 === 0L)
+    assert(out(0L)._3 === 1L && out(2L)._3 === 2L && out(3L)._3 === 3L)
+    assert(out(1L) === ((1L, out(1L)._2, 1L)) && out(1L)._2 > 0L)
+    assert(out(4L) === ((-1L, 0L, 0L)))
+    // k-means path: deterministic rerun, every non-zero vector ranked
+    val emb2 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = rowSet(Similarity.prototypicality(emb2, 4))
+    assert(a === rowSet(Similarity.prototypicality(emb2, 4)) && a.nonEmpty)
+  }
+
   test("LSH buckets: identical vectors always share a bucket; probe finds them") {
     val dup = Seq(
       (0L, Array(0.5f, 0.5f)),

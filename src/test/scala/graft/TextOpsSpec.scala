@@ -224,6 +224,31 @@ class TextOpsSpec extends SparkSpec {
     assert(s250.join(s500, Seq("doc_id"), "left_anti").count() === 0)
   }
 
+  test("bm25TopK: rare terms outweigh common, tf saturates, length norm bites") {
+    val docs = Seq(
+      (1L, "cat dog"),                       // rare 'cat', one hit, short
+      (2L, "dog dog dog dog"),               // common 'dog' only
+      (3L, "cat cat dog filler filler filler filler filler"), // 2x cat, long
+      (4L, "filler filler"),                 // no hits
+      (5L, "dog")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("cat", "dog"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val scores = out.map(r => r._1 -> r._2).toMap
+    // docs with the rare term beat dog-only docs
+    assert(out.take(2).map(_._1).toSet === Set(1L, 3L),
+      s"cat docs must rank first, got ${out.toSeq}")
+    // no-hit doc scores 0 and ranks last
+    assert(scores(4L) === 0L && out.last._1 === 4L)
+    // hand-check doc 5 (single term, tf=1): N=5, df_dog=4, dl=1, tot=17
+    //   idf_e3 = (1000*(10-8+1)) div 9 = 333
+    //   ln_e3  = 250 + (750*1*5) div 17 = 470 ; den = 1000 + (1200*470) div 1000 = 1564
+    //   score  = (333*1*2200) div 1564 = 468
+    assert(scores(5L) === 468L)
+    // determinism + k truncation
+    assert(TextOps.bm25TopK(docs, Seq("cat", "dog"), 2).count() === 2L)
+  }
+
   test("packSequences properties on a multi-shard corpus") {
     val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextOps.packSequences(docs, budget = 8, nShards = 4).cache()
