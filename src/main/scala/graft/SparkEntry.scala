@@ -518,6 +518,9 @@ object SparkEntry {
     // pinned semantics (no transcendentals, so the oracle is exact)
     "t_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Seq("vector", "stream", "spark"), 20)),
+    // tokenizer coverage: OOV permille vs the corpus's own top-20 vocab
+    "t_oov_rate" -> ((s, dir) =>
+      TextOps.oovRateTopVocab(Tables.documents(s, dir), 20)),
     "t_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
     "t_stratified_sample" -> ((s, dir) =>
@@ -1258,6 +1261,23 @@ object SparkEntry {
          |           AS BIGINT) AS rn
          |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
          |WHERE rn <= 3""".stripMargin,
+
+    "t_oov_rate" ->
+      s"""WITH vt AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS n
+         |    FROM (SELECT unnest($TOKS) AS tok FROM documents)
+         |    GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20)),
+         |v AS (SELECT list(tok) AS vl FROM vt)
+         |SELECT doc_id,
+         |       CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter($TOKS, t -> NOT list_contains(v.vl, t)))
+         |         AS BIGINT) AS n_oov,
+         |       CAST(CASE WHEN len($TOKS) > 0
+         |         THEN floor(len(list_filter($TOKS, t -> NOT list_contains(v.vl, t)))
+         |                    * 1000 / len($TOKS))
+         |         ELSE 0 END AS BIGINT) AS oov_e3
+         |FROM documents CROSS JOIN v""".stripMargin,
 
     // BM25 with the pinned rational idf surrogate — every step integer
     // (// is floor division, but all operands are non-negative so it

@@ -263,6 +263,43 @@ object TextOps {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Out-of-vocabulary rate per document against a fixed vocabulary —
+    * the tokenizer-coverage metric that decides whether a corpus slice
+    * needs vocab extension (or the slice is noise). Pure narrow
+    * projection: `n_oov` is `size(filter(tokens, !array_contains))`
+    * against a LITERAL vocab array — no explode, no (doc, token)
+    * shuffle, the `vocabTopK` device in reverse. Output
+    * `(doc_id, n_tokens, n_oov, oov_e3)`; empty docs pin `oov_e3 = 0`.
+    */
+  def oovRate(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "oovRate needs a non-empty vocabulary")
+    val toks = tokens(col(textCol))
+    val vlit = typedLit(vocab)
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => !array_contains(vlit, t))).cast("long").as("n_oov"))
+      .withColumn("oov_e3",
+        when(col("n_tokens") > 0,
+          floor(col("n_oov") * 1000 / col("n_tokens")).cast("long"))
+          .otherwise(0L))
+  }
+
+  /** [[oovRate]] against the corpus's own top-`k` vocabulary
+    * ([[vocabTopK]] order: count desc, token asc). The vocab collect is
+    * k-bounded (the centroid-literal justification), so the scoring
+    * pass stays a narrow projection over any corpus size.
+    */
+  def oovRateTopVocab(docs: DataFrame, k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabTopK(docs, k, textCol).collect().map(_.getString(0)).toSeq
+    if (vocab.isEmpty)
+      docs.select(col(idCol), lit(0L).as("n_tokens"), lit(0L).as("n_oov"),
+        lit(0L).as("oov_e3")).limit(0)
+    else oovRate(docs, vocab, textCol, idCol)
+  }
+
   /** Fixed-size strided character chunking — the "split long documents
     * into overlapping training context windows" step. Emits one row per
     * chunk at offsets `0, stride, 2·stride, … < length(text)`; the last

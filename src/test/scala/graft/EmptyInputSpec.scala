@@ -104,6 +104,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.incrementalNearDupPairs(docs, emptyDocs, emptyBands).count() === 0)
   }
 
+  test("round-5 operators on empty and degenerate inputs") {
+    // bm25: empty corpus -> empty top-k; all-empty texts -> zero scores
+    // (the length-norm division by tot_tok=0 is guarded by the tf>0 case)
+    assert(TextOps.bm25TopK(emptyDocs, Seq("x"), 5).count() === 0)
+    val blank = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val b = TextOps.bm25TopK(blank, Seq("x"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b.toSet === Set((1L, 0L), (2L, 0L)))
+    // prototypicality: empty corpus; all-zero vectors land in cell -1
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.prototypicality(emptyEmb, 4, kmeansIters = 0).count() === 0)
+    val zeros = Seq((0L, Array(0.0f)), (1L, Array(0.0f))).toDF("vec_id", "embedding")
+    assert(rowSet(Similarity.prototypicality(zeros, 2, kmeansIters = 0))
+      === Set(Seq(0L, -1L, 0L, 0L), Seq(1L, -1L, 0L, 0L)))
+    // capped semantic dedup on empty corpus
+    assert(Similarity.semanticDedup(emptyEmb, 4, 900000L, kmeansIters = 0,
+      maxCellSize = Some(2)).count() === 0)
+  }
+
   test("as-of join with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", new java.sql.Timestamp(1000))).toDF("id", "k", "lt")
     val right = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rt", "rid")

@@ -249,6 +249,22 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bm25TopK(docs, Seq("cat", "dog"), 2).count() === 2L)
   }
 
+  test("oovRate: literal-vocab coverage, empty-doc pin, top-vocab composition") {
+    val docs = Seq(
+      (1L, "a b a c"),   // vs vocab {a,b}: oov = {c} -> 1/4
+      (2L, "x y"),       // fully OOV
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.oovRate(docs, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 250L)))
+    assert(out(2L) === ((2L, 2L, 1000L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+    // top-vocab form: k covering every token -> zero OOV everywhere
+    val all = TextOps.oovRateTopVocab(docs, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(all === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("packSequences properties on a multi-shard corpus") {
     val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextOps.packSequences(docs, budget = 8, nShards = 4).cache()
