@@ -548,6 +548,11 @@ object SparkEntry {
       Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0), 3, 2, Hashing.Portable)
         .filter(col("doc_id") =!= col("probe_id"))
     }),
+    // cross-source duplication matrix; maxSources=10 < the fixture's 20
+    // sources so the clique-shingle cap is actually exercised
+    "d_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir), 3, maxSources = 10,
+        hash = Hashing.Portable)),
     "e_pivot_types" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
@@ -1346,6 +1351,30 @@ object SparkEntry {
          |SELECT s.doc_id, p.probe_id, count(*) AS n_shared
          |FROM sh s JOIN p ON s.sh = p.sh AND s.doc_id <> p.probe_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "d_source_overlap" ->
+      s"""WITH s0 AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(
+         |      CASE WHEN len($TOKS) >= 3
+         |      THEN list_transform(range(1, len($TOKS) - 1),
+         |           i -> ${ph(s"array_to_string(($TOKS)[i:i+2], ' ')")})
+         |      ELSE [] END) AS sh
+         |    FROM documents)),
+         |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM s0 GROUP BY sh)
+         |         WHERE c <= 10),
+         |sc AS (SELECT s0.source, s0.sh FROM s0 JOIN kept USING (sh)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsh FROM sc GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+         |  FROM sc a JOIN sc b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared,
+         |       za.nsh AS n_a, zb.nsh AS n_b,
+         |       CAST((1000 * n_shared) // least(za.nsh, zb.nsh) AS BIGINT) AS overlap_e3
+         |FROM p
+         |JOIN sz za ON za.source = p.source_a
+         |JOIN sz zb ON zb.source = p.source_b""".stripMargin,
 
     "e_pivot_types" ->
       """SELECT user_id,

@@ -445,6 +445,53 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-source duplication matrix — which sources (crawls, dumps,
+    * domains) overlap, and by how much: for every source pair, the
+    * number of distinct word-`n`-gram shingles both carry, with each
+    * side's distinct-shingle count and
+    * `overlap_e3 = (1000·n_shared) div min(n_a, n_b)` (containment of
+    * the smaller side, the dedup-planning signal: ~1000 means one
+    * source is a subset re-crawl of the other).
+    *
+    * Shingles present in more than `maxSources` sources are dropped
+    * before pairing — [[dfCap]] lifted to source granularity: a
+    * shingle carried by every domain contributes a full
+    * sources×sources clique of pair-instances and zero discrimination.
+    * The cap is pinned semantics (the oracle applies it too).
+    *
+    * Scale shape: one distinct over (source, 8-byte shingle) — doc ids
+    * never enter; the self-join shuffles on the shingle key with
+    * ≤ maxSources² pair-instances per shingle; every aggregate
+    * map-side-combines. Text never shuffles (fused shingle kernel).
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      n: Int = 3,
+      maxSources: Int = 1000,
+      srcCol: String = "source",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val s = docs.select(
+      col(srcCol).as("source"),
+      explode(graft.functions.NativeOps.shingleHashes(col(textCol), n, hash.portable)).as("sh"))
+      .distinct()
+    val kept = s.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxSources).select(col("sh"))
+    // materialized once: sizes + both self-join branches consume it
+    val sc = s.join(kept, Seq("sh")).localCheckpoint()
+    val sz = sc.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val pairs = sc.select(col("sh"), col("source").as("source_a"))
+      .join(sc.select(col("sh"), col("source").as("source_b")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sz.select(col("source").as("source_a"), col("nsh").as("n_a")), Seq("source_a"))
+      .join(sz.select(col("source").as("source_b"), col("nsh").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("(1000 * n_shared) div least(n_a, n_b)").as("overlap_e3"))
+  }
+
   /** MinHash signatures: `(doc_id, j, mh)` for permutations
     * `j = 0..k-1`, `mh = min over shingles of (a_j*sh + b_j) mod P`.
     *

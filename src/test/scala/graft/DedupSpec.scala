@@ -200,6 +200,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contamination(corpus, probes, n = 3, minShared = 3).count() === 0)
   }
 
+  test("sourceOverlap: shared-shingle matrix, containment, clique-shingle cap") {
+    val docs = Seq(
+      (1L, "sA", "p q r s t"),   // sA shingles: {pqr,qrs,rst}
+      (2L, "sB", "p q r s z"),   // sB: {pqr,qrs,rsz} -> shares 2 with sA
+      (3L, "sC", "a b c d e"),   // sC: {abc,bcd,cde} -> disjoint
+      (4L, "sC", "p q r x y")    // sC also: {pqr,qrx,rxy} -> pqr everywhere
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs.select("source", "text"), 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // sA∩sB = {pqr,qrs} = 2 of min(3,3) -> 666‰
+    assert(out(("sA", "sB")) === ((2L, 3L, 3L, 666L)))
+    // sC carries 6 distinct shingles; shares only pqr with each
+    assert(out(("sA", "sC")) === ((1L, 3L, 6L, 333L)))
+    assert(out(("sB", "sC")) === ((1L, 3L, 6L, 333L)))
+    // cap at 2 sources drops pqr (present in all 3) -> sA-sC and sB-sC
+    // pairs vanish, sA-sB keeps qrs only; sizes shrink accordingly
+    val capped = Dedup.sourceOverlap(docs.select("source", "text"), 3, maxSources = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(capped === Map(("sA", "sB") -> ((1L, 2L, 2L, 500L))))
+  }
+
   test("dfCap drops shingles above the document-frequency cap") {
     val sh = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 99L))
       .toDF("doc_id", "sh")
