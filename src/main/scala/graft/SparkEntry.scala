@@ -946,7 +946,15 @@ object SparkEntry {
         maxTopBigramE3 = 80,
         probes = Some(docs.filter(col("doc_id") % 50 === 0)),
         minSharedShingles = 2)
-    })
+    }),
+
+    // -- leakage-safe splitting: split assigned per near-dup CLUSTER
+    //    (hash of the component's min id), so near-copies never
+    //    straddle train/val — whole-chain oracle over SimHash pairs +
+    //    CC + the bucket derivation
+    "pipe_leakage_split" -> ((s, dir) =>
+      graft.pipelines.Curation.leakageSafeSplit(
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable))
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -1750,6 +1758,39 @@ object SparkEntry {
          |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v)
          |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    "pipe_leakage_split" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |banded AS (
+         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sig sa ON sa.doc_id = doc_a
+         |  JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY a),
+         |bkt AS (
+         |  SELECT doc_id, component_id,
+         |         CAST(${ph("CAST(component_id AS VARCHAR)")} % 1000 AS BIGINT)
+         |           AS bucket
+         |  FROM comp)
+         |SELECT doc_id, component_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
 

@@ -112,4 +112,41 @@ object Curation {
         TextOps.hashSplit(survivors, trainPermille, valPermille, hash = hash)
     }
   }
+
+  /** Leakage-safe splitting: the split is assigned per NEAR-DUP
+    * CLUSTER, not per document, so a validation document can never
+    * have a near-copy in train — the silent eval-contamination bug of
+    * per-document hash splits (hash(textA) ≠ hash(textA′) even when
+    * A ≈ A′). Clusters are connected components over banded-SimHash
+    * near-dup pairs; every member hashes its cluster's canonical
+    * (minimum) id into the permille bucket, so the whole cluster
+    * lands in one split. Exact duplicates and singletons degenerate
+    * correctly (own-id cluster). Output
+    * `(doc_id, component_id, bucket, split)` — callers that also want
+    * dedup keep `doc_id = component_id` representatives; keeping all
+    * members is the "dedup later, split safely now" mode.
+    *
+    * Scale shape: the SimHash band join + CC loop dominate (both
+    * audited elsewhere); the split itself is a narrow projection on
+    * the 16-byte (doc, component) frame.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      trainPermille: Int = 800,
+      valPermille: Int = 100,
+      maxHamming: Int = 3,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(trainPermille + valPermille <= 1000)
+    val ids = docs.select(col("doc_id"))
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhashSignatures(docs, hash = hash), maxHamming)
+    val comps = Dedup.connectedComponents(pairs, ids, broadcastLabels = true)
+    comps
+      .select(col("doc_id"), col("component_id"),
+        pmod(hash(col("component_id").cast("string")), lit(1000L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
 }

@@ -68,6 +68,32 @@ class CurationSpec extends SparkSpec {
     assert(rowSet(once) === rowSet(twice))
   }
 
+  test("leakageSafeSplit: near-copies share a split; buckets hash the cluster id") {
+    // doc 2 is a near-copy of doc 1 (one word changed -> SimHash
+    // Hamming ≤ 3); a per-document content-hash split CAN separate
+    // them, the cluster split never does
+    val d1 = "the quick brown fox jumps over the lazy dog in the morning sun today"
+    val d2 = d1.replace("today", "tonight")
+    val docs = Seq(
+      (1L, d1), (2L, d2),
+      (3L, "a completely different document about spark plans and shuffles entirely"),
+      (4L, "yet another unrelated piece of text with its own words and nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Curation.leakageSafeSplit(docs, 800, 100, 3, Hashing.Portable)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // same cluster -> same bucket -> same split, and the cluster is 1's id
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L, s"near-copies split apart: $out")
+    assert(out(1L) === out(2L).copy(_1 = out(1L)._1))
+    // singletons hash their own id
+    assert(out(3L)._1 === 3L && out(4L)._1 === 4L)
+    // bucket is the portable hash of the component id string, mod 1000
+    def phStr(s: String): Long =
+      s.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % graft.functions.Hashing.P) % 1000L
+    assert(out(1L)._2 === phStr("1") && out(3L)._2 === phStr("3"))
+    // every doc is assigned exactly once
+    assert(out.size === 4)
+  }
+
   test("curate quota stage caps each source's surviving contribution") {
     // two distinct quality-passing docs per source; quota 1 keeps
     // exactly one per source, chosen by content-hash order
