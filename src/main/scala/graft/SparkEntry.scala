@@ -521,6 +521,10 @@ object SparkEntry {
     // tokenizer coverage: OOV permille vs the corpus's own top-20 vocab
     "t_oov_rate" -> ((s, dir) =>
       TextOps.oovRateTopVocab(Tables.documents(s, dir), 20)),
+    // corpus mixing plan: budget bound by the most-constrained source
+    "t_mix_plan" -> ((s, dir) =>
+      TextOps.mixPlan(Tables.documents(s, dir),
+        Seq("src0" -> 300, "src1" -> 500, "src2" -> 200))),
     "t_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
     "t_stratified_sample" -> ((s, dir) =>
@@ -1274,6 +1278,22 @@ object SparkEntry {
          |           AS BIGINT) AS rn
          |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
          |WHERE rn <= 3""".stripMargin,
+
+    "t_mix_plan" ->
+      s"""WITH have AS (
+         |  SELECT source, CAST(SUM(len($TOKS)) AS BIGINT) AS have_tok
+         |  FROM documents GROUP BY source),
+         |j AS (
+         |  SELECT h.source, h.have_tok, CAST(t.tp AS BIGINT) AS target_permille
+         |  FROM have h
+         |  JOIN (VALUES ('src0', 300), ('src1', 500), ('src2', 200)) t(source, tp)
+         |    ON h.source = t.source),
+         |b AS (SELECT MIN((have_tok * 1000) // target_permille) AS budget FROM j)
+         |SELECT source, have_tok, target_permille,
+         |       CAST((b.budget * target_permille) // 1000 AS BIGINT) AS take_tok,
+         |       CAST(least(1000, ((b.budget * target_permille) // 1000) * 1000
+         |                        // have_tok) AS BIGINT) AS rate_e3
+         |FROM j CROSS JOIN b""".stripMargin,
 
     "t_oov_rate" ->
       s"""WITH vt AS (

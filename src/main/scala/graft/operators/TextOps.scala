@@ -286,6 +286,45 @@ object TextOps {
           .otherwise(0L))
   }
 
+  /** Corpus mixing plan — the "how much of each source goes into the
+    * final mixture" computation every pretraining run starts with.
+    * Given target permille weights per source, finds the LARGEST total
+    * token budget the corpus can realize at those weights (the most
+    * token-constrained source binds: `budget = min_s (have_s·1000) div
+    * target_s`), then each targeted source's token take and sampling
+    * rate. All-integer pinned arithmetic. Output per targeted source:
+    * `(source, have_tok, target_permille, take_tok, rate_e3)` — the
+    * binding source has `rate_e3 = 1000`, everything else downsamples.
+    * Sources not in `targets` are excluded (weight 0 by construction).
+    *
+    * Scale shape: one grouped token-count aggregate over the corpus;
+    * the targets and the scalar budget ride broadcast joins — metadata
+    * -sized everything after the scan.
+    */
+  def mixPlan(
+      docs: DataFrame,
+      targets: Seq[(String, Int)],
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive permilles")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate target source")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("source", "tp")
+      .select(col("source"), col("tp").cast("long").as("target_permille"))
+    val have = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("have_tok"))
+    val j = have.join(broadcast(tgt), Seq("source"))
+    val budget = j.agg(
+      min(expr("(have_tok * 1000) div target_permille")).as("budget"))
+    j.join(broadcast(budget))
+      .select(col("source"), col("have_tok"), col("target_permille"),
+        expr("(budget * target_permille) div 1000").as("take_tok"))
+      .withColumn("rate_e3",
+        expr("least(CAST(1000 AS BIGINT), (take_tok * 1000) div have_tok)"))
+  }
+
   /** [[oovRate]] against the corpus's own top-`k` vocabulary
     * ([[vocabTopK]] order: count desc, token asc). The vocab collect is
     * k-bounded (the centroid-literal justification), so the scoring

@@ -249,6 +249,26 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bm25TopK(docs, Seq("cat", "dog"), 2).count() === 2L)
   }
 
+  test("mixPlan: binding source saturates, others downsample to target ratio") {
+    val docs = Seq(
+      (1L, "sA", "w w w w w w w w w w"),  // sA: 10 tokens
+      (2L, "sB", "w w w w w"),            // sB: 5 tokens
+      (3L, "sB", "w w w w w"),            // sB total 10
+      (4L, "sC", "w w")                   // sC: 2 tokens (binding)
+    ).toDF("doc_id", "source", "text")
+    // targets 50/30/20: budgets are 10*1000/500=20, 10*1000/300=33,
+    // 2*1000/200=10 -> budget 10; takes 5/3/2; rates 500/300/1000
+    val out = TextOps.mixPlan(docs, Seq("sA" -> 500, "sB" -> 300, "sC" -> 200))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "sA" -> ((10L, 500L, 5L, 500L)),
+      "sB" -> ((10L, 300L, 3L, 300L)),
+      "sC" -> ((2L, 200L, 2L, 1000L))))
+    // untargeted sources are excluded
+    assert(TextOps.mixPlan(docs, Seq("sA" -> 1000)).count() === 1L)
+  }
+
   test("oovRate: literal-vocab coverage, empty-doc pin, top-vocab composition") {
     val docs = Seq(
       (1L, "a b a c"),   // vs vocab {a,b}: oov = {c} -> 1/4
