@@ -700,6 +700,9 @@ object SparkEntry {
     "e_sliding" -> ((s, dir) => EventOps.sliding(Tables.events(s, dir), 3600000L, 900000L)),
     "e_sessions" -> ((s, dir) => EventOps.sessions(Tables.events(s, dir), 1800000L)),
     "e_latest_per_key" -> ((s, dir) => EventOps.latestPerKey(Tables.events(s, dir))),
+    // recency-weighted engagement: 3-day half-life staircase decay
+    "e_decayed" -> ((s, dir) =>
+      EventOps.decayedValue(Tables.events(s, dir), 259200000L)),
 
     // ordered conversion funnel, first-touch semantics
     "e_funnel" -> ((s, dir) =>
@@ -2072,6 +2075,22 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "e_decayed" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS t,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4
+        |  FROM events),
+        |r AS (SELECT MAX(t) AS t_ref FROM base),
+        |w AS (
+        |  SELECT user_id, t, value_e4,
+        |         1000 // (CAST(1 AS BIGINT) <<
+        |           least((r.t_ref - t) // 259200000, 20)) AS w_e3
+        |  FROM base CROSS JOIN r)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM((value_e4 * w_e3) // 1000) AS BIGINT) AS decayed_value_e4,
+        |       CAST(MAX(t) AS BIGINT) AS latest_ms
+        |FROM w GROUP BY user_id""".stripMargin,
 
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),

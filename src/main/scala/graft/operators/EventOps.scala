@@ -159,4 +159,37 @@ object EventOps {
         col("user_id"), col("event_type"), col("event_id"),
         unix_millis(col("ts")).as("ts_ms"))
   }
+
+  /** Half-life-decayed engagement score per user — the recency-weighted
+    * feature a ranking/personalization pipeline derives from an event
+    * log. Pinned integer semantics (no `exp`, no floats): the
+    * reference time is the corpus's max event time (deterministic — no
+    * wall clock in the dataflow), each event's age bucket is
+    * `(t_ref − t) div halfLifeMs`, its weight
+    * `w_e3 = 1000 div 2^min(bucket, 20)` (staircase halving; ≥20
+    * half-lives rounds to zero), and it contributes
+    * `value_e4 · w_e3 div 1000`. Output:
+    * `(user_id, n_events, decayed_value_e4, latest_ms)`.
+    *
+    * Scale shape: one global max aggregate (1-row broadcast back), one
+    * narrow weight projection, one grouped sum — the shuffle carries
+    * (user_id, partial sums) only.
+    */
+  def decayedValue(events: DataFrame, halfLifeMs: Long): DataFrame = {
+    require(halfLifeMs > 0, "halfLifeMs must be positive")
+    val base = events.select(
+      col("user_id"),
+      unix_millis(col("ts")).as("t"),
+      floor(col("value") * 10000 + 0.5).cast("long").as("value_e4"))
+    val tref = base.agg(max(col("t")).as("t_ref"))
+    base.join(broadcast(tref))
+      .withColumn("bucket", expr(s"(t_ref - t) div $halfLifeMs"))
+      .withColumn("w_e3",
+        expr("1000 div (CAST(1 AS BIGINT) << CAST(least(bucket, 20) AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("(value_e4 * w_e3) div 1000")).as("decayed_value_e4"),
+        max(col("t")).as("latest_ms"))
+  }
 }

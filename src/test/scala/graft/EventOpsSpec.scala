@@ -52,6 +52,27 @@ class EventOpsSpec extends SparkSpec {
       Seq("u2", 5L, 5L, 1L)))
   }
 
+  test("decayedValue: staircase half-life weights from the corpus max time") {
+    // half-life 1000ms, t_ref = 3000: buckets 3,2,1,0 -> weights
+    // 1000>>3=125, 250, 500, 1000 (integer staircase)
+    val e = Seq(
+      (1L, "u1", "x", t(0L), 8.0),     // bucket 3, w=125 -> 80000*125/1000 = 10000
+      (2L, "u1", "x", t(1200L), 4.0),  // bucket 1, w=500 -> 40000*500/1000 = 20000
+      (3L, "u2", "x", t(3000L), 1.0)   // bucket 0, w=1000 -> 10000
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.decayedValue(e, 1000L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      "u1" -> ((2L, 30000L, 1200L)),
+      "u2" -> ((1L, 10000L, 3000L))))
+    // ancient events (>20 half-lives) round to zero weight
+    val old = Seq(
+      (1L, "u1", "x", t(0L), 100.0),
+      (2L, "u1", "x", t(100000L), 1.0)).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val o = EventOps.decayedValue(old, 1000L).collect().head
+    assert(o.getLong(2) === 10000L, "the 100-half-life-old event must contribute 0")
+  }
+
   test("latestPerKey keeps the newest event per (user, type)") {
     val out = EventOps.latestPerKey(ev)
     assert(rowSet(out) === Set(
