@@ -677,6 +677,17 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir), 8, 400000L,
         kmeansIters = 0, maxCellSize = Some(32))),
 
+    // hybrid retrieval: BM25 lexical top-20 fused with vector cosine
+    // top-20 (query = vec 5) by reciprocal-rank fusion
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextOps.bm25TopK(
+        Tables.documents(s, dir), Seq("vector", "stream", "spark"), 20)
+        .select(col("doc_id").as("id"), col("rank"))
+      val sem = Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") === 5, 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(lex, sem, 10)
+    }),
+
     // SSL-prototypes curation metric: rank within each k-means cell by
     // cosine to the own centroid (kmeansIters=0 stand-in so the oracle
     // replicates assignment + scoring + rank end-to-end)
@@ -1929,6 +1940,63 @@ object SparkEntry {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |UNION ALL
          |SELECT vec_id, CAST(-1 AS BIGINT) AS cid FROM qn WHERE nq = 0""".stripMargin,
+
+    // hybrid RRF: the BM25 CTE (rank <= 20) fused with single-query
+    // brute cosine (rank <= 20) by 10^6 div (60 + rank)
+    "q_hybrid_rrf" ->
+      s"""WITH $QNORM,
+         |pd AS (
+         |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl,
+         |         CAST(len(list_filter($TOKS, t -> t = 'vector')) AS BIGINT) AS tf_0,
+         |         CAST(len(list_filter($TOKS, t -> t = 'stream')) AS BIGINT) AS tf_1,
+         |         CAST(len(list_filter($TOKS, t -> t = 'spark')) AS BIGINT) AS tf_2
+         |  FROM documents),
+         |cst AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS BIGINT) AS tot_tok,
+         |         CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         |         CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         |         CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+         |  FROM pd),
+         |sbm AS (
+         |  SELECT doc_id,
+         |    ((CASE WHEN tf_0 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_0 + 1)) // (2*df_0 + 1) * tf_0 * 2200)
+         |          // (tf_0*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      ELSE 0 END) +
+         |     (CASE WHEN tf_1 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_1 + 1)) // (2*df_1 + 1) * tf_1 * 2200)
+         |          // (tf_1*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      ELSE 0 END) +
+         |     (CASE WHEN tf_2 > 0 THEN
+         |        ((1000*(2*n_docs - 2*df_2 + 1)) // (2*df_2 + 1) * tf_2 * 2200)
+         |          // (tf_2*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      ELSE 0 END)) AS score_e3
+         |  FROM pd CROSS JOIN cst),
+         |lex AS (
+         |  SELECT doc_id AS id, rank_a FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score_e3 DESC, doc_id ASC)
+         |      AS rank_a FROM sbm)
+         |  WHERE rank_a <= 20),
+         |sem AS (
+         |  SELECT id, rank_b FROM (
+         |    SELECT c.vec_id AS id,
+         |           row_number() OVER (ORDER BY
+         |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
+         |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
+         |             c.vec_id ASC) AS rank_b
+         |    FROM qn c CROSS JOIN (SELECT q, nq FROM qn WHERE vec_id = 5) qq
+         |    WHERE c.vec_id <> 5)
+         |  WHERE rank_b <= 20),
+         |f AS (
+         |  SELECT COALESCE(l.id, s.id) AS id,
+         |         COALESCE(1000000 // (60 + l.rank_a), 0)
+         |           + COALESCE(1000000 // (60 + s.rank_b), 0) AS rrf_e6
+         |  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id)
+         |SELECT id, rrf_e6,
+         |       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id ASC) AS BIGINT)
+         |         AS "rank"
+         |FROM f ORDER BY rrf_e6 DESC, id ASC LIMIT 10""".stripMargin,
 
     // prototypicality: same stand-in assignment as sim_semantic_dedup,
     // then in-cell rank by cosine to the OWN centroid (sqrt is

@@ -522,6 +522,38 @@ object Similarity {
           lit(0L).as("rank_in_cell")))
   }
 
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-
+    * retrieval combiner (lexical BM25 ∪ vector top-k): each list
+    * contributes `10^6 div (kRrf + rank)` for the ids it ranked,
+    * absent-from-one-list ids keep the other's contribution, and the
+    * fused order is the summed score (exact integers — RRF's 1/(k+r)
+    * is the one retrieval fusion that needs no score calibration,
+    * which is also what makes it oracle-exact). `kRrf = 60` is the
+    * original paper's constant. Inputs are `(idCol, rank)` frames;
+    * output `(idCol, rrf_e6, rank)`, ties by id.
+    *
+    * Scale shape: one full-outer join on the id (both sides are
+    * already top-k-sized — k rows, not corpora) and a k-row rank
+    * window; the heavy lifting happened in the input rankings.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      kRrf: Long = 60L,
+      idCol: String = "id"): DataFrame = {
+    require(k >= 1 && kRrf >= 1)
+    val l = a.select(col(idCol), col("rank").as("rank_a"))
+    val r = b.select(col(idCol), col("rank").as("rank_b"))
+    val fused = l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(expr(s"1000000 div ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_b)"), lit(0L))).as("rrf_e6"))
+    val top = fused.orderBy(col("rrf_e6").desc, col(idCol).asc).limit(k)
+    val w = Window.orderBy(col("rrf_e6").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * compression before ANN serving / index build: each component maps
     * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the

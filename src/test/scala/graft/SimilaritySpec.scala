@@ -172,6 +172,22 @@ class SimilaritySpec extends SparkSpec {
     assert(unc === cap)
   }
 
+  test("rrfFuse: both-list ids outrank single-list; exact 1/(60+r) integers") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(a, b, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    // 20 appears in both lists: 1000000/62 + 1000000/61 = 16129+16393
+    assert(out.head === ((20L, 16129L + 16393L, 1L)))
+    // 10: rank-1 single list = 1000000/61 = 16393; 40: 1000000/62 = 16129;
+    // 30: 1000000/63 = 15873
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((20L, 32522L), (10L, 16393L), (40L, 16129L), (30L, 15873L)))
+    // k truncates
+    assert(Similarity.rrfFuse(a, b, 2).count() === 2L)
+  }
+
   test("prototypicality: in-cell rank by own-centroid cosine, zero-norm pinned") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),    // centroid 0
