@@ -714,6 +714,9 @@ object SparkEntry {
     // recency-weighted engagement: 3-day half-life staircase decay
     "e_decayed" -> ((s, dir) =>
       EventOps.decayedValue(Tables.events(s, dir), 259200000L)),
+    // SCD2 validity windows per (user, event_type)
+    "e_validity" -> ((s, dir) =>
+      EventOps.validityIntervals(Tables.events(s, dir))),
 
     // ordered conversion funnel, first-touch semantics
     "e_funnel" -> ((s, dir) =>
@@ -2143,6 +2146,15 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "e_validity" ->
+      """SELECT user_id, event_type, event_id,
+        |       CAST(epoch_ms(ts) AS BIGINT) AS valid_from,
+        |       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4,
+        |       CAST(epoch_ms(lead(ts, 1) OVER (
+        |         PARTITION BY user_id, event_type
+        |         ORDER BY ts, event_id)) AS BIGINT) AS valid_to
+        |FROM events""".stripMargin,
 
     "e_decayed" ->
       """WITH base AS (

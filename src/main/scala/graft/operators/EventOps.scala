@@ -160,6 +160,30 @@ object EventOps {
         unix_millis(col("ts")).as("ts_ms"))
   }
 
+  /** Temporal validity intervals — the slowly-changing-dimension
+    * (SCD type 2) view of an event stream: per `(user, event_type)`,
+    * each event's value holds from its timestamp until the next event
+    * of that key (`valid_to` null on the current/last row — the
+    * open-ended "current" record a dimension table serves lookups
+    * from; [[graft.operators.AsofJoin]] is the query-side twin that
+    * reads such intervals). `event_id` breaks timestamp ties, matching
+    * [[transitions]].
+    *
+    * One shuffle (the key window); values quantize e4 per row before
+    * anything aggregates, per the exactness contract.
+    */
+  def validityIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("valid_from"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("value_e4"),
+        col("ts"))
+      .withColumn("valid_to", unix_millis(lead(col("ts"), 1).over(w)))
+      .drop("ts")
+  }
+
   /** Half-life-decayed engagement score per user — the recency-weighted
     * feature a ranking/personalization pipeline derives from an event
     * log. Pinned integer semantics (no `exp`, no floats): the

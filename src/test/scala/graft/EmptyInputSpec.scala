@@ -121,6 +121,22 @@ class EmptyInputSpec extends SparkSpec {
     // capped semantic dedup on empty corpus
     assert(Similarity.semanticDedup(emptyEmb, 4, 900000L, kmeansIters = 0,
       maxCellSize = Some(2)).count() === 0)
+    // RRF: one empty side degrades to the other list's ranking
+    val ra = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val rEmpty = Seq.empty[(Long, Long)].toDF("id", "rank")
+    assert(Similarity.rrfFuse(ra, rEmpty, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet === Set((1L, 1L), (2L, 2L)))
+    assert(Similarity.rrfFuse(rEmpty, rEmpty, 5).count() === 0)
+    // mix plan: a targeted source absent from the corpus just drops out
+    // (inner join); all-absent -> empty plan
+    val srcDocs = Seq((1L, "sA", "w w")).toDF("doc_id", "source", "text")
+    assert(TextOps.mixPlan(srcDocs, Seq("sZ" -> 1000)).count() === 0)
+    // decayed value and source overlap on empty frames
+    val emptyEv = Seq.empty[(Long, String, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(EventOps.decayedValue(emptyEv, 1000L).count() === 0)
+    assert(Dedup.sourceOverlap(
+      Seq.empty[(String, String)].toDF("source", "text"), 3).count() === 0)
   }
 
   test("as-of join with empty right side keeps all left rows, null payload") {

@@ -52,6 +52,18 @@ class EventOpsSpec extends SparkSpec {
       Seq("u2", 5L, 5L, 1L)))
   }
 
+  test("validityIntervals: SCD2 windows chain per key; last row open-ended") {
+    val out = EventOps.validityIntervals(ev)
+      .collect().map(r => (r.getLong(2),
+        (r.getString(0), r.getString(1), r.getLong(3),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    // u1 click: 0 -> 500 -> open; u1 view and u2 click singletons open
+    assert(out(1L) === (("u1", "click", 0L, 500L)))
+    assert(out(2L) === (("u1", "click", 500L, null)))
+    assert(out(3L) === (("u1", "view", 1500L, null)))
+    assert(out(4L) === (("u2", "click", 1500L, null)))
+  }
+
   test("decayedValue: staircase half-life weights from the corpus max time") {
     // half-life 1000ms, t_ref = 3000: buckets 3,2,1,0 -> weights
     // 1000>>3=125, 250, 500, 1000 (integer staircase)
