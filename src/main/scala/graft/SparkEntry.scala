@@ -525,6 +525,9 @@ object SparkEntry {
     "t_mix_plan" -> ((s, dir) =>
       TextOps.mixPlan(Tables.documents(s, dir),
         Seq("src0" -> 300, "src1" -> 500, "src2" -> 200))),
+    // token-diversity quality signal (Gini impurity, integer-exact)
+    "t_token_gini" -> ((s, dir) =>
+      TextOps.tokenGini(Tables.documents(s, dir))),
     "t_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(Tables.documents(s, dir), 256, 8, hash = Hashing.Portable)),
     "t_stratified_sample" -> ((s, dir) =>
@@ -1295,6 +1298,24 @@ object SparkEntry {
          |           AS BIGINT) AS rn
          |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n)
          |WHERE rn <= 3""".stripMargin,
+
+    "t_token_gini" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |g AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |         CAST(SUM(c*c) AS BIGINT) AS ss
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(n_tokens, 0) AS n_tokens,
+         |       COALESCE(n_distinct, 0) AS n_distinct,
+         |       COALESCE(CAST((1000000 * (n_tokens*n_tokens - ss))
+         |           // (n_tokens*n_tokens) AS BIGINT), 0) AS gini_e6
+         |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin,
 
     "t_mix_plan" ->
       s"""WITH have AS (

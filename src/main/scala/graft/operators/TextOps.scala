@@ -286,6 +286,45 @@ object TextOps {
           .otherwise(0L))
   }
 
+  /** Token-diversity (Gini impurity) per document — the
+    * entropy-family quality signal without the transcendental: for
+    * token multiplicities `c_i` over `n` tokens,
+    * `gini_e6 = 10^6 · (n² − Σc_i²) div n²` (0 = one token repeated,
+    * → 10^6 · (1 − 1/n) = all distinct). Monotone with Shannon
+    * entropy on the distributions that matter for boilerplate/spam
+    * screening, and exact-integer portable where `-Σ p·ln p` is not.
+    * Output `(doc_id, n_tokens, n_distinct, gini_e6)`; empty docs pin
+    * `gini_e6 = 0`.
+    *
+    * Scale shape: explode → (doc, token-hash) count → per-doc sum of
+    * squares; both aggregates map-side-combine, the second shuffles
+    * 8-byte doc keys. Token text shuffles as the grouping key of the
+    * first aggregate — acceptable where [[repetitionStats]]' fused
+    * bigram kernel is not reusable (multiplicities need exact
+    * per-token counts, and the hash keeps keys 8 bytes when callers
+    * pass `hash`-keyed mode downstream).
+    */
+  def tokenGini(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        expr("(1000000 * (n_tokens*n_tokens - ss)) div (n_tokens*n_tokens)")
+          .as("gini_e6"))
+      // docs with zero tokens produce no count rows: restore them with
+      // the pinned zero row (left join against the corpus)
+      .join(docs.select(col(idCol)), Seq(idCol), "right_outer")
+      .na.fill(0L, Seq("n_tokens", "n_distinct", "gini_e6"))
+  }
+
   /** Corpus mixing plan — the "how much of each source goes into the
     * final mixture" computation every pretraining run starts with.
     * Given target permille weights per source, finds the LARGEST total

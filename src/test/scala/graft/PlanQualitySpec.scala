@@ -275,6 +275,32 @@ class PlanQualitySpec extends SparkSpec {
       s"packing must not global-sort:\n$plan")
   }
 
+  test("sourceOverlap: shingling runs once (checkpointed), branches re-read it") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.operators.Dedup.sourceOverlap(docs, 3, maxSources = 10)
+    val plan = formatted(out)
+    // the (source, shingle) stream is cut before the self-join: the
+    // final plan must read the materialized RDD, not re-run the
+    // shingle generator per branch
+    assert(!plan.contains("Generate"),
+      s"shingle explode leaked past the checkpoint:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed scan:\n$plan")
+  }
+
+  test("decayedValue: 1-row reference time broadcasts; grouped sum is partial") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.operators.EventOps.decayedValue(ev, 259200000L)
+    val plan = formatted(out)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"t_ref must attach by broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
+    // the corpus is scanned twice (max + weights) but never shuffled
+    // except the final per-user aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"decay added shuffles:\n$plan")
+  }
+
   test("bm25: per-term tf is a narrow projection (no explode), top-k partial") {
     val docs = Tables.documents(spark, sfDir)
     val out = graft.operators.TextOps.bm25TopK(docs, Seq("vector", "stream"), 10)

@@ -249,6 +249,22 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bm25TopK(docs, Seq("cat", "dog"), 2).count() === 2L)
   }
 
+  test("tokenGini: impurity extremes, hand value, empty-doc zero row") {
+    val docs = Seq(
+      (1L, "a a a a"),      // one token: gini 0
+      (2L, "a b c d"),      // all distinct: 1e6*(16-4)/16 = 750000
+      (3L, "a a b"),        // 1e6*(9-5)/9 = 444444
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.tokenGini(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 0L)),
+      2L -> ((4L, 4L, 750000L)),
+      3L -> ((3L, 2L, 444444L)),
+      4L -> ((0L, 0L, 0L))))
+  }
+
   test("mixPlan: binding source saturates, others downsample to target ratio") {
     val docs = Seq(
       (1L, "sA", "w w w w w w w w w w"),  // sA: 10 tokens
