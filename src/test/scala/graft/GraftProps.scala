@@ -259,4 +259,55 @@ object GraftProps extends Properties("graft") {
         }
       }
     }
+
+  /** RRF additivity: a fused id's score is exactly the sum of its
+    * per-list reciprocal ranks, and fusing a list with itself doubles
+    * every score without changing the order.
+    */
+  property("rrfFuse additive and self-fusion order-preserving") =
+    forAll(Gen.chooseNum(1, 6)) { n =>
+      val ranks = (1 to n).map(i => (i.toLong * 7L, i.toLong))
+      val df = ranks.toDF("id", "rank")
+      val fused = graft.operators.Similarity.rrfFuse(df, df, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      fused.forall { case (id, s, _) =>
+        val r = ranks.find(_._1 == id).get._2
+        s == 2L * (1000000L / (60L + r))
+      } && fused.sortBy(_._3).map(_._1).toSeq == ranks.map(_._1)
+    }
+
+  /** Token Gini bounds: 0 ≤ gini < 10^6; zero exactly when one
+    * distinct token; the all-distinct value is 10^6·(n−1) div n.
+    */
+  property("tokenGini bounded with pinned extremes") =
+    forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (nRep, nDis) =>
+      val docs = Seq(
+        (1L, Seq.fill(nRep)("w").mkString(" ")),
+        (2L, (0 until nDis).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+      val out = graft.operators.TextOps.tokenGini(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      out(1L) == 0L &&
+        out(2L) == 1000000L * (nDis - 1) / nDis &&
+        out.values.forall(g => g >= 0L && g < 1000000L)
+    }
+
+  /** Mix plan feasibility: every take is within the source's holdings
+    * and equals the shared budget's target share (integer-floored);
+    * rates never exceed 1000.
+    */
+  property("mixPlan feasible under the shared budget") =
+    forAll(Gen.listOfN(3, Gen.chooseNum(1, 30)), Gen.listOfN(3, Gen.chooseNum(100, 800))) {
+      (sizes, targets) =>
+        val docs = sizes.zipWithIndex.flatMap { case (tok, i) =>
+          Seq((i.toLong, s"s$i", Seq.fill(tok)("w").mkString(" ")))
+        }.toDF("doc_id", "source", "text")
+        val tgt = targets.zipWithIndex.map { case (t, i) => s"s$i" -> t }
+        val out = graft.operators.TextOps.mixPlan(docs, tgt)
+          .collect().map(r => (r.getString(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        val budget = out.map { case (_, (have, tp, _, _)) => have * 1000L / tp }.min
+        out.forall { case (_, (have, tp, take, rate)) =>
+          take <= have && rate <= 1000L && take == budget * tp / 1000L
+        }
+    }
 }
