@@ -720,6 +720,25 @@ object SparkEntry {
     // SCD2 validity windows per (user, event_type)
     "e_validity" -> ((s, dir) =>
       EventOps.validityIntervals(Tables.events(s, dir))),
+    // delete-aware CDC merge: state = per-user latest before Jan 15;
+    // changelog = later events ('error' = delete tombstone)
+    "e_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("key"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("value_e4"))
+      val cutoff = 1705276800000L // 2024-01-15 00:00:00 UTC
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ts_ms").desc, col("event_id").desc)
+      val state = ev.filter(col("ts_ms") < cutoff)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("key"), col("value_e4"), col("ts_ms").as("updated_ms"))
+      val changes = ev.filter(col("ts_ms") >= cutoff)
+        .select(col("key"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value_e4"), col("ts_ms"), col("event_id").as("seq"))
+      EventOps.applyChangelog(state, changes)
+    }),
 
     // ordered conversion funnel, first-touch semantics
     "e_funnel" -> ((s, dir) =>
@@ -2176,6 +2195,33 @@ object SparkEntry {
         |         PARTITION BY user_id, event_type
         |         ORDER BY ts, event_id)) AS BIGINT) AS valid_to
         |FROM events""".stripMargin,
+
+    "e_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id AS key, event_type, event_id,
+        |         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4
+        |  FROM events),
+        |state AS (
+        |  SELECT key, value_e4, ts_ms AS updated_ms FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts_ms < 1705276800000)
+        |  WHERE rn = 1),
+        |latest AS (
+        |  SELECT key, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         value_e4 AS new_value_e4, ts_ms AS new_ms FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts_ms >= 1705276800000)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.key, l.key) AS key,
+        |       CASE WHEN l.op = 'U' THEN l.new_value_e4 ELSE s.value_e4 END
+        |         AS value_e4,
+        |       CASE WHEN l.op = 'U' THEN l.new_ms ELSE s.updated_ms END
+        |         AS updated_ms
+        |FROM state s FULL OUTER JOIN latest l ON s.key = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     "e_decayed" ->
       """WITH base AS (

@@ -160,6 +160,42 @@ object EventOps {
         unix_millis(col("ts")).as("ts_ms"))
   }
 
+  /** Delete-aware CDC merge — the lakehouse `MERGE WHEN MATCHED`
+    * dataflow, generalizing [[GraphOps.mergeEdgeStates]]' upsert-only
+    * join with tombstones: apply a changelog of upserts (`op = "U"`)
+    * and deletes (`op = "D"`) to a keyed state snapshot. Per key the
+    * LATEST change wins — ordered by `(ts_ms, seq)`, `seq` breaking
+    * same-timestamp ties (the changelog's own sequence number, e.g.
+    * the event id) — then: latest `D` removes the key, latest `U`
+    * upserts `(value_e4, ts_ms)`, keys without changes keep their
+    * state row, unmatched `U` keys insert. Deterministic and
+    * replay-idempotent (applying the same changelog twice is a
+    * no-op — last-wins is absorbing).
+    *
+    * `state`: `(key, value_e4, updated_ms)`; `changes`:
+    * `(key, op, value_e4, ts_ms, seq)`. One key window over the
+    * changelog + one full-outer join on the key — the changelog is
+    * batch-sized, state-sized work only on the join.
+    */
+  def applyChangelog(state: DataFrame, changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts_ms").desc, col("seq").desc)
+    val latest = changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("op"),
+        col("value_e4").as("new_value_e4"), col("ts_ms").as("new_ms"))
+    state.join(latest, Seq("key"), "full_outer")
+      // op null = key untouched by this changelog -> state row survives
+      .filter(coalesce(col("op") =!= "D", lit(true)))
+      .select(
+        col("key"),
+        when(col("op") === "U", col("new_value_e4"))
+          .otherwise(col("value_e4")).as("value_e4"),
+        when(col("op") === "U", col("new_ms"))
+          .otherwise(col("updated_ms")).as("updated_ms"))
+  }
+
   /** Temporal validity intervals — the slowly-changing-dimension
     * (SCD type 2) view of an event stream: per `(user, event_type)`,
     * each event's value holds from its timestamp until the next event

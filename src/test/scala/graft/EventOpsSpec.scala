@@ -52,6 +52,33 @@ class EventOpsSpec extends SparkSpec {
       Seq("u2", 5L, 5L, 1L)))
   }
 
+  test("applyChangelog: upsert, tombstone, insert, untouched, replay-idempotent") {
+    val state = Seq(
+      ("a", 100L, 10L), ("b", 200L, 10L), ("c", 300L, 10L))
+      .toDF("key", "value_e4", "updated_ms")
+    val changes = Seq(
+      ("a", "U", 150L, 20L, 1L),  // upsert existing
+      ("a", "D", 0L, 15L, 2L),    // older delete loses to the later U
+      ("b", "D", 0L, 20L, 3L),    // tombstone removes b
+      ("d", "U", 400L, 20L, 4L)   // insert unknown key
+    ).toDF("key", "op", "value_e4", "ts_ms", "seq")
+    val out = EventOps.applyChangelog(state, changes)
+    assert(rowSet(out) === Set(
+      Seq("a", 150L, 20L), Seq("c", 300L, 10L), Seq("d", 400L, 20L)))
+    // same-timestamp ties break by seq: the D (seq 6) beats the U (seq 5)
+    val tied = Seq(("c", "U", 999L, 30L, 5L), ("c", "D", 0L, 30L, 6L))
+      .toDF("key", "op", "value_e4", "ts_ms", "seq")
+    assert(rowSet(EventOps.applyChangelog(state, tied))
+      === Set(Seq("a", 100L, 10L), Seq("b", 200L, 10L)))
+    // replay idempotence: applying the changelog to its own output is a no-op
+    val once = EventOps.applyChangelog(state, changes)
+    assert(rowSet(EventOps.applyChangelog(once, changes)) === rowSet(once))
+    // empty changelog is the identity
+    val noChanges = Seq.empty[(String, String, Long, Long, Long)]
+      .toDF("key", "op", "value_e4", "ts_ms", "seq")
+    assert(rowSet(EventOps.applyChangelog(state, noChanges)) === rowSet(state))
+  }
+
   test("validityIntervals: SCD2 windows chain per key; last row open-ended") {
     val out = EventOps.validityIntervals(ev)
       .collect().map(r => (r.getLong(2),
