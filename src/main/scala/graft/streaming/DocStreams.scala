@@ -8,6 +8,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.functions.Hashing
 import graft.operators.Dedup
 
+/** Misra-Gries summary state: ≤ k counters + tokens-seen total. */
+final case class HHState(counters: Map[String, Long], processed: Long)
+
+/** One current-summary row: estimate for `token` after `n_tokens`. */
+final case class HHRow(source: String, token: String, est_count: Long, n_tokens: Long)
+
 /** Streaming twin of the document-dedup surface: the continuous-ingest
   * form of [[graft.operators.Dedup.exactDedup]] /
   * [[graft.operators.Dedup.incrementalNew]] — a crawl stream where each
@@ -109,6 +115,61 @@ object DocStreams {
         newSh.write.mode("append").parquet(s"$stateDir/sh")
       }
       .start()
+  }
+
+  /** Continuous heavy-hitter tokens per source — a Misra-Gries
+    * `k`-counter summary in the state store, the streaming twin of
+    * [[graft.operators.TextOps.vocabTopK]] for feeds too large/too
+    * live to re-aggregate: each micro-batch folds its tokens into the
+    * summary; after every batch the CURRENT summary is emitted
+    * (update mode).
+    *
+    * The sketch guarantee (the reason MG is the right summary — it is
+    * mergeable and deterministic, unlike sampling): with `k` counters
+    * over `n` tokens seen, every token of true frequency `> n/(k+1)`
+    * is IN the summary, and each estimate undercounts its true count
+    * by at most `n/(k+1)`. State is ≤ `k` (token, count) entries per
+    * source — O(k), never corpus-sized; document text never persists.
+    * Batch rows fold in content-sorted order so a given batch
+    * composition is deterministic.
+    */
+  def heavyHitterTokens(
+      docs: DataFrame,
+      k: Int,
+      srcCol: String = "source",
+      textCol: String = "text"): org.apache.spark.sql.Dataset[HHRow] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col(srcCol).as("_1"), col(textCol).as("_2"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, HHRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state) =>
+          val st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+          val counters = scala.collection.mutable.Map(st.counters.toSeq: _*)
+          var n = st.processed
+          val toks = rows.toSeq.sortBy(_._2).iterator
+            .flatMap(r => """\S+""".r.findAllIn(r._2))
+          for (t <- toks) {
+            n += 1
+            if (counters.contains(t)) counters(t) += 1
+            else if (counters.size < k) counters(t) = 1L
+            else {
+              // the classic MG step: a miss on a full summary decrements
+              // every counter; zeros vacate their slot
+              counters.keys.toSeq.foreach { kk =>
+                counters(kk) -= 1
+                if (counters(kk) == 0L) counters.remove(kk)
+              }
+            }
+          }
+          state.update(HHState(counters.toMap, n))
+          counters.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+            .map { case (t, c) => HHRow(src, t, c, n) }
+      }
   }
 
   /** Stream-static blocklist filter: drop stream documents whose

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.model.{Edge, RelationshipDoc, Stats}
@@ -439,6 +440,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
       // duplicates exist in the fixture, so the dedup is load-bearing
       assert(streamed.size < docs.length)
+    } finally q.stop()
+  }
+
+  test("heavy-hitter stream: Misra-Gries invariants against exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.DocStreams.heavyHitterTokens(
+        in.toDF().toDF("source", "text"), k = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("s", "a a a b"), ("s", "a b c d e"))
+      q.processAllAvailable()
+      in.addData(("s", "a a f g b b b"))
+      q.processAllAvailable()
+      // exact totals over both batches: a:6 b:5 c:1 d:1 e:1 f:1 g:1, n=16
+      val exact = Map("a" -> 6L, "b" -> 5L, "c" -> 1L, "d" -> 1L,
+        "e" -> 1L, "f" -> 1L, "g" -> 1L)
+      val n = 16L
+      val bound = n / (4 + 1) // MG undercount bound with k=4 counters
+      // the final summary = rows from the last trigger (n_tokens = 16)
+      val est = spark.table("hh_out").filter(col("n_tokens") === n)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      // ≤ k entries; every true-heavy token (freq > n/(k+1)) present
+      assert(est.size <= 4)
+      assert(est.contains("a") && est.contains("b"),
+        s"true heavy hitters missing from $est")
+      // estimates never overcount and undercount by ≤ n/(k+1)
+      est.foreach { case (t, e) =>
+        assert(e <= exact(t) && exact(t) - e <= bound, s"$t: est $e vs ${exact(t)}")
+      }
+      // per-source isolation: an unrelated source gets its own summary
+      in.addData(("z", "q q q"))
+      q.processAllAvailable()
+      val z = spark.table("hh_out").filter(col("source") === "z")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(z === Set(("q", 3L)))
     } finally q.stop()
   }
 
