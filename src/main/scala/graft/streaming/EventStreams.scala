@@ -33,6 +33,14 @@ final case class FunnelState(stepIdx: Int, reachedMs: Long, buf: List[BufferedEv
   */
 final case class FunnelRow(user_id: String, step: Long, event_type: String, t_ms: Long)
 
+/** Per-key CDC state: the last applied change's payload and position. */
+final case class CdcState(valueE4: Long, tsMs: Long, seq: Long, deleted: Boolean)
+
+/** One emitted current-state row; `deleted = true` is a retraction
+  * (the key's tombstone reached the head of its history).
+  */
+final case class CdcRow(key: String, value_e4: Long, updated_ms: Long, deleted: Boolean)
+
 /** Structured Streaming forms of the event-time operators (SURVEY §2.9
   * — the true-streaming generalization of the reference's hand-rolled
   * watermark incrementality at elastic.go:50-58 / cmd/etl/etl.go:19).
@@ -211,6 +219,42 @@ object EventStreams {
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
           emitted.result().iterator
+      }
+  }
+
+  /** Continuous CDC apply — the streaming twin of
+    * [[graft.operators.EventOps.applyChangelog]]: a changelog stream
+    * of upserts (`op = "U"`) and delete tombstones (`op = "D"`) folds
+    * into per-key state with last-wins-by-`(ts_ms, seq)` semantics;
+    * each batch emits the key's CURRENT row when (and only when) the
+    * batch changed it (update mode; `deleted = true` rows are
+    * retractions a sink applies as deletes). Out-of-order and replayed
+    * changes are absorbed: a change at or below the state's applied
+    * `(ts_ms, seq)` position is a no-op, so the emitted end-state
+    * always equals the batch operator over the same changelog.
+    * State is O(1) per key (payload + position, no history).
+    */
+  def cdcApply(changes: DataFrame): Dataset[CdcRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .select(col("key").as("_1"), col("op").as("_2"),
+        col("value_e4").as("_3"), col("ts_ms").as("_4"), col("seq").as("_5"))
+      .as[(String, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[CdcState]) =>
+          val newest = rows.maxBy(r => (r._4, r._5))
+          val ahead = state.getOption.forall(s =>
+            newest._4 > s.tsMs || (newest._4 == s.tsMs && newest._5 > s.seq))
+          if (!ahead) Iterator.empty
+          else {
+            val ns = CdcState(newest._3, newest._4, newest._5, newest._2 == "D")
+            state.update(ns)
+            Iterator(CdcRow(key,
+              if (ns.deleted) 0L else ns.valueE4, ns.tsMs, ns.deleted))
+          }
       }
   }
 

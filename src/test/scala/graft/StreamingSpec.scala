@@ -443,6 +443,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc stream: end-state equals batch applyChangelog; stale changes absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Long, Long)]
+    val q = EventStreams.cdcApply(
+        in.toDF().toDF("key", "op", "value_e4", "ts_ms", "seq"))
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("a", "U", 100L, 10L, 1L), ("b", "U", 200L, 10L, 2L))
+      q.processAllAvailable()
+      // b's tombstone, a's newer value, new key c
+      in.addData(("b", "D", 0L, 20L, 3L), ("a", "U", 150L, 20L, 4L),
+        ("c", "U", 300L, 20L, 5L))
+      q.processAllAvailable()
+      // stale replays (at/below applied positions) must emit nothing
+      in.addData(("a", "U", 999L, 10L, 1L), ("b", "U", 888L, 15L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // last emission per key is the live state; b ends as a retraction
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, g) => k -> g.maxBy(_._2)._1 }
+      assert(last("a") === (("a", 150L, 20L, false)))
+      assert(last("b") === (("b", 0L, 20L, true)))
+      assert(last("c") === (("c", 300L, 20L, false)))
+      // the stale batch emitted zero rows
+      assert(rows.length === 5)
+      // live set ≡ the batch operator over the same changelog and empty state
+      val allChanges = Seq(
+        ("a", "U", 100L, 10L, 1L), ("b", "U", 200L, 10L, 2L),
+        ("b", "D", 0L, 20L, 3L), ("a", "U", 150L, 20L, 4L),
+        ("c", "U", 300L, 20L, 5L),
+        ("a", "U", 999L, 10L, 1L), ("b", "U", 888L, 15L, 1L)
+      ).toDF("key", "op", "value_e4", "ts_ms", "seq")
+      val emptyState = Seq.empty[(String, Long, Long)]
+        .toDF("key", "value_e4", "updated_ms")
+      val batch = rowSet(graft.operators.EventOps.applyChangelog(emptyState, allChanges))
+      val live = last.values.filter(!_._4).map(r => Seq[Any](r._1, r._2, r._3)).toSet
+      assert(live === batch)
+    } finally q.stop()
+  }
+
   test("heavy-hitter stream: Misra-Gries invariants against exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
