@@ -120,18 +120,40 @@ object DocStreams {
   /** Continuous heavy-hitter tokens per source — a Misra-Gries
     * `k`-counter summary in the state store, the streaming twin of
     * [[graft.operators.TextOps.vocabTopK]] for feeds too large/too
-    * live to re-aggregate: each micro-batch folds its tokens into the
-    * summary; after every batch the CURRENT summary is emitted
-    * (update mode).
+    * live to re-aggregate: each micro-batch is reduced to a k-sized
+    * summary IN PARALLEL, the summary is merged into state, and after
+    * every batch the CURRENT summary is emitted (update mode).
     *
     * The sketch guarantee (the reason MG is the right summary — it is
-    * mergeable and deterministic, unlike sampling): with `k` counters
-    * over `n` tokens seen, every token of true frequency `> n/(k+1)`
-    * is IN the summary, and each estimate undercounts its true count
-    * by at most `n/(k+1)`. State is ≤ `k` (token, count) entries per
-    * source — O(k), never corpus-sized; document text never persists.
-    * Batch rows fold in content-sorted order so a given batch
-    * composition is deterministic.
+    * mergeable, Agarwal et al. "Mergeable Summaries" PODS'12): with `k`
+    * counters over `n` tokens seen, every token of true frequency
+    * `> n/(k+1)` is IN the summary, and each estimate undercounts its
+    * true count by at most `n/(k+1)`, never overcounts. State is ≤ `k`
+    * (token, count) entries per source — O(k), never corpus-sized;
+    * document text never persists.
+    *
+    * 100 TB shape — the whole batch reduction is parallel and
+    * summary-sized, nothing text-sized ever lands on one task:
+    *  1. per input partition, tokenize + exact partial counts in a
+    *     local map (map-side combine — the shuffle carries one row per
+    *     DISTINCT (source, token) per partition, never token
+    *     occurrences and never text);
+    *  2. repartition by (source, token): each token's complete batch
+    *     count materializes on its own hash partition, parallel across
+    *     the token space even for a single hot source;
+    *  3. per shuffle partition, keep only the top-(k+1) complete
+    *     counts per source (any global top-(k+1) token is a partition
+    *     top-(k+1) token) plus one token-total marker row;
+    *  4. the per-source stateful fold receives ≤ partitions·(k+2)
+    *     candidate rows, takes the one-shot MG summary of the batch
+    *     (subtract the (k+1)-th largest complete count, drop
+    *     non-positive — [[DocStreams.mgTruncate]]) and merges it into
+    *     state with the same rule.
+    * Because steps 2-4 are functions of exact complete counts with
+    * (count desc, token asc) tie-breaking, the emitted summary is
+    * deterministic and identical under any repartitioning of the
+    * input — batch composition (what the trigger groups together) is
+    * the only thing that moves it.
     */
   def heavyHitterTokens(
       docs: DataFrame,
@@ -142,35 +164,107 @@ object DocStreams {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    docs.select(col(srcCol).as("_1"), col(textCol).as("_2"))
-      .as[(String, String)]
+    tokenCandidates(docs, k, srcCol, textCol)
       .groupByKey(_._1)
       .flatMapGroupsWithState[HHState, HHRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (src, rows, state) =>
           val st = state.getOption.getOrElse(HHState(Map.empty, 0L))
-          val counters = scala.collection.mutable.Map(st.counters.toSeq: _*)
-          var n = st.processed
-          val toks = rows.toSeq.sortBy(_._2).iterator
-            .flatMap(r => """\S+""".r.findAllIn(r._2))
-          for (t <- toks) {
-            n += 1
-            if (counters.contains(t)) counters(t) += 1
-            else if (counters.size < k) counters(t) = 1L
-            else {
-              // the classic MG step: a miss on a full summary decrements
-              // every counter; zeros vacate their slot
-              counters.keys.toSeq.foreach { kk =>
-                counters(kk) -= 1
-                if (counters(kk) == 0L) counters.remove(kk)
-              }
-            }
-          }
-          state.update(HHState(counters.toMap, n))
+          val (counters, n) = mgMergeStep(st.counters, rows, st.processed, k)
+          state.update(HHState(counters, n))
           counters.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
             .map { case (t, c) => HHRow(src, t, c, n) }
       }
   }
+
+  /** Steps 1-3 of [[heavyHitterTokens]]: the parallel per-batch
+    * reduction to `(source, token, complete_count)` candidate rows — at
+    * most top-(k+1) tokens per source per shuffle partition, plus one
+    * `(source, null, token_total)` marker row per source. Works on a
+    * static frame too (exposed for the spec, which pins the
+    * summary-size bound and repartition-invariance in batch mode).
+    */
+  private[graft] def tokenCandidates(
+      docs: DataFrame,
+      k: Int,
+      srcCol: String = "source",
+      textCol: String = "text"): org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val partials = docs
+      .select(col(srcCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val tokRe = """\S+""".r
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        val totals = scala.collection.mutable.Map.empty[String, Long]
+        for ((src, text) <- it) {
+          var t = totals.getOrElse(src, 0L)
+          if (text != null) for (tok <- tokRe.findAllIn(text)) {
+            counts((src, tok)) = counts.getOrElse((src, tok), 0L) + 1L
+            t += 1L
+          }
+          // always mark the source (even for empty/null text) so the
+          // stateful fold fires and re-emits the current summary —
+          // matching a fold over the raw rows
+          totals(src) = t
+        }
+        counts.iterator.map { case ((s, tok), c) => (s, tok, c) } ++
+          totals.iterator.map { case (s, t) => (s, null: String, t) }
+      }
+    partials
+      .repartition(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        val totals = scala.collection.mutable.Map.empty[String, Long]
+        for ((src, tok, c) <- it) {
+          if (tok == null) totals(src) = totals.getOrElse(src, 0L) + c
+          else counts((src, tok)) = counts.getOrElse((src, tok), 0L) + c
+        }
+        val tops = counts.toSeq
+          .groupBy(_._1._1)
+          .iterator
+          .flatMap { case (_, rows) =>
+            rows.sortBy { case ((_, tok), c) => (-c, tok) }.take(k + 1)
+          }
+          .map { case ((s, tok), c) => (s, tok, c) }
+        tops ++ totals.iterator.map { case (s, t) => (s, null: String, t) }
+      }
+  }
+
+  /** Step 4 of [[heavyHitterTokens]]: fold one batch's candidate rows
+    * into the running per-source summary. Exposed for the spec.
+    */
+  private[graft] def mgMergeStep(
+      counters: Map[String, Long],
+      rows: Iterator[(String, String, Long)],
+      processed: Long,
+      k: Int): (Map[String, Long], Long) = {
+    var nDelta = 0L
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, tok, c) <- rows) {
+      if (tok == null) nDelta += c
+      else cand(tok) = cand.getOrElse(tok, 0L) + c
+    }
+    val merged = scala.collection.mutable.Map(counters.toSeq: _*)
+    for ((t, c) <- mgTruncate(cand.toMap, k)) {
+      merged(t) = merged.getOrElse(t, 0L) + c
+    }
+    (mgTruncate(merged.toMap, k), processed + nDelta)
+  }
+
+  /** The mergeable-MG reduction: if more than `k` counters, subtract
+    * the (k+1)-th largest value from every counter and drop the
+    * non-positive — at most `k` can exceed the (k+1)-th largest, so the
+    * result is ≤ k entries, and the subtracted mass is ≤ n/(k+1) which
+    * is what preserves the undercount bound under merging.
+    */
+  private[graft] def mgTruncate(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val d = m.values.toSeq.sortBy(-_).apply(k)
+      m.collect { case (t, c) if c - d > 0 => t -> (c - d) }
+    }
 
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set

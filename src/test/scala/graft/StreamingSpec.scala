@@ -522,6 +522,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitter batch reduction: candidates are summary-sized; summary is repartition-invariant") {
+    import graft.streaming.DocStreams
+    val k = 4
+    // one hot source, 500 docs — the shape that used to collapse the
+    // whole batch (full text, sorted) onto a single task
+    val docs = (0 until 500)
+      .map(i => ("hot", s"common${i % 7} common${i % 7} word${i % 97} rare$i"))
+      .toDF("source", "text")
+    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the stateful fold's input is candidate rows: at most top-(k+1)
+    // tokens per source per shuffle partition plus one total marker —
+    // summary-sized, never document- or text-sized
+    val cands = DocStreams.tokenCandidates(docs.repartition(8), k)
+    assert(cands.count() <= P * (k + 1) + 1)
+    def fold(d: org.apache.spark.sql.DataFrame) = {
+      val c = DocStreams.tokenCandidates(d, k).collect().iterator
+      DocStreams.mgMergeStep(Map.empty[String, Long], c, 0L, k)
+    }
+    val (s1, n1) = fold(docs.repartition(1))
+    val (s8, n8) = fold(docs.repartition(8))
+    // token totals are exact and the summary is identical under any
+    // input partitioning (complete counts + canonical tie-breaking)
+    assert(n1 === 2000L && n8 === 2000L)
+    assert(s1 === s8)
+    // and it equals the one-shot MG reduction of the exact counts —
+    // per-partition candidate pruning loses nothing
+    val exact = docs.collect().flatMap(_.getString(1).split("\\s+"))
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    assert(s1 === DocStreams.mgTruncate(exact, k))
+  }
+
   test("fuzzy ingest stream: accumulated pairs equal the full-batch LSH") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
