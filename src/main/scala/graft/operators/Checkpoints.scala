@@ -22,9 +22,18 @@ import org.apache.spark.sql.DataFrame
   *
   * The SparkContext has ONE checkpoint dir: the first `Some(dir)` cut
   * sets it if unset, later cuts reuse it (Spark creates a unique
-  * subdirectory per checkpoint, so operators never collide).
+  * subdirectory per checkpoint, so operators never collide). A later
+  * cut requesting a DIFFERENT dir keeps the first one (logged at warn
+  * — per-operator dirs would need per-operator SparkContexts).
+  *
+  * Reliable checkpoint files are not deleted at job end by default;
+  * long-running services should set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (best
+  * effort, on RDD GC) or clean the directory between runs.
   */
 object Checkpoints {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Materialize `df` and truncate its lineage, durable iff `dir` is
     * set. Both modes are eager and preserve the physical partitioning
@@ -36,7 +45,13 @@ object Checkpoints {
     case None => df.localCheckpoint()
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(d)
+        case Some(cur) if !cur.contains(d) && d != cur =>
+          log.warn(s"Checkpoints.cut: checkpoint dir already set to '$cur'; " +
+            s"ignoring requested '$d' (one dir per SparkContext)")
+        case _ => ()
+      }
       df.checkpoint()
   }
 }

@@ -137,16 +137,17 @@ object Dedup {
       n: Int = 3,
       maxDf: Int = 50,
       threshE3: Int = 500,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     // df attaches to every (doc, shingle) row with ONE aggregate + one
     // join, materialized once; the capped and hot branches below are
     // in-memory filters of it rather than two independent re-aggs of
     // the shingle table (measured: the duplicated df agg + join was the
     // dominant cost of the exact-Jaccard hot-split at sf0.1)
-    val shDf = sh
-      .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df")), Seq("sh"))
-      .localCheckpoint()
+    val shDf = Checkpoints.cut(sh
+      .join(sh.groupBy(col("sh")).agg(count(lit(1)).as("df")), Seq("sh")),
+      checkpointDir)
     val sizes = shDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val capped = shDf.filter(col("df") <= maxDf)
     val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
@@ -164,9 +165,10 @@ object Dedup {
     // result consume this aggregate, and exchange reuse does not always
     // survive AQE re-planning — the pair table is small (post-agg), the
     // self-join above it is not (same pattern as minhashLshPairs.banded)
-    val interCapped = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap"))
-      .localCheckpoint()
+    val interCapped = Checkpoints.cut(
+      a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_cap")),
+      checkpointDir)
     val hot = shDf.filter(col("df") > maxDf)
     val interHot = interCapped.select(col("doc_a"), col("doc_b"))
       .join(hot.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -295,13 +297,14 @@ object Dedup {
       block: Column,
       maxDist: Int = 1,
       maxBucket: Int = 10000,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
     val keyed = docs.select(col(idCol).as("id"), col(strCol).as("s"), block.as("blk"))
     val ok = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select(col("blk"))
     // materialized once: the l/r self-join branches would otherwise
     // re-execute the cap aggregation twice
-    val capped = keyed.join(ok, Seq("blk")).localCheckpoint()
+    val capped = Checkpoints.cut(keyed.join(ok, Seq("blk")), checkpointDir)
     val l = capped.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
     val r = capped.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
     l.join(r, Seq("blk"))
@@ -334,9 +337,10 @@ object Dedup {
       strCol: String,
       maxSubs: Int = 1,
       idCol: String = "doc_id",
-      maxBucket: Int = 100000): DataFrame =
-    if (maxSubs == 1) maskIndexPairs(docs, strCol, idCol, maxBucket)
-    else classPigeonholePairs(docs, strCol, maxSubs, idCol, maxBucket)
+      maxBucket: Int = 100000,
+      checkpointDir: Option[String] = None): DataFrame =
+    if (maxSubs == 1) maskIndexPairs(docs, strCol, idCol, maxBucket, checkpointDir)
+    else classPigeonholePairs(docs, strCol, maxSubs, idCol, maxBucket, checkpointDir)
 
   /** `maxSubs = 1` fast path: a substitution-neighborhood index (the
     * SymSpell/deletion-neighborhood idea, specialized to equal-length
@@ -355,7 +359,8 @@ object Dedup {
     * class path (k keys/row regardless of length).
     */
   private def maskIndexPairs(
-      docs: DataFrame, strCol: String, idCol: String, maxBucket: Int): DataFrame = {
+      docs: DataFrame, strCol: String, idCol: String, maxBucket: Int,
+      checkpointDir: Option[String]): DataFrame = {
     val masked = docs
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"), length(col("s")).as("len"),
@@ -368,7 +373,7 @@ object Dedup {
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
       .select(col("len"), col("pos"), col("mv"))
-    val capped = masked.join(ok, Seq("len", "pos", "mv")).localCheckpoint()
+    val capped = Checkpoints.cut(masked.join(ok, Seq("len", "pos", "mv")), checkpointDir)
     val l = capped.select(col("len"), col("pos"), col("mv"),
       col("id").as("id_a"), col("s").as("s_a"))
     val r = capped.select(col("len"), col("pos"), col("mv"),
@@ -385,7 +390,8 @@ object Dedup {
     */
   private def classPigeonholePairs(
       docs: DataFrame, strCol: String, maxSubs: Int,
-      idCol: String, maxBucket: Int): DataFrame = {
+      idCol: String, maxBucket: Int,
+      checkpointDir: Option[String]): DataFrame = {
     val k = maxSubs + 1
     val keyed = docs
       .select(col(idCol).as("id"), col(strCol).as("s"))
@@ -402,7 +408,7 @@ object Dedup {
       .select(col("len"), col("cls_r"), col("cls_v"))
     // materialized once for the self-join (same reason as the banded
     // LSH joins: both branches would re-run the class generator)
-    val capped = keyed.join(ok, Seq("len", "cls_r", "cls_v")).localCheckpoint()
+    val capped = Checkpoints.cut(keyed.join(ok, Seq("len", "cls_r", "cls_v")), checkpointDir)
     val l = capped.select(col("len"), col("cls_r"), col("cls_v"),
       col("id").as("id_a"), col("s").as("s_a"))
     val r = capped.select(col("len"), col("cls_r"), col("cls_v"),
@@ -470,7 +476,8 @@ object Dedup {
       maxSources: Int = 1000,
       srcCol: String = "source",
       textCol: String = "text",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
     val s = docs.select(
       col(srcCol).as("source"),
       explode(graft.functions.NativeOps.shingleHashes(col(textCol), n, hash.portable)).as("sh"))
@@ -478,7 +485,7 @@ object Dedup {
     val kept = s.groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxSources).select(col("sh"))
     // materialized once: sizes + both self-join branches consume it
-    val sc = s.join(kept, Seq("sh")).localCheckpoint()
+    val sc = Checkpoints.cut(s.join(kept, Seq("sh")), checkpointDir)
     val sz = sc.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
     val pairs = sc.select(col("sh"), col("source").as("source_a"))
       .join(sc.select(col("sh"), col("source").as("source_b")), Seq("sh"))
@@ -522,9 +529,10 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       threshE3: Int = 500,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
-    val banded = bandTableOf(sh, bands, rowsPerBand)
+    val banded = bandTableOf(sh, bands, rowsPerBand, checkpointDir)
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     val cands = l.join(r, Seq("band", "band_sig"))
@@ -545,15 +553,18 @@ object Dedup {
     * ~2.4s of 3.7s on the self-join query) — and the banded table is
     * tiny (docs × bands rows).
     */
-  def bandTableOf(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    minhashSignatures(sh, bands * rowsPerBand)
-      .withColumn("band", (col("j") / rowsPerBand).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      // j-ordered fold → deterministic band signature
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
-        lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig"))
-      .localCheckpoint()
+  def bandTableOf(
+      sh: DataFrame, bands: Int, rowsPerBand: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    Checkpoints.cut(
+      minhashSignatures(sh, bands * rowsPerBand)
+        .withColumn("band", (col("j") / rowsPerBand).cast("long"))
+        .groupBy(col("doc_id"), col("band"))
+        // j-ordered fold → deterministic band signature
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s("mh")),
+          lit(0L), (acc, mh) => (acc * 31 + mh % Hashing.P) % Hashing.P).as("band_sig")),
+      checkpointDir)
 
   /** Exact-Jaccard verification tail shared by the LSH compositions:
     * `|∩| / |∪|` (e3-quantized) over the shingle stream for each
@@ -597,9 +608,10 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       threshE3: Int = 500,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
     val newSh = shingles(newDocs, n, hash = hash).cache()
-    val newBands = bandTableOf(newSh, bands, rowsPerBand)
+    val newBands = bandTableOf(newSh, bands, rowsPerBand, checkpointDir)
     incrementalPairsCore(newSh, newBands, corpusBands, threshE3,
       // only corpus docs that collided re-shingle (the candidate id
       // set is batch-sized, so the semi-join broadcasts)
@@ -766,16 +778,19 @@ object Dedup {
     * signature table, and hot buckets never materialize their full
     * candidate set past the codegen'd filter.
     */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      sigs: DataFrame, maxHamming: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = sigs.sparkSession
     val bands = spark.range(4).select(col("id").cast("int").as("band"))
     // materialized before the self-join — same reason as in
     // [[minhashLshPairs]]: the l/r branches would otherwise recompute
     // the signature aggregation twice; banded is docs × 4 rows
-    val banded = sigs.join(broadcast(bands))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftright(simhash, band * 8) & 255").as("band_val"))
-      .localCheckpoint()
+    val banded = Checkpoints.cut(
+      sigs.join(broadcast(bands))
+        .select(col("doc_id"), col("simhash"), col("band"),
+          expr("shiftright(simhash, band * 8) & 255").as("band_val")),
+      checkpointDir)
     val l = banded.select(
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
     val r = banded.select(

@@ -408,7 +408,8 @@ object Similarity {
       nCells: Int,
       cosE6: Long,
       kmeansIters: Int = 4,
-      maxCellSize: Option[Int] = None): DataFrame = {
+      maxCellSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val corpus = withQuant(embeddings)
     // nq > 0: a zero-norm centroid stand-in would score NaN against the
     // whole corpus (Spark orders NaN largest — degenerate capture cell)
@@ -419,10 +420,11 @@ object Similarity {
     val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
-    val assigned = corpus.filter(col("nq") > 0)
-      .withColumn("cid", bestCellExpr(centsArr))
-      .select(col("vec_id"), col("cid"), col("q"), col("nq"))
-      .localCheckpoint()
+    val assigned = Checkpoints.cut(
+      corpus.filter(col("nq") > 0)
+        .withColumn("cid", bestCellExpr(centsArr))
+        .select(col("vec_id"), col("cid"), col("q"), col("nq")),
+      checkpointDir)
     // sub-cell id: 0 everywhere when uncapped; otherwise a portable
     // vec_id hash mod ceil(cell_n/cap). The sizes frame is ≤ nCells
     // rows — broadcast, same bound as the centroid literal.

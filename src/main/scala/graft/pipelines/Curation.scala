@@ -55,7 +55,8 @@ object Curation {
       maxTopBigramE3: Int = 1000,
       probes: Option[DataFrame] = None,
       minSharedShingles: Int = 5,
-      quota: Option[(String, Int)] = None): DataFrame = {
+      quota: Option[(String, Int)] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     // 1. quality gate — semi-join against the keep set (broadcastable;
     // degrades to a shuffled semi-join at scale)
     val keepIds = TextOps.qualityScore(docs).filter(col("keep")).select(col("doc_id"))
@@ -83,15 +84,16 @@ object Curation {
     // is the right trade versus materializing an intermediate corpus.
     // The checkpoint still cuts the expensive part: the dedup hash
     // aggregate and quality pass execute once, not per consumer.
-    val exactIds = Dedup.exactDedup(quality)
-      .select(col("canonical_id").as("doc_id")).localCheckpoint()
+    val exactIds = graft.operators.Checkpoints.cut(
+      Dedup.exactDedup(quality).select(col("canonical_id").as("doc_id")),
+      checkpointDir)
     val exact = docs.join(exactIds, Seq("doc_id"), "left_semi")
     // 3. near-dup clusters — keep each component's minimum id (the
     // exact-dedup canonicalization lifted to fuzzy equality)
     val pairs = Dedup.simhashPairs(
-      Dedup.simhashSignatures(exact, hash = hash), maxHamming)
+      Dedup.simhashSignatures(exact, hash = hash), maxHamming, checkpointDir)
     val comps = Dedup.connectedComponents(pairs, exactIds,
-      broadcastLabels = true)
+      broadcastLabels = true, checkpointDir = checkpointDir)
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
     val survivors = exact.join(canon, Seq("doc_id"), "left_semi")
     // 3b. per-group quota (corpus mixing): cap each group's surviving
@@ -135,12 +137,14 @@ object Curation {
       trainPermille: Int = 800,
       valPermille: Int = 100,
       maxHamming: Int = 3,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(trainPermille + valPermille <= 1000)
     val ids = docs.select(col("doc_id"))
     val pairs = Dedup.simhashPairs(
-      Dedup.simhashSignatures(docs, hash = hash), maxHamming)
-    val comps = Dedup.connectedComponents(pairs, ids, broadcastLabels = true)
+      Dedup.simhashSignatures(docs, hash = hash), maxHamming, checkpointDir)
+    val comps = Dedup.connectedComponents(pairs, ids, broadcastLabels = true,
+      checkpointDir = checkpointDir)
     comps
       .select(col("doc_id"), col("component_id"),
         pmod(hash(col("component_id").cast("string")), lit(1000L)).as("bucket"))

@@ -70,6 +70,12 @@ object DocStreams {
     * salted-retry design in [[graft.operators.Skew]]. Pair output may
     * duplicate across a replay; downstream consumers key on
     * `(doc_a, doc_b)` (pair emission is deterministic).
+    *
+    * `cutDir`: RDD-checkpoint dir for the in-batch lineage cuts
+    * (shingle frame + band table) — `None` = executor-memory
+    * `localCheckpoint`, `Some(dir)` = durable
+    * ([[graft.operators.Checkpoints.cut]]); distinct from
+    * `checkpointDir`, the streaming offsets/commits location.
     */
   def fuzzyIngest(
       docs: DataFrame,
@@ -80,7 +86,8 @@ object DocStreams {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       threshE3: Int = 500,
-      hash: Hashing.HashTier = Hashing.Fast): StreamingQuery = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      cutDir: Option[String] = None): StreamingQuery = {
     val bandSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("band", LongType, nullable = false),
@@ -103,8 +110,9 @@ object DocStreams {
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         }
-        val newSh = Dedup.shingles(batch, n, hash = hash).localCheckpoint()
-        val newBands = Dedup.bandTableOf(newSh, bands, rowsPerBand)
+        val newSh = graft.operators.Checkpoints.cut(
+          Dedup.shingles(batch, n, hash = hash), cutDir)
+        val newBands = Dedup.bandTableOf(newSh, bands, rowsPerBand, cutDir)
         val stateSh = readState("sh", shSchema)
         val stateBands = readState("bands", bandSchema)
         val pairs = Dedup.incrementalPairsCore(

@@ -75,7 +75,8 @@ object EdgeStreams {
       inDir: String,
       docSchema: StructType,
       stateDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      cutDir: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream.schema(docSchema).parquet(inDir)
     val mergeBatch: (Dataset[Edge], Long) => Unit = { (batch, _) =>
       val merged = GraphOps.mergeMaxEdges(batch.toDF())
@@ -84,10 +85,12 @@ object EdgeStreams {
       // plain overwrite would destroy the accumulated max-merge state if
       // the job died mid-write, which the streaming checkpoint cannot
       // replay (it only re-runs the in-flight batch)
-      val next = Pipelines.readStateSafe(batch.sparkSession, stateDir)
-        .fold(merged)(GraphOps.mergeEdgeStates(_, merged))
-        // materialize BEFORE overwriting the state we just read from
-        .localCheckpoint()
+      // materialize BEFORE overwriting the state we just read from
+      // (durable under Some(cutDir) — see Checkpoints.cut)
+      val next = graft.operators.Checkpoints.cut(
+        Pipelines.readStateSafe(batch.sparkSession, stateDir)
+          .fold(merged)(GraphOps.mergeEdgeStates(_, merged)),
+        cutDir)
       Pipelines.writeStateAtomic(next, stateDir)
     }
     edgesFromDocStream(docs)

@@ -111,4 +111,14 @@ class CurationSpec extends SparkSpec {
     // quota off keeps all four
     assert(Curation.curate(sourced, 800, 100, 3, Hashing.Portable).count() === 4L)
   }
+
+  test("reliable-checkpoint mode is result-identical for curate and leakageSafeSplit") {
+    val ckpt = Some(TestSpark.ckptDir)
+    assert(rowSet(Curation.curate(docs, 800, 100, 3, Hashing.Portable,
+        checkpointDir = ckpt))
+      === rowSet(Curation.curate(docs, 800, 100, 3, Hashing.Portable)))
+    assert(rowSet(Curation.leakageSafeSplit(docs, 800, 100, 3, Hashing.Portable,
+        checkpointDir = ckpt))
+      === rowSet(Curation.leakageSafeSplit(docs, 800, 100, 3, Hashing.Portable)))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, length, lit, xxhash64}
+import org.apache.spark.sql.functions.{col, length, lit, substring, xxhash64}
 
 import graft.functions.Hashing
 import graft.operators.Dedup
@@ -318,6 +318,34 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, "a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
     val out = rowSet(Dedup.dupSpanStats(docs, n = 3))
     assert(out.forall(r => r(2) === 0L)) // n_dup = 0 everywhere
+  }
+
+  test("reliable-checkpoint mode is result-identical across the materializing dedup ops") {
+    // checkpointDir=Some(dir) swaps the single-shot localCheckpoint
+    // materializations for durable filesystem checkpoints (the
+    // GraphOpsSpec pattern extended to the non-iterative cuts); the
+    // lineage cut must not change any result
+    val ckpt = Some(TestSpark.ckptDir)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    assert(rowSet(Dedup.ngramJaccardPairs(docs, checkpointDir = ckpt))
+      === rowSet(Dedup.ngramJaccardPairs(docs)))
+    assert(rowSet(Dedup.minhashLshPairs(docs, checkpointDir = ckpt))
+      === rowSet(Dedup.minhashLshPairs(docs)))
+    val sigs = Dedup.simhashSignatures(docs)
+    assert(rowSet(Dedup.simhashPairs(sigs, 3, checkpointDir = ckpt))
+      === rowSet(Dedup.simhashPairs(sigs, 3)))
+    assert(rowSet(Dedup.sourceOverlap(docs, checkpointDir = ckpt))
+      === rowSet(Dedup.sourceOverlap(docs)))
+    val ids = Seq((1L, "abcd"), (2L, "abce"), (3L, "abff"), (4L, "zzzz"))
+      .toDF("doc_id", "s")
+    assert(rowSet(Dedup.hammingNearDupPairs(ids, "s", 1, checkpointDir = ckpt))
+      === rowSet(Dedup.hammingNearDupPairs(ids, "s", 1)))
+    assert(rowSet(Dedup.hammingNearDupPairs(ids, "s", 2, checkpointDir = ckpt))
+      === rowSet(Dedup.hammingNearDupPairs(ids, "s", 2)))
+    assert(rowSet(Dedup.editDistancePairs(ids, "s", substring(col("s"), 1, 2),
+        checkpointDir = ckpt))
+      === rowSet(Dedup.editDistancePairs(ids, "s", substring(col("s"), 1, 2))))
   }
 
   test("clusterReps: one best-quality rep per component, min-id tiebreak") {

@@ -213,7 +213,7 @@ class GraphOpsSpec extends SparkSpec {
     // checkpointDir=Some(dir) swaps executor-memory localCheckpoint for
     // durable filesystem checkpoints (executor loss survives on a real
     // cluster); the lineage cut must not change any result
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = TestSpark.ckptDir
     val ckpt = Some(dir)
     val edges = Seq(
       Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1), Edge("B", "A", 1)).toDF()

@@ -100,6 +100,13 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.toSet === again)
+    // reliable-checkpoint mode (durable assigned-frame cut) is
+    // result-identical
+    val ckpt = Some(TestSpark.ckptDir)
+    val durable = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 4,
+        checkpointDir = ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(durable === out.toSet)
     // independently recompute the pinned drop rule on the output's own
     // cell assignment: b dropped iff exists a<b same cell, cos >= 0.4
     val assignedCells = out.toMap

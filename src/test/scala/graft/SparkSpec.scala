@@ -7,6 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * JVM, so suites reuse the warm session instead of paying ~5s each).
   */
 object TestSpark {
+  /** One durable-checkpoint dir for the whole test JVM: the
+    * SparkContext honors only the FIRST setCheckpointDir, so every
+    * both-modes (reliable-checkpoint) test must request the same dir.
+    */
+  lazy val ckptDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
