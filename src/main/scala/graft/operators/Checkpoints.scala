@@ -40,6 +40,14 @@ object Checkpoints {
     * (Spark's `Dataset.checkpoint` keeps `outputPartitioning` on the
     * resulting `LogicalRDD` either way), so co-partitioned iterative
     * joins keep their shuffle-free rounds in both.
+    *
+    * Durable mode caches the frame (MEMORY_AND_DISK) around the
+    * reliable checkpoint: Spark writes checkpoint files in a SECOND
+    * job after the materializing action, which would otherwise
+    * recompute the whole upstream plan — 2x compute on exactly the
+    * expensive joins/aggregates this knob protects. The cache makes
+    * the write job a cache read; it is unpersisted as soon as the
+    * checkpoint files exist.
     */
   def cut(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case None => df.localCheckpoint()
@@ -47,11 +55,30 @@ object Checkpoints {
       val sc = df.sparkSession.sparkContext
       sc.getCheckpointDir match {
         case None => sc.setCheckpointDir(d)
-        case Some(cur) if !cur.contains(d) && d != cur =>
+        case Some(cur) if !sameCheckpointDir(sc.hadoopConfiguration, d, cur) =>
           log.warn(s"Checkpoints.cut: checkpoint dir already set to '$cur'; " +
             s"ignoring requested '$d' (one dir per SparkContext)")
         case _ => ()
       }
-      df.checkpoint()
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist()
+  }
+
+  /** `SparkContext.setCheckpointDir(d)` stores a fully-qualified path
+    * with a per-context UUID subdirectory appended, so the current dir
+    * matches a requested one iff its PARENT equals the qualified
+    * request — substring checks false-negative on qualification
+    * ('file:/x' vs '/x') and false-positive on prefixes ('/tmp/a' vs
+    * '/tmp/ab/<uuid>').
+    */
+  private def sameCheckpointDir(
+      conf: org.apache.hadoop.conf.Configuration,
+      requested: String,
+      current: String): Boolean = {
+    val req = new org.apache.hadoop.fs.Path(requested)
+    val qualified = req.getFileSystem(conf).makeQualified(req)
+    val curParent = new org.apache.hadoop.fs.Path(current).getParent
+    qualified == curParent
   }
 }

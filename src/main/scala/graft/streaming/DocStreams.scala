@@ -75,7 +75,12 @@ object DocStreams {
     * (shingle frame + band table) — `None` = executor-memory
     * `localCheckpoint`, `Some(dir)` = durable
     * ([[graft.operators.Checkpoints.cut]]); distinct from
-    * `checkpointDir`, the streaming offsets/commits location.
+    * `checkpointDir`, the streaming offsets/commits location. Durable
+    * mode writes NEW checkpoint files per micro-batch and old ones are
+    * deleted only best-effort (cleaner on RDD GC) — long-running
+    * streams should enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` and
+    * monitor the dir, or stay on the default `localCheckpoint` mode.
     */
   def fuzzyIngest(
       docs: DataFrame,

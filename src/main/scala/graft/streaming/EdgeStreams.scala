@@ -69,6 +69,17 @@ object EdgeStreams {
     * the batch-incremental cadence; a `ProcessingTime` trigger turns
     * the same code into a continuous pipeline. Source offsets live in
     * the checkpoint, replacing the reference's hand-logged watermark.
+    *
+    * `cutDir` (durable in-batch lineage cut, see
+    * [[graft.operators.Checkpoints.cut]]): each micro-batch writes NEW
+    * reliable-checkpoint files and Spark's cleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) deletes
+    * old ones only best-effort on RDD GC — a long-running
+    * `ProcessingTime` stream can grow the dir without bound. Run
+    * long-lived streams with the cleaner enabled and monitor the dir,
+    * or prefer the default `localCheckpoint` mode (the streaming
+    * checkpoint + atomic state write already bound replay to one
+    * batch). `AvailableNow` drains are naturally bounded.
     */
   def runFileEtl(
       spark: SparkSession,
