@@ -330,8 +330,17 @@ object Multimodal {
     */
   def perceptualHash(docs: DataFrame, blockSize: Int = 16,
       textCol: String = "text", idCol: String = "doc_id",
-      codec: MediaCodec = StubCodec): DataFrame = {
-    val bs = payloadBlockStats(withPayload(docs, textCol), blockSize, idCol, codec)
+      codec: MediaCodec = StubCodec): DataFrame =
+    perceptualHashPayload(withPayload(docs, textCol), blockSize, idCol, codec)
+
+  /** [[perceptualHash]] over a frame that already carries a binary
+    * `payload` column — the real-media entry point (parquet binary
+    * columns + [[graft.operators.ImageIoCodec]]), where no text cast
+    * exists. The text form above is the fixture path delegating here.
+    */
+  def perceptualHashPayload(withPayloadDf: DataFrame, blockSize: Int = 16,
+      idCol: String = "doc_id", codec: MediaCodec = StubCodec): DataFrame = {
+    val bs = payloadBlockStats(withPayloadDf, blockSize, idCol, codec)
     val tot = bs.groupBy(col(idCol)).agg(
       sum(col("sum_cp")).as("tot_sum"), sum(col("n_cp")).as("tot_n"))
     bs.join(tot, Seq(idCol))
