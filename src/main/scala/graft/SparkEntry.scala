@@ -518,6 +518,16 @@ object SparkEntry {
     // pinned semantics (no transcendentals, so the oracle is exact)
     "t_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Seq("vector", "stream", "spark"), 20)),
+    // BM25 over a query SET (queries as data, broadcast term map) —
+    // same pinned integer semantics, top-k per query_id
+    "t_bm25_multiquery" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        1L -> "vector", 1L -> "stream",
+        2L -> "spark", 2L -> "data",
+        3L -> "query").toDF("query_id", "term")
+      TextOps.bm25MultiQuery(Tables.documents(s, dir), q, 20)
+    }),
     // tokenizer coverage: OOV permille vs the corpus's own top-20 vocab
     "t_oov_rate" -> ((s, dir) =>
       TextOps.oovRateTopVocab(Tables.documents(s, dir), 20)),
@@ -1406,6 +1416,43 @@ object SparkEntry {
          |       CAST(row_number() OVER (ORDER BY score_e3 DESC, doc_id ASC)
          |         AS BIGINT) AS "rank"
          |FROM s ORDER BY score_e3 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // query-set BM25: same rational-idf/length-norm pinned arithmetic,
+    // formulated as the (query_id, term) join — hits restricted to the
+    // query vocabulary, df from the hits, top-20 per query_id
+    "t_bm25_multiquery" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |    (1, 'vector'), (1, 'stream'),
+         |    (2, 'spark'), (2, 'data'),
+         |    (3, 'query')),
+         |pd AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl
+         |       FROM documents),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(dl) AS BIGINT) AS tot_tok FROM pd),
+         |hits AS (
+         |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, tok),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM hits GROUP BY term),
+         |sc AS (
+         |  SELECT h.doc_id, h.term,
+         |    ((1000*(2*n_docs - 2*df + 1)) // (2*df + 1) * tf * 2200)
+         |      // (tf*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      AS s
+         |  FROM hits h JOIN dfs USING (term) JOIN pd USING (doc_id)
+         |       CROSS JOIN c),
+         |qs AS (
+         |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.s) AS BIGINT) AS score_e3
+         |  FROM q JOIN sc ON q.term = sc.term
+         |  GROUP BY q.query_id, sc.doc_id),
+         |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e3,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score_e3 DESC, doc_id ASC) AS BIGINT) AS "rank"
+         |      FROM qs)
+         |SELECT query_id, doc_id, score_e3, "rank" FROM r
+         |WHERE "rank" <= 20""".stripMargin,
 
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -656,4 +656,87 @@ object TextOps {
     val w = Window.orderBy(col("score_e3").desc, col(idCol).asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** BM25 top-`k` per query over a query SET — the retrieval-pipeline
+    * form of [[bm25TopK]], which pins one compile-time term list (one
+    * column per term; right for a handful of fixed probes, wrong for a
+    * pipeline scoring thousands of saved queries). Here queries are
+    * DATA: a `(query_id, term)` frame, scored with the exact same
+    * pinned integer semantics (rational idf surrogate, e3 length norm,
+    * truncating div — see [[bm25TopK]]), so for a single-query set the
+    * two agree row for row on every matching doc.
+    *
+    * One deliberate semantic difference: output contains only docs
+    * matching ≥1 query term (every score is > 0). `bm25TopK` scores
+    * the whole corpus, so it pads with zero-score docs when fewer than
+    * `k` match — meaningless as retrieval output and unmergeable
+    * across queries, so the set form drops them.
+    *
+    * Scale shape (the 100 TB story): the term vocabulary rides a
+    * BROADCAST hash join — the "broadcast term map", with an O(1)
+    * hash probe per token. The token explode feeding it is PIPELINED
+    * inside whole-stage codegen straight into that probe: no
+    * materialization, and non-matching tokens (the overwhelming
+    * majority) die before any exchange. The only data that ever
+    * shuffles is map-side-combined `(doc, dl, term) → tf` partial
+    * counts for MATCHING tokens — the inverted index restricted to
+    * the query vocabulary. Corpus constants are a 1-row broadcast;
+    * per-term df a |vocab|-row broadcast; per-query fan-out joins the
+    * tf rows against the broadcast query frame; and the final top-k
+    * per query gets the `WindowGroupLimit` per-partition partial
+    * before the `query_id` shuffle. Nothing driver-side, nothing
+    * O(corpus) wide.
+    *
+    * Output: `(query_id, doc_id, score_e3, rank)`, rank 1..k per
+    * query by (score desc, doc_id asc).
+    */
+  def bm25MultiQuery(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1E3: Long = 1200L,
+      bE3: Long = 750L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    // duplicate (query_id, term) rows must not double-count a term
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val vocab = q.select(col("term")).distinct()
+    val perDoc = docs.select(
+      col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
+    val consts = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+    // inverted index over the query vocabulary only: explode pipelines
+    // into the broadcast probe, partial agg combines map-side
+    val hits = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df_t = docs containing t = hits rows per term (identical subtree
+    // to the scoring branch below — ReuseExchange shares the scan+agg)
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(consts))
+      .withColumn("ln_e3",
+        lit(1000L) - bE3 + expr(s"($bE3 * dl * n_docs) div tot_tok"))
+      .withColumn("s",
+        expr(s"""((1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)
+                | * tf * (1000 + $k1E3))
+                | div (tf * 1000 + ($k1E3 * ln_e3) div 1000)""".stripMargin))
+      .select(col("term"), col(idCol), col("s"))
+    val perQueryDoc = scored
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col(idCol).as("doc_id"))
+      .agg(sum(col("s")).as("score_e3"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e3").desc, col("doc_id").asc)
+    perQueryDoc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

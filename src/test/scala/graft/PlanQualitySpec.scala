@@ -312,6 +312,25 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k must be the distributed partial form:\n$plan")
   }
 
+  test("bm25MultiQuery: broadcast term probe, per-query top-k partial") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val q = Seq(1L -> "vector", 1L -> "stream", 2L -> "spark")
+      .toDF("query_id", "term")
+    val out = graft.operators.TextOps.bm25MultiQuery(docs, q, 10)
+    val plan = formatted(out)
+    // the token explode must die into a BROADCAST hash probe (the
+    // term map) — a shuffled join would move every token in the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"term vocabulary must probe via broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-wide shuffled join may appear:\n$plan")
+    // per-query top-k gets the partial WindowGroupLimit before the
+    // query_id exchange
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
   test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,

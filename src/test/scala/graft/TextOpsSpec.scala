@@ -249,6 +249,51 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bm25TopK(docs, Seq("cat", "dog"), 2).count() === 2L)
   }
 
+  test("bm25MultiQuery: per-query top-k, ≡ bm25TopK on a 1-query set") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "dog dog dog dog"),
+      (3L, "cat cat dog filler filler filler filler filler"),
+      (4L, "filler filler"),
+      (5L, "dog")).toDF("doc_id", "text")
+    val q = Seq(
+      10L -> "cat", 10L -> "dog", // the bm25TopK fixture query
+      20L -> "filler",            // single common term
+      30L -> "absent"             // term in no doc
+    ).toDF("query_id", "term")
+    val out = TextOps.bm25MultiQuery(docs, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // 1-query-set equivalence: query 10 ≡ bm25TopK(Seq("cat","dog"))
+    // on every MATCHING doc (the set form drops bm25TopK's zero-score
+    // padding rows — doc 4 here)
+    val single = TextOps.bm25TopK(docs, Seq("cat", "dog"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 0).toSet
+    assert(out.filter(_._1 == 10L).map(r => (r._2, r._3, r._4)).toSet === single)
+
+    // hand-check from the bm25TopK spec carries over: doc 5 score 468
+    assert(out.find(r => r._1 == 10L && r._2 == 5L).get._3 === 468L)
+
+    // query 20: docs 3 and 4 contain 'filler'; all scores positive,
+    // ranks 1..2 by (score desc, doc_id)
+    val q20 = out.filter(_._1 == 20L)
+    assert(q20.map(_._2).toSet === Set(3L, 4L))
+    assert(q20.forall(_._3 > 0) && q20.map(_._4).sorted.toSeq === Seq(1L, 2L))
+
+    // a query whose terms match nothing yields no rows, not zero rows
+    assert(!out.exists(_._1 == 30L))
+
+    // duplicate (query_id, term) rows must not double-count
+    val dup = TextOps.bm25MultiQuery(docs, q.union(q), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.toSet === out.toSet)
+
+    // k truncation per query
+    val k1 = TextOps.bm25MultiQuery(docs, q, 1)
+    assert(k1.count() === 2L) // one row per matching query (10, 20)
+  }
+
   test("tokenGini: impurity extremes, hand value, empty-doc zero row") {
     val docs = Seq(
       (1L, "a a a a"),      // one token: gini 0
