@@ -183,6 +183,9 @@ object SparkEntry {
     // fixed-round k-core peel: strip the low-degree periphery of the
     // person graph (3 unrolled peels, oracle-matched round for round)
     "g_kcore" -> ((s, dir) => GraphOps.kCorePeel(mergedOf(s, dir), 32, 3)),
+    // fixpoint mode: peel until no vertex falls below k (convergence
+    // observed on the per-round cut job, no extra count pass)
+    "g_kcore_fixpoint" -> ((s, dir) => GraphOps.kCorePeel(mergedOf(s, dir), 32, -1)),
 
     // weight-proportional PageRank over the stored edge scores
     "g_pagerank_weighted" -> ((s, dir) =>
@@ -2884,6 +2887,34 @@ object SparkEntry {
          |       WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
          |SELECT person_id, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM (SELECT a AS person_id FROM e3 UNION ALL SELECT b AS person_id FROM e3)
+         |GROUP BY person_id""".stripMargin,
+
+    // fixpoint k-core via a recursive CTE: each iteration re-derives the
+    // survivor edge set from the PREVIOUS iteration's rows (the working
+    // table); converged sets copy themselves forward, an emptied set
+    // stays empty, so the rows at the iteration cap ARE the fixpoint
+    // (the cap only needs to exceed the convergence round count — the
+    // Spark side iterates to true fixpoint, so a cap breach would show
+    // as a hash mismatch, not a silent pass)
+    "g_kcore_fixpoint" ->
+      s"""WITH RECURSIVE $MERGED,
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM merged WHERE src <> dst),
+         |peel(iter, a, b) AS (
+         |  SELECT 0, a, b FROM e0
+         |  UNION ALL
+         |  SELECT iter + 1, a, b FROM peel
+         |  WHERE iter < 20
+         |    AND a IN (SELECT v FROM (SELECT a AS v FROM peel
+         |                             UNION ALL SELECT b FROM peel)
+         |              GROUP BY v HAVING COUNT(*) >= 32)
+         |    AND b IN (SELECT v FROM (SELECT a AS v FROM peel
+         |                             UNION ALL SELECT b FROM peel)
+         |              GROUP BY v HAVING COUNT(*) >= 32)
+         |)
+         |SELECT person_id, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS person_id FROM peel WHERE iter = 20
+         |      UNION ALL SELECT b FROM peel WHERE iter = 20)
          |GROUP BY person_id""".stripMargin,
 
     "q1_agg" ->

@@ -398,43 +398,81 @@ object GraphOps {
     pr
   }
 
-  /** Fixed-round k-core peel — the density filter that strips low-
-    * engagement periphery before community analytics: each round
-    * removes vertices whose degree in the UNDIRECTED deduped view is
-    * below `k`, together with their incident edges. Semantics are
-    * pinned to exactly `rounds` peels (the SQL oracle unrolls the same
-    * rounds); once a round removes nothing the result IS the exact
-    * k-core, and the spec checks that fixpoint on its fixtures.
-    * Output: each surviving vertex with its degree in the remaining
-    * subgraph.
+  /** K-core peel — the density filter that strips low-engagement
+    * periphery before community analytics: each round removes vertices
+    * whose degree in the UNDIRECTED deduped view is below `k`,
+    * together with their incident edges.
+    *
+    * `rounds >= 1`: semantics pinned to exactly `rounds` peels (the
+    * SQL oracle unrolls the same rounds); once a round removes nothing
+    * the result IS the exact k-core. `rounds = -1`: iterate to the
+    * FIXPOINT — the exact k-core regardless of graph diameter (chases
+    * chains the fixed-round form truncates). Convergence rides the
+    * per-round checkpoint job via `observe` on the surviving edge
+    * count, the [[Dedup.connectedComponents]] pattern: the count only
+    * decreases, so an unchanged count ⇔ no vertex fell below `k` ⇔
+    * fixpoint — no extra count job per round. Output: each surviving
+    * vertex with its degree in the remaining subgraph.
     *
     * Scale shape (the [[Dedup.connectedComponents]] family): per round
     * one degree aggregate (8-byte-ish keys) and two semi-joins of the
     * edge list against the ≥k vertex set — O(E) per round, no blowup;
     * the shrinking edge list is checkpointed per round so no lineage
-    * re-execution compounds. `rounds` is small and fixed: real peels
-    * remove the vast majority of sub-core vertices in the first 2-3
-    * rounds (the long convergence tail only chases chains).
+    * re-execution compounds. Real peels remove the vast majority of
+    * sub-core vertices in the first 2-3 rounds; fixpoint mode's safety
+    * valve ([[KCoreMaxRounds]], far beyond any real peel sequence)
+    * bounds the adversarial chain-of-length-n case where each round
+    * removes O(1) vertices.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1, got k=$k rounds=$rounds")
+    require(k >= 1 && (rounds >= 1 || rounds == -1),
+      s"k must be >= 1 and rounds >= 1 (or -1 = fixpoint), got k=$k rounds=$rounds")
+    val fixpoint = rounds == -1
     var e = Checkpoints.cut(
       edges
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct(), checkpointDir)
-    for (_ <- 1 to rounds) {
+    var prevEdges: Option[Long] = None
+    var changed = true
+    var round = 0
+    val maxRounds = if (fixpoint) KCoreMaxRounds else rounds
+    while (changed && round < maxRounds) {
       val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("v"))
-      e = Checkpoints.cut(
-        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"), checkpointDir)
+      val peeled = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      if (fixpoint) {
+        // edge count rides the (eager) cut job — no separate count pass
+        val obs = new org.apache.spark.sql.Observation(s"kcore_round_$round")
+        e = Checkpoints.cut(
+          peeled.observe(obs, count(lit(1)).as("n_edges")), checkpointDir)
+        val nEdges = Option(obs.get("n_edges"))
+          .collect { case l: java.lang.Long => l.longValue() }
+        changed = (nEdges, prevEdges) match {
+          case (Some(cur), Some(prev)) => cur < prev
+          case (Some(cur), None)       => cur > 0 // first peel: empty ⇒ done
+          case (None, _)               => false   // no metric: treat as converged
+        }
+        prevEdges = nEdges
+      } else {
+        e = Checkpoints.cut(peeled, checkpointDir)
+      }
+      round += 1
     }
     e.select(col("a").as("person_id")).union(e.select(col("b").as("person_id")))
       .groupBy(col("person_id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Fixpoint-mode safety valve for [[kCorePeel]]: peeling strictly
+    * shrinks the edge set every non-converged round, so this bounds
+    * only the adversarial O(1)-per-round chain; real graphs converge
+    * in single digits.
+    */
+  val KCoreMaxRounds: Int = 1000
 }

@@ -154,6 +154,42 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap === core)
   }
 
+  test("kCorePeel fixpoint mode: exact k-core on any diameter, ⊆ every round's survivors") {
+    def vertices(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.getString(0)).toSet
+    // triangle + tail: fixpoint ≡ converged fixed-round peel
+    val tri = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1), Edge("C", "D", 1)).toDF()
+    assert(GraphOps.kCorePeel(tri, 2, -1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+    // long path: fixed 3 rounds truncates at empty already; a LONGER
+    // path (7 vertices needs 3 peels) shows -1 chases the chain past
+    // what rounds=2 leaves behind
+    val path7 = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "D", 1),
+      Edge("D", "E", 1), Edge("E", "F", 1), Edge("F", "G", 1)).toDF()
+    assert(GraphOps.kCorePeel(path7, 2, -1).count() === 0L)
+    assert(GraphOps.kCorePeel(path7, 2, 2).count() > 0L)
+    // monotonicity: the fixpoint is contained in EVERY fixed-round
+    // survivor set (peeling only removes)
+    val mixed = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1),
+      Edge("C", "D", 1), Edge("D", "E", 1), Edge("E", "F", 1)).toDF()
+    val fix = vertices(GraphOps.kCorePeel(mixed, 2, -1))
+    for (r <- 1 to 4)
+      assert(fix.subsetOf(vertices(GraphOps.kCorePeel(mixed, 2, r))),
+        s"fixpoint must be ⊆ the rounds=$r survivor set")
+    // already-a-core input: fixpoint returns it unchanged after the
+    // one confirming round
+    val clique = Seq(
+      Edge("A", "B", 1), Edge("B", "C", 1), Edge("C", "A", 1)).toDF()
+    assert(vertices(GraphOps.kCorePeel(clique, 2, -1)) === Set("A", "B", "C"))
+    // durable-checkpoint mode result-identical in fixpoint mode too
+    assert(rowSet(GraphOps.kCorePeel(tri, 2, -1, checkpointDir = Some(TestSpark.ckptDir)))
+      === rowSet(GraphOps.kCorePeel(tri, 2, -1)))
+  }
+
   test("pageRank matches an in-test integer reference; broadcast form identical") {
     // includes a dangling vertex (B has no out-edges? B->C exists; D is
     // a pure source, C->A closes a cycle) and an in-degree-0 vertex (D)
