@@ -842,7 +842,7 @@ object SparkEntry {
     // collide where exact payloadDedup cannot
     "m_perceptual_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
-        Multimodal.perceptualHash(Tables.documents(s, dir), 16), 3)),
+        Multimodal.perceptualHash(Tables.documents(s, dir), 16), 3, bits = 32)),
 
     // -- as-of join: latest purchase at-or-before each click, per user
     "j_asof_purchase" -> ((s, dir) => {
@@ -1047,8 +1047,10 @@ object SparkEntry {
        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
        |  GROUP BY doc_id, j)""".stripMargin
 
-  /** DuckDB twin of [[Dedup.simhashSignatures]] (32-bit, portable
-    * hash) over any `(doc_id, text)` source.
+  /** DuckDB twin of [[Dedup.simhashSignatures]] (64-bit, portable
+    * hash) over any `(doc_id, text)` source. Bit 63 forces HUGEINT
+    * assembly (BIGINT `1 << 63` overflows in DuckDB); the final wrap
+    * reproduces the two's-complement Long Spark emits.
     */
   private def simhashSql(src: String): String =
     s"""tok AS (
@@ -1058,13 +1060,17 @@ object SparkEntry {
        |  GROUP BY doc_id, h),
        |v AS (
        |  SELECT doc_id, b, sum(cnt * (((h >> b) & 1)*2 - 1)) AS v
-       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
        |  GROUP BY doc_id, b),
        |sig AS (
        |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b)
-       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-       |  FROM v GROUP BY doc_id)""".stripMargin
+       |         CAST(CASE WHEN su >= 9223372036854775808
+       |              THEN su - 18446744073709551616 ELSE su END AS BIGINT)
+       |           AS simhash
+       |  FROM (SELECT doc_id,
+       |          sum(CASE WHEN v >= 0 THEN (CAST(1 AS HUGEINT) << b)
+       |              ELSE CAST(0 AS HUGEINT) END) AS su
+       |        FROM v GROUP BY doc_id))""".stripMargin
 
   private val SIMHASH = simhashSql("documents")
 
@@ -1662,7 +1668,7 @@ object SparkEntry {
     "d_simhash_pairs" ->
       s"""WITH $SIMHASH,
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1831,7 +1837,7 @@ object SparkEntry {
     "d_cluster_reps" ->
       s"""WITH RECURSIVE $SIMHASH,
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1866,7 +1872,7 @@ object SparkEntry {
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $SIMHASH,
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -1889,7 +1895,7 @@ object SparkEntry {
     "pipe_leakage_split" ->
       s"""WITH RECURSIVE $SIMHASH,
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -2468,7 +2474,7 @@ object SparkEntry {
          |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -2509,7 +2515,7 @@ object SparkEntry {
          |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -2579,7 +2585,7 @@ object SparkEntry {
          |cd AS (SELECT c.doc_id, c.text FROM cd1 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
          |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*8)) & 255 AS band_val
+         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b

@@ -647,10 +647,21 @@ object Dedup {
     exactJaccardE3(cands, newSh.unionByName(corpusShOf(matchedIds)), threshE3)
   }
 
-  /** SimHash signatures: 32-bit, token-frequency weighted. Bit `b` is
-    * set iff `Σ_tokens (2·bit_b(H(tok))−1) >= 0` (each token instance
-    * contributes ±1 per bit, which equals the per-distinct-token
-    * `cnt·±1` formulation).
+  /** SimHash signatures: `bits`-wide (default 64), token-frequency
+    * weighted. Bit `b` is set iff `Σ_tokens (2·bit_b(H(tok))−1) >= 0`
+    * (each token instance contributes ±1 per bit, which equals the
+    * per-distinct-token `cnt·±1` formulation).
+    *
+    * Width is a SCALE parameter, not an accuracy knob: the banded
+    * candidate join ([[simhashPairs]]) buckets on `bits/4`-bit band
+    * values, and expected bucket occupancy is `n_docs / 2^(bits/4)`.
+    * At 32 bits (256 buckets/band) occupancy — and with it candidate
+    * pairs, which grow QUADRATICALLY in occupancy — saturates around
+    * 10^4 docs (measured: a 10x corpus cost 50-75x through the
+    * curation chains). 64 bits (65,536 buckets/band) pushes the same
+    * saturation point past 10^6 docs per shuffle partition — and a
+    * wider fingerprint also separates genuinely-distinct docs better
+    * (fewer coincidental sub-radius collisions).
     *
     * Single-pass: all `bits` component sums live in one array-buffered
     * imperative aggregate ([[graft.functions.NativeAggs.SimHashAgg]])
@@ -662,7 +673,7 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       hash: Hashing.HashTier = Hashing.Fast,
-      bits: Int = 32): DataFrame = {
+      bits: Int = 64): DataFrame = {
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), hash(col("tok")).as("h"))
@@ -767,10 +778,17 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("component_id"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes
-    * (pigeonhole: hamming ≤ 3 ⇒ at least one identical band); pairs
-    * sharing any byte-band are candidates; verified by Hamming
+  /** SimHash near-dup pairs: band the `bits`-wide signature into 4
+    * equal bands (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    * band); pairs sharing any band are candidates; verified by Hamming
     * distance ≤ `maxHamming`.
+    *
+    * `bits` must match the signature width and be divisible by 4. The
+    * band width `bits/4` sets the bucket space — 2^(bits/4) values per
+    * band — and therefore the corpus size at which candidate
+    * generation saturates quadratically; see [[simhashSignatures]].
+    * The 4-band pigeonhole guarantee (any hamming ≤ 3 pair shares a
+    * band) holds at every width.
     *
     * The signature rides along INTO the band join, so Hamming is
     * verified inline on each collision and the (expensive) distinct
@@ -780,7 +798,12 @@ object Dedup {
     */
   def simhashPairs(
       sigs: DataFrame, maxHamming: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      bits: Int = 64): DataFrame = {
+    require(bits >= 4 && bits <= 64 && bits % 4 == 0,
+      s"simhashPairs: bits must be in [4, 64] and divisible by 4, got $bits")
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
     val spark = sigs.sparkSession
     val bands = spark.range(4).select(col("id").cast("int").as("band"))
     // materialized before the self-join — same reason as in
@@ -789,7 +812,7 @@ object Dedup {
     val banded = Checkpoints.cut(
       sigs.join(broadcast(bands))
         .select(col("doc_id"), col("simhash"), col("band"),
-          expr("shiftright(simhash, band * 8) & 255").as("band_val")),
+          expr(s"shiftright(simhash, band * $bandBits) & $bandMask").as("band_val")),
       checkpointDir)
     val l = banded.select(
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))

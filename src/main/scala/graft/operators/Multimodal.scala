@@ -321,7 +321,8 @@ object Multimodal {
     * blocks; shorter payloads leave high bits 0.
     *
     * Output `(doc_id, simhash)` plugs straight into
-    * [[Dedup.simhashPairs]]'s banded Hamming join — media near-dup
+    * [[Dedup.simhashPairs]]'s banded Hamming join (pass `bits = 32` —
+    * the aHash is 32-bit) — media near-dup
     * (re-encoded/lightly-edited copies) with the same pigeonhole
     * blocking as text SimHash. The byte→sample decode is the `codec`
     * parameter ([[StubCodec]] by default: codepoints stand in for

@@ -308,8 +308,9 @@ class DedupSpec extends SparkSpec {
     val d = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
     assert(d <= 2, s"single edit flipped $d bits")
     // composed pairs: exact copies at hamming 0, the edit within 3
+    // (perceptual hashes are 32-bit, so band accordingly)
     val pairs = rowSet(Dedup.simhashPairs(
-      graft.operators.Multimodal.perceptualHash(docs, 16), 3))
+      graft.operators.Multimodal.perceptualHash(docs, 16), 3, bits = 32))
     assert(pairs.contains(Seq(1L, 2L, 0L)))
   }
 

@@ -350,6 +350,29 @@ class StreamingSpec extends SparkSpec {
       Seq("C", "D", 1.0), Seq("D", "C", 1.0)))
   }
 
+  test("file etl: durable cutDir mode merges identically") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_etl_cut").toString
+    val (inDir, stateDir, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    val schema = Seq.empty[RelationshipDoc].toDF().schema
+    val cut = Some(TestSpark.ckptDir)
+    Seq(RelationshipDoc(t(0), "A", "B", Stats(3, 7)))
+      .toDF().write.mode("append").parquet(inDir)
+    EdgeStreams.runFileEtl(spark, inDir, schema, stateDir, ckpt, cutDir = cut)
+      .awaitTermination()
+    Seq(
+      RelationshipDoc(t(10), "A", "B", Stats(2, 9)),
+      RelationshipDoc(t(11), "C", "D", Stats(1, 1)))
+      .toDF().write.mode("append").parquet(inDir)
+    EdgeStreams.runFileEtl(spark, inDir, schema, stateDir, ckpt, cutDir = cut)
+      .awaitTermination()
+    // reliable-checkpoint cuts must reach the same state as the
+    // localCheckpoint default (the sibling test above)
+    assert(rowSet(spark.read.parquet(stateDir)) === Set(
+      Seq("A", "B", 3.0), Seq("B", "A", 9.0),
+      Seq("C", "D", 1.0), Seq("D", "C", 1.0)))
+  }
+
   test("stream-stream interval join pairs events only inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
@@ -576,6 +599,29 @@ class StreamingSpec extends SparkSpec {
       // the index accumulated band + shingle state for every doc
       val idx = spark.read.parquet(s"$dirs/state/bands")
       assert(idx.select("doc_id").distinct().count() === base.length.toLong)
+    } finally q.stop()
+  }
+
+  test("fuzzy ingest stream: durable cutDir mode accumulates identical pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_fuzzy_cut").toString
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.fuzzyIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/pairs", s"$dirs/ckpt",
+      cutDir = Some(TestSpark.ckptDir))
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // durable in-batch cuts change durability, never the pair set
+      val streamed = rowSet(spark.read.parquet(s"$dirs/pairs"))
+      val batch = rowSet(graft.operators.Dedup.minhashLshPairs(
+        base.toSeq.toDF("doc_id", "text")))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "fixture should contain near-dups")
     } finally q.stop()
   }
 
