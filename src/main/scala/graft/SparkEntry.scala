@@ -703,6 +703,20 @@ object SparkEntry {
         .select(col("neighbor_id").as("id"), col("rank"))
       Similarity.rrfFuse(lex, sem, 10)
     }),
+    // query-SET hybrid retrieval: bm25MultiQuery ∪ per-query cosine
+    // top-k, fused per query_id
+    "q_hybrid_rrf_multi" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        0L -> "vector", 0L -> "stream",
+        1L -> "spark", 1L -> "data",
+        2L -> "query").toDF("query_id", "term")
+      val lex = TextOps.bm25MultiQuery(Tables.documents(s, dir), q, 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val sem = Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 3, 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuseByQuery(lex, sem, 10)
+    }),
 
     // SSL-prototypes curation metric: rank within each k-means cell by
     // cosine to the own centroid (kmeansIters=0 stand-in so the oracle
@@ -2096,6 +2110,65 @@ object SparkEntry {
          |       CAST(row_number() OVER (ORDER BY rrf_e6 DESC, id ASC) AS BIGINT)
          |         AS "rank"
          |FROM f ORDER BY rrf_e6 DESC, id ASC LIMIT 10""".stripMargin,
+
+    // query-set hybrid retrieval: the t_bm25_multiquery lexical CTE ∪
+    // per-query brute cosine, fused per query_id with the same exact
+    // integer RRF arithmetic
+    "q_hybrid_rrf_multi" ->
+      s"""WITH $QNORM,
+         |q(query_id, term) AS (VALUES
+         |    (0, 'vector'), (0, 'stream'),
+         |    (1, 'spark'), (1, 'data'),
+         |    (2, 'query')),
+         |pd AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl
+         |       FROM documents),
+         |cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |               CAST(SUM(dl) AS BIGINT) AS tot_tok FROM pd),
+         |hits AS (
+         |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, tok),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM hits GROUP BY term),
+         |sc AS (
+         |  SELECT h.doc_id, h.term,
+         |    ((1000*(2*n_docs - 2*df + 1)) // (2*df + 1) * tf * 2200)
+         |      // (tf*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      AS s
+         |  FROM hits h JOIN dfs USING (term) JOIN pd USING (doc_id)
+         |       CROSS JOIN cst),
+         |qs AS (
+         |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.s) AS BIGINT) AS score_e3
+         |  FROM q JOIN sc ON q.term = sc.term
+         |  GROUP BY q.query_id, sc.doc_id),
+         |lex AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id, rank_a
+         |  FROM (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_e3 DESC, doc_id ASC) AS rank_a
+         |        FROM qs)
+         |  WHERE rank_a <= 20),
+         |sem AS (
+         |  SELECT query_id, id, rank_b FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
+         |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
+         |             c.vec_id ASC) AS rank_b
+         |    FROM qn c JOIN qn qq ON qq.vec_id < 3 AND c.vec_id <> qq.vec_id)
+         |  WHERE rank_b <= 20),
+         |f AS (
+         |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |         COALESCE(l.id, s.id) AS id,
+         |         COALESCE(1000000 // (60 + l.rank_a), 0)
+         |           + COALESCE(1000000 // (60 + s.rank_b), 0) AS rrf_e6
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.query_id AND l.id = s.id)
+         |SELECT query_id, id, rrf_e6,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_e6 DESC, id ASC) AS BIGINT) AS "rank"
+         |FROM f QUALIFY "rank" <= 10""".stripMargin,
 
     // prototypicality: same stand-in assignment as sim_semantic_dedup,
     // then in-cell rank by cosine to the OWN centroid (sqrt is

@@ -556,6 +556,39 @@ object Similarity {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Per-query [[rrfFuse]] — the query-SET form for a retrieval
+    * pipeline fusing [[graft.operators.TextOps.bm25MultiQuery]] with a
+    * per-query vector ranking ([[cosineTopK]]): both inputs carry a
+    * `queryCol`, fusion joins on `(query, id)`, and top-`k` is per
+    * query. Same exact-integer RRF contribution as the single-query
+    * form.
+    *
+    * Scale shape: inputs are already (queries × k)-sized — the
+    * full-outer join and the per-query rank window (partial
+    * `WindowGroupLimit` before the query exchange) never touch
+    * corpus-sized data.
+    */
+  def rrfFuseByQuery(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      kRrf: Long = 60L,
+      idCol: String = "id",
+      queryCol: String = "query_id"): DataFrame = {
+    require(k >= 1 && kRrf >= 1)
+    val l = a.select(col(queryCol), col(idCol), col("rank").as("rank_a"))
+    val r = b.select(col(queryCol), col(idCol), col("rank").as("rank_b"))
+    val fused = l.join(r, Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol),
+        (coalesce(expr(s"1000000 div ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_b)"), lit(0L))).as("rrf_e6"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_e6").desc, col(idCol).asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * compression before ANN serving / index build: each component maps
     * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the

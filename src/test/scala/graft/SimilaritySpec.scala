@@ -195,6 +195,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.rrfFuse(a, b, 2).count() === 2L)
   }
 
+  test("rrfFuseByQuery: per-query fusion isolated across query ids") {
+    val a = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L),
+      (2L, 10L, 1L)).toDF("query_id", "id", "rank")
+    val b = Seq(
+      (1L, 20L, 1L),
+      (2L, 30L, 1L)).toDF("query_id", "id", "rank")
+    val out = Similarity.rrfFuseByQuery(a, b, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // query 1 ≡ single-query rrfFuse on its slice (20 in both lists wins)
+    val q1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(q1.map(r => (r._2, r._3)).toSeq ===
+      Seq((20L, 16129L + 16393L), (10L, 16393L)))
+    // query 2: id 10's query-1 ranks must NOT leak in — both its lists
+    // rank-1 entries fuse independently, tie broken by id
+    val q2 = out.filter(_._1 == 2L).sortBy(_._4)
+    assert(q2.map(r => (r._2, r._3)).toSeq ===
+      Seq((10L, 16393L), (30L, 16393L)))
+    // per-query k truncation
+    assert(Similarity.rrfFuseByQuery(a, b, 1).count() === 2L)
+  }
+
   test("prototypicality: in-cell rank by own-centroid cosine, zero-norm pinned") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),    // centroid 0
