@@ -312,6 +312,18 @@ object Similarity {
     * band join shuffles only `(band, bucket, id)`; vectors re-attach
     * to the (already-distinct, much smaller) candidate pairs.
     *
+    * SIZE `rowsPerBand` TO THE CORPUS: each band has `2^rowsPerBand`
+    * buckets, expected occupancy `n / 2^rowsPerBand`, and candidate
+    * pairs grow with occupancy SQUARED — the same saturation mechanism
+    * the sf1 smoke caught in 32-bit SimHash (PERF_r07.md). The default
+    * `rowsPerBand = 4` (16 buckets) fits the ~10^3-vector test corpus;
+    * at 10^9 vectors use `rowsPerBand ≈ log2(n) − 10` (≈ 20, giving
+    * ~10^3-vector buckets). Unlike SimHash's pigeonhole bands, widening
+    * here COSTS RECALL (collision prob per band is
+    * `(1 − θ/π)^rowsPerBand`), so compensate with more `bands` — the
+    * standard LSH r/b trade, which is why both stay caller-visible
+    * knobs rather than auto-derived.
+    *
     * `blocked = false` is brute force (n² — correctness baseline for
     * specs / small corpora only): a real cross join, NOT a
     * constant-key equi-join, which would hash every row into one
