@@ -89,10 +89,27 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String, Long)].toDF("d", "f", "sz"), "d", "f", "sz", 100L)
       .count() === 0)
     assert(Multimodal.perceptualHash(emptyDocs).count() === 0)
-    // k-core on empty edges / all-self-loops
+    // k-core on empty edges / all-self-loops — both round modes
     assert(GraphOps.kCorePeel(emptyEdges, 2, 2).count() === 0)
+    assert(GraphOps.kCorePeel(emptyEdges, 2, -1).count() === 0)
     assert(GraphOps.kCorePeel(
       Seq(graft.model.Edge("A", "A", 1)).toDF(), 1, 2).count() === 0)
+    assert(GraphOps.kCorePeel(
+      Seq(graft.model.Edge("A", "A", 1)).toDF(), 1, -1).count() === 0)
+    // query-set BM25: empty corpus and no-match query set both yield
+    // empty (never zero-score padding); per-query RRF over empty sides
+    val someQ = Seq(1L -> "word").toDF("query_id", "term")
+    assert(TextOps.bm25MultiQuery(emptySrc, someQ, 5).count() === 0)
+    assert(TextOps.bm25MultiQuery(
+      Seq((1L, "s0", "other tokens only")).toDF("doc_id", "source", "text"),
+      Seq(1L -> "absent").toDF("query_id", "term"), 5).count() === 0)
+    val emptyRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "id", "rank")
+    val someRank = Seq((1L, 10L, 1L)).toDF("query_id", "id", "rank")
+    assert(Similarity.rrfFuseByQuery(emptyRank, emptyRank, 3).count() === 0)
+    // one empty side degrades to the other list's ranking
+    assert(Similarity.rrfFuseByQuery(someRank, emptyRank, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((1L, 10L, 16393L, 1L)))
     // semantic dedup on empty corpus
     assert(Similarity.semanticDedup(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 4, 900000L,

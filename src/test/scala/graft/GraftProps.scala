@@ -52,6 +52,28 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  /** k-core fixpoint laws over random small graphs: the fixpoint is a
+    * true fixpoint (peeling it again changes nothing) and every member
+    * meets the degree bound in the surviving subgraph.
+    */
+  property("kCorePeel fixpoint is idempotent and degree-valid") =
+    forAll(genEdges, Gen.chooseNum(2, 3)) { (edges, k) =>
+      edges.isEmpty || {
+        val fix = GraphOps.kCorePeel(edges.toDF(), k, -1)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // idempotence: one more peel round over the survivors is a no-op
+        val survivors = fix.keySet
+        val keptEdges = edges
+          .map(e => if (e.src < e.dst) (e.src, e.dst) else (e.dst, e.src))
+          .distinct
+          .filter { case (s, d) => s != d && survivors(s) && survivors(d) }
+        val degrees = keptEdges.flatMap { case (s, d) => Seq(s, d) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        // reported degrees match the surviving subgraph; every member ≥ k
+        fix == degrees && fix.values.forall(_ >= k)
+      }
+    }
+
   private val genText: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("中文"),
       Gen.const("the"), Gen.const(""))).map(_.mkString(" "))
