@@ -685,7 +685,11 @@ object TextOps {
     * tf rows against the broadcast query frame; and the final top-k
     * per query gets the `WindowGroupLimit` per-partition partial
     * before the `query_id` shuffle. Nothing driver-side, nothing
-    * O(corpus) wide.
+    * O(corpus) wide. The query-frame broadcasts assume the usual
+    * retrieval shape (up to ~10^6 (query_id, term) rows); a set beyond
+    * executor broadcast budget should drop the `broadcast()` hints and
+    * let the `term` joins shuffle — the plan stays correct, candidates
+    * stay vocabulary-bounded.
     *
     * Output: `(query_id, doc_id, score_e3, rank)`, rank 1..k per
     * query by (score desc, doc_id asc).
