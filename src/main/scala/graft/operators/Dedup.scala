@@ -791,10 +791,15 @@ object Dedup {
     * band) holds at every width.
     *
     * The signature rides along INTO the band join, so Hamming is
-    * verified inline on each collision and the (expensive) distinct
-    * runs over surviving pairs only — no join-back against the
-    * signature table, and hot buckets never materialize their full
-    * candidate set past the codegen'd filter.
+    * verified inline on each collision, and a pair colliding in
+    * several bands is emitted exactly once WITHOUT a distinct: both
+    * signatures are in hand, so "this is the FIRST band where the two
+    * agree" is a codegen'd filter (the standard LSH first-collision
+    * trick). That removes the candidate-wide exchange + aggregate
+    * entirely — post-join the operator is narrow projections and
+    * filters; hot buckets never materialize their candidate set past
+    * whole-stage codegen. (Gated by PlanQualitySpec: no aggregate, no
+    * exchange after the band join.)
     */
   def simhashPairs(
       sigs: DataFrame, maxHamming: Int = 3,
@@ -818,12 +823,22 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
     val r = banded.select(
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"), col("band"), col("band_val"))
+    def bandOf(sig: Column, b: Int): Column =
+      shiftright(sig, b * bandBits).bitwiseAND(bandMask)
+    // true iff every band BEFORE the joined one differs — i.e. the
+    // joined band is the pair's first collision. Within one band a
+    // pair collides at most once (one band_val per doc), so this
+    // yields global exactly-once emission with no distinct.
+    val firstCollision = (0 until 4).map { b =>
+      when(col("band") > b, bandOf(col("sig_a"), b) =!= bandOf(col("sig_b"), b))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     l.join(r, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .filter(firstCollision)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .distinct()
   }
 
   /** Cluster-representative selection — the step after

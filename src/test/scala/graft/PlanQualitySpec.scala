@@ -312,6 +312,19 @@ class PlanQualitySpec extends SparkSpec {
       s"top-k must be the distributed partial form:\n$plan")
   }
 
+  test("simhashPairs: first-collision dedup — no aggregate below the pair output") {
+    import spark.implicits._
+    // literal signatures isolate the pair operator's plan from the
+    // signature aggregation upstream
+    val sigs = Seq((1L, 0x1111L), (2L, 0x1111L), (3L, 0x0FF0L))
+      .toDF("doc_id", "simhash")
+    val plan = formatted(graft.operators.Dedup.simhashPairs(sigs, 3))
+    // a distinct would plan partial+final HashAggregates over the full
+    // candidate set; first-collision filtering must leave none
+    assert(!plan.contains("HashAggregate"),
+      s"simhashPairs must dedup via the first-collision filter, not an aggregate:\n$plan")
+  }
+
   test("bm25MultiQuery: broadcast term probe, per-query top-k partial") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
