@@ -65,9 +65,10 @@ object ScaleSmoke {
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val newId = col("doc_id") + col("rep") * lit(DocIdStride)
-    // the quality gate's stopword list (TextOps.Stopwords) — these stay
-    // un-renamed so gate decisions replicate exactly
-    val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+    // the quality gate's stopword list — these stay un-renamed so gate
+    // decisions replicate exactly (shared with the operator, not a
+    // copy, so the invariant can't silently drift)
+    val stop = graft.operators.TextOps.Stopwords
     val newText = array_join(
       transform(
         graft.operators.TextOps.tokens(col("text")),

@@ -21,6 +21,8 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: canonical (minimum) id per identical text + the
     * duplicate count.
     *
@@ -813,12 +815,33 @@ object Dedup {
     val bands = spark.range(4).select(col("id").cast("int").as("band"))
     // materialized before the self-join — same reason as in
     // [[minhashLshPairs]]: the l/r branches would otherwise recompute
-    // the signature aggregation twice; banded is docs × 4 rows
+    // the signature aggregation twice; banded is docs × 4 rows.
+    // The width observation rides the (eager) cut job: a caller who
+    // feeds narrower signatures than `bits` (e.g. a 32-bit
+    // perceptualHash with the 64-bit default) gets all-zero high bands
+    // where EVERY doc collides — results stay correct through the
+    // hamming + first-collision filters, but candidate generation goes
+    // quadratic. max bin-width ≤ bits − bandBits ⇔ the top band is
+    // zero for every signature, which is exactly that failure mode.
+    val widthObs = new org.apache.spark.sql.Observation()
     val banded = Checkpoints.cut(
       sigs.join(broadcast(bands))
         .select(col("doc_id"), col("simhash"), col("band"),
-          expr(s"shiftright(simhash, band * $bandBits) & $bandMask").as("band_val")),
+          expr(s"shiftright(simhash, band * $bandBits) & $bandMask").as("band_val"))
+        .observe(widthObs,
+          max(when(col("simhash") < 0, 64)
+            .otherwise(length(bin(col("simhash"))))).as("max_width")),
       checkpointDir)
+    Option(widthObs.get("max_width"))
+      .collect { case w: java.lang.Integer => w.intValue() }
+      .filter(_ <= bits - bandBits)
+      .foreach { w =>
+        log.warn(s"simhashPairs: widest observed signature uses $w bits but " +
+          s"bits=$bits — the top ${bits / 4 - (w + bandBits - 1) / bandBits} " +
+          s"band(s) are all-zero and every doc collides there, making " +
+          s"candidate generation quadratic. Pass bits=<signature width> " +
+          s"(e.g. bits=32 for perceptualHash).")
+      }
     val l = banded.select(
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
     val r = banded.select(

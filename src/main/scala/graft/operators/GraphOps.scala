@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** P1/T1 — incremental watermark predicate. The filter is a plain
     * Catalyst comparison so it pushes down into the parquet scan
     * (`PushedFilters` on `last_update`); at 100 TB with date-partitioned
@@ -457,7 +459,14 @@ object GraphOps {
         changed = (nEdges, prevEdges) match {
           case (Some(cur), Some(prev)) => cur < prev
           case (Some(cur), None)       => cur > 0 // first peel: empty ⇒ done
-          case (None, _)               => false   // no metric: treat as converged
+          case (None, _) =>
+            // a missing metric means the observation never fired (the
+            // cut job was elided or failed oddly) — stopping here could
+            // return a NON-fixpoint result, so say so instead of
+            // silently passing it off as converged
+            log.warn(s"kCorePeel fixpoint: convergence metric absent at " +
+              s"round $round; stopping — result may not be a fixpoint")
+            false
         }
         prevEdges = nEdges
       } else {
@@ -465,6 +474,9 @@ object GraphOps {
       }
       round += 1
     }
+    if (fixpoint && changed && round >= maxRounds)
+      log.warn(s"kCorePeel fixpoint: hit the $maxRounds-round safety valve " +
+        s"still unconverged — result is a TRUNCATED peel, not the exact k-core")
     e.select(col("a").as("person_id")).union(e.select(col("b").as("person_id")))
       .groupBy(col("person_id")).agg(count(lit(1)).as("degree"))
   }

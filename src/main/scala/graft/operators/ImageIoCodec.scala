@@ -49,25 +49,29 @@ final class ImageIoCodec extends MediaCodec {
     }
   }
 
-  def frameCount(payload: Array[Byte]): Long = {
-    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-    if (in == null) 0L
-    else
-      try {
-        val readers = ImageIO.getImageReaders(in)
-        if (!readers.hasNext) 0L
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(in)
-            // allowSearch=true: scan the container for the exact count
-            // (animated GIF) instead of returning -1 "unknown"
-            reader.getNumImages(true).toLong
-          } catch { case scala.util.control.NonFatal(_) => 0L }
-          finally reader.dispose()
-        }
-      } finally in.close()
-  }
+  def frameCount(payload: Array[Byte]): Long =
+    // the whole body is degrade-don't-fail, matching decode/samples:
+    // createImageInputStream and close() throw IOException outside any
+    // inner catch (e.g. unwritable ImageIO cache dir), and that must
+    // yield 0 frames, not a dead Spark task
+    try {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      if (in == null) 0L
+      else
+        try {
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) 0L
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in)
+              // allowSearch=true: scan the container for the exact count
+              // (animated GIF) instead of returning -1 "unknown"
+              reader.getNumImages(true).toLong
+            } finally reader.dispose()
+          }
+        } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   def samples(payload: Array[Byte]): Iterator[Long] =
     readImage(payload) match {

@@ -64,7 +64,11 @@ object TextOps {
           lit("<EMAIL>|<IP>|<PHONE>"), lit(0)))).cast("long"))
   }
 
-  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+  // private[graft]: ScaleSmoke's replica-renaming invariant (identical
+  // quality-gate decisions per replica) must rename every NON-stopword
+  // token — it references this list rather than carrying a copy that
+  // could drift
+  private[graft] val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
 
   /** Quality heuristics: token count, mean token length (×1000),
     * stopword ratio (×1000), alpha-char ratio (×1000), and a boolean
