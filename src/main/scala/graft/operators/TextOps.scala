@@ -689,11 +689,19 @@ object TextOps {
     * tf rows against the broadcast query frame; and the final top-k
     * per query gets the `WindowGroupLimit` per-partition partial
     * before the `query_id` shuffle. Nothing driver-side, nothing
-    * O(corpus) wide. The query-frame broadcasts assume the usual
-    * retrieval shape (up to ~10^6 (query_id, term) rows); a set beyond
-    * executor broadcast budget should drop the `broadcast()` hints and
-    * let the `term` joins shuffle — the plan stays correct, candidates
-    * stay vocabulary-bounded.
+    * O(corpus) wide.
+    *
+    * The query-frame broadcasts assume the usual retrieval shape (up
+    * to ~10^6 (query_id, term) rows). `broadcastQueries = false` is
+    * the beyond-broadcast-budget fallback: the vocab / df / per-query
+    * joins lose their `broadcast()` hints and shuffle on `term` —
+    * same rows (TextOpsSpec equivalence), candidates stay
+    * vocabulary-bounded, and only the matching (doc, term) partials
+    * plus the query frame move through the exchanges; the 1-row
+    * corpus-constants frame stays broadcast in both modes. The
+    * correctness-irrelevant difference is plan shape only (gated the
+    * other way round by PlanQualitySpec: no broadcast hash join on the
+    * term joins in fallback mode).
     *
     * Output: `(query_id, doc_id, score_e3, rank)`, rank 1..k per
     * query by (score desc, doc_id asc).
@@ -705,9 +713,14 @@ object TextOps {
       k1E3: Long = 1200L,
       bE3: Long = 750L,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be positive")
+    // query-set-sized frames ride broadcast or shuffle per the caller's
+    // budget call; the 1-row constants frame is below any budget
+    val hintQ: DataFrame => DataFrame =
+      if (broadcastQueries) broadcast(_) else identity
     // duplicate (query_id, term) rows must not double-count a term
     val q = queries.select(col("query_id"), col("term")).distinct()
     val vocab = q.select(col("term")).distinct()
@@ -721,14 +734,14 @@ object TextOps {
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
-      .join(broadcast(vocab), Seq("term"))
+      .join(hintQ(vocab), Seq("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df_t = docs containing t = hits rows per term (identical subtree
     // to the scoring branch below — ReuseExchange shares the scan+agg)
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = hits
-      .join(broadcast(dfs), Seq("term"))
+      .join(hintQ(dfs), Seq("term"))
       .join(broadcast(consts))
       .withColumn("ln_e3",
         lit(1000L) - bE3 + expr(s"($bE3 * dl * n_docs) div tot_tok"))
@@ -738,7 +751,7 @@ object TextOps {
                 | div (tf * 1000 + ($k1E3 * ln_e3) div 1000)""".stripMargin))
       .select(col("term"), col(idCol), col("s"))
     val perQueryDoc = scored
-      .join(broadcast(q), Seq("term"))
+      .join(hintQ(q), Seq("term"))
       .groupBy(col("query_id"), col(idCol).as("doc_id"))
       .agg(sum(col("s")).as("score_e3"))
     val w = Window.partitionBy(col("query_id"))

@@ -344,6 +344,40 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
+  test("bm25MultiQuery fallback: term joins shuffle, nothing query-sized broadcasts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val q = Seq(1L -> "vector", 1L -> "stream", 2L -> "spark")
+      .toDF("query_id", "term")
+    // dropping the hints hands the decision back to size statistics —
+    // on this toy frame Catalyst would (rightly) still auto-broadcast,
+    // so simulate the beyond-budget query set by disabling the
+    // threshold. Hints override the threshold, so this doubles as the
+    // differential proof the parameter really removes them.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = formatted(
+        graft.operators.TextOps.bm25MultiQuery(docs, q, 10))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"hinted mode must broadcast the term joins regardless of stats:\n$hinted")
+      val plan = formatted(graft.operators.TextOps.bm25MultiQuery(docs, q, 10,
+        broadcastQueries = false))
+      // every equi-join in this operator keys on `term` (vocab probe,
+      // df attach, per-query fan-out) — with the hints dropped none may
+      // plan as a broadcast hash join; the only broadcast left is the
+      // 1-row constants frame (a keyless BroadcastNestedLoopJoin whose
+      // size is query-set-independent)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"fallback mode must not broadcast query-sized frames:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"term joins should be shuffled joins in fallback mode:\n$plan")
+      // the per-query top-k partial is mode-independent
+      assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+        s"expected partial+final WindowGroupLimit:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,

@@ -294,6 +294,28 @@ class TextOpsSpec extends SparkSpec {
     assert(k1.count() === 2L) // one row per matching query (10, 20)
   }
 
+  test("bm25MultiQuery: shuffle fallback (broadcastQueries=false) is row-identical") {
+    // the beyond-broadcast-budget mode changes plan shape only — every
+    // (query_id, doc_id, score_e3, rank) must match the hinted mode
+    // bit for bit (the plan-side assertion lives in PlanQualitySpec)
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "dog dog dog dog"),
+      (3L, "cat cat dog filler filler filler filler filler"),
+      (4L, "filler filler"),
+      (5L, "dog")).toDF("doc_id", "text")
+    val q = Seq(
+      10L -> "cat", 10L -> "dog",
+      20L -> "filler",
+      30L -> "absent").toDF("query_id", "term")
+    def rows(bq: Boolean) =
+      TextOps.bm25MultiQuery(docs, q, 5, broadcastQueries = bq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val hinted = rows(bq = true)
+    assert(rows(bq = false) === hinted)
+    assert(hinted.nonEmpty) // equivalence of empties would prove nothing
+  }
+
   test("tokenGini: impurity extremes, hand value, empty-doc zero row") {
     val docs = Seq(
       (1L, "a a a a"),      // one token: gini 0
