@@ -678,6 +678,15 @@ object SparkEntry {
     "sim_near_dup_blocked" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
 
+    // occupancy-guarded blocked near-dup: buckets above maxBucketSize
+    // sub-split by a portable vec_id hash (bounds every candidate
+    // block), with the hash-keyed exact-dup star floor recovering cos=1
+    // pairs the sub-split would separate. cap=8 < n/16 at sf0.01 so the
+    // sub-split is actually exercised.
+    "sim_near_dup_capped" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L,
+        blocked = true, maxBucketSize = Some(8))),
+
     // SemDeDup: k-means-cell-blocked near-dup pruning, keep-min-id.
     // kmeansIters=0 selects the closed-form centroid stand-in so the
     // DuckDB oracle replicates the whole operator; the learned-centroid
@@ -2018,6 +2027,53 @@ object SparkEntry {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bk a JOIN bk b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM cands c
+         |  JOIN qn a ON a.vec_id = c.id_a
+         |  JOIN qn b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, dot_q FROM pairs
+         |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    // capped variant: per-(band,bucket) occupancy sizes drive the same
+    // portable sub-split hash as sim_semantic_dedup_capped; the exact
+    // floor groups on the full quantized vector (the engine groups on
+    // two 64-bit hashes of it — identical result absent a 2^-128
+    // double collision, and collisions only propose candidates that
+    // the shared verification join still has to pass)
+    "sim_near_dup_capped" ->
+      s"""WITH $QNORM,
+         |s AS (
+         |  SELECT vec_id, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qn CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, j // 4 AS band,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, band),
+         |sizes AS (SELECT band, bucket, COUNT(*) AS bkt_n FROM bk GROUP BY band, bucket),
+         |sb AS (
+         |  SELECT b.vec_id, b.band, b.bucket,
+         |         ((b.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007
+         |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
+         |  FROM bk b JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket),
+         |banded AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sb a JOIN sb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+         |   AND a.vec_id < b.vec_id),
+         |ex AS (SELECT q, MIN(vec_id) AS rep_id FROM qn GROUP BY q),
+         |stars AS (
+         |  SELECT e.rep_id AS id_a, v.vec_id AS id_b
+         |  FROM qn v JOIN ex e ON e.q = v.q
+         |  WHERE v.vec_id > e.rep_id),
+         |cands AS (
+         |  SELECT DISTINCT id_a, id_b FROM
+         |    (SELECT * FROM banded UNION ALL SELECT * FROM stars)),
          |pairs AS (
          |  SELECT c.id_a, c.id_b,
          |         ${dotSql("a.q", "b.q")} AS dot_q,

@@ -324,6 +324,24 @@ object Similarity {
     * standard LSH r/b trade, which is why both stay caller-visible
     * knobs rather than auto-derived.
     *
+    * `maxBucketSize` is the OCCUPANCY GUARD for when the r/b sizing
+    * rule above is wrong anyway (near-dup-heavy corpora concentrate
+    * into hot buckets regardless of the average): any (band, bucket)
+    * larger than the cap is sub-split into `ceil(bucket_n / cap)`
+    * sub-buckets by a portable `vec_id` hash, bounding every candidate
+    * block to ~cap² in expectation — the same device as
+    * [[semanticDedup]]'s `maxCellSize`. Because an id-hash split can
+    * separate near-identical vectors, a LINEAR exact-duplicate floor
+    * (hash-keyed group on the full quantized vector, star pairs to the
+    * group minimum) runs alongside, so cos=1 duplicates — the pairs a
+    * dedup must never miss — always connect to their representative
+    * regardless of the sub-split; sub-cap near-pairs across
+    * sub-buckets are the documented recall trade, identical in kind
+    * to LSH banding itself. Star candidates feed the same exact
+    * verification join, so a (≈2⁻¹²⁸, content-addressed-storage
+    * assumption) double-hash collision can only propose a candidate,
+    * never emit an unverified pair.
+    *
     * `blocked = false` is brute force (n² — correctness baseline for
     * specs / small corpora only): a real cross join, NOT a
     * constant-key equi-join, which would hash every row into one
@@ -334,7 +352,8 @@ object Similarity {
       cosE6: Long,
       blocked: Boolean = false,
       bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val corpus = withQuant(embeddings)
     val thresh = (dq: Column, nn: Column) =>
       dq.cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(nn)
@@ -343,11 +362,48 @@ object Similarity {
         col("vec_id"),
         explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cands = withB.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
-        .join(withB.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
+      // occupancy cap: bucket sizes join back on (band, bucket) — an
+      // aggregate of withB itself, key-bounded by bands·2^rowsPerBand,
+      // so it shuffles 24-byte keyed rows, never vectors
+      val (keyed, joinKeys) = maxBucketSize match {
+        case None => (withB, Seq("band", "bucket"))
+        case Some(cap) =>
+          require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
+          val P = graft.functions.Hashing.P
+          val sizes = withB.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("bkt_n"))
+          val sub = withB.join(sizes, Seq("band", "bucket"))
+            .withColumn("sub",
+              ((col("vec_id") % P) * 1103515245L + 12345L) % P %
+                ceil(col("bkt_n").cast("double") / cap).cast("long"))
+            .drop("bkt_n")
+          (sub, Seq("band", "bucket", "sub"))
+      }
+      val bandedCands = keyed
+        .select(col("vec_id").as("id_a") +: joinKeys.map(col): _*)
+        .join(keyed.select(col("vec_id").as("id_b") +: joinKeys.map(col): _*),
+          joinKeys)
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("id_a"), col("id_b"))
+      // exact-dup star floor under the cap: group on two independent
+      // 64-bit hashes of the quantized vector (24-byte shuffle keys,
+      // vectors never move — the exactDedup device) and propose
+      // (group-min, member) pairs; verification downstream makes hash
+      // collisions harmless
+      val cands = (maxBucketSize match {
+        case None => bandedCands
+        case Some(_) =>
+          val hkeyed = corpus.select(col("vec_id"),
+            xxhash64(col("q")).as("h"), xxhash64(lit(42L), col("q")).as("h2"))
+          val reps = hkeyed.groupBy(col("h"), col("h2"))
+            .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+            .filter(col("grp_n") > 1)
+            .select(col("h"), col("h2"), col("rep_id"))
+          val stars = hkeyed.join(reps, Seq("h", "h2"))
+            .filter(col("vec_id") > col("rep_id"))
+            .select(col("rep_id").as("id_a"), col("vec_id").as("id_b"))
+          bandedCands.unionByName(stars)
+      }).distinct()
       cands
         .join(corpus.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a")),
           Seq("id_a"))

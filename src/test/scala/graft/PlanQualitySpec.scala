@@ -378,6 +378,19 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("capped blocked near-dup: candidate join keys include the sub-split") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.cosineNearDupPairs(emb, 400000L, blocked = true,
+      maxBucketSize = Some(8))
+    val plan = formatted(out)
+    // the cap is only real if candidate generation keys on
+    // (band, bucket, sub) — a join on (band, bucket) alone is the
+    // uncapped quadratic
+    assert(
+      "\\[band#\\d+L?, bucket#\\d+L?, sub#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"candidate join does not key on the sub-split:\n$plan")
+  }
+
   test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.semanticDedup(emb, 8, 400000L, kmeansIters = 0,

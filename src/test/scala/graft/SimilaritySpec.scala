@@ -73,6 +73,80 @@ class SimilaritySpec extends SparkSpec {
       "identical vectors must never be missed by bucketing")
   }
 
+  test("capped blocked near-dup: subset law, exact-dup star floor, no-op at large cap") {
+    // the sf0.001 corpus has no exact-duplicate vectors — plant five
+    // (copies of vec 0..4 under fresh ids) so the star floor has
+    // something to prove
+    val emb0 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val emb = emb0.unionByName(emb0.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 10000L))
+    val uncapped = rowSet(Similarity.cosineNearDupPairs(emb, 400000L, blocked = true))
+    // a cap larger than the corpus leaves every sub-bucket whole — the
+    // only extra candidates are the star-floor pairs, whose cos=1
+    // members the uncapped bands already emit, so output is identical
+    val wide = rowSet(Similarity.cosineNearDupPairs(emb, 400000L,
+      blocked = true, maxBucketSize = Some(1000000)))
+    assert(wide === uncapped)
+    // a binding cap may only LOSE near-pairs (bounded recall trade),
+    // never invent one the banding didn't propose
+    val tight = rowSet(Similarity.cosineNearDupPairs(emb, 400000L,
+      blocked = true, maxBucketSize = Some(2)))
+    assert(tight.subsetOf(uncapped))
+    assert(tight.nonEmpty)
+    // the floor the cap must never break: every identical-vector pair
+    // connects to its group representative even when the id-hash
+    // sub-split scatters the group across sub-buckets
+    val tightIds = tight.map(r => (r(0), r(1)))
+    (0L until 5L).foreach { i =>
+      assert(tightIds.contains((i, i + 10000L)),
+        s"exact dup ${i + 10000L} lost its representative $i under cap=2")
+    }
+  }
+
+  test("dense fixture: occupancy cap bounds the candidate join output") {
+    import spark.implicits._
+    // 40 copies of one vector: every band puts all 40 in one bucket, so
+    // uncapped candidate generation is quadratic in the bucket (40×40
+    // join rows per band). cap=2 splits the bucket into 20 hash-assigned
+    // sub-buckets, bounding each block to ~cap² — measured here on the
+    // executed plan's join metrics, not inferred from output size.
+    val dense = ((0L until 40L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f))) ++
+      Seq(100L -> Array(-1.0f, 2.0f, -3.0f, 4.0f),
+          101L -> Array(1.0f, -2.0f, 3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    def equiJoinRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      var total = 0L
+      df.queryExecution.executedPlan.foreach {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.nonEmpty =>
+          total += j.metrics("numOutputRows").value
+        case _ => ()
+      }
+      total
+    }
+    // AQE re-wraps the plan and hides leaf metrics behind the adaptive
+    // node — disable it so the executed join operators are inspectable
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val uncapped = equiJoinRows(
+        Similarity.cosineNearDupPairs(dense, 400000L, blocked = true))
+      val capped = Similarity.cosineNearDupPairs(dense, 400000L,
+        blocked = true, maxBucketSize = Some(2))
+      val cappedRows = equiJoinRows(capped)
+      // 4 bands × 40×40 ≈ 6400 uncapped; capped ≈ 4 bands × 40·E[sub
+      // occupancy 2] + sizes/star bookkeeping ≈ a few hundred. 4× is a
+      // loose, hash-deterministic margin.
+      assert(cappedRows * 4 <= uncapped,
+        s"cap did not bound candidate generation: capped=$cappedRows uncapped=$uncapped")
+      // and the dense group still fully connects to its representative
+      val ids = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((1L until 40L).forall(i => ids.contains((0L, i))))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("IVF with k-means centroids: exact at full probe, recall@5 floor at probe 4/16") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = rowSet(Similarity.cosineTopK(emb, col("vec_id") < 8, 5))
