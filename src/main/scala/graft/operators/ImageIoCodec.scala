@@ -24,8 +24,20 @@ import graft.operators.Multimodal.MediaCodec
   *  - `samples` → row-major integer luma per pixel, the Rec.601 weights
   *    in exact fixed-point: `(299·R + 587·G + 114·B) div 1000`. Integer
   *    math end to end, so [[Multimodal.perceptualHash]]'s
-  *    cross-multiplied aHash stays bit-for-bit deterministic across
-  *    JVMs — the property the dedup operators rely on.
+  *    cross-multiplied aHash is bit-for-bit deterministic in the
+  *    decoded samples — the property the dedup operators rely on.
+  *
+  * Determinism scope: for LOSSLESS formats (PNG, BMP, GIF) the decoded
+  * samples are pinned by the format itself, so hashes agree across any
+  * conforming JVM. JPEG is lossy: decoding is deterministic for a
+  * given JRE's registered reader (same bytes → same lumas, every
+  * call), but different JPEG decoder implementations may legitimately
+  * differ by ±1–2 luma steps, so cross-JVM hash equality is NOT
+  * guaranteed for JPEG — hash and dedup JPEG corpora on one runtime
+  * image (the normal cluster deployment), or re-encode losslessly
+  * first. `javax.imageio` is stills-only: video and audio containers
+  * have no registered readers and degrade to 0×0 / 0 frames / empty
+  * samples like any undecodable payload.
   *
   * Instances are stateless and serializable (the class carries no
   * fields; `ImageIO` is called per payload inside the partition task),

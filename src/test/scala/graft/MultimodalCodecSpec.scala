@@ -15,6 +15,18 @@ import graft.operators.{ImageIoCodec, Multimodal}
   *    Rec.601 lumas 10/50/100/200 per row.
   *  - `tiny2x2.bmp`: 2×2 24-bit BMP, 70 bytes. Pixels (row-major,
   *    top-down) red/green/blue/white → lumas 76/149/29/255.
+  *  - `tiny4x4.jpg`: 4×4 JPEG (quality 0.9), 648 bytes, same grayscale
+  *    rows as the PNG. Lossy: this JRE's reader yields 10/51/99/201 —
+  *    pinned as JRE-reader values, not format-pinned truth (the
+  *    scaladoc's determinism scope).
+  *  - `anim2x2.gif`: 2×2 two-frame animated GIF, 71 bytes. Frame 1
+  *    red/green/blue/black as written through the JRE's GIF writer
+  *    (whose palette quantized blue to black at generation time);
+  *    frame 2 all black.
+  *  - `near8a.png` / `near8b.png`: 8×8 alternating dark(30)/bright(220)
+  *    rows; `b` differs by ONE pixel ((3,2): 30 → 255). With
+  *    blockSize=2 their 32-bit aHashes differ in exactly 1 bit — the
+  *    real-bytes fixture for the perceptual near-dup chain.
   */
 class MultimodalCodecSpec extends SparkSpec {
 
@@ -27,6 +39,10 @@ class MultimodalCodecSpec extends SparkSpec {
 
   private lazy val png = resourceBytes("/tiny4x4.png")
   private lazy val bmp = resourceBytes("/tiny2x2.bmp")
+  private lazy val jpg = resourceBytes("/tiny4x4.jpg")
+  private lazy val gif = resourceBytes("/anim2x2.gif")
+  private lazy val nearA = resourceBytes("/near8a.png")
+  private lazy val nearB = resourceBytes("/near8b.png")
 
   private def payloadDf(rows: (Long, Array[Byte])*) = {
     val schema = StructType(Seq(
@@ -68,6 +84,39 @@ class MultimodalCodecSpec extends SparkSpec {
   test("frameCount: single-frame containers report exactly 1") {
     assert(codec.frameCount(png) === 1L)
     assert(codec.frameCount(bmp) === 1L)
+    assert(codec.frameCount(jpg) === 1L)
+  }
+
+  test("JPEG decodes through the same seam: dims, magic, repeat-call determinism") {
+    assert(codec.decode(jpg) === ((648L, "ffd8ffe0", 4L, 4L)))
+    // lossy format, JRE-reader-pinned lumas (scaladoc determinism
+    // scope): the source rows 10/50/100/200 round-trip to 10/51/99/201
+    // under this JRE's JPEG codec — within the ±1–2-step band a lossy
+    // decode may sit, and stable on every call
+    val expected = Seq(10L, 10L, 10L, 10L, 51L, 51L, 51L, 51L,
+      99L, 99L, 99L, 99L, 201L, 201L, 201L, 201L)
+    assert(codec.samples(jpg).toSeq === expected)
+    assert(codec.samples(jpg).toSeq === expected) // fresh decode, same bits
+  }
+
+  test("animated GIF: frameCount scans the container, decode/samples use frame 1") {
+    assert(codec.frameCount(gif) === 2L)
+    assert(codec.decode(gif) === ((71L, "47494638", 2L, 2L)))
+    // frame 1 as stored (the generating writer's palette quantized blue
+    // to black — GIF decode itself is lossless on the stored palette)
+    assert(codec.samples(gif).toSeq === Seq(76L, 149L, 0L, 0L))
+  }
+
+  test("one-pixel-edited real PNGs survive the perceptual near-dup chain end-to-end") {
+    // the multimodal dedup story on REAL bytes: decode → 32-bit aHash →
+    // banded simhash pair join at maxHamming=3, plus an unrelated image
+    // (the checkerboard fixtures vs the graded-rows PNG) that must NOT pair
+    val df = payloadDf(1L -> nearA, 2L -> nearB, 3L -> png)
+    val hashes = Multimodal.perceptualHashPayload(df, blockSize = 2, codec = codec)
+    val pairs = graft.operators.Dedup.simhashPairs(hashes, maxHamming = 3, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L)),
+      s"expected exactly the edited pair at hamming 1, got ${pairs.toSeq}")
   }
 
   test("decodeMeta over a binary payload column with the real codec") {
