@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
   *    (`l_orderkey`/`o_orderkey`/`o_custkey`/`l_suppkey`) by
   *    `r * 1e7`, producing 10 DISJOINT copies of the person graph —
   *    PageRank's per-round join/aggregate moves exactly 10x the edges.
+  *  - `embeddings` x10: replica `r` shifts `vec_id` by `r * 1e6` and
+  *    applies a deterministic per-replica SIGN-FLIP pattern to the
+  *    vector components (flip component `i` iff `xxhash64(r, i)` is
+  *    odd; replica 0 is identity). A sign flip is an orthogonal
+  *    transform, so within-replica dot products, norms, and therefore
+  *    the near-dup pair structure are preserved (exactly up to the
+  *    ±1-quant-step asymmetry of `floor(x·1000 + 0.5)` at negated
+  *    components — ~0.1% of a cosine, irrelevant to a wall-clock
+  *    smoke); across replicas the relative pattern is ~half the
+  *    coordinates, collapsing cross-replica cosines toward 0 so
+  *    replicas contribute no near-dup pairs of their own — the same
+  *    "10x more data from the same distribution" model as the token
+  *    renaming. Centroid stand-ins (`vec_id < 8`) stay in replica 0,
+  *    so capped SemDeDup's cell count is constant and its cells grow
+  *    10x, which is the cap's designed-for regime.
   *
   * Methodology mirrors [[Bench]]: one untimed warmup, best-of-2 trials
   * per (chain, scale), cache/persisted-RDD isolation between trials.
@@ -42,23 +57,35 @@ import org.apache.spark.sql.functions._
   * the growth ratio, and result row counts at both scales (proof the
   * 10x run did 10x-shaped work, not an empty-gate short-circuit).
   *
-  * Usage: `runMain graft.ScaleSmoke <sf0.1-dir> <gen-dir> <out-json>`
-  * (generation is skipped if `<gen-dir>` already holds the tables).
+  * Usage: `runMain graft.ScaleSmoke <sf0.1-dir> <gen-dir> <out-json>
+  * [chain,chain,...]` (generation is skipped if `<gen-dir>` already
+  * holds the tables; the optional 4th arg restricts to a subset of
+  * [[Chains]] for iterating on one chain).
   */
 object ScaleSmoke {
 
   /** The judge-named five heavy chains plus the three cheapest
-    * family-representatives not already covered by them: the MinHash
-    * band join, the (now 64-bit) SimHash pair generator, and the
-    * fixpoint graph peel.
+    * family-representatives not already covered by them (the MinHash
+    * band join, the 64-bit SimHash pair generator, the fixpoint graph
+    * peel), plus the embeddings family — the last candidate generator
+    * without a >sf0.1 measurement. `sim_near_dup_blocked` runs the
+    * UNCAPPED default (rowsPerBand=4 → 16 buckets/band, documented as
+    * sized for the 10^3-vector test corpus — at 20k vectors its
+    * occupancy saturation is the hypothesis under test);
+    * `sim_near_dup_capped` is the occupancy-guarded comparator, and
+    * `sim_dedup_clusters` / `sim_semantic_dedup_capped` are the
+    * consuming chains.
     */
   private val Chains = Seq(
     "pipe_curation", "pipe_curation_full", "pipe_leakage_split",
     "d_dedup_clusters", "d_minhash_lsh", "d_simhash_pairs",
-    "g_pagerank", "g_kcore_fixpoint")
+    "g_pagerank", "g_kcore_fixpoint",
+    "sim_near_dup_blocked", "sim_near_dup_capped",
+    "sim_dedup_clusters", "sim_semantic_dedup_capped")
 
   private val DocIdStride = 100000000L // replica doc_id shift
   private val KeyStride = 10000000L    // replica graph-key shift
+  private val VecIdStride = 1000000L   // replica embedding-key shift
 
   def generate(spark: SparkSession, srcDir: String, genDir: String): Unit = {
     val reps = spark.range(10).select(col("id").as("rep"))
@@ -94,6 +121,22 @@ object ScaleSmoke {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$genDir/lineitem.parquet")
 
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    // per-replica orthogonal sign flip (see scaladoc): transform index
+    // is 0-based via zip_with against a position sequence
+    val flipped = zip_with(
+      col("embedding"),
+      sequence(lit(0L), size(col("embedding")).cast("long") - 1),
+      (x, i) => when(col("rep") > 0 && pmod(xxhash64(col("rep"), i), lit(2)) === 1, -x)
+        .otherwise(x))
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * lit(VecIdStride)).as("vec_id"),
+        flipped.as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$genDir/embeddings.parquet")
+
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
     val ordShift = Seq("o_orderkey", "o_custkey")
     ord.crossJoin(reps)
@@ -109,6 +152,8 @@ object ScaleSmoke {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val genDir = args.lift(1).getOrElse(".tmp/sf1smoke")
     val outJson = args.lift(2).getOrElse("BENCH_sf1_smoke.json")
+    val chainFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val chains = chainFilter.fold(Chains)(f => Chains.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,7 +162,10 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$genDir/documents.parquet").exists()) {
+    // embeddings.parquet is the newest generated table — its absence
+    // means a pre-existing gen dir from an older harness must be rebuilt
+    if (!new java.io.File(s"$genDir/documents.parquet").exists() ||
+        !new java.io.File(s"$genDir/embeddings.parquet").exists()) {
       val t0 = System.nanoTime()
       generate(spark, srcDir, genDir)
       System.err.println(f"[smoke] generated 10x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -146,7 +194,7 @@ object ScaleSmoke {
     }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val results = Chains.map { name =>
+    val results = chains.map { name =>
       val (s01, rows01) = time(name, srcDir)
       val (s1, rows1) = time(name, genDir)
       System.err.println(
