@@ -80,10 +80,15 @@ object Bench {
     val merged =
       try {
         java.nio.file.Files.createDirectories(runsDir)
-        val n = java.nio.file.Files.list(runsDir).iterator().asScala
-          .count(_.toString.endsWith(".json"))
+        // max existing index + 1, not count + 1: a curated-away run
+        // (gap in the numbering) must never cause a silent overwrite
+        // of a later run's raw data
+        val next = listJsons(runsDir)
+          .flatMap(p => "run_(\\d+)\\.json$".r
+            .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .maxOption.getOrElse(0) + 1
         java.nio.file.Files.writeString(
-          runsDir.resolve(f"run_${n + 1}%03d.json"), line + "\n")
+          runsDir.resolve(f"run_$next%03d.json"), line + "\n")
         mergeRuns(runsDir, results.keys.toSeq, line)
       } catch {
         case e: Throwable =>
@@ -98,6 +103,15 @@ object Bench {
     spark.stop()
   }
 
+  /** All *.json under `dir`, with the directory stream closed (Files
+    * .list leaks an fd otherwise, per its own javadoc).
+    */
+  private def listJsons(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
+    finally s.close()
+  }
+
   /** Per-query min over every run file in `runsDir`, restricted to the
     * queries of THIS run (a renamed/removed query must not resurrect
     * from an old file). Failed (-1) readings never win the min unless
@@ -107,8 +121,7 @@ object Bench {
   private def mergeRuns(
       runsDir: java.nio.file.Path, queries: Seq[String], fallback: String): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runs = java.nio.file.Files.list(runsDir).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    val runs = listJsons(runsDir).sortBy(_.toString)
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
     val best = queries.map { q =>
       val vals = runs.flatMap { r =>

@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
   *    odd; replica 0 is identity). A sign flip is an orthogonal
   *    transform, so within-replica dot products, norms, and therefore
   *    the near-dup pair structure are preserved (exactly up to the
-  *    ±1-quant-step asymmetry of `floor(x·1000 + 0.5)` at negated
-  *    components — ~0.1% of a cosine, irrelevant to a wall-clock
-  *    smoke); across replicas the relative pattern is ~half the
+  *    ±1-quant-step asymmetry of `floor(x·10⁶ + 0.5)` at negated
+  *    components — ~10⁻⁶ of a component, ~10⁻⁴% of a cosine,
+  *    irrelevant to a wall-clock smoke); across replicas the
+  *    relative pattern is ~half the
   *    coordinates, collapsing cross-replica cosines toward 0 so
   *    replicas contribute no near-dup pairs of their own — the same
   *    "10x more data from the same distribution" model as the token
@@ -123,12 +124,16 @@ object ScaleSmoke {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     // per-replica orthogonal sign flip (see scaladoc): transform index
-    // is 0-based via zip_with against a position sequence
-    val flipped = zip_with(
-      col("embedding"),
-      sequence(lit(0L), size(col("embedding")).cast("long") - 1),
-      (x, i) => when(col("rep") > 0 && pmod(xxhash64(col("rep"), i), lit(2)) === 1, -x)
-        .otherwise(x))
+    // is 0-based via zip_with against a position sequence. The empty
+    // guard matters: sequence(0, -1) DESCENDS ([0, -1]), so zip_with
+    // would pad an empty embedding to [null, null] instead of passing
+    // it through
+    val flipped = when(size(col("embedding")) === 0, col("embedding"))
+      .otherwise(zip_with(
+        col("embedding"),
+        sequence(lit(0L), size(col("embedding")).cast("long") - 1),
+        (x, i) => when(col("rep") > 0 && pmod(xxhash64(col("rep"), i), lit(2)) === 1, -x)
+          .otherwise(x)))
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * lit(VecIdStride)).as("vec_id"),
@@ -153,6 +158,14 @@ object ScaleSmoke {
     val genDir = args.lift(1).getOrElse(".tmp/sf1smoke")
     val outJson = args.lift(2).getOrElse("BENCH_sf1_smoke.json")
     val chainFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // fail fast on a typo'd chain name: a silently-dropped chain reads
+    // as coverage that never ran, and an all-unknown filter would only
+    // surface minutes later as empty.max
+    chainFilter.foreach { f =>
+      val unknown = f -- Chains.toSet
+      require(unknown.isEmpty,
+        s"unknown chain(s) ${unknown.mkString(", ")}; valid: ${Chains.mkString(", ")}")
+    }
     val chains = chainFilter.fold(Chains)(f => Chains.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -837,10 +837,10 @@ object Dedup {
       .filter(_ <= bits - bandBits)
       .foreach { w =>
         log.warn(s"simhashPairs: widest observed signature uses $w bits but " +
-          s"bits=$bits — the top ${bits / 4 - (w + bandBits - 1) / bandBits} " +
-          s"band(s) are all-zero and every doc collides there, making " +
+          s"bits=$bits — the top ${4 - (w + bandBits - 1) / bandBits} of the " +
+          s"4 bands are all-zero and every doc collides there, making " +
           s"candidate generation quadratic. Pass bits=<signature width> " +
-          s"(e.g. bits=32 for perceptualHash).")
+          s"(e.g. bits=32 for a 32-block perceptualHash).")
       }
     val l = banded.select(
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))

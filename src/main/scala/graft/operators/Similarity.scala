@@ -370,8 +370,15 @@ object Similarity {
         case Some(cap) =>
           require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
           val P = graft.functions.Hashing.P
-          val sizes = withB.groupBy(col("band"), col("bucket"))
+          val sizes0 = withB.groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("bkt_n"))
+          // the sizes frame is key-bounded by bands·2^rowsPerBand; at the
+          // small rowsPerBand this guard exists for (hot-bucket regime)
+          // that's a few-KB frame Catalyst would mis-estimate into a
+          // sort-merge join — hint it broadcast, same as semanticDedup's
+          // cell sizes. Past 2^16 buckets/band the bound stops being
+          // broadcast-safe, so the decision returns to the optimizer.
+          val sizes = if (rowsPerBand <= 16) broadcast(sizes0) else sizes0
           val sub = withB.join(sizes, Seq("band", "bucket"))
             .withColumn("sub",
               ((col("vec_id") % P) * 1103515245L + 12345L) % P %

@@ -389,6 +389,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(
       "\\[band#\\d+L?, bucket#\\d+L?, sub#\\d+L?\\]".r.findFirstIn(plan).isDefined,
       s"candidate join does not key on the sub-split:\n$plan")
+    // the bucket-size attach must broadcast (key-bounded frame), not
+    // sort-merge the exploded (vec_id, band, bucket) rows
+    assert("BroadcastHashJoin \\[band#\\d+L?, bucket#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"bucket-size attach should be a broadcast hash join:\n$plan")
   }
 
   test("capped SemDeDup: sizes broadcast; pair join keys include the sub-split") {
