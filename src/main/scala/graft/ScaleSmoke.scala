@@ -73,16 +73,19 @@ object ScaleSmoke {
     * UNCAPPED default (rowsPerBand=4 → 16 buckets/band, documented as
     * sized for the 10^3-vector test corpus — at 20k vectors its
     * occupancy saturation is the hypothesis under test);
-    * `sim_near_dup_capped` is the occupancy-guarded comparator, and
+    * `sim_near_dup_capped` is the occupancy-guarded comparator,
     * `sim_dedup_clusters` / `sim_semantic_dedup_capped` are the
-    * consuming chains.
+    * consuming chains, and `sim_ivf_kmeans` covers the k-means/IVF
+    * generator (per-round collect is k·dim-bounded — the claim its
+    * 10x point checks).
     */
   private val Chains = Seq(
     "pipe_curation", "pipe_curation_full", "pipe_leakage_split",
     "d_dedup_clusters", "d_minhash_lsh", "d_simhash_pairs",
     "g_pagerank", "g_kcore_fixpoint",
     "sim_near_dup_blocked", "sim_near_dup_capped",
-    "sim_dedup_clusters", "sim_semantic_dedup_capped")
+    "sim_dedup_clusters", "sim_semantic_dedup_capped",
+    "sim_ivf_kmeans")
 
   private val DocIdStride = 100000000L // replica doc_id shift
   private val KeyStride = 10000000L    // replica graph-key shift
