@@ -57,6 +57,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)
   }
 
+  test("round-8 paths on empty and degenerate inputs") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // occupancy-capped blocked near-dup: the sizes aggregate, sub-split,
+    // and exact-dup star floor must all pass through empty frames
+    assert(Similarity.cosineNearDupPairs(emptyEmb, 400000L,
+      blocked = true, maxBucketSize = Some(2)).count() === 0)
+    // a single vector: no pair can exist under any cap
+    val one = Seq(1L -> Array(1.0f, 2.0f)).toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairs(one, 400000L,
+      blocked = true, maxBucketSize = Some(1)).count() === 0)
+    // bm25MultiQuery shuffle fallback on empty docs and on empty queries
+    val q = Seq(1L -> "term").toDF("query_id", "term")
+    assert(TextOps.bm25MultiQuery(emptyDocs, q, 5,
+      broadcastQueries = false).count() === 0)
+    assert(TextOps.bm25MultiQuery(
+      Seq((1L, "some text")).toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("query_id", "term"), 5,
+      broadcastQueries = false).count() === 0)
+    // simhashPairs' width observation on an empty signature frame (max
+    // over zero rows is null -> no warning, no crash)
+    assert(Dedup.simhashPairs(
+      Seq.empty[(Long, Long)].toDF("doc_id", "simhash")).count() === 0)
+  }
+
   test("round-3 operators on empty and degenerate inputs") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
