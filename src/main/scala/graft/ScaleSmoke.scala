@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,7 +63,14 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.ScaleSmoke <sf0.1-dir> <gen-dir> <out-json>
   * [chain,chain,...]` (generation is skipped if `<gen-dir>` already
   * holds the tables; the optional 4th arg restricts to a subset of
-  * [[Chains]] for iterating on one chain).
+  * [[Chains]] for iterating on one chain). Each run appends its raw
+  * result under `smoke_runs/` and the shipped artifact is the
+  * per-(chain, scale) min across all runs there (same best-of
+  * discipline as [[Bench]] — clear the dir when a perf-affecting
+  * change lands; row-count equality across runs is enforced at merge
+  * time as a stale-code tripwire). `runMain graft.ScaleSmoke merge
+  * [out-json]` regenerates the artifact from the raw runs without
+  * re-timing.
   */
 object ScaleSmoke {
 
@@ -157,6 +166,16 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    // merge-only mode: regenerate the artifact from checked-in raw runs
+    // (no Spark session, no timing) — `runMain graft.ScaleSmoke merge [out]`
+    if (args.headOption.contains("merge")) {
+      val out = args.lift(1).getOrElse("BENCH_sf1_smoke.json")
+      val line = mergeRuns(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_RUNS", "smoke_runs")))
+      println(line)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      return
+    }
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val genDir = args.lift(1).getOrElse(".tmp/sf1smoke")
     val outJson = args.lift(2).getOrElse("BENCH_sf1_smoke.json")
@@ -224,9 +243,71 @@ object ScaleSmoke {
     val worst = r3(results.map(_._2._5).max)
     val line =
       s"""{"metric":"sf1_smoke_worst_ratio","value":$worst,"unit":"x","data":"10x sf0.1 (see ScaleSmoke scaladoc)","queries":$qs}"""
-    println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), line + "\n")
+    // same multi-run discipline as Bench: append the raw run under
+    // smoke_runs/, ship the per-(chain, scale) MIN across all runs
+    // there (the ratio recomputed from clean floors — one load spike
+    // on a small-scale trial otherwise ships as a bogus ratio).
+    // smoke_runs/ holds same-code runs only; clear it when a
+    // perf-affecting change lands. A chain-filtered run contributes
+    // its chains as extra min candidates without shrinking the merge.
+    val merged =
+      try {
+        val runsDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SMOKE_RUNS", "smoke_runs"))
+        java.nio.file.Files.createDirectories(runsDir)
+        val next = listJsons(runsDir)
+          .flatMap(p => "run_(\\d+)\\.json$".r
+            .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .maxOption.getOrElse(0) + 1
+        java.nio.file.Files.writeString(
+          runsDir.resolve(f"run_$next%03d.json"), line + "\n")
+        mergeRuns(runsDir)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[smoke] best-of merge failed, shipping single run: $e")
+          line
+      }
+    println(merged)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), merged + "\n")
     catch { case e: Throwable => System.err.println(s"[smoke] write $outJson failed: $e") }
     spark.stop()
+  }
+
+  private def listJsons(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
+    finally s.close()
+  }
+
+  /** Per-(chain, scale) min across every raw run file, over the union
+    * of their chains; row counts must agree across runs (same code ⇒
+    * same workload — a mismatch means smoke_runs/ holds stale-code
+    * runs and the merge must not ship). Also invokable standalone:
+    * `runMain graft.ScaleSmoke merge <out-json>` regenerates the
+    * artifact from the checked-in raw runs without re-timing.
+    */
+  def mergeRuns(runsDir: java.nio.file.Path): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val runs = listJsons(runsDir).sortBy(_.toString)
+      .map(p => om.readTree(java.nio.file.Files.readString(p)))
+    require(runs.nonEmpty, s"no raw runs under $runsDir")
+    val chainOrder = Chains.filter(c =>
+      runs.exists(r => r.get("queries").has(c)))
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val merged = chainOrder.map { c =>
+      val entries = runs.flatMap(r => Option(r.get("queries").get(c)))
+      val rows01 = entries.map(_.get("sf01_rows").asLong()).distinct
+      val rows1 = entries.map(_.get("sf1_rows").asLong()).distinct
+      require(rows01.size == 1 && rows1.size == 1,
+        s"smoke_runs row counts disagree for $c — stale-code runs present; clear the dir")
+      val s01 = entries.map(_.get("sf01_sec").asDouble()).min
+      val s1 = entries.map(_.get("sf1_sec").asDouble()).min
+      c -> ((r3(s01), rows01.head, r3(s1), rows1.head, r3(s1 / s01)))
+    }
+    val qs = merged.map { case (n, (s01, r01, s1, r1, ratio)) =>
+      s""""$n":{"sf01_sec":$s01,"sf01_rows":$r01,"sf1_sec":$s1,"sf1_rows":$r1,"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
+    val worst = r3(merged.map(_._2._5).max)
+    s"""{"metric":"sf1_smoke_worst_ratio","value":$worst,"unit":"x","data":"10x sf0.1, per-(chain,scale) min of ${runs.size} run(s) (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
   }
 }
