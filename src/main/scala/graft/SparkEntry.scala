@@ -511,6 +511,13 @@ object SparkEntry {
     }),
     "t_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.documents(s, dir), hash = Hashing.Portable)),
+    // self-trained bigram-LM perplexity screen (CCNet-shaped): integer
+    // bits via ilog2 = length(bin(n))-1, exact in both engines. The
+    // keep threshold sits at the corpus median (~4.6 bits/bigram) so
+    // both branches of the flag are exercised by the gate.
+    "t_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(Tables.documents(s, dir), maxBitsE3 = 4600,
+        hash = Hashing.Portable)),
     "t_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
@@ -677,6 +684,17 @@ object SparkEntry {
     // brute crossJoin form is O(n²) and lives in SimilaritySpec only
     "sim_near_dup_blocked" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
+    // kNN graph: every vector's top-5 neighbors from the directed
+    // banded-LSH candidate set (the graph-ANN build primitive); the
+    // exact crossJoin baseline is SimilaritySpec-only, same taxonomy
+    // as the near-dup brute branch
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)),
+    // one NN-Descent round over the banded seed graph — candidates
+    // expand to reverse neighbors + neighbors-of-neighbors, exact
+    // re-rank; recovers recall the banding seed loses at O(n·k²)
+    "sim_nn_descent" -> ((s, dir) =>
+      Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1)),
 
     // occupancy-guarded blocked near-dup: buckets above maxBucketSize
     // sub-split by a portable vec_id hash (bounds every candidate
@@ -1116,6 +1134,44 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i])) AS BIGINT)"
 
+  /** Banded-LSH directed kNN CTE chain shared by the `sim_knn_graph`
+    * and `sim_nn_descent` oracles: quantize → drop zero-norm → 16
+    * sign-random-projection planes → 4 bands × 4 rows → directed
+    * candidate collisions → exact re-rank (`ranked(id_a, id_b, dot_q,
+    * rank)`). Callers append their own final SELECT / descent CTEs.
+    */
+  private val KNN_RANKED =
+    s"""$QNORM,
+       |nz AS (SELECT * FROM qn WHERE nq > 0),
+       |s AS (
+       |  SELECT vec_id, j,
+       |         list_sum(list_transform(range(1, len(q)+1),
+       |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+       |bk AS (
+       |  SELECT vec_id, j // 4 AS band,
+       |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM s GROUP BY vec_id, band),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         ${dotSql("a.q", "b.q")} AS dot_q,
+       |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+       |  FROM cands c
+       |  JOIN nz a ON a.vec_id = c.id_a
+       |  JOIN nz b ON b.vec_id = c.id_b),
+       |ranked AS (
+       |  SELECT id_a, id_b, dot_q,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY id_a
+       |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
+       |         AS BIGINT) AS "rank"
+       |  FROM pairs)""".stripMargin
+
   /** Jaccard verification tail shared by the two near-dup oracles:
     * exact |∩|/|∪| over shingle sets for candidate pairs in `cands`.
     */
@@ -1508,6 +1564,34 @@ object SparkEntry {
          |            THEN floor(max_c*1000/n_bi)
          |            ELSE 0 END AS BIGINT) AS top_bigram_ratio_e3
          |FROM base b LEFT JOIN bia USING (doc_id)""".stripMargin,
+
+    "t_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |inst AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)), i -> ${ph("toks[i]")})) AS w1h,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")})) AS bh
+         |  FROM t WHERE len(toks) >= 2),
+         |ic AS (SELECT doc_id, w1h, bh, count(*) AS n FROM inst GROUP BY 1, 2, 3),
+         |uni AS (SELECT w1h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lu
+         |        FROM inst GROUP BY w1h),
+         |big AS (SELECT bh, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lb
+         |        FROM inst GROUP BY bh),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(n * (lu - lb)) AS BIGINT) AS bits_total
+         |  FROM ic JOIN big USING (bh) JOIN uni USING (w1h)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(COALESCE(bits_total, 0) AS BIGINT) AS bits_total,
+         |       CAST(CASE WHEN n_bigrams > 0
+         |            THEN floor(bits_total*1000/n_bigrams) ELSE 0 END AS BIGINT)
+         |         AS bits_per_bigram_e3,
+         |       (n_bigrams IS NOT NULL AND n_bigrams > 0
+         |        AND floor(bits_total*1000/n_bigrams) <= 4600) AS keep
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "d_contamination" ->
       s"""WITH $SHINGLES,
@@ -2036,6 +2120,45 @@ object SparkEntry {
          |  JOIN qn b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, dot_q FROM pairs
          |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    // kNN graph: same banding closed form, DIRECTED candidates (every
+    // vector keeps its own neighbor list), zero-norm vectors excluded
+    // (cosine undefined — pinned, as in semanticDedup), row_number
+    // top-5 per source on the ranking cosine
+    "sim_knn_graph" ->
+      s"""WITH $KNN_RANKED
+         |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // one NN-Descent round over the banded kNN seed: candidates =
+    // undirected current edges ∪ neighbors-of-neighbors (UNION dedups,
+    // matching the engine's unionByName+distinct), exact re-rank,
+    // top-5 — the Dong et al. expansion in closed SQL form
+    "sim_nn_descent" ->
+      s"""WITH $KNN_RANKED,
+         |g AS (SELECT id_a, id_b FROM ranked WHERE "rank" <= 5),
+         |und AS (SELECT id_a, id_b FROM g
+         |        UNION SELECT id_b AS id_a, id_a AS id_b FROM g),
+         |hop AS (SELECT u1.id_a, u2.id_b FROM und u1
+         |        JOIN und u2 ON u1.id_b = u2.id_a WHERE u2.id_b <> u1.id_a),
+         |cand2 AS (SELECT id_a, id_b FROM und
+         |          UNION SELECT id_a, id_b FROM hop),
+         |pairs2 AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM cand2 c
+         |  JOIN nz a ON a.vec_id = c.id_a
+         |  JOIN nz b ON b.vec_id = c.id_b),
+         |ranked2 AS (
+         |  SELECT id_a, id_b, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY id_a
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM pairs2)
+         |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+         |FROM ranked2 WHERE "rank" <= 5""".stripMargin,
 
     // capped variant: per-(band,bucket) occupancy sizes drive the same
     // portable sub-split hash as sim_semantic_dedup_capped; the exact

@@ -300,6 +300,200 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
   }
 
+  /** Banded-LSH candidate pairs over a quantized corpus — the shared
+    * candidate generator behind [[cosineNearDupPairs]] (undirected,
+    * `id_a < id_b`) and [[knnGraph]] (directed, `id_a ≠ id_b`: every
+    * vector needs its own neighbor list, so both orientations are
+    * kept). Returns raw `(id_a, id_b)` WITHOUT dedup — callers
+    * `.distinct()` after any union they apply. `maxBucketSize` is the
+    * occupancy guard documented at [[cosineNearDupPairs]].
+    */
+  private[graft] def bandedCandidates(
+      corpus: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Option[Int],
+      directed: Boolean): DataFrame = {
+    val withB = corpus.select(
+      col("vec_id"),
+      explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // occupancy cap: bucket sizes join back on (band, bucket) — an
+    // aggregate of withB itself, key-bounded by bands·2^rowsPerBand,
+    // so it shuffles 24-byte keyed rows, never vectors
+    val (keyed, joinKeys) = maxBucketSize match {
+      case None => (withB, Seq("band", "bucket"))
+      case Some(cap) =>
+        require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
+        val P = graft.functions.Hashing.P
+        val sizes0 = withB.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bkt_n"))
+        // the sizes frame is key-bounded by bands·2^rowsPerBand; at the
+        // small rowsPerBand this guard exists for (hot-bucket regime)
+        // that's a few-KB frame Catalyst would mis-estimate into a
+        // sort-merge join — hint it broadcast, same as semanticDedup's
+        // cell sizes. Past 2^16 buckets/band the bound stops being
+        // broadcast-safe, so the decision returns to the optimizer.
+        val sizes = if (rowsPerBand <= 16) broadcast(sizes0) else sizes0
+        val sub = withB.join(sizes, Seq("band", "bucket"))
+          .withColumn("sub",
+            ((col("vec_id") % P) * 1103515245L + 12345L) % P %
+              ceil(col("bkt_n").cast("double") / cap).cast("long"))
+          .drop("bkt_n")
+        (sub, Seq("band", "bucket", "sub"))
+    }
+    val pairPred =
+      if (directed) col("id_a") =!= col("id_b") else col("id_a") < col("id_b")
+    keyed
+      .select(col("vec_id").as("id_a") +: joinKeys.map(col): _*)
+      .join(keyed.select(col("vec_id").as("id_b") +: joinKeys.map(col): _*),
+        joinKeys)
+      .filter(pairPred)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** kNN-graph self-join: EVERY vector's `k` nearest neighbors by
+    * cosine — the batch primitive behind graph-ANN index construction
+    * (NN-Descent seeding, HNSW base layers), kNN-graph clustering, and
+    * local-density estimates over an embedding corpus. Output
+    * `(vec_id, neighbor_id, dot_q, rank)`, `rank` 1..k per source,
+    * ties broken by neighbor id — all exact integers except the
+    * ranking cosine (the repo-wide double-divide-for-ranking-only
+    * contract).
+    *
+    * `blocked = true` (default, the scale path): banded-LSH candidates
+    * via [[bandedCandidates]] in DIRECTED form, per-vector top-k of
+    * the survivors. Neighbor lists are exact within the candidate set;
+    * recall of the true top-k is the banded collision probability —
+    * the r/b sizing rule and `maxBucketSize` occupancy guard from
+    * [[cosineNearDupPairs]] apply unchanged. A vector whose buckets
+    * hold fewer than `k` others emits fewer than `k` rows (candidates
+    * only, never padding).
+    *
+    * `blocked = false` is the exact quadratic baseline — corpus ×
+    * corpus — the recall ground truth for specs and small corpora, on
+    * the same footing as the near-dup brute branch (not reachable from
+    * any shipped query).
+    *
+    * Zero-norm vectors have undefined cosine; they are excluded as
+    * both sources and neighbors (pinned, same rule as
+    * [[semanticDedup]]).
+    *
+    * Scale shape: the band join shuffles `(band, bucket, id)` rows;
+    * vectors re-attach to the distinct candidate edges only. The
+    * `row_number ≤ k` filter compiles to WindowGroupLimit, so each
+    * shuffle partition keeps only its local top-k per source before
+    * the window sort.
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int,
+      blocked: Boolean = true,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = withQuant(embeddings).filter(col("nq") > 0)
+    val paired =
+      if (blocked)
+        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize, directed = true)
+          .distinct()
+      else
+        corpus.select(col("vec_id").as("id_a"))
+          .crossJoin(corpus.select(col("vec_id").as("id_b")))
+          .filter(col("id_a") =!= col("id_b"))
+    rankCandidates(paired, corpus, k)
+      .select(
+        col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        col("dot_q"), col("rank"))
+  }
+
+  /** Exact cosine re-rank of a directed candidate edge frame
+    * `(id_a, id_b)` against a quantized corpus: attach both vectors,
+    * score, keep each source's top-`k`. The shared tail of [[knnGraph]]
+    * and [[nnDescentRefine]] — vectors join onto the id-only edge
+    * frame (never ride the candidate shuffles), and `row_number ≤ k`
+    * compiles to the partial+final WindowGroupLimit.
+    */
+  private def rankCandidates(cands: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val aSide = corpus.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a"))
+    val bSide = corpus.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("n_b"))
+    val scored = cands
+      .join(aSide, Seq("id_a"))
+      .join(bSide, Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        dotQ(col("q_a"), col("q_b")).as("dot_q"),
+        (col("n_a").cast("double") * col("n_b").cast("double")).as("nn"))
+      .withColumn("cos", col("dot_q").cast("double") / sqrt(col("nn")))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** NN-Descent refinement of the kNN graph (Dong et al. 2011, WWW —
+    * "a neighbor of a neighbor is likely a neighbor"): seed with the
+    * banded-LSH [[knnGraph]], then for `rounds` iterations expand each
+    * vector's candidate set to its current neighbors (both
+    * orientations — reverse neighbors are candidates, per the paper's
+    * undirected join) plus all neighbors-of-neighbors through the
+    * undirected graph, re-rank exactly, and keep the top-`k`. This is
+    * the batch graph-ANN construction loop: banding gives cheap seeds,
+    * descent rounds recover the recall banding loses, each round
+    * costing O(n·k²) candidate edges instead of O(n²).
+    *
+    * Monotonicity law (spec-gated): a round's candidate set contains
+    * the previous neighbor list, and re-ranking is exact — so at every
+    * rank position the cosine is non-decreasing round over round; a
+    * refinement can only improve a neighbor list, never degrade it.
+    *
+    * Output/determinism/zero-norm contracts are [[knnGraph]]'s:
+    * `(vec_id, neighbor_id, dot_q, rank)`, ties by neighbor id,
+    * zero-norm vectors excluded both ways.
+    *
+    * Scale shape: the per-round frames are 16-byte id pairs end to end
+    * — union + distinct + a self-join on the shared middle vertex
+    * (fanout ≤ (2k)² per vertex, k small by construction) — and
+    * vectors attach once per round in the exact re-rank. Each round's
+    * input graph is cut ([[Checkpoints.cut]]; `checkpointDir` = None →
+    * localCheckpoint, Some(dir) → reliable, the [[GraphOps.kHop]]
+    * knob), because the undirected frame feeds three consumers — an
+    * uncut plan would recompute the full seed ranking per consumer and
+    * double the lineage every round.
+    */
+  def nnDescentRefine(
+      embeddings: DataFrame,
+      k: Int,
+      rounds: Int = 1,
+      blocked: Boolean = true,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val corpus = withQuant(embeddings).filter(col("nq") > 0)
+    var ranked = knnGraph(embeddings, k, blocked, bands, rowsPerBand, maxBucketSize)
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("dot_q"), col("rank"))
+    for (_ <- 1 to rounds) {
+      val g = Checkpoints.cut(ranked.select(col("id_a"), col("id_b")), checkpointDir)
+      val und = g
+        .unionByName(g.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .distinct()
+      val hop = und.select(col("id_a"), col("id_b").as("m"))
+        .join(und.select(col("id_a").as("m"), col("id_b")), Seq("m"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val cands = und.unionByName(hop).distinct()
+      ranked = rankCandidates(cands, corpus, k)
+    }
+    ranked.select(
+      col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+      col("dot_q"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ τ.
     * `cosE6` threshold is in 1e-6 units (e.g. 950000 = 0.95).
     * Output `(id_a, id_b, dot_q)`, `id_a < id_b`.
@@ -358,40 +552,8 @@ object Similarity {
     val thresh = (dq: Column, nn: Column) =>
       dq.cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(nn)
     if (blocked) {
-      val withB = corpus.select(
-        col("vec_id"),
-        explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // occupancy cap: bucket sizes join back on (band, bucket) — an
-      // aggregate of withB itself, key-bounded by bands·2^rowsPerBand,
-      // so it shuffles 24-byte keyed rows, never vectors
-      val (keyed, joinKeys) = maxBucketSize match {
-        case None => (withB, Seq("band", "bucket"))
-        case Some(cap) =>
-          require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
-          val P = graft.functions.Hashing.P
-          val sizes0 = withB.groupBy(col("band"), col("bucket"))
-            .agg(count(lit(1)).as("bkt_n"))
-          // the sizes frame is key-bounded by bands·2^rowsPerBand; at the
-          // small rowsPerBand this guard exists for (hot-bucket regime)
-          // that's a few-KB frame Catalyst would mis-estimate into a
-          // sort-merge join — hint it broadcast, same as semanticDedup's
-          // cell sizes. Past 2^16 buckets/band the bound stops being
-          // broadcast-safe, so the decision returns to the optimizer.
-          val sizes = if (rowsPerBand <= 16) broadcast(sizes0) else sizes0
-          val sub = withB.join(sizes, Seq("band", "bucket"))
-            .withColumn("sub",
-              ((col("vec_id") % P) * 1103515245L + 12345L) % P %
-                ceil(col("bkt_n").cast("double") / cap).cast("long"))
-            .drop("bkt_n")
-          (sub, Seq("band", "bucket", "sub"))
-      }
-      val bandedCands = keyed
-        .select(col("vec_id").as("id_a") +: joinKeys.map(col): _*)
-        .join(keyed.select(col("vec_id").as("id_b") +: joinKeys.map(col): _*),
-          joinKeys)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
+      val bandedCands =
+        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize, directed = false)
       // exact-dup star floor under the cap: group on two independent
       // 64-bit hashes of the quantized vector (24-byte shuffle keys,
       // vectors never move — the exactDedup device) and propose

@@ -159,6 +159,83 @@ object TextOps {
           .otherwise(0L).cast("long").as("top_bigram_ratio_e3"))
   }
 
+  /** Self-trained bigram-LM perplexity screen — the CCNet-shaped
+    * quality signal (Wenzek et al. 2020 score documents by LM
+    * perplexity; the reference pipeline has no LM at all, so this is
+    * engine-added surface like the rest of the curation family). A
+    * maximum-likelihood bigram model is trained ON the corpus itself
+    * in the same job — no external model artifact — and every document
+    * is scored by its negative log-likelihood under that model:
+    * gibberish, shuffled text, and OCR noise sit far from the corpus
+    * bigram distribution and score high; natural prose scores low.
+    *
+    * Integer-exactness contract: the per-instance cost is
+    * `ilog2(c(w1·)) − ilog2(c(w1,w2))` whole bits, where
+    * `ilog2(n) = floor(log2 n)` is computed as `length(bin(n)) − 1` —
+    * pure integer arithmetic both here and in the DuckDB oracle (no
+    * transcendentals, per the repo exactness rules). `c(w1,w2)` is the
+    * corpus count of the bigram and `c(w1·)` the corpus count of `w1`
+    * in bigram-PREFIX position (the proper conditional-MLE
+    * denominator, and it makes every count derivable from one
+    * instances frame). The doc's bigrams are part of the training
+    * counts, so `c(w1,w2) ≥ 1` always — self-training is its own
+    * smoothing; no OOV branch.
+    *
+    * Output: `(doc_id, n_bigrams, bits_total, bits_per_bigram_e3,
+    * keep)`; `keep` = has bigrams AND mean bits ≤ `maxBitsE3/1000`
+    * (low perplexity = natural text, the CCNet "head/middle" keep
+    * rule). Docs with < 2 tokens score 0 with `keep = false` (no
+    * signal ⇒ drop, matching CCNet).
+    *
+    * 100 TB shape: documents are reduced to (w1_hash, bigram_hash)
+    * longs by the fused native shingle kernel in one scan — token
+    * text never shuffles. The three aggregations reuse the cached
+    * instances frame; the count tables are vocabulary-sized (≪ corpus)
+    * and join back on 8-byte keys, partial-aggregated map-side. At
+    * test scale AQE broadcasts them; at 10⁹-bigram vocab the shuffle
+    * join on hashed keys is exactly the right plan, so the optimizer's
+    * choice is correct at both ends.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBitsE3: Long = 10000,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    import graft.functions.NativeOps.shingleHashes
+    // one row per bigram INSTANCE: (doc, prefix-token hash, bigram hash)
+    val inst = docs.select(
+        col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), 1, hash.portable).as("h1"),
+        posexplode(shingleHashes(col(textCol), 2, hash.portable)))
+      .select(
+        col("doc_id"),
+        element_at(col("h1"), col("pos") + 1).as("w1h"),
+        col("col").as("bh"))
+      .cache()
+    val ic = inst.groupBy(col("doc_id"), col("w1h"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+    val uni = inst.groupBy(col("w1h")).agg(count(lit(1)).as("cu"))
+      .select(col("w1h"), (length(bin(col("cu"))) - 1).cast("long").as("lu"))
+    val big = inst.groupBy(col("bh")).agg(count(lit(1)).as("cb"))
+      .select(col("bh"), (length(bin(col("cb"))) - 1).cast("long").as("lb"))
+    val perDoc = ic.join(big, Seq("bh")).join(uni, Seq("w1h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * (col("lu") - col("lb"))).as("bits_total"))
+    val mean = floor(col("bits_total") * 1000 / col("n_bigrams"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("bits_total"), lit(0L)).cast("long").as("bits_total"),
+        when(col("n_bigrams").isNotNull && col("n_bigrams") > 0, mean)
+          .otherwise(0L).cast("long").as("bits_per_bigram_e3"),
+        (col("n_bigrams").isNotNull && col("n_bigrams") > 0 &&
+          mean <= maxBitsE3).as("keep"))
+  }
+
   /** Whole-document rolling-hash fingerprint. `hash` defaults to the
     * xxhash64 fast path; pass [[Hashing.portableHash]] for
     * engine-portable values.

@@ -79,6 +79,25 @@ class EmptyInputSpec extends SparkSpec {
     // over zero rows is null -> no warning, no crash)
     assert(Dedup.simhashPairs(
       Seq.empty[(Long, Long)].toDF("doc_id", "simhash")).count() === 0)
+    // knnGraph: empty corpus, single vector (no candidate pairs), and
+    // an all-zero-norm corpus (every vector excluded) all yield empty
+    assert(Similarity.knnGraph(emptyEmb, k = 3).count() === 0)
+    assert(Similarity.knnGraph(one, k = 3).count() === 0)
+    assert(Similarity.knnGraph(
+      Seq(1L -> Array(0.0f, 0.0f), 2L -> Array(0.0f, 0.0f))
+        .toDF("vec_id", "embedding"), k = 3).count() === 0)
+    // nnDescentRefine: an empty seed graph stays empty through the
+    // descent round (und/hop/cand2 all empty)
+    assert(Similarity.nnDescentRefine(emptyEmb, k = 3).count() === 0)
+    assert(Similarity.nnDescentRefine(one, k = 3, rounds = 2).count() === 0)
+    // bigramLmScore: empty corpus -> empty; sub-bigram docs score 0s
+    // with keep = false (left join + coalesce path)
+    assert(TextOps.bigramLmScore(emptyDocs).count() === 0)
+    assert(rowSet(TextOps.bigramLmScore(
+      Seq(1L -> "solo", 2L -> "", 3L -> "   ").toDF("doc_id", "text"))) === Set(
+      Seq(1L, 0L, 0L, 0L, false),
+      Seq(2L, 0L, 0L, 0L, false),
+      Seq(3L, 0L, 0L, 0L, false)))
   }
 
   test("round-3 operators on empty and degenerate inputs") {

@@ -427,4 +427,49 @@ class PlanQualitySpec extends SparkSpec {
     val unionIdx = plan.indexOf("Union")
     assert(unionIdx >= 0, s"expected union of miss + verified branches:\n$plan")
   }
+
+  test("knnGraph: partial top-k per source; no exchange partitions on vectors") {
+    val out = Similarity.knnGraph(Tables.embeddings(spark, sfDir), k = 5)
+    val plan = formatted(out)
+    // row_number <= k must compile to the partial + final WindowGroupLimit
+    // (each shuffle partition keeps only its local top-k per source)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+    // every hash exchange keys on ids / band keys — never the quantized
+    // vector or the raw embedding (the 100 TB contract: vectors attach
+    // to the distinct candidate edges, they don't ride the shuffles)
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"an exchange partitions on the vector payload: $parts")
+  }
+
+  test("nnDescentRefine: descent-round exchanges carry ids only, never vectors") {
+    val out = Similarity.nnDescentRefine(Tables.embeddings(spark, sfDir), k = 5)
+    val plan = formatted(out)
+    // the same 100 TB contract as knnGraph, now across the descent
+    // round's union/distinct/hop-join: every hash exchange keys on
+    // ids / band keys; vectors only attach in the final re-rank joins
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"an exchange partitions on the vector payload: $parts")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit in the re-rank:\n$plan")
+  }
+
+  test("bigramLmScore: every shuffle keys on doc_id/hashes, never text") {
+    val out = graft.operators.TextOps.bigramLmScore(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("text#") && !p.contains("h1#")),
+      s"a shuffle carries token text or the token-hash array: $parts")
+    // count-table joins partial-aggregate map-side before their exchange
+    assert("partial_count".r.findAllIn(plan).nonEmpty ||
+      plan.contains("Partial"), s"expected map-side partial aggregation:\n$plan")
+  }
 }

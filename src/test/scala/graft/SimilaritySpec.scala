@@ -347,4 +347,106 @@ class SimilaritySpec extends SparkSpec {
     // neighbor ranking for query 0: vec 1 (near) above vec 2 (orthogonal)
     assert(dot(q(0L), q(1L)) > dot(q(0L), q(2L)))
   }
+
+  test("knnGraph exact: full ranking per vector, zero-norm excluded both ways") {
+    val embz = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(embz, k = 2, blocked = false)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // zero-norm vec 3 appears neither as source nor as neighbor
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+    // every surviving vector gets exactly k = 2 neighbors
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map(0L -> 2, 1L -> 2, 2L -> 2))
+    // vec 0: nearest is 1 (cos ≈ .994), then 2 (cos 0); dot_q exact
+    val v0 = out.filter(_._1 == 0L).sortBy(_._4)
+    assert(v0.map(_._2) === Seq(1L, 2L))
+    assert(v0.head._3 === 1000000L * 900000L)
+  }
+
+  test("blocked knnGraph: each list is the exact ranking restricted to banded candidates") {
+    // the directed-LSH scale path may MISS neighbors (banding recall)
+    // but must never invent or reorder them: per source, the blocked
+    // list must be a prefix-ordered subsequence of the exact ranking
+    // with identical dot_q, and an identical-vector duplicate (which
+    // always shares every bucket) must sit at rank 1
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val emb = base.unionByName(
+      base.filter(col("vec_id") === 0).select(lit(100000L).as("vec_id"), col("embedding")))
+    val exact = Similarity.knnGraph(emb, k = Int.MaxValue, blocked = false)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    val blocked = Similarity.knnGraph(emb, k = 5, blocked = true)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(blocked.nonEmpty)
+    blocked.foreach { case (src, lst) =>
+      val ex = exact(src)
+      // subsequence check: the blocked list appears in exact order
+      val it = ex.iterator
+      assert(lst.forall(p => it.contains(p)),
+        s"source $src: blocked list $lst is not an ordered sub-list of the exact ranking")
+    }
+    // identical duplicate pair: each is the other's rank-1 neighbor
+    assert(blocked(100000L).head._1 === 0L)
+    assert(blocked(0L).head._1 === 100000L)
+  }
+
+  test("nnDescentRefine: rank-wise cosine never degrades, recall only grows") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] = {
+      val nq = Similarity.normQ(Similarity.quantize(col("embedding")))
+      val norms = emb.select(col("vec_id"), nq.as("n"))
+        .as[(Long, Long)].collect().toMap
+      df.as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r =>
+          (r._2, r._3.toDouble / math.sqrt(norms(r._1).toDouble * norms(r._2).toDouble))).toSeq)
+        .toMap
+    }
+    val seed = lists(Similarity.knnGraph(emb, k = 5))
+    val ref1 = lists(Similarity.nnDescentRefine(emb, k = 5, rounds = 1))
+    val ref2 = lists(Similarity.nnDescentRefine(emb, k = 5, rounds = 2))
+    val exact = lists(Similarity.knnGraph(emb, k = 5, blocked = false))
+    // monotone law at every rank position: candidate supersets + exact
+    // re-rank mean a round can only improve a list (seed ⊑ r1 ⊑ r2)
+    def dominates(hi: Map[Long, Seq[(Long, Double)]],
+        lo: Map[Long, Seq[(Long, Double)]]): Unit =
+      lo.foreach { case (src, ls) =>
+        val hs = hi(src)
+        assert(hs.size >= ls.size, s"source $src lost neighbors")
+        ls.indices.foreach(i => assert(hs(i)._2 >= ls(i)._2 - 1e-12,
+          s"source $src rank ${i + 1}: ${hs(i)} < ${ls(i)}"))
+      }
+    dominates(ref1, seed)
+    dominates(ref2, ref1)
+    dominates(exact, ref2)
+    // descent genuinely recovers recall the banding seed lost: strictly
+    // more (source, neighbor) hits of the exact top-5 than the seed
+    def hits(m: Map[Long, Seq[(Long, Double)]]): Int =
+      m.map { case (src, ls) =>
+        ls.map(_._1).toSet.intersect(exact(src).map(_._1).toSet).size
+      }.sum
+    assert(hits(ref1) > hits(seed),
+      s"descent did not improve recall: seed ${hits(seed)}, round1 ${hits(ref1)}")
+    assert(hits(ref2) >= hits(ref1))
+  }
+
+  test("nnDescentRefine on a complete seed is a fixpoint of the exact ranking") {
+    // when the seed already ranks every candidate (blocked = false),
+    // descent cannot find anything new: output ≡ exact knnGraph
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val exact = Similarity.knnGraph(emb, k = 2, blocked = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val refined = Similarity.nnDescentRefine(emb, k = 2, rounds = 2, blocked = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(refined === exact)
+  }
 }

@@ -383,4 +383,37 @@ class TextOpsSpec extends SparkSpec {
     assert(perSeq.join(lastSeq, "shard")
       .filter(col("seq_id") < col("last") && col("s") =!= 8).count() === 0)
   }
+
+  test("bigramLmScore: hand-computed bits on a tiny corpus") {
+    // corpus: d1 = "a b a b", d2 = "a b x", d3 = "z" (no bigrams)
+    // prefix counts: c(a·)=3, c(b·)=2; bigram counts: ab=3, ba=1, bx=1
+    // ilog2: a→1, b→1, ab→1, ba→0, bx→0
+    // d1 instances ab,ba,ab → bits 0+1+0 = 1 over 3 → mean 333
+    // d2 instances ab,bx   → bits 0+1   = 1 over 2 → mean 500
+    val docs = Seq(1L -> "a b a b", 2L -> "a b x", 3L -> "z")
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((3L, 1L, 333L, true)))
+    assert(out(2L) === ((2L, 1L, 500L, true)))
+    assert(out(3L) === ((0L, 0L, 0L, false)))
+    // keep threshold binds: 400 mbits keeps d1 (333) and drops d2 (500)
+    val tight = TextOps.bigramLmScore(docs, maxBitsE3 = 400)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(tight === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("bigramLmScore: hash tier does not change scores (counts are hash-blind)") {
+    // scores depend only on the count STRUCTURE of the corpus, so the
+    // xxhash64 fast tier and the portable tier must agree row-for-row
+    // (absent collisions, which neither tier has on this corpus)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = TextOps.bigramLmScore(docs, hash = graft.functions.Hashing.Fast)
+    val portable = TextOps.bigramLmScore(docs, hash = graft.functions.Hashing.Portable)
+    assert(fast.count() === 500)
+    assert(fast.exceptAll(portable).count() === 0)
+    assert(portable.exceptAll(fast).count() === 0)
+  }
 }
