@@ -86,7 +86,14 @@ object ScaleSmoke {
     * `sim_dedup_clusters` / `sim_semantic_dedup_capped` are the
     * consuming chains, and `sim_ivf_kmeans` covers the k-means/IVF
     * generator (per-round collect is k·dim-bounded — the claim its
-    * 10x point checks).
+    * 10x point checks). `sim_knn_graph` / `sim_nn_descent` ride the
+    * same banded candidate generator but add the per-source top-k
+    * window and the descent round's k²-fanout hop join — their 10x
+    * points check that the WindowGroupLimit partial top-k and the
+    * id-only hop self-join stay output-bounded. `t_bigram_lm` is the
+    * round's text addition: a corpus-sized cached instances frame
+    * feeding three aggregations — the 10x point checks the cache +
+    * vocabulary-keyed join-back shape.
     */
   private val Chains = Seq(
     "pipe_curation", "pipe_curation_full", "pipe_leakage_split",
@@ -94,7 +101,8 @@ object ScaleSmoke {
     "g_pagerank", "g_kcore_fixpoint",
     "sim_near_dup_blocked", "sim_near_dup_capped",
     "sim_dedup_clusters", "sim_semantic_dedup_capped",
-    "sim_ivf_kmeans")
+    "sim_ivf_kmeans",
+    "sim_knn_graph", "sim_nn_descent", "t_bigram_lm")
 
   private val DocIdStride = 100000000L // replica doc_id shift
   private val KeyStride = 10000000L    // replica graph-key shift
