@@ -695,6 +695,13 @@ object SparkEntry {
     // re-rank; recovers recall the banding seed loses at O(n·k²)
     "sim_nn_descent" -> ((s, dir) =>
       Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1)),
+    // product quantization: per-subspace integer-L2 codes (the
+    // persistable PQ index) and ADC top-k scored through codes only —
+    // closed-form stand-in codebooks (iters=0), so both are SQL-exact
+    "sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir))),
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
     // occupancy-guarded blocked near-dup: buckets above maxBucketSize
     // sub-split by a portable vec_id hash (bounds every candidate
@@ -1171,6 +1178,37 @@ object SparkEntry {
        |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
        |         AS BIGINT) AS "rank"
        |  FROM pairs)""".stripMargin
+
+  /** Product-quantization CTE chain shared by the `sim_pq_codes` and
+    * `sim_pq_topk` oracles: 4 subspaces × 16-entry stand-in codebooks
+    * (subvectors of `vec_id < 16`, codes 0..15 in vec_id order), codes
+    * via integer-L2 argmin (`‖c‖² − 2·sub·c`, the row norm constant
+    * under the argmin), ties to the lowest code — `codes(vec_id, j,
+    * cid)`. All-BIGINT, mirroring [[Similarity.bestCodeExpr]].
+    */
+  private val PQ_CODES =
+    s"""$QNORM,
+       |sub AS (
+       |  SELECT vec_id, j,
+       |         list_slice(q, j*(len(q)//4) + 1, (j+1)*(len(q)//4)) AS sq
+       |  FROM qn CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+       |cb AS (
+       |  SELECT j,
+       |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+       |              AS BIGINT) AS cid,
+       |         sq AS cq,
+       |         CAST(list_sum(list_transform(sq, x -> x*x)) AS BIGINT) AS cnq
+       |  FROM sub WHERE vec_id < 16),
+       |scores AS (
+       |  SELECT s.vec_id, s.j, c.cid,
+       |         c.cnq - 2*${dotSql("s.sq", "c.cq")} AS score
+       |  FROM sub s JOIN cb c USING (j)),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY score ASC, cid ASC) AS rn
+       |    FROM scores) WHERE rn = 1)""".stripMargin
 
   /** Jaccard verification tail shared by the two near-dup oracles:
     * exact |∩|/|∪| over shingle sets for candidate pairs in `cands`.
@@ -2159,6 +2197,44 @@ object SparkEntry {
          |  FROM pairs2)
          |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
          |FROM ranked2 WHERE "rank" <= 5""".stripMargin,
+
+    // PQ index: one row per (vector, subspace) with the integer-L2
+    // nearest codebook entry
+    "sim_pq_codes" ->
+      s"""WITH $PQ_CODES
+         |SELECT vec_id, CAST(j AS BIGINT) AS subspace, cid AS code
+         |FROM codes""".stripMargin,
+
+    // PQ/ADC top-k: corpus scored through codes only — per subspace
+    // the query-slice-to-centroid squared distance, summed, plus the
+    // query's own norm = exact ‖q − recon(x)‖², ranked ascending
+    "sim_pq_topk" ->
+      s"""WITH $PQ_CODES,
+         |qd AS (SELECT vec_id AS query_id, q, nq FROM qn WHERE vec_id < 8),
+         |qsub AS (
+         |  SELECT query_id, j,
+         |         list_slice(q, j*(len(q)//4) + 1, (j+1)*(len(q)//4)) AS sq
+         |  FROM qd CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |parts AS (
+         |  SELECT qs.query_id, co.vec_id AS neighbor_id,
+         |         CAST(sum(c.cnq - 2*${dotSql("qs.sq", "c.cq")}) AS BIGINT) AS part
+         |  FROM codes co
+         |  JOIN cb c ON c.j = co.j AND c.cid = co.cid
+         |  JOIN qsub qs ON qs.j = co.j
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |         CAST(qd.nq + p.part AS BIGINT) AS adist_q
+         |  FROM parts p JOIN qd ON qd.query_id = p.query_id
+         |  WHERE p.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     // capped variant: per-(band,bucket) occupancy sizes drive the same
     // portable sub-split hash as sim_semantic_dedup_capped; the exact

@@ -229,6 +229,191 @@ object Similarity {
     centsDf(cents)
   }
 
+  /** Nearest-codebook-entry id for ONE product-quantization subspace,
+    * as a narrow codegen projection (the [[bestCellExpr]] device on the
+    * L2 objective): `argmin_c ‖sub − c‖²` = `argmin_c (‖c‖² − 2·sub·c)`
+    * — the row's own norm is constant under the argmin, so the score
+    * stays a pure BIGINT (no doubles anywhere). Fold over a literal
+    * `(cid, cq, cnq)` array ascending in cid; strict `<` keeps the
+    * lowest cid on ties — identical to `row_number` over
+    * `(score ASC, cid ASC)`.
+    */
+  private def bestCodeExpr(cents: Seq[(Long, Seq[Long], Long)], sub: Column): Column = {
+    val arr = typedLit(cents)
+    aggregate(
+      arr,
+      struct(lit(-1L).as("cid"), lit(Long.MaxValue).as("s")),
+      (acc, c) => {
+        val dot = aggregate(
+          zip_with(sub, c.getField("_2"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+        val s = c.getField("_3") - lit(2L) * dot
+        when(s < acc.getField("s"),
+          struct(c.getField("_1").as("cid"), s.as("s"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Product-quantization codebooks: `m` independent codebooks of
+    * `ksub` entries each, one per 1/m-th slice of the vector.
+    * `iters = 0` is the closed-form stand-in (the `vec_id < ksub`
+    * rows' subvectors, codes 0..ksub−1 in vec_id order — SQL-oracle
+    * replicable, the [[ivfTopK]] convention); `iters > 0` trains each
+    * subspace with deterministic L2 Lloyd rounds (hash-seeded init,
+    * literal-argmin assignment, integer-mean update — the
+    * [[kmeansCentroidsQ]] structure per subspace; empty cells keep
+    * their previous entry). Returns per subspace the cid-ascending
+    * `(cid, cq, cnq)` literal set; entries are ksub·(dim/m) longs —
+    * driver-bounded regardless of corpus size.
+    */
+  private[graft] def pqCodebooksQ(
+      corpus: DataFrame, m: Int, ksub: Int, iters: Int): Seq[Seq[(Long, Seq[Long], Long)]] = {
+    val subLen = (j: Int, dim: Int) => dim / m
+    if (iters == 0) {
+      val rows = corpus.filter(col("vec_id") < ksub)
+        .select(col("vec_id"), col("q"))
+        .orderBy(col("vec_id").asc)
+        .collect().map(r => r.getSeq[Long](1))
+      (0 until m).map { j =>
+        rows.zipWithIndex.map { case (q, i) =>
+          val d = q.length / m
+          val sub = q.slice(j * d, j * d + d)
+          (i.toLong, sub, sub.map(x => x * x).sum)
+        }.toSeq
+      }
+    } else {
+      (0 until m).map { j =>
+        // per-subspace corpus: one narrow slice projection
+        val subCorpus = corpus.select(
+          col("vec_id"),
+          expr(s"slice(q, ${j} * (size(q) div $m) + 1, size(q) div $m)").as("sq"))
+        var cents: Array[(Long, Seq[Long])] = subCorpus
+          .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+          .limit(ksub)
+          .collect().zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
+        for (_ <- 0 until iters if cents.nonEmpty) {
+          val lit3 = cents.sortBy(_._1)
+            .map { case (cid, q) => (cid, q, q.map(x => x * x).sum) }.toSeq
+          val sums = subCorpus
+            .withColumn("cid", bestCodeExpr(lit3, col("sq")))
+            .select(col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
+            .groupBy(col("cid"), col("pos"))
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .groupBy(col("cid"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"),
+                floor(col("sv") / col("n")).cast("long").as("mv")))),
+              s => s("mv")).as("cq"))
+          val next = sums.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+          cents = cents.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
+        }
+        cents.sortBy(_._1)
+          .map { case (cid, q) => (cid, q, q.map(x => x * x).sum) }.toSeq
+      }
+    }
+  }
+
+  /** Product-quantization encoding: each vector reduced to `m` codes,
+    * code `j` = nearest entry of codebook `j` to the vector's j-th
+    * slice under exact integer L2 ([[bestCodeExpr]]). Output one row
+    * per `(vec_id, subspace, code)` — the persistable PQ index, dim·4
+    * bytes/vector down to m codes/vector. Unlike the cosine family,
+    * zero-norm vectors are VALID here (L2 needs no normalization) —
+    * they encode to whatever entry is nearest the origin.
+    *
+    * Scale shape: encoding is one narrow literal-argmin projection per
+    * subspace in a single corpus pass — no join, no shuffle, no ×ksub
+    * row blowup; the codebooks ride along as expression literals
+    * (ksub·dim longs, driver-bounded).
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int = 4,
+      ksub: Int = 16,
+      iters: Int = 0): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val corpus = withQuant(embeddings)
+    val cbs = pqCodebooksQ(corpus, m, ksub, iters)
+    if (cbs.exists(_.isEmpty))
+      return corpus.limit(0).select(
+        col("vec_id"), col("nq").as("subspace"), col("nq").as("code"))
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map { j =>
+        val sub = expr(s"slice(q, $j * (size(q) div $m) + 1, size(q) div $m)")
+        bestCodeExpr(cbs(j), sub).as(s"c$j")
+      }: _*)
+    coded.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(j => col(s"c$j")): _*)))
+      .select(
+        col("vec_id"), col("pos").cast("long").as("subspace"),
+        col("col").as("code"))
+  }
+
+  /** PQ/ADC approximate top-k (asymmetric distance computation —
+    * Jégou et al. 2011, the IVF-PQ memory half): the corpus is scored
+    * against a query through its `m` codes only — per subspace, the
+    * exact integer squared distance from the query's slice to the
+    * corpus row's CODEBOOK ENTRY, summed across subspaces:
+    * `adist(q, x) = ‖q‖² + Σ_j (‖c_{j,code_j(x)}‖² − 2·q_j·c_{j,code_j(x)})`
+    * — exactly `‖q − recon(x)‖²` for the reconstruction from x's
+    * codes (spec-pinned). All-BIGINT end to end; ranking ascending
+    * distance, ties by neighbor id; self excluded. Output
+    * `(query_id, neighbor_id, adist_q, rank)`.
+    *
+    * `iters` picks the codebook tier ([[pqCodebooksQ]]): 0 =
+    * closed-form stand-in (SQL-oracle replicable), > 0 = trained
+    * (spec-gated, like [[ivfTopK]]'s k-means tier).
+    *
+    * Scale shape — why PQ matters at 100 TB: after the one-pass
+    * encode (narrow projection, no shuffle), scoring touches only the
+    * m codes per corpus row plus broadcast literals; the full vectors
+    * never re-enter the plan past the scan, so the scored stream the
+    * per-query partial top-k (WindowGroupLimit) consumes is
+    * codes-sized, not vector-sized — the 64× payload compression is
+    * what lets a corpus-wide ANN sweep run from what amounts to an
+    * in-memory index.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      m: Int = 4,
+      ksub: Int = 16,
+      k: Int = 5,
+      iters: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = withQuant(embeddings)
+    val cbs = pqCodebooksQ(corpus, m, ksub, iters)
+    if (cbs.exists(_.isEmpty))
+      return corpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("adist_q"), col("nq").as("rank"))
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map { j =>
+        val sub = expr(s"slice(q, $j * (size(q) div $m) + 1, size(q) div $m)")
+        bestCodeExpr(cbs(j), sub).as(s"c$j")
+      }: _*)
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val adcPart = (0 until m).map { j =>
+      val entry = element_at(typedLit(cbs(j)), (col(s"c$j") + 1).cast("int"))
+      val qSub = expr(s"slice(qq, $j * (size(qq) div $m) + 1, size(qq) div $m)")
+      entry.getField("_3") - lit(2L) * dotQ(qSub, entry.getField("_2"))
+    }.reduce(_ + _)
+    val scored = coded.join(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qn") + adcPart).as("adist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the coarse-
     * quantizer scale path: assign every corpus vector to its nearest of
     * `nCentroids` centroid cells; queries probe only their `nProbe`

@@ -90,6 +90,13 @@ class EmptyInputSpec extends SparkSpec {
     // descent round (und/hop/cand2 all empty)
     assert(Similarity.nnDescentRefine(emptyEmb, k = 3).count() === 0)
     assert(Similarity.nnDescentRefine(one, k = 3, rounds = 2).count() === 0)
+    // PQ: empty corpus -> empty codebooks -> empty outputs (guarded
+    // before the element_at lookup, which would throw on code -1);
+    // a single-vector corpus encodes but has no non-self neighbors
+    assert(Similarity.pqEncode(emptyEmb).count() === 0)
+    assert(Similarity.pqTopK(emptyEmb, col("vec_id") >= 0).count() === 0)
+    assert(Similarity.pqEncode(one).count() === 4)
+    assert(Similarity.pqTopK(one, col("vec_id") >= 0).count() === 0)
     // bigramLmScore: empty corpus -> empty; sub-bigram docs score 0s
     // with keep = false (left join + coalesce path)
     assert(TextOps.bigramLmScore(emptyDocs).count() === 0)

@@ -460,6 +460,25 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit in the re-rank:\n$plan")
   }
 
+  test("pqTopK: vectors stay in the scan; scoring stream is codes-sized") {
+    val out = Similarity.pqTopK(Tables.embeddings(spark, sfDir), col("vec_id") < 8)
+    val plan = formatted(out)
+    // queries broadcast — the corpus must not shuffle into a sort-merge
+    // join against an 8-row frame
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join of the query frame:\n$plan")
+    // the only hash exchange is the per-query top-k window on the
+    // (query_id, neighbor_id, adist) stream — never the vector payload
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected the window exchange:\n$plan")
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"an exchange partitions on the vector payload: $parts")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
   test("bigramLmScore: every shuffle keys on doc_id/hashes, never text") {
     val out = graft.operators.TextOps.bigramLmScore(Tables.documents(spark, sfDir))
     val plan = formatted(out)

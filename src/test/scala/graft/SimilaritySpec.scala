@@ -435,6 +435,60 @@ class SimilaritySpec extends SparkSpec {
     assert(hits(ref2) >= hits(ref1))
   }
 
+  test("pqTopK: adist is exactly the squared distance to the code reconstruction") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = 4
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, v) => id -> quant(v) }.toMap
+    // stand-in codebooks, re-derived independently of the operator
+    val cb: Map[(Int, Long), Array[Long]] = {
+      val base = vecs.filter(_._1 < 16).toSeq.sortBy(_._1).map(_._2)
+      val d = base.head.length / m
+      (for (j <- 0 until m; (q, i) <- base.zipWithIndex)
+        yield (j, i.toLong) -> q.slice(j * d, j * d + d)).toMap
+    }
+    val codes = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // every code is the true integer-L2 argmin of its slice
+    val d = vecs.head._2.length / m
+    codes.foreach { case (id, cs) =>
+      (0 until m).foreach { j =>
+        val sub = vecs(id).slice(j * d, j * d + d)
+        def dist(c: Array[Long]): Long =
+          c.zip(sub).map { case (x, y) => (x - y) * (x - y) }.sum
+        val best = (0L until 16L).minBy(c => (dist(cb(j -> c)), c))
+        assert(cs(j) === best, s"vec $id subspace $j")
+      }
+    }
+    // adist(q, x) == ‖q − recon(x)‖² with recon = concat of x's centroids
+    val out = Similarity.pqTopK(emb, col("vec_id") < 8, k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (qid, nid, adist, _) =>
+      val recon = (0 until m).flatMap(j => cb(j -> codes(nid)(j))).toArray
+      val expect = vecs(qid).zip(recon).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(adist === expect, s"query $qid neighbor $nid")
+    }
+  }
+
+  test("pqTopK trained codebooks: deterministic and full-k per query") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.pqTopK(emb, col("vec_id") < 4, k = 3, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Similarity.pqTopK(emb, col("vec_id") < 4, k = 3, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+    // trained codes stay in range
+    val codes = Similarity.pqEncode(emb, iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 16))
+  }
+
   test("nnDescentRefine on a complete seed is a fixpoint of the exact ranking") {
     // when the seed already ranks every candidate (blocked = false),
     // descent cannot find anything new: output ≡ exact knnGraph
