@@ -236,6 +236,107 @@ object TextOps {
           mean <= maxBitsE3).as("keep"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-bigram features are
+    * under the TARGET slice's feature distribution than under the raw
+    * corpus's. The published method fits two bag-of-hashed-ngrams
+    * unigram models and weights by the log-likelihood ratio; this
+    * operator is that estimator with the repo's integer-exactness
+    * contract: all logs are `ilog2(n) = floor(log2 n) =
+    * length(bin(n)) − 1` whole bits (same convention as
+    * [[bigramLmScore]]), add-one smoothing on bucket counts, so the
+    * weight is
+    *
+    * {{{
+    * weight_bits = Σ_f [ilog2(c_t(b_f)+1) − ilog2(c_r(b_f)+1)]
+    *               − n_feats·[ilog2(N_t+B) − ilog2(N_r+B)]
+    * }}}
+    *
+    * where `c_t/c_r` are target/raw instance counts of the feature's
+    * bucket, `N_t/N_r` the total instance counts and `B = buckets`
+    * (the Laplace normalizers of the two models). Positive ⇒ the doc
+    * looks more target-like than the corpus at large.
+    *
+    * The reference pipeline has no data-selection stage at all
+    * (`cmd/etl/etl.go` ships every fetched doc); this is engine-added
+    * curation surface alongside the quality / LM screens.
+    *
+    * 100 TB shape: one scan reduces text to `(doc_id, bucket)` longs
+    * via the fused native shingle kernel — token text never shuffles.
+    * Both count tables are at most `B` rows (B ≪ corpus, broadcast by
+    * AQE), the normalizer frame is ONE row cross-joined broadcast, and
+    * the per-doc aggregation shuffles only 8-byte keys — the same plan
+    * shape as [[bigramLmScore]], which the sf1 smoke already covers.
+    *
+    * Output: `(doc_id, is_target, n_feats, weight_bits)`; docs with
+    * no bigrams weight 0 (no evidence either way).
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 4096,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be positive, got $buckets")
+    import graft.functions.NativeOps.shingleHashes
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    // one row per bigram instance, reduced to its feature bucket
+    val inst = docs.select(
+        col(idCol).as("doc_id"),
+        isTarget.as("is_t"),
+        explode(shingleHashes(col(textCol), 2, hash.portable)).as("sh"))
+      .select(col("doc_id"), col("is_t"), pmod(col("sh"), lit(buckets.toLong)).as("b"))
+      .cache()
+    val raw = inst.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = inst.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // Laplace normalizers of the two models — one broadcast row
+    val norms = inst.agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      .select((ilog2(col("nt") + buckets) - ilog2(col("nr") + buckets)).as("norm_bits"))
+    val perDoc = inst
+      .join(raw, Seq("b"))
+      .join(tgt, Seq("b"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(ilog2(coalesce(col("ct"), lit(0L)) + 1) - ilog2(col("cr") + 1)).as("s_bits"))
+    docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(norms))
+      .select(
+        col("doc_id"),
+        col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).cast("long").as("n_feats"),
+        coalesce(col("s_bits") - col("n_feats") * col("norm_bits"), lit(0L))
+          .cast("long").as("weight_bits"))
+  }
+
+  /** Deterministic importance SELECTION over [[dsirWeights]] — the
+    * τ→0 limit of DSIR's Gumbel-top-k resampling: take the `k`
+    * highest-weight documents, ties broken by `doc_id` so the output
+    * is a total order. (For a spread-out stochastic sample at equal
+    * weights, compose weights with [[weightedSample]]'s A-ES instead —
+    * this entry point is the "give me the k most target-like docs"
+    * budget cut a curation DAG actually runs.)
+    *
+    * 100 TB shape: global top-k over per-doc longs —
+    * `TakeOrderedAndProject`, per-partition heaps, no full sort.
+    */
+  def dsirSample(
+      docs: DataFrame,
+      isTarget: Column,
+      k: Int,
+      buckets: Int = 4096,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame =
+    dsirWeights(docs, isTarget, buckets, textCol, idCol, hash)
+      .orderBy(col("weight_bits").desc, col("doc_id").asc)
+      .limit(k)
+
   /** Whole-document rolling-hash fingerprint. `hash` defaults to the
     * xxhash64 fast path; pass [[Hashing.portableHash]] for
     * engine-portable values.
