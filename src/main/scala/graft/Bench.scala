@@ -71,9 +71,20 @@ object Bench {
     // (1) appends its RAW result under bench_runs/ and (2) writes the
     // headline artifact as the per-query MIN across all runs found
     // there — steady-state cost, the same best-of rule already applied
-    // within a run's trials. bench_runs/ must hold same-code runs only:
-    // it is cleared whenever a perf-affecting change lands (documented
-    // in the round's PERF notes), so the min never mixes code versions.
+    // within a run's trials. Two staleness guards (round-9 lesson — the
+    // min resurrected 20 broken queries' timings from older runs):
+    //  - failure-honest: a query that failed in THIS run ships -1, no
+    //    matter what historical minima say. Current breakage always
+    //    outranks past health.
+    //  - fixture-fenced: each run records a fingerprint of the sf dir's
+    //    parquet files; only runs whose fingerprint matches the current
+    //    one join the merge. A driver-side fixture regeneration fences
+    //    off all prior timings automatically, no manual clear needed.
+    // bench_runs/ is additionally cleared whenever a perf-affecting
+    // CODE change lands (documented in the round's PERF notes), which
+    // the fingerprint cannot see.
+    val fpr = fixtureFingerprint(sfDir)
+    val fprLine = line.replaceFirst("\\{", s"""{"fixture":"$fpr",""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val runsDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "bench_runs"))
@@ -88,12 +99,12 @@ object Bench {
             .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
           .maxOption.getOrElse(0) + 1
         java.nio.file.Files.writeString(
-          runsDir.resolve(f"run_$next%03d.json"), line + "\n")
-        mergeRuns(runsDir, results.keys.toSeq, line)
+          runsDir.resolve(f"run_$next%03d.json"), fprLine + "\n")
+        mergeRuns(runsDir, results.toSeq, fpr, fprLine)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] best-of merge failed, shipping single run: $e")
-          line
+          fprLine
       }
     // stdout and the artifact carry the SAME (merged) line, so the
     // driver sees best-of regardless of which one it reads
@@ -106,28 +117,57 @@ object Bench {
   /** All *.json under `dir`, with the directory stream closed (Files
     * .list leaks an fd otherwise, per its own javadoc).
     */
-  private def listJsons(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+  private def listJsons(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    listPaths(dir).filter(_.toString.endsWith(".json"))
+
+  private def listPaths(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = java.nio.file.Files.list(dir)
-    try s.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
+    try s.iterator().asScala.toSeq
     finally s.close()
   }
 
-  /** Per-query min over every run file in `runsDir`, restricted to the
-    * queries of THIS run (a renamed/removed query must not resurrect
-    * from an old file). Failed (-1) readings never win the min unless
-    * every run failed. Emits the same one-line schema plus a `runs`
-    * count so consumers can tell a merged artifact from a single run.
+  /** Stable fingerprint of the sf dir's parquet fixtures: name, size,
+    * mtime of every *.parquet (and the files inside parquet dirs are
+    * covered by the dir mtime bump on rewrite). Regenerated fixtures
+    * change size and/or mtime, so stale timings fence themselves out
+    * of the merge.
+    */
+  private def fixtureFingerprint(sfDir: String): String =
+    try {
+      val dir = java.nio.file.Paths.get(sfDir)
+      val parts = listPaths(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString)
+        .map { p =>
+          val sz = try java.nio.file.Files.size(p) catch { case _: Throwable => -1L }
+          val mt = try java.nio.file.Files.getLastModifiedTime(p).toMillis
+                   catch { case _: Throwable => -1L }
+          s"${p.getFileName}:$sz:$mt"
+        }
+      f"${scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))}%08x"
+    } catch { case _: Throwable => "unknown" }
+
+  /** Per-query min over every same-fixture run file in `runsDir`,
+    * restricted to the queries of THIS run (a renamed/removed query
+    * must not resurrect from an old file). Failure-honest: a query
+    * that failed in the CURRENT run reports -1 regardless of
+    * historical minima; among merged runs, -1 readings never win the
+    * min unless every run failed. Emits the same one-line schema plus
+    * a `runs` count so consumers can tell a merged artifact from a
+    * single run.
     */
   private def mergeRuns(
-      runsDir: java.nio.file.Path, queries: Seq[String], fallback: String): String = {
+      runsDir: java.nio.file.Path, current: Seq[(String, Double)],
+      fpr: String, fallback: String): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val runs = listJsons(runsDir).sortBy(_.toString)
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
-    val best = queries.map { q =>
+      // a run with no fingerprint predates the fence — treat as stale
+      .filter(r => Option(r.get("fixture")).exists(_.asText() == fpr))
+    val best = current.map { case (q, now) =>
       val vals = runs.flatMap { r =>
         Option(r.get("queries")).flatMap(qs => Option(qs.get(q))).map(_.asDouble())
       }.filter(_ >= 0)
-      q -> (if (vals.isEmpty) -1.0 else vals.min)
+      q -> (if (now < 0 || vals.isEmpty) -1.0 else vals.min)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + r3(v) }

@@ -518,6 +518,15 @@ object SparkEntry {
     "t_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLmScore(Tables.documents(s, dir), maxBitsE3 = 4600,
         hash = Hashing.Portable)),
+    // DSIR importance weighting against a deterministic target slice
+    // (sources src0/src1 ≈ 10% of the corpus) — integer bits via the
+    // same ilog2 convention as t_bigram_lm, exact in both engines
+    "t_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(Tables.documents(s, dir),
+        col("source").isin("src0", "src1"), hash = Hashing.Portable)),
+    "t_dsir_sample" -> ((s, dir) =>
+      TextOps.dsirSample(Tables.documents(s, dir),
+        col("source").isin("src0", "src1"), 100, hash = Hashing.Portable)),
     "t_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
@@ -1071,6 +1080,41 @@ object SparkEntry {
 
   /** DuckDB twin of [[TextOps.tokens]]. */
   private val TOKS = """regexp_extract_all(text, '\S+')"""
+
+  /** DuckDB twin of [[TextOps.dsirWeights]] (buckets=4096, target =
+    * sources src0/src1): hashed-bigram bucket model, add-one
+    * smoothing, ilog2 bits via `length(bin(n)) - 1` — the same
+    * integer convention as `t_bigram_lm`. Split into the CTE chain
+    * and the final projection so `t_dsir_sample` can append its
+    * ORDER/LIMIT to the identical body.
+    */
+  private val DSIR_TGT = "(source IN ('src0', 'src1'))"
+  private lazy val DSIR_CTES =
+    s"""WITH t AS (SELECT doc_id, $DSIR_TGT AS is_t, $TOKS AS toks FROM documents),
+       |inst AS (
+       |  SELECT doc_id, is_t,
+       |         unnest(list_transform(range(1, len(toks)),
+       |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")} % 4096)) AS b
+       |  FROM t WHERE len(toks) >= 2),
+       |model AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+       |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM inst GROUP BY b),
+       |nrm AS (
+       |  SELECT CAST((length(bin(COALESCE(SUM(ct), 0) + 4096)) - 1)
+       |       - (length(bin(COALESCE(SUM(cr), 0) + 4096)) - 1) AS BIGINT) AS norm_bits
+       |  FROM model),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |         CAST(SUM((length(bin(ct + 1)) - 1)
+       |                - (length(bin(cr + 1)) - 1)) AS BIGINT) AS s_bits
+       |  FROM inst JOIN model USING (b)
+       |  GROUP BY doc_id)""".stripMargin
+  private lazy val DSIR_SELECT =
+    s"""SELECT d.doc_id, $DSIR_TGT AS is_target,
+       |       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+       |       CAST(COALESCE(s_bits - n_feats * norm_bits, 0) AS BIGINT) AS weight_bits
+       |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN nrm""".stripMargin
 
   /** DuckDB twin of [[Dedup.shingles]] (word n-grams, portable hash). */
   private def shinglesSql(n: Int): String =
@@ -1630,6 +1674,13 @@ object SparkEntry {
          |       (n_bigrams IS NOT NULL AND n_bigrams > 0
          |        AND floor(bits_total*1000/n_bigrams) <= 4600) AS keep
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "t_dsir_weights" -> s"$DSIR_CTES\n$DSIR_SELECT",
+
+    "t_dsir_sample" ->
+      s"""$DSIR_CTES
+         |SELECT * FROM ($DSIR_SELECT)
+         |ORDER BY weight_bits DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "d_contamination" ->
       s"""WITH $SHINGLES,

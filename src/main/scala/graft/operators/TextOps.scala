@@ -262,12 +262,23 @@ object TextOps {
     * (`cmd/etl/etl.go` ships every fetched doc); this is engine-added
     * curation surface alongside the quality / LM screens.
     *
-    * 100 TB shape: one scan reduces text to `(doc_id, bucket)` longs
-    * via the fused native shingle kernel — token text never shuffles.
-    * Both count tables are at most `B` rows (B ≪ corpus, broadcast by
-    * AQE), the normalizer frame is ONE row cross-joined broadcast, and
-    * the per-doc aggregation shuffles only 8-byte keys — the same plan
-    * shape as [[bigramLmScore]], which the sf1 smoke already covers.
+    * 100 TB shape: TWO scans, ZERO pinned state. Scan 1 reduces text
+    * to `(bucket, is_target)` via the fused native shingle kernel and
+    * aggregates the bucket model — at most `B` rows, collected to the
+    * driver (a bounded collect, same contract as the k-means
+    * centroid / PQ codebook collects; `B ≪ corpus` by construction).
+    * The Laplace normalizers fold out of that same model on the
+    * driver, so `norm_bits` is a plan literal. Scan 2 re-derives the
+    * instances and joins them against the broadcast model — per-doc
+    * aggregation shuffles only 8-byte keys; token text never
+    * shuffles. Caching the instance frame instead (one row per token
+    * occurrence — corpus-sized) would pin ~10¹³ rows at the target
+    * scale; one extra columnar scan is the cheaper side of that trade
+    * at every scale, and nothing survives the call.
+    *
+    * `isTarget` is null-coalesced to false once, so a null-evaluating
+    * row is a non-target row in the counts AND in the output
+    * `is_target` column (consistent, documented semantics).
     *
     * Output: `(doc_id, is_target, n_feats, weight_bits)`; docs with
     * no bigrams weight 0 (no evidence either way).
@@ -281,36 +292,45 @@ object TextOps {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     require(buckets > 0, s"dsirWeights: buckets must be positive, got $buckets")
     import graft.functions.NativeOps.shingleHashes
+    val isT = coalesce(isTarget, lit(false))
     def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    // one row per bigram instance, reduced to its feature bucket
-    val inst = docs.select(
+    // exact driver twin of the column ilog2: floor(log2 n), 0 at n=0
+    def ilog2L(n: Long): Long = if (n <= 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(n)
+    // one row per bigram instance, reduced to its feature bucket —
+    // derived twice (scan 1 + scan 2), cached never
+    def inst = docs.select(
         col(idCol).as("doc_id"),
-        isTarget.as("is_t"),
+        isT.as("is_t"),
         explode(shingleHashes(col(textCol), 2, hash.portable)).as("sh"))
       .select(col("doc_id"), col("is_t"), pmod(col("sh"), lit(buckets.toLong)).as("b"))
-      .cache()
-    val raw = inst.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = inst.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // Laplace normalizers of the two models — one broadcast row
-    val norms = inst.agg(
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
-        count(lit(1)).as("nr"))
-      .select((ilog2(col("nt") + buckets) - ilog2(col("nr") + buckets)).as("norm_bits"))
+    // scan 1: the bucket model, ≤ B rows (bounded driver collect)
+    val model = inst.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val (nr, nt) = model.foldLeft((0L, 0L)) { case ((r, t), row) =>
+      (r + row.getLong(1), t + row.getLong(2)) }
+    // Laplace normalizers of the two models — a driver-side literal
+    val normBits = ilog2L(nt + buckets) - ilog2L(nr + buckets)
+    val spark = docs.sparkSession
+    val modelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(model.toIndexedSeq, 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("b", "long").add("cr", "long").add("ct", "long"))
+    // scan 2: per-doc evidence against the broadcast model
     val perDoc = inst
-      .join(raw, Seq("b"))
-      .join(tgt, Seq("b"), "left_outer")
+      .join(broadcast(modelDf), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_feats"),
-        sum(ilog2(coalesce(col("ct"), lit(0L)) + 1) - ilog2(col("cr") + 1)).as("s_bits"))
-    docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"))
+        sum(ilog2(col("ct") + 1) - ilog2(col("cr") + 1)).as("s_bits"))
+    docs.select(col(idCol).as("doc_id"), isT.as("is_target"))
       .join(perDoc, Seq("doc_id"), "left_outer")
-      .crossJoin(broadcast(norms))
       .select(
         col("doc_id"),
         col("is_target"),
         coalesce(col("n_feats"), lit(0L)).cast("long").as("n_feats"),
-        coalesce(col("s_bits") - col("n_feats") * col("norm_bits"), lit(0L))
+        coalesce(col("s_bits") - col("n_feats") * lit(normBits), lit(0L))
           .cast("long").as("weight_bits"))
   }
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture readers + the deterministic derivation of the reference's
   * input shapes from the driver's TPC-H-ish parquet tables.
@@ -34,18 +35,36 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright. Read it as nanos-since-epoch (legacy long
-    * mapping) and rebuild a microsecond TimestampType — integer `div`,
-    * not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
-    * float division would corrupt low bits. µs truncation matches what
-    * DuckDB's TIMESTAMP does with the same file, so oracle comparisons
-    * on event-time are exact.
+  /** `events.ts` has shipped under two parquet encodings across fixture
+    * generations, so the load branches on the column's loaded type:
+    *
+    *  - `timestamp[us]` (current fixtures): pyarrow writes it without
+    *    `isAdjustedToUTC`, which Spark reads as TIMESTAMP_NTZ. Cast to
+    *    TimestampType under the UTC session convention (Verify pins
+    *    `spark.sql.session.timeZone=UTC`) — DuckDB's naive TIMESTAMP of
+    *    the same file then compares exactly. A UTC-adjusted file loads
+    *    as TimestampType directly and passes through.
+    *  - `TIMESTAMP(NANOS)` (earlier fixtures): Spark's reader rejects it
+    *    outright, so with `nanosAsLong` it loads as nanos-since-epoch
+    *    LongType; rebuild a microsecond TimestampType — integer `div`,
+    *    not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
+    *    float division would corrupt low bits. µs truncation matches
+    *    DuckDB's TIMESTAMP of the same file.
+    *
+    * Any other type is a new fixture drift — fail loudly rather than
+    * let 20 downstream oracle queries mis-analyze (round-9 lesson).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other; expected " +
+          "timestamp, timestamp_ntz, or int64 nanos — fixture drift?")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -105,6 +105,14 @@ class EmptyInputSpec extends SparkSpec {
       Seq(1L, 0L, 0L, 0L, false),
       Seq(2L, 0L, 0L, 0L, false),
       Seq(3L, 0L, 0L, 0L, false)))
+    // dsirWeights: empty corpus -> empty (model collect sees 0 rows);
+    // sub-bigram docs carry no evidence -> weight 0, n_feats 0
+    assert(TextOps.dsirWeights(emptyDocs, lit(true)).count() === 0)
+    assert(TextOps.dsirSample(emptyDocs, lit(true), 5).count() === 0)
+    assert(rowSet(TextOps.dsirWeights(
+      Seq(1L -> "solo", 2L -> "").toDF("doc_id", "text"), lit(true))) === Set(
+      Seq(1L, true, 0L, 0L),
+      Seq(2L, true, 0L, 0L)))
   }
 
   test("round-3 operators on empty and degenerate inputs") {

@@ -491,4 +491,18 @@ class PlanQualitySpec extends SparkSpec {
     assert("partial_count".r.findAllIn(plan).nonEmpty ||
       plan.contains("Partial"), s"expected map-side partial aggregation:\n$plan")
   }
+
+  test("dsirWeights: broadcast model, shuffles key on doc_id, never text") {
+    val out = graft.operators.TextOps.dsirWeights(
+      Tables.documents(spark, sfDir), col("source") === "src0")
+    val plan = formatted(out)
+    // the ≤B-row bucket model joins as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bucket model broadcast:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("text#") && !p.contains("sh#")),
+      s"a shuffle carries token text or the hash array: $parts")
+  }
 }

@@ -405,6 +405,49 @@ class TextOpsSpec extends SparkSpec {
     assert(tight === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("dsirWeights: hand-computed bits on a tiny corpus") {
+    // corpus (flag = target): d1 T "t t t t t", d2 T "t t c c",
+    // d3 F "c c c", d4 F "t c", d5 null-flag "q" (null ⇒ non-target)
+    // bigram instance counts (3 distinct bigrams, collision-free in
+    // 4096 buckets for both hash tiers):
+    //   "t t": cr 5 (d1×4 + d2), ct 5   → bits ilog2(6)−ilog2(6) =  0
+    //   "t c": cr 2 (d2 + d4),   ct 1   → bits ilog2(2)−ilog2(3) =  0
+    //   "c c": cr 3 (d2 + d3×2), ct 1   → bits ilog2(2)−ilog2(4) = −1
+    // nt=7, nr=10 ⇒ norm_bits = ilog2(4103)−ilog2(4106) = 12−12 = 0
+    val docs = Seq(
+      (1L, Some(true), "t t t t t"),
+      (2L, Some(true), "t t c c"),
+      (3L, Some(false), "c c c"),
+      (4L, Some(false), "t c"),
+      (5L, None: Option[Boolean], "q")
+    ).toDF("doc_id", "flag", "text")
+    val out = TextOps.dsirWeights(docs, col("flag"))
+      .as[(Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((true, 4L, 0L)))
+    assert(out(2L) === ((true, 3L, -1L)))
+    assert(out(3L) === ((false, 2L, -2L)))
+    assert(out(4L) === ((false, 1L, 0L)))
+    // null flag: non-target in the counts AND false in the output
+    assert(out(5L) === ((false, 0L, 0L)))
+    // top-3 selection: the three weight-0 docs, tie-broken by doc_id
+    val top = TextOps.dsirSample(docs, col("flag"), 3)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(top === Seq(1L, 4L, 5L))
+  }
+
+  test("dsirWeights: leaves no persisted RDDs behind") {
+    // the bucket model is a bounded driver collect + broadcast, not a
+    // corpus-sized cached instance frame — nothing may survive the call
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = TextOps.dsirWeights(docs, col("source") === "src0")
+    assert(out.count() === 500)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"dsirWeights pinned RDDs: ${after -- before}")
+  }
+
   test("bigramLmScore: hash tier does not change scores (counts are hash-blind)") {
     // scores depend only on the count STRUCTURE of the corpus, so the
     // xxhash64 fast tier and the portable tier must agree row-for-row
