@@ -9,6 +9,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin the oracle timezone convention: the events NTZ cast must
+      // not depend on the machine TZ (same as Verify)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -176,6 +179,6 @@ object Bench {
     val nFailed = best.size - ok.size
     val total = if (ok.nonEmpty) r3(ok.sum) else 0.0
     val sf = Option(om.readTree(fallback).get("sf")).map(_.asText()).getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"fixture":"$fpr","queries":$qs,"sf":"$sf"}"""
   }
 }

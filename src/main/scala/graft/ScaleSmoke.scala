@@ -90,10 +90,15 @@ object ScaleSmoke {
     * same banded candidate generator but add the per-source top-k
     * window and the descent round's k²-fanout hop join — their 10x
     * points check that the WindowGroupLimit partial top-k and the
-    * id-only hop self-join stay output-bounded. `t_bigram_lm` is the
-    * round's text addition: a corpus-sized cached instances frame
-    * feeding three aggregations — the 10x point checks the cache +
-    * vocabulary-keyed join-back shape.
+    * id-only hop self-join stay output-bounded. `t_bigram_lm` is a
+    * corpus-sized cached instances frame feeding three aggregations —
+    * the 10x point checks the cache + vocabulary-keyed join-back
+    * shape. `sim_pq_topk` was the one similarity family absent from
+    * the smoke: its encode step embeds the m·ksub·(dim/m) codebook as
+    * plan literals and the ADC probe joins code rows against a
+    * broadcast LUT — the 10x point checks that codebook training
+    * (sampled k-means, k-bounded collects) and the literal-heavy plan
+    * survive a corpus-scale bump.
     */
   private val Chains = Seq(
     "pipe_curation", "pipe_curation_full", "pipe_leakage_split",
@@ -102,7 +107,54 @@ object ScaleSmoke {
     "sim_near_dup_blocked", "sim_near_dup_capped",
     "sim_dedup_clusters", "sim_semantic_dedup_capped",
     "sim_ivf_kmeans",
-    "sim_knn_graph", "sim_nn_descent", "t_bigram_lm")
+    "sim_knn_graph", "sim_nn_descent", "t_bigram_lm",
+    "sim_pq_topk", "stream_fuzzy_ingest")
+
+  /** Chains that are stateful streaming replays, not
+    * [[SparkEntry.queries]] lookups. Each runner times its own
+    * streaming portion (spool prep excluded) and returns
+    * (seconds, result rows).
+    *
+    * `stream_fuzzy_ingest` replays the scale's documents through
+    * [[graft.streaming.DocStreams.fuzzyIngest]] in 4 micro-batches
+    * (file-source stream over an 8-file spool, maxFilesPerTrigger=2)
+    * against a fresh on-disk LSH index — the stateful streaming
+    * path's first >sf0.1 measurement. Per batch the work is
+    * batch-sized + an index probe on 16-byte keys; the 10x point
+    * checks that the growing band/shingle index keeps per-batch cost
+    * bounded by (batch × collisions), not corpus-resident state.
+    */
+  private lazy val StreamChains: Map[String, (SparkSession, String) => (Double, Long)] =
+    Map("stream_fuzzy_ingest" -> fuzzyIngestReplay)
+
+  private def fuzzyIngestReplay(spark: SparkSession, dir: String): (Double, Long) = {
+    val root = java.nio.file.Files.createTempDirectory("smoke-stream")
+    try {
+      val spool = s"$root/spool"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(8).write.parquet(spool)
+      val schema = spark.read.parquet(spool).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(spool)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DocStreams.fuzzyIngest(
+        stream, s"$root/state", s"$root/pairs", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = spark.read.parquet(s"$root/pairs")
+        .dropDuplicates("doc_a", "doc_b").count()
+      (sec, n)
+    } finally {
+      // best-effort recursive cleanup — trial state is tens of MB at
+      // sf0.1 and ~10x that at sf1; leaking 4 of those per smoke run
+      // would eventually fill /tmp
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+  }
 
   private val DocIdStride = 100000000L // replica doc_id shift
   private val KeyStride = 10000000L    // replica graph-key shift
@@ -201,6 +253,8 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same oracle timezone convention as Verify/Bench (events NTZ cast)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -226,11 +280,15 @@ object ScaleSmoke {
 
     def time(name: String, dir: String): (Double, Long) = {
       def trial(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val r = StreamChains.get(name) match {
+          case Some(run) => run(spark, dir)
+          case None =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(name)(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, n)
+        }
         isolate()
-        (sec, n)
+        r
       }
       val a = trial(); val b = trial()
       (math.min(a._1, b._1), b._2)

@@ -195,6 +195,18 @@ object TextOps {
     * test scale AQE broadcasts them; at 10⁹-bigram vocab the shuffle
     * join on hashed keys is exactly the right plan, so the optimizer's
     * choice is correct at both ends.
+    *
+    * CACHING CONTRACT: the per-bigram instance frame stays cached
+    * (MEMORY_AND_DISK) after the call so the three aggregations share
+    * one tokenize+hash scan — the right trade for a scoring pass that
+    * is consumed once and for repeated re-scoring in a session.
+    * Long-lived services interleaving many corpora should reclaim it
+    * between calls (`spark.sqlContext.clearCache()` or unpersist via
+    * `getPersistentRDDs`); the bench/smoke harnesses already do.
+    * (Contrast [[dsirWeights]], whose bucket model is B-bounded and
+    * therefore collects + broadcasts instead of caching — that shape
+    * is not available here because the count tables are
+    * vocabulary-sized, not parameter-bounded.)
     */
   def bigramLmScore(
       docs: DataFrame,
