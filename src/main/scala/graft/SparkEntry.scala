@@ -492,6 +492,10 @@ object SparkEntry {
       TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_hash_split" -> ((s, dir) =>
       TextOps.hashSplit(Tables.documents(s, dir), 800, 100, hash = Hashing.Portable)),
+    // deterministic epoch shuffle into 32 training shards (portable
+    // position hash; the plan IS the shard-writer's partition+sort)
+    "t_shard_shuffle" -> ((s, dir) =>
+      TextOps.shardShuffle(Tables.documents(s, dir), 32)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -681,6 +685,11 @@ object SparkEntry {
     // -- similarity search --------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
+    // MRL-style truncated-prefix retrieval: same queries/k as the
+    // full-dim baseline but over the first 16 of 64 components — the
+    // coarse stage of coarse-to-fine retrieval, 4x fewer payload bytes
+    "sim_matryoshka_topk" -> ((s, dir) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5, 16)),
     "sim_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     // MIPS: rank by raw inner product (magnitude matters) — all-integer
@@ -1376,6 +1385,18 @@ object SparkEntry {
          |            WHEN bucket < 900 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    // portable hash is non-negative, so % == pmod on both engines
+    "t_shard_shuffle" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         ${ph("'graft:' || CAST(doc_id AS VARCHAR)")} AS pos
+         |  FROM documents)
+         |SELECT doc_id, pos, pos % 32 AS shard,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY pos % 32 ORDER BY pos ASC, doc_id ASC)
+         |       AS BIGINT) AS pos_in_shard
+         |FROM p""".stripMargin,
 
     "t_quality_topk" ->
       s"""WITH q AS (
@@ -2122,6 +2143,33 @@ object SparkEntry {
          |FROM bkt""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // truncated-prefix twin of BRUTE_TOPK_SQL: quantization applied to
+    // the first 16 components (embedding[1:16]), everything else
+    // identical — mirrors Similarity.matryoshkaTopK's slice-then-
+    // quantize order
+    "sim_matryoshka_topk" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding[1:16],
+         |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qn AS (SELECT vec_id, q,
+         |              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
+         |       FROM qv),
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("qq.q", "c.q")} AS dot_q,
+         |         CAST(qq.nq AS DOUBLE)*CAST(c.nq AS DOUBLE) AS nn
+         |  FROM qn c JOIN qn qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "sim_mips_topk" ->
       s"""WITH $QVEC,

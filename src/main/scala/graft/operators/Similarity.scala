@@ -71,6 +71,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
   }
 
+  /** Matryoshka truncated-dimension retrieval (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): cosine top-k over the
+    * FIRST `dims` components of every embedding — the cheap first
+    * stage of MRL-style coarse-to-fine retrieval, where a prefix of
+    * an MRL-trained vector is itself a valid lower-capacity
+    * embedding. Exactly [[cosineTopK]]'s contract (quantized-integer
+    * dots, self excluded, ties by neighbor id) on the sliced vectors.
+    *
+    * Scale shape: the slice is a narrow per-row projection applied
+    * BEFORE quantization, so the whole pipeline — broadcast query
+    * side, single corpus pass, partial window top-k — moves `dims/d`
+    * of the payload bytes of the full-dim query. At 100 TB that
+    * payload shrink is the point: a 4× prefix cut is a 4× scan-side
+    * byte cut on the dominant cost.
+    */
+  def matryoshkaTopK(
+      embeddings: DataFrame, queryPred: Column, k: Int, dims: Int): DataFrame = {
+    require(dims > 0, s"matryoshkaTopK: dims must be positive, got $dims")
+    cosineTopK(
+      embeddings.withColumn("embedding", slice(col("embedding"), 1, dims)),
+      queryPred, k)
+  }
+
   /** Brute-force maximum-inner-product top-k (MIPS) — cosine's
     * unnormalized sibling and the actual retrieval objective when
     * vector magnitude carries signal (recommender item scores,

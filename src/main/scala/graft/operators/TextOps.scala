@@ -397,6 +397,44 @@ object TextOps {
       trainPermille, valPermille)
   }
 
+  /** Deterministic global shuffle into training shards — the final
+    * step of every training-data pipeline: assign each document a
+    * pseudo-random 64-bit position (portable hash of `salt:doc_id`),
+    * route it to `pos mod nShards`, and number it within its shard in
+    * position order. The same corpus + salt yields the same
+    * permutation on every run, every engine, any partition layout —
+    * reshuffling between epochs is just a new salt, with no RNG state
+    * to coordinate across 1000 executors.
+    *
+    * Scale shape: one narrow hash projection, ONE shuffle keyed on
+    * the 8-byte shard id, and a per-shard sort for the within-shard
+    * numbering — exactly the partition-and-sort a shard writer needs
+    * anyway (`df.repartition(shard).sortWithinPartitions(pos)`), so
+    * the operator's plan IS the write plan. No global sort. Size
+    * `nShards` so corpus/nShards rows fit a task (the same rule as
+    * output-file sizing).
+    *
+    * Output: `(doc_id, pos, shard, pos_in_shard)`; `pos` doubles as
+    * the global permutation key (order by `pos, doc_id` reproduces
+    * the unsharded shuffle).
+    */
+  def shardShuffle(
+      docs: DataFrame,
+      nShards: Int,
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"shardShuffle: nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos").asc, col("doc_id").asc)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        Hashing.portableHash(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"))).as("pos"))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+  }
+
   /** Split assignment from an already-computed permille bucket —
     * shared by [[hashSplit]] and callers that carry the content hash
     * forward instead of re-scanning the corpus.

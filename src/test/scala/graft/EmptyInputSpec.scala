@@ -113,6 +113,17 @@ class EmptyInputSpec extends SparkSpec {
       Seq(1L -> "solo", 2L -> "").toDF("doc_id", "text"), lit(true))) === Set(
       Seq(1L, true, 0L, 0L),
       Seq(2L, true, 0L, 0L)))
+    // shardShuffle: empty -> empty; one doc -> shard = pos mod n, #1
+    assert(TextOps.shardShuffle(emptyDocs, 8).count() === 0)
+    val oneShard = TextOps.shardShuffle(
+      Seq(7L -> "x").toDF("doc_id", "text"), 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(oneShard.length === 1)
+    assert(oneShard.head._3 === oneShard.head._2 % 8 && oneShard.head._4 === 1L)
+    // matryoshkaTopK: empty corpus -> empty
+    val emptyEmb2 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.matryoshkaTopK(
+      emptyEmb2, col("vec_id") < 8, 5, 16).count() === 0)
   }
 
   test("round-3 operators on empty and degenerate inputs") {

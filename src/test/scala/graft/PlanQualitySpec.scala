@@ -492,6 +492,20 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("Partial"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("shardShuffle: id-only scan, one exchange keyed on the shard id") {
+    val out = graft.operators.TextOps.shardShuffle(
+      Tables.documents(spark, sfDir), 32)
+    val scans = scanString(out)
+    // the position hash reads ONLY doc_id — text must not be scanned
+    assert(scans.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"shardShuffle scan reads more than doc_id:\n$scans")
+    val plan = formatted(out)
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.size === 1 && parts.head.contains("shard#"),
+      s"expected exactly the shard-keyed exchange (the writer's partitioning): $parts")
+  }
+
   test("dsirWeights: broadcast model, shuffles key on doc_id, never text") {
     val out = graft.operators.TextOps.dsirWeights(
       Tables.documents(spark, sfDir), col("source") === "src0")

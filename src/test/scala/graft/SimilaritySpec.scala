@@ -25,6 +25,29 @@ class SimilaritySpec extends SparkSpec {
     assert(dot === 1000000L * 900000L)
   }
 
+  test("matryoshkaTopK: prefix truncation reorders; full dims equals cosineTopK") {
+    // 3-dim corpus, query = vec 0 = (1,0,0):
+    //   full-dim cosines: a=(0.6,0,0.8) -> 0.6; b=(0.7,0.7,0.141) -> ~0.7
+    //     => full order (b, a)
+    //   2-dim prefix: a'=(0.6,0) -> cos 1.0; b'=(0.7,0.7) -> cos ~0.707
+    //     => truncated order (a, b) — the reversal MRL trades for bytes
+    val e3 = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.0f, 0.8f)),
+      (2L, Array(0.7f, 0.7f, 0.141f))).toDF("vec_id", "embedding")
+    def order(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy(col("rank")).select(col("neighbor_id")).as[Long].collect().toSeq
+    val full = Similarity.cosineTopK(e3, col("vec_id") === 0, k = 2)
+    assert(order(full) === Seq(2L, 1L))
+    val trunc = Similarity.matryoshkaTopK(e3, col("vec_id") === 0, k = 2, dims = 2)
+    assert(order(trunc) === Seq(1L, 2L))
+    // dims >= d: slice is the identity, results are row-identical
+    val same = Similarity.matryoshkaTopK(e3, col("vec_id") === 0, k = 2, dims = 3)
+    assert(rowSet(same) === rowSet(full))
+    val wide = Similarity.matryoshkaTopK(e3, col("vec_id") === 0, k = 2, dims = 99)
+    assert(rowSet(wide) === rowSet(full))
+  }
+
   test("brute-force cosine top-k ranks by cosine with id tiebreak") {
     val out = Similarity.cosineTopK(emb, col("vec_id") === 0, k = 2)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._4)

@@ -405,6 +405,33 @@ class TextOpsSpec extends SparkSpec {
     assert(tight === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("shardShuffle: deterministic permutation, complete shards, dense numbering") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextOps.shardShuffle(docs, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    // every doc exactly once, shard = pos mod n
+    assert(out.length === 100)
+    assert(out.map(_._1).toSet === (1L to 100L).toSet)
+    assert(out.forall { case (_, pos, shard, _) => shard === pos % 8 && pos >= 0 })
+    // pos matches the spec-pinned portable hash of "graft:<id>"
+    val expected = docs.select(col("doc_id"),
+        Hashing.portableHash(concat(lit("graft:"), col("doc_id").cast("string"))))
+      .as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, pos, _, _) => pos === expected(id) })
+    // within each shard: numbering is dense from 1 and follows pos asc
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val byNum = rows.sortBy(_._4)
+      assert(byNum.map(_._4).toSeq === (1L to rows.length).toSeq)
+      assert(byNum.map(_._2).toSeq === byNum.map(_._2).sortBy(identity).toSeq)
+    }
+    // rerun is bit-identical (no RNG state); a new salt permutes
+    val again = TextOps.shardShuffle(docs, 8).as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val salted = TextOps.shardShuffle(docs, 8, salt = "epoch2")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(salted.sortBy(_._1).map(_._2).toSeq !== out.sortBy(_._1).map(_._2).toSeq)
+  }
+
   test("dsirWeights: hand-computed bits on a tiny corpus") {
     // corpus (flag = target): d1 T "t t t t t", d2 T "t t c c",
     // d3 F "c c c", d4 F "t c", d5 null-flag "q" (null ⇒ non-target)
