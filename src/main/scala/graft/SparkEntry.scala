@@ -259,6 +259,19 @@ object SparkEntry {
     "g_cooccurrence" -> ((s, dir) =>
       GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2)),
 
+    // Per-vertex triangle counts over the co-occurrence projection —
+    // the bipartite person graph has none until projected; the
+    // degree-ordered orientation bounds the wedge join at O(E^1.5)
+    "g_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(
+        GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))),
+
+    // Watts–Strogatz local clustering coefficient (permille) on the
+    // same projected graph — integer floor division, oracle-exact
+    "g_clustering" -> ((s, dir) =>
+      GraphOps.clusteringCoefficients(
+        GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1975,6 +1988,66 @@ object SparkEntry {
          |FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // co-occurrence CTE + plain id-order triangle join (cooc emits
+    // person_a < person_b, so x<y<z falls out of the equi-joins; the
+    // Spark side's degree orientation is cost-only, results identical)
+    "g_triangles" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |tri AS (
+         |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+         |  FROM cooc e1
+         |  JOIN cooc e2 ON e2.pa = e1.pb
+         |  JOIN cooc e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         |verts AS (SELECT pa AS v FROM cooc UNION SELECT pb FROM cooc),
+         |pv AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT x AS v FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY v)
+         |SELECT verts.v AS person_id, COALESCE(n, 0) AS n_triangles
+         |FROM verts LEFT JOIN pv ON pv.v = verts.v""".stripMargin,
+
+    // triangle CTE + per-vertex degree over the same cooc edges;
+    // permille coefficient by BIGINT floor division on both engines
+    "g_clustering" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |tri AS (
+         |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+         |  FROM cooc e1
+         |  JOIN cooc e2 ON e2.pa = e1.pb
+         |  JOIN cooc e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         |dg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT pa AS v FROM cooc UNION ALL SELECT pb FROM cooc)
+         |  GROUP BY v),
+         |pv AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT x AS v FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY v)
+         |SELECT dg.v AS person_id, dg.deg,
+         |       COALESCE(n, 0) AS n_triangles,
+         |       CAST(CASE WHEN dg.deg >= 2
+         |            THEN (COALESCE(n, 0) * 2000) // (dg.deg * (dg.deg - 1))
+         |            ELSE 0 END AS BIGINT) AS lcc_e3
+         |FROM dg LEFT JOIN pv ON pv.v = dg.v""".stripMargin,
 
     "t_pack_sequences" ->
       s"""WITH t AS (

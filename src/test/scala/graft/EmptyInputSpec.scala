@@ -26,6 +26,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(GraphOps.markTroveUsers(
       Seq.empty[(String)].toDF("person_id"),
       Seq.empty[String].toDF("person_id_user")).count() === 0)
+    assert(GraphOps.triangleCounts(
+      Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
+    assert(GraphOps.clusteringCoefficients(
+      Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
   }
 
   test("dedup operators on empty inputs") {

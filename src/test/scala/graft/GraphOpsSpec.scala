@@ -279,6 +279,37 @@ class GraphOpsSpec extends SparkSpec {
       new java.io.File(dir).getName)))
   }
 
+  test("triangleCounts: hand graph, dup/reversed input, square has none") {
+    // K4 minus edge C-D on {A,B,C,D}: triangles ABC and ABD.
+    // memberships: A 2, B 2, C 1, D 1; E rides a pendant edge -> 0.
+    val pairs = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"),
+      ("A", "D"), ("B", "D"),
+      ("D", "E"),
+      ("B", "A"), // reversed duplicate must not double-count
+      ("A", "B") // exact duplicate must not double-count
+    ).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.triangleCounts(pairs)) === Set(
+      Seq("A", 2L), Seq("B", 2L), Seq("C", 1L), Seq("D", 1L), Seq("E", 0L)))
+    // a 4-cycle has wedges but no closing edge
+    val square = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("A", "D"))
+      .toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.triangleCounts(square)) ===
+      Set(Seq("A", 0L), Seq("B", 0L), Seq("C", 0L), Seq("D", 0L)))
+    // self-loops are dropped, not counted as degenerate triangles
+    val loops = Seq(("A", "A"), ("A", "B"), ("B", "C"), ("A", "C"))
+      .toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.triangleCounts(loops)) ===
+      Set(Seq("A", 1L), Seq("B", 1L), Seq("C", 1L)))
+    // clustering coefficient on the same hand graph:
+    // deg A3 B3 C2 D3 E1; tri A2 B2 C1 D1 E0
+    // lcc_e3 = (2000*T) div (d*(d-1)): A 666, B 666, C 1000, D 333, E 0
+    assert(rowSet(GraphOps.clusteringCoefficients(pairs)) === Set(
+      Seq("A", 3L, 2L, 666L), Seq("B", 3L, 2L, 666L),
+      Seq("C", 2L, 1L, 1000L), Seq("D", 3L, 1L, 333L),
+      Seq("E", 1L, 0L, 0L)))
+  }
+
   test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
     // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
     // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
