@@ -489,6 +489,35 @@ object SparkEntry {
           col("l_returnflag"), col("exact_orders"),
           (abs(col("approx") - col("exact_orders")) <=
             col("exact_orders").cast("double") * 0.1).as("approx_ok"))
+    }),
+
+    // approximate median with a RANK-ERROR gate: the sketch value is
+    // engine-specific, but its guarantee — the returned element's rank
+    // sits within n/accuracy of n/2 — is exactly checkable from the
+    // data. The output carries only (n, approx_ok); the oracle pins
+    // exact n + TRUE, so a hash match certifies the bound held for
+    // every group (same device as x_approx_distinct).
+    "x_approx_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v_e4"))
+      val ap = ev.groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("v_e4"), lit(0.5), lit(1000)).as("med"),
+          count(lit(1)).as("n"))
+      val ranks = ev.join(ap.select(col("event_type"), col("med")), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("v_e4") < col("med"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("v_e4") <= col("med"), 1L).otherwise(0L)).as("n_below_eq"))
+      // valid ε-approx median: rank window [n/2 − εn, n/2 + εn] with
+      // ε = 1/accuracy; +2 absorbs the two integer floors
+      ap.join(ranks, Seq("event_type"))
+        .select(
+          col("event_type"), col("n"),
+          (col("n_below") * 2 <= col("n") + col("n") * 2 / 1000 + 2 &&
+            col("n_below_eq") * 2 >= col("n") - col("n") * 2 / 1000 - 2)
+            .as("approx_ok"))
     })
   )
 
@@ -3520,6 +3549,12 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |       TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the sketch median is engine-specific; the oracle pins the group
+    // size + approx_ok=TRUE, certifying the Spark-side rank bound
+    "x_approx_quantile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

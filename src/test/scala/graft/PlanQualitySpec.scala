@@ -506,6 +506,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly the shard-keyed exchange (the writer's partitioning): $parts")
   }
 
+  test("triangleCounts: no cartesian product, closing edge is a semi-join") {
+    val cooc = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)),
+      maxFanout = 20, minShared = 2)
+    val plan = formatted(GraphOps.triangleCounts(cooc))
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle wedge join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"closing-edge check should be a LEFT SEMI join:\n$plan")
+  }
+
   test("dsirWeights: broadcast model, shuffles key on doc_id, never text") {
     val out = graft.operators.TextOps.dsirWeights(
       Tables.documents(spark, sfDir), col("source") === "src0")
