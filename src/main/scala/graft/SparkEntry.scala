@@ -272,6 +272,18 @@ object SparkEntry {
       GraphOps.clusteringCoefficients(
         GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))),
 
+    // Newman degree assortativity of the projected graph — exact
+    // integer sufficient statistics, one final double (agg_correlation
+    // device), e6-floored
+    "g_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(
+        GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))),
+
+    // common-neighbors link prediction: cooc pairs + exact permille
+    // Jaccard of the capped neighbor sets
+    "g_link_jaccard" -> ((s, dir) =>
+      GraphOps.coOccurrenceJaccard(edgesOf(s, dir), maxFanout = 20, minShared = 2)),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -511,12 +523,13 @@ object SparkEntry {
           sum(when(col("v_e4") < col("med"), 1L).otherwise(0L)).as("n_below"),
           sum(when(col("v_e4") <= col("med"), 1L).otherwise(0L)).as("n_below_eq"))
       // valid ε-approx median: rank window [n/2 − εn, n/2 + εn] with
-      // ε = 1/accuracy; +2 absorbs the two integer floors
+      // ε = 1/accuracy; +2 absorbs the two integer floors. Integer
+      // `div` keeps the whole gate in longs (repo discipline).
       ap.join(ranks, Seq("event_type"))
         .select(
           col("event_type"), col("n"),
-          (col("n_below") * 2 <= col("n") + col("n") * 2 / 1000 + 2 &&
-            col("n_below_eq") * 2 >= col("n") - col("n") * 2 / 1000 - 2)
+          (col("n_below") * 2 <= col("n") + expr("(n * 2) div 1000") + 2 &&
+            col("n_below_eq") * 2 >= col("n") - expr("(n * 2) div 1000") - 2)
             .as("approx_ok"))
     })
   )
@@ -2044,6 +2057,63 @@ object SparkEntry {
          |  GROUP BY v)
          |SELECT verts.v AS person_id, COALESCE(n, 0) AS n_triangles
          |FROM verts LEFT JOIN pv ON pv.v = verts.v""".stripMargin,
+
+    // stub frame = both orderings of every cooc edge; exact BIGINT
+    // sufficient stats, one final double, zero-variance guard -> 0
+    "g_assortativity" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |dg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT pa AS v FROM cooc UNION ALL SELECT pb FROM cooc)
+         |  GROUP BY v),
+         |pts AS (
+         |  SELECT da.d AS x, db.d AS y
+         |  FROM cooc JOIN dg da ON da.v = cooc.pa JOIN dg db ON db.v = cooc.pb
+         |  UNION ALL
+         |  SELECT db.d, da.d
+         |  FROM cooc JOIN dg da ON da.v = cooc.pa JOIN dg db ON db.v = cooc.pb),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |         CAST(SUM(y*y) AS BIGINT) AS syy,
+         |         CAST(SUM(x*y) AS BIGINT) AS sxy
+         |  FROM pts)
+         |SELECT n // 2 AS n_edges,
+         |       CAST(CASE WHEN n > 0 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |            THEN floor(
+         |              CAST(n*sxy - sx*sy AS DOUBLE) * 1e6 /
+         |                sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+         |                     CAST(n*syy - sy*sy AS DOUBLE)))
+         |            ELSE 0 END AS BIGINT) AS r_e6
+         |FROM s""".stripMargin,
+
+    // cooc pairs + capped per-person item-set sizes; permille Jaccard
+    // by BIGINT floor division
+    "g_link_jaccard" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM capped GROUP BY src),
+         |cooc AS (
+         |  SELECT a.src AS person_a, b.src AS person_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT person_a, person_b, n_shared,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       (n_shared * 1000) // (da.deg + db.deg - n_shared) AS jaccard_e3
+         |FROM cooc
+         |JOIN dg da ON da.src = cooc.person_a
+         |JOIN dg db ON db.src = cooc.person_b""".stripMargin,
 
     // triangle CTE + per-vertex degree over the same cooc edges;
     // permille coefficient by BIGINT floor division on both engines

@@ -414,6 +414,97 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Degree assortativity (Newman 2002) of an undirected pair graph —
+    * the Pearson correlation of endpoint degrees over all directed
+    * edge stubs (each undirected edge contributes both (dₐ,d_b) and
+    * (d_b,dₐ)): positive ⇒ hubs link to hubs, negative ⇒ hub-leaf
+    * (stars are exactly −1). Same exactness device as
+    * `agg_correlation`: integer sufficient statistics (n, Σx, Σy,
+    * Σx², Σy², Σxy are exact BIGINTs), ONE final double for the
+    * sqrt/divide, e6-floored — both engines compute the identical
+    * double from identical integers. Zero-variance graphs (regular:
+    * every degree equal) emit 0 by convention.
+    *
+    * Scale shape: degree table is vertex-sized; the stub frame is
+    * 2E rows of two longs; ONE single-row aggregate. No iteration.
+    *
+    * Output: one row `(n_edges, r_e6)`.
+    */
+  def degreeAssortativity(pairs: DataFrame,
+      aCol: String = "person_a", bCol: String = "person_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val und = Checkpoints.cut(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct(),
+      checkpointDir)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val joined = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val pts = joined.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(joined.select(col("db").as("x"), col("da").as("y")))
+    pts
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        expr("n div 2").as("n_edges"),
+        when(
+          col("n") > 0 &&
+            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          floor(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") * 1e6 /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .otherwise(0L).cast("long").as("r_e6"))
+  }
+
+  /** Co-occurrence link-prediction scores: [[coOccurrencePairs]] plus
+    * the Jaccard containment of the two persons' (fan-out-capped)
+    * neighbor sets — `jaccard_e3 = 1000·|A∩B| div (|A| + |B| −
+    * |A∩B|)`, the classic common-neighbors link predictor in exact
+    * permille integers.
+    *
+    * Scale shape: the cooc pair aggregation unchanged, plus a
+    * vertex-sized capped-degree table joined onto the (already
+    * pair-sized) output on single-column keys.
+    *
+    * Output: `(person_a, person_b, n_shared, deg_a, deg_b,
+    * jaccard_e3)`.
+    */
+  def coOccurrenceJaccard(edges: DataFrame, maxFanout: Int, minShared: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
+    val distinctEdges = edges.select(col("src"), col("dst")).distinct()
+    val keptDst = distinctEdges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("fanout"))
+      .filter(col("fanout") <= maxFanout)
+      .select(col("dst"))
+    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+    val deg = capped.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val l = capped.select(col("dst"), col("src").as("person_a"))
+    val r = capped.select(col("dst"), col("src").as("person_b"))
+    l.join(r, Seq("dst"))
+      .filter(col("person_a") < col("person_b"))
+      .groupBy(col("person_a"), col("person_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(deg.select(col("src").as("person_a"), col("deg").as("deg_a")), Seq("person_a"))
+      .join(deg.select(col("src").as("person_b"), col("deg").as("deg_b")), Seq("person_b"))
+      .select(
+        col("person_a"), col("person_b"), col("n_shared"),
+        col("deg_a"), col("deg_b"),
+        expr("(n_shared * 1000L) div (deg_a + deg_b - n_shared)").as("jaccard_e3"))
+  }
+
   /** Per-vertex local clustering coefficient (Watts–Strogatz) over an
     * undirected pair graph, in permille: `lcc_e3 = floor(2000·T(v) /
     * (deg(v)·(deg(v)−1)))`, 0 for degree < 2 — how close each

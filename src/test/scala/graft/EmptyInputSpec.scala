@@ -30,6 +30,12 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     assert(GraphOps.clusteringCoefficients(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
+    // assortativity on nothing: single (0, 0) row by the guard
+    assert(rowSet(GraphOps.degreeAssortativity(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"))) ===
+      Set(Seq(0L, 0L)))
+    assert(GraphOps.coOccurrenceJaccard(
+      Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
   }
 
   test("dedup operators on empty inputs") {

@@ -310,6 +310,40 @@ class GraphOpsSpec extends SparkSpec {
       Seq("E", 1L, 0L, 0L)))
   }
 
+  test("degreeAssortativity: star is -1, regular graph guards to 0") {
+    // star K1,3: stubs (3,1)x3 + (1,3)x3 -> n=6 sx=sy=12 sxx=syy=30
+    // sxy=18; r = (6*18-144)*1e6 / (6*30-144) = -1e6 exactly
+    val star = Seq(("A", "B"), ("A", "C"), ("A", "D"))
+      .toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.degreeAssortativity(star)) ===
+      Set(Seq(3L, -1000000L)))
+    // triangle: every degree 2 -> zero variance -> guarded 0
+    val tri = Seq(("A", "B"), ("B", "C"), ("A", "C"))
+      .toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.degreeAssortativity(tri)) === Set(Seq(3L, 0L)))
+  }
+
+  test("coOccurrenceJaccard: permille containment over capped neighbor sets") {
+    // same bipartite fixture as the cooc test; cap 3 drops hub.
+    // capped sets: A{x,y} B{x,y,z} C{y,z}
+    // A-B: 2 shared -> 2000 div (2+3-2) = 666
+    // B-C: 2 shared -> 2000 div (3+2-2) = 666
+    // A-C: 1 shared -> 1000 div (2+2-1) = 333 (minShared=1 admits it)
+    val edges = Seq(
+      ("A", "x"), ("B", "x"),
+      ("A", "y"), ("B", "y"), ("C", "y"),
+      ("B", "z"), ("C", "z"),
+      ("A", "hub"), ("B", "hub"), ("C", "hub"), ("D", "hub")
+    ).toDF("src", "dst")
+    assert(rowSet(GraphOps.coOccurrenceJaccard(edges, maxFanout = 3, minShared = 1)) === Set(
+      Seq("A", "B", 2L, 2L, 3L, 666L),
+      Seq("B", "C", 2L, 3L, 2L, 666L),
+      Seq("A", "C", 1L, 2L, 2L, 333L)))
+    // minShared filters before the degree joins
+    assert(GraphOps.coOccurrenceJaccard(edges, maxFanout = 3, minShared = 3)
+      .count() === 0)
+  }
+
   test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
     // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
     // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
