@@ -108,7 +108,8 @@ object ScaleSmoke {
     "sim_dedup_clusters", "sim_semantic_dedup_capped",
     "sim_ivf_kmeans",
     "sim_knn_graph", "sim_nn_descent", "t_bigram_lm",
-    "sim_pq_topk", "stream_fuzzy_ingest")
+    "sim_pq_topk", "stream_fuzzy_ingest",
+    "t_dsir_weights", "g_link_jaccard")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
