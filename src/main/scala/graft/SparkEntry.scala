@@ -284,6 +284,11 @@ object SparkEntry {
     "g_link_jaccard" -> ((s, dir) =>
       GraphOps.coOccurrenceJaccard(edgesOf(s, dir), maxFanout = 20, minShared = 2)),
 
+    // Adamic-Adar with integer ilog2 weights — rare shared neighbors
+    // outweigh promiscuous ones, no transcendental, oracle-exact
+    "g_link_adamic" -> ((s, dir) =>
+      GraphOps.coOccurrenceAdamicAdar(edgesOf(s, dir), maxFanout = 20, minShared = 2)),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -2094,6 +2099,23 @@ object SparkEntry {
          |                     CAST(n*syy - sy*sy AS DOUBLE)))
          |            ELSE 0 END AS BIGINT) AS r_e6
          |FROM s""".stripMargin,
+
+    // each shared item contributes 1000 // max(ilog2(fanout), 1) —
+    // same whole-bit ilog2 convention as t_bigram_lm/t_dsir_weights
+    "g_link_adamic" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |fan AS (
+         |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS fanout
+         |  FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (
+         |  SELECT d.src, d.dst, f.fanout FROM dedges d JOIN fan f USING (dst))
+         |SELECT a.src AS person_a, b.src AS person_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |       CAST(SUM(1000 // greatest(length(bin(a.fanout)) - 1, 1)) AS BIGINT)
+         |         AS aa_e3
+         |FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     // cooc pairs + capped per-person item-set sizes; permille Jaccard
     // by BIGINT floor division

@@ -505,6 +505,39 @@ object GraphOps {
         expr("(n_shared * 1000L) div (deg_a + deg_b - n_shared)").as("jaccard_e3"))
   }
 
+  /** Adamic–Adar link prediction over the bipartite graph, in the
+    * engine's integer-bits convention: each shared (fan-out-capped)
+    * neighbor `w` contributes `1000 div max(ilog2(fanout(w)), 1)`
+    * with `ilog2(n) = length(bin(n)) − 1` whole bits — Adamic–Adar's
+    * `1/log(deg)` down-weighting of promiscuous neighbors without
+    * the transcendental, so the oracle is exact. A neighbor shared
+    * with 2–3 others scores 1000, 4–7 others 500, 8–15 others 333 —
+    * the rare-item evidence dominance the predictor is for.
+    *
+    * Scale shape: identical to [[coOccurrencePairs]] — the fanout is
+    * already computed by the cap; it rides the capped frame into the
+    * pair aggregation as one extra 8-byte column. No extra joins.
+    *
+    * Output: `(person_a, person_b, n_shared, aa_e3)`.
+    */
+  def coOccurrenceAdamicAdar(edges: DataFrame, maxFanout: Int, minShared: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
+    val distinctEdges = edges.select(col("src"), col("dst")).distinct()
+    val keptDst = distinctEdges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("fanout"))
+      .filter(col("fanout") <= maxFanout)
+    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+    val w = expr("1000L div greatest(cast(length(bin(fanout)) - 1 as bigint), 1L)")
+    val l = capped.select(col("dst"), col("fanout"), col("src").as("person_a"))
+    val r = capped.select(col("dst"), col("src").as("person_b"))
+    l.join(r, Seq("dst"))
+      .filter(col("person_a") < col("person_b"))
+      .groupBy(col("person_a"), col("person_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(w).as("aa_e3"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-vertex local clustering coefficient (Watts–Strogatz) over an
     * undirected pair graph, in permille: `lcc_e3 = floor(2000·T(v) /
     * (deg(v)·(deg(v)−1)))`, 0 for degree < 2 — how close each

@@ -36,6 +36,8 @@ class EmptyInputSpec extends SparkSpec {
       Set(Seq(0L, 0L)))
     assert(GraphOps.coOccurrenceJaccard(
       Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
+    assert(GraphOps.coOccurrenceAdamicAdar(
+      Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
   }
 
   test("dedup operators on empty inputs") {

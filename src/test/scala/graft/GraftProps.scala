@@ -332,4 +332,48 @@ object GraftProps extends Properties("graft") {
           take <= have && rate <= 1000L && take == budget * tp / 1000L
         }
     }
+
+  /** Triangle counting matches brute-force enumeration on random
+    * graphs — the degree-ordered orientation is a pure cost device
+    * and must never change the counts.
+    */
+  private val genPair: Gen[(String, String)] = for {
+    a <- Gen.oneOf("A", "B", "C", "D", "E", "F")
+    b <- Gen.oneOf("A", "B", "C", "D", "E", "F")
+  } yield (a, b)
+
+  property("triangleCounts equals brute-force enumeration") =
+    forAll(Gen.listOfN(10, genPair)) { pairs =>
+      val got = GraphOps.triangleCounts(pairs.toDF("person_a", "person_b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val und = pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(p => p._1 != p._2).toSet
+      val verts = und.toSeq.flatMap(p => Seq(p._1, p._2)).distinct
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for {
+        trio <- verts.sorted.combinations(3)
+        Seq(a, b, c) = trio
+        if und((a, b)) && und((a, c)) && und((b, c))
+      } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+      got == verts.map(v => v -> counts(v)).toMap
+    }
+
+  /** shardShuffle is a deterministic partition: every doc exactly
+    * once, shard = pos mod n, dense in-shard numbering in pos order.
+    */
+  property("shardShuffle partitions completely and numbers densely") =
+    forAll(Gen.listOf(Gen.chooseNum(1L, 50L)), Gen.chooseNum(1, 8)) { (ids0, n) =>
+      val ids = ids0.distinct
+      ids.isEmpty || {
+        import graft.operators.TextOps
+        val out = TextOps.shardShuffle(
+          ids.map(i => (i, s"d$i")).toDF("doc_id", "text"), n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        out.map(_._1).toSet == ids.toSet &&
+        out.forall { case (_, pos, shard, _) => shard == pos % n && pos >= 0 } &&
+        out.groupBy(_._3).values.forall { rows =>
+          rows.sortBy(r => (r._2, r._1)).map(_._4).toSeq == (1L to rows.length)
+        }
+      }
+    }
 }

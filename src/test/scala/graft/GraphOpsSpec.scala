@@ -344,6 +344,24 @@ class GraphOpsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("coOccurrenceAdamicAdar: rare shared neighbors outweigh hubs") {
+    // fanouts: x 2 (w 1000), y 3 (w 1000), z 2 (w 1000), hub 4 (w 500)
+    val edges = Seq(
+      ("A", "x"), ("B", "x"),
+      ("A", "y"), ("B", "y"), ("C", "y"),
+      ("B", "z"), ("C", "z"),
+      ("A", "hub"), ("B", "hub"), ("C", "hub"), ("D", "hub")
+    ).toDF("src", "dst")
+    assert(rowSet(GraphOps.coOccurrenceAdamicAdar(edges, maxFanout = 10, minShared = 1)) === Set(
+      Seq("A", "B", 3L, 2500L), // x + y + hub
+      Seq("A", "C", 2L, 1500L), // y + hub
+      Seq("B", "C", 3L, 2500L), // y + z + hub
+      Seq("A", "D", 1L, 500L), Seq("B", "D", 1L, 500L), Seq("C", "D", 1L, 500L)))
+    // hub-only pairs vanish under minShared = 2
+    assert(GraphOps.coOccurrenceAdamicAdar(edges, maxFanout = 10, minShared = 2)
+      .filter(col("person_b") === "D").count() === 0)
+  }
+
   test("coOccurrencePairs: shared-neighbor counts, hub cap, threshold") {
     // bipartite: persons {A,B,C,D} -> items {x,y,z,hub}
     // x: {A,B}, y: {A,B,C}, z: {B,C}, hub: {A,B,C,D} (fanout 4)
