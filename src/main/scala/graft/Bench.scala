@@ -130,21 +130,33 @@ object Bench {
   }
 
   /** Stable fingerprint of the sf dir's parquet fixtures: name, size,
-    * mtime of every *.parquet (and the files inside parquet dirs are
-    * covered by the dir mtime bump on rewrite). Regenerated fixtures
-    * change size and/or mtime, so stale timings fence themselves out
-    * of the merge.
+    * mtime of every regular file at or below each *.parquet entry
+    * (single-file parquet hashes itself; directory-style parquet is
+    * walked so the INNER part files are fingerprinted — overwriting a
+    * same-named part file updates neither the directory's size nor,
+    * on most filesystems, its mtime, so directory metadata alone
+    * could let a regenerated fixture slip the fence). Regenerated
+    * fixtures change size and/or mtime, so stale timings fence
+    * themselves out of the merge.
     */
   private def fixtureFingerprint(sfDir: String): String =
     try {
       val dir = java.nio.file.Paths.get(sfDir)
       val parts = listPaths(dir).filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.toString)
-        .map { p =>
-          val sz = try java.nio.file.Files.size(p) catch { case _: Throwable => -1L }
-          val mt = try java.nio.file.Files.getLastModifiedTime(p).toMillis
-                   catch { case _: Throwable => -1L }
-          s"${p.getFileName}:$sz:$mt"
+        .flatMap { p =>
+          val files =
+            if (java.nio.file.Files.isDirectory(p)) {
+              val s = java.nio.file.Files.walk(p)
+              try s.iterator().asScala.toSeq.filter(java.nio.file.Files.isRegularFile(_))
+              finally s.close()
+            } else Seq(p)
+          files.sortBy(_.toString).map { f =>
+            val sz = try java.nio.file.Files.size(f) catch { case _: Throwable => -1L }
+            val mt = try java.nio.file.Files.getLastModifiedTime(f).toMillis
+                     catch { case _: Throwable => -1L }
+            s"${dir.relativize(f)}:$sz:$mt"
+          }
         }
       f"${scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|"))}%08x"
     } catch { case _: Throwable => "unknown" }

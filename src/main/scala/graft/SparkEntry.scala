@@ -515,9 +515,15 @@ object SparkEntry {
     // exact n + TRUE, so a hash match certifies the bound held for
     // every group (same device as x_approx_distinct).
     "x_approx_quantile" -> ((s, dir) => {
+      // null values are invisible to percentile_approx AND to the
+      // rank counts below — filter them up front so `n` counts the
+      // same population the sketch and the rank gate actually see
+      // (a count(lit(1)) over null rows would inflate n and could
+      // spuriously fail the gate)
       val ev = Tables.events(s, dir).select(
         col("event_type"),
         floor(col("value") * 10000 + 0.5).cast("long").as("v_e4"))
+        .filter(col("v_e4").isNotNull)
       val ap = ev.groupBy(col("event_type"))
         .agg(
           percentile_approx(col("v_e4"), lit(0.5), lit(1000)).as("med"),
@@ -721,6 +727,17 @@ object SparkEntry {
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.Portable), 3)),
+    // occupancy-guarded simhash: (band, band_val) buckets above
+    // maxBucketSize sub-split by a portable doc_id hash, with the
+    // exact-signature star floor keeping identical-signature docs
+    // connected. cap=8 ≪ the 500-doc degenerate top bands at sf0.01
+    // (the ~30-bit portable-hash signatures zero bands 2-3), so the
+    // sub-split is exercised in exactly the hot-bucket regime the
+    // guard exists for.
+    "d_simhash_pairs_capped" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhashSignatures(Tables.documents(s, dir), hash = Hashing.Portable), 3,
+        maxBucketSize = Some(8))),
     "d_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.connectedComponents(
@@ -1157,7 +1174,11 @@ object SparkEntry {
     * and the final projection so `t_dsir_sample` can append its
     * ORDER/LIMIT to the identical body.
     */
-  private val DSIR_TGT = "(source IN ('src0', 'src1'))"
+  // COALESCE pins the engine's documented null-is-non-target
+  // semantics (TextOps.dsirWeights coalesces isTarget ONCE, feeding
+  // both the model counts and the output column): without it a NULL
+  // source would make DuckDB's is_target NULL where Spark emits false
+  private val DSIR_TGT = "COALESCE(source IN ('src0', 'src1'), FALSE)"
   private lazy val DSIR_CTES =
     s"""WITH t AS (SELECT doc_id, $DSIR_TGT AS is_t, $TOKS AS toks FROM documents),
        |inst AS (
@@ -1958,6 +1979,39 @@ object SparkEntry {
          |JOIN sig sb ON sb.doc_id = doc_b
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
 
+    // capped variant: per-(band, band_val) occupancy sizes drive the
+    // same portable doc_id sub-split hash as sim_near_dup_capped; the
+    // exact floor groups on the full 64-bit signature itself (no hash
+    // proxy needed — the signature IS the compact key), star pairs to
+    // the group minimum with hamming 0 by construction
+    "d_simhash_pairs_capped" ->
+      s"""WITH $SIMHASH,
+         |banded AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_val
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |sizes AS (SELECT band, band_val, COUNT(*) AS bkt_n
+         |          FROM banded GROUP BY band, band_val),
+         |sb AS (
+         |  SELECT b.doc_id, b.simhash, b.band, b.band_val,
+         |         ((b.doc_id % 1000000007) * 1103515245 + 12345) % 1000000007
+         |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
+         |  FROM banded b JOIN sizes z ON z.band = b.band AND z.band_val = b.band_val),
+         |bandpairs AS (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |  FROM sb l JOIN sb r
+         |    ON l.band = r.band AND l.band_val = r.band_val AND l.sub = r.sub
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+         |reps AS (SELECT simhash, MIN(doc_id) AS rep_id
+         |         FROM sig GROUP BY simhash HAVING COUNT(*) > 1),
+         |stars AS (
+         |  SELECT e.rep_id AS doc_a, v.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+         |  FROM sig v JOIN reps e ON e.simhash = v.simhash
+         |  WHERE v.doc_id > e.rep_id)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM
+         |  (SELECT * FROM bandpairs UNION ALL SELECT * FROM stars)""".stripMargin,
+
     "g_pagerank" ->
       s"""WITH $MERGED,
          |verts AS (SELECT src AS person_id FROM merged
@@ -2090,15 +2144,20 @@ object SparkEntry {
          |         CAST(SUM(x*x) AS BIGINT) AS sxx,
          |         CAST(SUM(y*y) AS BIGINT) AS syy,
          |         CAST(SUM(x*y) AS BIGINT) AS sxy
-         |  FROM pts)
+         |  FROM pts),
+         |d AS (
+         |  SELECT n,
+         |         CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx AS vx,
+         |         CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy AS vy,
+         |         CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy AS cv
+         |  FROM s)
          |SELECT n // 2 AS n_edges,
-         |       CAST(CASE WHEN n > 0 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |       CAST(CASE WHEN n > 0 AND vx > 0 AND vy > 0
          |            THEN floor(
-         |              CAST(n*sxy - sx*sy AS DOUBLE) * 1e6 /
-         |                sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
-         |                     CAST(n*syy - sy*sy AS DOUBLE)))
+         |              CAST(cv AS DOUBLE) * 1e6 /
+         |                sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))
          |            ELSE 0 END AS BIGINT) AS r_e6
-         |FROM s""".stripMargin,
+         |FROM d""".stripMargin,
 
     // each shared item contributes 1000 // max(ilog2(fanout), 1) —
     // same whole-bit ilog2 convention as t_bigram_lm/t_dsir_weights
@@ -3644,9 +3703,12 @@ object SparkEntry {
 
     // the sketch median is engine-specific; the oracle pins the group
     // size + approx_ok=TRUE, certifying the Spark-side rank bound
+    // WHERE mirrors the Spark side's filter-first: an all-null group
+    // vanishes on both engines (COUNT(value) alone would keep it in
+    // DuckDB with n=0 while Spark drops it)
     "x_approx_quantile" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS approx_ok
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "agg_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

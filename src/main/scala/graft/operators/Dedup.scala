@@ -802,13 +802,41 @@ object Dedup {
     * filters; hot buckets never materialize their candidate set past
     * whole-stage codegen. (Gated by PlanQualitySpec: no aggregate, no
     * exchange after the band join.)
+    *
+    * `maxBucketSize` is the OCCUPANCY GUARD for near-dup-heavy corpora
+    * where signatures concentrate into hot (band, band_val) buckets
+    * and the band join goes quadratic in occupancy anyway (the sf1
+    * smoke measured 28× wall-clock at 10× input uncapped): any bucket
+    * larger than the cap is sub-split into `ceil(bucket_n / cap)`
+    * sub-buckets by a portable `doc_id` hash, bounding every candidate
+    * block to ~cap² in expectation — the same device as
+    * [[Similarity.cosineNearDupPairs]]'s `maxBucketSize` and
+    * [[Similarity.semanticDedup]]'s `maxCellSize`. Because an id-hash
+    * split can separate docs whose signatures are identical, a LINEAR
+    * exact-signature star floor (group on the full `simhash`, star
+    * pairs to the group minimum, hamming = 0 by construction) runs
+    * alongside, so identical-signature docs — the pairs a dedup must
+    * never miss — always connect to their representative regardless of
+    * the sub-split. Unlike the cosine floor there is no hash-collision
+    * caveat: the group key IS the full signature, so star pairs are
+    * exact, not proposals. Sub-cap near-pairs (hamming 1..maxHamming)
+    * split across sub-buckets are the documented recall trade,
+    * identical in kind to LSH banding itself. Under the cap the
+    * first-collision trick is unsound (a pair's first colliding band
+    * may be the one the sub-split separated, and the later-band
+    * emission would be filtered), so the capped branch dedups
+    * candidates with a distinct over the already-hamming-filtered
+    * pairs instead — the capped path trades one bounded exchange for
+    * the occupancy bound.
     */
   def simhashPairs(
       sigs: DataFrame, maxHamming: Int = 3,
       checkpointDir: Option[String] = None,
-      bits: Int = 64): DataFrame = {
+      bits: Int = 64,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits >= 4 && bits <= 64 && bits % 4 == 0,
       s"simhashPairs: bits must be in [4, 64] and divisible by 4, got $bits")
+    require(maxHamming >= 0, s"simhashPairs: maxHamming must be >= 0, got $maxHamming")
     val bandBits = bits / 4
     val bandMask = (1L << bandBits) - 1
     val spark = sigs.sparkSession
@@ -842,26 +870,70 @@ object Dedup {
           s"candidate generation quadratic. Pass bits=<signature width> " +
           s"(e.g. bits=32 for a 32-block perceptualHash).")
       }
-    val l = banded.select(
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
-    val r = banded.select(
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"), col("band"), col("band_val"))
-    def bandOf(sig: Column, b: Int): Column =
-      shiftright(sig, b * bandBits).bitwiseAND(bandMask)
-    // true iff every band BEFORE the joined one differs — i.e. the
-    // joined band is the pair's first collision. Within one band a
-    // pair collides at most once (one band_val per doc), so this
-    // yields global exactly-once emission with no distinct.
-    val firstCollision = (0 until 4).map { b =>
-      when(col("band") > b, bandOf(col("sig_a"), b) =!= bandOf(col("sig_b"), b))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
-    l.join(r, Seq("band", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .filter(firstCollision)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    maxBucketSize match {
+      case None =>
+        val l = banded.select(
+          col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
+        val r = banded.select(
+          col("doc_id").as("doc_b"), col("simhash").as("sig_b"), col("band"), col("band_val"))
+        def bandOf(sig: Column, b: Int): Column =
+          shiftright(sig, b * bandBits).bitwiseAND(bandMask)
+        // true iff every band BEFORE the joined one differs — i.e. the
+        // joined band is the pair's first collision. Within one band a
+        // pair collides at most once (one band_val per doc), so this
+        // yields global exactly-once emission with no distinct.
+        val firstCollision = (0 until 4).map { b =>
+          when(col("band") > b, bandOf(col("sig_a"), b) =!= bandOf(col("sig_b"), b))
+            .otherwise(lit(true))
+        }.reduce(_ && _)
+        l.join(r, Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+          .filter(col("hamming") <= maxHamming)
+          .filter(firstCollision)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+      case Some(cap) =>
+        require(cap >= 1, s"simhashPairs: maxBucketSize must be >= 1, got $cap")
+        val P = graft.functions.Hashing.P
+        // bucket sizes are an aggregate of the (checkpointed) banded
+        // frame itself, key-bounded by 4·2^bandBits ≤ 4·2^16 rows of
+        // 24-byte keys (and by 4·|distinct signatures|) — always
+        // broadcast-safe, same hint rationale as bandedCandidates'
+        // sizes frame in Similarity.scala
+        val sizes = broadcast(
+          banded.groupBy(col("band"), col("band_val")).agg(count(lit(1)).as("bkt_n")))
+        val sub = banded.join(sizes, Seq("band", "band_val"))
+          .withColumn("sub",
+            ((col("doc_id") % P) * 1103515245L + 12345L) % P %
+              ceil(col("bkt_n").cast("double") / cap).cast("long"))
+          .drop("bkt_n")
+        val l = sub.select(
+          col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          col("band"), col("band_val"), col("sub"))
+        val r = sub.select(
+          col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+          col("band"), col("band_val"), col("sub"))
+        // hamming is filtered BEFORE the distinct, so the dedup
+        // exchange carries only verified pairs (three 8-byte columns),
+        // never the raw candidate set
+        val bandPairs = l.join(r, Seq("band", "band_val", "sub"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+          .filter(col("hamming") <= maxHamming)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        // exact-signature star floor: 8-byte group keys, doc text /
+        // signatures never fan out — identical-signature docs stay
+        // connected through the group minimum even at cap = 1
+        val reps = sigs.groupBy(col("simhash"))
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+          .filter(col("grp_n") > 1)
+          .select(col("simhash"), col("rep_id"))
+        val stars = sigs.join(reps, Seq("simhash"))
+          .filter(col("doc_id") > col("rep_id"))
+          .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+            lit(0L).as("hamming"))
+        bandPairs.unionByName(stars).distinct()
+    }
   }
 
   /** Cluster-representative selection — the step after

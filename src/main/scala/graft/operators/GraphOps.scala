@@ -447,6 +447,17 @@ object GraphOps {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val pts = joined.select(col("da").as("x"), col("db").as("y"))
       .unionAll(joined.select(col("db").as("x"), col("da").as("y")))
+    // the cross products n·sxx, sx², n·sxy … are computed in
+    // DECIMAL(38,0): with n = 2E stubs they exceed int64 well below
+    // the 100 TB target (E ≈ 1e9, degrees ≈ 1e3 ⇒ n·sxx ≈ 2e24) and a
+    // silent Long wrap could flip the zero-variance guard's sign. Both
+    // engines carry the products exactly (decimal here, HUGEINT-exact
+    // decimal in the DuckDB twin), so the ONE final double still
+    // matches bit-for-bit.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val varx = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val vary = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    val cov = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
     pts
       .agg(
         count(lit(1)).as("n"),
@@ -457,13 +468,10 @@ object GraphOps {
       .select(
         expr("n div 2").as("n_edges"),
         when(
-          col("n") > 0 &&
-            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
-            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          col("n") > 0 && varx > 0 && vary > 0,
           floor(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") * 1e6 /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            cov.cast("double") * 1e6 /
+              sqrt(varx.cast("double") * vary.cast("double"))))
           .otherwise(0L).cast("long").as("r_e6"))
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, length, lit, substring, xxhash64}
+import org.apache.spark.sql.functions.{col, collect_list, length, lit, min, size, substring, xxhash64}
 
 import graft.functions.Hashing
 import graft.operators.Dedup
@@ -91,6 +91,37 @@ class DedupSpec extends SparkSpec {
     assert(rowSet(pairs).forall {
       case Seq(a: Long, b: Long, _) => byDoc(a) === byDoc(b)
     })
+  }
+
+  test("simhash occupancy cap: subset / wide-cap-noop / star-floor laws") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, hash = graft.functions.Hashing.Portable)
+    val uncapped = rowSet(Dedup.simhashPairs(sigs, 3))
+    // wide cap: every bucket fits, ceil(n/cap)=1 ⇒ sub=0 everywhere,
+    // and the star pairs are band-join pairs anyway (identical sigs
+    // collide in every band) — exact set equality with the uncapped op
+    assert(rowSet(Dedup.simhashPairs(sigs, 3, maxBucketSize = Some(1000000)))
+      === uncapped)
+    // tight cap: the sub-split can only LOSE band pairs, and star
+    // pairs (hamming 0, identical sigs) are uncapped pairs too
+    val tight = rowSet(Dedup.simhashPairs(sigs, 3, maxBucketSize = Some(2)))
+    assert(tight.subsetOf(uncapped), "capped pairs must be a subset of uncapped")
+    // star floor at the degenerate cap=1 (every multi-doc bucket is
+    // fully sub-split): each identical-signature group still connects
+    // to its minimum member with hamming 0
+    val one = rowSet(Dedup.simhashPairs(sigs, 3, maxBucketSize = Some(1)))
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(groups.nonEmpty, "fixture must contain duplicated signatures")
+    groups.foreach { case (_, rep, members) =>
+      members.filter(_ != rep).foreach { m =>
+        assert(one.contains(Seq(rep, m, 0L)),
+          s"star floor must keep ($rep, $m) at cap=1")
+      }
+    }
   }
 
   test("connected components: chains merge to min label, singletons stand alone") {

@@ -91,6 +91,10 @@ class EmptyInputSpec extends SparkSpec {
     // over zero rows is null -> no warning, no crash)
     assert(Dedup.simhashPairs(
       Seq.empty[(Long, Long)].toDF("doc_id", "simhash")).count() === 0)
+    // capped path: empty sizes frame + empty star floor, still empty
+    assert(Dedup.simhashPairs(
+      Seq.empty[(Long, Long)].toDF("doc_id", "simhash"),
+      maxBucketSize = Some(2)).count() === 0)
     // knnGraph: empty corpus, single vector (no candidate pairs), and
     // an all-zero-norm corpus (every vector excluded) all yield empty
     assert(Similarity.knnGraph(emptyEmb, k = 3).count() === 0)

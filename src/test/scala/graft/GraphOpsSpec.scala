@@ -323,6 +323,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(rowSet(GraphOps.degreeAssortativity(tri)) === Set(Seq(3L, 0L)))
   }
 
+  test("degreeAssortativity: cross products past int64 stay exact (decimal stats)") {
+    // star K1,E at E=1e5: sx = E²+E ≈ 1e10 so sx·sx ≈ 1e20 and
+    // n·sxx ≈ 2e20 — both past Long.MaxValue (9.2e18); raw Long math
+    // wraps and can flip the variance guard's sign. A star is exactly
+    // r = −1 at every size (varx = vary = −cov, so the one final
+    // double is exactly −1e6), making the pin closed-form.
+    val n = 100000
+    val star = spark.range(1, n + 1)
+      .select(lit(0L).as("person_a"), col("id").as("person_b"))
+    assert(rowSet(GraphOps.degreeAssortativity(star)) ===
+      Set(Seq(n.toLong, -1000000L)))
+  }
+
   test("coOccurrenceJaccard: permille containment over capped neighbor sets") {
     // same bipartite fixture as the cooc test; cap 3 drops hub.
     // capped sets: A{x,y} B{x,y,z} C{y,z}
