@@ -103,7 +103,8 @@ object ScaleSmoke {
   private val Chains = Seq(
     "pipe_curation", "pipe_curation_full", "pipe_leakage_split",
     "d_dedup_clusters", "d_minhash_lsh", "d_simhash_pairs",
-    "d_simhash_pairs_capped",
+    "d_simhash_pairs_capped", "d_dedup_clusters_capped",
+    "pipe_leakage_split_capped",
     "g_pagerank", "g_kcore_fixpoint", "g_triangles",
     "sim_near_dup_blocked", "sim_near_dup_capped",
     "sim_dedup_clusters", "sim_semantic_dedup_capped",

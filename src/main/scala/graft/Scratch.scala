@@ -22,6 +22,10 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // keep operator-level telemetry (e.g. connectedComponents
+    // rounds-to-fixpoint) visible under the quiet root level
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.operators", org.apache.logging.log4j.Level.INFO)
 
     val names = if (args.nonEmpty) args.toSeq else Seq("d_ngram_jaccard")
     time("warmup")(graft.sources.Tables.documents(spark, dir).count())

@@ -746,6 +746,19 @@ object SparkEntry {
         docs.select(col("doc_id")),
         broadcastLabels = true)
     }),
+    // the same chain over the occupancy-capped candidate generator —
+    // the composition a 100 TB dedup actually runs: the cap thins the
+    // CC edge list (the loop's per-round cost driver) at the pair
+    // stage, before anything iterates
+    "d_dedup_clusters_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponents(
+        Dedup.simhashPairs(
+          Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3,
+          maxBucketSize = Some(8)),
+        docs.select(col("doc_id")),
+        broadcastLabels = true)
+    }),
 
     // cluster-representative selection: the step after clustering in a
     // production dedup chain — keep the best-quality member per cluster
@@ -1153,7 +1166,13 @@ object SparkEntry {
     //    CC + the bucket derivation
     "pipe_leakage_split" -> ((s, dir) =>
       graft.pipelines.Curation.leakageSafeSplit(
-        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable))
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
+    // leakage-safe split over the occupancy-capped near-dup graph —
+    // same cluster-level split guarantee, scale-path candidate stage
+    "pipe_leakage_split_capped" -> ((s, dir) =>
+      graft.pipelines.Curation.leakageSafeSplit(
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable,
+        maxBucketSize = Some(8)))
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -1255,6 +1274,41 @@ object SparkEntry {
        |        FROM v GROUP BY doc_id))""".stripMargin
 
   private val SIMHASH = simhashSql("documents")
+
+  /** DuckDB twin of [[Dedup.simhashPairs]] with `maxBucketSize =
+    * Some(8)`: the portable doc_id sub-split over per-(band, band_val)
+    * occupancy + the exact-signature star floor, ending in a
+    * `cpairs(doc_a, doc_b, hamming)` CTE. Assumes a `sig(doc_id,
+    * simhash)` CTE is already in scope; shared by the capped pair,
+    * cluster, and leakage-split oracles.
+    */
+  private val SIMHASH_CAPPED_CPAIRS =
+    """banded AS (
+      |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_val
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      |sizes AS (SELECT band, band_val, COUNT(*) AS bkt_n
+      |          FROM banded GROUP BY band, band_val),
+      |sb AS (
+      |  SELECT b.doc_id, b.simhash, b.band, b.band_val,
+      |         ((b.doc_id % 1000000007) * 1103515245 + 12345) % 1000000007
+      |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
+      |  FROM banded b JOIN sizes z ON z.band = b.band AND z.band_val = b.band_val),
+      |bandpairs AS (
+      |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+      |  FROM sb l JOIN sb r
+      |    ON l.band = r.band AND l.band_val = r.band_val AND l.sub = r.sub
+      |   AND l.doc_id < r.doc_id
+      |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
+      |reps AS (SELECT simhash, MIN(doc_id) AS rep_id
+      |         FROM sig GROUP BY simhash HAVING COUNT(*) > 1),
+      |stars AS (
+      |  SELECT e.rep_id AS doc_a, v.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+      |  FROM sig v JOIN reps e ON e.simhash = v.simhash
+      |  WHERE v.doc_id > e.rep_id),
+      |cpairs AS (
+      |  SELECT DISTINCT doc_a, doc_b, hamming FROM
+      |    (SELECT * FROM bandpairs UNION ALL SELECT * FROM stars))""".stripMargin
 
   /** DuckDB twin of [[Similarity.quantize]] over `embeddings`. */
   private val QVEC =
@@ -1986,31 +2040,45 @@ object SparkEntry {
     // the group minimum with hamming 0 by construction
     "d_simhash_pairs_capped" ->
       s"""WITH $SIMHASH,
-         |banded AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band*16)) & 65535 AS band_val
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-         |sizes AS (SELECT band, band_val, COUNT(*) AS bkt_n
-         |          FROM banded GROUP BY band, band_val),
-         |sb AS (
-         |  SELECT b.doc_id, b.simhash, b.band, b.band_val,
-         |         ((b.doc_id % 1000000007) * 1103515245 + 12345) % 1000000007
-         |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
-         |  FROM banded b JOIN sizes z ON z.band = b.band AND z.band_val = b.band_val),
-         |bandpairs AS (
-         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-         |  FROM sb l JOIN sb r
-         |    ON l.band = r.band AND l.band_val = r.band_val AND l.sub = r.sub
-         |   AND l.doc_id < r.doc_id
-         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3),
-         |reps AS (SELECT simhash, MIN(doc_id) AS rep_id
-         |         FROM sig GROUP BY simhash HAVING COUNT(*) > 1),
-         |stars AS (
-         |  SELECT e.rep_id AS doc_a, v.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
-         |  FROM sig v JOIN reps e ON e.simhash = v.simhash
-         |  WHERE v.doc_id > e.rep_id)
-         |SELECT DISTINCT doc_a, doc_b, hamming FROM
-         |  (SELECT * FROM bandpairs UNION ALL SELECT * FROM stars)""".stripMargin,
+         |$SIMHASH_CAPPED_CPAIRS
+         |SELECT doc_a, doc_b, hamming FROM cpairs""".stripMargin,
+
+    // the scale-path cluster composition: occupancy-capped candidates
+    // (50x fewer sf1 edges than the uncapped band join) feeding the
+    // same recursive-reach CC twin
+    "d_dedup_clusters_capped" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v)
+         |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |FROM reach GROUP BY a""".stripMargin,
+
+    "pipe_leakage_split_capped" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+         |comp AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |         FROM reach GROUP BY a),
+         |bkt AS (
+         |  SELECT doc_id, component_id,
+         |         CAST(${ph("CAST(component_id AS VARCHAR)")} % 1000 AS BIGINT)
+         |           AS bucket
+         |  FROM comp)
+         |SELECT doc_id, component_id, bucket,
+         |       CASE WHEN bucket < 800 THEN 'train'
+         |            WHEN bucket < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
 
     "g_pagerank" ->
       s"""WITH $MERGED,

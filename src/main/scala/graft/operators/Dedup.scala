@@ -776,7 +776,13 @@ object Dedup {
       prevSum = labelSum
       labels = jumped
       round += 1
+      log.info(s"connectedComponents round $round: label_sum=${labelSum.orNull}")
     }
+    // rounds-to-fixpoint is THE scale driver of this operator (cost =
+    // rounds × per-round job overhead) — always log it so a 10× run
+    // can be adjudicated as diameter-bound vs blowup (PERF notes)
+    log.info(s"connectedComponents: ${if (changed) "max-rounds stop" else "fixpoint"} " +
+      s"after $round round(s), maxRounds=$maxRounds, broadcastLabels=$broadcastLabels")
     labels.select(col("doc_id"), col("label").as("component_id"))
   }
 

@@ -45,6 +45,10 @@ object Curation {
     *    hash-ordered sample of `k` docs ([[TextOps.domainQuota]]) — the
     *    corpus-mixing stage, applied after dedup so quota slots are
     *    never wasted on duplicates.
+    *  - `maxBucketSize` threads the SimHash occupancy guard
+    *    ([[Dedup.simhashPairs]]) into the near-dup stage — the
+    *    recommended setting for near-dup-heavy corpora at scale, where
+    *    the uncapped band join is the chain's dominant cost.
     */
   def curate(
       docs: DataFrame,
@@ -56,6 +60,7 @@ object Curation {
       probes: Option[DataFrame] = None,
       minSharedShingles: Int = 5,
       quota: Option[(String, Int)] = None,
+      maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     // 1. quality gate — semi-join against the keep set (broadcastable;
     // degrades to a shuffled semi-join at scale)
@@ -91,7 +96,8 @@ object Curation {
     // 3. near-dup clusters — keep each component's minimum id (the
     // exact-dedup canonicalization lifted to fuzzy equality)
     val pairs = Dedup.simhashPairs(
-      Dedup.simhashSignatures(exact, hash = hash), maxHamming, checkpointDir)
+      Dedup.simhashSignatures(exact, hash = hash), maxHamming, checkpointDir,
+      maxBucketSize = maxBucketSize)
     val comps = Dedup.connectedComponents(pairs, exactIds,
       broadcastLabels = true, checkpointDir = checkpointDir)
     val canon = comps.filter(col("doc_id") === col("component_id")).select(col("doc_id"))
@@ -130,7 +136,10 @@ object Curation {
     *
     * Scale shape: the SimHash band join + CC loop dominate (both
     * audited elsewhere); the split itself is a narrow projection on
-    * the 16-byte (doc, component) frame.
+    * the 16-byte (doc, component) frame. `maxBucketSize` threads the
+    * SimHash occupancy guard ([[Dedup.simhashPairs]]) into the pair
+    * stage — at scale it also thins the CC edge list, which is the
+    * loop's per-round cost driver.
     */
   def leakageSafeSplit(
       docs: DataFrame,
@@ -138,11 +147,13 @@ object Curation {
       valPermille: Int = 100,
       maxHamming: Int = 3,
       hash: Hashing.HashTier = Hashing.Fast,
+      maxBucketSize: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(trainPermille + valPermille <= 1000)
     val ids = docs.select(col("doc_id"))
     val pairs = Dedup.simhashPairs(
-      Dedup.simhashSignatures(docs, hash = hash), maxHamming, checkpointDir)
+      Dedup.simhashSignatures(docs, hash = hash), maxHamming, checkpointDir,
+      maxBucketSize = maxBucketSize)
     val comps = Dedup.connectedComponents(pairs, ids, broadcastLabels = true,
       checkpointDir = checkpointDir)
     comps

@@ -517,6 +517,57 @@ class PlanQualitySpec extends SparkSpec {
       s"closing-edge check should be a LEFT SEMI join:\n$plan")
   }
 
+  test("triangleCounts: wedge join keys on the oriented source u; deg attach broadcasts") {
+    val cooc = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)),
+      maxFanout = 20, minShared = 2)
+    val out = GraphOps.triangleCounts(cooc)
+    // drive AQE to its FINAL plan — broadcast decisions on the
+    // checkpointed edge list (no stats statically) land at runtime.
+    // collect() (not count()) so THIS df's QueryExecution is the one
+    // that finalizes.
+    out.collect()
+    // AQE's toString carries BOTH the final and the (pre-broadcast)
+    // initial plan — gate only on what actually executed
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("isFinalPlan=true"),
+      s"expected a finalized adaptive plan:\n$plan")
+    // the O(E^1.5) bound exists only if the self-join keys on the
+    // ORIENTED source vertex u (raw frame columns are a/b — a join
+    // keyed on them would be the unoriented Σ deg² blowup); the
+    // (dv, id) ordering must ride as a post-join condition, not
+    // degrade the equi key
+    assert("Join \\[u#\\d+L?\\], \\[u#\\d+L?\\]".r.findFirstIn(plan).isDefined ||
+      "BroadcastHashJoin \\[u#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"wedge join must be an equi-join on the oriented u:\n$plan")
+    // at spec scale AQE must broadcast the vertex-sized degree table
+    // (and every other small side) — a SortMergeJoin here means the
+    // orientation stage re-sorts the full edge list per attach
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected all-broadcast joins under AQE at this scale:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"degree attach should broadcast under AQE:\n$plan")
+  }
+
+  test("capped simhashPairs: band join keys include the sub-split; sizes broadcast") {
+    import spark.implicits._
+    val sigs = Seq((1L, 0x1111L), (2L, 0x1111L), (3L, 0x0FF0L))
+      .toDF("doc_id", "simhash")
+    val plan = formatted(Dedup.simhashPairs(sigs, 3, maxBucketSize = Some(2)))
+    // the cap is only real if candidate generation keys on
+    // (band, band_val, sub) — (band, band_val) alone is the uncapped
+    // quadratic (same gate as the capped cosine near-dup)
+    assert(
+      "\\[band#\\d+L?, band_val#\\d+L?, sub#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"candidate join does not key on the sub-split:\n$plan")
+    // the key-bounded bucket-size attach must broadcast, not shuffle
+    // the banded rows
+    assert("BroadcastHashJoin \\[band#\\d+L?, band_val#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined,
+      s"bucket-size attach should be a broadcast hash join:\n$plan")
+  }
+
   test("dsirWeights: broadcast model, shuffles key on doc_id, never text") {
     val out = graft.operators.TextOps.dsirWeights(
       Tables.documents(spark, sfDir), col("source") === "src0")
