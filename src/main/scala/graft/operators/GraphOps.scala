@@ -329,16 +329,36 @@ object GraphOps {
     * and the intermediate is ≤ maxFanout²/2 rows per dst.
     */
   def coOccurrencePairs(edges: DataFrame, maxFanout: Int, minShared: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    coOccurrencePairsFromCapped(cappedBipartite(edges, maxFanout, checkpointDir), minShared)
+
+  /** The co-occurrence family's shared input: the distinct edge list
+    * restricted to dsts with fan-out ≤ `maxFanout`, carrying the
+    * fan-out as a column — `(dst, fanout, src)`. Every member of the
+    * family ([[coOccurrencePairsFromCapped]],
+    * [[coOccurrenceJaccardFromCapped]],
+    * [[coOccurrenceAdamicAdarFromCapped]], and through pairs the
+    * triangle/clustering/assortativity analytics) derives from this
+    * one frame, so a pipeline running several of them materializes it
+    * ONCE (it is already lineage-cut here) instead of re-scanning and
+    * re-capping the edge list per analytic.
+    *
+    * Materialized once regardless: the pair self-join's l/r branches
+    * would otherwise re-execute the distinct + fan-out cap twice.
+    */
+  def cappedBipartite(edges: DataFrame, maxFanout: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
+    require(maxFanout >= 1, "maxFanout must be >= 1")
     val distinctEdges = edges.select(col("src"), col("dst")).distinct()
     val keptDst = distinctEdges.groupBy(col("dst"))
       .agg(count(lit(1)).as("fanout"))
       .filter(col("fanout") <= maxFanout)
-      .select(col("dst"))
-    // materialized once: the l/r branches of the self-join would
-    // otherwise re-execute the distinct + fan-out cap twice
-    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+    Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+  }
+
+  /** [[coOccurrencePairs]] from a pre-built [[cappedBipartite]] frame. */
+  def coOccurrencePairsFromCapped(capped: DataFrame, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
     val l = capped.select(col("dst"), col("src").as("person_a"))
     val r = capped.select(col("dst"), col("src").as("person_b"))
     l.join(r, Seq("dst"))
@@ -489,14 +509,12 @@ object GraphOps {
     * jaccard_e3)`.
     */
   def coOccurrenceJaccard(edges: DataFrame, maxFanout: Int, minShared: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
-    val distinctEdges = edges.select(col("src"), col("dst")).distinct()
-    val keptDst = distinctEdges.groupBy(col("dst"))
-      .agg(count(lit(1)).as("fanout"))
-      .filter(col("fanout") <= maxFanout)
-      .select(col("dst"))
-    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+      checkpointDir: Option[String] = None): DataFrame =
+    coOccurrenceJaccardFromCapped(cappedBipartite(edges, maxFanout, checkpointDir), minShared)
+
+  /** [[coOccurrenceJaccard]] from a pre-built [[cappedBipartite]] frame. */
+  def coOccurrenceJaccardFromCapped(capped: DataFrame, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
     val deg = capped.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val l = capped.select(col("dst"), col("src").as("person_a"))
     val r = capped.select(col("dst"), col("src").as("person_b"))
@@ -529,13 +547,14 @@ object GraphOps {
     * Output: `(person_a, person_b, n_shared, aa_e3)`.
     */
   def coOccurrenceAdamicAdar(edges: DataFrame, maxFanout: Int, minShared: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(maxFanout >= 1 && minShared >= 1, "maxFanout and minShared must be >= 1")
-    val distinctEdges = edges.select(col("src"), col("dst")).distinct()
-    val keptDst = distinctEdges.groupBy(col("dst"))
-      .agg(count(lit(1)).as("fanout"))
-      .filter(col("fanout") <= maxFanout)
-    val capped = Checkpoints.cut(distinctEdges.join(keptDst, Seq("dst")), checkpointDir)
+      checkpointDir: Option[String] = None): DataFrame =
+    coOccurrenceAdamicAdarFromCapped(cappedBipartite(edges, maxFanout, checkpointDir), minShared)
+
+  /** [[coOccurrenceAdamicAdar]] from a pre-built [[cappedBipartite]]
+    * frame (whose `fanout` column is exactly the weight input).
+    */
+  def coOccurrenceAdamicAdarFromCapped(capped: DataFrame, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
     val w = expr("1000L div greatest(cast(length(bin(fanout)) - 1 as bigint), 1L)")
     val l = capped.select(col("dst"), col("fanout"), col("src").as("person_a"))
     val r = capped.select(col("dst"), col("src").as("person_b"))
