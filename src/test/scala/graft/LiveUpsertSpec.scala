@@ -84,4 +84,73 @@ class LiveUpsertSpec extends SparkSpec {
     val twice = scala.jdk.CollectionConverters.MapHasAsScala(FakeGraphStore.state).asScala
     assert(twice === once)
   }
+
+  // ---- real embedded store (Apache Derby, in-process JDBC) ----------------
+  // The FakeGraphStore tests prove the sink's set-oriented algebra; these
+  // prove the SAME end-state and replay-idempotency against a real
+  // transactional store with a real atomic MERGE — the closest the harness
+  // (no live Dgraph/MySQL) gets to the reference's dgraph.go:175-223 path.
+
+  private def derbyUrl(name: String): String = {
+    // keep derby.log out of the repo working dir (must be set before the
+    // engine boots; harmless afterwards)
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("graft_derby_log").resolve("derby.log").toString)
+    val dir = Files.createTempDirectory("graft_derby").resolve(name)
+    s"jdbc:derby:$dir;create=true"
+  }
+
+  private def readStore(url: String): Set[Seq[Any]] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT src, dst, score FROM edge_state")
+      val b = Set.newBuilder[Seq[Any]]
+      while (rs.next()) b += Seq(rs.getString(1), rs.getString(2), rs.getDouble(3))
+      b.result()
+    } finally conn.close()
+  }
+
+  test("derby-backed upsert end-state equals mergeEdgeStates") {
+    val url = derbyUrl("state_eq")
+    graft.sinks.JdbcGraphStore.ensureTable(url)
+    // seed prior state through the store's own upsert path
+    val conn = new graft.sinks.JdbcGraphStoreFactory(url).open(0)
+    try prior.foreach { case (s, d, v) => conn.upsertIfGreater(s, d, v) }
+    finally conn.close()
+
+    val edges = GraphOps.edgesFromDocs(docs.toDF())
+    LiveUpsert.writeUpserts(edges, new graft.sinks.JdbcGraphStoreFactory(url))
+
+    val expected = GraphOps.mergeEdgeStates(
+      prior.toDF("src", "dst", "score"),
+      GraphOps.mergeMaxEdges(edges))
+    assert(readStore(url) === rowSet(expected))
+    assert(readStore(url) === Set(
+      Seq("A", "B", 5.0), Seq("B", "A", 7.0), Seq("X", "Y", 9.0),
+      Seq("C", "D", 8.0), Seq("D", "C", 6.0)))
+  }
+
+  test("derby-backed upsert is idempotent under replay") {
+    val url = derbyUrl("state_replay")
+    graft.sinks.JdbcGraphStore.ensureTable(url)
+    val edges = GraphOps.edgesFromDocs(docs.toDF())
+    LiveUpsert.writeUpserts(edges, new graft.sinks.JdbcGraphStoreFactory(url))
+    val once = readStore(url)
+    LiveUpsert.writeUpserts(edges, new graft.sinks.JdbcGraphStoreFactory(url))
+    assert(readStore(url) === once)
+  }
+
+  test("derby merge is upsert-if-GREATER: lower and equal scores never regress state") {
+    val url = derbyUrl("state_monotone")
+    graft.sinks.JdbcGraphStore.ensureTable(url)
+    val c = new graft.sinks.JdbcGraphStoreFactory(url, commitEvery = 2).open(0)
+    try {
+      c.upsertIfGreater("A", "B", 5.0)
+      c.upsertIfGreater("A", "B", 3.0) // lower: no-op
+      c.upsertIfGreater("A", "B", 5.0) // equal: no-op
+      c.upsertIfGreater("A", "B", 6.0) // greater: wins
+    } finally c.close()
+    assert(readStore(url) === Set(Seq("A", "B", 6.0)))
+  }
 }
