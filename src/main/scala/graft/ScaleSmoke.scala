@@ -110,7 +110,7 @@ object ScaleSmoke {
     "sim_dedup_clusters", "sim_semantic_dedup_capped",
     "sim_ivf_kmeans",
     "sim_knn_graph", "sim_nn_descent", "t_bigram_lm",
-    "sim_pq_topk", "stream_fuzzy_ingest",
+    "sim_pq_topk", "stream_fuzzy_ingest", "stream_heavy_hitters",
     "t_dsir_weights", "g_link_jaccard")
 
   /** Chains that are stateful streaming replays, not
@@ -128,7 +128,53 @@ object ScaleSmoke {
     * bounded by (batch × collisions), not corpus-resident state.
     */
   private lazy val StreamChains: Map[String, (SparkSession, String) => (Double, Long)] =
-    Map("stream_fuzzy_ingest" -> fuzzyIngestReplay)
+    Map(
+      "stream_fuzzy_ingest" -> fuzzyIngestReplay,
+      "stream_heavy_hitters" -> heavyHittersReplay)
+
+  /** `stream_heavy_hitters` replays the scale's documents through
+    * [[graft.streaming.DocStreams.heavyHitterTokens]] (k=20) in 4
+    * micro-batches — the second stateful streaming chain in the smoke,
+    * covering the flatMapGroupsWithState + mergeable-Misra-Gries tier
+    * (fuzzyIngest covers the on-disk-index tier). Per batch the work
+    * is batch-sized (partial counts → per-partition top-(k+1)
+    * candidates) and state is k-bounded per source regardless of
+    * corpus size, so the 10x point should be ~linear in tokens with
+    * FLAT state. The returned "rows" metric is the total processed
+    * token count folded into state (Σ per-source n_tokens at end) —
+    * proof the 10x run chewed 10x the tokens even though the summary
+    * row count is k-bounded by design.
+    */
+  private def heavyHittersReplay(spark: SparkSession, dir: String): (Double, Long) = {
+    val root = java.nio.file.Files.createTempDirectory("smoke-hh")
+    try {
+      val spool = s"$root/spool"
+      spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(8).write.parquet(spool)
+      val schema = spark.read.parquet(spool).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(spool)
+      val qn = s"smoke_hh_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DocStreams.heavyHitterTokens(stream, k = 20)
+        .writeStream.outputMode("update").format("memory").queryName(qn)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = spark.table(qn)
+        .groupBy(col("source")).agg(max(col("n_tokens")).as("n"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      spark.catalog.dropTempView(qn)
+      (sec, n)
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+  }
 
   private def fuzzyIngestReplay(spark: SparkSession, dir: String): (Double, Long) = {
     val root = java.nio.file.Files.createTempDirectory("smoke-stream")
