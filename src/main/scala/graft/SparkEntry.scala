@@ -328,6 +328,18 @@ object SparkEntry {
     "g_link_adamic" -> ((s, dir) =>
       GraphOps.coOccurrenceAdamicAdarFromCapped(coocCapped(s, dir), minShared = 2)),
 
+    // synchronous 2-round label propagation on the projected graph —
+    // deterministic neighbor-label mode, ties to the smallest label
+    "g_label_prop" -> ((s, dir) =>
+      GraphOps.labelPropagation(coocPairs(s, dir), rounds = 2)),
+
+    // Newman modularity of the LPA partition over the same graph —
+    // exact integer sufficient stats, one final double, e6-floored
+    "g_modularity" -> ((s, dir) => {
+      val p = coocPairs(s, dir)
+      GraphOps.modularity(p, GraphOps.labelPropagation(p, rounds = 2))
+    }),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -601,6 +613,10 @@ object SparkEntry {
     // position hash; the plan IS the shard-writer's partition+sort)
     "t_shard_shuffle" -> ((s, dir) =>
       TextOps.shardShuffle(Tables.documents(s, dir), 32)),
+    // pairwise total-variation distance between source token
+    // distributions — the exact-rational mixture-drift audit
+    "t_source_tvd" -> ((s, dir) =>
+      TextOps.sourceTvd(Tables.documents(s, dir))),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -1667,6 +1683,36 @@ object SparkEntry {
          |ORDER BY n DESC, tok ASC
          |LIMIT 20""".stripMargin,
 
+    // signed-contribution trick: a (src, tok) count row contributes
+    // +cnt·N_b under the pair's left source and −cnt·N_a under the
+    // right, so the per-(pair, tok) SUM is c_at·N_b − c_bt·N_a with
+    // missing-in-one-source handled without a full outer join;
+    // DECIMAL(38,0) cross products, one final double (Spark twin:
+    // TextOps.sourceTvd)
+    "t_source_tvd" ->
+      s"""WITH c AS (
+         |  SELECT src, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source AS src, unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY src),
+         |p AS (SELECT a.src AS source_a, a.n AS n_a,
+         |             b.src AS source_b, b.n AS n_b
+         |      FROM t a JOIN t b ON a.src < b.src),
+         |sgn AS (
+         |  SELECT source_a, source_b, n_a, n_b, tok,
+         |         SUM(CASE WHEN c.src = source_a
+         |                  THEN CAST(cnt AS DECIMAL(38,0)) * n_b
+         |                  ELSE -CAST(cnt AS DECIMAL(38,0)) * n_a END) AS sgn
+         |  FROM p JOIN c ON c.src = source_a OR c.src = source_b
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |s AS (SELECT source_a, source_b, n_a, n_b,
+         |             CAST(SUM(ABS(sgn)) AS DECIMAL(38,0)) AS s
+         |      FROM sgn GROUP BY 1, 2, 3, 4)
+         |SELECT source_a, source_b, n_a, n_b,
+         |       CAST(FLOOR(CAST(s AS DOUBLE) * 1e6 /
+         |            (2.0 * n_a * n_b)) AS BIGINT) AS tvd_e6
+         |FROM s""".stripMargin,
+
     "t_chunks" ->
       s"""SELECT doc_id,
          |       CAST(off AS BIGINT) AS off,
@@ -2335,6 +2381,87 @@ object SparkEntry {
          |            THEN (COALESCE(n, 0) * 2000) // (dg.deg * (dg.deg - 1))
          |            ELSE 0 END AS BIGINT) AS lcc_e3
          |FROM dg LEFT JOIN pv ON pv.v = dg.v""".stripMargin,
+
+    // synchronous LPA unrolled to 2 rounds: per round, each vertex
+    // takes the mode of its neighbors' previous labels, row_number
+    // (c DESC, label ASC) ≡ the Spark side's min(struct(-c, label))
+    "g_label_prop" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT pa AS v, pb AS u FROM cooc
+         |        UNION SELECT pb, pa FROM cooc),
+         |l0 AS (SELECT DISTINCT v, v AS label FROM sym),
+         |c1 AS (SELECT s.v, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l0 l ON l.v = s.u GROUP BY 1, 2),
+         |l1 AS (SELECT v, label FROM (
+         |         SELECT v, label, row_number() OVER (
+         |           PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c1)
+         |       WHERE rn = 1),
+         |c2 AS (SELECT s.v, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l1 l ON l.v = s.u GROUP BY 1, 2),
+         |l2 AS (SELECT v, label FROM (
+         |         SELECT v, label, row_number() OVER (
+         |           PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c2)
+         |       WHERE rn = 1)
+         |SELECT v AS person_id, label AS community FROM l2""".stripMargin,
+
+    // modularity of the 2-round LPA partition: exact BIGINT/DECIMAL
+    // sufficient stats (4m·Σm_c − ΣD_c²) / 4m², one final double
+    "g_modularity" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT pa AS v, pb AS u FROM cooc
+         |        UNION SELECT pb, pa FROM cooc),
+         |l0 AS (SELECT DISTINCT v, v AS label FROM sym),
+         |c1 AS (SELECT s.v, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l0 l ON l.v = s.u GROUP BY 1, 2),
+         |l1 AS (SELECT v, label FROM (
+         |         SELECT v, label, row_number() OVER (
+         |           PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c1)
+         |       WHERE rn = 1),
+         |c2 AS (SELECT s.v, l.label, COUNT(*) AS c
+         |       FROM sym s JOIN l1 l ON l.v = s.u GROUP BY 1, 2),
+         |lab AS (SELECT v AS person_id, label AS community FROM (
+         |         SELECT v, label, row_number() OVER (
+         |           PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c2)
+         |       WHERE rn = 1),
+         |und AS (SELECT pa AS a, pb AS b FROM cooc),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |wc AS (SELECT la.community AS ca, lb.community AS cb
+         |       FROM und u
+         |       JOIN lab la ON la.person_id = u.a
+         |       JOIN lab lb ON lb.person_id = u.b),
+         |mc AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS sum_mc FROM (
+         |         SELECT ca, COUNT(*) AS cnt FROM wc WHERE ca = cb GROUP BY ca)),
+         |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |         SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |       GROUP BY v),
+         |dc AS (SELECT community, CAST(SUM(d) AS BIGINT) AS dcs
+         |       FROM dg JOIN lab ON lab.person_id = dg.v GROUP BY community),
+         |ds AS (SELECT
+         |         CAST(COALESCE(SUM(CAST(dcs AS DECIMAL(38,0)) * dcs), 0)
+         |           AS DECIMAL(38,0)) AS sum_dc2,
+         |         CAST(COUNT(*) AS BIGINT) AS n_communities
+         |       FROM dc)
+         |SELECT m AS n_edges, n_communities,
+         |       CAST(CASE WHEN m > 0 THEN floor(
+         |         CAST(4 * CAST(m AS DECIMAL(38,0)) * sum_mc - sum_dc2 AS DOUBLE)
+         |           * 1e6 /
+         |         CAST(4 * CAST(m AS DECIMAL(38,0)) * m AS DOUBLE))
+         |       ELSE 0 END AS BIGINT) AS q_e6
+         |FROM m, mc, ds""".stripMargin,
 
     "t_pack_sequences" ->
       s"""WITH t AS (

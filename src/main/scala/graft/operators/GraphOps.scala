@@ -735,4 +735,116 @@ object GraphOps {
     * in single digits.
     */
   val KCoreMaxRounds: Int = 1000
+
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) over
+    * an undirected pair graph — community detection where a connected
+    * component ([[graft.operators.Dedup.connectedComponents]]) is too
+    * coarse (one dense component ≠ one community). Fully
+    * deterministic, fixed `rounds`: labels init to the vertex id;
+    * each round every vertex adopts the MODE of its neighbors'
+    * previous-round labels, ties broken by the smallest label (the
+    * classic async/random variant is not oracle-replicable; the
+    * synchronous min-tie-break form is, and its two-round output is
+    * pinned in SQL by unrolled CTEs). The argmax is
+    * `min(struct(-count, label))` — one struct-min aggregate, no
+    * per-vertex window shuffle.
+    *
+    * Scale shape: per round ONE edge-sized join (labels attach to the
+    * symmetric edge list on the 1-column neighbor key; vertex-sized
+    * label table broadcasts under `broadcastLabels`, the
+    * [[pageRank]] switch) and two map-side-combining aggregates on
+    * (vertex, label) / vertex keys. Label payload is one id-sized
+    * value — no text, no neighbor lists. Rounds are a fixed small
+    * constant (LPA quality saturates in ~5), each cut via
+    * [[Checkpoints]].
+    *
+    * Output: `(person_id, community)` for every non-isolated vertex.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int,
+      aCol: String = "person_a", bCol: String = "person_b",
+      broadcastLabels: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = Checkpoints.cut(
+      pairs.select(col(aCol).as("v"), col(bCol).as("u"))
+        .unionAll(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
+        .filter(col("v") =!= col("u"))
+        .distinct(),
+      checkpointDir)
+    var lab = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (r <- 1 to rounds) {
+      val labIn = if (broadcastLabels) broadcast(lab) else lab
+      val counts = sym
+        .join(labIn.select(col("v").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      lab = counts
+        .groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
+      if (r < rounds) lab = Checkpoints.cut(lab, checkpointDir)
+    }
+    lab.select(col("v").as("person_id"), col("label").as("community"))
+  }
+
+  /** Newman–Girvan modularity of a vertex partition over an undirected
+    * pair graph — the standard "is this community structure real"
+    * score for [[labelPropagation]]'s output:
+    * `Q = Σ_c [ m_c/m − (D_c/2m)² ]`, rearranged to the single exact
+    * rational `(4m·Σ_c m_c − Σ_c D_c²) / (4m²)` so the sufficient
+    * statistics (m, intra-community edge counts m_c, community degree
+    * sums D_c) are exact integers, the cross products are
+    * DECIMAL(38,0) (the [[degreeAssortativity]] overflow rule: m ≈
+    * 1e9 edges puts 4m² at ~4e18, past safe signed headroom once
+    * multiplied again), and ONE final double division yields
+    * `q_e6 = floor(Q·10⁶)`. Vertices absent from `labels` contribute
+    * degree to no community — callers pass a labeling that covers the
+    * graph (LPA's output covers every non-isolated vertex by
+    * construction).
+    *
+    * Scale shape: two edge-sized joins to attach endpoint labels, a
+    * community-sized aggregate each for m_c and D_c, then three
+    * 1-row aggregates combined by 1-row cross joins (the documented
+    * 1-row-broadcast device, cf. `TextOps.scala` nDocs). No
+    * iteration, no driver state.
+    *
+    * Output: one row `(n_edges, n_communities, q_e6)`.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame,
+      aCol: String = "person_a", bCol: String = "person_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val und = Checkpoints.cut(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct(),
+      checkpointDir)
+    val lab = labels.select(col("person_id"), col("community"))
+    val withC = und
+      .join(lab.select(col("person_id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("person_id").as("b"), col("community").as("cb")), Seq("b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val intra = withC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("mc"))
+      .agg(coalesce(sum(col("mc")), lit(0L)).as("sum_mc"))
+    val degSq = und.select(explode(array(col("a"), col("b"))).as("person_id"))
+      .groupBy(col("person_id")).agg(count(lit(1)).as("d"))
+      .join(lab, Seq("person_id"))
+      .groupBy(col("community")).agg(sum(col("d")).as("dc"))
+      .agg(
+        coalesce(sum(dec(col("dc")) * dec(col("dc"))), dec(lit(0))).as("sum_dc2"),
+        count(lit(1)).as("n_communities"))
+    mRow.crossJoin(intra).crossJoin(degSq)
+      .select(
+        col("m").as("n_edges"),
+        col("n_communities"),
+        when(col("m") > 0,
+          floor(
+            (dec(lit(4)) * dec(col("m")) * dec(col("sum_mc")) - col("sum_dc2"))
+              .cast("double") * 1e6 /
+              (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double")))
+          .otherwise(0L).cast("long").as("q_e6"))
+  }
 }

@@ -1008,4 +1008,65 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Pairwise total-variation distance between per-source token
+    * distributions — the mixture-drift audit a curation pipeline runs
+    * before reweighting ("did src7's crawl snapshot shift under us?",
+    * "are these two dumps the same distribution?"). TVD = ½·Σ_t
+    * |p_t − q_t| is the exact-rational member of the distribution-
+    * distance family (KL/JS need logs — not oracle-replicable in
+    * integers; TVD bounds JS via Pinsker anyway), computed here with
+    * zero floating point until one final division:
+    * `S = Σ_t |c_at·N_b − c_bt·N_a|` in DECIMAL(38,0) (token counts
+    * at 100 TB reach ~1e14; the cross products ~1e28 — far past
+    * int64) and `tvd_e6 = floor(S·10⁶ / (2·N_a·N_b))` as the single
+    * double step, the [[graft.operators.GraphOps.degreeAssortativity]]
+    * exactness device. 0 = identical distributions, 10⁶ = disjoint
+    * vocabularies.
+    *
+    * The per-token |·| needs each token's count under BOTH sources of
+    * a pair, absent ⇒ 0 — expressed without a full-outer join: each
+    * (source, token, cnt) row joins the (tiny, broadcast) pair list
+    * and contributes `+cnt·N_b` when it is the pair's left source and
+    * `−cnt·N_a` when right; the per-(pair, token) SUM is then exactly
+    * `c_at·N_b − c_bt·N_a` whether the token appears under one source
+    * or both.
+    *
+    * Scale shape: one (source, token) count shuffle over the corpus
+    * (map-side combined, the shuffle carries distinct tokens, never
+    * text), a source-sized totals aggregate, then a broadcast
+    * nested-loop join of counts against the pair list — fan-out
+    * |sources|−1 per count row. Sources are a NAMED mixture axis
+    * (dozens, not millions) — the P² pair output and the fan-out are
+    * bounded by that, which is the operator's documented contract.
+    *
+    * Output: `(source_a, source_b, n_a, n_b, tvd_e6)`, one row per
+    * unordered source pair with both totals > 0.
+    */
+  def sourceTvd(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("cnt")).as("n"))
+    val pairs = totals.select(col("src").as("source_a"), col("n").as("n_a"))
+      .join(totals.select(col("src").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    counts
+      .join(broadcast(pairs),
+        col("src") === col("source_a") || col("src") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("tok"))
+      .agg(sum(
+        when(col("src") === col("source_a"), dec(col("cnt")) * dec(col("n_b")))
+          .otherwise(-dec(col("cnt")) * dec(col("n_a")))).as("sgn"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("sgn"))).as("s"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        floor(
+          col("s").cast("double") * 1e6 /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long").as("tvd_e6"))
+  }
 }

@@ -38,6 +38,13 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
     assert(GraphOps.coOccurrenceAdamicAdar(
       Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
+    assert(GraphOps.labelPropagation(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"), 2).count() === 0)
+    // modularity on nothing: single (0, 0, 0) row by the m > 0 guard
+    assert(rowSet(GraphOps.modularity(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"),
+      Seq.empty[(String, String)].toDF("person_id", "community"))) ===
+      Set(Seq(0L, 0L, 0L)))
   }
 
   test("dedup operators on empty inputs") {
@@ -239,6 +246,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.decayedValue(emptyEv, 1000L).count() === 0)
     assert(Dedup.sourceOverlap(
       Seq.empty[(String, String)].toDF("source", "text"), 3).count() === 0)
+    assert(TextOps.sourceTvd(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+      .count() === 0)
   }
 
   test("as-of join with empty right side keeps all left rows, null payload") {

@@ -401,4 +401,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.coOccurrencePairs(edges, maxFanout = 10, minShared = 4)
       .count() === 0L)
   }
+
+  test("labelPropagation: two disjoint triangles converge to their min labels") {
+    val tris = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F")
+    ).toDF("person_a", "person_b")
+    // round 1 rotates labels (each vertex takes the min of the other
+    // two ids); round 2 the min id's label dominates each triangle
+    assert(rowSet(GraphOps.labelPropagation(tris, rounds = 2)) === Set(
+      Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "D"), Seq("E", "D"), Seq("F", "D")))
+    // broadcastLabels is a cost switch, not a semantics switch
+    assert(rowSet(GraphOps.labelPropagation(tris, rounds = 2, broadcastLabels = true)) ===
+      rowSet(GraphOps.labelPropagation(tris, rounds = 2)))
+  }
+
+  test("labelPropagation: synchronous rounds + min tie-break pinned on a bridged graph") {
+    // triangles {A,B,C} and {D,E,F} bridged by C-D: every round-1
+    // update is a tie broken to the smallest neighbor label, and
+    // round 2 mixes counts and ties — pins BOTH rules against any
+    // async/own-label variant drift
+    val g = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F"),
+      ("C", "D")
+    ).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.labelPropagation(g, rounds = 1)) === Set(
+      Seq("A", "B"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "C"), Seq("E", "D"), Seq("F", "D")))
+    assert(rowSet(GraphOps.labelPropagation(g, rounds = 2)) === Set(
+      Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "D"), Seq("E", "C"), Seq("F", "C")))
+  }
+
+  test("modularity: hand-computed partitions (two triangles 1/2, trivial 0, singletons)") {
+    val tris = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F")
+    ).toDF("person_a", "person_b")
+    // LPA partition = the two triangles: m=6, sum m_c=6, D_c=6 each ->
+    // Q = (4*6*6 - 72) / (4*36) = 1/2 exactly
+    assert(rowSet(GraphOps.modularity(tris, GraphOps.labelPropagation(tris, 2))) ===
+      Set(Seq(6L, 2L, 500000L)))
+    // everything in one community: Q = m/m - (2m/2m)^2 = 0
+    val one = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("person_a", "person_b")
+    val oneLab = Seq(("A", "x"), ("B", "x"), ("C", "x")).toDF("person_id", "community")
+    assert(rowSet(GraphOps.modularity(one, oneLab)) === Set(Seq(3L, 1L, 0L)))
+    // singleton communities on a triangle: Q = (0 - 12)/36 = -1/3,
+    // e6-FLOORED (not truncated): -333334
+    val selfLab = Seq(("A", "A"), ("B", "B"), ("C", "C")).toDF("person_id", "community")
+    assert(rowSet(GraphOps.modularity(one, selfLab)) === Set(Seq(3L, 3L, -333334L)))
+  }
 }

@@ -486,4 +486,29 @@ class TextOpsSpec extends SparkSpec {
     assert(fast.exceptAll(portable).count() === 0)
     assert(portable.exceptAll(fast).count() === 0)
   }
+
+  test("sourceTvd: identical 0, disjoint 1e6, token-less sources drop out") {
+    val docs = Seq(
+      (1L, "sA", "x y"), (2L, "sB", "x y"), // identical distributions
+      (3L, "sC", "p q"),                    // disjoint vocabulary
+      (4L, "sD", null.asInstanceOf[String]) // no tokens -> no pairs
+    ).toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.sourceTvd(docs)) === Set(
+      Seq("sA", "sB", 2L, 2L, 0L),
+      Seq("sA", "sC", 2L, 2L, 1000000L),
+      Seq("sB", "sC", 2L, 2L, 1000000L)))
+  }
+
+  test("sourceTvd: partial-overlap hand computation") {
+    // sA: x2 y1 (N=3); sB: x1 y1 (N=2)
+    // S = |2*2 - 1*3| + |1*2 - 1*3| = 2; tvd = 2e6 / (2*3*2) = 166666.67 -> 166666
+    val docs = Seq((1L, "sA", "x x y"), (2L, "sB", "x y"))
+      .toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.sourceTvd(docs)) === Set(Seq("sA", "sB", 3L, 2L, 166666L)))
+    // TVD is symmetric: swapping which source sorts first must only
+    // swap the name/total columns, never move the distance
+    val swapped = Seq((1L, "sB", "x x y"), (2L, "sA", "x y"))
+      .toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.sourceTvd(swapped)) === Set(Seq("sA", "sB", 2L, 3L, 166666L)))
+  }
 }
