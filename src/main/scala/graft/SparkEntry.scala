@@ -340,6 +340,11 @@ object SparkEntry {
       GraphOps.modularity(p, GraphOps.labelPropagation(p, rounds = 2))
     }),
 
+    // radius-2 harmonic centrality on the projected graph — exact
+    // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
+    "g_harmonic2" -> ((s, dir) =>
+      GraphOps.harmonicCentrality2(coocPairs(s, dir))),
+
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -617,6 +622,10 @@ object SparkEntry {
     // distributions — the exact-rational mixture-drift audit
     "t_source_tvd" -> ((s, dir) =>
       TextOps.sourceTvd(Tables.documents(s, dir))),
+    // sqrt-temperature mixture weights + exact integer token-budget
+    // quotas (α = 1/2 up-sampling of low-resource sources)
+    "t_temp_mix" -> ((s, dir) =>
+      TextOps.temperatureMix(Tables.documents(s, dir), budgetTokens = 100000L)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -1683,6 +1692,26 @@ object SparkEntry {
          |ORDER BY n DESC, tok ASC
          |LIMIT 20""".stripMargin,
 
+    // one correctly-rounded IEEE sqrt per SOURCE, then pure integer
+    // division; the quota split s·(B div T) + ((B mod T)·s) div T is
+    // exactly floor(B·s/T) without the overflowing B·s product
+    "t_temp_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(COALESCE(SUM(len($TOKS)), 0) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT source, n_tokens,
+         |             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_n
+         |      FROM t),
+         |g AS (SELECT CAST(COALESCE(SUM(sqrt_n), 0) AS BIGINT) AS tot_s FROM s)
+         |SELECT source, n_tokens, sqrt_n,
+         |       CAST(CASE WHEN tot_s > 0
+         |            THEN (sqrt_n * 1000000) // tot_s ELSE 0 END AS BIGINT) AS w_e6,
+         |       CAST(CASE WHEN tot_s > 0
+         |            THEN sqrt_n * (100000 // tot_s)
+         |                 + ((100000 % tot_s) * sqrt_n) // tot_s
+         |            ELSE 0 END AS BIGINT) AS quota_tokens
+         |FROM s, g""".stripMargin,
+
     // signed-contribution trick: a (src, tok) count row contributes
     // +cnt·N_b under the pair's left source and −cnt·N_a under the
     // right, so the per-(pair, tok) SUM is c_at·N_b − c_bt·N_a with
@@ -2410,6 +2439,31 @@ object SparkEntry {
          |           PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c2)
          |       WHERE rn = 1)
          |SELECT v AS person_id, label AS community FROM l2""".stripMargin,
+
+    // wedge self-join for the 2-ball, EXCEPT ≡ the Spark anti-join
+    // (both sides distinct), exact permille coefficients
+    "g_harmonic2" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT pa AS v, pb AS u FROM cooc
+         |        UNION SELECT pb, pa FROM cooc),
+         |n1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n1 FROM sym GROUP BY v),
+         |two AS (
+         |  SELECT a.v AS v, b.u AS u
+         |  FROM sym a JOIN sym b ON b.v = a.u WHERE a.v <> b.u
+         |  EXCEPT
+         |  SELECT v, u FROM sym),
+         |n2 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n2 FROM two GROUP BY v)
+         |SELECT n1.v AS person_id, n1.n1,
+         |       CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n2,
+         |       CAST(1000 * n1.n1 + 500 * COALESCE(n2.n2, 0) AS BIGINT) AS h2_e3
+         |FROM n1 LEFT JOIN n2 ON n2.v = n1.v""".stripMargin,
 
     // modularity of the 2-round LPA partition: exact BIGINT/DECIMAL
     // sufficient stats (4m·Σm_c − ΣD_c²) / 4m², one final double

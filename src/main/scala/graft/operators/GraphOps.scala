@@ -787,6 +787,50 @@ object GraphOps {
     lab.select(col("v").as("person_id"), col("label").as("community"))
   }
 
+  /** Truncated harmonic centrality (radius 2): `h2_e3 = 1000·n1 +
+    * 500·n2` per vertex, where n1/n2 are the exact distance-1 /
+    * distance-2 neighborhood sizes — the Σ 1/d centrality cut at the
+    * radius where it is still exactly computable as a distributed
+    * set expression (full harmonic centrality needs all-pairs BFS;
+    * the 2-ball form is the standard "local influence" readout and
+    * is exact rational, so the oracle hash-matches). Coefficients
+    * are permille (1/1 → 1000, 1/2 → 500).
+    *
+    * Scale shape: the distance-2 set is ONE self-join of the
+    * symmetric edge list on the shared endpoint — the [[kHop]] wedge
+    * shape — deduped and anti-joined against the 1-ball. Cost is
+    * Σᵥ deg(v)², bounded on hub-capped projections (this op is meant
+    * for [[coOccurrencePairs]]' output, where the fan-out cap already
+    * bounds degree); ids only, no payload.
+    *
+    * Output: `(person_id, n1, n2, h2_e3)` for every non-isolated
+    * vertex.
+    */
+  def harmonicCentrality2(pairs: DataFrame,
+      aCol: String = "person_a", bCol: String = "person_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sym = Checkpoints.cut(
+      pairs.select(col(aCol).as("v"), col(bCol).as("u"))
+        .unionAll(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
+        .filter(col("v") =!= col("u"))
+        .distinct(),
+      checkpointDir)
+    val n1 = sym.groupBy(col("v")).agg(count(lit(1)).as("n1"))
+    val two = sym.select(col("v"), col("u").as("m"))
+      .join(sym.select(col("v").as("m"), col("u").as("w")), Seq("m"))
+      .filter(col("v") =!= col("w"))
+      .select(col("v"), col("w").as("u"))
+      .distinct()
+      .join(sym, Seq("v", "u"), "left_anti")
+    val n2 = two.groupBy(col("v")).agg(count(lit(1)).as("n2"))
+    n1.join(n2, Seq("v"), "left_outer")
+      .select(
+        col("v").as("person_id"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        (lit(1000L) * col("n1") + lit(500L) * coalesce(col("n2"), lit(0L)))
+          .as("h2_e3"))
+  }
+
   /** Newman–Girvan modularity of a vertex partition over an undirected
     * pair graph — the standard "is this community structure real"
     * score for [[labelPropagation]]'s output:

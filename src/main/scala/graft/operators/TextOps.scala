@@ -1043,6 +1043,50 @@ object TextOps {
     * Output: `(source_a, source_b, n_a, n_b, tvd_e6)`, one row per
     * unordered source pair with both totals > 0.
     */
+  /** Temperature-flattened mixture weights (the multilingual/source
+    * rebalancing rule: sample probability ∝ N_s^α, α = ½) with an
+    * exact integer token-budget allocation — how much of each source a
+    * run of `budgetTokens` tokens should draw so that low-resource
+    * sources are up-sampled relative to their raw share (XLM-R-style
+    * α-smoothing, fixed at the sqrt point so the oracle is exact).
+    *
+    * Exactness: `s = floor(sqrt(N))` is one correctly-rounded IEEE
+    * sqrt per SOURCE (both engines bit-identical; N ≤ 2⁵² holds to
+    * ~4.5e15 tokens per source, documented bound), everything after
+    * is integer: `w_e6 = s·10⁶ div Σs`, and the quota avoids the
+    * int64-overflowing `B·s` product via the exact split
+    * `quota = s·(B div Σs) + ((B mod Σs)·s) div Σs` — every factor is
+    * bounded (`B mod Σs < Σs`, `s ≤ Σs`, quota ≤ B), so no DECIMAL
+    * needed on either engine.
+    *
+    * Scale shape: one (source, doc)-narrow scan → source-sized
+    * aggregate; the Σs total is a 1-row broadcast cross join. Output
+    * is one row per source.
+    *
+    * Output: `(source, n_tokens, sqrt_n, w_e6, quota_tokens)`,
+    * sources ordered by nothing (set semantics), token-less sources
+    * carry 0 weight/quota.
+    */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val totals = docs
+      .select(col(srcCol).as("source"), size(tokens(col(textCol))).as("nt"))
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+      .withColumn("sqrt_n", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = totals.agg(coalesce(sum(col("sqrt_n")), lit(0L)).as("tot_s"))
+    totals.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_tokens"), col("sqrt_n"),
+        when(col("tot_s") > 0,
+          expr("(sqrt_n * 1000000L) div tot_s")).otherwise(0L).as("w_e6"),
+        when(col("tot_s") > 0,
+          expr(s"sqrt_n * ($budgetTokens div tot_s) + " +
+            s"(($budgetTokens % tot_s) * sqrt_n) div tot_s"))
+          .otherwise(0L).as("quota_tokens"))
+  }
+
   def sourceTvd(docs: DataFrame, srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")

@@ -40,6 +40,8 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
     assert(GraphOps.labelPropagation(
       Seq.empty[(String, String)].toDF("person_a", "person_b"), 2).count() === 0)
+    assert(GraphOps.harmonicCentrality2(
+      Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     // modularity on nothing: single (0, 0, 0) row by the m > 0 guard
     assert(rowSet(GraphOps.modularity(
       Seq.empty[(String, String)].toDF("person_a", "person_b"),
@@ -248,6 +250,9 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("source", "text"), 3).count() === 0)
     assert(TextOps.sourceTvd(
       Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+      .count() === 0)
+    assert(TextOps.temperatureMix(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"), 100L)
       .count() === 0)
   }
 

@@ -435,6 +435,23 @@ class GraphOpsSpec extends SparkSpec {
       Seq("D", "D"), Seq("E", "C"), Seq("F", "C")))
   }
 
+  test("harmonicCentrality2: path/star/triangle hand pins") {
+    // path A-B-C-D: ends see 1 at d1 + 1 at d2, middles 2 + 1
+    val path = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.harmonicCentrality2(path)) === Set(
+      Seq("A", 1L, 1L, 1500L), Seq("B", 2L, 1L, 2500L),
+      Seq("C", 2L, 1L, 2500L), Seq("D", 1L, 1L, 1500L)))
+    // star: leaves see each other at distance 2 through the hub
+    val star = Seq(("A", "B"), ("A", "C"), ("A", "D")).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.harmonicCentrality2(star)) === Set(
+      Seq("A", 3L, 0L, 3000L),
+      Seq("B", 1L, 2L, 2000L), Seq("C", 1L, 2L, 2000L), Seq("D", 1L, 2L, 2000L)))
+    // triangle: the 2-ball adds nothing (everything is distance 1)
+    val tri = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.harmonicCentrality2(tri)) === Set(
+      Seq("A", 2L, 0L, 2000L), Seq("B", 2L, 0L, 2000L), Seq("C", 2L, 0L, 2000L)))
+  }
+
   test("modularity: hand-computed partitions (two triangles 1/2, trivial 0, singletons)") {
     val tris = Seq(
       ("A", "B"), ("B", "C"), ("A", "C"),

@@ -487,6 +487,25 @@ class TextOpsSpec extends SparkSpec {
     assert(portable.exceptAll(fast).count() === 0)
   }
 
+  test("temperatureMix: sqrt flattening and exact quota split") {
+    // sA 9 tokens, sB 1 token: raw shares 90/10, sqrt shares 3:1 = 75/25
+    val docs = Seq(
+      (1L, "sA", "a b c d e f g h i"),
+      (2L, "sB", "z"),
+      (3L, "sC", "")  // token-less source: present with zero weight
+    ).toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.temperatureMix(docs, budgetTokens = 100L)) === Set(
+      Seq("sA", 9L, 3L, 750000L, 75L),
+      Seq("sB", 1L, 1L, 250000L, 25L),
+      Seq("sC", 0L, 0L, 0L, 0L)))
+    // non-divisible budget: quota = floor(B*s/T) exactly
+    // (B=10, T=4: sA floor(30/4)=7, sB floor(10/4)=2)
+    assert(rowSet(TextOps.temperatureMix(docs, budgetTokens = 10L)) === Set(
+      Seq("sA", 9L, 3L, 750000L, 7L),
+      Seq("sB", 1L, 1L, 250000L, 2L),
+      Seq("sC", 0L, 0L, 0L, 0L)))
+  }
+
   test("sourceTvd: identical 0, disjoint 1e6, token-less sources drop out") {
     val docs = Seq(
       (1L, "sA", "x y"), (2L, "sB", "x y"), // identical distributions
