@@ -581,4 +581,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(parts.forall(p => !p.contains("text#") && !p.contains("sh#")),
       s"a shuffle carries token text or the hash array: $parts")
   }
+
+  test("labelPropagation(broadcastLabels): rounds join labels as broadcasts, no sort-merge") {
+    val pairs = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(Tables.relationshipDocs(spark, sfDir)),
+      maxFanout = 20, minShared = 2)
+    val out = GraphOps.labelPropagation(pairs, rounds = 2, broadcastLabels = true)
+    val plan = formatted(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcastLabels must plan the round join as a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vertex-sized label tables must never sort-merge against the edge list:\n$plan")
+  }
+
+  test("sourceTvd: pair list broadcasts (nested-loop, never cartesian); token text stays out of later shuffles") {
+    val out = graft.operators.TextOps.sourceTvd(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    // the OR-condition pair join must be the broadcast nested loop
+    // (tiny pair list), not a cartesian product over the counts
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pair attach should be a broadcast nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+    // the only full-text shuffle is the initial (source, tok) count;
+    // everything after carries counts + source names
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("text#")),
+      s"a shuffle carries raw document text: $parts")
+  }
 }
