@@ -781,6 +781,10 @@ object SparkEntry {
     }),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 50, 500, Hashing.Portable)),
+    // asymmetric containment: sub-document duplication that Jaccard's
+    // union denominator hides (short doc quoted inside a long one)
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), 3, 50, 800, Hashing.Portable)),
     "d_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(
         Dedup.shingles(Tables.documents(s, dir), 3, hash = Hashing.Portable), 8)),
@@ -2092,6 +2096,33 @@ object SparkEntry {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          |$JACCARD_TAIL""".stripMargin,
+
+    // same capped candidate generator + exact full-set intersection as
+    // d_ngram_jaccard; per-side normalization instead of the union
+    "d_containment" ->
+      s"""WITH $SHINGLES,
+         |capped AS (
+         |  SELECT doc_id, sh FROM sh
+         |  WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM cands c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+         |       CAST(floor(n_inter*1000/sa.n_sh) AS BIGINT) AS cont_a_e3,
+         |       CAST(floor(n_inter*1000/sb.n_sh) AS BIGINT) AS cont_b_e3
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE greatest(floor(n_inter*1000/sa.n_sh),
+         |               floor(n_inter*1000/sb.n_sh)) >= 800""".stripMargin,
 
     "d_minhash_sigs" ->
       s"""WITH $MINHASH

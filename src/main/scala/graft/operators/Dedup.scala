@@ -141,6 +141,61 @@ object Dedup {
       threshE3: Int = 500,
       hash: Hashing.HashTier = Hashing.Fast,
       checkpointDir: Option[String] = None): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, n, maxDf, hash, checkpointDir)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
+          .cast("long").as("jaccard_e3"))
+      .filter(col("jaccard_e3") >= threshE3)
+  }
+
+  /** Asymmetric n-gram containment pairs — the sub-document-
+    * duplication signal Jaccard structurally misses: a short doc
+    * quoted wholesale inside a long one has `|∩|/|A| ≈ 1` while
+    * `|∩|/|∪|` stays small (the union is dominated by the long doc).
+    * Same candidate generator and exact full-set verification as
+    * [[ngramJaccardPairs]] (shared via [[shingleIntersections]]);
+    * emits BOTH directions' containments on the undirected pair,
+    * kept when EITHER side's containment clears `threshE3` —
+    * `greatest(cont_a, cont_b)`, so the caller reads which doc is
+    * the contained one off the larger column.
+    *
+    * Output: `(doc_a, doc_b, n_inter, n_a, n_b, cont_a_e3,
+    * cont_b_e3)` with `doc_a < doc_b`,
+    * `cont_x_e3 = floor(1000·|∩|/|X|)`.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      maxDf: Int = 50,
+      threshE3: Int = 800,
+      hash: Hashing.HashTier = Hashing.Fast,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, n, maxDf, hash, checkpointDir)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        floor(col("n_inter") * 1000 / col("n_a")).cast("long").as("cont_a_e3"),
+        floor(col("n_inter") * 1000 / col("n_b")).cast("long").as("cont_b_e3"))
+      .filter(greatest(col("cont_a_e3"), col("cont_b_e3")) >= threshE3)
+  }
+
+  /** Shared tail of the exact-verification near-dup family: candidate
+    * pairs from df-capped shingles, full-set intersection counts via
+    * the capped + hot split (see inline comments), per-doc set sizes.
+    * Returns `(inter(doc_a, doc_b, n_inter), sizes(doc_id, n_sh))`.
+    */
+  private def shingleIntersections(
+      docs: DataFrame,
+      n: Int,
+      maxDf: Int,
+      hash: Hashing.HashTier,
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     val sh = shingles(docs, n, hash = hash).cache()
     // df attaches to every (doc, shingle) row with ONE aggregate + one
     // join, materialized once; the capped and hot branches below are
@@ -180,14 +235,7 @@ object Dedup {
       .join(interHot, Seq("doc_a", "doc_b"), "left_outer")
       .select(col("doc_a"), col("doc_b"),
         (col("n_cap") + coalesce(col("n_hot"), lit(0L))).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        floor(col("n_inter") * 1000 / (col("n_a") + col("n_b") - col("n_inter")))
-          .cast("long").as("jaccard_e3"))
-      .filter(col("jaccard_e3") >= threshE3)
+    (inter, sizes)
   }
 
   /** Per-document duplicated-span statistics — the exact-substring-

@@ -67,6 +67,23 @@ class DedupSpec extends SparkSpec {
     // docs 3/4 share ONLY the capped shingle: correctly never a candidate
   }
 
+  test("containmentPairs: full containment scores 1000 where Jaccard misses the pair") {
+    // doc 1 is quoted wholesale inside doc 2: all 3 of its trigrams
+    // appear among doc 2's 8 -> cont_a = 1000, cont_b = 375, while
+    // jaccard = 3000/(3+8-3) = 375 is under any useful threshold
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5 x1 x2 x3 x4 x5"),
+      (3L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    assert(rowSet(Dedup.containmentPairs(docs, 3, 50, 800)) ===
+      Set(Seq(1L, 2L, 3L, 3L, 8L, 1000L, 375L)))
+    assert(Dedup.ngramJaccardPairs(docs, 3, 50, 500).count() === 0)
+    // either side clearing the threshold keeps the pair (greatest)
+    assert(Dedup.containmentPairs(docs, 3, 50, 1000).count() === 1)
+    // both under threshold -> dropped
+    assert(Dedup.containmentPairs(docs, 3, 50, 1001).count() === 0)
+  }
+
   test("minhash: identical shingle sets give identical signatures") {
     val sigs = Dedup.minhashSignatures(Dedup.shingles(docsDf, 3), k = 8)
     assert(sigs.count() === 4 * 8)

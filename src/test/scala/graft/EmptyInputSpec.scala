@@ -53,6 +53,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exactDedup(emptyDocs).count() === 0)
     assert(Dedup.shingles(emptyDocs, 3).count() === 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0)
     assert(Dedup.minhashSignatures(Dedup.shingles(emptyDocs, 3)).count() === 0)
     assert(Dedup.simhashSignatures(emptyDocs).count() === 0)
     assert(Dedup.connectedComponents(
