@@ -626,6 +626,27 @@ object SparkEntry {
     // quotas (α = 1/2 up-sampling of low-resource sources)
     "t_temp_mix" -> ((s, dir) =>
       TextOps.temperatureMix(Tables.documents(s, dir), budgetTokens = 100000L)),
+    // explicit portable count-min sketch audited against the exact
+    // top-20 vocabulary — estimates hash-match the SQL twin bit-exactly
+    "x_cms_vocab" -> ((s, dir) =>
+      TextOps.cmsTokenEstimates(Tables.documents(s, dir))),
+    // mergeable distinct-count sketches: one HLL per source, unioned,
+    // estimate gated at ±5% of the exact distinct-token count (the
+    // x_approx_distinct device — the oracle pins exact + TRUE)
+    "x_hll_merge" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val perSource = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("tok")).as("sk"))
+      val est = perSource.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      toks.agg(countDistinct(col("tok")).as("exact_tokens"))
+        .crossJoin(est)
+        .select(
+          col("exact_tokens"),
+          (abs(col("est") - col("exact_tokens")) <=
+            col("exact_tokens").cast("double") * 0.05).as("merge_ok"))
+    }),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -1695,6 +1716,39 @@ object SparkEntry {
          |GROUP BY tok
          |ORDER BY n DESC, tok ASC
          |LIMIT 20""".stripMargin,
+
+    // the full sketch replicated in SQL: same portable bucket hash over
+    // '<seed>#<tok>', same min-over-rows estimate — bit-exact compare
+    "x_cms_vocab" ->
+      s"""WITH cnt AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($TOKS) AS tok FROM documents)
+         |  GROUP BY tok),
+         |seeds AS (SELECT unnest(range(0, 4)) AS seed),
+         |sk AS (
+         |  SELECT seed,
+         |         ${ph("CAST(seed AS VARCHAR) || '#' || tok")} % 256 AS bucket,
+         |         CAST(SUM(n) AS BIGINT) AS bn
+         |  FROM cnt CROSS JOIN seeds
+         |  GROUP BY 1, 2),
+         |topk AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok ASC LIMIT 20),
+         |probes AS (
+         |  SELECT tok, n,
+         |         seed, ${ph("CAST(seed AS VARCHAR) || '#' || tok")} % 256 AS bucket
+         |  FROM topk CROSS JOIN seeds)
+         |SELECT p.tok, p.n AS n_exact,
+         |       CAST(MIN(sk.bn) AS BIGINT) AS cms_est,
+         |       MIN(sk.bn) >= p.n AS over_ok
+         |FROM probes p JOIN sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+         |GROUP BY p.tok, p.n""".stripMargin,
+
+    // the sketch estimate is engine-specific; the oracle pins the exact
+    // distinct count + merge_ok=TRUE, certifying the Spark-side union
+    // of per-source sketches landed within the gate
+    "x_hll_merge" ->
+      s"""SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens,
+         |       TRUE AS merge_ok
+         |FROM (SELECT unnest($TOKS) AS tok FROM documents)""".stripMargin,
 
     // one correctly-rounded IEEE sqrt per SOURCE, then pure integer
     // division; the quota split s·(B div T) + ((B mod T)·s) div T is

@@ -1043,6 +1043,55 @@ object TextOps {
     * Output: `(source_a, source_b, n_a, n_b, tvd_e6)`, one row per
     * unordered source pair with both totals > 0.
     */
+  /** Explicit count-min sketch over the corpus token stream, audited
+    * against exact counts for the top-`k` vocabulary (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows × `width` buckets, bucket
+    * totals by plain SUM, point estimate = min over rows of the
+    * token's bucket total. The sketch is built from the exact
+    * per-token counts (algebraically identical to hashing the raw
+    * stream — the counts table IS the map-side combine), and the
+    * bucket hash is the engine-portable polynomial over
+    * `"<seed>#<token>"`, so an external SQL engine replicates the
+    * sketch BIT-EXACTLY — the estimates hash-match, not just the
+    * gate.
+    *
+    * Why it earns its place next to exact `t_vocab_topk`: the
+    * (seed, bucket) count table is `depth·width` integers REGARDLESS
+    * of vocabulary size, and it merges across shards/streams by
+    * element-wise SUM — the mergeable-frequency-sketch shape
+    * (heavy-hitter estimation over a 10¹⁰-type vocabulary where the
+    * exact count table itself is the thing that doesn't fit).
+    * `over_ok` pins the CMS guarantee that estimates never
+    * undercount.
+    *
+    * Output: `(tok, n_exact, cms_est, over_ok)` for the exact top-`k`
+    * tokens (count desc, token asc).
+    */
+  def cmsTokenEstimates(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      k: Int = 20, textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(depth >= 1 && width >= 1 && k >= 1,
+      s"depth/width/k must be >= 1, got $depth/$width/$k")
+    val cnt = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val seeds = array((0 until depth).map(s => lit(s.toLong)): _*)
+    def bucketOf(tok: Column, seed: Column): Column =
+      pmod(hash(concat(seed.cast("string"), lit("#"), tok)), lit(width.toLong))
+    val sketch = cnt
+      .select(col("tok"), col("n"), explode(seeds).as("seed"))
+      .withColumn("bucket", bucketOf(col("tok"), col("seed")))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("n")).as("bn"))
+    val topk = cnt.orderBy(col("n").desc, col("tok").asc).limit(k)
+    topk
+      .select(col("tok"), col("n").as("n_exact"), explode(seeds).as("seed"))
+      .withColumn("bucket", bucketOf(col("tok"), col("seed")))
+      .join(sketch, Seq("seed", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("bn")).as("cms_est"))
+      .select(col("tok"), col("n_exact"), col("cms_est"),
+        (col("cms_est") >= col("n_exact")).as("over_ok"))
+  }
+
   /** Temperature-flattened mixture weights (the multilingual/source
     * rebalancing rule: sample probability ∝ N_s^α, α = ½) with an
     * exact integer token-budget allocation — how much of each source a

@@ -255,6 +255,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.temperatureMix(
       Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"), 100L)
       .count() === 0)
+    assert(TextOps.cmsTokenEstimates(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
   }
 
   test("as-of join with empty right side keeps all left rows, null payload") {

@@ -487,6 +487,22 @@ class TextOpsSpec extends SparkSpec {
     assert(portable.exceptAll(fast).count() === 0)
   }
 
+  test("cmsTokenEstimates: collision-free sketch is exact; width=1 collapses to the stream total") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // 3 tokens x 4 seeds into 256 buckets: no collisions at this size,
+    // so the estimate equals the exact count (a 2, b 2, c 1)
+    assert(rowSet(TextOps.cmsTokenEstimates(docs, depth = 4, width = 256, k = 10)) ===
+      Set(Seq("a", 2L, 2L, true), Seq("b", 2L, 2L, true), Seq("c", 1L, 1L, true)))
+    // width=1: every token lands in the one bucket of every row, so
+    // every estimate is the full stream total (5) — the maximal
+    // overestimate, and over_ok still holds (CMS never undercounts)
+    assert(rowSet(TextOps.cmsTokenEstimates(docs, depth = 2, width = 1, k = 10)) ===
+      Set(Seq("a", 2L, 5L, true), Seq("b", 2L, 5L, true), Seq("c", 1L, 5L, true)))
+    // k limits to the exact top vocabulary (count desc, token asc)
+    assert(TextOps.cmsTokenEstimates(docs, k = 2)
+      .select("tok").collect().map(_.getString(0)).toSet === Set("a", "b"))
+  }
+
   test("temperatureMix: sqrt flattening and exact quota split") {
     // sA 9 tokens, sB 1 token: raw shares 90/10, sqrt shares 3:1 = 75/25
     val docs = Seq(
