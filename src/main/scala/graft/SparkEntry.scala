@@ -1151,6 +1151,25 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    // exact WEIGHTED median (weight = quantity): smallest value whose
+    // cumulative weight reaches half the total. The cumulative sum uses
+    // the default RANGE frame, so equal values share one cumw and the
+    // result is deterministic under ties on both engines — no
+    // interpolation, no doubles
+    "agg_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val s0 = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("g"),
+        e2(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val c = s0
+        .withColumn("cumw", sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("g"))))
+      c.filter(col("cumw") * 2 >= col("tot"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(min(col("v")).as("wmedian_cents"))
+    }),
+
     // -- IVF ANN: probe-limited approximate top-k (the similarity scale
     //    path). kmeansIters=0 selects the closed-form stand-in centroids
     //    so the oracle can replicate restricted-probe behavior in SQL.
@@ -3401,6 +3420,22 @@ object SparkEntry {
         |            AS BIGINT) AS median_cents_e1,
         |       COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // default RANGE frame on both engines: equal values share one cumw,
+    // so the smallest value reaching half-total is tie-deterministic
+    "agg_weighted_median" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |         SUM(w) OVER (PARTITION BY g ORDER BY v) AS cumw,
+        |         SUM(w) OVER (PARTITION BY g) AS tot
+        |  FROM s)
+        |SELECT g AS l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+        |FROM c WHERE cumw * 2 >= tot GROUP BY g""".stripMargin,
 
     "j_asof_purchase" -> ASOF_SQL,
     // identical oracle on purpose: the hash-compare proves the native
