@@ -647,6 +647,24 @@ object SparkEntry {
           (abs(col("est") - col("exact_tokens")) <=
             col("exact_tokens").cast("double") * 0.05).as("merge_ok"))
     }),
+    // sketch-based join-cardinality estimate: CMS inner product of the
+    // click-keyed vs purchase-keyed user streams, audited against the
+    // exact join size (never undercounts; grids replicate in SQL)
+    "x_cms_join_size" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      TextOps.cmsJoinSize(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id")
+    }),
+    // PMI collocation mining: top-20 adjacent bigrams by association
+    // ratio (≡ PMI rank for a fixed corpus), support floor 5
+    "t_pmi_topk" -> ((s, dir) =>
+      TextOps.pmiTopK(Tables.documents(s, dir), minCount = 5, k = 20)),
+    // Heaps'-law vocabulary growth per source: cumulative tokens vs
+    // cumulative distinct tokens in doc_id order (two-phase prefix sum)
+    "t_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(Tables.documents(s, dir), bucketSize = 64)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -948,6 +966,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
       Similarity.rrfFuseByQuery(lex, sem, 10)
     }),
+    // Kendall rank agreement between the full-dimension cosine top-20
+    // and its Matryoshka 16-dim truncation, per query — the
+    // integer-exact concordant/discordant counts that quantify what
+    // the MRL coarse stage reorders (the rank-order complement of
+    // RECALL.md's set-overlap recall)
+    "q_rank_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val full = Similarity.cosineTopK(emb, col("vec_id") < 3, 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val trunc = Similarity.matryoshkaTopK(emb, col("vec_id") < 3, 20, 16)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rankAgreement(full, trunc)
+    }),
 
     // SSL-prototypes curation metric: rank within each k-means cell by
     // cosine to the own centroid (kmeansIters=0 stand-in so the oracle
@@ -1001,6 +1032,17 @@ object SparkEntry {
     // ordered conversion funnel, first-touch semantics
     "e_funnel" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+
+    // time-bounded funnel: each step must land within 1 h of the
+    // previous step's completion (greedy first-touch per step)
+    "e_funnel_window" -> ((s, dir) =>
+      EventOps.funnelWindowed(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), 3600000L)),
+
+    // rolling per-user anomaly flags: trailing-8-event window,
+    // ≥4 samples, |z| > 3 tested in exact integer arithmetic
+    "e_rolling_anomaly" -> ((s, dir) =>
+      EventOps.rollingAnomaly(Tables.events(s, dir), 8, 4, 3)),
 
     // first-order Markov transition counts per user stream
     "e_transitions" -> ((s, dir) => EventOps.transitions(Tables.events(s, dir))),
@@ -1332,6 +1374,55 @@ object SparkEntry {
        |       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
        |       CAST(COALESCE(s_bits - n_feats * norm_bits, 0) AS BIGINT) AS weight_bits
        |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN nrm""".stripMargin
+
+  /** The query-panel lexical (BM25 multi-query) + semantic (per-query
+    * brute cosine) top-20 ranking CTEs behind `q_hybrid_rrf_multi` —
+    * expects `$QNORM` in scope, yields `lex(query_id, id, rank_a)`
+    * and `sem(query_id, id, rank_b)`.
+    */
+  private lazy val HYBRID_LEXSEM =
+    s"""q(query_id, term) AS (VALUES
+       |    (0, 'vector'), (0, 'stream'),
+       |    (1, 'spark'), (1, 'data'),
+       |    (2, 'query')),
+       |pd AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl
+       |       FROM documents),
+       |cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |               CAST(SUM(dl) AS BIGINT) AS tot_tok FROM pd),
+       |hits AS (
+       |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+       |  WHERE tok IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, tok),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM hits GROUP BY term),
+       |sc AS (
+       |  SELECT h.doc_id, h.term,
+       |    ((1000*(2*n_docs - 2*df + 1)) // (2*df + 1) * tf * 2200)
+       |      // (tf*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+       |      AS s
+       |  FROM hits h JOIN dfs USING (term) JOIN pd USING (doc_id)
+       |       CROSS JOIN cst),
+       |qs AS (
+       |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.s) AS BIGINT) AS score_e3
+       |  FROM q JOIN sc ON q.term = sc.term
+       |  GROUP BY q.query_id, sc.doc_id),
+       |lex AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id, rank_a
+       |  FROM (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_e3 DESC, doc_id ASC) AS rank_a
+       |        FROM qs)
+       |  WHERE rank_a <= 20),
+       |sem AS (
+       |  SELECT query_id, id, rank_b FROM (
+       |    SELECT qq.vec_id AS query_id, c.vec_id AS id,
+       |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
+       |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
+       |             c.vec_id ASC) AS rank_b
+       |    FROM qn c JOIN qn qq ON qq.vec_id < 3 AND c.vec_id <> qq.vec_id)
+       |  WHERE rank_b <= 20)""".stripMargin
 
   /** DuckDB twin of [[Dedup.shingles]] (word n-grams, portable hash). */
   private def shinglesSql(n: Int): String =
@@ -1768,6 +1859,86 @@ object SparkEntry {
       s"""SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens,
          |       TRUE AS merge_ok
          |FROM (SELECT unnest($TOKS) AS tok FROM documents)""".stripMargin,
+
+    // both CMS grids replicated bit-exactly (same '<seed>#<key>'
+    // bucket hash over the stringified key), inner product per row,
+    // min over rows, next to the exact join size — over_ok certified
+    "x_cms_join_size" ->
+      s"""WITH a AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |         CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |b AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |ex AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(na AS HUGEINT) * nb), 0) AS BIGINT)
+         |    AS exact_n
+         |  FROM a JOIN b USING (key)),
+         |seeds AS (SELECT unnest(range(0, 4)) AS seed),
+         |ga AS (
+         |  SELECT seed,
+         |         ${ph("CAST(seed AS VARCHAR) || '#' || key")} % 256 AS bucket,
+         |         CAST(SUM(na) AS BIGINT) AS an
+         |  FROM a CROSS JOIN seeds GROUP BY 1, 2),
+         |gb AS (
+         |  SELECT seed,
+         |         ${ph("CAST(seed AS VARCHAR) || '#' || key")} % 256 AS bucket,
+         |         CAST(SUM(nb) AS BIGINT) AS bn
+         |  FROM b CROSS JOIN seeds GROUP BY 1, 2),
+         |re AS (
+         |  SELECT ga.seed, SUM(CAST(an AS HUGEINT) * bn) AS row_est
+         |  FROM ga JOIN gb ON ga.seed = gb.seed AND ga.bucket = gb.bucket
+         |  GROUP BY 1),
+         |est AS (SELECT CAST(COALESCE(MIN(row_est), 0) AS BIGINT) AS cms_est
+         |        FROM re)
+         |SELECT exact_n, cms_est, cms_est >= exact_n AS over_ok
+         |FROM ex CROSS JOIN est""".stripMargin,
+
+    // adjacent pairs by zipped parallel unnest; association ratio in
+    // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both
+    // operands positive), PMI-rank-equivalent for a fixed corpus
+    "t_pmi_topk" ->
+      s"""WITH tk AS (SELECT $TOKS AS t FROM documents),
+         |inst AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+         |  FROM tk WHERE len(t) >= 2),
+         |big AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+         |  FROM inst GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |uni AS (
+         |  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY 1)
+         |SELECT b.w1, b.w2, b.n_pair, u1.c AS c_w1, u2.c AS c_w2,
+         |       CAST(CAST(b.n_pair AS HUGEINT) * 1000000000000 //
+         |            (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS assoc_e12
+         |FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+         |ORDER BY assoc_e12 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+
+    // the naive single-window cumulative form — the Spark side's
+    // two-phase bucketed prefix sum is pinned ≡ to it by spec
+    "t_vocab_growth" ->
+      s"""WITH tk AS (
+         |  SELECT source, doc_id, $TOKS AS t FROM documents),
+         |inst AS (SELECT source, doc_id, unnest(t) AS tok FROM tk),
+         |firsts AS (
+         |  SELECT source, fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_toks
+         |  FROM (SELECT source, tok, MIN(doc_id) AS fdoc
+         |        FROM inst GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT tk.source, tk.doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+         |         CAST(COALESCE(f.new_toks, 0) AS BIGINT) AS new_toks
+         |  FROM tk LEFT JOIN firsts f
+         |    ON tk.source = f.source AND tk.doc_id = f.doc_id)
+         |SELECT source, doc_id, n_toks, new_toks,
+         |       CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_toks,
+         |       CAST(SUM(new_toks) OVER w AS BIGINT) AS cum_vocab
+         |FROM pd
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // one correctly-rounded IEEE sqrt per SOURCE, then pure integer
     // division; the quota split s·(B div T) + ((B mod T)·s) div T is
@@ -3115,48 +3286,7 @@ object SparkEntry {
     // integer RRF arithmetic
     "q_hybrid_rrf_multi" ->
       s"""WITH $QNORM,
-         |q(query_id, term) AS (VALUES
-         |    (0, 'vector'), (0, 'stream'),
-         |    (1, 'spark'), (1, 'data'),
-         |    (2, 'query')),
-         |pd AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl
-         |       FROM documents),
-         |cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |               CAST(SUM(dl) AS BIGINT) AS tot_tok FROM pd),
-         |hits AS (
-         |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
-         |  WHERE tok IN (SELECT DISTINCT term FROM q)
-         |  GROUP BY doc_id, tok),
-         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-         |        FROM hits GROUP BY term),
-         |sc AS (
-         |  SELECT h.doc_id, h.term,
-         |    ((1000*(2*n_docs - 2*df + 1)) // (2*df + 1) * tf * 2200)
-         |      // (tf*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
-         |      AS s
-         |  FROM hits h JOIN dfs USING (term) JOIN pd USING (doc_id)
-         |       CROSS JOIN cst),
-         |qs AS (
-         |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.s) AS BIGINT) AS score_e3
-         |  FROM q JOIN sc ON q.term = sc.term
-         |  GROUP BY q.query_id, sc.doc_id),
-         |lex AS (
-         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id, rank_a
-         |  FROM (SELECT query_id, doc_id,
-         |          row_number() OVER (PARTITION BY query_id
-         |            ORDER BY score_e3 DESC, doc_id ASC) AS rank_a
-         |        FROM qs)
-         |  WHERE rank_a <= 20),
-         |sem AS (
-         |  SELECT query_id, id, rank_b FROM (
-         |    SELECT qq.vec_id AS query_id, c.vec_id AS id,
-         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-         |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
-         |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
-         |             c.vec_id ASC) AS rank_b
-         |    FROM qn c JOIN qn qq ON qq.vec_id < 3 AND c.vec_id <> qq.vec_id)
-         |  WHERE rank_b <= 20),
+         |$HYBRID_LEXSEM,
          |f AS (
          |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
          |         COALESCE(l.id, s.id) AS id,
@@ -3168,6 +3298,61 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY query_id
          |         ORDER BY rrf_e6 DESC, id ASC) AS BIGINT) AS "rank"
          |FROM f QUALIFY "rank" <= 10""".stripMargin,
+
+    // Kendall agreement between the full-dim brute ranking (qn) and
+    // the 16-dim truncated twin (tn): common items per query, every
+    // unordered pair concordant/discordant, tau-a counts
+    "q_rank_agreement" ->
+      s"""WITH $QNORM,
+         |tv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding[1:16],
+         |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |tn AS (SELECT vec_id, q,
+         |              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
+         |       FROM tv),
+         |lex AS (
+         |  SELECT query_id, id, rank_a FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
+         |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
+         |             c.vec_id ASC) AS rank_a
+         |    FROM qn c JOIN qn qq ON qq.vec_id < 3 AND c.vec_id <> qq.vec_id)
+         |  WHERE rank_a <= 20),
+         |sem AS (
+         |  SELECT query_id, id, rank_b FROM (
+         |    SELECT qq.vec_id AS query_id, c.vec_id AS id,
+         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |             CAST(${dotSql("c.q", "qq.q")} AS DOUBLE) /
+         |               sqrt(CAST(c.nq AS DOUBLE) * CAST(qq.nq AS DOUBLE)) DESC,
+         |             c.vec_id ASC) AS rank_b
+         |    FROM tn c JOIN tn qq ON qq.vec_id < 3 AND c.vec_id <> qq.vec_id)
+         |  WHERE rank_b <= 20),
+         |common AS (
+         |  SELECT l.query_id, l.id, l.rank_a AS ra, s.rank_b AS rb
+         |  FROM lex l JOIN sem s ON l.query_id = s.query_id AND l.id = s.id),
+         |pairs AS (
+         |  SELECT a.query_id,
+         |         CASE WHEN (a.ra < b.ra AND a.rb < b.rb)
+         |                OR (a.ra > b.ra AND a.rb > b.rb)
+         |              THEN 1 ELSE 0 END AS conc
+         |  FROM common a JOIN common b
+         |    ON a.query_id = b.query_id AND a.id < b.id),
+         |cnt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         |        FROM common GROUP BY 1),
+         |pa AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |              CAST(SUM(conc) AS BIGINT) AS concordant
+         |       FROM pairs GROUP BY 1)
+         |SELECT c.query_id, c.n_common,
+         |       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+         |       CAST(COALESCE(p.n_pairs, 0) - COALESCE(p.concordant, 0)
+         |         AS BIGINT) AS discordant,
+         |       CAST(2*COALESCE(p.concordant, 0) - COALESCE(p.n_pairs, 0)
+         |         AS BIGINT) AS tau_num
+         |FROM cnt c LEFT JOIN pa p ON c.query_id = p.query_id""".stripMargin,
 
     // prototypicality: same stand-in assignment as sim_semantic_dedup,
     // then in-cell rank by cosine to the OWN centroid (sqrt is
@@ -3383,6 +3568,47 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // the funnel chain with the 1 h per-step deadline riding each join
+    "e_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.t) AS t
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |            AND e.t > s1.t AND e.t <= s1.t + 3600000
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |            AND e.t > s2.t AND e.t <= s2.t + 3600000
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+
+    // trailing-window z² test in the same exact integer arithmetic:
+    // (x·n − s)² > 9·(n·q − s²) over the 8 PRECEDING rows, ≥4 samples
+    "e_rolling_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS t,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS v_e2,
+        |         ts FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, t, v_e2,
+        |         COUNT(v_e2) OVER pw AS n_prev,
+        |         COALESCE(SUM(v_e2) OVER pw, 0) AS s_prev,
+        |         COALESCE(SUM(v_e2*v_e2) OVER pw, 0) AS q_prev
+        |  FROM v
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, t, v_e2, CAST(n_prev AS BIGINT) AS n_prev
+        |FROM w
+        |WHERE n_prev >= 4
+        |  AND (v_e2*n_prev - s_prev)*(v_e2*n_prev - s_prev)
+        |        > 9*(n_prev*q_prev - s_prev*s_prev)""".stripMargin,
 
     "e_transitions" ->
       """WITH o AS (

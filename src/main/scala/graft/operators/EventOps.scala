@@ -252,4 +252,87 @@ object EventOps {
         sum(expr("(value_e4 * w_e3) div 1000")).as("decayed_value_e4"),
         max(col("t")).as("latest_ms"))
   }
+
+  /** Time-bounded conversion funnel: like [[funnel]], but each step
+    * beyond the first only counts if it lands within `maxGapMs` of the
+    * previous step's completion (`prev_t < t <= prev_t + maxGapMs`),
+    * first-touch-greedy per step — the "converted within an hour"
+    * semantics every product-analytics engine ships next to the
+    * unbounded funnel. Output `(step, event_type, n_users)`.
+    *
+    * Note the greedy caveat shared with every first-touch funnel: a
+    * user who *could* convert via a later step-i occurrence is still
+    * anchored to their earliest in-window one, so the count is the
+    * greedy-path reach, not the max-flow reach. That is the semantics
+    * the unbounded [[funnel]] pins too; the two differ only in the
+    * gap predicate.
+    *
+    * Scale shape: identical to [[funnel]] — per-step narrow filter +
+    * user-keyed min-agg, joined on the shrinking reached set; the gap
+    * predicate rides the same join, adding no exchange.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String], maxGapMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapMs > 0, "maxGapMs must be positive")
+    val e = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("t"))
+    var reached = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+    var out = reached.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      val prev = reached.select(col("user_id"), col("t").as("prev_t"))
+      reached = e.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("t") > col("prev_t") && col("t") <= col("prev_t") + maxGapMs)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t"))
+      out = out.unionByName(reached.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"), col("n_users")))
+    }
+    out
+  }
+
+  /** Rolling per-key anomaly flags, integer-exact: for each user's
+    * event stream ordered by `(ts, event_id)`, compare the cent-
+    * quantized value against the trailing window of the `lookback`
+    * PRECEDING events (the row itself excluded — the score is
+    * out-of-sample). An event is anomalous when its squared z-score
+    * against that window exceeds `k²`, tested without ever forming a
+    * double: with `n, s, q` the window's count / Σx / Σx²,
+    *
+    *   z² > k²  ⇔  (x·n − s)² > k² · (n·q − s²)
+    *
+    * — both sides exact BIGINTs (|x| ≤ 1e4 cents, n ≤ lookback, so
+    * the cross terms stay ≤ ~1e12 even at 100 TB: magnitudes are
+    * bounded by the VALUE domain and the window length, not the
+    * corpus). Events with fewer than `minPrev` trailing samples are
+    * never flagged (cold-start guard); a zero-variance window flags
+    * any deviation (the strict `>` keeps exact-repeat values quiet).
+    * Output: flagged rows only, `(event_id, user_id, t, v_e2, n_prev)`.
+    *
+    * Scale shape: ONE shuffle on `user_id` for the window pass over a
+    * narrow 4-column projection; no self-join, no broadcast state —
+    * the per-key rolling twin of the global [[SparkEntry]] `e_outliers`
+    * composition. This is the batch form of what a stream would run
+    * via `flatMapGroupsWithState` with an O(lookback) ring buffer.
+    */
+  def rollingAnomaly(events: DataFrame, lookback: Int = 8, minPrev: Int = 4,
+      k: Int = 3): DataFrame = {
+    require(lookback >= 1 && minPrev >= 1 && k >= 1,
+      s"lookback/minPrev/k must be >= 1, got $lookback/$minPrev/$k")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t"),
+        col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("v_e2"))
+      .withColumn("n_prev", count(col("v_e2")).over(w))
+      .withColumn("s_prev", sum(col("v_e2")).over(w))
+      .withColumn("q_prev", sum(col("v_e2") * col("v_e2")).over(w))
+      .filter(col("n_prev") >= minPrev &&
+        (col("v_e2") * col("n_prev") - col("s_prev")) *
+          (col("v_e2") * col("n_prev") - col("s_prev")) >
+          lit(k.toLong * k) *
+            (col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")))
+      .select(col("event_id"), col("user_id"), col("t"), col("v_e2"), col("n_prev"))
+  }
 }

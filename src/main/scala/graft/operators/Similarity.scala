@@ -1034,6 +1034,66 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Kendall rank agreement between two per-query rankings — the
+    * integer-exact diagnostic for how much a lexical and a semantic
+    * retriever actually disagree (the number hybrid fusion like
+    * [[rrfFuse]] is justified by): for each query, every unordered
+    * pair of items BOTH rankings retrieved is concordant if the two
+    * rankings order it the same way, discordant otherwise. Emitted as
+    * raw integer counts — `tau_a = (concordant − discordant) /
+    * n_pairs` is the caller's one presentational division; the engine
+    * ships `tau_num` and `n_pairs` so nothing irrational crosses the
+    * boundary. Ranks within one ranking are assumed distinct per item
+    * (true for any top-k ranking frame), so there are no ties and
+    * tau-a is the right variant.
+    *
+    * Inputs: two `(queryCol, idCol, rank)` frames — the shape
+    * [[cosineTopK]] / `bm25MultiQuery` / [[rrfFuseByQuery]] emit.
+    * Queries with < 2 common items emit `n_pairs = 0, tau_num = 0`
+    * (no evidence ≠ agreement).
+    *
+    * Scale shape: the common-item join is (queries × k)-sized; the
+    * pair enumeration self-joins within each query on `id_l < id_r`,
+    * bounded at k(k−1)/2 rows per query by construction — the
+    * operator's documented contract is top-k-frame inputs, so the
+    * quadratic term is k², never corpus². One final query-keyed
+    * count aggregate.
+    *
+    * Output: `(query_id, n_common, n_pairs, concordant, discordant,
+    * tau_num)`.
+    */
+  def rankAgreement(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "id",
+      queryCol: String = "query_id"): DataFrame = {
+    val common = a.select(col(queryCol), col(idCol).as("id"), col("rank").as("ra"))
+      .join(b.select(col(queryCol), col(idCol).as("id"), col("rank").as("rb")),
+        Seq(queryCol, "id"))
+    val l = common.select(col(queryCol), col("id").as("id_l"),
+      col("ra").as("ra_l"), col("rb").as("rb_l"))
+    val r = common.select(col(queryCol), col("id").as("id_r"),
+      col("ra").as("ra_r"), col("rb").as("rb_r"))
+    val pairs = l.join(r, Seq(queryCol)).filter(col("id_l") < col("id_r"))
+      .select(col(queryCol),
+        (((col("ra_l") < col("ra_r")) && (col("rb_l") < col("rb_r"))) ||
+          ((col("ra_l") > col("ra_r")) && (col("rb_l") > col("rb_r"))))
+          .as("conc"))
+    val counts = common.groupBy(col(queryCol)).agg(count(lit(1)).as("n_common"))
+    val pairAgg = pairs.groupBy(col(queryCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("conc"), 1L).otherwise(0L)).as("concordant"))
+    counts.join(pairAgg, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        col("n_common"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        (coalesce(col("n_pairs"), lit(0L)) - coalesce(col("concordant"), lit(0L)))
+          .as("discordant"),
+        (lit(2L) * coalesce(col("concordant"), lit(0L)) -
+          coalesce(col("n_pairs"), lit(0L))).as("tau_num"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× embedding
     * compression before ANN serving / index build: each component maps
     * to `round(x · 127 / amax)` ∈ [−127, 127] where `amax` is the

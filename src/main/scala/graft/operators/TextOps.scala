@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -1161,5 +1162,172 @@ object TextOps {
           col("s").cast("double") * 1e6 /
             (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .cast("long").as("tvd_e6"))
+  }
+
+  /** Collocation mining: the top-`k` adjacent token bigrams by
+    * pointwise mutual information, with a `minCount` support floor
+    * (Church & Hanks 1990's association-ratio screen — the classic
+    * phrase/tokenizer-merge candidate generator). For a FIXED corpus,
+    * PMI = log( (c_xy/N_b) / ((c_x/N_u)(c_y/N_u)) ) is a monotone
+    * transform of the association ratio `c_xy / (c_x·c_y)` — the
+    * corpus constants N_u²/N_b shift every pair equally — so top-k by
+    * PMI is computed WITHOUT any transcendental: rank on
+    * `assoc_e12 = (c_xy · 10¹²) div (c_x · c_y)` — the division runs
+    * in DECIMAL(38,0) (numerator ≤ 10²⁵ at 10¹³ tokens, far past
+    * 100 TB) and the QUOTIENT is always ≤ 10¹² (c_xy ≤ min(c_x, c_y)),
+    * so it ships as a plain BIGINT both engines reproduce bit-for-bit;
+    * the caller recovers true PMI as `log2(assoc) − 40·log2(10) +
+    * log2(N_u²/N_b)` presentationally.
+    *
+    * `minCount` is not a tuning nicety: PMI's known failure mode is
+    * hapax pairs (c_xy = c_x = c_y = 1 maximizes the ratio), so the
+    * support floor IS the operator semantics.
+    *
+    * Scale shape: one token scan feeds both count tables; bigram and
+    * unigram counts shuffle on token keys with map-side combine; the
+    * two count attachments are plain hash joins on the (already
+    * minCount-pruned) candidate table; top-k is a
+    * TakeOrderedAndProject, never a global sort. Token strings are the
+    * join keys (vocabulary-sized frames, not corpus-sized) — same
+    * contract as [[vocabTopK]]/[[tfidfTopK]].
+    *
+    * Output: `(w1, w2, n_pair, c_w1, c_w2, assoc_e12)`, ordered
+    * `assoc_e12 desc, w1 asc, w2 asc`, limit `k`.
+    */
+  def pmiTopK(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1, got $minCount/$k")
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    // one row per adjacent-pair INSTANCE; (element, index) transform
+    // keeps the pairing inside one narrow generator — no positional
+    // self-join, no shuffle before the count aggregates
+    val inst = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("c_w1"), col("c_w2"),
+        expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * 1000000000000) div " +
+          "(CAST(c_w1 AS DECIMAL(38,0)) * c_w2) AS BIGINT)").as("assoc_e12"))
+      .orderBy(col("assoc_e12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Sketch-based equi-join cardinality estimate (the count-min inner
+    * product of Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B on key| =
+    * Σ_key cA(key)·cB(key) is estimated per sketch row as
+    * Σ_j A_d[j]·B_d[j] and reported as the min over the `depth` rows —
+    * never an undercount, since every bucket total dominates the keys
+    * it absorbs. The estimator a cost-based optimizer or admission
+    * controller runs BEFORE committing to a shuffle join: each side
+    * compresses to a `depth × width` integer grid that merges across
+    * shards by element-wise SUM, so the estimate costs two narrow
+    * scans + a grid-sized join regardless of key cardinality.
+    *
+    * The audit contract of [[cmsTokenEstimates]]: the bucket hash is
+    * the engine-portable polynomial over `"<seed>#<key>"`, the grids
+    * are built from exact per-key counts (≡ hashing the raw stream),
+    * and the EXACT join size rides along, so the single output row
+    * certifies `over_ok = est ≥ exact` bit-for-bit in both engines.
+    * Products and sums run in DECIMAL(38,0) (two 10¹²-row bucket
+    * totals multiply to 10²⁴ — past int64 well below 100 TB); the
+    * final counts cast back to BIGINT (a join above ~9·10¹⁸ rows is
+    * not a cardinality anyone materializes).
+    *
+    * Output: one row `(exact_n, cms_est, over_ok)`.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256,
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth/width must be >= 1, got $depth/$width")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(col(keyCol).cast("string").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "na")
+    val cb = counts(b, "nb")
+    val exact = ca.join(cb, Seq("key"))
+      .agg(coalesce(sum(dec(col("na")) * dec(col("nb"))), dec(lit(0)))
+        .cast("long").as("exact_n"))
+    val seeds = array((0 until depth).map(s => lit(s.toLong)): _*)
+    def grid(cnt: DataFrame, out: String): DataFrame = cnt
+      .select(col("key"), col(cnt.columns.last).as("n"), explode(seeds).as("seed"))
+      .withColumn("bucket",
+        pmod(hash(concat(col("seed").cast("string"), lit("#"), col("key"))),
+          lit(width.toLong)))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("n")).as(out))
+    val est = grid(ca, "an").join(grid(cb, "bn"), Seq("seed", "bucket"))
+      .groupBy(col("seed"))
+      .agg(coalesce(sum(dec(col("an")) * dec(col("bn"))), dec(lit(0))).as("row_est"))
+      .agg(coalesce(min(col("row_est")), dec(lit(0))).cast("long").as("cms_est"))
+    exact.join(broadcast(est))
+      .select(col("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("over_ok"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve per source: for every document
+    * (in `doc_id` order within its source) the cumulative token count
+    * and cumulative DISTINCT-token count up to and including it — the
+    * saturation diagnostic that tells a corpus builder whether a
+    * source is still contributing novel vocabulary or replaying
+    * itself (V(n) ≈ K·n^β flattening = diminishing returns).
+    *
+    * The running-distinct is NOT computed as a running distinct:
+    * each (source, token)'s contribution collapses to its FIRST
+    * carrying document (`min(doc_id)`), so cumulative vocabulary =
+    * prefix sum of per-doc first-occurrence counts — two ordinary
+    * grouped aggregates plus a prefix sum.
+    *
+    * The prefix sum itself is two-phase so no single task ever scans a
+    * whole source: docs land in `doc_id div bucketSize` buckets;
+    * per-(source, bucket) partials take one grouped agg; the
+    * bucket-level exclusive prefix runs a window over the BUCKET rows
+    * (corpus/bucketSize of them, two longs each); the in-bucket
+    * residual window orders ≤ bucketSize rows per partition. At
+    * 10¹⁰ docs/source a single-partition `partitionBy(source)` window
+    * is the classic skew cliff — this shape never creates a partition
+    * larger than `bucketSize` rows. (The result is pinned ≡ the
+    * naive single-window form by spec.)
+    *
+    * Output: `(source, doc_id, n_toks, new_toks, cum_toks, cum_vocab)`.
+    */
+  def vocabGrowth(docs: DataFrame, bucketSize: Long = 1024,
+      srcCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val base = docs.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val firsts = base
+      .select(col("source"), col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(min(col("doc_id")).as("fdoc"))
+      .groupBy(col("source"), col("fdoc").as("doc_id"))
+      .agg(count(lit(1)).as("new_toks"))
+    val perDoc = base
+      .select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(firsts, Seq("source", "doc_id"), "left_outer")
+      .withColumn("new_toks", coalesce(col("new_toks"), lit(0L)))
+      .withColumn("bkt", expr(s"doc_id div ${bucketSize}L"))
+    val partials = perDoc.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_toks")).as("bt"), sum(col("new_toks")).as("bv"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = partials
+      .withColumn("base_t", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .withColumn("base_v", coalesce(sum(col("bv")).over(wb), lit(0L)))
+      .select(col("source"), col("bkt"), col("base_t"), col("base_v"))
+    val wi = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(bases, Seq("source", "bkt"))
+      .withColumn("cum_toks", col("base_t") + sum(col("n_toks")).over(wi))
+      .withColumn("cum_vocab", col("base_v") + sum(col("new_toks")).over(wi))
+      .select(col("source"), col("doc_id"), col("n_toks"), col("new_toks"),
+        col("cum_toks"), col("cum_vocab"))
   }
 }

@@ -33,6 +33,23 @@ final case class FunnelState(stepIdx: Int, reachedMs: Long, buf: List[BufferedEv
   */
 final case class FunnelRow(user_id: String, step: Long, event_type: String, t_ms: Long)
 
+/** Buffered value awaiting watermark finalization (streaming rolling
+  * anomaly state): µs timestamp + tie-break id + cent-quantized value.
+  */
+final case class BufferedVal(tsUs: Long, eventId: Long, vE2: Long)
+
+/** Per-user rolling-anomaly state: the trailing ring of the last
+  * `lookback` FINALIZED values (oldest first) + the not-yet-finalized
+  * buffer. Ring is O(lookback) by construction.
+  */
+final case class AnomState(ring: List[Long], buf: List[BufferedVal])
+
+/** One flagged anomaly — columns match the batch
+  * [[graft.operators.EventOps.rollingAnomaly]] output.
+  */
+final case class AnomalyRow(
+    event_id: Long, user_id: String, t: Long, v_e2: Long, n_prev: Long)
+
 /** Per-key CDC state: the last applied change's payload and position. */
 final case class CdcState(valueE4: Long, tsMs: Long, seq: Long, deleted: Boolean)
 
@@ -176,9 +193,15 @@ object EventStreams {
     * one timestamp. Emission is append-mode per advancement; count
     * per step downstream (a streaming global aggregate would force
     * update mode on the whole query).
+    *
+    * `maxGapMs` makes this the twin of
+    * [[graft.operators.EventOps.funnelWindowed]]: an advancement must
+    * land within the gap of the previous one (deadline inclusive).
     */
-  def funnel(events: DataFrame, delay: String, steps: Seq[String]): Dataset[FunnelRow] = {
+  def funnel(events: DataFrame, delay: String, steps: Seq[String],
+      maxGapMs: Option[Long] = None): Dataset[FunnelRow] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapMs.forall(_ > 0), "maxGapMs must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -209,13 +232,80 @@ object EventStreams {
             // the previous advancement must not advance here either.
             // (Scanning in micro order still picks the min-ms event:
             // ms order is a coarsening of micro order.)
-            if (e.eventType == steps(idx) && (idx == 0 || e.tsUs / 1000L > reached)) {
+            // the optional per-step deadline (EventOps.funnelWindowed's
+            // gap) composes with the strictly-after rule: once the
+            // deadline passes, no later event can qualify either, so
+            // skipping here IS the batch min-over-window semantics
+            if (e.eventType == steps(idx) && (idx == 0 ||
+                (e.tsUs / 1000L > reached &&
+                  maxGapMs.forall(g => e.tsUs / 1000L <= reached + g)))) {
               reached = e.tsUs / 1000L
               idx += 1
               emitted += FunnelRow(uid, idx.toLong, e.eventType, e.tsUs / 1000L)
             }
           }
           state.update(FunnelState(idx, reached, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
+          emitted.result().iterator
+      }
+  }
+
+  /** Streaming rolling anomaly detector — the stateful twin of
+    * [[graft.operators.EventOps.rollingAnomaly]]: per user, events are
+    * finalized in `(ts, event_id)` order behind the watermark (the
+    * [[transitions]] buffer discipline), and each finalized value is
+    * tested against the trailing ring of the `lookback` previously
+    * finalized values with the same exact-integer z² inequality
+    * `(x·n − s)² > k²(n·q − s²)` — no doubles, no division. The ring
+    * then advances, so every event is scored strictly out-of-sample,
+    * exactly like the batch window's `rowsBetween(-lookback, -1)`.
+    *
+    * State per user = the O(lookback) ring + the watermark buffer —
+    * this is the `flatMapGroupsWithState` ring buffer the batch form's
+    * scaladoc promises; emission is append-mode flagged rows only, so
+    * the stream is as sparse as the anomalies. Late events (below the
+    * watermark) are dropped, same as every stateful op here.
+    */
+  def rollingAnomaly(events: DataFrame, delay: String, lookback: Int = 8,
+      minPrev: Int = 4, k: Int = 3): Dataset[AnomalyRow] = {
+    require(lookback >= 1 && minPrev >= 1 && k >= 1,
+      s"lookback/minPrev/k must be >= 1, got $lookback/$minPrev/$k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(
+        col("user_id").cast("string").as("_1"),
+        unix_micros(col("ts")).as("_2"),
+        col("event_id").as("_3"),
+        floor(col("value") * 100 + 0.5).cast("long").as("_4"),
+        col("ts").as("_5"))
+      .as[(String, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomalyRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[AnomState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val incoming = rows.map(r => BufferedVal(r._2, r._3, r._4))
+            .filter(_.tsUs >= wmUs).toList
+          val (ready, pending) = (st.buf ++ incoming).partition(_.tsUs < wmUs)
+          val ordered = ready.sortBy(e => (e.tsUs, e.eventId))
+          val emitted = List.newBuilder[AnomalyRow]
+          var ring = st.ring
+          for (e <- ordered) {
+            val n = ring.size.toLong
+            if (n >= minPrev) {
+              val s = ring.sum
+              val q = ring.map(x => x * x).sum
+              val lhs = e.vE2 * n - s
+              if (lhs * lhs > k.toLong * k * (n * q - s * s))
+                emitted += AnomalyRow(e.eventId, uid, e.tsUs / 1000L, e.vE2, n)
+            }
+            ring = (ring :+ e.vE2).takeRight(lookback)
+          }
+          state.update(AnomState(ring, pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(pending.map(_.tsUs).min / 1000L + 1)
           emitted.result().iterator

@@ -259,6 +259,34 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
   }
 
+  test("round-11 operators on empty and degenerate inputs") {
+    val emptyEv = Seq.empty[(Long, String, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // windowed funnel: step rows exist (counts 0), matching funnel
+    assert(rowSet(EventOps.funnelWindowed(emptyEv, Seq("a", "b"), 1000L)) ===
+      Set(Seq(1L, "a", 0L), Seq(2L, "b", 0L)))
+    assert(EventOps.rollingAnomaly(emptyEv).count() === 0)
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextOps.pmiTopK(emptySrc).count() === 0)
+    // single-token docs have no bigrams; unigram side alone yields none
+    assert(TextOps.pmiTopK(
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), minCount = 1).count() === 0)
+    assert(TextOps.vocabGrowth(emptySrc).count() === 0)
+    // empty-text doc still emits its curve row (0 tokens, 0 vocab)
+    assert(rowSet(TextOps.vocabGrowth(
+      Seq((5L, "sA", "")).toDF("doc_id", "source", "text"))) ===
+      Set(Seq("sA", 5L, 0L, 0L, 0L, 0L)))
+    // join-size sketch on two empty sides: exact 0, estimate 0, gate holds
+    val emptyKeys = Seq.empty[Long].toDF("user_id")
+    assert(rowSet(TextOps.cmsJoinSize(emptyKeys, emptyKeys, "user_id")) ===
+      Set(Seq(0L, 0L, true)))
+    val emptyRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "id", "rank")
+    assert(Similarity.rankAgreement(emptyRank, emptyRank).count() === 0)
+    // one-sided emptiness: no common items anywhere -> no rows
+    assert(Similarity.rankAgreement(
+      Seq((1L, 2L, 1L)).toDF("query_id", "id", "rank"), emptyRank).count() === 0)
+  }
+
   test("as-of join with empty right side keeps all left rows, null payload") {
     val left = Seq((1L, "k", new java.sql.Timestamp(1000))).toDF("id", "k", "lt")
     val right = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rt", "rid")

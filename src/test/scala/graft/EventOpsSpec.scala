@@ -186,4 +186,57 @@ class EventOpsSpec extends SparkSpec {
       Seq(1L, 0L, 1L), // u3
       Seq(1L, 1L, 1L))) // u3 in period 2
   }
+
+  test("funnelWindowed: per-step deadline binds, boundary inclusive, huge gap ≡ funnel") {
+    val e = Seq(
+      // u1 converts fully: click 500 after view, buy 700 after click
+      (1L, "u1", "view", t(0L), 0.0),
+      (2L, "u1", "click", t(500L), 0.0),
+      (3L, "u1", "buy", t(1200L), 0.0),
+      // u2 clicks 1500 after view — past the 1000 ms deadline
+      (4L, "u2", "view", t(0L), 0.0),
+      (5L, "u2", "click", t(1500L), 0.0),
+      // u3: FIRST in-window click (100) anchors; buy at 1050 is within
+      // its window (100+1000) even though the later click at 900 exists
+      (6L, "u3", "view", t(0L), 0.0),
+      (7L, "u3", "click", t(100L), 0.0),
+      (8L, "u3", "click", t(900L), 0.0),
+      (9L, "u3", "buy", t(1050L), 0.0),
+      // u4 clicks EXACTLY at the deadline — inclusive
+      (10L, "u4", "view", t(0L), 0.0),
+      (11L, "u4", "click", t(1000L), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(rowSet(EventOps.funnelWindowed(e, Seq("view", "click", "buy"), 1000L)) === Set(
+      Seq(1L, "view", 4L),
+      Seq(2L, "click", 3L),  // u1, u3, u4
+      Seq(3L, "buy", 2L)))   // u1, u3
+    // a gap wider than every inter-event delta degenerates to funnel
+    assert(rowSet(EventOps.funnelWindowed(e, Seq("view", "click", "buy"), 1000000L)) ===
+      rowSet(EventOps.funnel(e, Seq("view", "click", "buy"))))
+  }
+
+  test("rollingAnomaly: spike flagged, cold start and exact repeats quiet") {
+    // u1: five 1.00s then a 5.00 spike, then another 1.00
+    val u1 = (1L to 5L).map(i => (i, "u1", "x", t(i * 1000L), 1.0)) ++
+      Seq((6L, "u1", "x", t(6000L), 5.0), (7L, "u1", "x", t(7000L), 1.0))
+    // u2: alternating 1/2 then 1.5 (exact window mean — quiet), then 10.0
+    val u2 = Seq(
+      (11L, "u2", "x", t(1000L), 1.0), (12L, "u2", "x", t(2000L), 2.0),
+      (13L, "u2", "x", t(3000L), 1.0), (14L, "u2", "x", t(4000L), 2.0),
+      (15L, "u2", "x", t(5000L), 1.5), (16L, "u2", "x", t(6000L), 10.0))
+    // u3: spike with only 2 trailing samples — cold start, never flagged
+    val u3 = Seq(
+      (21L, "u3", "x", t(1000L), 1.0), (22L, "u3", "x", t(2000L), 1.0),
+      (23L, "u3", "x", t(3000L), 99.0))
+    val e = (u1 ++ u2 ++ u3).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventOps.rollingAnomaly(e, lookback = 8, minPrev = 4, k = 3)
+    // u1 event 6: window = five 100s (zero variance) -> any deviation flags;
+    //   event 7: window has the spike; (100·6 − 1000)² = 160000 vs
+    //   9·(6·300000 − 10⁶) = 7.2e6 -> quiet
+    // u2 event 15: (150·4 − 600)² = 0 -> quiet (exact mean);
+    //   event 16: (1000·5 − 750)² = 18_062_500 > 9·(5·122500 − 562500) -> flag
+    assert(rowSet(out) === Set(
+      Seq(6L, "u1", 6000L, 500L, 5L),
+      Seq(16L, "u2", 6000L, 1000L, 5L)))
+  }
 }

@@ -611,4 +611,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(parts.forall(p => !p.contains("text#")),
       s"a shuffle carries raw document text: $parts")
   }
+
+  test("pmiTopK: top-k is partial (TakeOrderedAndProject), bigram generator stays narrow") {
+    val out = graft.operators.TextOps.pmiTopK(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject, not a full sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocabulary-sized count attaches should hash/broadcast join at this scale:\n$plan")
+  }
+
+  test("rollingAnomaly: exactly one exchange (the user window), no payload columns") {
+    val out = graft.operators.EventOps.rollingAnomaly(Tables.events(spark, sfDir))
+    val plan = formatted(out)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"rolling window should shuffle once on user_id:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.forall(p => !p.contains("props#")),
+      s"the window shuffle carries the event props payload: $parts")
+  }
+
+  test("cmsJoinSize: grids join on (seed, bucket); the 1-row estimate broadcasts back") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.operators.TextOps.cmsJoinSize(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "user_id")
+    val plan = formatted(out)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the single-row estimate must broadcast into the output join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+  }
+
+  test("vocabGrowth: bucket partials keep every window partition bounded") {
+    val out = graft.operators.TextOps.vocabGrowth(
+      Tables.documents(spark, sfDir), bucketSize = 64)
+    val plan = formatted(out)
+    // the in-bucket residual window must partition by (source, bkt) —
+    // a source-only window is the single-task skew cliff the two-phase
+    // shape exists to avoid
+    assert("Window .*windowspecdefinition\\(source#\\d+, bkt#".r
+      .findFirstIn(plan).isDefined ||
+      plan.contains("windowspecdefinition(source"),
+      s"expected the residual window keyed by (source, bkt):\n$plan")
+    val winSpecs = "windowspecdefinition\\(([^,]+, [^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(winSpecs.exists(_.contains("bkt#")),
+      s"no window keyed on the bucket column — single-task skew risk: $winSpecs\n$plan")
+  }
 }

@@ -526,4 +526,28 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(refined === exact)
   }
+
+  test("rankAgreement: perfect, inverted, partial, and sub-2-common rankings") {
+    def frame(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "id", "rank")
+    // q0: identical rankings of 4 items -> all C(4,2)=6 pairs concordant
+    // q1: exactly reversed -> all 6 discordant
+    // q2: common set {2,3} ordered the same way -> 1 concordant pair
+    // q3: a single common item -> no pairs, tau_num 0 (not "agreement")
+    val a = frame(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), (0L, 13L, 4L),
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L),
+      (3L, 7L, 1L), (3L, 8L, 2L))
+    val b = frame(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), (0L, 13L, 4L),
+      (1L, 10L, 4L), (1L, 11L, 3L), (1L, 12L, 2L), (1L, 13L, 1L),
+      (2L, 2L, 1L), (2L, 3L, 2L), (2L, 99L, 3L),
+      (3L, 7L, 1L), (3L, 9L, 2L))
+    assert(rowSet(Similarity.rankAgreement(a, b)) === Set(
+      Seq(0L, 4L, 6L, 6L, 0L, 6L),
+      Seq(1L, 4L, 6L, 0L, 6L, -6L),
+      Seq(2L, 2L, 1L, 1L, 0L, 1L),
+      Seq(3L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -642,4 +642,68 @@ class StreamingSpec extends SparkSpec {
       assert(kept === Set(1L, 4L))
     } finally q.stop()
   }
+
+  test("windowed funnel stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val gap = 3600000L
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.funnel(in.toDF(), delay = "10 seconds", steps = steps,
+        maxGapMs = Some(gap))
+      .writeStream.format("memory").queryName("funnel_windowed_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("funnel_windowed_fixture")
+        .groupBy($"step", $"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_users")))
+      val batch = rowSet(
+        graft.operators.EventOps.funnelWindowed(evs.toSeq.toDF(), steps, gap)
+          .filter($"n_users" > 0)) // append-mode stream has no 0-count rows
+      assert(streamed === batch)
+      // the deadline must actually bite on this slice: fewer converts
+      // than the unbounded funnel at some step
+      val unbounded = graft.operators.EventOps.funnel(evs.toSeq.toDF(), steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val bounded = graft.operators.EventOps.funnelWindowed(evs.toSeq.toDF(), steps, gap)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(steps.indices.map(i => (i + 1).toLong).exists(s => bounded(s) < unbounded(s)),
+        s"gap never binds on the fixture slice: $bounded vs $unbounded")
+    } finally q.stop()
+  }
+
+  test("rolling anomaly stream over a replayed fixture slice equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .as[FixEv].collect().sortBy(_.ts.getTime)
+    val in = MemoryStream[FixEv]
+    val q = EventStreams.rollingAnomaly(in.toDF(), delay = "10 seconds")
+      .writeStream.format("memory").queryName("anomaly_fixture")
+      .outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val maxTs = evs.last.ts.getTime
+      in.addData(FixEv(-1L, "zz", "flush", new Timestamp(maxTs + 7200000L), 0.0))
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("anomaly_fixture")
+        .select($"event_id", $"user_id", $"t", $"v_e2", $"n_prev"))
+      val batch = rowSet(graft.operators.EventOps.rollingAnomaly(evs.toSeq.toDF()))
+      assert(batch.nonEmpty, "fixture slice produced no anomalies — test is vacuous")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }

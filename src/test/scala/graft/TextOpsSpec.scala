@@ -546,4 +546,62 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     assert(rowSet(TextOps.sourceTvd(swapped)) === Set(Seq("sA", "sB", 2L, 3L, 166666L)))
   }
+
+  test("pmiTopK: association ranking, support floor bites, hapax excluded") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // (a,b)×3, (b,a)×2
+      (2L, "c d c d c d c d"),   // (c,d)×4, (d,c)×3
+      (3L, "x y")                // hapax pair — PMI's failure mode
+    ).toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=4 d=4 x=1 y=1
+    // assoc_e12 = n_pair·1e12 div (c_w1·c_w2):
+    //   (a,b): 3e12/9  = 333333333333; (c,d): 4e12/16 = 250000000000
+    //   (d,c): 3e12/16 = 187500000000
+    val out = TextOps.pmiTopK(docs, minCount = 3, k = 10).collect().map(_.toSeq)
+    assert(out.toSeq === Seq(
+      Seq("a", "b", 3L, 3L, 3L, 333333333333L),
+      Seq("c", "d", 4L, 4L, 4L, 250000000000L),
+      Seq("d", "c", 3L, 4L, 4L, 187500000000L)))
+    // with the floor off, the hapax pair tops the list at exactly 1e12
+    // — the known pathology minCount exists to exclude
+    val loose = TextOps.pmiTopK(docs, minCount = 1, k = 1).collect().map(_.toSeq)
+    assert(loose.toSeq === Seq(Seq("x", "y", 1L, 1L, 1L, 1000000000000L)))
+  }
+
+  test("cmsJoinSize: exact inner product, width-1 collapse still never undercounts") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("user_id")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("user_id")
+    // exact = 2·1 (key 1) + 1·2 (key 2) = 4
+    val out = TextOps.cmsJoinSize(a, b, "user_id").collect().map(_.toSeq)
+    assert(out.length === 1)
+    assert(out.head(0) === 4L)
+    assert(out.head(1).asInstanceOf[Long] >= 4L)
+    assert(out.head(2) === true)
+    // width=1: every key in one bucket -> est = ΣnA·ΣnB = 4·4 = 16
+    assert(rowSet(TextOps.cmsJoinSize(a, b, "user_id", width = 1)) ===
+      Set(Seq(4L, 16L, true)))
+    // disjoint keys: exact 0, estimate still bounded below by 0
+    val c = Seq(9L, 9L).toDF("user_id")
+    val dj = TextOps.cmsJoinSize(a, c, "user_id").collect().head
+    assert(dj.getLong(0) === 0L && dj.getBoolean(2))
+  }
+
+  test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
+    val docs = Seq(
+      (0L, "A", "a b a"),   // toks 3, new {a,b}=2
+      (2L, "A", "b c"),     // toks 2, new {c}=1
+      (4L, "A", "c c c"),   // toks 3, new 0
+      (1L, "B", "z")        // toks 1, new 1
+    ).toDF("doc_id", "source", "text")
+    val expected = Set(
+      Seq("A", 0L, 3L, 2L, 3L, 2L),
+      Seq("A", 2L, 2L, 1L, 5L, 3L),
+      Seq("A", 4L, 3L, 0L, 8L, 3L),
+      Seq("B", 1L, 1L, 1L, 1L, 1L))
+    assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 1024)) === expected)
+    // bucket boundaries must be invisible in the result: bucketSize 1
+    // (every doc its own bucket) and 3 (split mid-source) agree
+    assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 1)) === expected)
+    assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 3)) === expected)
+  }
 }
