@@ -661,6 +661,12 @@ object SparkEntry {
     // ratio (≡ PMI rank for a fixed corpus), support floor 5
     "t_pmi_topk" -> ((s, dir) =>
       TextOps.pmiTopK(Tables.documents(s, dir), minCount = 5, k = 20)),
+    // KMV distinct sketch per source (k=16 minimum mixed portable
+    // hashes — k < per-source vocab so the estimator branch is live),
+    // audited against the exact count — whole row replicates in SQL
+    // bit-exactly, estimator included
+    "x_kmv_distinct" -> ((s, dir) =>
+      TextOps.kmvDistinct(Tables.documents(s, dir), k = 16)),
     // Heaps'-law vocabulary growth per source: cumulative tokens vs
     // cumulative distinct tokens in doc_id order (two-phase prefix sum)
     "t_vocab_growth" -> ((s, dir) =>
@@ -1895,6 +1901,38 @@ object SparkEntry {
          |        FROM re)
          |SELECT exact_n, cms_est, cms_est >= exact_n AS over_ok
          |FROM ex CROSS JOIN est""".stripMargin,
+
+    // the KMV sketch replicated in SQL: k=16 smallest DISTINCT mixed
+    // portable token hashes per source (same multiplicative spread mod
+    // P as the engine — raw ph() clusters short tokens near zero);
+    // estimate (k−1)·P // m_k, exact-size short-circuit below k —
+    // every column hash-matches bit-exactly
+    "x_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT source,
+         |         (${ph("tok")} * 961748941 + 982451653) % 1000000007 AS hv
+         |  FROM (SELECT source, unnest($TOKS) AS tok FROM documents)),
+         |ex AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+         |  FROM h GROUP BY 1),
+         |bk AS (
+         |  SELECT source, hv,
+         |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |  FROM h),
+         |kth AS (
+         |  SELECT source,
+         |         CAST(MAX(CASE WHEN rn = 16 THEN hv END) AS BIGINT) AS mk,
+         |         CAST(COUNT(*) AS BIGINT) AS nk
+         |  FROM bk WHERE rn <= 16 GROUP BY 1),
+         |est AS (
+         |  SELECT e.source, e.exact_distinct,
+         |         CAST(CASE WHEN k.nk < 16 THEN k.nk
+         |              ELSE (CAST(15 AS BIGINT) * 1000000007) // k.mk
+         |              END AS BIGINT) AS kmv_est
+         |  FROM ex e JOIN kth k ON e.source = k.source)
+         |SELECT source, exact_distinct, kmv_est,
+         |       CAST((kmv_est * 1000) // exact_distinct AS BIGINT) AS est_permille
+         |FROM est""".stripMargin,
 
     // adjacent pairs by zipped parallel unnest; association ratio in
     // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both

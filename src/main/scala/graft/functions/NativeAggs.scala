@@ -190,6 +190,87 @@ object NativeAggs {
       copy(child = newChildren.head)
   }
 
+  /** k-minimum-values distinct sketch (Bar-Yossef et al. 2002): the k
+    * smallest DISTINCT hash values seen, as a sorted ascending array.
+    * Mergeable by union-then-truncate; O(k) state per group regardless
+    * of cardinality — the bottom-k sample doubles as a deterministic
+    * per-group element sample. The estimator `(k−1)·M div m_k` (M =
+    * hash-space size, m_k = k-th minimum) lives in the caller so the
+    * sketch stays estimator-agnostic. Feed it PORTABLE hashes when the
+    * result must replicate in an external engine — the buffer content
+    * is then bit-exact reproducible as `DISTINCT hash ORDER BY hash
+    * LIMIT k`.
+    */
+  case class KmvAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    require(k >= 2, s"KmvAgg: k must be >= 2, got $k")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        // admit only below the current k-th minimum (or while filling)
+        if (buf.size < k) buf.add(h)
+        else if (h < buf.last) { if (buf.add(h)) buf.pollLast() }
+      }
+      buf
+    }
+
+    override def merge(
+        b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) {
+        val h = it.next()
+        if (b1.size < k) b1.add(h)
+        else if (h < b1.last) { if (b1.add(h)) b1.pollLast() }
+      }
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val a = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      longsToBytes(a)
+    }
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val s = new java.util.TreeSet[java.lang.Long]()
+      bytesToLongs(bytes).foreach(s.add(_))
+      s
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): KmvAgg =
+      copy(child = newChildren.head)
+  }
+
   private def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(a.length * 8)
     a.foreach(bb.putLong)
@@ -208,4 +289,6 @@ object NativeAggs {
     Bridge.column(MinHashAgg(Bridge.expression(c), k).toAggregateExpression())
   def bloomAgg(c: Column, mBits: Int, k: Int): Column =
     Bridge.column(BloomAgg(Bridge.expression(c), mBits, k).toAggregateExpression())
+  def kmvAgg(c: Column, k: Int): Column =
+    Bridge.column(KmvAgg(Bridge.expression(c), k).toAggregateExpression())
 }

@@ -1272,6 +1272,60 @@ object TextOps {
         (col("cms_est") >= col("exact_n")).as("over_ok"))
   }
 
+  /** Per-source distinct-token estimate by k-minimum-values sketch
+    * (Bar-Yossef et al. 2002), audited against the exact count — the
+    * third member of the mergeable-sketch tier next to
+    * [[cmsTokenEstimates]] (frequencies) and the HLL row (global
+    * distinct): O(k) state per group, merges by union-truncate, and —
+    * because the sketch content is just the k smallest distinct
+    * PORTABLE hashes — an external SQL engine reproduces the whole
+    * output BIT-EXACTLY (`DISTINCT hash ORDER BY hash LIMIT k`),
+    * estimator included: groups still filling (< k distinct) report
+    * their exact size; full sketches report `(k−1)·P div m_k`
+    * (hash space `[0, P)`, `m_k` = k-th minimum). `est_permille`
+    * rides along so drift is visible in the artifact itself.
+    *
+    * What KMV adds over HLL here: the bottom-k values double as a
+    * deterministic per-group ELEMENT sample (the hashes identify
+    * members, not just cardinality) — the primitive behind distributed
+    * set-resemblance joins — and the estimate is engine-portable,
+    * which `hll_sketch_agg`'s opaque binary is not.
+    *
+    * Scale shape: one narrow (source, hash) projection — token text
+    * never reaches the aggregate — then ONE grouped [[NativeAggs.kmvAgg]]
+    * with map-side partials. The exact `countDistinct` rides the same
+    * exchange as a second aggregate; it is the AUDIT column (the
+    * `x_approx_distinct` device), not part of the sketch path a 100 TB
+    * run would ship.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64, srcCol: String = "source",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // KMV needs hashes ~uniform on [0, P); the raw portable polynomial
+    // is NOT uniform for short strings (ph("a") = 314 — small tokens
+    // cluster near zero, which inflates estimates ~50× on a word-like
+    // vocabulary). One multiplicative mix mod P (the minhashPerm
+    // coefficients) spreads the keys; both engines replicate it
+    // exactly, so the sketch stays bit-portable.
+    val h = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        pmod(hash(col("tok")) * lit(961748941L) + lit(982451653L),
+          lit(Hashing.P)).as("hv"))
+    h.groupBy(col("source"))
+      .agg(
+        graft.functions.NativeAggs.kmvAgg(col("hv"), k).as("mins"),
+        countDistinct(col("hv")).as("exact_distinct"))
+      .select(
+        col("source"), col("exact_distinct"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * Hashing.P}L div element_at(mins, $k)"))
+          .cast("long").as("kmv_est"))
+      .withColumn("est_permille",
+        expr("(kmv_est * 1000) div exact_distinct"))
+  }
+
   /** Heaps'-law vocabulary-growth curve per source: for every document
     * (in `doc_id` order within its source) the cumulative token count
     * and cumulative DISTINCT-token count up to and including it — the

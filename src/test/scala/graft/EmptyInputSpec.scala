@@ -280,6 +280,10 @@ class EmptyInputSpec extends SparkSpec {
     val emptyKeys = Seq.empty[Long].toDF("user_id")
     assert(rowSet(TextOps.cmsJoinSize(emptyKeys, emptyKeys, "user_id")) ===
       Set(Seq(0L, 0L, true)))
+    assert(TextOps.kmvDistinct(emptySrc).count() === 0)
+    // all-whitespace docs contribute no tokens -> no sketch rows
+    assert(TextOps.kmvDistinct(
+      Seq((1L, "sA", "   ")).toDF("doc_id", "source", "text")).count() === 0)
     val emptyRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "id", "rank")
     assert(Similarity.rankAgreement(emptyRank, emptyRank).count() === 0)
     // one-sided emptiness: no common items anywhere -> no rows

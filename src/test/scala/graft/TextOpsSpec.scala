@@ -586,6 +586,26 @@ class TextOpsSpec extends SparkSpec {
     assert(dj.getLong(0) === 0L && dj.getBoolean(2))
   }
 
+  test("kmvDistinct: exact below k, hand estimator at the boundary, partition-invariant") {
+    // 3 distinct tokens < k=64 -> sketch still filling -> exact size out
+    val small = Seq((1L, "sA", "x y z x x")).toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.kmvDistinct(small)) === Set(Seq("sA", 3L, 3L, 1000L)))
+    // exactly k distinct at k=2: mixed keys mix(314)=971617013,
+    // mix(9832)=897973373 -> m_2 = 971617013,
+    // est = (2−1)·1000000007 div 971617013 = 1
+    val two = Seq((1L, "sB", "a ab a")).toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.kmvDistinct(two, k = 2)) ===
+      Set(Seq("sB", 2L, 1L, 500L)))
+    // merge path: the sketch is partition-count-invariant (union-truncate)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = rowSet(TextOps.kmvDistinct(docs.repartition(1)))
+    val many = rowSet(TextOps.kmvDistinct(docs.repartition(7)))
+    assert(one === many && one.nonEmpty)
+    // duplicates never move the sketch: doubling the corpus is a no-op
+    // on every column except nothing (same distinct set)
+    assert(rowSet(TextOps.kmvDistinct(docs.unionAll(docs))) === one)
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
