@@ -667,6 +667,18 @@ object SparkEntry {
     // bit-exactly, estimator included
     "x_kmv_distinct" -> ((s, dir) =>
       TextOps.kmvDistinct(Tables.documents(s, dir), k = 16)),
+    // KMV sketch SET ALGEBRA: pairwise union / intersection / Jaccard
+    // estimates composed from the same bottom-k sketches as
+    // x_kmv_distinct (Beyer et al. 2007), audited against exact
+    // counts — the whole row, estimators included, replicates in SQL
+    "x_kmv_overlap" -> ((s, dir) =>
+      TextOps.kmvOverlap(Tables.documents(s, dir), k = 16)),
+    // self-trained multinomial NB source classifier (the DCLM-shaped
+    // cheap-linear-classifier curation stage): deterministic 90/10
+    // text-hash split, whole-bit ilog2 Laplace scoring, lexicographic
+    // tie-break — exact in both engines
+    "t_nb_classify" -> ((s, dir) =>
+      TextOps.nbSourceClassify(Tables.documents(s, dir), trainPermille = 900)),
     // Heaps'-law vocabulary growth per source: cumulative tokens vs
     // cumulative distinct tokens in doc_id order (two-phase prefix sum)
     "t_vocab_growth" -> ((s, dir) =>
@@ -1933,6 +1945,105 @@ object SparkEntry {
          |SELECT source, exact_distinct, kmv_est,
          |       CAST((kmv_est * 1000) // exact_distinct AS BIGINT) AS est_permille
          |FROM est""".stripMargin,
+
+    // KMV set algebra replicated in SQL: per-source bottom-16 sketches
+    // (same mixed portable hash), union sketch = 16 smallest of the
+    // sketch union, K = union-sketch members present in both bottom-k
+    // sets; jaccard = K/k_u, |A∪B| = 15·P // τ, |A∩B| = K·|A∪B| // k_u
+    // — every estimator column bit-matches the engine's
+    "x_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT source,
+         |         (${ph("tok")} * 961748941 + 982451653) % 1000000007 AS hv
+         |  FROM (SELECT source, unnest($TOKS) AS tok FROM documents)),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM h GROUP BY 1),
+         |bk AS (SELECT source, hv,
+         |              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |       FROM h),
+         |sk AS (SELECT source, hv FROM bk WHERE rn <= 16),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |             a.nd AS nd_a, b.nd AS nd_b
+         |      FROM nd a JOIN nd b ON a.source < b.source),
+         |uk AS (
+         |  SELECT src_a, src_b, hv,
+         |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS urn
+         |  FROM (SELECT DISTINCT p.src_a, p.src_b, s.hv
+         |        FROM p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b)),
+         |us AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS k_union,
+         |              CAST(MAX(hv) AS BIGINT) AS tau
+         |       FROM uk WHERE urn <= 16 GROUP BY 1, 2),
+         |nb AS (SELECT u.src_a, u.src_b, CAST(COUNT(*) AS BIGINT) AS n_both
+         |       FROM uk u
+         |       JOIN sk x ON x.source = u.src_a AND x.hv = u.hv
+         |       JOIN sk y ON y.source = u.src_b AND y.hv = u.hv
+         |       WHERE u.urn <= 16 GROUP BY 1, 2),
+         |ei AS (SELECT a.source AS src_a, b.source AS src_b,
+         |              CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |       FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |alg AS (
+         |  SELECT p.src_a, p.src_b, us.k_union,
+         |         COALESCE(nb.n_both, 0) AS n_both,
+         |         CAST(CASE WHEN us.k_union < 16 THEN us.k_union
+         |              ELSE (CAST(15 AS BIGINT) * 1000000007) // us.tau
+         |              END AS BIGINT) AS union_est,
+         |         p.nd_a + p.nd_b - COALESCE(ei.exact_inter, 0) AS exact_union,
+         |         COALESCE(ei.exact_inter, 0) AS exact_inter
+         |  FROM p JOIN us ON us.src_a = p.src_a AND us.src_b = p.src_b
+         |  LEFT JOIN nb ON nb.src_a = p.src_a AND nb.src_b = p.src_b
+         |  LEFT JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b)
+         |SELECT src_a, src_b, k_union, n_both, union_est,
+         |       CAST(exact_union AS BIGINT) AS exact_union,
+         |       CAST((union_est * 1000) // exact_union AS BIGINT) AS union_permille,
+         |       CAST((n_both * union_est) // k_union AS BIGINT) AS inter_est,
+         |       exact_inter,
+         |       CAST((n_both * 1000000) // k_union AS BIGINT) AS jaccard_e6
+         |FROM alg""".stripMargin,
+
+    // NB source classifier replicated in SQL: same text-hash split,
+    // same (source, token-hash) count model, whole-bit ilog2 scoring
+    // via length(bin(n))-1, same (bits, source) tie-break
+    "t_nb_classify" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, $TOKS AS toks,
+         |         (${ph("text")} % 1000) < 900 AS is_train
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT source, ${ph("tok")} AS th, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest(toks) AS tok FROM b WHERE is_train)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT th) AS BIGINT) AS v FROM cnt),
+         |pri AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM b WHERE is_train GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM pri),
+         |cands AS (SELECT p.source AS cand, p.n_docs, t.tot
+         |          FROM pri p JOIN tot t ON p.source = t.source),
+         |te AS (SELECT doc_id, source AS actual, toks FROM b WHERE NOT is_train),
+         |ti AS (SELECT doc_id, ${ph("tok")} AS th
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM te)),
+         |tb AS (
+         |  SELECT ti.doc_id, cd.cand,
+         |         CAST(COUNT(*) AS BIGINT) AS n_inst,
+         |         CAST(SUM(length(bin(COALESCE(c.c, 0) + 1)) - 1) AS BIGINT) AS sum_lc
+         |  FROM ti CROSS JOIN (SELECT cand FROM cands) cd
+         |  LEFT JOIN cnt c ON c.source = cd.cand AND c.th = ti.th
+         |  GROUP BY 1, 2),
+         |g AS (
+         |  SELECT te.doc_id, te.actual, cd.cand,
+         |         CAST(COALESCE(tb.n_inst, 0) * (length(bin(cd.tot + v.v)) - 1)
+         |              - COALESCE(tb.sum_lc, 0)
+         |              + (length(bin(nt.n_train)) - 1)
+         |              - (length(bin(cd.n_docs)) - 1) AS BIGINT) AS bits
+         |  FROM te CROSS JOIN cands cd CROSS JOIN v CROSS JOIN nt
+         |  LEFT JOIN tb ON tb.doc_id = te.doc_id AND tb.cand = cd.cand),
+         |r AS (SELECT doc_id, actual, cand, bits,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY bits ASC, cand ASC) AS rn
+         |      FROM g)
+         |SELECT doc_id, actual, cand AS predicted, bits AS bits_best,
+         |       cand = actual AS correct
+         |FROM r WHERE rn = 1""".stripMargin,
 
     // adjacent pairs by zipped parallel unnest; association ratio in
     // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both

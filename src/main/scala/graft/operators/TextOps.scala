@@ -249,6 +249,99 @@ object TextOps {
           mean <= maxBitsE3).as("keep"))
   }
 
+  /** Self-trained multinomial Naive-Bayes SOURCE classifier — the
+    * fastText-shaped quality/domain-classifier stage of a curation
+    * pipeline (DCLM, FineWeb-Edu and friends train a cheap linear
+    * classifier and filter by its score; the reference has no
+    * classifier at all), realized with the repo's integer-exactness
+    * rules so the whole artifact replicates bit-for-bit in SQL. The
+    * corpus splits deterministically into train/test on
+    * `pmod(portableHash(text), 1000) < trainPermille` (the
+    * [[hashSplit]] device); token counts per source are the model;
+    * each held-out doc is scored per candidate source in whole
+    * ilog2-bits (`ilog2(n) = length(bin(n)) − 1`, no
+    * transcendentals) with Laplace smoothing:
+    *
+    *   bits(d, s) = Σ_{w ∈ d} [ilog2(tot_s + V) − ilog2(c_s(w) + 1)]
+    *                + ilog2(N) − ilog2(docs_s)
+    *
+    * (V = train vocabulary size — the shared smoothing denominator;
+    * N = train doc count; the second line is the class prior). The
+    * prediction is the bits-minimizing source, ties broken by source
+    * name — fully deterministic.
+    *
+    * 100 TB shape: the model is the (source, token-hash) count table —
+    * vocabulary-sized, NOT collected to the driver; test-doc token
+    * instances probe it by an 8-byte-key join. The per-candidate
+    * expansion crossJoins a BROADCAST s-row source list (broadcast
+    * nested loop over s ≤ dozens — the [[sourceTvd]] pattern), and
+    * `V`/`N` ride along as 1-row broadcast frames. No driver-side
+    * state; token text never shuffles (hashed at the scan).
+    *
+    * Output per test doc: `(doc_id, actual, predicted, bits_best,
+    * correct)`.
+    */
+  def nbSourceClassify(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      srcCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      s"trainPermille must leave both splits non-empty-able, got $trainPermille")
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val base = docs.select(
+      col(idCol).as("doc_id"), col(srcCol).as("source"),
+      tokens(col(textCol)).as("toks"),
+      (pmod(hash(col(textCol)), lit(1000L)) < trainPermille).as("is_train"))
+    val trInst = base.filter(col("is_train"))
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .select(col("source"), hash(col("tok")).as("th"))
+    val cnt = trInst.groupBy(col("source"), col("th"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val vocab = cnt.select(col("th")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = base.filter(col("is_train"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nTrain = priors.agg(sum(col("n_docs")).as("n_train"))
+    // candidate grid: every test doc × every TRAIN source (s rows,
+    // broadcast — BroadcastNestedLoopJoin, never a shuffle)
+    val cands = priors.select(col("source").as("cand"), col("n_docs"))
+      .join(broadcast(tot.withColumnRenamed("source", "cand")), Seq("cand"))
+    val test = base.filter(!col("is_train"))
+      .select(col("doc_id"), col("source").as("actual"), col("toks"))
+    val teInst = test.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), hash(col("tok")).as("th"))
+      .crossJoin(broadcast(cands.select(col("cand"))))
+    // per-(doc, cand) token bits: probe the count table, OOV ⇒ c = 0
+    val tokBits = teInst
+      .join(cnt.withColumnRenamed("source", "cand"), Seq("cand", "th"), "left_outer")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(
+        count(lit(1)).as("n_inst"),
+        sum(ilog2(coalesce(col("c"), lit(0L)) + 1)).as("sum_lc"))
+    val grid = test.select(col("doc_id"), col("actual"))
+      .crossJoin(broadcast(cands))
+      .join(tokBits, Seq("doc_id", "cand"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTrain))
+      .select(
+        col("doc_id"), col("actual"), col("cand"),
+        (coalesce(col("n_inst"), lit(0L)) * ilog2(col("tot") + col("v"))
+          - coalesce(col("sum_lc"), lit(0L))
+          + ilog2(col("n_train")) - ilog2(col("n_docs"))).as("bits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bits").asc, col("cand").asc)
+    grid.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("actual"), col("cand").as("predicted"),
+        col("bits").as("bits_best"),
+        (col("cand") === col("actual")).as("correct"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its hashed-bigram features are
@@ -1324,6 +1417,97 @@ object TextOps {
           .cast("long").as("kmv_est"))
       .withColumn("est_permille",
         expr("(kmv_est * 1000) div exact_distinct"))
+  }
+
+  /** KMV sketch SET ALGEBRA between sources (Beyer et al. 2007,
+    * "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations"): pairwise union-cardinality, intersection-
+    * cardinality, and Jaccard estimates for every source pair, all
+    * derived from the SAME per-source bottom-k sketches
+    * [[kmvDistinct]] ships — the theta-sketch-style payoff of keeping
+    * the k minimum hash VALUES rather than an opaque cardinality
+    * register: sketches of two sets compose. Union sketch = k
+    * smallest of (A ∪ B)'s sketch union; with `K` = members of the
+    * union sketch present in BOTH bottom-k sets,
+    * `jaccard ≈ K/k_u`, `|A ∪ B| ≈ (k−1)·P div τ` (τ = the union
+    * sketch's k-th minimum), `|A ∩ B| ≈ K·|A ∪ B| div k_u`.
+    * Sources still filling (< k distinct) short-circuit to exact
+    * sizes, same as [[kmvDistinct]].
+    *
+    * Bit-portability: sketch content is `DISTINCT mixed-hash ORDER BY
+    * hash LIMIT k`, so an external SQL engine reproduces every output
+    * column exactly — estimators included (all integer floor-division).
+    *
+    * The exact columns (`exact_union`, `exact_inter`,
+    * `union_permille`) are the AUDIT path: a vocabulary-sized
+    * hash self-join that a 100 TB run would NOT ship. The sketch path
+    * shuffles one (source, 8-byte hash) projection into an O(k)-state
+    * aggregate and then works on s·k values for s sources — the pair
+    * algebra is array arithmetic on broadcast-sized rows.
+    *
+    * Output per pair (`src_a < src_b`): `(src_a, src_b, k_union,
+    * n_both, union_est, exact_union, union_permille, inter_est,
+    * exact_inter, jaccard_e6)`.
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = 16, srcCol: String = "source",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // same multiplicative spread as kmvDistinct — the sketches here
+    // and there are the same artifact, which is the point of KMV
+    val hd = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        pmod(hash(col("tok")) * lit(961748941L) + lit(982451653L),
+          lit(Hashing.P)).as("hv"))
+      .distinct()
+    val sk = hd.groupBy(col("source"))
+      .agg(
+        graft.functions.NativeAggs.kmvAgg(col("hv"), k).as("mins"),
+        count(lit(1)).as("nd"))
+    // exact pairwise intersection (audit only): the distinct-hash
+    // frame self-joins on the 8-byte hash — each hash appears once
+    // per holding source, so the join fan-out is bounded by #sources
+    val exactInter = hd.select(col("source").as("src_a"), col("hv"))
+      .join(hd.select(col("source").as("src_b"), col("hv")), Seq("hv"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // pair grid of sketches: s·(s−1)/2 rows of 2k longs each — tiny
+    // at any corpus size, so the algebra below is broadcast-cheap
+    val sa = sk.select(col("source").as("src_a"), col("mins").as("mins_a"),
+      col("nd").as("nd_a"))
+    val sb = sk.select(col("source").as("src_b"), col("mins").as("mins_b"),
+      col("nd").as("nd_b"))
+    val pairs = sa.join(broadcast(sb), col("src_a") < col("src_b"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("mins_a"), col("mins_b")))),
+          1, k))
+      .withColumn("k_union", size(col("u")).cast("long"))
+      .withColumn("n_both",
+        size(array_intersect(col("u"),
+          array_intersect(col("mins_a"), col("mins_b")))).cast("long"))
+      // k_union < k ⟺ both sketches are still filling ⟺ both sets are
+      // fully enumerated ⟹ the union size is exact (u ⊇ either sketch,
+      // so a full sketch forces k_union = k)
+      .withColumn("union_est",
+        when(col("k_union") < k, col("k_union"))
+          .otherwise(expr(s"${(k - 1).toLong * Hashing.P}L div element_at(u, $k)"))
+          .cast("long"))
+      .withColumn("jaccard_e6",
+        when(col("k_union") > 0,
+          expr("(n_both * 1000000) div k_union")).otherwise(lit(0L)))
+      .withColumn("inter_est",
+        when(col("k_union") > 0,
+          expr("(n_both * union_est) div k_union")).otherwise(lit(0L)))
+    pairs.join(exactInter, Seq("src_a", "src_b"), "left_outer")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_inter"))
+      .select(
+        col("src_a"), col("src_b"), col("k_union"), col("n_both"),
+        col("union_est"), col("exact_union"),
+        expr("(union_est * 1000) div exact_union").as("union_permille"),
+        col("inter_est"), col("exact_inter"), col("jaccard_e6"))
   }
 
   /** Heaps'-law vocabulary-growth curve per source: for every document

@@ -284,6 +284,20 @@ class EmptyInputSpec extends SparkSpec {
     // all-whitespace docs contribute no tokens -> no sketch rows
     assert(TextOps.kmvDistinct(
       Seq((1L, "sA", "   ")).toDF("doc_id", "source", "text")).count() === 0)
+    assert(TextOps.kmvOverlap(emptySrc).count() === 0)
+    // a single source has no pairs to compare
+    assert(TextOps.kmvOverlap(
+      Seq((1L, "sA", "x y")).toDF("doc_id", "source", "text")).count() === 0)
+    assert(TextOps.nbSourceClassify(emptySrc).count() === 0)
+    // corpus so small every doc lands in one split: no test rows
+    // (trainPermille=999 -> both docs train), and the degenerate
+    // all-test corpus yields rows only if a model exists -> none
+    assert(TextOps.nbSourceClassify(
+      Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
+      trainPermille = 999).count() === 0)
+    assert(TextOps.nbSourceClassify(
+      Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
+      trainPermille = 1).count() === 0)
     val emptyRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "id", "rank")
     assert(Similarity.rankAgreement(emptyRank, emptyRank).count() === 0)
     // one-sided emptiness: no common items anywhere -> no rows

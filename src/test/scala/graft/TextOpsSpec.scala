@@ -606,6 +606,84 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.kmvDistinct(docs.unionAll(docs))) === one)
   }
 
+  test("kmvOverlap: exact branch closed-form; identical sources; laws on fixture") {
+    // both sources below k -> every estimate short-circuits to exact:
+    // A = {x,y,z}, B = {y,z,w}: union 4, inter 2, jaccard 1/2
+    val small = Seq(
+      (1L, "sA", "x y z x"),
+      (2L, "sB", "y z w")).toDF("doc_id", "source", "text")
+    assert(rowSet(TextOps.kmvOverlap(small)) ===
+      Set(Seq("sA", "sB", 4L, 2L, 4L, 4L, 1000L, 2L, 2L, 500000L)))
+    // identical token sets -> sketches coincide: n_both = k_union,
+    // jaccard exactly 1, inter_est = union_est, exacts equal
+    val same = Seq(
+      (1L, "sA", "p q r s t"),
+      (2L, "sB", "t s r q p p")).toDF("doc_id", "source", "text")
+    val sr = TextOps.kmvOverlap(same).collect().map(_.toSeq)
+    assert(sr.length === 1)
+    val Seq(_, _, kU, nBoth, uEst, exU, uPm, iEst, exI, jac) = sr.head
+    assert(nBoth === kU && jac === 1000000L && iEst === uEst &&
+      exI === exU && uPm === 1000L)
+    // fixture laws (estimator branch live at k=16): column invariants,
+    // duplicate-blindness, partition-invariance of the whole artifact
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = rowSet(TextOps.kmvOverlap(docs.repartition(1)))
+    assert(one.nonEmpty)
+    assert(one === rowSet(TextOps.kmvOverlap(docs.repartition(7))))
+    assert(one === rowSet(TextOps.kmvOverlap(docs.unionAll(docs))))
+    one.foreach { r =>
+      val Seq(a, b, kU2, nB, uE, exU2, _, iE, exI2, j) = r
+      assert(a.asInstanceOf[String] < b.asInstanceOf[String])
+      assert(nB.asInstanceOf[Long] <= kU2.asInstanceOf[Long] &&
+        kU2.asInstanceOf[Long] <= 16L)
+      assert(j.asInstanceOf[Long] <= 1000000L)
+      assert(iE.asInstanceOf[Long] <= uE.asInstanceOf[Long])
+      assert(exI2.asInstanceOf[Long] <= exU2.asInstanceOf[Long])
+    }
+  }
+
+  test("nbSourceClassify ≡ reference NB on a hand corpus; disjoint vocab classifies") {
+    // distinctive per-source vocabulary; enough docs that both splits
+    // are non-empty under the 500-permille text-hash split
+    val docs = (1L to 60L).map { i =>
+      val src = s"src${i % 3}"
+      val word = Seq("alpha", "beta", "gamma")((i % 3).toInt)
+      (i, src, s"$word $word token$i $word")
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.nbSourceClassify(docs, trainPermille = 500)
+      .collect().map(_.toSeq)
+    assert(out.nonEmpty)
+    // reference implementation: same split, counts, ilog2 bits
+    val P = 1000000007L
+    def phS(s: String): Long = s.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    def ilog2(n: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val rows = (1L to 60L).map { i =>
+      val src = s"src${i % 3}"
+      val word = Seq("alpha", "beta", "gamma")((i % 3).toInt)
+      (i, src, s"$word $word token$i $word")
+    }
+    val (tr, te) = rows.partition(r => phS(r._3) % 1000 < 500)
+    val cnt = tr.flatMap(r => r._3.split("\\s+").map(t => (r._2, phS(t))))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val tot = cnt.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+    val vocab = cnt.keys.map(_._2).toSet.size.toLong
+    val pri = tr.groupBy(_._2).map { case (s, d) => (s, d.size.toLong) }
+    val nTrain = tr.size.toLong
+    val expected = te.map { case (id, actual, text) =>
+      val scored = pri.keys.toSeq.sorted.map { cand =>
+        val bits = text.split("\\s+").map { t =>
+          ilog2(tot(cand) + vocab) - ilog2(cnt.getOrElse((cand, phS(t)), 0L) + 1)
+        }.sum.toLong + ilog2(nTrain) - ilog2(pri(cand))
+        (bits, cand)
+      }.min
+      Seq(id, actual, scored._2, scored._1, scored._2 == actual)
+    }.toSet
+    assert(out.map(identity).toSet === expected)
+    // the shared "alpha/beta/gamma" signal dominates: every held-out
+    // doc classifies to its true source
+    assert(out.forall(_(4) === true))
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
