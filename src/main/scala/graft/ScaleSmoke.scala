@@ -111,7 +111,12 @@ object ScaleSmoke {
     "sim_ivf_kmeans",
     "sim_knn_graph", "sim_nn_descent", "t_bigram_lm",
     "sim_pq_topk", "stream_fuzzy_ingest", "stream_heavy_hitters",
-    "t_dsir_weights", "g_link_jaccard")
+    "t_dsir_weights", "g_link_jaccard",
+    // round-11 second wave: the KMV pair algebra's exact-audit
+    // vocabulary self-join and the NB classifier's instance×sources
+    // broadcast expansion are the two new corpus-shaped joins — their
+    // 10x points check both stay hash-key-bound
+    "x_kmv_overlap", "t_nb_classify")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -295,6 +295,17 @@ object SparkEntry {
     "g_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(mergedOf(s, dir), 3, broadcastRanks = true)),
 
+    // personalized PageRank from a deterministic ~5% hash-slice seed
+    // set — teleport mass returns to seeds only (Haveliwala 2002),
+    // same integral e9 scheme as g_pagerank
+    "g_ppr" -> ((s, dir) => {
+      val m = mergedOf(s, dir)
+      val seeds = m.select(col("src").as("person_id"))
+        .union(m.select(col("dst").as("person_id")))
+        .filter(pmod(Hashing.portableHash(col("person_id")), lit(20)) === 0)
+      GraphOps.personalizedPageRank(m, seeds, 3, broadcastRanks = true)
+    }),
+
     // Bipartite co-occurrence projection: person pairs sharing >= 2
     // distinct neighbors, hub dsts (fanout > 20) dropped before the
     // quadratic pairing — the fanout cap is pinned operator semantics
@@ -2645,6 +2656,49 @@ object SparkEntry {
          |  SELECT v.person_id,
          |         CAST(150000000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
          |  FROM verts v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN it2 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id)
+         |SELECT person_id, pr AS pr_e9 FROM it3""".stripMargin,
+
+    // personalized variant: seeds get the start mass and the teleport
+    // term; everything else identical to g_pagerank's unrolled form
+    "g_ppr" ->
+      s"""WITH $MERGED,
+         |verts AS (SELECT src AS person_id FROM merged
+         |          UNION SELECT dst FROM merged),
+         |vs AS (SELECT person_id,
+         |              (${ph("person_id")} % 20 = 0) AS is_seed
+         |       FROM verts),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+         |        FROM merged GROUP BY src),
+         |pr0 AS (SELECT person_id,
+         |               CAST(CASE WHEN is_seed THEN 1000000000 ELSE 0 END AS BIGINT) AS pr
+         |        FROM vs),
+         |it1 AS (
+         |  SELECT v.person_id, v.is_seed,
+         |         CAST((CASE WHEN v.is_seed THEN 150000000 ELSE 0 END)
+         |              + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM vs v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN pr0 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id),
+         |it2 AS (
+         |  SELECT v.person_id, v.is_seed,
+         |         CAST((CASE WHEN v.is_seed THEN 150000000 ELSE 0 END)
+         |              + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM it1 v LEFT JOIN (
+         |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
+         |    FROM merged m JOIN it1 p ON m.src = p.person_id
+         |                  JOIN deg d ON m.src = d.src
+         |    GROUP BY m.dst) i ON v.person_id = i.person_id),
+         |it3 AS (
+         |  SELECT v.person_id, v.is_seed,
+         |         CAST((CASE WHEN v.is_seed THEN 150000000 ELSE 0 END)
+         |              + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM it2 v LEFT JOIN (
          |    SELECT m.dst AS person_id, SUM(p.pr // d.out_deg) AS s
          |    FROM merged m JOIN it2 p ON m.src = p.person_id
          |                  JOIN deg d ON m.src = d.src

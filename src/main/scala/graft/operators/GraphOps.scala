@@ -308,6 +308,64 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank (Haveliwala 2002): the [[pageRank]] power
+    * iteration with the teleport mass restricted to a SEED set —
+    * "importance relative to these vertices", the primitive behind
+    * related-entity retrieval, seed-expansion community detection,
+    * and trust propagation. Same integer-exact scheme: seeds start at
+    * `10^9`, non-seeds at 0, and each round gives `0.15·10^9` back to
+    * seeds only: `pr_{t+1}(v) = [v ∈ S]·0.15·10^9 +
+    * (85 · Σ_{u→v} pr_t(u) div outdeg(u)) div 100`. Mass floored or
+    * lost to dangling vertices is pinned semantics, as in [[pageRank]].
+    *
+    * `seeds` is a one-column (`person_id`) frame — the caller's seed
+    * list. Seeds not present in the graph contribute nothing (the
+    * vertex set comes from the edge list); the seed marker joins once
+    * onto the checkpointed vertex frame, so the per-round loop shape
+    * is IDENTICAL to [[pageRank]] — with `broadcastRanks`, one
+    * edge-sized shuffle per round and nothing else.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      checkpointEvery: Int = 4,
+      broadcastRanks: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pairs = edges.select(col("src"), col("dst"))
+    val e = if (iters > 1) Checkpoints.cut(pairs, checkpointDir) else pairs
+    val verts = Checkpoints.cut(
+      e.select(col("src").as("person_id"))
+        .union(e.select(col("dst").as("person_id")))
+        .distinct()
+        .join(seeds.select(col("person_id")).distinct()
+          .withColumn("__seed", lit(true)), Seq("person_id"), "left_outer")
+        .select(col("person_id"),
+          coalesce(col("__seed"), lit(false)).as("is_seed")),
+      checkpointDir)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .select(col("src").as("dsrc"), col("out_deg"))
+    val degB = if (broadcastRanks) broadcast(deg) else deg
+    val ed = Checkpoints.cut(
+      e.join(degB, col("src") === col("dsrc"))
+        .select(col("src").as("esrc"), col("dst"), col("out_deg")), checkpointDir)
+    val teleport = when(col("is_seed"), lit(150000000L)).otherwise(lit(0L))
+    var pr = verts.select(col("person_id"),
+      when(col("is_seed"), lit(1000000000L)).otherwise(lit(0L)).as("pr_e9"))
+    for (it <- 1 to iters) {
+      val prIn = if (broadcastRanks) broadcast(pr) else pr
+      val inbound = ed.join(prIn, col("esrc") === prIn("person_id"))
+        .groupBy(col("dst").as("person_id"))
+        .agg(sum(expr("pr_e9 div out_deg")).as("in_share"))
+      val inB = if (broadcastRanks) broadcast(inbound) else inbound
+      pr = verts.join(inB, Seq("person_id"), "left_outer")
+        .select(col("person_id"),
+          (teleport +
+            expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        pr = Checkpoints.cut(pr, checkpointDir)
+    }
+    pr
+  }
+
   /** Bipartite co-occurrence projection: pairs of `src` vertices that
     * share at least `minShared` distinct `dst` neighbors, with the
     * shared count ("customers who buy from the same suppliers", doc

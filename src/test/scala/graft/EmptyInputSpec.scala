@@ -23,6 +23,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(GraphOps.mergeMaxEdges(emptyEdges).count() === 0)
     assert(GraphOps.distinctPersons(emptyEdges).count() === 0)
     assert(GraphOps.kHop(emptyEdges, Seq("A").toDF("person_id"), 2).count() === 0)
+    assert(GraphOps.personalizedPageRank(
+      Seq.empty[(String, String)].toDF("src", "dst"),
+      Seq("A").toDF("person_id"), 2).count() === 0)
+    // empty SEED set: every vertex exists but carries zero mass
+    assert(rowSet(GraphOps.personalizedPageRank(
+      Seq(("a", "b")).toDF("src", "dst"),
+      Seq.empty[String].toDF("person_id"), 2)) ===
+      Set(Seq("a", 0L), Seq("b", 0L)))
     assert(GraphOps.markTroveUsers(
       Seq.empty[(String)].toDF("person_id"),
       Seq.empty[String].toDF("person_id_user")).count() === 0)

@@ -218,6 +218,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(broadcastGot === ref)
   }
 
+  test("personalizedPageRank: hand triangle; unreachable stays 0; off-graph seeds inert") {
+    // triangle a->b->c->a with seed {a}, plus a component d->e with no
+    // seed: its mass must stay exactly zero every round
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("person_id")
+    val got = GraphOps.personalizedPageRank(edges, seeds, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // it1: a=.15e9, b=.85e9, c=0; it2: a=.15e9, b=.1275e9, c=.7225e9
+    assert(got === Map(
+      "a" -> 150000000L, "b" -> 127500000L, "c" -> 722500000L,
+      "d" -> 0L, "e" -> 0L))
+    // broadcast form identical
+    assert(GraphOps.personalizedPageRank(edges, seeds, 2, broadcastRanks = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === got)
+    // seeds not in the graph contribute nothing and add no vertices
+    val gotOff = GraphOps.personalizedPageRank(
+      edges, Seq("a", "zz").toDF("person_id"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotOff === got)
+    // seeding EVERY vertex ≡ plain pageRank (same recurrence)
+    val all = Seq("a", "b", "c", "d", "e").toDF("person_id")
+    assert(GraphOps.personalizedPageRank(edges, all, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      GraphOps.pageRank(edges, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("pageRankWeighted matches an integer reference; weight skew shows in ranks") {
     // A splits mass 9:1 between B and C; unweighted would split 1:1
     val es = Seq(

@@ -660,4 +660,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(winSpecs.exists(_.contains("bkt#")),
       s"no window keyed on the bucket column — single-task skew risk: $winSpecs\n$plan")
   }
+
+  test("kmvOverlap: pair algebra broadcasts sketch rows; no cartesian; text never shuffles") {
+    val out = graft.operators.TextOps.kmvOverlap(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    // the src_a < src_b sketch pairing is s rows × s rows — it must be
+    // the broadcast nested loop over the tiny sketch frame
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"sketch pair grid should be a broadcast nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty && parts.forall(p => !p.contains("text#") && !p.contains("tok#")),
+      s"a shuffle carries raw text/tokens (hash at the scan instead): $parts")
+  }
+
+  test("nbSourceClassify: candidate grid is a broadcast nested loop; shuffles carry hashes, not text") {
+    val out = graft.operators.TextOps.nbSourceClassify(
+      Tables.documents(spark, sfDir), trainPermille = 500)
+    val plan = formatted(out)
+    // test-doc × candidate-source expansion: s sources broadcast, never
+    // a shuffle or cartesian over the instance stream
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate expansion should be a broadcast nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+    // the count-table probe and per-doc aggregation key on 8-byte
+    // hashes and doc ids — document text must never ride an exchange
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty && parts.forall(p => !p.contains("text#") && !p.contains("tok#")),
+      s"a shuffle carries raw text/tokens (hash at the scan instead): $parts")
+  }
 }
