@@ -279,6 +279,35 @@ object DocStreams {
       m.collect { case (t, c) if c - d > 0 => t -> (c - d) }
     }
 
+  /** Stream-static NB classification: score each micro-batch of
+    * documents against a FROZEN batch-trained model
+    * ([[graft.operators.TextOps.nbTrain]], typically `.materialized`
+    * to parquet so the training plan never re-executes) with the batch
+    * scorer — the train-once / score-forever deployment of the
+    * curation classifier, where the crawl stream is filtered by a
+    * model fitted on last month's corpus. Per batch the work is
+    * batch-sized: token instances probe the count table by 8-byte
+    * keys and the candidate grid broadcasts, exactly the
+    * [[graft.operators.TextOps.nbScore]] plan.
+    *
+    * Retry semantics: a replayed batch re-appends its score rows;
+    * scoring is deterministic per doc, so consumers key on `doc_id`
+    * (the [[fuzzyIngest]] idempotent-by-read discipline).
+    */
+  def nbClassifyStream(
+      docs: DataFrame,
+      model: graft.operators.TextOps.NbModel,
+      outDir: String,
+      checkpointDir: String,
+      hash: Hashing.HashTier = Hashing.Portable): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextOps.nbScore(batch, model, hash = hash)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set
     * exclusion) — a stateless stream-static left-anti join on the

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.model.{Edge, RelationshipDoc, Stats}
@@ -17,6 +17,7 @@ case class FixEv(event_id: Long, user_id: String, event_type: String, ts: Timest
 
 /** Top-level for the same encoder reason as [[FixEv]]. */
 case class FixDoc(doc_id: Long, text: String)
+case class FixSrcDoc(doc_id: Long, source: String, text: String)
 
 /** Structured Streaming specs via MemoryStream: watermark late-data
   * eviction, windowed aggregation, and the T3 stateful
@@ -622,6 +623,33 @@ class StreamingSpec extends SparkSpec {
         base.toSeq.toDF("doc_id", "text")))
       assert(streamed === batch)
       assert(streamed.nonEmpty, "fixture should contain near-dups")
+    } finally q.stop()
+  }
+
+  test("nb classify stream over a replayed fixture slice equals the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val isTrain = pmod(graft.functions.Hashing.portableHash(col("text")), lit(1000L)) < 900
+    val dirs = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    // train once, freeze to parquet — the deployment shape the op documents
+    val model = TextOps.nbTrain(docs.filter(isTrain)).materialized(s"$dirs/model")
+    val test = docs.filter(!isTrain).as[FixSrcDoc].collect().sortBy(_.doc_id)
+    assert(test.nonEmpty, "fixture slice should hold out some docs")
+    val in = MemoryStream[FixSrcDoc]
+    val q = graft.streaming.DocStreams.nbClassifyStream(
+      in.toDF(), model, s"$dirs/out", s"$dirs/ckpt")
+    try {
+      test.grouped(math.max(test.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = rowSet(spark.read.parquet(s"$dirs/out"))
+      // batch-composition-blind: per-doc scoring against a frozen model
+      assert(streamed === rowSet(TextOps.nbScore(docs.filter(!isTrain), model)))
+      // and the whole chain equals the monolithic classifier
+      assert(streamed === rowSet(TextOps.nbSourceClassify(docs, trainPermille = 900)))
     } finally q.stop()
   }
 
