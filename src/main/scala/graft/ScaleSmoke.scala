@@ -116,7 +116,11 @@ object ScaleSmoke {
     // vocabulary self-join and the NB classifier's instance×sources
     // broadcast expansion are the two new corpus-shaped joins — their
     // 10x points check both stay hash-key-bound
-    "x_kmv_overlap", "t_nb_classify")
+    "x_kmv_overlap", "t_nb_classify",
+    // BPE training touches the corpus once (word counts) and then
+    // iterates on the vocabulary-sized symbol table — the 10x point
+    // checks the loop cost is vocab-bound, not corpus-bound
+    "t_bpe_merges")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

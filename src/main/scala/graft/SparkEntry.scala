@@ -672,6 +672,11 @@ object SparkEntry {
     // ratio (≡ PMI rank for a fixed corpus), support floor 5
     "t_pmi_topk" -> ((s, dir) =>
       TextOps.pmiTopK(Tables.documents(s, dir), minCount = 5, k = 20)),
+    // distributed BPE merge training (Sennrich et al. 2016): the first
+    // 6 learned merges, greedy left-to-right rewrite via run-parity
+    // windows — the merge table bit-replicates in SQL
+    "t_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), steps = 6)),
     // KMV distinct sketch per source (k=16 minimum mixed portable
     // hashes — k < per-source vocab so the estimator branch is live),
     // audited against the exact count — whole row replicates in SQL
@@ -1365,6 +1370,66 @@ object SparkEntry {
   /** DuckDB twin of [[TextOps.tokens]]. */
   private val TOKS = """regexp_extract_all(text, '\S+')"""
 
+  /** DuckDB twin of [[TextOps.bpeMerges]]: `steps` unrolled
+    * count → argmax → run-parity-rewrite stages over the word table —
+    * the same greedy-left-to-right merge computed with the same two
+    * window passes (candidate runs via pos − cumulative-count; a
+    * candidate merges iff its offset from the run's first candidate
+    * is even).
+    */
+  private def bpeSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH st0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         |         list_filter(string_split(word, ''), x -> x != '') AS syms
+         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)""".stripMargin)
+    for (i <- 1 to steps) {
+      val p = i - 1
+      sb.append(s""",
+         |pc$i AS (
+         |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS pn FROM (
+         |    SELECT n,
+         |           unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS a,
+         |           unnest(list_transform(range(1, len(syms)), j -> syms[j + 1])) AS b
+         |    FROM st$p WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |top$i AS (SELECT a, b, pn FROM pc$i ORDER BY pn DESC, a ASC, b ASC LIMIT 1),
+         |ex$i AS (
+         |  SELECT e.word, e.n, e.pos, e.sym,
+         |         lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
+         |         t.a, t.b
+         |  FROM (SELECT word, n, unnest(syms) AS sym,
+         |               generate_subscripts(syms, 1) AS pos
+         |        FROM st$p) e CROSS JOIN top$i t),
+         |fl$i AS (
+         |  SELECT *, COALESCE(sym = a AND nxt = b, FALSE) AS c,
+         |         pos - SUM(CASE WHEN COALESCE(sym = a AND nxt = b, FALSE)
+         |                        THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY word ORDER BY pos) AS run
+         |  FROM ex$i),
+         |act$i AS (
+         |  SELECT *, c AND ((pos - MIN(CASE WHEN c THEN pos END)
+         |                          OVER (PARTITION BY word, run)) % 2 = 0) AS active
+         |  FROM fl$i),
+         |mg$i AS (
+         |  SELECT word, n, pos,
+         |         CASE WHEN active THEN sym || nxt
+         |              WHEN COALESCE(lag(active) OVER (PARTITION BY word ORDER BY pos),
+         |                            FALSE) THEN NULL
+         |              ELSE sym END AS out
+         |  FROM act$i),
+         |st$i AS (
+         |  SELECT word, n, list(out ORDER BY pos) AS syms
+         |  FROM mg$i WHERE out IS NOT NULL GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append("\n" + (1 to steps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
+        s"pn AS pair_count FROM top$i")
+      .mkString("", "\nUNION ALL\n", ""))
+    sb.toString
+  }
+
   /** DuckDB twin of [[TextOps.dsirWeights]] (buckets=4096, target =
     * sources src0/src1): hashed-bigram bucket model, add-one
     * smoothing, ilog2 bits via `length(bin(n)) - 1` — the same
@@ -2055,6 +2120,8 @@ object SparkEntry {
          |SELECT doc_id, actual, cand AS predicted, bits AS bits_best,
          |       cand = actual AS correct
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "t_bpe_merges" -> bpeSql(6),
 
     // adjacent pairs by zipped parallel unnest; association ratio in
     // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both

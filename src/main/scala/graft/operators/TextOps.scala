@@ -392,6 +392,118 @@ object TextOps {
         (col("cand") === col("actual")).as("correct"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-training step of an LLM data pipeline: learn the first
+    * `steps` byte-pair merges of the corpus. Each word starts as its
+    * character sequence; each step counts adjacent symbol pairs
+    * weighted by word frequency (overlaps count, as in the reference
+    * implementation's `get_stats`), picks the most frequent pair
+    * (ties: count desc, then pair lexicographic — fully
+    * deterministic), and rewrites every word by merging its
+    * occurrences GREEDILY LEFT-TO-RIGHT (in a run of overlapping
+    * candidates only every other one merges — `a a a a` under (a,a)
+    * becomes `aa aa`, not `aa a a`). Output: one row per learned
+    * merge, `(step, sym_a, sym_b, pair_count)` — the merge table IS
+    * the trained tokenizer artifact.
+    *
+    * The greedy rewrite is windowed, not sequential: candidate
+    * positions (sym=a ∧ next=b) group into runs of consecutive
+    * positions (only same-symbol runs can overlap), and a candidate
+    * merges iff its offset from its run's first candidate is even —
+    * exactly the left-to-right greedy outcome, computed with two
+    * window passes over (word, pos) rows.
+    *
+    * 100 TB shape: the corpus is touched ONCE (the word-count
+    * aggregate); the whole training loop runs on the vocabulary-sized
+    * (word, n, syms) table. Per step: one pair aggregate, a 1-row
+    * argmax that BROADCASTS back (TakeOrderedAndProject + broadcast
+    * nested loop — no driver collect at all), one window pass per
+    * word (vocab-sized partitions of word-length rows), one
+    * reassembly aggregate, and a lineage cut. A step with no pairs
+    * left yields no merge row and every later step is empty — the
+    * output simply stops early.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      steps: Int = 6,
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val spark = docs.sparkSession
+    var state = Checkpoints.cut(
+      docs.select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        // split(_, "") keeps a trailing "" under Spark's limit=-1 —
+        // filter it so the symbol list is exactly the characters
+        .select(col("word"), col("n"),
+          expr("filter(split(word, ''), x -> x != '')").as("syms")),
+      checkpointDir)
+    var merges: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_a",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("sym_b",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    for (i <- 1 to steps) {
+      // adjacent-pair counts, overlaps included (the get_stats rule)
+      val pc = state.filter(size(col("syms")) >= 2)
+        .select(col("n"),
+          explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  j -> struct(element_at(syms, cast(j as int)) as a,
+              |              element_at(syms, cast(j + 1 as int)) as b))"""
+              .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("pn"))
+      // 1-row cut: the rewrite below AND the final merge-table union
+      // both consume it — without the cut each step's pair aggregate
+      // would re-execute when the merge table is read
+      val top = Checkpoints.cut(
+        pc.orderBy(col("pn").desc, col("a").asc, col("b").asc).limit(1),
+        checkpointDir)
+      merges = merges.unionAll(top.select(
+        lit(i.toLong).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
+        col("pn").as("pair_count")))
+      // greedy left-to-right merge via run-parity windows
+      val w1 = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val wCum = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ex = state
+        .select(col("word"), col("n"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .crossJoin(broadcast(top.select(col("a"), col("b"))))
+        .withColumn("nxt", lead(col("sym"), 1).over(w1))
+        .withColumn("c",
+          coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
+        .withColumn("run",
+          col("pos") - sum(when(col("c"), 1).otherwise(0)).over(wCum))
+      val act = ex.withColumn("active",
+        col("c") && pmod(
+          col("pos") - min(when(col("c"), col("pos")))
+            .over(Window.partitionBy(col("word"), col("run"))),
+          lit(2)) === 0)
+      val mg = act
+        .withColumn("consumed",
+          coalesce(lag(col("active"), 1).over(w1), lit(false)))
+        .select(col("word"), col("n"), col("pos"),
+          when(col("active"), concat(col("sym"), col("nxt")))
+            .when(col("consumed"), lit(null))
+            .otherwise(col("sym")).as("out"))
+      state = Checkpoints.cut(
+        mg.filter(col("out").isNotNull)
+          .groupBy(col("word"), col("n"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("out")))),
+            x => x("out")).as("syms")),
+        checkpointDir)
+    }
+    merges
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its hashed-bigram features are

@@ -292,6 +292,11 @@ class EmptyInputSpec extends SparkSpec {
     // all-whitespace docs contribute no tokens -> no sketch rows
     assert(TextOps.kmvDistinct(
       Seq((1L, "sA", "   ")).toDF("doc_id", "source", "text")).count() === 0)
+    assert(TextOps.bpeMerges(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), steps = 2).count() === 0)
+    // single-char words have no pairs: training stops at step 0
+    assert(TextOps.bpeMerges(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), steps = 2).count() === 0)
     assert(TextOps.kmvOverlap(emptySrc).count() === 0)
     // a single source has no pairs to compare
     assert(TextOps.kmvOverlap(

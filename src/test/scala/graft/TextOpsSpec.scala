@@ -684,6 +684,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_(4) === true))
   }
 
+  test("bpeMerges: overlap counting, greedy rewrite, early stop, invariances") {
+    // 'aa'(n=2) + 'ab'(n=1): step1 merges (a,a) with count 2, step2
+    // (a,b); step3 finds no pairs -> output stops at 2 rows
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.bpeMerges(docs, steps = 3)) ===
+      Set(Seq(1L, "a", "a", 2L), Seq(2L, "a", "b", 1L)))
+    // overlap counting: 'aaaa' has THREE (a,a) pairs (get_stats rule);
+    // greedy left-to-right rewrite yields [aa, aa], then one (aa,aa)
+    val quad = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.bpeMerges(quad, steps = 3)) ===
+      Set(Seq(1L, "a", "a", 3L), Seq(2L, "aa", "aa", 1L)))
+    // odd run: 'aaa' -> [aa, a] (the trailing candidate is consumed),
+    // then (aa, a) merges
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.bpeMerges(tri, steps = 2)) ===
+      Set(Seq(1L, "a", "a", 2L), Seq(2L, "aa", "a", 1L)))
+    // duplication doubles counts but never changes the learned pairs;
+    // partitioning never changes anything
+    val fix = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = TextOps.bpeMerges(fix.repartition(1), steps = 3)
+      .collect().map(_.toSeq).toSet
+    assert(one.size === 3)
+    assert(TextOps.bpeMerges(fix.repartition(7), steps = 3)
+      .collect().map(_.toSeq).toSet === one)
+    val doubled = TextOps.bpeMerges(fix.unionAll(fix), steps = 3)
+      .collect().map(_.toSeq).toSet
+    assert(doubled === one.map {
+      case Seq(s, a, b, n) => Seq(s, a, b, n.asInstanceOf[Long] * 2)
+    })
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
