@@ -677,6 +677,13 @@ object SparkEntry {
     // windows — the merge table bit-replicates in SQL
     "t_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), steps = 6)),
+    // BPE segmentation with the self-trained merge table: one row per
+    // distinct word with its subword pieces — the corpus-independent
+    // vocabulary artifact a shard writer joins back by word
+    "t_bpe_segment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
+    }),
     // KMV distinct sketch per source (k=16 minimum mixed portable
     // hashes — k < per-source vocab so the estimator branch is live),
     // audited against the exact count — whole row replicates in SQL
@@ -1377,7 +1384,22 @@ object SparkEntry {
     * candidate merges iff its offset from the run's first candidate
     * is even).
     */
-  private def bpeSql(steps: Int): String = {
+  private def bpeSql(steps: Int): String =
+    bpeCtes(steps) + "\n" + (1 to steps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
+        s"pn AS pair_count FROM top$i")
+      .mkString("", "\nUNION ALL\n", "")
+
+  /** DuckDB twin of [[TextOps.bpeSegment]] over self-trained merges:
+    * the same CTE chain's END state is the segmentation vocabulary.
+    */
+  private def bpeSegmentSql(steps: Int): String =
+    bpeCtes(steps) + s"""
+      |SELECT word, n, CAST(len(syms) AS BIGINT) AS n_pieces,
+      |       array_to_string(syms, ' ') AS segmented
+      |FROM st$steps""".stripMargin
+
+  private def bpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH st0 AS (
@@ -1423,10 +1445,6 @@ object SparkEntry {
          |  SELECT word, n, list(out ORDER BY pos) AS syms
          |  FROM mg$i WHERE out IS NOT NULL GROUP BY 1, 2)""".stripMargin)
     }
-    sb.append("\n" + (1 to steps).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, " +
-        s"pn AS pair_count FROM top$i")
-      .mkString("", "\nUNION ALL\n", ""))
     sb.toString
   }
 
@@ -2122,6 +2140,7 @@ object SparkEntry {
          |FROM r WHERE rn = 1""".stripMargin,
 
     "t_bpe_merges" -> bpeSql(6),
+    "t_bpe_segment" -> bpeSegmentSql(6),
 
     // adjacent pairs by zipped parallel unnest; association ratio in
     // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both

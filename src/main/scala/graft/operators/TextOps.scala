@@ -470,38 +470,86 @@ object TextOps {
       merges = merges.unionAll(top.select(
         lit(i.toLong).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
         col("pn").as("pair_count")))
-      // greedy left-to-right merge via run-parity windows
-      val w1 = Window.partitionBy(col("word")).orderBy(col("pos"))
-      val wCum = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ex = state
-        .select(col("word"), col("n"), posexplode(col("syms")).as(Seq("pos", "sym")))
-        .crossJoin(broadcast(top.select(col("a"), col("b"))))
-        .withColumn("nxt", lead(col("sym"), 1).over(w1))
-        .withColumn("c",
-          coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
-        .withColumn("run",
-          col("pos") - sum(when(col("c"), 1).otherwise(0)).over(wCum))
-      val act = ex.withColumn("active",
-        col("c") && pmod(
-          col("pos") - min(when(col("c"), col("pos")))
-            .over(Window.partitionBy(col("word"), col("run"))),
-          lit(2)) === 0)
-      val mg = act
-        .withColumn("consumed",
-          coalesce(lag(col("active"), 1).over(w1), lit(false)))
-        .select(col("word"), col("n"), col("pos"),
-          when(col("active"), concat(col("sym"), col("nxt")))
-            .when(col("consumed"), lit(null))
-            .otherwise(col("sym")).as("out"))
-      state = Checkpoints.cut(
-        mg.filter(col("out").isNotNull)
-          .groupBy(col("word"), col("n"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("out")))),
-            x => x("out")).as("syms")),
-        checkpointDir)
+      state = Checkpoints.cut(bpeMergeStep(state, top), checkpointDir)
     }
     merges
+  }
+
+  /** One greedy left-to-right merge pass of the (1-row, broadcast)
+    * `pair` frame over a `(word, n, syms)` state — shared by
+    * [[bpeMerges]] (training) and [[bpeSegment]] (inference), so the
+    * two sides cannot drift. See [[bpeMerges]] for the run-parity
+    * construction.
+    */
+  private def bpeMergeStep(state: DataFrame, pair: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val wCum = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ex = state
+      .select(col("word"), col("n"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .crossJoin(broadcast(pair.select(col("a"), col("b"))))
+      .withColumn("nxt", lead(col("sym"), 1).over(w1))
+      .withColumn("c",
+        coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
+      .withColumn("run",
+        col("pos") - sum(when(col("c"), 1).otherwise(0)).over(wCum))
+    val act = ex.withColumn("active",
+      col("c") && pmod(
+        col("pos") - min(when(col("c"), col("pos")))
+          .over(Window.partitionBy(col("word"), col("run"))),
+        lit(2)) === 0)
+    act
+      .withColumn("consumed",
+        coalesce(lag(col("active"), 1).over(w1), lit(false)))
+      .select(col("word"), col("n"), col("pos"),
+        when(col("active"), concat(col("sym"), col("nxt")))
+          .when(col("consumed"), lit(null))
+          .otherwise(col("sym")).as("out"))
+      .filter(col("out").isNotNull)
+      .groupBy(col("word"), col("n"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("out")))),
+        x => x("out")).as("syms"))
+  }
+
+  /** BPE segmentation (the inference half of [[bpeMerges]]): apply a
+    * learned merge table to a corpus, in merge-rank order — every
+    * word reduces to its subword pieces exactly as the trained
+    * tokenizer would emit them. Output is the segmentation VOCABULARY:
+    * one row per distinct word, `(word, n, n_pieces, segmented)` with
+    * the pieces space-joined — the corpus-independent artifact a shard
+    * writer joins back onto documents by word (segmenting the corpus
+    * is then one vocab-sized broadcast/hash join, not per-doc work).
+    *
+    * Each step filters the (tiny, already-materialized) merge table to
+    * its rank and replays the SAME greedy rewrite as training
+    * ([[bpeMergeStep]]) — applying a tokenizer's merges in rank order
+    * to its own training corpus reproduces the training end state
+    * (pinned by spec). Scale shape: identical to the training loop,
+    * vocabulary-bound after one corpus scan.
+    */
+  def bpeSegment(
+      docs: DataFrame,
+      merges: DataFrame,
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val m = Checkpoints.cut(
+      merges.select(col("step"), col("sym_a"), col("sym_b")), checkpointDir)
+    val nSteps = m.count().toInt // merge table is k rows by contract
+    var state = Checkpoints.cut(
+      docs.select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(col("word"), col("n"),
+          expr("filter(split(word, ''), x -> x != '')").as("syms")),
+      checkpointDir)
+    for (i <- 1 to nSteps) {
+      val pair = m.filter(col("step") === i.toLong)
+        .select(col("sym_a").as("a"), col("sym_b").as("b"))
+      state = Checkpoints.cut(bpeMergeStep(state, pair), checkpointDir)
+    }
+    state.select(
+      col("word"), col("n"),
+      size(col("syms")).cast("long").as("n_pieces"),
+      array_join(col("syms"), " ").as("segmented"))
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection

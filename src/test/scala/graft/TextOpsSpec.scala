@@ -715,6 +715,30 @@ class TextOpsSpec extends SparkSpec {
     })
   }
 
+  test("bpeSegment: self-application reproduces training; unseen words use learned pieces") {
+    // 'abab'(2) + 'ab'(1): step1 (a,b) with 2·2+1 = 5 (overlap-free
+    // here), step2 (ab,ab) with 2
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, steps = 3)
+    assert(rowSet(merges) ===
+      Set(Seq(1L, "a", "b", 5L), Seq(2L, "ab", "ab", 2L)))
+    // applying the tokenizer to its own training corpus lands on the
+    // training end state: both words collapse to single pieces
+    assert(rowSet(TextOps.bpeSegment(docs, merges)) === Set(
+      Seq("abab", 2L, 1L, "abab"),
+      Seq("ab", 1L, 1L, "ab")))
+    // unseen words segment with learned pieces in rank order
+    val novel = Seq((9L, "abba baab")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.bpeSegment(novel, merges)) === Set(
+      Seq("abba", 1L, 3L, "ab b a"),
+      Seq("baab", 1L, 3L, "b a ab")))
+    // empty merge table = character segmentation
+    assert(rowSet(TextOps.bpeSegment(
+      Seq((1L, "ab")).toDF("doc_id", "text"),
+      merges.filter(col("step") < 0))) ===
+      Set(Seq("ab", 1L, 2L, "a b")))
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
