@@ -1222,6 +1222,20 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"), col("t"), col("w_start"))
     }),
 
+    // interval×interval overlap join: per user, which click validity
+    // windows overlap which purchase validity windows — both sides
+    // chunk-exploded so the range predicate becomes a hash equi-join
+    // on (user, chunk); open (NULL-ended) intervals close at the
+    // global max endpoint + 1
+    "j_interval_overlap" -> ((s, dir) => {
+      val iv = graft.operators.EventOps.validityIntervals(Tables.events(s, dir))
+      def side(t: String) = iv.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as("id"),
+          col("valid_from").as("from_ms"), col("valid_to").as("to_ms"))
+      graft.operators.RangeJoin.overlapJoin(
+        side("click"), side("purchase"), Seq("user_id"), chunkMs = 86400000L)
+    }),
+
     // -- ordered-set aggregate: exact median over integer cents (the
     //    interpolated midpoint of BIGINTs is IEEE-exact in both engines)
     "agg_median_price" -> ((s, dir) => {
@@ -3797,6 +3811,34 @@ object SparkEntry {
         |         PARTITION BY user_id, event_type
         |         ORDER BY ts, event_id)) AS BIGINT) AS valid_to
         |FROM events""".stripMargin,
+
+    // the naive quadratic-per-key predicate-join form — the engine's
+    // chunked equi-join is pinned ≡ to it (and the no-dedup
+    // emit-once-at-overlap-start trick is thereby oracle-checked)
+    "j_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(epoch_ms(ts) AS BIGINT) AS from_ms,
+        |         CAST(epoch_ms(lead(ts, 1) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id)) AS BIGINT) AS to_ms
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT MAX(x) + 1 AS m FROM (
+        |        SELECT from_ms AS x FROM iv
+        |        UNION ALL SELECT to_ms FROM iv)),
+        |a AS (SELECT user_id, event_id AS id_a, from_ms AS from_a,
+        |             COALESCE(to_ms, (SELECT m FROM m)) AS to_a
+        |      FROM iv WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS id_b, from_ms AS from_b,
+        |             COALESCE(to_ms, (SELECT m FROM m)) AS to_b
+        |      FROM iv WHERE event_type = 'purchase')
+        |SELECT a.user_id, id_a, id_b,
+        |       GREATEST(from_a, from_b) AS overlap_from,
+        |       LEAST(to_a, to_b) AS overlap_to,
+        |       LEAST(to_a, to_b) - GREATEST(from_a, from_b) AS overlap_ms
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE from_a < to_b AND from_b < to_a
+        |  AND from_a < to_a AND from_b < to_b""".stripMargin,
 
     "e_cdc_apply" ->
       """WITH ev AS (

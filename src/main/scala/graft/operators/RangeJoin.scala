@@ -49,4 +49,59 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join — the temporal join between two
+    * SCD2 / validity-interval tables ("which of this user's click
+    * sessions overlap which purchase sessions"): all pairs whose
+    * half-open `[from_ms, to_ms)` windows intersect, per key. The
+    * third member of the inequality-join family next to
+    * [[intervalJoin]] (point∈interval) and the as-of join. Inputs
+    * carry `(keys…, id, from_ms, to_ms)`; a NULL `to_ms` is an OPEN
+    * interval and closes at the global max endpoint + 1 (a 1-row
+    * broadcast — deterministic, no wall clock). Output:
+    * `(keys…, id_a, id_b, overlap_from, overlap_to, overlap_ms)`.
+    *
+    * Same bucket-replication scheme as [[intervalJoin]], but with BOTH
+    * sides exploded onto their `chunkMs`-aligned chunks, so the range
+    * predicate becomes a hash equi-join on `(keys, chunk)` — parallel
+    * across time even for one hot key. Every overlapping pair is
+    * emitted EXACTLY once, no distinct: it is kept only in the chunk
+    * containing `greatest(from_a, from_b)` (the overlap's first
+    * instant lies in exactly one chunk, and both intervals cover that
+    * chunk). Replication factor = span/chunkMs + 1 per interval; pick
+    * `chunkMs` near the typical span — correctness is
+    * chunk-size-invariant (spec-pinned).
+    */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      chunkMs: Long): DataFrame = {
+    require(chunkMs >= 1, s"chunkMs must be >= 1, got $chunkMs")
+    // global exclusive end for open intervals: max over both sides'
+    // endpoints, +1 so an interval starting at the max stays non-empty
+    val bound = a.select(col("from_ms").as("x")).unionAll(a.select(col("to_ms")))
+      .unionAll(b.select(col("from_ms"))).unionAll(b.select(col("to_ms")))
+      .agg((max(col("x")) + 1).as("m"))
+    def prep(df: DataFrame, side: String): DataFrame =
+      df.join(broadcast(bound))
+        .select(
+          (keys.map(col) ++ Seq(
+            col("id").as(s"id_$side"),
+            col("from_ms").as(s"from_$side"),
+            coalesce(col("to_ms"), col("m")).as(s"to_$side"))): _*)
+        .filter(col(s"from_$side") < col(s"to_$side"))
+        .withColumn("chunk", explode(sequence(
+          expr(s"from_$side div ${chunkMs}L"),
+          expr(s"(to_$side - 1) div ${chunkMs}L"))))
+    prep(a, "a").join(prep(b, "b"), keys :+ "chunk")
+      .filter(col("from_a") < col("to_b") && col("from_b") < col("to_a"))
+      .filter(col("chunk") === expr(s"greatest(from_a, from_b) div ${chunkMs}L"))
+      .select(
+        (keys.map(col) ++ Seq(
+          col("id_a"), col("id_b"),
+          greatest(col("from_a"), col("from_b")).as("overlap_from"),
+          least(col("to_a"), col("to_b")).as("overlap_to"))): _*)
+      .withColumn("overlap_ms", col("overlap_to") - col("overlap_from"))
+  }
 }
