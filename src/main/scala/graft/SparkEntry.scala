@@ -923,6 +923,11 @@ object SparkEntry {
     // -- similarity search --------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
+    // pairwise label-centroid cosine (embedding-space drift monitor):
+    // exact integer (label, dim) sums, DECIMAL cross-products, one
+    // final double e6-floored
+    "sim_label_drift" -> ((s, dir) =>
+      Similarity.labelCentroidDrift(Tables.embeddings(s, dir))),
     // MRL-style truncated-prefix retrieval: same queries/k as the
     // full-dim baseline but over the first 16 of 64 components — the
     // coarse stage of coarse-to-fine retrieval, 4x fewer payload bytes
@@ -3262,6 +3267,40 @@ object SparkEntry {
          |FROM bkt""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // per-label centroid drift: exact (label, dim) integer sums,
+    // HUGEINT cross-products ≡ Spark's DECIMAL(38,0), one final double
+    // e6-floored (the agg_correlation device)
+    "sim_label_drift" ->
+      """WITH qv AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT label, unnest(q) AS qv, generate_subscripts(q, 1) AS dim
+        |       FROM qv),
+        |sums AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s
+        |         FROM ex GROUP BY 1, 2),
+        |norms AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS nrm
+        |          FROM sums GROUP BY 1),
+        |counts AS (SELECT CAST(label AS BIGINT) AS label,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM embeddings GROUP BY 1),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |                SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+        |         FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+        |         GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+        |       CAST(CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+        |              floor(CAST(d.dot AS DOUBLE) /
+        |                    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE))
+        |                    * 1000000.0)
+        |            ELSE 0 END AS BIGINT) AS cos_e6
+        |FROM dots d
+        |JOIN norms na ON na.label = d.label_a
+        |JOIN norms nb ON nb.label = d.label_b
+        |JOIN counts ca ON ca.label = d.label_a
+        |JOIN counts cb ON cb.label = d.label_b""".stripMargin,
 
     // truncated-prefix twin of BRUTE_TOPK_SQL: quantization applied to
     // the first 16 components (embedding[1:16]), everything else

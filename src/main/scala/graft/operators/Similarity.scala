@@ -969,6 +969,61 @@ object Similarity {
           lit(0L).as("rank_in_cell")))
   }
 
+  /** Per-label centroid drift matrix — the embedding-space sibling of
+    * [[graft.operators.TextOps.sourceTvd]]'s token-distribution drift:
+    * pairwise cosine between label/source centroids, the monitor that
+    * tells a corpus builder whether two slices occupy the same region
+    * of embedding space (≈1e6 ⇒ interchangeable, low ⇒ distributional
+    * shift). Cosine is scale-invariant, so centroid cosine ≡ cosine of
+    * the per-label SUM vectors — no division by counts anywhere, and
+    * the sums are exact integers over the e6-quantized components.
+    *
+    * Exactness contract: per-dim sums are exact BIGINTs; the norm and
+    * dot cross-products are DECIMAL(38,0) (the `degreeAssortativity`
+    * overflow rule — at 10⁹ vectors/label a per-dim sum reaches ~10¹⁵
+    * and its square 10³⁰, far past int64); ONE final double produces
+    * `cos_e6` (the `agg_correlation` device — identical IEEE
+    * expression in both engines). Zero-norm labels report 0.
+    *
+    * Scale shape: the corpus collapses to a (label, dim) sum table in
+    * one map-side-combined aggregate — labels × dims rows, tiny at any
+    * corpus size; everything after (self-join on dim, norm join) is
+    * arithmetic on that table.
+    */
+  def labelCentroidDrift(
+      embeddings: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val dec = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val base = embeddings.select(
+      col(labelCol).cast("long").as("label"),
+      posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")))
+    val sums = base.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("s"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(dec(col("s")) * dec(col("s"))).as("nrm"))
+    val counts = embeddings
+      .groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("dim"), col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"), col("s").as("sb"))
+    val dots = a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(dec(col("sa")) * dec(col("sb"))).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nrm").as("na")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")), Seq("label_b"))
+      .join(counts.select(col("label").as("label_a"), col("n").as("n_a")), Seq("label_a"))
+      .join(counts.select(col("label").as("label_b"), col("n").as("n_b")), Seq("label_b"))
+      .select(
+        col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          floor(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")) * 1e6))
+          .otherwise(0L).cast("long").as("cos_e6"))
+  }
+
   /** Reciprocal-rank fusion of two rankings — the standard hybrid-
     * retrieval combiner (lexical BM25 ∪ vector top-k): each list
     * contributes `10^6 div (kRrf + rank)` for the ids it ranked,

@@ -311,6 +311,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.nbSourceClassify(
       Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
       trainPermille = 1).count() === 0)
+    assert(Similarity.labelCentroidDrift(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0)
+    // a single label has no pairs
+    assert(Similarity.labelCentroidDrift(
+      Seq((1L, Array(1f, 0f), 7)).toDF("vec_id", "embedding", "label"))
+      .count() === 0)
     val emptyRank = Seq.empty[(Long, Long, Long)].toDF("query_id", "id", "rank")
     assert(Similarity.rankAgreement(emptyRank, emptyRank).count() === 0)
     // one-sided emptiness: no common items anywhere -> no rows

@@ -550,4 +550,34 @@ class SimilaritySpec extends SparkSpec {
       Seq(2L, 2L, 1L, 1L, 0L, 1L),
       Seq(3L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("labelCentroidDrift: orthogonal 0, identical 1e6, opposite -1e6, zero-norm guard") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),  // label 0: two copies of e_x
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 1),  // label 1: e_y
+      (3L, Array(1f, 0f), 2),  // label 2: e_x
+      (4L, Array(-1f, 0f), 3), // label 3: -e_x
+      (5L, Array(0f, 0f), 4)   // label 4: zero vector
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidDrift(emb)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (0L, 1L) -> ((2L, 1L, 0L)),
+      (0L, 2L) -> ((2L, 1L, 1000000L)),
+      (0L, 3L) -> ((2L, 1L, -1000000L)),
+      (0L, 4L) -> ((2L, 1L, 0L)),
+      (1L, 2L) -> ((1L, 1L, 0L)),
+      (1L, 3L) -> ((1L, 1L, 0L)),
+      (1L, 4L) -> ((1L, 1L, 0L)),
+      (2L, 3L) -> ((1L, 1L, -1000000L)),
+      (2L, 4L) -> ((1L, 1L, 0L)),
+      (3L, 4L) -> ((1L, 1L, 0L))))
+    // cosine is count-blind: doubling the corpus doubles n but never
+    // moves cos_e6 (sum vectors scale, cosine is scale-invariant)
+    val doubled = Similarity.labelCentroidDrift(emb.unionAll(emb))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(doubled === got.map { case (k, v) => k -> v._3 })
+  }
 }
