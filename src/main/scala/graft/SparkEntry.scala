@@ -684,6 +684,21 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
     }),
+    // end-to-end tokenize→pack DAG: learn 6 BPE merges, segment the
+    // vocabulary, attach per-word piece counts back to the token
+    // stream by an 8-byte-ish word join, and pack documents into
+    // 256-SUBWORD training sequences (the packer's budget is now the
+    // tokenizer's unit, not whitespace tokens)
+    "pipe_tokenize_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val seg = TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
+      val perDoc = d
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+        .groupBy(col("doc_id")).agg(sum(col("n_pieces")).as("n_tok"))
+      TextOps.packByCount(perDoc, budget = 256, nShards = 8,
+        hash = Hashing.Portable)
+    }),
     // KMV distinct sketch per source (k=16 minimum mixed portable
     // hashes — k < per-source vocab so the estimator branch is live),
     // audited against the exact count — whole row replicates in SQL
@@ -2160,6 +2175,30 @@ object SparkEntry {
 
     "t_bpe_merges" -> bpeSql(6),
     "t_bpe_segment" -> bpeSegmentSql(6),
+
+    // the whole tokenize→pack DAG replicated: BPE end state → per-word
+    // piece counts → per-doc subword totals → the t_pack_sequences
+    // packing form over subword lengths
+    "pipe_tokenize_pack" ->
+      (bpeCtes(6) + s""",
+         |pieces AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM st6),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents) tw
+         |  JOIN pieces USING (word) GROUP BY 1),
+         |t AS (SELECT doc_id, ${ph("CAST(doc_id AS VARCHAR)")} % 8 AS shard, n_tok
+         |      FROM perdoc),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM t WHERE n_tok > 0),
+         |x AS (SELECT doc_id, shard, n_tok, cum,
+         |             unnest(range((cum - n_tok) // 256, (cum - 1) // 256 + 1)) AS seq_id
+         |      FROM c)
+         |SELECT doc_id, shard, seq_id,
+         |       least(cum, (seq_id + 1) * 256)
+         |         - greatest(cum - n_tok, seq_id * 256) AS toks_in_seq
+         |FROM x""".stripMargin),
 
     // adjacent pairs by zipped parallel unnest; association ratio in
     // HUGEINT floor division ≡ Spark's DECIMAL(38,0) div (both

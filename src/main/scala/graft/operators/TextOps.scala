@@ -1119,15 +1119,31 @@ object TextOps {
       nShards: Int,
       textCol: String = "text",
       idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame =
+    packByCount(
+      docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tok")),
+      budget, nShards, idCol, hash)
+
+  /** [[packSequences]] over a PRECOMPUTED per-doc length column —
+    * the form the tokenize→pack pipeline composes (lengths come from
+    * the BPE segmentation vocabulary, not a whitespace count). Input:
+    * `(idCol, n_tok)`. Same packing contract and scale shape.
+    */
+  def packByCount(
+      counts: DataFrame,
+      budget: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(
+    counts.select(
         col(idCol),
         pmod(hash(col(idCol).cast("string")), lit(nShards.toLong)).as("shard"),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
+        col("n_tok").cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id", explode(sequence(

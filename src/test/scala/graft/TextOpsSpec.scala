@@ -739,6 +739,29 @@ class TextOpsSpec extends SparkSpec {
       Set(Seq("ab", 1L, 2L, "a b")))
   }
 
+  test("packByCount delegates packSequences; tokenize→pack covers every subword") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // the whitespace form is exactly packByCount over whitespace counts
+    assert(rowSet(TextOps.packSequences(docs, 64, 4)) ===
+      rowSet(TextOps.packByCount(
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")), 64, 4)))
+    // composed pipeline conservation: packed subwords = counted subwords
+    val seg = TextOps.bpeSegment(docs, TextOps.bpeMerges(docs, steps = 3))
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_pieces")).as("n_tok"))
+    val packed = TextOps.packByCount(perDoc, 128, 4)
+    val total = perDoc.agg(sum(col("n_tok"))).head().getLong(0)
+    assert(total > 0)
+    assert(packed.agg(sum(col("toks_in_seq"))).head().getLong(0) === total)
+    // subword totals exceed whitespace totals (3 merges can't collapse
+    // every word to one piece) — the join attached real piece counts
+    val ws = docs.select(sum(size(TextOps.tokens(col("text"))))).head().getLong(0)
+    assert(total > ws)
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
