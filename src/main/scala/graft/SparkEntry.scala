@@ -298,13 +298,11 @@ object SparkEntry {
     // personalized PageRank from a deterministic ~5% hash-slice seed
     // set — teleport mass returns to seeds only (Haveliwala 2002),
     // same integral e9 scheme as g_pagerank
-    "g_ppr" -> ((s, dir) => {
-      val m = mergedOf(s, dir)
-      val seeds = m.select(col("src").as("person_id"))
-        .union(m.select(col("dst").as("person_id")))
-        .filter(pmod(Hashing.portableHash(col("person_id")), lit(20)) === 0)
-      GraphOps.personalizedPageRank(m, seeds, 3, broadcastRanks = true)
-    }),
+    "g_ppr" -> ((s, dir) =>
+      GraphOps.personalizedPageRankByPred(
+        mergedOf(s, dir),
+        pmod(Hashing.portableHash(col("person_id")), lit(20)) === 0,
+        3, broadcastRanks = true)),
 
     // Bipartite co-occurrence projection: person pairs sharing >= 2
     // distinct neighbors, hub dsts (fanout > 20) dropped before the

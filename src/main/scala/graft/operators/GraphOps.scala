@@ -328,19 +328,49 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       checkpointEvery: Int = 4,
       broadcastRanks: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    personalizedPageRankImpl(edges, Left(seeds), iters, checkpointEvery,
+      broadcastRanks, checkpointDir)
+
+  /** [[personalizedPageRank]] with the seed set given as a PREDICATE
+    * over `person_id` instead of a frame — for seed sets that are a
+    * function of the id (hash slices, prefixes): the predicate
+    * evaluates on the operator's own (already lineage-cut) vertex
+    * frame, so the caller's edge pipeline is never re-executed just to
+    * derive seeds (measured: the frame-based form re-ran the whole
+    * upstream merge a second time for the seed join).
+    */
+  def personalizedPageRankByPred(edges: DataFrame, seedPred: Column,
+      iters: Int,
+      checkpointEvery: Int = 4,
+      broadcastRanks: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame =
+    personalizedPageRankImpl(edges, Right(seedPred), iters, checkpointEvery,
+      broadcastRanks, checkpointDir)
+
+  private def personalizedPageRankImpl(
+      edges: DataFrame,
+      seeds: Either[DataFrame, Column],
+      iters: Int,
+      checkpointEvery: Int,
+      broadcastRanks: Boolean,
+      checkpointDir: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = edges.select(col("src"), col("dst"))
     val e = if (iters > 1) Checkpoints.cut(pairs, checkpointDir) else pairs
-    val verts = Checkpoints.cut(
-      e.select(col("src").as("person_id"))
-        .union(e.select(col("dst").as("person_id")))
-        .distinct()
-        .join(seeds.select(col("person_id")).distinct()
+    val vertIds = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+    val marked = seeds match {
+      case Left(sf) => vertIds
+        .join(sf.select(col("person_id")).distinct()
           .withColumn("__seed", lit(true)), Seq("person_id"), "left_outer")
         .select(col("person_id"),
-          coalesce(col("__seed"), lit(false)).as("is_seed")),
-      checkpointDir)
+          coalesce(col("__seed"), lit(false)).as("is_seed"))
+      case Right(pred) => vertIds
+        .select(col("person_id"), coalesce(pred, lit(false)).as("is_seed"))
+    }
+    val verts = Checkpoints.cut(marked, checkpointDir)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .select(col("src").as("dsrc"), col("out_deg"))
     val degB = if (broadcastRanks) broadcast(deg) else deg

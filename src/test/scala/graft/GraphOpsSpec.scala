@@ -238,6 +238,9 @@ class GraphOpsSpec extends SparkSpec {
       edges, Seq("a", "zz").toDF("person_id"), 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gotOff === got)
+    // predicate form ≡ frame form (and never re-derives the edge input)
+    assert(GraphOps.personalizedPageRankByPred(edges, col("person_id") === "a", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === got)
     // seeding EVERY vertex ≡ plain pageRank (same recurrence)
     val all = Seq("a", "b", "c", "d", "e").toDF("person_id")
     assert(GraphOps.personalizedPageRank(edges, all, 3)
