@@ -689,7 +689,9 @@ object SparkEntry {
     // tokenizer's unit, not whitespace tokens)
     "pipe_tokenize_pack" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val seg = TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
+      // train-and-self-segment in ONE loop: the training end state is
+      // the corpus segmentation (≡ bpeSegment(d, bpeMerges(d)) by spec)
+      val seg = TextOps.bpeTrainSegmentation(d, steps = 6)
       val perDoc = d
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
         .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
@@ -1475,7 +1477,10 @@ object SparkEntry {
          |  FROM act$i),
          |st$i AS (
          |  SELECT word, n, list(out ORDER BY pos) AS syms
-         |  FROM mg$i WHERE out IS NOT NULL GROUP BY 1, 2)""".stripMargin)
+         |  FROM mg$i WHERE out IS NOT NULL GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT word, n, syms FROM st$p
+         |  WHERE NOT EXISTS (SELECT 1 FROM top$i))""".stripMargin)
     }
     sb.toString
   }

@@ -428,7 +428,32 @@ object TextOps {
       docs: DataFrame,
       steps: Int = 6,
       textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    bpeTrain(docs, steps, textCol, checkpointDir)._1
+
+  /** Train AND self-segment in one pass: the training loop's end state
+    * IS the segmentation of the training corpus (pinned ≡
+    * `bpeSegment(docs, bpeMerges(docs))` by spec), so a pipeline that
+    * tokenizes the corpus it trained on — the standard
+    * train-tokenizer-then-pack shape — gets the vocabulary for free
+    * instead of replaying all `steps` rewrites plus a second corpus
+    * scan. Output = [[bpeSegment]]'s `(word, n, n_pieces, segmented)`.
+    */
+  def bpeTrainSegmentation(
+      docs: DataFrame,
+      steps: Int = 6,
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame =
+    bpeTrain(docs, steps, textCol, checkpointDir)._2.select(
+      col("word"), col("n"),
+      size(col("syms")).cast("long").as("n_pieces"),
+      array_join(col("syms"), " ").as("segmented"))
+
+  private def bpeTrain(
+      docs: DataFrame,
+      steps: Int,
+      textCol: String,
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = docs.sparkSession
     var state = Checkpoints.cut(
@@ -450,7 +475,8 @@ object TextOps {
           org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("pair_count",
           org.apache.spark.sql.types.LongType, nullable = true))))
-    for (i <- 1 to steps) {
+    var done = false
+    for (i <- 1 to steps if !done) {
       // adjacent-pair counts, overlaps included (the get_stats rule)
       val pc = state.filter(size(col("syms")) >= 2)
         .select(col("n"),
@@ -467,12 +493,19 @@ object TextOps {
       val top = Checkpoints.cut(
         pc.orderBy(col("pn").desc, col("a").asc, col("b").asc).limit(1),
         checkpointDir)
-      merges = merges.unionAll(top.select(
-        lit(i.toLong).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
-        col("pn").as("pair_count")))
-      state = Checkpoints.cut(bpeMergeStep(state, top), checkpointDir)
+      // early stop: no pairs left ⇒ no merge this or any later step,
+      // and the state must SURVIVE (it is the segmentation result).
+      // The isEmpty probe reads a ≤1-row checkpointed frame — a
+      // steps-bounded driver action, like the k-bounded collects.
+      if (top.isEmpty) done = true
+      else {
+        merges = merges.unionAll(top.select(
+          lit(i.toLong).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
+          col("pn").as("pair_count")))
+        state = Checkpoints.cut(bpeMergeStep(state, top), checkpointDir)
+      }
     }
-    merges
+    (merges, state)
   }
 
   /** One greedy left-to-right merge pass of the (1-row, broadcast)

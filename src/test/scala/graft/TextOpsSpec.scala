@@ -737,6 +737,13 @@ class TextOpsSpec extends SparkSpec {
       Seq((1L, "ab")).toDF("doc_id", "text"),
       merges.filter(col("step") < 0))) ===
       Set(Seq("ab", 1L, 2L, "a b")))
+    // single-pass train+segment ≡ the two-pass composition — including
+    // past the early stop (steps=3 > the 2 learnable merges)
+    assert(rowSet(TextOps.bpeTrainSegmentation(docs, steps = 3)) ===
+      rowSet(TextOps.bpeSegment(docs, merges)))
+    val fix = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rowSet(TextOps.bpeTrainSegmentation(fix, steps = 3)) ===
+      rowSet(TextOps.bpeSegment(fix, TextOps.bpeMerges(fix, steps = 3))))
   }
 
   test("packByCount delegates packSequences; tokenize→pack covers every subword") {
