@@ -376,4 +376,33 @@ object GraftProps extends Properties("graft") {
         }
       }
     }
+
+  /** overlapJoin: for ANY interval sets and ANY chunk size, the chunked
+    * equi-join emits exactly the naive predicate join's pair set —
+    * each pair exactly once (the greatest(from)-chunk dedup trick).
+    */
+  property("overlapJoin ≡ naive predicate join, exactly once, any chunk") =
+    forAll(
+      Gen.listOfN(14, Gen.zip(Gen.oneOf("k1", "k2"),
+        Gen.chooseNum(0L, 60L), Gen.chooseNum(1L, 25L))),
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("k1", "k2"),
+        Gen.chooseNum(0L, 60L), Gen.chooseNum(1L, 25L))),
+      Gen.chooseNum(1L, 40L)) { (as, bs, chunk) =>
+      import graft.operators.RangeJoin
+      def df(rows: List[(String, Long, Long)]) =
+        rows.zipWithIndex
+          .map { case ((k, f, len), i) => (k, i.toLong, f, f + len) }
+          .toDF("user_id", "id", "from_ms", "to_ms")
+      val a = df(as)
+      val b = df(bs)
+      val got = RangeJoin.overlapJoin(a, b, Seq("user_id"), chunk)
+        .select("user_id", "id_a", "id_b")
+        .collect().map(_.toSeq)
+      val naive = (for {
+        ((ka, fa, la), ia) <- as.zipWithIndex
+        ((kb, fb, lb), ib) <- bs.zipWithIndex
+        if ka == kb && fa < fb + lb && fb < fa + la
+      } yield Seq(ka, ia.toLong, ib.toLong))
+      got.toSet == naive.toSet && got.length == naive.length
+    }
 }
