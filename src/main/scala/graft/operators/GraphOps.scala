@@ -270,43 +270,13 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
       broadcastRanks: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pairs = edges.select(col("src"), col("dst"))
-    val e = if (iters > 1) Checkpoints.cut(pairs, checkpointDir) else pairs
-    val verts = Checkpoints.cut(
-      e.select(col("src").as("person_id"))
-        .union(e.select(col("dst").as("person_id")))
-        .distinct(), checkpointDir)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .select(col("src").as("dsrc"), col("out_deg"))
-    // out-degree rides the edge list, attached ONCE — the per-round
-    // form would re-join ranks to degrees every iteration, paying an
-    // extra vertex-sized shuffle join × iters. `pr_e9 div out_deg`
-    // evaluated per edge equals the per-vertex share joined outward
-    // (the divisor is constant per src), so results are bit-identical.
-    val degB = if (broadcastRanks) broadcast(deg) else deg
-    val ed = Checkpoints.cut(
-      e.join(degB, col("src") === col("dsrc"))
-        .select(col("src").as("esrc"), col("dst"), col("out_deg")), checkpointDir)
-    var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
-    for (it <- 1 to iters) {
-      // both per-round frames are vertex-sized; with broadcastRanks a
-      // round's only exchange is the dst aggregation
-      val prIn = if (broadcastRanks) broadcast(pr) else pr
-      val inbound = ed.join(prIn, col("esrc") === prIn("person_id"))
-        .groupBy(col("dst").as("person_id"))
-        .agg(sum(expr("pr_e9 div out_deg")).as("in_share"))
-      val inB = if (broadcastRanks) broadcast(inbound) else inbound
-      pr = verts.join(inB, Seq("person_id"), "left_outer")
-        .select(col("person_id"),
-          (lit(150000000L) +
-            expr("(85 * coalesce(in_share, 0L)) div 100")).as("pr_e9"))
-      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
-        pr = Checkpoints.cut(pr, checkpointDir)
-    }
-    pr
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    // the all-seeds special case of the personalized loop: every
+    // vertex seeded ⇒ the recurrence IS the uniform teleport (the
+    // equivalence GraphOpsSpec pins), so there is exactly one loop to
+    // maintain
+    personalizedPageRankImpl(edges, Right(lit(true)), iters,
+      checkpointEvery, broadcastRanks, checkpointDir)
 
   /** Personalized PageRank (Haveliwala 2002): the [[pageRank]] power
     * iteration with the teleport mass restricted to a SEED set —

@@ -79,10 +79,13 @@ object RangeJoin {
       chunkMs: Long): DataFrame = {
     require(chunkMs >= 1, s"chunkMs must be >= 1, got $chunkMs")
     // global exclusive end for open intervals: max over both sides'
-    // endpoints, +1 so an interval starting at the max stays non-empty
-    val bound = a.select(col("from_ms").as("x")).unionAll(a.select(col("to_ms")))
-      .unionAll(b.select(col("from_ms"))).unionAll(b.select(col("to_ms")))
-      .agg((max(col("x")) + 1).as("m"))
+    // endpoints, +1 so an interval starting at the max stays non-empty.
+    // One projection per side — greatest(from, coalesce(to, from))
+    // folds both endpoints into one row, so each input's upstream plan
+    // executes once here, not twice per side
+    def ends(df: DataFrame) = df.select(
+      greatest(col("from_ms"), coalesce(col("to_ms"), col("from_ms"))).as("x"))
+    val bound = ends(a).unionAll(ends(b)).agg((max(col("x")) + 1).as("m"))
     def prep(df: DataFrame, side: String): DataFrame =
       df.join(broadcast(bound))
         .select(

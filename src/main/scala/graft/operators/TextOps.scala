@@ -292,7 +292,7 @@ object TextOps {
       s"trainPermille must leave both splits non-empty-able, got $trainPermille")
     val isTrain = pmod(hash(col(textCol)), lit(1000L)) < trainPermille
     val model = nbTrain(docs.filter(isTrain), srcCol, textCol, hash)
-    nbScore(docs.filter(!isTrain), model, idCol, srcCol, textCol, hash)
+    nbScore(docs.filter(!isTrain), model, idCol, srcCol, textCol)
   }
 
   /** Frozen NB model artifact — four frames, all derived from one
@@ -304,7 +304,12 @@ object TextOps {
     * partitions daily, a stream scoring micro-batches).
     */
   case class NbModel(cnt: DataFrame, cands: DataFrame,
-      vocab: DataFrame, nTrain: DataFrame) {
+      vocab: DataFrame, nTrain: DataFrame,
+      hash: Hashing.HashTier) {
+    // the hash tier is a property of the TRAINED artifact: scoring
+    // with a different tier would miss every count-table probe and
+    // silently degenerate all predictions to the class prior, so the
+    // model carries its tier and scorers never take one
     /** Write all four frames under `dir` and reload — the repeated-
       * scoring shape: the training plan executes ONCE here; each
       * subsequent scorer (micro-batch, cron job) pays a parquet scan,
@@ -317,7 +322,7 @@ object TextOps {
         df.sparkSession.read.parquet(s"$dir/$sub")
       }
       NbModel(rt(cnt, "cnt"), rt(cands, "cands"),
-        rt(vocab, "vocab"), rt(nTrain, "ntrain"))
+        rt(vocab, "vocab"), rt(nTrain, "ntrain"), hash)
     }
   }
 
@@ -343,7 +348,7 @@ object TextOps {
     // candidate grid: s rows with prior + total — broadcast at every
     // use site (BroadcastNestedLoopJoin, never a shuffle)
     val cands = priors.join(broadcast(tot), Seq("cand"))
-    NbModel(cnt, cands, vocab, nTrain)
+    NbModel(cnt, cands, vocab, nTrain, hash)
   }
 
   /** Score `docs` against a frozen [[NbModel]] (see
@@ -356,14 +361,13 @@ object TextOps {
       model: NbModel,
       idCol: String = "doc_id",
       actualCol: String = "source",
-      textCol: String = "text",
-      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val test = docs.select(
       col(idCol).as("doc_id"), col(actualCol).as("actual"),
       tokens(col(textCol)).as("toks"))
     val teInst = test.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), hash(col("tok")).as("th"))
+      .select(col("doc_id"), model.hash(col("tok")).as("th"))
       .crossJoin(broadcast(model.cands.select(col("cand"))))
     // per-(doc, cand) token bits: probe the count table, OOV ⇒ c = 0
     val tokBits = teInst
@@ -567,15 +571,24 @@ object TextOps {
       checkpointDir: Option[String] = None): DataFrame = {
     val m = Checkpoints.cut(
       merges.select(col("step"), col("sym_a"), col("sym_b")), checkpointDir)
-    val nSteps = m.count().toInt // merge table is k rows by contract
+    // the ACTUAL ranks present, in order — a filtered/re-based merge
+    // table applies its merges in rank order rather than silently
+    // emptying the state at the first missing rank (a rank whose
+    // filter matched nothing would crossJoin the state away). The
+    // collect is k-bounded (the merge table is k rows by contract);
+    // duplicate ranks would double every (word, pos) row under the
+    // rewrite windows, so they fail loudly instead.
+    val ranks = m.select(col("step")).collect().map(_.getLong(0)).sorted
+    require(ranks.distinct.length == ranks.length,
+      s"merge table has duplicate step ranks: ${ranks.mkString(",")}")
     var state = Checkpoints.cut(
       docs.select(explode(tokens(col(textCol))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .select(col("word"), col("n"),
           expr("filter(split(word, ''), x -> x != '')").as("syms")),
       checkpointDir)
-    for (i <- 1 to nSteps) {
-      val pair = m.filter(col("step") === i.toLong)
+    for (r <- ranks) {
+      val pair = m.filter(col("step") === r)
         .select(col("sym_a").as("a"), col("sym_b").as("b"))
       state = Checkpoints.cut(bpeMergeStep(state, pair), checkpointDir)
     }

@@ -298,12 +298,13 @@ object DocStreams {
       docs: DataFrame,
       model: graft.operators.TextOps.NbModel,
       outDir: String,
-      checkpointDir: String,
-      hash: Hashing.HashTier = Hashing.Portable): StreamingQuery =
+      checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextOps.nbScore(batch, model, hash = hash)
+        // the model carries its own hash tier — a scorer-side tier
+        // could silently mismatch the trained count table
+        graft.operators.TextOps.nbScore(batch, model)
           .write.mode("append").parquet(outDir)
       }
       .start()
