@@ -711,6 +711,16 @@ object SparkEntry {
     // counts — the whole row, estimators included, replicates in SQL
     "x_kmv_overlap" -> ((s, dir) =>
       TextOps.kmvOverlap(Tables.documents(s, dir), k = 16)),
+    // quantile member of the mergeable-sketch tier: deterministic
+    // 1-in-10 hash-rate sample, type-1 quantiles at p50/p90, exact
+    // audit columns ride along — whole artifact bit-replicates in SQL
+    "x_sample_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v_e4"))
+      TextOps.hashSampleQuantiles(ev, "event_type", "event_id", "v_e4",
+        rate = 10)
+    }),
     // self-trained multinomial NB source classifier (the DCLM-shaped
     // cheap-linear-classifier curation stage): deterministic 90/10
     // text-hash split, whole-bit ilog2 Laplace scoring, lexicographic
@@ -2076,6 +2086,38 @@ object SparkEntry {
          |SELECT source, exact_distinct, kmv_est,
          |       CAST((kmv_est * 1000) // exact_distinct AS BIGINT) AS est_permille
          |FROM est""".stripMargin,
+
+    // hash-rate sample quantiles: same mixed portable hash admission,
+    // same type-1 rank pick ⌈q·n/1000⌉ over (value, id) order, NULL
+    // estimates for sample-empty groups
+    "x_sample_quantiles" ->
+      s"""WITH base AS (
+         |  SELECT event_type AS key, event_id AS id,
+         |         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+         |         ((${ph("CAST(event_id AS VARCHAR)")} * 961748941 + 982451653)
+         |          % 1000000007) % 10 = 0 AS in_sample
+         |  FROM events WHERE value IS NOT NULL),
+         |ex AS (
+         |  SELECT key, CAST(MAX(n) AS BIGINT) AS n,
+         |         MAX(CASE WHEN rn = (n * 500 + 999) // 1000 THEN v END) AS p50_exact,
+         |         MAX(CASE WHEN rn = (n * 900 + 999) // 1000 THEN v END) AS p90_exact
+         |  FROM (SELECT key, v,
+         |               row_number() OVER (PARTITION BY key ORDER BY v, id) AS rn,
+         |               COUNT(*) OVER (PARTITION BY key) AS n
+         |        FROM base)
+         |  GROUP BY key),
+         |sm AS (
+         |  SELECT key, CAST(MAX(n) AS BIGINT) AS n_sample,
+         |         MAX(CASE WHEN rn = (n * 500 + 999) // 1000 THEN v END) AS p50_est,
+         |         MAX(CASE WHEN rn = (n * 900 + 999) // 1000 THEN v END) AS p90_est
+         |  FROM (SELECT key, v,
+         |               row_number() OVER (PARTITION BY key ORDER BY v, id) AS rn,
+         |               COUNT(*) OVER (PARTITION BY key) AS n
+         |        FROM base WHERE in_sample)
+         |  GROUP BY key)
+         |SELECT e.key, e.n, COALESCE(s.n_sample, 0) AS n_sample,
+         |       e.p50_exact, s.p50_est, e.p90_exact, s.p90_est
+         |FROM ex e LEFT JOIN sm s ON e.key = s.key""".stripMargin,
 
     // KMV set algebra replicated in SQL: per-source bottom-16 sketches
     // (same mixed portable hash), union sketch = 16 smallest of the

@@ -1691,6 +1691,62 @@ object TextOps {
         expr("(kmv_est * 1000) div exact_distinct"))
   }
 
+  /** Per-group quantile estimates from a DETERMINISTIC hash-rate
+    * sample — the quantile member of the mergeable-sketch tier next to
+    * CMS (frequencies), HLL/KMV (distinct), and the KMV set algebra:
+    * a row joins the sample iff `mix(hash(id)) % rate == 0` (expected
+    * 1/rate of the population), so the "sketch" is a plain filtered
+    * subset — mergeable by construction (sample of a union = union of
+    * samples), deterministic on every engine, and, unlike
+    * `percentile_approx`'s opaque internal state, bit-replicable in
+    * SQL down to the estimator. Quantiles are type-1 (value at rank
+    * `⌈q·n/1000⌉`, ties ordered by (value, id) — exact integers
+    * end-to-end).
+    *
+    * Output per group: `(key, n, n_sample, p50_exact, p50_est,
+    * p90_exact, p90_est)`. Groups whose sample is EMPTY (small groups
+    * at high rate) report NULL estimates — visible, never silently
+    * exact. The `*_exact` columns are the AUDIT path (they sort the
+    * full group; a 100 TB run ships the sample path, whose sort is
+    * rate-fold smaller). Bernoulli sampling gives the standard
+    * rank-error concentration (±O(√(r/n)) quantile deviation) — this
+    * op pins the DETERMINISM and mergeability, the error gate lives
+    * with `x_approx_quantile`.
+    */
+  def hashSampleQuantiles(
+      rows: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      rate: Int = 10,
+      hash: Hashing.HashTier = Hashing.Portable): DataFrame = {
+    require(rate >= 1, s"rate must be >= 1, got $rate")
+    val base = rows.select(
+      col(keyCol).as("key"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"),
+      (pmod(hash(col(idCol).cast("string")) * lit(961748941L) + lit(982451653L),
+        lit(Hashing.P)) % rate === 0).as("in_sample"))
+      .filter(col("v").isNotNull)
+    def qsOf(df: DataFrame, nName: String, pre: String): DataFrame = {
+      val w = Window.partitionBy(col("key")).orderBy(col("v"), col("id"))
+      val ranked = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      def pick(qPm: Int) = max(when(
+        col("rn") === expr(s"(n * $qPm + 999) div 1000"), col("v")))
+      ranked.groupBy(col("key")).agg(
+        first(col("n")).as(nName),
+        pick(500).as(s"p50_$pre"),
+        pick(900).as(s"p90_$pre"))
+    }
+    qsOf(base, "n", "exact")
+      .join(qsOf(base.filter(col("in_sample")), "n_sample", "est"),
+        Seq("key"), "left_outer")
+      .select(col("key"), col("n"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        col("p50_exact"), col("p50_est"), col("p90_exact"), col("p90_est"))
+  }
+
   /** KMV sketch SET ALGEBRA between sources (Beyer et al. 2007,
     * "On Synopses for Distinct-Value Estimation Under Multiset
     * Operations"): pairwise union-cardinality, intersection-

@@ -297,6 +297,13 @@ class EmptyInputSpec extends SparkSpec {
     // single-char words have no pairs: training stops at step 0
     assert(TextOps.bpeMerges(
       Seq((1L, "a b a")).toDF("doc_id", "text"), steps = 2).count() === 0)
+    assert(TextOps.hashSampleQuantiles(
+      Seq.empty[(String, Long, Long)].toDF("k", "id", "v"),
+      "k", "id", "v").count() === 0)
+    // all-null values contribute nothing: no group rows at all
+    assert(TextOps.hashSampleQuantiles(
+      Seq(("a", 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "id", "v"), "k", "id", "v").count() === 0)
     assert(TextOps.kmvOverlap(emptySrc).count() === 0)
     // a single source has no pairs to compare
     assert(TextOps.kmvOverlap(

@@ -606,6 +606,32 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.kmvDistinct(docs.unionAll(docs))) === one)
   }
 
+  test("hashSampleQuantiles: rate-1 ≡ exact; hand type-1 ranks; sampled subset laws") {
+    val rows = (1L to 10L).map(i => ("a", i, i)).toDF("k", "id", "v")
+    // rate 1 admits every row: estimates coincide with the audit path
+    val full = TextOps.hashSampleQuantiles(rows, "k", "id", "v", rate = 1)
+      .collect().map(_.toSeq)
+    // n=10: p50 rank ⌈10·500/1000⌉=5 -> 5; p90 rank ⌈9000/1000⌉=9 -> 9
+    assert(full.toSeq === Seq(Seq("a", 10L, 10L, 5L, 5L, 9L, 9L)))
+    // rate 10 on the fixture: sample is a strict subset, estimates
+    // exist for every event_type (hundreds of rows each), and the
+    // estimate is one of the group's actual values
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+    val out = TextOps.hashSampleQuantiles(ev, "event_type", "event_id", "v",
+      rate = 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) < r.getLong(1))
+      assert(!r.isNullAt(4) && !r.isNullAt(6))
+    }
+    // determinism: same rows, any partitioning, same artifact
+    assert(rowSet(TextOps.hashSampleQuantiles(ev.repartition(7),
+      "event_type", "event_id", "v", rate = 10)) ===
+      out.map(_.toSeq).toSet)
+  }
+
   test("kmvOverlap: exact branch closed-form; identical sources; laws on fixture") {
     // both sources below k -> every estimate short-circuits to exact:
     // A = {x,y,z}, B = {y,z,w}: union 4, inter 2, jaccard 1/2
