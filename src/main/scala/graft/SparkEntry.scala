@@ -1195,6 +1195,12 @@ object SparkEntry {
     "m_block_stats" -> ((s, dir) =>
       Multimodal.blockStats(Tables.documents(s, dir), 64)),
 
+    // scene-cut detection over the block-feature stream: adjacent-mean
+    // deltas, cut where the e3 jump clears the threshold — threshold
+    // at 200 so both branches of is_cut are live on the fixture
+    "m_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Tables.documents(s, dir), 64, thresholdE3 = 200)),
+
     // perceptual media near-dup: aHash fingerprint over content blocks,
     // banded Hamming join — re-encoded/edited copies of a payload
     // collide where exact payloadDedup cannot
@@ -4448,7 +4454,31 @@ object SparkEntry {
         |       CAST(SUM(cpv) AS BIGINT) AS sum_cp,
         |       CAST(MIN(cpv) AS BIGINT) AS min_cp,
         |       CAST(MAX(cpv) AS BIGINT) AS max_cp
-        |FROM c GROUP BY doc_id, block_no""".stripMargin
+        |FROM c GROUP BY doc_id, block_no""".stripMargin,
+
+    // the block-stats chain + one lag window: adjacent-mean deltas,
+    // integer e3 means, same threshold
+    "m_scene_cuts" ->
+      """WITH cp AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (i - 1) // 64 AS block_no,
+        |         CAST(unicode(substring(text, i, 1)) AS BIGINT) AS cpv
+        |  FROM cp),
+        |b AS (
+        |  SELECT doc_id, block_no,
+        |         (CAST(SUM(cpv) AS BIGINT) * 1000) // COUNT(*) AS mean_e3
+        |  FROM c GROUP BY doc_id, block_no),
+        |d AS (
+        |  SELECT doc_id, block_no, mean_e3,
+        |         lag(mean_e3) OVER (PARTITION BY doc_id ORDER BY block_no)
+        |           AS prev_mean_e3
+        |  FROM b)
+        |SELECT doc_id, block_no, mean_e3, prev_mean_e3,
+        |       abs(mean_e3 - prev_mean_e3) AS delta_e3,
+        |       abs(mean_e3 - prev_mean_e3) > 200 AS is_cut
+        |FROM d WHERE prev_mean_e3 IS NOT NULL""".stripMargin
   )
 
   // ---------------------------------------------------------------------------

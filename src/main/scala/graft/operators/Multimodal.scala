@@ -232,6 +232,38 @@ object Multimodal {
   private def blockRows(id: Long, s: String, blockSize: Int): Iterator[Row] =
     sampleBlockRows(id, codePoints(s), blockSize)
 
+  /** Scene-cut / change-point detection over the block-feature stream:
+    * flag block boundaries where the mean feature value jumps by more
+    * than `thresholdE3` (e3-scaled) — the shot-boundary detector a
+    * video pipeline runs over real frame features (histogram/embedding
+    * deltas), here over the same deterministic [[blockStats]] features
+    * the rest of the multimodal tier uses, so the whole chain stays
+    * oracle-checkable. Output: one row per ADJACENT block pair,
+    * `(doc_id, block_no, mean_e3, prev_mean_e3, delta_e3, is_cut)`
+    * (`block_no` ≥ 1 — the first block has no predecessor).
+    *
+    * Scale shape: [[blockStats]]'s per-partition streaming pass, then
+    * ONE window keyed (doc, block order) — partitions are
+    * payload/blockSize rows, never corpus-sized; all integers.
+    */
+  def sceneCuts(
+      docs: DataFrame,
+      blockSize: Int = 64,
+      thresholdE3: Long = 2000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("block_no"))
+    blockStats(docs, blockSize, textCol, idCol)
+      .withColumn("mean_e3", expr("(sum_cp * 1000) div n_cp"))
+      .withColumn("prev_mean_e3", lag(col("mean_e3"), 1).over(w))
+      .filter(col("prev_mean_e3").isNotNull)
+      .select(
+        col(idCol), col("block_no"), col("mean_e3"), col("prev_mean_e3"),
+        abs(col("mean_e3") - col("prev_mean_e3")).as("delta_e3"))
+      .withColumn("is_cut", col("delta_e3") > thresholdE3)
+  }
+
   /** Codepoint iterator over a string (surrogate-pair aware). */
   private[operators] def codePoints(s: String): Iterator[Long] = new Iterator[Long] {
     private var i = 0 // UTF-16 offset

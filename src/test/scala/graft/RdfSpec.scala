@@ -61,6 +61,21 @@ class RdfSpec extends SparkSpec {
       Seq(1L, 1L, 1L, 120L, 120L, 120L)))
   }
 
+  test("multimodal: scene cuts flag exactly the above-threshold mean jumps") {
+    // blocks of 2 cps: "aa"(mean 97000), "zz"(122000), "aa"(97000),
+    // "ab"(97500) -> deltas 25000, 25000, 500
+    val docs = Seq((1L, "aazzaaab")).toDF("doc_id", "text")
+    val out = Multimodal.sceneCuts(docs, 2, thresholdE3 = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(out === Set(
+      Seq(1L, 1L, 122000L, 97000L, 25000L, true),
+      Seq(1L, 2L, 97000L, 122000L, 25000L, true),
+      Seq(1L, 3L, 97500L, 97000L, 500L, false)))
+    // single-block doc has no adjacent pair -> no rows
+    assert(Multimodal.sceneCuts(Seq((2L, "ab")).toDF("doc_id", "text"), 2)
+      .count() === 0)
+  }
+
   test("multimodal: a custom codec injects through the seam, operators unchanged") {
     // a toy "real" codec: fixed 16x16 dims, 3 frames, bytes as samples —
     // every operator must pick it up via the parameter alone
