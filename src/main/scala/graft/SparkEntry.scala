@@ -1449,49 +1449,55 @@ object SparkEntry {
       |       array_to_string(syms, ' ') AS segmented
       |FROM st$steps""".stripMargin
 
+  // Every CTE in the chain is MATERIALIZED: each step references the
+  // previous state table three times (pair counts, explode, fallback
+  // branch), so DuckDB's default inlining re-evaluates the chain
+  // O(3^steps) times — measured 259 s for the 6-step segment twin at
+  // sf0.01 vs 0.6 s materialized, identical rows. This keeps the
+  // driver's whole oracle sweep inside its time budget.
   private def bpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH st0 AS (
+      s"""WITH st0 AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
          |         list_filter(string_split(word, ''), x -> x != '') AS syms
          |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)""".stripMargin)
     for (i <- 1 to steps) {
       val p = i - 1
       sb.append(s""",
-         |pc$i AS (
+         |pc$i AS MATERIALIZED (
          |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS pn FROM (
          |    SELECT n,
          |           unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS a,
          |           unnest(list_transform(range(1, len(syms)), j -> syms[j + 1])) AS b
          |    FROM st$p WHERE len(syms) >= 2)
          |  GROUP BY 1, 2),
-         |top$i AS (SELECT a, b, pn FROM pc$i ORDER BY pn DESC, a ASC, b ASC LIMIT 1),
-         |ex$i AS (
+         |top$i AS MATERIALIZED (SELECT a, b, pn FROM pc$i ORDER BY pn DESC, a ASC, b ASC LIMIT 1),
+         |ex$i AS MATERIALIZED (
          |  SELECT e.word, e.n, e.pos, e.sym,
          |         lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
          |         t.a, t.b
          |  FROM (SELECT word, n, unnest(syms) AS sym,
          |               generate_subscripts(syms, 1) AS pos
          |        FROM st$p) e CROSS JOIN top$i t),
-         |fl$i AS (
+         |fl$i AS MATERIALIZED (
          |  SELECT *, COALESCE(sym = a AND nxt = b, FALSE) AS c,
          |         pos - SUM(CASE WHEN COALESCE(sym = a AND nxt = b, FALSE)
          |                        THEN 1 ELSE 0 END)
          |               OVER (PARTITION BY word ORDER BY pos) AS run
          |  FROM ex$i),
-         |act$i AS (
+         |act$i AS MATERIALIZED (
          |  SELECT *, c AND ((pos - MIN(CASE WHEN c THEN pos END)
          |                          OVER (PARTITION BY word, run)) % 2 = 0) AS active
          |  FROM fl$i),
-         |mg$i AS (
+         |mg$i AS MATERIALIZED (
          |  SELECT word, n, pos,
          |         CASE WHEN active THEN sym || nxt
          |              WHEN COALESCE(lag(active) OVER (PARTITION BY word ORDER BY pos),
          |                            FALSE) THEN NULL
          |              ELSE sym END AS out
          |  FROM act$i),
-         |st$i AS (
+         |st$i AS MATERIALIZED (
          |  SELECT word, n, list(out ORDER BY pos) AS syms
          |  FROM mg$i WHERE out IS NOT NULL GROUP BY 1, 2
          |  UNION ALL

@@ -21,13 +21,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val t0 = System.nanoTime()
+    var nOk = 0
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val wallSec = (System.nanoTime() - t0) / 1e9
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +50,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run summary: distinguishes "Verify finished and dumped N results"
+    // from a truncated/absent driver artifact (round-11's CORRECTNESS
+    // file shipped as `{}` with no way to tell which side died).
+    val summary =
+      s"""{"n_queries": ${nOk + failed.size}, "n_ok": $nOk, """ +
+      s""""n_failed": ${failed.size}, "wall_sec": ${f"$wallSec%.1f"}, """ +
+      s""""failed": ${failed.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/summary.json"), summary)
     spark.stop()
   }
 }
