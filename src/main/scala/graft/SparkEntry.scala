@@ -1377,7 +1377,10 @@ object SparkEntry {
 
     // -- flagship composition: the full curation DAG (quality gate →
     //    exact dedup → SimHash near-dup clusters → hash split) with a
-    //    single DuckDB oracle over the whole chain
+    //    single DuckDB oracle over the whole chain. Runs the DEFAULT
+    //    configuration — which, as of r12, caps near-dup bucket
+    //    occupancy (Curation.DefaultMaxBucketSize), so the headline
+    //    pipeline is the scale-safe form.
     "pipe_curation" -> ((s, dir) =>
       graft.pipelines.Curation.curate(
         Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
@@ -1405,15 +1408,19 @@ object SparkEntry {
     //    (hash of the component's min id), so near-copies never
     //    straddle train/val — whole-chain oracle over SimHash pairs +
     //    CC + the bucket derivation
+    // Explicitly UNCAPPED (maxBucketSize = None opts out of the r12
+    // capped default): kept as the documented motivation row for the
+    // hot-bucket quadratic cliff the default now avoids.
     "pipe_leakage_split" -> ((s, dir) =>
       graft.pipelines.Curation.leakageSafeSplit(
-        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable,
+        maxBucketSize = None)),
     // leakage-safe split over the occupancy-capped near-dup graph —
-    // same cluster-level split guarantee, scale-path candidate stage
+    // exercises the DEFAULT (capped) configuration, proving the
+    // default path is the scale-safe one
     "pipe_leakage_split_capped" -> ((s, dir) =>
       graft.pipelines.Curation.leakageSafeSplit(
-        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable,
-        maxBucketSize = Some(8)))
+        Tables.documents(s, dir), 800, 100, 3, Hashing.Portable))
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
@@ -4253,20 +4260,9 @@ object SparkEntry {
          |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
          |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
-         |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cands
-         |  JOIN sig sa ON sa.doc_id = doc_a
-         |  JOIN sig sb ON sb.doc_id = doc_b
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
          |reach(a, b) AS (
          |  SELECT doc_id, doc_id FROM cd
          |  UNION
@@ -4294,20 +4290,9 @@ object SparkEntry {
          |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
          |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
-         |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cands
-         |  JOIN sig sa ON sa.doc_id = doc_a
-         |  JOIN sig sb ON sb.doc_id = doc_b
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
          |reach(a, b) AS (
          |  SELECT doc_id, doc_id FROM cd
          |  UNION
@@ -4364,20 +4349,9 @@ object SparkEntry {
          |exd AS (SELECT min(doc_id) AS doc_id FROM cd1 GROUP BY text),
          |cd AS (SELECT c.doc_id, c.text FROM cd1 c JOIN exd USING (doc_id)),
          |${simhashSql("cd")},
-         |banded AS (
-         |  SELECT doc_id, band, (simhash >> (band*16)) & 65535 AS band_val
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cands
-         |  JOIN sig sa ON sa.doc_id = doc_a
-         |  JOIN sig sb ON sb.doc_id = doc_b
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
          |reach(a, b) AS (
          |  SELECT doc_id, doc_id FROM cd
          |  UNION

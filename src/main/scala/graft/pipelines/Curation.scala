@@ -29,6 +29,14 @@ import graft.operators.{Dedup, TextOps}
   */
 object Curation {
 
+  /** Default SimHash occupancy cap for the near-dup stage. Uncapped
+    * band joins are quadratic in hot buckets (measured 28× wall at 10×
+    * input on the sf1 smoke vs 1.5× capped), so the scale-safe capped
+    * form is the default; pass `maxBucketSize = None` to opt out on
+    * corpora known to be hot-bucket-free.
+    */
+  val DefaultMaxBucketSize: Option[Int] = Some(8)
+
   /** Optional extra gates (both off by default, so the base chain is
     * unchanged):
     *  - `maxTopBigramE3 < 1000` adds a repetition gate — docs whose
@@ -46,9 +54,9 @@ object Curation {
     *    corpus-mixing stage, applied after dedup so quota slots are
     *    never wasted on duplicates.
     *  - `maxBucketSize` threads the SimHash occupancy guard
-    *    ([[Dedup.simhashPairs]]) into the near-dup stage — the
-    *    recommended setting for near-dup-heavy corpora at scale, where
-    *    the uncapped band join is the chain's dominant cost.
+    *    ([[Dedup.simhashPairs]]) into the near-dup stage — capped at
+    *    [[DefaultMaxBucketSize]] by default since the uncapped band
+    *    join is quadratic in hot buckets; `None` opts out.
     */
   def curate(
       docs: DataFrame,
@@ -60,7 +68,7 @@ object Curation {
       probes: Option[DataFrame] = None,
       minSharedShingles: Int = 5,
       quota: Option[(String, Int)] = None,
-      maxBucketSize: Option[Int] = None,
+      maxBucketSize: Option[Int] = DefaultMaxBucketSize,
       checkpointDir: Option[String] = None): DataFrame = {
     // 1. quality gate — semi-join against the keep set (broadcastable;
     // degrades to a shuffled semi-join at scale)
@@ -138,8 +146,9 @@ object Curation {
     * audited elsewhere); the split itself is a narrow projection on
     * the 16-byte (doc, component) frame. `maxBucketSize` threads the
     * SimHash occupancy guard ([[Dedup.simhashPairs]]) into the pair
-    * stage — at scale it also thins the CC edge list, which is the
-    * loop's per-round cost driver.
+    * stage — capped at [[DefaultMaxBucketSize]] by default; at scale
+    * it also thins the CC edge list, which is the loop's per-round
+    * cost driver.
     */
   def leakageSafeSplit(
       docs: DataFrame,
@@ -147,7 +156,7 @@ object Curation {
       valPermille: Int = 100,
       maxHamming: Int = 3,
       hash: Hashing.HashTier = Hashing.Fast,
-      maxBucketSize: Option[Int] = None,
+      maxBucketSize: Option[Int] = DefaultMaxBucketSize,
       checkpointDir: Option[String] = None): DataFrame = {
     require(trainPermille + valPermille <= 1000)
     val ids = docs.select(col("doc_id"))
