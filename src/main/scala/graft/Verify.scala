@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The `summary.json` body: run counts + wall time, so a downstream
+    * consumer can distinguish "Verify finished and dumped N results"
+    * from a truncated or absent artifact (round 11's correctness file
+    * shipped as `{}` with no way to tell which side died). Failed
+    * query names are JSON-escaped with the same escaper as the oracle
+    * SQL dump.
+    */
+  private[graft] def summaryJson(
+      nOk: Int, failed: Seq[String], wallSec: Double): String =
+    s"""{"n_queries": ${nOk + failed.size}, "n_ok": $nOk, """ +
+    s""""n_failed": ${failed.size}, "wall_sec": ${f"$wallSec%.1f"}, """ +
+    s""""failed": ${failed.map(jsonStr).mkString("[", ",", "]")}}"""
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness.
+    */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev only): comma-separated query names — dump and
     // oracle-list just those. The driver's two-arg call is unchanged.
@@ -35,29 +64,12 @@ object Verify {
       }
     }
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Run summary: distinguishes "Verify finished and dumped N results"
-    // from a truncated/absent driver artifact (round-11's CORRECTNESS
-    // file shipped as `{}` with no way to tell which side died).
-    val summary =
-      s"""{"n_queries": ${nOk + failed.size}, "n_ok": $nOk, """ +
-      s""""n_failed": ${failed.size}, "wall_sec": ${f"$wallSec%.1f"}, """ +
-      s""""failed": ${failed.map(q).mkString("[", ",", "]")}}"""
-    Files.writeString(Paths.get(s"$outDir/summary.json"), summary)
+    Files.writeString(Paths.get(s"$outDir/summary.json"),
+      summaryJson(nOk, failed.toSeq, wallSec))
     spark.stop()
   }
 }
