@@ -775,7 +775,16 @@ object Dedup {
     var prevSum: Option[BigDecimal] = None
     var changed = true
     var round = 0
-    while (changed && round < maxRounds) {
+    // Rounds-to-fixpoint is the operator's scale driver. Clique-shaped
+    // dedup graphs converge in 2-5 rounds; when propagation is still
+    // running after StarFallbackRounds the graph is long-diameter or
+    // densifying, and each further round pays an edge-sized shuffle.
+    // At that point the loop contracts by the current labels and
+    // finishes with the alternating large-star/small-star rounds
+    // ([[largeSmallStarComponents]]) over the (much smaller) quotient
+    // graph — the 100 TB path for adversarial pair graphs.
+    val starAt = math.min(StarFallbackRounds, maxRounds)
+    while (changed && round < starAt) {
       // broadcastLabels: the checkpointed edge list has no size stats,
       // so Catalyst plans a sort-merge join that re-sorts the FULL edge
       // list every round (measured ~2s/round at sf0.1). When the caller
@@ -826,12 +835,140 @@ object Dedup {
       round += 1
       log.info(s"connectedComponents round $round: label_sum=${labelSum.orNull}")
     }
+    if (changed && round < maxRounds) {
+      // Star fallback: contract every edge to its endpoints' current
+      // labels (labels always stay within their component, so the
+      // quotient has the same component structure, and each
+      // component's global minimum survives as a quotient vertex —
+      // its own label is itself). Finish on the quotient with the
+      // remaining round budget, then compose: final(x) = comp(l(x)).
+      log.info(s"connectedComponents: no fixpoint after $round label-propagation " +
+        "round(s); contracting and switching to large-star/small-star")
+      val lu = labels.select(col("doc_id").as("cu"), col("label").as("la"))
+      val lv = labels.select(col("doc_id").as("cv"), col("label").as("lb"))
+      val contracted = edges
+        .join(lu, edges("u") === col("cu"))
+        .join(lv, edges("v") === col("cv"))
+        .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+      val qverts = labels.select(col("label").as("doc_id")).distinct()
+      val qcomp = largeSmallStarComponents(
+        contracted, qverts, maxRounds - round, checkpointDir)
+        .select(col("doc_id").as("qd"), col("component_id"))
+      labels = labels.join(qcomp, labels("label") === col("qd"), "left_outer")
+        .select(labels("doc_id"),
+          coalesce(col("component_id"), labels("label")).as("label"))
+      changed = false // the star loop logs its own convergence status
+    }
     // rounds-to-fixpoint is THE scale driver of this operator (cost =
     // rounds × per-round job overhead) — always log it so a 10× run
     // can be adjudicated as diameter-bound vs blowup (PERF notes)
     log.info(s"connectedComponents: ${if (changed) "max-rounds stop" else "fixpoint"} " +
       s"after $round round(s), maxRounds=$maxRounds, broadcastLabels=$broadcastLabels")
     labels.select(col("doc_id"), col("label").as("component_id"))
+  }
+
+  /** Label-propagation rounds [[connectedComponents]] runs before
+    * contracting and handing the quotient graph to
+    * [[largeSmallStarComponents]]. ~10 pointer-jumping rounds resolve
+    * any graph of diameter ≲ 2¹⁰ ≈ 10³; a graph still unconverged is
+    * adversarially deep or densifying, where the star rounds' provable
+    * O(log² n) bound (and smaller contracted input) wins.
+    */
+  private[graft] val StarFallbackRounds = 10
+
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — the Two-Phase algorithm): the edge set
+    * itself is the state, and each round rewrites edges toward local
+    * minima until the graph is a union of minimum-rooted stars.
+    *
+    *  - large-star: per vertex `u`, every strictly LARGER neighbor is
+    *    re-pointed at `m = min(Γ(u) ∪ {u})`;
+    *  - small-star: per vertex `u` over child→parent canonical edges
+    *    (`v < u`), every smaller neighbor — and `u` itself — is
+    *    re-pointed at the minimum parent.
+    *
+    * Both operations only ever REPLACE an edge endpoint with a
+    * smaller vertex id, so the canonical edge set's endpoint sum is
+    * strictly monotone decreasing under any change — the convergence
+    * test is therefore one `observe`d decimal(38,0) sum riding the
+    * per-round checkpoint job (same device as [[connectedComponents]]'
+    * label sum; no count pass, no edge-set diff join).
+    *
+    * Scale shape: per round, two key-grouped aggregates + two joins
+    * over the edge list — everything keyed on 8-byte vertex ids, cost
+    * O(|E|) per round with no vertex-sized driver state, and the
+    * round count is O(log² n) worst-case (in practice ≤ the
+    * pointer-jumping round count on the same graph). Used directly
+    * for adversarial graphs, and as [[connectedComponents]]' fallback
+    * after [[StarFallbackRounds]] unconverged propagation rounds.
+    */
+  private[graft] def largeSmallStarComponents(
+      pairs: DataFrame,
+      vertices: DataFrame,
+      maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // canonical child→parent orientation (u > v), loops dropped
+    var e = Checkpoints.cut(
+      pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct(), checkpointDir)
+    var prevSum: Option[BigDecimal] = None
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      // large-star over the symmetric view: m = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-points to m. Each canonical edge is
+      // emitted exactly once (via its larger endpoint as v), and
+      // v > u >= m keeps the output canonical with no loops.
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over canonical edges: per u, m = min parent; all
+      // other parents pair to m, and u itself re-points to m. Output
+      // stays canonical (every emitted pair has larger-first).
+      val smins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(smins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val obs = new org.apache.spark.sql.Observation(s"star_round_$round")
+      val next = Checkpoints.cut(
+        ss.observe(obs,
+          sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)"))
+            .as("edge_sum")), checkpointDir)
+      val edgeSum = Option(obs.get("edge_sum"))
+        .collect { case d: java.math.BigDecimal => BigDecimal(d) }
+      changed = (edgeSum, prevSum) match {
+        case (Some(cur), Some(prev)) => cur < prev
+        case (Some(_), None)         => true  // first round: no prior sum
+        case (None, _)               => false // edge set emptied: stars of size 1
+      }
+      prevSum = edgeSum
+      e = next
+      round += 1
+      log.info(s"largeSmallStar round $round: edge_sum=${edgeSum.orNull}")
+    }
+    log.info(s"largeSmallStar: ${if (changed) "max-rounds stop" else "fixpoint"} " +
+      s"after $round round(s), maxRounds=$maxRounds")
+    // at fixpoint the edges are minimum-rooted stars: each child u has
+    // exactly one parent v = its component's minimum (min() guards the
+    // max-rounds-stop case, where a child may still carry two parents)
+    val childLab = e.groupBy(col("u")).agg(min(col("v")).as("clab"))
+      .select(col("u").as("cid"), col("clab"))
+    vertices.select(col("doc_id"))
+      .join(childLab, col("doc_id") === col("cid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clab"), col("doc_id")).as("component_id"))
   }
 
   /** SimHash near-dup pairs: band the `bits`-wide signature into 4

@@ -176,6 +176,45 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
   }
 
+  test("large-star/small-star: same labels as label propagation on mixed fixtures") {
+    // path, 2-clique, singleton — plus duplicate and reversed pairs,
+    // which the canonicalization must absorb
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L), (5L, 6L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val verts = (1L to 7L).toDF("doc_id")
+    assert(rowSet(Dedup.largeSmallStarComponents(pairs, verts)) ===
+      rowSet(Dedup.connectedComponents(pairs, verts)))
+  }
+
+  test("large-star/small-star: empty pair set and 64-bit hash-range ids") {
+    assert(rowSet(Dedup.largeSmallStarComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), (1L to 3L).toDF("doc_id"))) ===
+      Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
+    // the decimal(38,0) edge-sum convergence metric must survive ids
+    // whose Long sum wraps (same adversary as the CC label-sum test)
+    val base = Long.MaxValue - 40L
+    val ids = (0L until 20L).map(base + _)
+    val pairs = ids.take(10).sliding(2).map(p => (p(0), p(1))).toSeq ++
+      Seq((ids(10), ids(11)))
+    assert(rowSet(Dedup.largeSmallStarComponents(
+      pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))) ===
+      rowSet(Dedup.connectedComponents(
+        pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))))
+  }
+
+  test("star fallback: a path deeper than the propagation budget labels to the min") {
+    // a 5000-vertex path needs ~13 pointer-jumping rounds — past
+    // StarFallbackRounds (10), so connectedComponents contracts and
+    // finishes on the large-star/small-star quotient; every vertex
+    // must still land on the global minimum label
+    val n = 5000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (0L until n).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, verts, maxRounds = 30)
+    assert(cc.count() === n)
+    assert(cc.filter(col("component_id") =!= 0L).count() === 0L)
+  }
+
   test("spanRemoval: keep-first block dedup reassembles retained text") {
     // n=2 blocks. doc 1: [a b][c d][a b] -> third block duplicates the
     // first WITHIN the doc. doc 2 repeats doc 1's opening block and has

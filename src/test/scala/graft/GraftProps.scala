@@ -137,6 +137,27 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
+  /** The large-star/small-star edge-rewriting loop (Kiveris et al.)
+    * computes the same min-id components as the union-find reference
+    * on random graphs — the differential proof behind
+    * [[Dedup.connectedComponents]]' deep-graph fallback.
+    */
+  property("largeSmallStarComponents equals union-find") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L)))) { rawPairs =>
+      val pairs = rawPairs.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map((1L to 8L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to 8L).map(i => Seq[Any](i, find(i))).toSet
+      val got = Dedup.largeSmallStarComponents(
+        pairs.toDF("doc_a", "doc_b"), (1L to 8L).toDF("doc_id"))
+        .collect().map(_.toSeq).toSet
+      got == expected
+    }
+
   private val genWord: Gen[String] = Gen.oneOf("a", "b", "cat", "dog", "the", "x1")
   private val genDoc: Gen[String] = Gen.listOfN(8, genWord).map(_.mkString(" "))
   private val genDocs: Gen[List[(Long, String)]] =
