@@ -120,7 +120,13 @@ object ScaleSmoke {
     // BPE training touches the corpus once (word counts) and then
     // iterates on the vocabulary-sized symbol table — the 10x point
     // checks the loop cost is vocab-bound, not corpus-bound
-    "t_bpe_merges")
+    "t_bpe_merges",
+    // round-11 graph tier: PPR's per-seed frames ride one cut edge
+    // frame, LPA re-joins the label table per round, harmonic-2 is a
+    // wedge self-join, and modularity squares per-community degree
+    // sums — the wedge join and the per-round label join are the two
+    // shapes whose 10x growth these points adjudicate
+    "g_ppr", "g_label_prop", "g_modularity", "g_harmonic2")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
