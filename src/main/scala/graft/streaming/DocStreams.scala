@@ -290,9 +290,12 @@ object DocStreams {
     * keys and the candidate grid broadcasts, exactly the
     * [[graft.operators.TextOps.nbScore]] plan.
     *
-    * Retry semantics: a replayed batch re-appends its score rows;
-    * scoring is deterministic per doc, so consumers key on `doc_id`
-    * (the [[fuzzyIngest]] idempotent-by-read discipline).
+    * Retry semantics: exactly-once by partition. Each micro-batch's
+    * scores land in a `batch_id=<epoch>` partition written with
+    * dynamic partition overwrite, so a replayed batch REPLACES its own
+    * partition instead of appending duplicate rows — row counts, not
+    * just row sets, survive a retry. Consumers that don't care about
+    * provenance just don't select `batch_id`.
     */
   def nbClassifyStream(
       docs: DataFrame,
@@ -301,13 +304,28 @@ object DocStreams {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the model carries its own hash tier — a scorer-side tier
-        // could silently mismatch the trained count table
-        graft.operators.TextOps.nbScore(batch, model)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeScoredBatch(batch, model, outDir, batchId)
       }
       .start()
+
+  /** One [[nbClassifyStream]] micro-batch write — the replay-
+    * idempotence seam (a retried foreachBatch invocation re-runs this
+    * with the SAME batchId and must leave the sink unchanged).
+    */
+  private[graft] def writeScoredBatch(
+      batch: DataFrame,
+      model: graft.operators.TextOps.NbModel,
+      outDir: String,
+      batchId: Long): Unit =
+    // the model carries its own hash tier — a scorer-side tier
+    // could silently mismatch the trained count table
+    graft.operators.TextOps.nbScore(batch, model)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
 
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set

@@ -645,11 +645,24 @@ class StreamingSpec extends SparkSpec {
         in.addData(chunk.toSeq)
         q.processAllAvailable()
       }
-      val streamed = rowSet(spark.read.parquet(s"$dirs/out"))
+      val out = spark.read.parquet(s"$dirs/out").drop("batch_id")
+      val streamed = rowSet(out)
+      // COUNT equality, not just set equality: an append-mode sink
+      // would survive a set compare while silently duplicating rows
+      assert(out.count() === test.length.toLong)
       // batch-composition-blind: per-doc scoring against a frozen model
       assert(streamed === rowSet(TextOps.nbScore(docs.filter(!isTrain), model)))
       // and the whole chain equals the monolithic classifier
       assert(streamed === rowSet(TextOps.nbSourceClassify(docs, trainPermille = 900)))
+      // replay idempotence: re-running a batch write with its original
+      // batchId (what a foreachBatch retry does) must leave the sink's
+      // row COUNT unchanged — the partition is replaced, not appended
+      graft.streaming.DocStreams.writeScoredBatch(
+        test.take(5).toSeq.toDF("doc_id", "source", "text"), model, s"$dirs/out", 0L)
+      graft.streaming.DocStreams.writeScoredBatch(
+        test.take(5).toSeq.toDF("doc_id", "source", "text"), model, s"$dirs/out", 0L)
+      val replayed = spark.read.parquet(s"$dirs/out")
+      assert(replayed.filter(col("batch_id") === 0L).count() === 5L)
     } finally q.stop()
   }
 
