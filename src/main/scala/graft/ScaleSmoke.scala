@@ -126,7 +126,12 @@ object ScaleSmoke {
     // wedge self-join, and modularity squares per-community degree
     // sums — the wedge join and the per-round label join are the two
     // shapes whose 10x growth these points adjudicate
-    "g_ppr", "g_label_prop", "g_modularity", "g_harmonic2")
+    "g_ppr", "g_label_prop", "g_modularity", "g_harmonic2",
+    // suffix-array-grade exact-substring coverage: the positioned
+    // window stream is corpus-token-sized and the first-occurrence
+    // table is a min-struct aggregate — the 10x point checks both the
+    // hash-keyed join-back and the per-doc island windows stay linear
+    "d_exact_span_cov")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -849,6 +849,18 @@ object SparkEntry {
     // 8-word blocks, reassembled retained text per doc
     "d_span_removal" -> ((s, dir) =>
       Dedup.spanRemoval(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
+
+    // suffix-array-grade exact-substring coverage: OVERLAPPING k-token
+    // windows (every offset tested, unlike the block-aligned
+    // d_span_removal), global keep-first by (doc_id, offset), runs
+    // merged to maximal spans. k=16 here (fixture docs average ~54
+    // tokens; the API default is the Lee et al. 50)
+    "d_exact_span_cov" -> ((s, dir) =>
+      Dedup.exactSpanCoverage(Tables.documents(s, dir), 16, hash = Hashing.Portable)),
+    // the removal form: duplicated positions dropped keep-first and
+    // the surviving tokens reassembled in order
+    "d_exact_span_scrub" -> ((s, dir) =>
+      Dedup.exactSpanScrub(Tables.documents(s, dir), 16, hash = Hashing.Portable)),
     // general edit-distance join, pinned scope = pairs sharing the
     // 7-digit key prefix (edits beyond it are out of scope by
     // contract); the finer block keeps in-bucket pairing linear-ish
@@ -1614,6 +1626,42 @@ object SparkEntry {
        |    FROM documents))""".stripMargin
 
   private val SHINGLES = shinglesSql(3)
+
+  /** DuckDB twin of [[Dedup.exactSpanCoverage]]'s island derivation at
+    * k=16: positioned OVERLAPPING window hashes (0-based offsets, NOT
+    * the distinct positionless [[shinglesSql]] form), global
+    * keep-first rank by (doc_id, offset), non-first windows merged
+    * gaps-and-islands into maximal `iv(doc_id, isl, wstart, wend)`
+    * intervals; `tot` carries per-doc token counts. Shared by the
+    * coverage and scrub oracles.
+    */
+  private lazy val EXACT_SPAN_ISLANDS =
+    s"""tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+       |        FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len($TOKS) >= 16
+       |           THEN range(0, len($TOKS) - 15) ELSE [] END) AS widx,
+       |         unnest(CASE WHEN len($TOKS) >= 16
+       |           THEN list_transform(range(0, len($TOKS) - 15),
+       |                i -> ${ph(s"array_to_string(($TOKS)[i+1:i+16], ' ')")})
+       |           ELSE [] END) AS wh
+       |  FROM documents),
+       |rk AS (SELECT doc_id, widx, row_number() OVER (
+       |         PARTITION BY wh ORDER BY doc_id, widx) AS rn FROM win),
+       |nf AS (SELECT doc_id, widx FROM rk WHERE rn > 1),
+       |fl AS (SELECT doc_id, widx,
+       |         CASE WHEN widx > COALESCE(MAX(widx) OVER (
+       |                PARTITION BY doc_id ORDER BY widx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              -1000000) + 15
+       |              THEN 1 ELSE 0 END AS brk FROM nf),
+       |il AS (SELECT doc_id, widx, SUM(brk) OVER (
+       |         PARTITION BY doc_id ORDER BY widx
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |       FROM fl),
+       |iv AS (SELECT doc_id, isl, MIN(widx) AS wstart, MAX(widx) + 15 AS wend
+       |       FROM il GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of [[Dedup.minhashSignatures]] (k=8) over SHINGLES. */
   private val MINHASH =
@@ -2665,6 +2713,36 @@ object SparkEntry {
          |  FROM kept GROUP BY 1)
          |SELECT tot.doc_id, tot.n_blocks,
          |       COALESCE(ka.n_kept, 0) AS n_kept,
+         |       COALESCE(ka.retained_text, '') AS retained_text
+         |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin,
+
+    "d_exact_span_cov" ->
+      s"""WITH $EXACT_SPAN_ISLANDS
+         |SELECT tot.doc_id, tot.n_tokens,
+         |       CAST(COALESCE(dup.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(CASE WHEN tot.n_tokens > 0
+         |            THEN floor(COALESCE(dup.n_dup_tokens, 0)*1000 / tot.n_tokens)
+         |            ELSE 0 END AS BIGINT) AS dup_frac_e3
+         |FROM tot LEFT JOIN (
+         |  SELECT doc_id, CAST(SUM(wend - wstart + 1) AS BIGINT) AS n_dup_tokens
+         |  FROM iv GROUP BY 1) dup USING (doc_id)""".stripMargin,
+
+    "d_exact_span_scrub" ->
+      s"""WITH $EXACT_SPAN_ISLANDS,
+         |pos AS (SELECT doc_id, unnest(range(wstart, wend + 1)) AS pos FROM iv),
+         |tk AS (SELECT doc_id, unnest($TOKS) AS tok,
+         |              generate_subscripts($TOKS, 1) - 1 AS pos
+         |       FROM documents),
+         |keep AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |  LEFT JOIN pos p ON p.doc_id = t.doc_id AND p.pos = t.pos
+         |  WHERE p.doc_id IS NULL),
+         |ka AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY pos) AS retained_text
+         |  FROM keep GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_tokens,
+         |       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
          |       COALESCE(ka.retained_text, '') AS retained_text
          |FROM tot LEFT JOIN ka USING (doc_id)""".stripMargin,
 

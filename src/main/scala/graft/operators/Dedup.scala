@@ -324,6 +324,148 @@ object Dedup {
         coalesce(col("retained_text"), lit("")).as("retained_text"))
   }
 
+  /** Exact-substring duplicate coverage at suffix-array grade (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr discipline): a token position is
+    * DUPLICATED iff it lies inside some `k`-token window whose content
+    * also occurs earlier in the corpus, where "earlier" is the global
+    * keep-first order `(doc_id, window offset)`. Unlike
+    * [[spanRemoval]]'s block-aligned approximation, windows OVERLAP:
+    * every `k`-token substring is tested at every offset — the
+    * guarantee a suffix array provides — re-expressed Spark-first as a
+    * hash-keyed global minimum instead of a sorted suffix structure.
+    * Returns `(doc_id, n_tokens, n_dup_tokens, dup_frac_e3)`, one row
+    * per document (docs shorter than `k` tokens report 0 coverage).
+    *
+    * Multi-shard merge discipline (what replaces the suffix array at
+    * corpus scale): each shard generates its own positioned window
+    * hashes in one native pass ([[graft.functions.NativeOps]]'
+    * shingle kernel — no token arrays or window strings materialize);
+    * the only corpus-wide exchange is (1) a map-side-combinable
+    * `min(struct(doc_id, offset))` per window hash — the global
+    * first-occurrence table — and (2) the join of window rows back to
+    * that table by the 8-byte hash. No sorted order is ever
+    * maintained across shards, which is exactly why it shards: the
+    * shuffle carries 20-byte rows, text never leaves the scan, and a
+    * hot window (corpus-wide boilerplate) costs its occurrence count
+    * linearly, never quadratically. Duplicated-window runs then merge
+    * into maximal spans per document (gaps-and-islands over window
+    * offsets, interval end = offset + k − 1) so coverage is counted
+    * exactly once per position with no k× position explosion.
+    *
+    * Hash note: "same content" means same [[Hashing.HashTier]] window
+    * hash — the standard content-addressed assumption, identical on
+    * the oracle side.
+    */
+  def exactSpanCoverage(
+      docs: DataFrame,
+      k: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash)
+    val dup = islands.groupBy(col("doc_id"))
+      .agg(sum(col("wend") - col("wstart") + 1).as("n_dup_tokens"))
+    totals.join(dup, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          floor(coalesce(col("n_dup_tokens"), lit(0L)) * 1000 / col("n_tokens")))
+          .otherwise(0L).cast("long").as("dup_frac_e3"))
+  }
+
+  /** [[exactSpanCoverage]]'s removal form: drop every duplicated
+    * position (keep-first — the globally first occurrence of each
+    * window survives) and reassemble the retained tokens in order.
+    * Returns `(doc_id, n_tokens, n_kept, retained_text)`;
+    * `retained_text` is whitespace-normalized (single spaces), the
+    * same convention as [[spanRemoval]].
+    *
+    * Scale shape: adds one output-bound interval→position explode
+    * (Σ island lengths ≤ corpus tokens) and a doc-keyed anti-join of
+    * the position stream — document text rides only the final
+    * per-doc reassembly aggregate, never the dedup shuffle.
+    */
+  def exactSpanScrub(
+      docs: DataFrame,
+      k: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash)
+    val dupPos = islands.select(col("doc_id"),
+      explode(sequence(col("wstart"), col("wend"))).as("pos"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(dupPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")), " ").as("retained_text"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("retained_text"), lit("")).as("retained_text"))
+  }
+
+  /** Shared body of [[exactSpanCoverage]] / [[exactSpanScrub]]:
+    * `(totals(doc_id, n_tokens), islands(doc_id, wstart, wend))` —
+    * maximal merged duplicated-position intervals per doc. The
+    * first-occurrence table is a map-side-combinable min-struct
+    * aggregate (NOT a row_number window: a rank over a hot window
+    * hash would single-partition-sort the boilerplate key; the min
+    * aggregate combines on the map side and the join back is
+    * replication-linear).
+    */
+  private def exactSpanIslands(
+      docs: DataFrame,
+      k: Int,
+      textCol: String,
+      idCol: String,
+      hash: Hashing.HashTier): (DataFrame, DataFrame) = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val wins = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NativeOps.shingleHashes(
+          col(textCol), k, hash.portable)))
+      .toDF("doc_id", "widx", "wh")
+      .withColumn("widx", col("widx").cast("long"))
+    val firsts = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("widx"))).as("fst"))
+    val nonFirst = wins.join(firsts, Seq("wh"))
+      .filter(!(col("doc_id") === col("fst.doc_id") &&
+        col("widx") === col("fst.widx")))
+      .select(col("doc_id"), col("widx"))
+    // gaps-and-islands: a window starts a new interval iff it begins
+    // past every previous window's end (offsets sort per doc; ends are
+    // offset + k - 1, so the running max end is running max offset + k - 1)
+    val prevW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("widx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("widx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val islands = nonFirst
+      .withColumn("brk",
+        when(col("widx") >
+          coalesce(max(col("widx")).over(prevW), lit(Long.MinValue / 2)) + (k - 1),
+          1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(runW))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("widx")).as("wstart"),
+        (max(col("widx")) + (k - 1)).as("wend"))
+    (totals, islands)
+  }
+
   /** Blocked edit-distance near-dup join: pairs of rows whose
     * `strCol` values are within Levenshtein distance `maxDist`,
     * restricted to pairs sharing the caller-supplied blocking key

@@ -215,6 +215,50 @@ class DedupSpec extends SparkSpec {
     assert(cc.filter(col("component_id") =!= 0L).count() === 0L)
   }
 
+  test("exactSpanCoverage: overlapping windows, keep-first, merged islands") {
+    // k=3. doc 2 repeats doc 1's "a b c d" mid-text: windows at
+    // offsets 1,2 are non-first, merging to positions 1..4. doc 3
+    // self-repeats "p q r": windows 3,4,5 are non-first (firsts are
+    // its own 0,1,2), covering positions 3..7. doc 4 is shorter than
+    // k — no windows, zero coverage.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q"),
+      (4L, "s t")).toDF("doc_id", "text")
+    val out = Dedup.exactSpanCoverage(docs, k = 3, hash = Hashing.Portable)
+    assert(rowSet(out) === Set(
+      Seq(1L, 5L, 0L, 0L),
+      Seq(2L, 6L, 4L, 666L),
+      Seq(3L, 8L, 5L, 625L),
+      Seq(4L, 2L, 0L, 0L)))
+    // a full copy of doc 1 under a LATER id is fully covered; doc 1
+    // (the first occurrence) is untouched
+    val withCopy = docs.union(Seq((10L, "a b c d e")).toDF("doc_id", "text"))
+    val cov = Dedup.exactSpanCoverage(withCopy, k = 3, hash = Hashing.Portable)
+    assert(rowSet(cov.filter(col("doc_id").isin(1L, 10L))) === Set(
+      Seq(1L, 5L, 0L, 0L),
+      Seq(10L, 5L, 5L, 1000L)))
+  }
+
+  test("exactSpanScrub: duplicated positions drop keep-first, tokens reassemble") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q"),
+      (4L, "s t")).toDF("doc_id", "text")
+    val out = Dedup.exactSpanScrub(docs, k = 3, hash = Hashing.Portable)
+    assert(rowSet(out) === Set(
+      Seq(1L, 5L, 5L, "a b c d e"),
+      Seq(2L, 6L, 2L, "x y"),
+      Seq(3L, 8L, 3L, "p q r"),
+      Seq(4L, 2L, 2L, "s t")))
+    // a whole-doc later copy scrubs to nothing
+    val withCopy = docs.union(Seq((10L, "a b c d e")).toDF("doc_id", "text"))
+    assert(rowSet(Dedup.exactSpanScrub(withCopy, k = 3, hash = Hashing.Portable)
+      .filter(col("doc_id") === 10L)) === Set(Seq(10L, 5L, 0L, "")))
+  }
+
   test("spanRemoval: keep-first block dedup reassembles retained text") {
     // n=2 blocks. doc 1: [a b][c d][a b] -> third block duplicates the
     // first WITHIN the doc. doc 2 repeats doc 1's opening block and has

@@ -67,6 +67,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
       Seq.empty[Long].toDF("doc_id")).count() === 0)
+    assert(Dedup.largeSmallStarComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      Seq.empty[Long].toDF("doc_id")).count() === 0)
+    assert(Dedup.exactSpanCoverage(emptyDocs).count() === 0)
+    assert(Dedup.exactSpanScrub(emptyDocs).count() === 0)
   }
 
   test("whitespace-only and tiny documents produce no shingles, no crash") {
