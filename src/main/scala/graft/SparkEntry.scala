@@ -945,6 +945,19 @@ object SparkEntry {
         broadcastLabels = true)
     }),
 
+    // the SAME clusters computed by the large-star/small-star rounds
+    // (Kiveris et al.) instead of label propagation — the deep-graph
+    // algorithm gets its own oracle row over the capped pair graph,
+    // pinning the two algorithms to one answer against DuckDB
+    "d_star_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.largeSmallStarComponents(
+        Dedup.simhashPairs(
+          Dedup.simhashSignatures(docs, hash = Hashing.Portable), 3,
+          maxBucketSize = Some(8)),
+        docs.select(col("doc_id")))
+    }),
+
     // cluster-representative selection: the step after clustering in a
     // production dedup chain — keep the best-quality member per cluster
     "d_cluster_reps" -> ((s, dir) => {
@@ -2882,6 +2895,20 @@ object SparkEntry {
     // (50x fewer sf1 edges than the uncapped band join) feeding the
     // same recursive-reach CC twin
     "d_dedup_clusters_capped" ->
+      s"""WITH RECURSIVE $SIMHASH,
+         |$SIMHASH_CAPPED_CPAIRS,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v)
+         |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS component_id
+         |FROM reach GROUP BY a""".stripMargin,
+
+    // the large-star/small-star algorithm computes the SAME components
+    // over the same capped pair graph — identical twin by construction
+    "d_star_clusters" ->
       s"""WITH RECURSIVE $SIMHASH,
          |$SIMHASH_CAPPED_CPAIRS,
          |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
