@@ -131,7 +131,11 @@ object ScaleSmoke {
     // window stream is corpus-token-sized and the first-occurrence
     // table is a min-struct aggregate — the 10x point checks both the
     // hash-keyed join-back and the per-doc island windows stay linear
-    "d_exact_span_cov")
+    "d_exact_span_cov",
+    // the large-star/small-star component rounds over the capped pair
+    // graph — the 10x point checks the edge-rewriting loop's rounds ×
+    // O(|E|) cost tracks the edge list, matching the propagation twin
+    "d_star_clusters")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -212,6 +212,24 @@ class PlanQualitySpec extends SparkSpec {
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("exact-span coverage: first-occurrence table aggregates, never rank-windows on the hash") {
+    val d = Dedup.exactSpanCoverage(Tables.documents(spark, sfDir), 16)
+    val plan = formatted(d)
+    // the global keep-first table must be a map-side-combining
+    // min-struct aggregate (partial_min before the exchange collapses
+    // hot boilerplate windows per mapper) — a row_number window
+    // partitioned by wh would ship every occurrence of a hot key to
+    // one reducer and rank-sort it there
+    assert(!plan.contains("windowspecdefinition(wh"),
+      s"first-occurrence derivation planned as a window over wh:\n$plan")
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"expected a partial (map-side) min-struct aggregate:\n$plan")
+    // and document text never rides a shuffle (windows are 8-byte hashes)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("PII redaction is a pure narrow projection (no exchange)") {
     val r = graft.operators.TextOps.redactPii(Tables.documents(spark, sfDir))
     val plan = formatted(r)
