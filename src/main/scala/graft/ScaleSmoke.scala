@@ -135,7 +135,11 @@ object ScaleSmoke {
     // the large-star/small-star component rounds over the capped pair
     // graph — the 10x point checks the edge-rewriting loop's rounds ×
     // O(|E|) cost tracks the edge list, matching the propagation twin
-    "d_star_clusters")
+    "d_star_clusters",
+    // scrub-then-curate: the span scrub's position anti-join feeds the
+    // whole capped curation DAG — the longest composed chain in the
+    // library
+    "pipe_curation_scrub")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

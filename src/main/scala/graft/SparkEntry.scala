@@ -1410,6 +1410,17 @@ object SparkEntry {
       graft.pipelines.Curation.curate(
         Tables.documents(s, dir), 800, 100, 3, Hashing.Portable)),
 
+    // -- scrub-then-curate (RefinedWeb-style): exact-substring
+    //    positions removed keep-first, then the default curation DAG
+    //    over the scrubbed text — whole-chain oracle
+    "pipe_curation_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scrubbed = graft.operators.Dedup
+        .exactSpanScrub(docs, 16, hash = Hashing.Portable)
+        .select(col("doc_id"), col("retained_text").as("text"))
+      graft.pipelines.Curation.curate(scrubbed, 800, 100, 3, Hashing.Portable)
+    }),
+
     // -- base chain + the corpus-mixing quota stage (1 doc per source
     //    among the dedup survivors)
     "pipe_curation_quota" -> ((s, dir) =>
@@ -1639,6 +1650,42 @@ object SparkEntry {
        |    FROM documents))""".stripMargin
 
   private val SHINGLES = shinglesSql(3)
+
+  /** DuckDB twin of the DEFAULT [[graft.pipelines.Curation.curate]]
+    * chain (quality gate → exact dedup → capped SimHash clusters →
+    * hash split) over any `(doc_id, text)` relation `rel` — the CTE
+    * list from `kq` through the final split SELECT. Shared by
+    * `pipe_curation` (rel = documents) and `pipe_curation_scrub`
+    * (rel = the exact-span-scrubbed corpus).
+    */
+  private def curationCoreSql(rel: String): String =
+    s"""kq AS (SELECT doc_id, text, $TOKS AS toks FROM $rel),
+       |cd0 AS (
+       |  SELECT doc_id, text FROM kq
+       |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+       |    AND len(list_filter(toks, t -> list_contains(
+       |      ['the','a','an','of','and','to','in','is','it','on'], t)))*1000
+       |        >= len(toks)*10),
+       |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
+       |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
+       |${simhashSql("cd")},
+       |$SIMHASH_CAPPED_CPAIRS,
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+       |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM cd
+       |  UNION
+       |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
+       |surv AS (
+       |  SELECT c.doc_id, c.text FROM cd c
+       |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
+       |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM surv)
+       |SELECT doc_id, bucket,
+       |       CASE WHEN bucket < 800 THEN 'train'
+       |            WHEN bucket < 900 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM bk""".stripMargin
 
   /** DuckDB twin of [[Dedup.exactSpanCoverage]]'s island derivation at
     * k=16: positioned OVERLAPPING window hashes (0-based offsets, NOT
@@ -4355,33 +4402,29 @@ object SparkEntry {
 
     "pipe_curation" ->
       s"""WITH RECURSIVE
-         |kq AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
-         |cd0 AS (
-         |  SELECT doc_id, text FROM kq
-         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
-         |    AND len(list_filter(toks, t -> list_contains(
-         |      ['the','a','an','of','and','to','in','is','it','on'], t)))*1000
-         |        >= len(toks)*10),
-         |exd AS (SELECT min(doc_id) AS doc_id FROM cd0 GROUP BY text),
-         |cd AS (SELECT c.doc_id, c.text FROM cd0 c JOIN exd USING (doc_id)),
-         |${simhashSql("cd")},
-         |$SIMHASH_CAPPED_CPAIRS,
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
-         |      UNION ALL SELECT doc_b, doc_a FROM cpairs),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM cd
-         |  UNION
-         |  SELECT e.u, r.b FROM e JOIN reach r ON r.a = e.v),
-         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a),
-         |surv AS (
-         |  SELECT c.doc_id, c.text FROM cd c
-         |  JOIN comp p ON c.doc_id = p.doc_id AND p.doc_id = p.component_id),
-         |bk AS (SELECT doc_id, ${ph("text")} % 1000 AS bucket FROM surv)
-         |SELECT doc_id, bucket,
-         |       CASE WHEN bucket < 800 THEN 'train'
-         |            WHEN bucket < 900 THEN 'val'
-         |            ELSE 'test' END AS split
-         |FROM bk""".stripMargin,
+         |${curationCoreSql("documents")}""".stripMargin,
+
+    // scrub-then-curate (the RefinedWeb-style chain): exact-substring
+    // positions removed keep-first FIRST, then the full default
+    // curation DAG runs over the scrubbed text — one whole-chain
+    // oracle across both compositions
+    "pipe_curation_scrub" ->
+      s"""WITH RECURSIVE $EXACT_SPAN_ISLANDS,
+         |spos AS (SELECT doc_id, unnest(range(wstart, wend + 1)) AS pos FROM iv),
+         |stk AS (SELECT doc_id, unnest($TOKS) AS tok,
+         |               generate_subscripts($TOKS, 1) - 1 AS pos
+         |        FROM documents),
+         |skeep AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM stk t
+         |  LEFT JOIN spos p ON p.doc_id = t.doc_id AND p.pos = t.pos
+         |  WHERE p.doc_id IS NULL),
+         |ska AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS retained_text
+         |  FROM skeep GROUP BY 1),
+         |scrub AS (
+         |  SELECT t.doc_id, COALESCE(ska.retained_text, '') AS text
+         |  FROM tot t LEFT JOIN ska USING (doc_id)),
+         |${curationCoreSql("scrub")}""".stripMargin,
 
     "pipe_curation_quota" ->
       s"""WITH RECURSIVE
