@@ -1415,9 +1415,19 @@ object SparkEntry {
     //    over the scrubbed text — whole-chain oracle
     "pipe_curation_scrub" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // the scrubbed corpus is cached ONCE: the curation DAG's
+      // quality/dedup/simhash stages each consume the text, and
+      // re-executing the scrub's first-occurrence shuffle + island
+      // windows per consumer costs more than one materialization (the
+      // inverse of the id-set-only rule Curation.curate documents,
+      // because here the downstream NEEDS the rewritten text, not a
+      // row subset). cache, not localCheckpoint: a checkpointed RDD
+      // scan loses size stats and silently demotes every downstream
+      // broadcast to a sort-merge join
       val scrubbed = graft.operators.Dedup
         .exactSpanScrub(docs, 16, hash = Hashing.Portable)
         .select(col("doc_id"), col("retained_text").as("text"))
+        .cache()
       graft.pipelines.Curation.curate(scrubbed, 800, 100, 3, Hashing.Portable)
     }),
 
