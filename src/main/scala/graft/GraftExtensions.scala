@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotQExpr, NormQExpr, PortableHashExpr, QuantizeE6Expr, ShingleHashesExpr}
+import graft.functions.{DotQExpr, NormQExpr, PortableHashExpr, QuantizeE6Expr, RollingHashesExpr, ShingleHashesExpr}
 
 /** Session-build-time registration of graft's native SQL functions —
   * the idiomatic `SparkSessionExtensions` path:
@@ -63,6 +63,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       es => ShingleHashesExpr(es.head,
-        intLit(es(1), "n"), boolLit(es(2), "portable")))
+        intLit(es(1), "n"), boolLit(es(2), "portable"))),
+    // graft_rolling_hashes(text, k, portable) — k/portable must be literals
+    (FunctionIdentifier("graft_rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashesExpr].getName, "graft_rolling_hashes"),
+      es => RollingHashesExpr(es.head,
+        intLit(es(1), "k"), boolLit(es(2), "portable")))
   )
 }

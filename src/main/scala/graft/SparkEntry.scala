@@ -1708,15 +1708,19 @@ object SparkEntry {
   private lazy val EXACT_SPAN_ISLANDS =
     s"""tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
        |        FROM documents),
+       |th AS (SELECT doc_id,
+       |              list_transform($TOKS, t -> ${ph("t")}) AS t
+       |       FROM documents),
        |win AS (
        |  SELECT doc_id,
-       |         unnest(CASE WHEN len($TOKS) >= 16
-       |           THEN range(0, len($TOKS) - 15) ELSE [] END) AS widx,
-       |         unnest(CASE WHEN len($TOKS) >= 16
-       |           THEN list_transform(range(0, len($TOKS) - 15),
-       |                i -> ${ph(s"array_to_string(($TOKS)[i+1:i+16], ' ')")})
+       |         unnest(CASE WHEN len(t) >= 16
+       |           THEN range(0, len(t) - 15) ELSE [] END) AS widx,
+       |         unnest(CASE WHEN len(t) >= 16
+       |           THEN list_transform(range(0, len(t) - 15),
+       |                i -> list_reduce(t[i+1:i+16],
+       |                     (a, b) -> (a*31 + b) % 1000000007))
        |           ELSE [] END) AS wh
-       |  FROM documents),
+       |  FROM th),
        |rk AS (SELECT doc_id, widx, row_number() OVER (
        |         PARTITION BY wh ORDER BY doc_id, widx) AS rn FROM win),
        |nf AS (SELECT doc_id, widx FROM rk WHERE rn > 1),

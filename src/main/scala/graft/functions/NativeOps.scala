@@ -134,6 +134,107 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** All k-token ROLLING polynomial window hashes in one O(chars)
+    * pass — the suffix-array-replacement kernel for exact-substring
+    * dedup at large k. Where [[shingleHashesPortable]] re-hashes every
+    * gram's characters (O(chars × k) total — fine at n=3, a k× tax at
+    * the Lee et al. k=50), this hashes each TOKEN once (`t_i =
+    * portableHash(token)`, the `ph(tok)` DuckDB twin) and combines
+    * windows arithmetically:
+    *
+    *   `wh_g = Σ_{j<k} t_{g+j} · 31^{k-1-j}  mod P`
+    *   `wh_{g+1} = ((wh_g − t_g·31^{k-1}) · 31 + t_{g+k})  mod P`
+    *
+    * — a DuckDB-replicable formula (`list_reduce(th[g+1:g+k],
+    * (a,b) -> (a*31+b) % P)`). All intermediates fit a Long:
+    * `t·pow < P² ≈ 1.1e18`, `(h+P)·31 < 6.7e10`.
+    */
+  def rollingHashesPortable(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val b = tokenBounds(str)
+    val nTok = b.length / 2
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      var h = 7L
+      var ci = b(2 * i)
+      val ce = b(2 * i + 1)
+      while (ci < ce) {
+        val cp = str.codePointAt(ci)
+        h = (h * 31 + cp) % P
+        ci += Character.charCount(cp)
+      }
+      th(i) = h
+      i += 1
+    }
+    var pow = 1L
+    i = 1
+    while (i < k) { pow = pow * 31 % P; i += 1 }
+    val out = new Array[Long](nTok - k + 1)
+    var h = th(0)
+    i = 1
+    while (i < k) { h = (h * 31 + th(i)) % P; i += 1 }
+    out(0) = h
+    var g = 1
+    while (g <= nTok - k) {
+      h = ((h + P - th(g - 1) * pow % P) % P * 31 + th(g + k - 1)) % P
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fast tier of [[rollingHashesPortable]]: xxhash64(seed 42) token
+    * hashes combined in the mod-2⁶⁴ ring (natural Long overflow) with
+    * an odd multiplier — full 64-bit window space, so corpus-scale
+    * window counts stay collision-safe where the portable tier's
+    * ~2³⁰ space is a fixture convention. Subtraction is exact in the
+    * ring, so the rolling update loses nothing to overflow.
+    */
+  final val RollM = 1099511628211L // FNV-64 prime (odd)
+  def rollingHashesXx(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    @inline def ws(x: Byte): Boolean =
+      x == 0x20 || x == 0x09 || x == 0x0a || x == 0x0b || x == 0x0c || x == 0x0d
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && ws(bytes(i))) i += 1
+      if (i < bytes.length) {
+        val st = i
+        while (i < bytes.length && !ws(bytes(i))) i += 1
+        bounds += st += i
+      }
+    }
+    val nTok = bounds.length / 2
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      val st = bounds(2 * i)
+      th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + st,
+        bounds(2 * i + 1) - st, 42L)
+      i += 1
+    }
+    var pow = 1L
+    i = 1
+    while (i < k) { pow *= RollM; i += 1 }
+    val out = new Array[Long](nTok - k + 1)
+    var h = th(0)
+    i = 1
+    while (i < k) { h = h * RollM + th(i); i += 1 }
+    out(0) = h
+    var g = 1
+    while (g <= nTok - k) {
+      h = (h - th(g - 1) * pow) * RollM + th(g + k - 1)
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fast-tier twin: xxhash64(seed 42, same bytes as the joined gram
     * string) — byte-level tokenization is safe because every UTF-8
     * continuation byte is >= 0x80 and all `\s` members are ASCII.
@@ -240,6 +341,28 @@ case class ShingleHashesExpr(child: Expression, n: Int, portable: Boolean)
     copy(child = newChild)
 }
 
+/** One-pass k-token rolling window hashes: StringType → array<bigint>,
+  * one element per window offset (0-based). `portable` picks the
+  * mod-P polynomial over `portableHash(token)` values (DuckDB-
+  * replicable); otherwise the mod-2⁶⁴ ring over xxhash64 token hashes
+  * (collision-safe at corpus scale).
+  */
+case class RollingHashesExpr(child: Expression, k: Int, portable: Boolean)
+  extends UnaryExpression {
+  require(k >= 2, s"rolling window needs k >= 2, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    if (portable) NativeKernels.rollingHashesPortable(input.asInstanceOf[UTF8String], k)
+    else NativeKernels.rollingHashesXx(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (portable) "rollingHashesPortable" else "rollingHashesXx"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.$fn($c, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingHashesExpr =
+    copy(child = newChild)
+}
+
 /** Per-element `floor(x*1e6 + 0.5)` quantization of a float/double
   * array into `array<bigint>`.
   */
@@ -271,6 +394,8 @@ object NativeOps {
   def quantizeE6(a: Column): Column = Bridge.column(QuantizeE6Expr(Bridge.expression(a)))
   def shingleHashes(c: Column, n: Int, portable: Boolean): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(c), n, portable))
+  def rollingHashes(c: Column, k: Int, portable: Boolean): Column =
+    Bridge.column(RollingHashesExpr(Bridge.expression(c), k, portable))
 
   /** Make every native kernel callable from `spark.sql(...)` text on an
     * EXISTING session (same table as [[graft.GraftExtensions]], which is

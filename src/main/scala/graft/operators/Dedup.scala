@@ -433,9 +433,14 @@ object Dedup {
     require(k >= 2, s"k must be >= 2, got $k")
     val totals = docs.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    // rolling, not re-hashed-per-gram: each token hashes once and
+    // windows combine arithmetically — O(chars), no k× char-work tax
+    // at the Lee et al. k=50 ([[graft.functions.NativeKernels
+    // .rollingHashesPortable]]; the fast tier rolls in the mod-2⁶⁴
+    // ring over xxhash64 token hashes, collision-safe at corpus scale)
     val wins = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.NativeOps.shingleHashes(
+        posexplode(graft.functions.NativeOps.rollingHashes(
           col(textCol), k, hash.portable)))
       .toDF("doc_id", "widx", "wh")
       .withColumn("widx", col("widx").cast("long"))

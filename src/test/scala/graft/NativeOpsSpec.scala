@@ -83,6 +83,62 @@ class NativeOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling window kernel (portable) == per-window fold HOF chain") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val k = 5
+    val toks = TextOps.tokens(col("text"))
+    val th = transform(toks, t => hofPortableHash(t))
+    // direct (non-rolling) reference: fold each window's token hashes
+    // left-to-right mod P — the formula the DuckDB list_reduce twin uses
+    val hofWins = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => aggregate(slice(th, i + 2, lit(k - 1)),
+          element_at(th, i + 1), (a, b) => (a * 31 + b) % Hashing.P)))
+      .otherwise(array().cast("array<bigint>"))
+    val bad = docs.select(
+      NativeOps.rollingHashes(col("text"), k, portable = true).as("native"),
+      hofWins.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("rolling window kernel (fast tier) == direct mod-2^64 fold, driver reference") {
+    // ANSI mode can't express wrapping Long arithmetic in a Column
+    // fold, so the mod-2^64 reference is computed driver-side: same
+    // whitespace tokenization, xxhash64(42) per token, direct
+    // (non-rolling) per-window fold with JVM wrapping multiply
+    val k = 5
+    val M = graft.functions.NativeKernels.RollM
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("text"),
+        NativeOps.rollingHashes(col("text"), k, portable = false).as("w"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = r.getString(0).split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val th = toks.map { tok =>
+        val b = tok.getBytes("UTF-8")
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }
+      val exp =
+        if (th.length < k) Array.emptyLongArray
+        else (0 to th.length - k)
+          .map(g => th.slice(g, g + k).reduce((a, b) => a * M + b)).toArray
+      assert(r.getSeq[Long](1).toArray.sameElements(exp))
+    }
+  }
+
+  test("rolling window kernel: degenerate inputs") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "a b c d e").toDF("s")
+    val out = edge.select(size(NativeOps.rollingHashes(col("s"), 3, portable = true)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // fewer than k tokens -> empty; 5 tokens at k=3 -> 3 windows
+    assert(out === Seq(0, 0, 0, 0, 3))
+  }
+
   test("native kernels survive codegen (no fallback row)") {
     // inputs derive from range's id so ConstantFolding can't collapse
     // the projection — the expressions must go through doGenCode
