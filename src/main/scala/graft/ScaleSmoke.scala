@@ -139,7 +139,11 @@ object ScaleSmoke {
     // scrub-then-curate: the span scrub's position anti-join feeds the
     // whole capped curation DAG — the longest composed chain in the
     // library
-    "pipe_curation_scrub")
+    "pipe_curation_scrub",
+    // ρ-sampled descent round: the 10x point checks the sampled hop
+    // join's sk²-per-vertex bound holds where the unsampled round
+    // grows at (2k)²
+    "sim_nn_descent_sampled")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -1006,6 +1006,13 @@ object SparkEntry {
     // re-rank; recovers recall the banding seed loses at O(n·k²)
     "sim_nn_descent" -> ((s, dir) =>
       Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1)),
+    // ρ-sampled descent round (Dong et al. §2.3): the hop join reads a
+    // deterministically sampled (LCG-ordered) neighbor list on both
+    // endpoints, bounding every middle vertex to sampleK² hop
+    // candidates — the corpus-scale form of the round
+    "sim_nn_descent_sampled" -> ((s, dir) =>
+      Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1,
+        sampleK = Some(3))),
     // product quantization: per-subspace integer-L2 codes (the
     // persistable PQ index) and ADC top-k scored through codes only —
     // closed-form stand-in codebooks (iters=0), so both are SQL-exact
@@ -3705,6 +3712,49 @@ object SparkEntry {
          |        UNION SELECT id_b AS id_a, id_a AS id_b FROM g),
          |hop AS (SELECT u1.id_a, u2.id_b FROM und u1
          |        JOIN und u2 ON u1.id_b = u2.id_a WHERE u2.id_b <> u1.id_a),
+         |cand2 AS (SELECT id_a, id_b FROM und
+         |          UNION SELECT id_a, id_b FROM hop),
+         |pairs2 AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM cand2 c
+         |  JOIN nz a ON a.vec_id = c.id_a
+         |  JOIN nz b ON b.vec_id = c.id_b),
+         |ranked2 AS (
+         |  SELECT id_a, id_b, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY id_a
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM pairs2)
+         |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+         |FROM ranked2 WHERE "rank" <= 5""".stripMargin,
+
+    // the ρ-sampled round: identical chain except the hop join reads
+    // the LCG-rank-capped (≤3 per endpoint) neighbor list; direct
+    // neighbors still always feed the candidate union
+    "sim_nn_descent_sampled" ->
+      s"""WITH $KNN_RANKED,
+         |g AS (SELECT id_a, id_b FROM ranked WHERE "rank" <= 5),
+         |und AS (SELECT id_a, id_b FROM g
+         |        UNION SELECT id_b AS id_a, id_a AS id_b FROM g),
+         |sa AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, row_number() OVER (
+         |      PARTITION BY id_a
+         |      ORDER BY ((id_b % 1000000007) * 1103515245 + 12345) % 1000000007,
+         |               id_b) AS rn
+         |    FROM und) WHERE rn <= 3),
+         |sb AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, row_number() OVER (
+         |      PARTITION BY id_b
+         |      ORDER BY ((id_a % 1000000007) * 1103515245 + 12345) % 1000000007,
+         |               id_a) AS rn
+         |    FROM sa) WHERE rn <= 3),
+         |hop AS (SELECT u1.id_a, u2.id_b FROM sb u1
+         |        JOIN sb u2 ON u1.id_b = u2.id_a WHERE u2.id_b <> u1.id_a),
          |cand2 AS (SELECT id_a, id_b FROM und
          |          UNION SELECT id_a, id_b FROM hop),
          |pairs2 AS (

@@ -670,6 +670,14 @@ object Similarity {
     * knob), because the undirected frame feeds three consumers — an
     * uncut plan would recompute the full seed ranking per consumer and
     * double the lineage every round.
+    *
+    * `sampleK` enables the paper's §2.3 ρ-sampling: the hop join reads
+    * a deterministically sampled (LCG-hash-ordered, rerun-stable)
+    * neighbor list capped at `sampleK` per endpoint, bounding every
+    * middle vertex's hop contribution to sampleK² — the corpus-scale
+    * form when k is large. Direct neighbors always remain candidates,
+    * so the monotonicity law holds under sampling; the trade is
+    * slower recall growth per round, exactly the paper's ρ trade.
     */
   def nnDescentRefine(
       embeddings: DataFrame,
@@ -679,19 +687,41 @@ object Similarity {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       maxBucketSize: Option[Int] = None,
+      sampleK: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(sampleK.forall(_ >= 1), s"sampleK must be >= 1, got $sampleK")
     val corpus = withQuant(embeddings).filter(col("nq") > 0)
     var ranked = knnGraph(embeddings, k, blocked, bands, rowsPerBand, maxBucketSize)
       .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
         col("dot_q"), col("rank"))
+    // deterministic per-endpoint sample order (the LCG convention the
+    // capped-SimHash oracle already pins) — rerun-stable and
+    // SQL-replicable, unlike rand()
+    def lcg(c: Column): Column =
+      ((c % lit(1000000007L)) * lit(1103515245L) + lit(12345L)) % lit(1000000007L)
     for (_ <- 1 to rounds) {
       val g = Checkpoints.cut(ranked.select(col("id_a"), col("id_b")), checkpointDir)
       val und = g
         .unionByName(g.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .distinct()
-      val hop = und.select(col("id_a"), col("id_b").as("m"))
-        .join(und.select(col("id_a").as("m"), col("id_b")), Seq("m"))
+      // ρ-sampling (Dong et al. §2.3): the hop join reads a sampled
+      // neighbor list on BOTH endpoints, so every middle vertex
+      // contributes ≤ sampleK² hop candidates instead of (2k)² —
+      // direct neighbors always stay candidates, so a sampled round
+      // still never degrades the list (the monotonicity law holds)
+      val hopSrc = sampleK match {
+        case Some(sk) =>
+          val wa = Window.partitionBy(col("id_a")).orderBy(lcg(col("id_b")), col("id_b"))
+          val wb = Window.partitionBy(col("id_b")).orderBy(lcg(col("id_a")), col("id_a"))
+          und
+            .withColumn("sa", row_number().over(wa)).filter(col("sa") <= sk)
+            .withColumn("sb", row_number().over(wb)).filter(col("sb") <= sk)
+            .drop("sa", "sb")
+        case None => und
+      }
+      val hop = hopSrc.select(col("id_a"), col("id_b").as("m"))
+        .join(hopSrc.select(col("id_a").as("m"), col("id_b")), Seq("m"))
         .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"))
       val cands = und.unionByName(hop).distinct()

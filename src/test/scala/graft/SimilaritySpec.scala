@@ -456,6 +456,17 @@ class SimilaritySpec extends SparkSpec {
     assert(hits(ref1) > hits(seed),
       s"descent did not improve recall: seed ${hits(seed)}, round1 ${hits(ref1)}")
     assert(hits(ref2) >= hits(ref1))
+    // ρ-sampling: a cap wider than any neighbor list is the identity
+    // (the sampled windows keep everything), and a tight cap still
+    // dominates the seed — direct neighbors always stay candidates,
+    // so the monotonicity law survives sampling
+    val wideCap = lists(Similarity.nnDescentRefine(emb, k = 5, rounds = 1,
+      sampleK = Some(1000)))
+    assert(wideCap === ref1, "sampleK wider than every list must be a no-op")
+    val tight = lists(Similarity.nnDescentRefine(emb, k = 5, rounds = 1,
+      sampleK = Some(3)))
+    dominates(tight, seed)
+    dominates(exact, tight)
   }
 
   test("pqTopK: adist is exactly the squared distance to the code reconstruction") {
