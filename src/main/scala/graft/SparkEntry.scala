@@ -766,6 +766,11 @@ object SparkEntry {
     "t_dsir_sample" -> ((s, dir) =>
       TextOps.dsirSample(Tables.documents(s, dir),
         col("source").isin("src0", "src1"), 100, hash = Hashing.Portable)),
+    // threshold-selection diagnostic: per distinct weight value, the
+    // precision/recall of a "keep every doc scoring >= t" cut
+    "t_dsir_pr_curve" -> ((s, dir) =>
+      TextOps.dsirPrCurve(Tables.documents(s, dir),
+        col("source").isin("src0", "src1"), hash = Hashing.Portable)),
     "t_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
@@ -2691,6 +2696,28 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "t_dsir_weights" -> s"$DSIR_CTES\n$DSIR_SELECT",
+
+    "t_dsir_pr_curve" ->
+      s"""$DSIR_CTES,
+         |wts AS ($DSIR_SELECT),
+         |per AS (
+         |  SELECT weight_bits AS threshold_bits,
+         |         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS n_f
+         |  FROM wts GROUP BY 1),
+         |c AS (
+         |  SELECT threshold_bits,
+         |         CAST(SUM(n_t) OVER (ORDER BY threshold_bits DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |         CAST(SUM(n_f) OVER (ORDER BY threshold_bits DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         |         CAST(SUM(n_t) OVER () AS BIGINT) AS n_targets
+         |  FROM per)
+         |SELECT threshold_bits, tp, fp, n_targets - tp AS fn,
+         |       tp * 1000000 // (tp + fp) AS precision_e6,
+         |       CASE WHEN n_targets > 0 THEN tp * 1000000 // n_targets
+         |            ELSE 0 END AS recall_e6
+         |FROM c""".stripMargin,
 
     "t_dsir_sample" ->
       s"""$DSIR_CTES

@@ -719,6 +719,59 @@ object TextOps {
       .orderBy(col("weight_bits").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Precision/recall curve over the [[dsirWeights]] importance
+    * scores — the threshold-selection diagnostic for hash-bucket
+    * importance sampling: one row per DISTINCT `weight_bits` value
+    * `t`, reporting how a "keep every doc scoring ≥ t" cut performs
+    * against the target label. `tp`/`fp` are ≥-threshold counts,
+    * `fn = targets below t`; `precision_e6 = tp·10⁶ div (tp+fp)`,
+    * `recall_e6 = tp·10⁶ div n_targets` — integer-exact, so the
+    * oracle replicates bit-for-bit. Rows ascend by threshold; recall
+    * is monotone non-increasing in `t` by construction (spec law).
+    *
+    * Scale shape: one per-score count aggregate (map-side combined,
+    * 8-byte keys), then a single cumulative window over the DISTINCT
+    * score values — the curve frame is |distinct weight_bits| rows
+    * (integer bit-sums, naturally narrow), not corpus rows. The
+    * unpartitioned cumulative window is therefore bounded by the
+    * score cardinality; a corpus whose score space is genuinely huge
+    * pre-buckets `weight_bits` before calling (the same floor-to-grid
+    * discipline as the histogram ops).
+    */
+  def dsirPrCurve(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 4096,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val w = dsirWeights(docs, isTarget, buckets, textCol, idCol, hash)
+    val per = w.groupBy(col("weight_bits").as("threshold_bits"))
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("n_f"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold_bits").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .withColumn("tp", sum(col("n_t")).over(cum))
+      .withColumn("fp", sum(col("n_f")).over(cum))
+      .withColumn("n_targets", sum(col("n_t")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("threshold_bits").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(
+        col("threshold_bits"),
+        col("tp"), col("fp"),
+        (col("n_targets") - col("tp")).as("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_e6"),
+        // n_targets = 0 (no target docs at all) degenerates to recall 0
+        // rather than an ANSI division error
+        when(col("n_targets") > 0, expr("tp * 1000000 div n_targets"))
+          .otherwise(0L).as("recall_e6"))
+  }
+
   /** Whole-document rolling-hash fingerprint. `hash` defaults to the
     * xxhash64 fast path; pass [[Hashing.portableHash]] for
     * engine-portable values.

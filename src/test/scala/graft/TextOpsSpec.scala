@@ -463,6 +463,45 @@ class TextOpsSpec extends SparkSpec {
     assert(top === Seq(1L, 4L, 5L))
   }
 
+  test("dsirPrCurve: hand-computed cut quality on the tiny corpus") {
+    // weights from the hand-computed fixture above: d1 (T, 0),
+    // d2 (T, -1), d3 (F, -2), d4 (F, 0), d5 (F, 0)
+    val docs = Seq(
+      (1L, Some(true), "t t t t t"),
+      (2L, Some(true), "t t c c"),
+      (3L, Some(false), "c c c"),
+      (4L, Some(false), "t c"),
+      (5L, None: Option[Boolean], "q")
+    ).toDF("doc_id", "flag", "text")
+    val out = TextOps.dsirPrCurve(docs, col("flag"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // keep >= 0: {d1 | d4 d5} — precision 1/3, recall 1/2
+    assert(out(0L) === ((1L, 2L, 1L, 333333L, 500000L)))
+    // keep >= -1: adds d2 — precision 2/4, recall 1
+    assert(out(-1L) === ((2L, 2L, 0L, 500000L, 1000000L)))
+    // keep >= -2: adds d3 (a false positive) — precision 2/5
+    assert(out(-2L) === ((2L, 3L, 0L, 400000L, 1000000L)))
+    assert(out.size === 3)
+    // laws on the real fixture: tp+fn constant, recall monotone
+    // non-increasing as the threshold rises, precision recomputes
+    val fx = TextOps.dsirPrCurve(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("source").isin("src0", "src1"))
+      .orderBy(col("threshold_bits"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(fx.nonEmpty)
+    val nTargets = fx.head._2 + fx.head._4
+    fx.foreach { r =>
+      assert(r._2 + r._4 === nTargets)
+      assert(r._5 === r._2 * 1000000L / (r._2 + r._3))
+    }
+    fx.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._6 <= lo._6, s"recall rose with threshold: $lo -> $hi")
+      case _ => ()
+    }
+  }
+
   test("dsirWeights: leaves no persisted RDDs behind") {
     // the bucket model is a bounded driver collect + broadcast, not a
     // corpus-sized cached instance frame — nothing may survive the call
