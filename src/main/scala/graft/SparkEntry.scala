@@ -866,6 +866,15 @@ object SparkEntry {
     // the surviving tokens reassembled in order
     "d_exact_span_scrub" -> ((s, dir) =>
       Dedup.exactSpanScrub(Tables.documents(s, dir), 16, hash = Hashing.Portable)),
+    // span-level decontamination evidence vs the every-50th-doc probe
+    // set: shared exact-window counts + longest consecutive run per
+    // (doc, probe) pair
+    "d_exact_span_contam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactSpanContamination(
+        docs, docs.filter(col("doc_id") % 50 === 0), 16,
+        minSharedWindows = 2, hash = Hashing.Portable)
+    }),
     // general edit-distance join, pinned scope = pairs sharing the
     // 7-digit key prefix (edits beyond it are out of scope by
     // contract); the finer block keeps in-bucket pairing linear-ish
@@ -1717,10 +1726,13 @@ object SparkEntry {
     * intervals; `tot` carries per-doc token counts. Shared by the
     * coverage and scrub oracles.
     */
-  private lazy val EXACT_SPAN_ISLANDS =
-    s"""tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
-       |        FROM documents),
-       |th AS (SELECT doc_id,
+  /** The positioned rolling-window-hash CTEs (`th`, `win`) shared by
+    * every k=16 exact-span oracle: per-token portable hashes combined
+    * per window by the same mod-P polynomial the rolling kernel
+    * computes.
+    */
+  private lazy val EXACT_SPAN_WIN =
+    s"""th AS (SELECT doc_id,
        |              list_transform($TOKS, t -> ${ph("t")}) AS t
        |       FROM documents),
        |win AS (
@@ -1732,7 +1744,12 @@ object SparkEntry {
        |                i -> list_reduce(t[i+1:i+16],
        |                     (a, b) -> (a*31 + b) % 1000000007))
        |           ELSE [] END) AS wh
-       |  FROM th),
+       |  FROM th)""".stripMargin
+
+  private lazy val EXACT_SPAN_ISLANDS =
+    s"""tot AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+       |        FROM documents),
+       |$EXACT_SPAN_WIN,
        |rk AS (SELECT doc_id, widx, row_number() OVER (
        |         PARTITION BY wh ORDER BY doc_id, widx) AS rn FROM win),
        |nf AS (SELECT doc_id, widx FROM rk WHERE rn > 1),
@@ -2834,6 +2851,26 @@ object SparkEntry {
          |FROM tot LEFT JOIN (
          |  SELECT doc_id, CAST(SUM(wend - wstart + 1) AS BIGINT) AS n_dup_tokens
          |  FROM iv GROUP BY 1) dup USING (doc_id)""".stripMargin,
+
+    "d_exact_span_contam" ->
+      s"""WITH $EXACT_SPAN_WIN,
+         |pw AS (SELECT DISTINCT doc_id AS probe_id, wh FROM win
+         |       WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT DISTINCT w.doc_id, p.probe_id, w.widx
+         |  FROM win w JOIN pw p ON p.wh = w.wh),
+         |runs AS (
+         |  SELECT doc_id, probe_id,
+         |         widx - row_number() OVER (
+         |           PARTITION BY doc_id, probe_id ORDER BY widx) AS grp
+         |  FROM hits),
+         |rl AS (SELECT doc_id, probe_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+         |       FROM runs GROUP BY 1, 2, 3)
+         |SELECT doc_id, probe_id,
+         |       CAST(SUM(run_len) AS BIGINT) AS n_shared_windows,
+         |       CAST(MAX(run_len) + 15 AS BIGINT) AS longest_span_tokens
+         |FROM rl GROUP BY 1, 2
+         |HAVING SUM(run_len) >= 2""".stripMargin,
 
     "d_exact_span_scrub" ->
       s"""WITH $EXACT_SPAN_ISLANDS,

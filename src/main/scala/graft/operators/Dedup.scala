@@ -415,6 +415,62 @@ object Dedup {
         coalesce(col("retained_text"), lit("")).as("retained_text"))
   }
 
+  /** Span-level decontamination EVIDENCE (the exact-substring
+    * counterpart of [[contamination]]'s shingle-count heuristic): for
+    * every (corpus doc, probe doc) pair sharing at least
+    * `minSharedWindows` exact `k`-token windows, report the shared
+    * window-position count and `longest_span_tokens` — the longest
+    * run of consecutive corpus window offsets all present in the
+    * probe, plus `k − 1`. When the leak is verbatim (the common case:
+    * a benchmark answer pasted into a crawl page) the run IS the
+    * longest exact common substring; for scattered matches it is an
+    * upper bound, which is the conservative direction for an evidence
+    * report a human reviews before dropping documents.
+    *
+    * Scale shape: corpus windows come from the O(chars) rolling
+    * kernel; the probe window set (distinct 8-byte hashes, positions
+    * dropped) BROADCASTS — the corpus-sized window stream is filtered
+    * map-side and only (doc, probe, offset) hits reach the shuffle,
+    * output-bound like [[contamination]]'s probe join. Run-lengths
+    * are the classic `offset − row_number()` islands per (doc, probe)
+    * pair — no position explosion.
+    */
+  def exactSpanContamination(
+      docs: DataFrame,
+      probes: DataFrame,
+      k: Int = 50,
+      minSharedWindows: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(minSharedWindows >= 1, s"minSharedWindows must be >= 1, got $minSharedWindows")
+    val dw = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NativeOps.rollingHashes(
+          col(textCol), k, hash.portable)))
+      .toDF("doc_id", "widx", "wh")
+      .withColumn("widx", col("widx").cast("long"))
+    val pw = probes
+      .select(col(idCol).as("probe_id"),
+        explode(graft.functions.NativeOps.rollingHashes(
+          col(textCol), k, hash.portable)).as("wh"))
+      .distinct()
+    val hits = dw.join(broadcast(pw), Seq("wh"))
+      .select(col("doc_id"), col("probe_id"), col("widx"))
+      .distinct()
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("probe_id")).orderBy(col("widx"))
+    val runs = hits
+      .withColumn("grp", col("widx") - row_number().over(rw))
+      .groupBy(col("doc_id"), col("probe_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"), col("probe_id"))
+      .agg(
+        sum(col("run_len")).as("n_shared_windows"),
+        (max(col("run_len")) + (k - 1)).as("longest_span_tokens"))
+      .filter(col("n_shared_windows") >= minSharedWindows)
+  }
+
   /** Shared body of [[exactSpanCoverage]] / [[exactSpanScrub]]:
     * `(totals(doc_id, n_tokens), islands(doc_id, wstart, wend))` —
     * maximal merged duplicated-position intervals per doc. The

@@ -259,6 +259,34 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") === 10L)) === Set(Seq(10L, 5L, 0L, "")))
   }
 
+  test("exactSpanContamination: shared-window counts and longest runs") {
+    // probe "a b c d e" (k=3 windows: abc, bcd, cde). doc 1 embeds the
+    // whole probe (3 consecutive shared windows -> longest span 5
+    // tokens); doc 2 shares the probe's two END windows around an
+    // interruption (two runs of 1 -> longest 3); doc 3 shares one.
+    val docs = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c q c d e"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val probes = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val all = Dedup.exactSpanContamination(docs, probes, k = 3,
+      hash = Hashing.Portable)
+    assert(rowSet(all) === Set(
+      Seq(1L, 100L, 3L, 5L),
+      Seq(2L, 100L, 2L, 3L),
+      Seq(3L, 100L, 1L, 3L)))
+    // the minSharedWindows floor drops weak-evidence pairs
+    assert(rowSet(Dedup.exactSpanContamination(docs, probes, k = 3,
+      minSharedWindows = 2, hash = Hashing.Portable)) ===
+      Set(Seq(1L, 100L, 3L, 5L), Seq(2L, 100L, 2L, 3L)))
+    // a probe drawn from the corpus self-matches with its full window
+    // set — the evidence report keeps it (callers exclude self pairs)
+    val self = Dedup.exactSpanContamination(docs, docs.filter(col("doc_id") === 1L),
+      k = 3, hash = Hashing.Portable)
+    assert(rowSet(self.filter(col("doc_id") === 1L)) ===
+      Set(Seq(1L, 1L, 5L, 7L)))
+  }
+
   test("spanRemoval: keep-first block dedup reassembles retained text") {
     // n=2 blocks. doc 1: [a b][c d][a b] -> third block duplicates the
     // first WITHIN the doc. doc 2 repeats doc 1's opening block and has
