@@ -143,7 +143,10 @@ object ScaleSmoke {
     // ρ-sampled descent round: the 10x point checks the sampled hop
     // join's sk²-per-vertex bound holds where the unsampled round
     // grows at (2k)²
-    "sim_nn_descent_sampled")
+    "sim_nn_descent_sampled",
+    // span-level decontamination: the 10x point checks the broadcast
+    // probe window set keeps the corpus stream map-side-filtered
+    "d_exact_span_contam")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -202,6 +202,18 @@ class DedupSpec extends SparkSpec {
         pairs.toDF("doc_a", "doc_b"), ids.toDF("doc_id"))))
   }
 
+  test("star fallback under broadcastLabels mode labels a deep path to the min") {
+    // the broadcast-rounds variant must hand off to the same
+    // contraction + star path (the fallback is mode-independent)
+    val n = 3000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (0L until n).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, verts, maxRounds = 30,
+      broadcastLabels = true)
+    assert(cc.count() === n)
+    assert(cc.filter(col("component_id") =!= 0L).count() === 0L)
+  }
+
   test("star fallback: a path deeper than the propagation budget labels to the min") {
     // a 5000-vertex path needs ~13 pointer-jumping rounds — past
     // StarFallbackRounds (10), so connectedComponents contracts and
