@@ -364,15 +364,7 @@ object Dedup {
       idCol: String = "doc_id",
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash)
-    val dup = islands.groupBy(col("doc_id"))
-      .agg(sum(col("wend") - col("wstart") + 1).as("n_dup_tokens"))
-    totals.join(dup, Seq("doc_id"), "left_outer")
-      .select(
-        col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        when(col("n_tokens") > 0,
-          floor(coalesce(col("n_dup_tokens"), lit(0L)) * 1000 / col("n_tokens")))
-          .otherwise(0L).cast("long").as("dup_frac_e3"))
+    spanCoverageFrom(totals, islands)
   }
 
   /** [[exactSpanCoverage]]'s removal form: drop every duplicated
@@ -506,16 +498,25 @@ object Dedup {
       .filter(!(col("doc_id") === col("fst.doc_id") &&
         col("widx") === col("fst.widx")))
       .select(col("doc_id"), col("widx"))
-    // gaps-and-islands: a window starts a new interval iff it begins
-    // past every previous window's end (offsets sort per doc; ends are
-    // offset + k - 1, so the running max end is running max offset + k - 1)
+    (totals, spanIslands(nonFirst, k))
+  }
+
+  /** Gaps-and-islands over a duplicated-window offset stream
+    * `(doc_id, widx)`: merge overlapping `[widx, widx + k − 1]`
+    * intervals into maximal `(doc_id, isl, wstart, wend)` spans. A
+    * window starts a new interval iff it begins past every previous
+    * window's end (offsets sort per doc; with constant k the running
+    * max end is the running max offset + k − 1). Shared by the batch
+    * exact-span family and the streaming span ingest.
+    */
+  private[graft] def spanIslands(nonFirst: DataFrame, k: Int): DataFrame = {
     val prevW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("widx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val runW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("widx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val islands = nonFirst
+    nonFirst
       .withColumn("brk",
         when(col("widx") >
           coalesce(max(col("widx")).over(prevW), lit(Long.MinValue / 2)) + (k - 1),
@@ -524,7 +525,22 @@ object Dedup {
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("widx")).as("wstart"),
         (max(col("widx")) + (k - 1)).as("wend"))
-    (totals, islands)
+  }
+
+  /** Assemble [[exactSpanCoverage]]'s output row from a totals frame
+    * `(doc_id, n_tokens)` and a [[spanIslands]] frame — shared with
+    * the streaming span ingest.
+    */
+  private[graft] def spanCoverageFrom(totals: DataFrame, islands: DataFrame): DataFrame = {
+    val dup = islands.groupBy(col("doc_id"))
+      .agg(sum(col("wend") - col("wstart") + 1).as("n_dup_tokens"))
+    totals.join(dup, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          floor(coalesce(col("n_dup_tokens"), lit(0L)) * 1000 / col("n_tokens")))
+          .otherwise(0L).cast("long").as("dup_frac_e3"))
   }
 
   /** Blocked edit-distance near-dup join: pairs of rows whose

@@ -327,6 +327,77 @@ object DocStreams {
       .partitionBy("batch_id")
       .parquet(outDir)
 
+  /** Continuous exact-substring ingest — the streaming twin of
+    * [[graft.operators.Dedup.exactSpanCoverage]]: each micro-batch's
+    * documents are scored for duplicated `k`-token positions against
+    * everything ingested BEFORE them (the on-disk corpus window-hash
+    * index) plus earlier occurrences within the batch, then the
+    * batch's windows join the index. First-SEEN semantics: when docs
+    * arrive in ascending `doc_id` order the emitted coverage equals
+    * the batch operator's global keep-first coverage row-for-row
+    * (spec-pinned); out-of-order arrival scores against arrival
+    * order, the only order a stream has.
+    *
+    * State is the distinct 8-byte window-hash set — no text, no
+    * positions; per batch the work is batch-sized windows + one probe
+    * join against the index (read with `dropDuplicates`, so replayed
+    * appends stay harmless). Coverage rows land in `batch_id`
+    * partitions with dynamic partition overwrite — the
+    * [[nbClassifyStream]] replay-idempotence discipline.
+    */
+  def spanIngest(
+      docs: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 50,
+      hash: Hashing.HashTier = Hashing.Fast,
+      cutDir: Option[String] = None): StreamingQuery = {
+    val whSchema = StructType(Seq(
+      StructField("wh", LongType, nullable = false)))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
+        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val index =
+          if (fs.exists(idxPath))
+            spark.read.schema(whSchema).parquet(idxPath.toString).dropDuplicates()
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], whSchema)
+        val totals = batch.select(col("doc_id"),
+          size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val wins = graft.operators.Checkpoints.cut(
+          batch.select(col("doc_id"),
+            posexplode(graft.functions.NativeOps.rollingHashes(
+              col("text"), k, hash.portable)))
+            .toDF("doc_id", "widx", "wh")
+            .withColumn("widx", col("widx").cast("long")), cutDir)
+        // duplicated = earlier within the batch (min-struct keep-first,
+        // the batch operator's rule) OR already in the corpus index
+        val firsts = wins.groupBy(col("wh"))
+          .agg(min(struct(col("doc_id"), col("widx"))).as("fst"))
+        val batchDup = wins.join(firsts, Seq("wh"))
+          .filter(!(col("doc_id") === col("fst.doc_id") &&
+            col("widx") === col("fst.widx")))
+          .select(col("doc_id"), col("widx"))
+        val corpusDup = wins.join(index, Seq("wh"), "left_semi")
+          .select(col("doc_id"), col("widx"))
+        val nonFirst = batchDup.unionByName(corpusDup).distinct()
+        graft.operators.Dedup.spanCoverageFrom(
+          totals, graft.operators.Dedup.spanIslands(nonFirst, k))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        wins.select(col("wh")).distinct()
+          .write.mode("append").parquet(idxPath.toString)
+      }
+      .start()
+  }
+
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set
     * exclusion) — a stateless stream-static left-anti join on the

@@ -666,6 +666,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span ingest stream over ordered fixture slices equals batch coverage") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_span").toString
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.spanIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/out", s"$dirs/ckpt",
+      k = 16, hash = graft.functions.Hashing.Portable)
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.read.parquet(s"$dirs/out")
+      // ascending-id ingest makes first-SEEN ≡ the batch operator's
+      // global keep-first: identical coverage rows, one per doc
+      assert(out.count() === base.length.toLong)
+      assert(rowSet(out.drop("batch_id")) ===
+        rowSet(graft.operators.Dedup.exactSpanCoverage(
+          base.toSeq.toDF("doc_id", "text"), 16,
+          hash = graft.functions.Hashing.Portable)))
+      // the corpus index holds only distinct window hashes
+      assert(spark.read.parquet(s"$dirs/state/wh").columns.toSeq === Seq("wh"))
+    } finally q.stop()
+  }
+
   test("stream-static blocklist filter drops blocked content mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = Seq((100L, "blocked body one"), (101L, "blocked body two"))
