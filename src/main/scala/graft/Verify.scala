@@ -13,10 +13,17 @@ object Verify {
     * SQL dump.
     */
   private[graft] def summaryJson(
-      nOk: Int, failed: Seq[String], wallSec: Double): String =
+      nOk: Int, failed: Seq[String], wallSec: Double): String = {
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma decimal separator (de_DE, fr_FR, ...) would make the
+    // artifact invalid JSON — the exact silent-zeroing failure this
+    // file exists to prevent
+    val wall = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(wallSec))
     s"""{"n_queries": ${nOk + failed.size}, "n_ok": $nOk, """ +
-    s""""n_failed": ${failed.size}, "wall_sec": ${f"$wallSec%.1f"}, """ +
+    s""""n_failed": ${failed.size}, "wall_sec": $wall, """ +
     s""""failed": ${failed.map(jsonStr).mkString("[", ",", "]")}}"""
+  }
 
   /** JSON string escape: backslash, quote, and ALL control chars
     * (<0x20) — a tab or CR in builder-authored SQL would otherwise
@@ -61,6 +68,13 @@ object Verify {
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries stay self-contained: a query that cache()s an
+        // intermediate (e.g. the scrubbed corpus) must not leak it
+        // into the rest of the sweep — the Bench/ScaleSmoke isolation
+        // discipline
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     val wallSec = (System.nanoTime() - t0) / 1e9

@@ -481,24 +481,43 @@ object Dedup {
     require(k >= 2, s"k must be >= 2, got $k")
     val totals = docs.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-    // rolling, not re-hashed-per-gram: each token hashes once and
-    // windows combine arithmetically — O(chars), no k× char-work tax
-    // at the Lee et al. k=50 ([[graft.functions.NativeKernels
-    // .rollingHashesPortable]]; the fast tier rolls in the mod-2⁶⁴
-    // ring over xxhash64 token hashes, collision-safe at corpus scale)
-    val wins = docs
+    val wins = positionedWindows(docs, k, textCol, idCol, hash)
+    (totals, spanIslands(keepFirstNonFirst(wins), k))
+  }
+
+  /** Positioned k-token rolling window hashes `(doc_id, widx, wh)` —
+    * rolling, not re-hashed-per-gram: each token hashes once and
+    * windows combine arithmetically — O(chars), no k× char-work tax
+    * at the Lee et al. k=50 ([[graft.functions.NativeKernels
+    * .rollingHashesPortable]]; the fast tier rolls in the mod-2⁶⁴
+    * ring over xxhash64 token hashes, collision-safe at corpus
+    * scale). Shared by the batch exact-span family and the streaming
+    * span ingest.
+    */
+  private[graft] def positionedWindows(
+      docs: DataFrame, k: Int, textCol: String, idCol: String,
+      hash: Hashing.HashTier): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.NativeOps.rollingHashes(
           col(textCol), k, hash.portable)))
       .toDF("doc_id", "widx", "wh")
       .withColumn("widx", col("widx").cast("long"))
+
+  /** The keep-first rule over a positioned window frame: every window
+    * instance except the global minimum `(doc_id, widx)` occurrence of
+    * its hash — a map-side-combinable min-struct aggregate, not a rank
+    * window (a hot boilerplate hash would single-reducer-sort).
+    * Returns `(doc_id, widx)`. The single source of the rule for both
+    * the batch operators and the streaming twin.
+    */
+  private[graft] def keepFirstNonFirst(wins: DataFrame): DataFrame = {
     val firsts = wins.groupBy(col("wh"))
       .agg(min(struct(col("doc_id"), col("widx"))).as("fst"))
-    val nonFirst = wins.join(firsts, Seq("wh"))
+    wins.join(firsts, Seq("wh"))
       .filter(!(col("doc_id") === col("fst.doc_id") &&
         col("widx") === col("fst.widx")))
       .select(col("doc_id"), col("widx"))
-    (totals, spanIslands(nonFirst, k))
   }
 
   /** Gaps-and-islands over a duplicated-window offset stream

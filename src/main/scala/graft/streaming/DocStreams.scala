@@ -352,50 +352,70 @@ object DocStreams {
       checkpointDir: String,
       k: Int = 50,
       hash: Hashing.HashTier = Hashing.Fast,
-      cutDir: Option[String] = None): StreamingQuery = {
-    val whSchema = StructType(Seq(
-      StructField("wh", LongType, nullable = false)))
+      cutDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
-        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val index =
-          if (fs.exists(idxPath))
-            spark.read.schema(whSchema).parquet(idxPath.toString).dropDuplicates()
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], whSchema)
-        val totals = batch.select(col("doc_id"),
-          size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        val wins = graft.operators.Checkpoints.cut(
-          batch.select(col("doc_id"),
-            posexplode(graft.functions.NativeOps.rollingHashes(
-              col("text"), k, hash.portable)))
-            .toDF("doc_id", "widx", "wh")
-            .withColumn("widx", col("widx").cast("long")), cutDir)
-        // duplicated = earlier within the batch (min-struct keep-first,
-        // the batch operator's rule) OR already in the corpus index
-        val firsts = wins.groupBy(col("wh"))
-          .agg(min(struct(col("doc_id"), col("widx"))).as("fst"))
-        val batchDup = wins.join(firsts, Seq("wh"))
-          .filter(!(col("doc_id") === col("fst.doc_id") &&
-            col("widx") === col("fst.widx")))
-          .select(col("doc_id"), col("widx"))
-        val corpusDup = wins.join(index, Seq("wh"), "left_semi")
-          .select(col("doc_id"), col("widx"))
-        val nonFirst = batchDup.unionByName(corpusDup).distinct()
-        graft.operators.Dedup.spanCoverageFrom(
-          totals, graft.operators.Dedup.spanIslands(nonFirst, k))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
-        wins.select(col("wh")).distinct()
-          .write.mode("append").parquet(idxPath.toString)
+        spanIngestBatch(batch, stateDir, outDir, k, hash, cutDir, batchId)
       }
       .start()
+
+  /** One [[spanIngest]] micro-batch — the replay-idempotence seam (a
+    * retried foreachBatch re-runs this with the SAME batchId and must
+    * leave both the coverage sink and the index unchanged). The index
+    * carries batch provenance: reads filter to `batch_id < current`,
+    * so a replayed batch never scores against its own prior append,
+    * and each batch's contribution is the anti-joined NEW hashes
+    * written with dynamic partition overwrite — replay rewrites its
+    * own partition with identical rows, and the index holds every
+    * hash exactly once (first batch that saw it) regardless of how
+    * often boilerplate recurs in the stream.
+    */
+  private[graft] def spanIngestBatch(
+      batch: DataFrame,
+      stateDir: String,
+      outDir: String,
+      k: Int,
+      hash: Hashing.HashTier,
+      cutDir: Option[String],
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val whSchema = StructType(Seq(
+      StructField("wh", LongType, nullable = false)))
+    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val index =
+      if (fs.exists(idxPath))
+        spark.read.parquet(idxPath.toString)
+          .filter(col("batch_id") < batchId)
+          .select(col("wh"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], whSchema)
+    val totals = batch.select(col("doc_id"),
+      size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val wins = graft.operators.Checkpoints.cut(
+      graft.operators.Dedup.positionedWindows(batch, k, "text", "doc_id", hash),
+      cutDir)
+    // duplicated = earlier within the batch (the batch operator's
+    // keep-first rule, shared code) OR already in the corpus index
+    val nonFirst = graft.operators.Dedup.keepFirstNonFirst(wins)
+      .unionByName(wins.join(index, Seq("wh"), "left_semi")
+        .select(col("doc_id"), col("widx")))
+      .distinct()
+    graft.operators.Dedup.spanCoverageFrom(
+      totals, graft.operators.Dedup.spanIslands(nonFirst, k))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    wins.select(col("wh")).distinct()
+      .join(index, Seq("wh"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(idxPath.toString)
   }
 
   /** Stream-static blocklist filter: drop stream documents whose

@@ -688,8 +688,26 @@ class StreamingSpec extends SparkSpec {
         rowSet(graft.operators.Dedup.exactSpanCoverage(
           base.toSeq.toDF("doc_id", "text"), 16,
           hash = graft.functions.Hashing.Portable)))
-      // the corpus index holds only distinct window hashes
-      assert(spark.read.parquet(s"$dirs/state/wh").columns.toSeq === Seq("wh"))
+      // the corpus index holds each hash exactly once, with batch
+      // provenance for replay-safe reads
+      val idx = spark.read.parquet(s"$dirs/state/wh")
+      assert(idx.columns.toSet === Set("wh", "batch_id"))
+      assert(idx.count() === idx.select("wh").distinct().count())
+      // replay the LAST batch with its original id: coverage rows and
+      // index must be byte-for-byte stable (the batch reads only
+      // batch_id < its own, so it never scores against its own append)
+      // partition-column values read back as Integer — widen safely
+      val lastBatch = spark.read.parquet(s"$dirs/out")
+        .orderBy(col("batch_id").desc).select("batch_id")
+        .head().getAs[Number](0).longValue()
+      val lastChunk = base.grouped(math.max(base.length / 3, 1)).toSeq.last
+      val before = rowSet(spark.read.parquet(s"$dirs/out"))
+      val idxBefore = rowSet(idx)
+      graft.streaming.DocStreams.spanIngestBatch(
+        lastChunk.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
+        16, graft.functions.Hashing.Portable, None, lastBatch)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
+      assert(rowSet(spark.read.parquet(s"$dirs/state/wh")) === idxBefore)
     } finally q.stop()
   }
 
