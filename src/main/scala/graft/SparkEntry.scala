@@ -138,9 +138,35 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ extendedQueries
+    coreQueries ++ extendedQueries ++ modeVariantQueries
 
-  def oracleSql: Map[String, String] = coreOracles ++ extendedOracles
+  def oracleSql: Map[String, String] = {
+    val base = coreOracles ++ extendedOracles
+    base ++ modeVariantOracles(base)
+  }
+
+  /** Broadcast-fallback twins: the same contamination operators with
+    * the probe-side broadcast hint dropped (`broadcastProbes = false`,
+    * the beyond-broadcast-budget path). They share the hinted rows'
+    * oracle SQL verbatim — the parameter is plan-shape-only, and
+    * running both modes through the oracle proves it row-for-row.
+    */
+  private def modeVariantQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_contam_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 50 === 0), 3, 2,
+        Hashing.Portable, broadcastProbes = false)
+        .filter(col("doc_id") =!= col("probe_id"))
+    }),
+    "d_span_contam_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactSpanContamination(docs, docs.filter(col("doc_id") % 50 === 0), 16,
+        minSharedWindows = 2, hash = Hashing.Portable, broadcastProbes = false)
+    }))
+
+  private def modeVariantOracles(base: Map[String, String]): Map[String, String] = Map(
+    "d_contam_shuffle" -> base("d_contamination"),
+    "d_span_contam_shuffle" -> base("d_exact_span_contam"))
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1+T1: watermark-filtered incremental scan (predicate pushes to parquet)

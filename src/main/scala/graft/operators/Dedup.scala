@@ -426,6 +426,14 @@ object Dedup {
     * output-bound like [[contamination]]'s probe join. Run-lengths
     * are the classic `offset − row_number()` islands per (doc, probe)
     * pair — no position explosion.
+    *
+    * The broadcast assumes the usual eval-suite shape (≤ ~10^7
+    * distinct (probe, window-hash) rows — 16 bytes each). For a probe
+    * corpus past the broadcast budget, `broadcastProbes = false`
+    * drops the hint and the window join shuffles on the 8-byte `wh`
+    * key instead — same rows (DedupSpec equivalence law), and the
+    * only data moving is corpus (doc, widx, wh) triples plus the
+    * probe window set; text never enters an exchange in either mode.
     */
   def exactSpanContamination(
       docs: DataFrame,
@@ -434,8 +442,11 @@ object Dedup {
       minSharedWindows: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      broadcastProbes: Boolean = true): DataFrame = {
     require(minSharedWindows >= 1, s"minSharedWindows must be >= 1, got $minSharedWindows")
+    val hintP: DataFrame => DataFrame =
+      if (broadcastProbes) broadcast(_) else identity
     val dw = docs
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.NativeOps.rollingHashes(
@@ -447,7 +458,7 @@ object Dedup {
         explode(graft.functions.NativeOps.rollingHashes(
           col(textCol), k, hash.portable)).as("wh"))
       .distinct()
-    val hits = dw.join(broadcast(pw), Seq("wh"))
+    val hits = dw.join(hintP(pw), Seq("wh"))
       .select(col("doc_id"), col("probe_id"), col("widx"))
       .distinct()
     val rw = org.apache.spark.sql.expressions.Window
@@ -720,20 +731,25 @@ object Dedup {
     * Scale shape: the probe side (benchmark suites — thousands of
     * docs) is broadcast, so the corpus-side shingle stream never
     * shuffles; the count aggregates on (doc, probe) with map-side
-    * combine. For probe sets too large to broadcast, drop the hint and
-    * the same plan degrades to a shuffled hash join on the 8-byte
-    * shingle key.
+    * combine. For probe sets too large to broadcast,
+    * `broadcastProbes = false` drops the hint and the same plan
+    * degrades to a shuffled hash join on the 8-byte shingle key —
+    * same rows (DedupSpec equivalence law), text still never enters
+    * an exchange (the fused shingle kernel emits hashes map-side).
     */
   def contamination(
       docs: DataFrame,
       probes: DataFrame,
       n: Int = 3,
       minShared: Int = 5,
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val hintP: DataFrame => DataFrame =
+      if (broadcastProbes) broadcast(_) else identity
     val dSh = shingles(docs, n, hash = hash)
     val pSh = shingles(probes, n, hash = hash)
       .select(col("doc_id").as("probe_id"), col("sh"))
-    dSh.join(broadcast(pSh), Seq("sh"))
+    dSh.join(hintP(pSh), Seq("sh"))
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -297,6 +297,10 @@ class DedupSpec extends SparkSpec {
       k = 3, hash = Hashing.Portable)
     assert(rowSet(self.filter(col("doc_id") === 1L)) ===
       Set(Seq(1L, 1L, 5L, 7L)))
+    // broadcastProbes=false (the beyond-broadcast-budget shuffle path)
+    // is plan-shape-only: row-identical to the hinted default
+    assert(rowSet(Dedup.exactSpanContamination(docs, probes, k = 3,
+      hash = Hashing.Portable, broadcastProbes = false)) === rowSet(all))
   }
 
   test("spanRemoval: keep-first block dedup reassembles retained text") {
@@ -369,6 +373,9 @@ class DedupSpec extends SparkSpec {
     assert(rowSet(hits) === Set(Seq(1L, 10L, 2L)))
     // floor of 3 excludes the 2-shingle overlap
     assert(Dedup.contamination(corpus, probes, n = 3, minShared = 3).count() === 0)
+    // shuffle-fallback mode is row-identical to the broadcast default
+    assert(rowSet(Dedup.contamination(corpus, probes, n = 3, minShared = 2,
+      broadcastProbes = false)) === rowSet(hits))
   }
 
   test("sourceOverlap: shared-shingle matrix, containment, clique-shingle cap") {

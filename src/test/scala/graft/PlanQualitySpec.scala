@@ -396,6 +396,38 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("contamination fallback: probe joins shuffle, text never rides an exchange") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    // simulate the beyond-broadcast-budget probe set by disabling the
+    // auto threshold; hints override it, so the differential also
+    // proves broadcastProbes really controls the hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = formatted(graft.operators.Dedup.contamination(docs, probes))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"hinted mode must broadcast the probe shingles regardless of stats:\n$hinted")
+      for (plan <- Seq(
+        formatted(graft.operators.Dedup.contamination(docs, probes,
+          broadcastProbes = false)),
+        formatted(graft.operators.Dedup.exactSpanContamination(docs, probes,
+          broadcastProbes = false)))) {
+        assert(!plan.contains("BroadcastHashJoin") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"fallback mode must not broadcast probe-sized frames:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"probe join should be a shuffled join in fallback mode:\n$plan")
+        // both sides shuffle 8-byte hashes; text must die at the scan
+        val exchanges =
+          plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+        assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+          s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("capped blocked near-dup: candidate join keys include the sub-split") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.cosineNearDupPairs(emb, 400000L, blocked = true,
