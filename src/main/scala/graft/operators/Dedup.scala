@@ -23,6 +23,62 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Default bucket-occupancy cap for the banded candidate joins —
+    * the threshold past which a bucket is "hot": the self-join emits
+    * ~occupancy² candidate rows from it, so hot buckets are the (only)
+    * quadratic surface of the LSH family. The capped operators
+    * sub-split at this size by default; the uncapped opt-outs probe
+    * against it and warn (see [[lastOccupancyReport]]).
+    */
+  val DefaultOccupancyCap: Int = 8
+
+  /** What the occupancy guardrail observed on its most recent probe:
+    * hottest bucket, number of buckets past the cap, and whether the
+    * operator ran capped (sub-splitting — reduced in-bucket recall) or
+    * uncapped (quadratic candidates). Test/monitoring seam; `None`
+    * after a probe that found no hot bucket.
+    */
+  final case class OccupancyReport(
+      op: String, capped: Boolean, cap: Int, maxBucket: Long, nHot: Long)
+
+  private[graft] val lastOccupancyReport =
+    new java.util.concurrent.atomic.AtomicReference[Option[OccupancyReport]](None)
+
+  /** The guardrail probe behind the banded self-joins: one aggregate
+    * job over the (already eagerly materialized) banded frame — bucket
+    * keys only, never text — recording the hottest bucket and warning
+    * loudly when any bucket exceeds `cap`. On the uncapped paths the
+    * warning is the missing guard the sf1 smoke motivated (28× wall at
+    * 10× input from hot buckets); on the capped paths it is the
+    * runtime signal that the cap is ACTIVE, i.e. output differs from
+    * the uncapped form because in-bucket pairs split across
+    * sub-buckets drop. `remedy` names the caller-actionable fix.
+    */
+  private[graft] def occupancyProbe(
+      banded: DataFrame, keys: Seq[String], cap: Int,
+      op: String, capped: Boolean, remedy: String): Unit = {
+    val row = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+      .agg(
+        coalesce(max(col("bn")), lit(0L)).as("mx"),
+        coalesce(count(when(col("bn") > cap, lit(1))), lit(0L)).as("n_hot"))
+      .head()
+    val mx = row.getLong(0)
+    val nHot = row.getLong(1)
+    if (mx > cap) {
+      lastOccupancyReport.set(Some(OccupancyReport(op, capped, cap, mx, nHot)))
+      if (capped)
+        log.warn(s"$op: occupancy cap $cap is ACTIVE - $nHot bucket(s) above " +
+          s"the cap (hottest: $mx rows) are sub-split; near-dup pairs whose " +
+          s"members land in different sub-buckets are dropped (reduced " +
+          s"in-bucket recall vs the uncapped form). $remedy")
+      else
+        log.warn(s"$op: UNCAPPED candidate generation over $nHot hot bucket(s) " +
+          s"(hottest: $mx rows > default cap $cap) - the banded self-join " +
+          s"emits ~occupancy^2 candidates per bucket and goes quadratic on " +
+          s"corpora like this one. $remedy")
+    } else lastOccupancyReport.set(None)
+  }
+
   /** Exact dedup: canonical (minimum) id per identical text + the
     * duplicate count.
     *
@@ -837,6 +893,10 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val sh = shingles(docs, n, hash = hash).cache()
     val banded = bandTableOf(sh, bands, rowsPerBand, checkpointDir)
+    occupancyProbe(banded, Seq("band", "band_sig"), DefaultOccupancyCap,
+      "minhashLshPairs", capped = false,
+      remedy = "Thin hot band buckets upstream: raise rowsPerBand (sharper " +
+        "band signatures) or cap stop-shingles with dfCap before signing.")
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     val cands = l.join(r, Seq("band", "band_sig"))
@@ -1317,6 +1377,10 @@ object Dedup {
       }
     maxBucketSize match {
       case None =>
+        occupancyProbe(banded, Seq("band", "band_val"), DefaultOccupancyCap,
+          "simhashPairs", capped = false,
+          remedy = "Pass maxBucketSize = Some(n) for the occupancy-capped " +
+            "sub-split form (the scale-safe default of the curation pipelines).")
         val l = banded.select(
           col("doc_id").as("doc_a"), col("simhash").as("sig_a"), col("band"), col("band_val"))
         val r = banded.select(
@@ -1339,6 +1403,11 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
       case Some(cap) =>
         require(cap >= 1, s"simhashPairs: maxBucketSize must be >= 1, got $cap")
+        occupancyProbe(banded, Seq("band", "band_val"), cap,
+          "simhashPairs", capped = true,
+          remedy = "The exact-signature star floor still connects " +
+            "identical-signature docs; raise maxBucketSize (or pass None) " +
+            "if sub-cap hamming-near pairs matter more than the bound.")
         val P = graft.functions.Hashing.P
         // bucket sizes are an aggregate of the (checkpointed) banded
         // frame itself, key-bounded by 4·2^bandBits ≤ 4·2^16 rows of

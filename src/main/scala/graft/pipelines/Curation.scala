@@ -34,8 +34,16 @@ object Curation {
     * input on the sf1 smoke vs 1.5× capped), so the scale-safe capped
     * form is the default; pass `maxBucketSize = None` to opt out on
     * corpora known to be hot-bucket-free.
+    *
+    * BEHAVIOR CHANGE (since the r12 defaults flip, also in README):
+    * callers who relied on the earlier uncapped default get lower
+    * in-bucket near-dup recall when the cap is active — pairs whose
+    * members the sub-split separates are dropped (identical-signature
+    * docs always stay connected via the star floor). The change is
+    * not silent at runtime: [[Dedup.occupancyProbe]] logs a warning
+    * whenever the cap actually sub-splits a hot bucket.
     */
-  val DefaultMaxBucketSize: Option[Int] = Some(8)
+  val DefaultMaxBucketSize: Option[Int] = Some(Dedup.DefaultOccupancyCap)
 
   /** Optional extra gates (both off by default, so the base chain is
     * unchanged):

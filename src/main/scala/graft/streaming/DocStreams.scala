@@ -317,7 +317,11 @@ object DocStreams {
       batch: DataFrame,
       model: graft.operators.TextOps.NbModel,
       outDir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "nbClassifyStream sink")
     // the model carries its own hash tier — a scorer-side tier
     // could silently mismatch the trained count table
     graft.operators.TextOps.nbScore(batch, model)
@@ -326,6 +330,79 @@ object DocStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
+  }
+
+  /** Fail fast when `dir` holds data files OUTSIDE `batch_id=N`
+    * partitions — the pre-r12 flat append layout. Resuming a
+    * partition-overwrite sink against such a directory would mix flat
+    * and partitioned files and break every subsequent read with a
+    * partition-discovery error far from the cause; a clear error at
+    * stream start is the kind one (README "Behavior changes").
+    * Spark bookkeeping (`_SUCCESS`, `_temporary`, hidden files) is
+    * not data and is ignored.
+    */
+  private[graft] def requireBatchPartitionedDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      what: String): Unit =
+    if (fs.exists(dir)) {
+      val legacy = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (st.isFile || !n.startsWith("batch_id="))
+      }
+      if (legacy.nonEmpty)
+        throw new IllegalStateException(
+          s"$what: '$dir' contains non-batch_id-partitioned entries " +
+            s"(e.g. '${legacy.head.getPath.getName}') — a legacy " +
+            "flat-layout output from a pre-partitioned version. Point " +
+            "the stream at a fresh directory (or migrate the old files " +
+            "into batch_id=N partitions) before resuming.")
+    }
+
+  /** Coalesce the settled span-index partitions (`batch_id < current`)
+    * into the single highest settled partition. Safe under streaming's
+    * replay contract: when batch `B` runs, every batch `< B` has
+    * committed and will never re-run, so per-batch provenance below
+    * `B` is only needed collectively (reads filter `batch_id < C` for
+    * `C ≥ B`, and the compacted partition keeps the max settled id, so
+    * every such read still sees it — including a replay of `B`
+    * itself). Idempotent: a replayed compaction finds one settled
+    * partition and no-ops. Crash windows leave either the old
+    * partitions (compacted write incomplete) or transient duplicates
+    * across old + compacted partitions — harmless, since index reads
+    * are existence joins (semi/anti) and the next compaction removes
+    * them. The materializing cut breaks lineage so the overwrite never
+    * reads the files it is replacing.
+    */
+  private[graft] def compactSpanIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      idxPath: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    if (!fs.exists(idxPath)) return
+    val settled = fs.listStatus(idxPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        "^batch_id=(-?\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+          .map(m => (m.group(1).toLong, st.getPath))
+      }
+      .filter(_._1 < batchId)
+    if (settled.size > 1) {
+      val keep = settled.map(_._1).max
+      val merged = graft.operators.Checkpoints.cut(
+        spark.read.parquet(idxPath.toString)
+          .filter(col("batch_id") < batchId)
+          .select(col("wh")).distinct(), None)
+      merged.withColumn("batch_id", lit(keep))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(idxPath.toString)
+      merged.unpersist()
+      settled.filter(_._1 != keep).foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
 
   /** Continuous exact-substring ingest — the streaming twin of
     * [[graft.operators.Dedup.exactSpanCoverage]]: each micro-batch's
@@ -340,10 +417,21 @@ object DocStreams {
     *
     * State is the distinct 8-byte window-hash set — no text, no
     * positions; per batch the work is batch-sized windows + one probe
-    * join against the index (read with `dropDuplicates`, so replayed
-    * appends stay harmless). Coverage rows land in `batch_id`
-    * partitions with dynamic partition overwrite — the
-    * [[nbClassifyStream]] replay-idempotence discipline.
+    * join against the index. Replay safety comes from batch
+    * provenance, not deduplication: index reads filter to
+    * `batch_id < current` (a replayed batch never sees its own prior
+    * append) and each batch's contribution is the anti-joined NEW
+    * hashes written into its own `batch_id` partition with dynamic
+    * partition overwrite, so a replay rewrites that partition with
+    * identical rows. Coverage rows follow the same discipline — the
+    * [[nbClassifyStream]] replay-idempotence pattern.
+    *
+    * A long-running stream accrues one index partition per batch, and
+    * every batch re-reads the whole index — so every `compactEvery`
+    * batches the settled partitions (strictly earlier batch_ids,
+    * which streaming's replay contract guarantees will never re-run)
+    * are coalesced into one (see [[compactSpanIndex]]);
+    * `compactEvery = 0` disables compaction.
     */
   def spanIngest(
       docs: DataFrame,
@@ -352,11 +440,13 @@ object DocStreams {
       checkpointDir: String,
       k: Int = 50,
       hash: Hashing.HashTier = Hashing.Fast,
-      cutDir: Option[String] = None): StreamingQuery =
+      cutDir: Option[String] = None,
+      compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        spanIngestBatch(batch, stateDir, outDir, k, hash, cutDir, batchId)
+        spanIngestBatch(batch, stateDir, outDir, k, hash, cutDir, batchId,
+          compactEvery)
       }
       .start()
 
@@ -378,12 +468,18 @@ object DocStreams {
       k: Int,
       hash: Hashing.HashTier,
       cutDir: Option[String],
-      batchId: Long): Unit = {
+      batchId: Long,
+      compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
     val whSchema = StructType(Seq(
       StructField("wh", LongType, nullable = false)))
     val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
     val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireBatchPartitionedDir(fs, new org.apache.hadoop.fs.Path(outDir),
+      "spanIngest coverage sink")
+    requireBatchPartitionedDir(fs, idxPath, "spanIngest window-hash index")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactSpanIndex(spark, fs, idxPath, batchId)
     val index =
       if (fs.exists(idxPath))
         spark.read.parquet(idxPath.toString)

@@ -141,6 +141,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("occupancy guardrail: probe fires on hot buckets, stays silent on cool ones") {
+    // degenerate hot fixture: 20 identical signatures -> every (band,
+    // band_val) bucket holds 20 rows, far past DefaultOccupancyCap=8
+    val hot = (1L to 20L).map(i => (i, 0x1234L)).toDF("doc_id", "simhash")
+    Dedup.lastOccupancyReport.set(None)
+    Dedup.simhashPairs(hot, 3).count()
+    val r = Dedup.lastOccupancyReport.get()
+    assert(r.isDefined, "uncapped probe must fire on the hot fixture")
+    assert(!r.get.capped && r.get.op === "simhashPairs")
+    assert(r.get.maxBucket === 20L && r.get.nHot === 4L &&
+      r.get.cap === Dedup.DefaultOccupancyCap)
+    // the capped run over the same fixture reports the cap as ACTIVE
+    Dedup.simhashPairs(hot, 3, maxBucketSize = Some(8)).count()
+    val c = Dedup.lastOccupancyReport.get()
+    assert(c.isDefined && c.get.capped && c.get.maxBucket === 20L)
+    // cool fixture: three distinct signatures, every bucket <= cap
+    val cool = Seq((1L, 0x1111L), (2L, 0x0FF0L), (3L, 0x7654L))
+      .toDF("doc_id", "simhash")
+    Dedup.simhashPairs(cool, 3).count()
+    assert(Dedup.lastOccupancyReport.get().isEmpty,
+      "probe must clear on a hot-bucket-free corpus")
+    // minhashLshPairs probes its band-signature buckets the same way:
+    // 20 identical texts collide in all 4 bands
+    val docs = (1L to 20L).map(i => (i, "a b c d e f")).toDF("doc_id", "text")
+    Dedup.minhashLshPairs(docs, n = 3, bands = 4, rowsPerBand = 2).count()
+    val m = Dedup.lastOccupancyReport.get()
+    assert(m.isDefined && !m.get.capped && m.get.op === "minhashLshPairs" &&
+      m.get.maxBucket === 20L)
+  }
+
   test("connected components: chains merge to min label, singletons stand alone") {
     // components: {1,2,3,4} (path), {5,6}, singleton {7}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")

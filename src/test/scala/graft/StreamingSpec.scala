@@ -711,6 +711,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span index compaction coalesces settled partitions without changing results") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_span_cmp").toString
+    // drive batches by hand (deterministic batch ids) with a tight
+    // compaction interval so the sweep actually fires mid-run
+    val chunks = base.grouped(math.max(base.length / 5, 1)).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      graft.streaming.DocStreams.spanIngestBatch(
+        chunk.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
+        16, graft.functions.Hashing.Portable, None, i.toLong, compactEvery = 2)
+    }
+    // coverage still equals the batch operator (ascending-id ingest)
+    assert(rowSet(spark.read.parquet(s"$dirs/out").drop("batch_id")) ===
+      rowSet(graft.operators.Dedup.exactSpanCoverage(
+        base.toSeq.toDF("doc_id", "text"), 16,
+        hash = graft.functions.Hashing.Portable)))
+    // the index still holds each hash exactly once, in few partitions:
+    // the last compaction (at the largest even batch id) merged every
+    // earlier partition into one, so only it + later batches remain
+    val idx = spark.read.parquet(s"$dirs/state/wh")
+    assert(idx.count() === idx.select("wh").distinct().count())
+    val parts = new java.io.File(s"$dirs/state/wh").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    val maxId = chunks.size - 1
+    val lastCompaction = (maxId / 2) * 2
+    val bound = if (lastCompaction > 0) maxId - lastCompaction + 2 else maxId + 1
+    assert(parts.size <= bound && parts.size < chunks.size,
+      s"expected compacted index, got ${parts.map(_.getName).sorted}")
+    // replaying the LAST batch after a compaction is still a no-op
+    val before = rowSet(spark.read.parquet(s"$dirs/state/wh"))
+    val outBefore = rowSet(spark.read.parquet(s"$dirs/out"))
+    graft.streaming.DocStreams.spanIngestBatch(
+      chunks.last.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
+      16, graft.functions.Hashing.Portable, None, (chunks.size - 1).toLong,
+      compactEvery = 2)
+    assert(rowSet(spark.read.parquet(s"$dirs/state/wh")) === before)
+    assert(rowSet(spark.read.parquet(s"$dirs/out")) === outBefore)
+  }
+
+  test("batch-partitioned sinks fail fast on a legacy flat-layout directory") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    // simulate a pre-r12 flat append sink: parquet files directly in outDir
+    Seq((1L, "old body")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dirs/out")
+    val model = graft.operators.TextOps.nbTrain(
+      Seq((1L, "srcA", "some text"), (2L, "srcB", "other text"))
+        .toDF("doc_id", "source", "text"))
+    val e = intercept[IllegalStateException] {
+      graft.streaming.DocStreams.writeScoredBatch(
+        Seq((3L, "srcA", "new text")).toDF("doc_id", "source", "text"),
+        model, s"$dirs/out", 0L)
+    }
+    assert(e.getMessage.contains("legacy"))
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.DocStreams.spanIngestBatch(
+        Seq((3L, "a b c")).toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
+        3, graft.functions.Hashing.Portable, None, 0L)
+    }
+    assert(e2.getMessage.contains("legacy"))
+    // a healthy batch_id-partitioned dir (plus Spark bookkeeping
+    // files) passes the guard untouched
+    Seq((1L, "x")).toDF("doc_id", "text").withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$dirs/ok")
+    graft.streaming.DocStreams.writeScoredBatch(
+      Seq((3L, "srcA", "new text")).toDF("doc_id", "source", "text"),
+      model, s"$dirs/ok", 1L)
+  }
+
   test("stream-static blocklist filter drops blocked content mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     val blocklist = Seq((100L, "blocked body one"), (101L, "blocked body two"))
