@@ -418,8 +418,9 @@ object Dedup {
       k: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
-    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash)
+      hash: Hashing.HashTier = Hashing.Fast,
+      saltFactor: Int = 1): DataFrame = {
+    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash, saltFactor)
     spanCoverageFrom(totals, islands)
   }
 
@@ -440,8 +441,9 @@ object Dedup {
       k: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
-    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash)
+      hash: Hashing.HashTier = Hashing.Fast,
+      saltFactor: Int = 1): DataFrame = {
+    val (totals, islands) = exactSpanIslands(docs, k, textCol, idCol, hash, saltFactor)
     val dupPos = islands.select(col("doc_id"),
       explode(sequence(col("wstart"), col("wend"))).as("pos"))
     val toks = docs
@@ -544,12 +546,13 @@ object Dedup {
       k: Int,
       textCol: String,
       idCol: String,
-      hash: Hashing.HashTier): (DataFrame, DataFrame) = {
+      hash: Hashing.HashTier,
+      saltFactor: Int = 1): (DataFrame, DataFrame) = {
     require(k >= 2, s"k must be >= 2, got $k")
     val totals = docs.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
     val wins = positionedWindows(docs, k, textCol, idCol, hash)
-    (totals, spanIslands(keepFirstNonFirst(wins), k))
+    (totals, spanIslands(keepFirstNonFirst(wins, saltFactor), k))
   }
 
   /** Positioned k-token rolling window hashes `(doc_id, widx, wh)` —
@@ -577,11 +580,29 @@ object Dedup {
     * window (a hot boilerplate hash would single-reducer-sort).
     * Returns `(doc_id, widx)`. The single source of the rule for both
     * the batch operators and the streaming twin.
+    *
+    * The aggregate is skew-immune (partial min collapses hot hashes
+    * per mapper), but the join back hash-partitions the window stream
+    * on `wh`: a corpus-wide boilerplate window lands its whole
+    * occurrence count in one task — linear, not quadratic, yet a
+    * straggler at 100 TB. Two mitigations: AQE's runtime skew-join
+    * split covers the sort-merge plan by default, and
+    * `saltFactor > 1` is the deterministic, planner-independent form —
+    * [[Skew.saltedJoin]] spreads each hash over `saltFactor` reducers
+    * at the cost of replicating the first-occurrence table
+    * `saltFactor`× (worth it exactly when the hottest window's
+    * occurrence count dwarfs `saltFactor` × the average, the
+    * boilerplate regime). Result rows are identical in every mode
+    * (DedupSpec law).
     */
-  private[graft] def keepFirstNonFirst(wins: DataFrame): DataFrame = {
+  private[graft] def keepFirstNonFirst(wins: DataFrame, saltFactor: Int = 1): DataFrame = {
     val firsts = wins.groupBy(col("wh"))
       .agg(min(struct(col("doc_id"), col("widx"))).as("fst"))
-    wins.join(firsts, Seq("wh"))
+    val joined =
+      if (saltFactor > 1)
+        Skew.saltedJoin(wins, firsts, Seq("wh"), saltFactor, Seq("doc_id", "widx"))
+      else wins.join(firsts, Seq("wh"))
+    joined
       .filter(!(col("doc_id") === col("fst.doc_id") &&
         col("widx") === col("fst.widx")))
       .select(col("doc_id"), col("widx"))

@@ -281,6 +281,18 @@ class DedupSpec extends SparkSpec {
     assert(rowSet(cov.filter(col("doc_id").isin(1L, 10L))) === Set(
       Seq(1L, 5L, 0L, 0L),
       Seq(10L, 5L, 5L, 1000L)))
+    // the salted first-occurrence join (hot-boilerplate skew spread) is
+    // row-identical — pinned on a fixture where one window IS hot: 30
+    // copies of the same boilerplate line make every its-window's
+    // occurrence list deep, the exact shape the salt exists for
+    val hot = docs.union(
+      (20L to 49L).map(i => (i, "same boiler plate line here")).toDF("doc_id", "text"))
+    assert(
+      rowSet(Dedup.exactSpanCoverage(hot, k = 3, hash = Hashing.Portable, saltFactor = 8))
+        === rowSet(Dedup.exactSpanCoverage(hot, k = 3, hash = Hashing.Portable)))
+    assert(
+      rowSet(Dedup.exactSpanScrub(hot, k = 3, hash = Hashing.Portable, saltFactor = 8))
+        === rowSet(Dedup.exactSpanScrub(hot, k = 3, hash = Hashing.Portable)))
   }
 
   test("exactSpanScrub: duplicated positions drop keep-first, tokens reassemble") {

@@ -230,6 +230,23 @@ class PlanQualitySpec extends SparkSpec {
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("exact-span coverage salted: first-occurrence join keys on (wh, salt)") {
+    val d = Dedup.exactSpanCoverage(Tables.documents(spark, sfDir), 16, saltFactor = 8)
+    val plan = formatted(d)
+    // the salt is only real if the join back keys on (wh, __salt) — a
+    // hot boilerplate window then spreads over saltFactor reducers
+    // instead of serializing one task
+    assert("\\[wh#\\d+L?, __salt#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"salted keep-first join does not key on (wh, __salt):\n$plan")
+    // the min-struct aggregate discipline and text-free exchanges are
+    // mode-independent
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"expected a partial (map-side) min-struct aggregate:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("PII redaction is a pure narrow projection (no exchange)") {
     val r = graft.operators.TextOps.redactPii(Tables.documents(spark, sfDir))
     val plan = formatted(r)
