@@ -244,8 +244,15 @@ object ScaleSmoke {
   private val KeyStride = 10000000L    // replica graph-key shift
   private val VecIdStride = 1000000L   // replica embedding-key shift
 
-  def generate(spark: SparkSession, srcDir: String, genDir: String): Unit = {
-    val reps = spark.range(10).select(col("id").as("rep"))
+  /** Derive an `nReps`× corpus from `srcDir` (10 = the "sf1" decade,
+    * 100 = the "sf10" decade — ~60M lineitem rows). Construction per
+    * scaladoc above; the strides accommodate `nReps ≤ 100` without key
+    * collisions (max source keys ≪ every stride).
+    */
+  def generate(spark: SparkSession, srcDir: String, genDir: String,
+      nReps: Int = 10): Unit = {
+    require(nReps >= 1 && nReps <= 100, s"nReps must be in [1, 100], got $nReps")
+    val reps = spark.range(nReps.toLong).select(col("id").as("rep"))
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val newId = col("doc_id") + col("rep") * lit(DocIdStride)
@@ -309,6 +316,19 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$genDir/orders.parquet")
   }
 
+  /** Second-decade tier: the six headline chains re-measured sf1→sf10
+    * (10× the 10× corpus — ~500k docs / 60M lineitem rows / 1M
+    * embeddings). One decade of growth data extrapolates poorly; two
+    * decades distinguish "linear with overhead" from "superlinear
+    * creeping in". Output-growth caveat: several chains' RESULT sets
+    * grow faster than their input (near-dup pairs, span coverage rows)
+    * — judge the ratio against the rows ratio in the artifact, not
+    * against 10 alone.
+    */
+  private val Sf10Chains = Seq(
+    "pipe_curation", "pipe_curation_scrub", "d_exact_span_cov",
+    "d_star_clusters", "g_pagerank", "sim_knn_graph")
+
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs
     // (no Spark session, no timing) — `runMain graft.ScaleSmoke merge [out]`
@@ -320,6 +340,20 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
       return
     }
+    if (args.headOption.contains("merge10")) {
+      val out = args.lift(1).getOrElse("BENCH_sf10_smoke.json")
+      val line = mergeRunsLabeled(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SMOKE10_RUNS", "smoke10_runs")),
+        Sf10Chains, "sf1", "sf10", "sf10_smoke_worst_ratio",
+        "100x sf0.1 vs 10x sf0.1 (second decade)")
+      println(line)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      return
+    }
+    // sf10 tier: `runMain graft.ScaleSmoke sf10 [sf0.1-dir] [gen1-dir]
+    // [gen10-dir] [out-json] [chain,...]`
+    if (args.headOption.contains("sf10")) { runSf10(args.drop(1)); return }
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val genDir = args.lift(1).getOrElse(".tmp/sf1smoke")
     val outJson = args.lift(2).getOrElse("BENCH_sf1_smoke.json")
@@ -436,28 +470,130 @@ object ScaleSmoke {
     * `runMain graft.ScaleSmoke merge <out-json>` regenerates the
     * artifact from the checked-in raw runs without re-timing.
     */
-  def mergeRuns(runsDir: java.nio.file.Path): String = {
+  def mergeRuns(runsDir: java.nio.file.Path): String =
+    mergeRunsLabeled(runsDir, Chains, "sf01", "sf1", "sf1_smoke_worst_ratio",
+      "10x sf0.1")
+
+  /** The label-generic merge both tiers share: per-(chain, scale) min
+    * across every raw run file under `runsDir`, row counts required to
+    * agree across runs (the stale-code tripwire), ratio recomputed
+    * from the merged floors. `lo`/`hi` name the JSON fields
+    * (`<lo>_sec`, `<lo>_rows`, …).
+    */
+  private def mergeRunsLabeled(
+      runsDir: java.nio.file.Path, universe: Seq[String],
+      lo: String, hi: String, metric: String, dataNote: String): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val runs = listJsons(runsDir).sortBy(_.toString)
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
     require(runs.nonEmpty, s"no raw runs under $runsDir")
-    val chainOrder = Chains.filter(c =>
+    val chainOrder = universe.filter(c =>
       runs.exists(r => r.get("queries").has(c)))
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val merged = chainOrder.map { c =>
       val entries = runs.flatMap(r => Option(r.get("queries").get(c)))
-      val rows01 = entries.map(_.get("sf01_rows").asLong()).distinct
-      val rows1 = entries.map(_.get("sf1_rows").asLong()).distinct
-      require(rows01.size == 1 && rows1.size == 1,
-        s"smoke_runs row counts disagree for $c — stale-code runs present; clear the dir")
-      val s01 = entries.map(_.get("sf01_sec").asDouble()).min
-      val s1 = entries.map(_.get("sf1_sec").asDouble()).min
-      c -> ((r3(s01), rows01.head, r3(s1), rows1.head, r3(s1 / s01)))
+      val rowsLo = entries.map(_.get(s"${lo}_rows").asLong()).distinct
+      val rowsHi = entries.map(_.get(s"${hi}_rows").asLong()).distinct
+      require(rowsLo.size == 1 && rowsHi.size == 1,
+        s"$runsDir row counts disagree for $c — stale-code runs present; clear the dir")
+      val sLo = entries.map(_.get(s"${lo}_sec").asDouble()).min
+      val sHi = entries.map(_.get(s"${hi}_sec").asDouble()).min
+      c -> ((r3(sLo), rowsLo.head, r3(sHi), rowsHi.head, r3(sHi / sLo)))
     }
-    val qs = merged.map { case (n, (s01, r01, s1, r1, ratio)) =>
-      s""""$n":{"sf01_sec":$s01,"sf01_rows":$r01,"sf1_sec":$s1,"sf1_rows":$r1,"ratio":$ratio}"""
+    val qs = merged.map { case (n, (sLo, rLo, sHi, rHi, ratio)) =>
+      s""""$n":{"${lo}_sec":$sLo,"${lo}_rows":$rLo,"${hi}_sec":$sHi,"${hi}_rows":$rHi,"ratio":$ratio}"""
     }.mkString("{", ",", "}")
     val worst = r3(merged.map(_._2._5).max)
-    s"""{"metric":"sf1_smoke_worst_ratio","value":$worst,"unit":"x","data":"10x sf0.1, per-(chain,scale) min of ${runs.size} run(s) (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
+    s"""{"metric":"$metric","value":$worst,"unit":"x","data":"$dataNote, per-(chain,scale) min of ${runs.size} run(s) (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
+  }
+
+  /** The sf10 tier runner: generates the 10× and 100× corpora (if
+    * absent), times each headline chain at both with the best-of-2 +
+    * isolation discipline of the main smoke, and min-merges into
+    * `smoke10_runs/`.
+    */
+  private def runSf10(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val gen1 = args.lift(1).getOrElse(".tmp/sf1smoke")
+    val gen10 = args.lift(2).getOrElse(".tmp/sf10smoke")
+    val outJson = args.lift(3).getOrElse("BENCH_sf10_smoke.json")
+    val chainFilter = args.lift(4).map(_.split(",").map(_.trim).toSet)
+    chainFilter.foreach { f =>
+      val unknown = f -- Sf10Chains.toSet
+      require(unknown.isEmpty,
+        s"unknown chain(s) ${unknown.mkString(", ")}; valid: ${Sf10Chains.mkString(", ")}")
+    }
+    val chains = chainFilter.fold(Sf10Chains)(f => Sf10Chains.filter(f))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((dir, n) <- Seq(gen1 -> 10, gen10 -> 100))
+      if (!new java.io.File(s"$dir/documents.parquet").exists() ||
+          !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val t0 = System.nanoTime()
+        generate(spark, srcDir, dir, n)
+        System.err.println(
+          f"[smoke10] generated ${n}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    def isolate(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    try SparkEntry.queries("q1_agg")(spark, gen1).count()
+    catch { case _: Throwable => }
+    isolate()
+    def time(name: String, dir: String): (Double, Long) = {
+      def trial(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val r = ((System.nanoTime() - t0) / 1e9, n)
+        isolate()
+        r
+      }
+      val a = trial(); val b = trial()
+      (math.min(a._1, b._1), b._2)
+    }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val results = chains.map { name =>
+      val (s1, rows1) = time(name, gen1)
+      val (s10, rows10) = time(name, gen10)
+      System.err.println(
+        f"[smoke10] $name%-22s sf1 $s1%7.2f s ($rows1%d rows)  " +
+          f"sf10 $s10%7.2f s ($rows10%d rows)  ratio ${s10 / s1}%.1fx")
+      name -> ((r3(s1), rows1, r3(s10), rows10, r3(s10 / s1)))
+    }
+    val qs = results.map { case (n, (s1, r1, s10, r10, ratio)) =>
+      s""""$n":{"sf1_sec":$s1,"sf1_rows":$r1,"sf10_sec":$s10,"sf10_rows":$r10,"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
+    val worst = r3(results.map(_._2._5).max)
+    val line =
+      s"""{"metric":"sf10_smoke_worst_ratio","value":$worst,"unit":"x","data":"100x sf0.1 vs 10x sf0.1 (second decade)","queries":$qs}"""
+    val merged =
+      try {
+        val runsDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SMOKE10_RUNS", "smoke10_runs"))
+        java.nio.file.Files.createDirectories(runsDir)
+        val next = listJsons(runsDir)
+          .flatMap(p => "run_(\\d+)\\.json$".r
+            .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .maxOption.getOrElse(0) + 1
+        java.nio.file.Files.writeString(
+          runsDir.resolve(f"run_$next%03d.json"), line + "\n")
+        mergeRunsLabeled(runsDir, Sf10Chains, "sf1", "sf10",
+          "sf10_smoke_worst_ratio", "100x sf0.1 vs 10x sf0.1 (second decade)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[smoke10] best-of merge failed, shipping single run: $e")
+          line
+      }
+    println(merged)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), merged + "\n")
+    catch { case e: Throwable => System.err.println(s"[smoke10] write $outJson failed: $e") }
+    spark.stop()
   }
 }
