@@ -1061,6 +1061,18 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
+    // incremental-ingest embedding near-dup: every 5th vector plays the
+    // "new batch" against the persisted band index of the rest — the
+    // d_incr_near_dup device for embeddings (full banded LSH restricted
+    // to new-touching pairs)
+    "sim_incr_near_dup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      Similarity.incrementalNearDupPairs(
+        emb.filter(col("vec_id") % 5 === 0), corpus,
+        Similarity.bandTable(corpus), 400000L)
+    }),
+
     // occupancy-guarded blocked near-dup: buckets above maxBucketSize
     // sub-split by a portable vec_id hash (bounds every candidate
     // block), with the hash-keyed exact-dup star floor recovering cos=1
@@ -3772,6 +3784,38 @@ object SparkEntry {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bk a JOIN bk b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM cands c
+         |  JOIN qn a ON a.vec_id = c.id_a
+         |  JOIN qn b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, dot_q FROM pairs
+         |WHERE CAST(dot_q AS DOUBLE) >= (400000.0/1000000.0)*sqrt(nn)""".stripMargin,
+
+    // the incremental twin: identical banding + verification, with the
+    // candidate join restricted to pairs touching the new batch
+    // (vec_id % 5 = 0) — band buckets depend only on the vector, so
+    // the full-band closed form restricted to new-touching pairs IS
+    // the incremental operator's output
+    "sim_incr_near_dup" ->
+      s"""WITH $QNORM,
+         |s AS (
+         |  SELECT vec_id, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qn CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, j // 4 AS band,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 5 = 0 OR b.vec_id % 5 = 0),
          |pairs AS (
          |  SELECT c.id_a, c.id_b,
          |         ${dotSql("a.q", "b.q")} AS dot_q,

@@ -42,7 +42,7 @@ object Similarity {
   /** Squared norm of a quantized vector (native kernel). */
   def normQ(a: Column): Column = graft.functions.NativeOps.normQ(a)
 
-  private def withQuant(embeddings: DataFrame): DataFrame =
+  private[graft] def withQuant(embeddings: DataFrame): DataFrame =
     embeddings.select(
       col("vec_id"),
       quantize(col("embedding")).as("q"))
@@ -833,6 +833,104 @@ object Similarity {
         .filter(thresh(col("dot_q"), col("nn")))
         .select(col("id_a"), col("id_b"), col("dot_q"))
     }
+  }
+
+  /** Persistable banded-LSH index over an embedding corpus —
+    * `(vec_id, band, bucket)`, the [[Dedup.bandTableOf]] twin for
+    * embeddings: an ingest pipeline writes it once per corpus and
+    * hands it to [[incrementalNearDupPairs]] on every subsequent
+    * batch, so the corpus is never re-banded per ingest. Materialized
+    * ([[Checkpoints.cut]]) because every consumer joins it at least
+    * twice (index side + candidate side); the frame is 24-byte rows ×
+    * `bands` per vector — vectors never enter it.
+    */
+  def bandTable(
+      embeddings: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame =
+    Checkpoints.cut(
+      withQuant(embeddings).select(
+        col("vec_id"),
+        explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      checkpointDir)
+
+  /** Incremental embedding near-dup — the banded-LSH cosine twin of
+    * [[Dedup.incrementalNearDupPairs]]: pairs `(id_a, id_b, dot_q)`
+    * with `cos ≥ cosE6/1e6` where at least one side belongs to the
+    * NEW batch (new↔corpus and new↔new; settled corpus↔corpus pairs
+    * are previous ingests' output and are not recomputed).
+    * `corpusBands` is the persisted [[bandTable]] index. Equivalent to
+    * the full [[cosineNearDupPairs]] banded run restricted to
+    * new-touching pairs (band buckets depend only on the vector, so
+    * restricting the candidate join restricts nothing else —
+    * SimilaritySpec law + the `sim_incr_near_dup` oracle row).
+    *
+    * The incremental contract: per batch, only (a) the new vectors
+    * quantize and band, and (b) the corpus vectors that actually
+    * collide on a band attach for exact verification (semi-join on
+    * the batch-sized candidate id set, broadcast) — corpus embeddings
+    * are never scanned beyond those matches, and the index grows by
+    * the new batch's band rows. At 100 TB this is the difference
+    * between re-banding the corpus per ingest and touching
+    * ~batch-sized state.
+    */
+  def incrementalNearDupPairs(
+      newEmbeddings: DataFrame,
+      corpus: DataFrame,
+      corpusBands: DataFrame,
+      cosE6: Long,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // materialized: the quantized batch feeds banding AND verification
+    val newQ = Checkpoints.cut(withQuant(newEmbeddings), checkpointDir)
+    val newBands = bandTable(newEmbeddings, bands, rowsPerBand, checkpointDir)
+    incrementalPairsCoreEmb(newQ, newBands, corpusBands, cosE6,
+      matchedIds => withQuant(
+        corpus.join(broadcast(matchedIds), Seq("vec_id"), "left_semi")))
+  }
+
+  /** Shared incremental-LSH core for embeddings: candidates from
+    * (index ∪ new) × new band collisions, exact cosine verification
+    * over the new quantized vectors plus whatever
+    * `corpusQOf(matchedIds)` supplies for the colliding corpus ids
+    * (re-quantized embeddings for the batch form, persisted quantized
+    * state for the streaming form). The candidate/verify discipline
+    * of [[cosineNearDupPairs]]'s blocked branch, restricted to
+    * new-touching pairs.
+    */
+  private[graft] def incrementalPairsCoreEmb(
+      newQ: DataFrame,
+      newBands: DataFrame,
+      corpusBands: DataFrame,
+      cosE6: Long,
+      corpusQOf: DataFrame => DataFrame): DataFrame = {
+    val l = corpusBands.unionByName(newBands)
+      .select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+    val r = newBands.select(col("vec_id").as("id_b"), col("band"), col("bucket"))
+    // normalize (min, max): new↔new collisions arrive in both orders,
+    // new↔corpus in one — distinct collapses them either way
+    val cands = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val matchedIds = cands.select(col("id_a").as("vec_id"))
+      .union(cands.select(col("id_b").as("vec_id"))).distinct()
+    val vecs = newQ.unionByName(corpusQOf(matchedIds)).dropDuplicates("vec_id")
+    cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("n_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("n_b")),
+        Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        dotQ(col("q_a"), col("q_b")).as("dot_q"),
+        (col("n_a").cast("double") * col("n_b").cast("double")).as("nn"))
+      .filter(col("dot_q").cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(col("nn")))
+      .select(col("id_a"), col("id_b"), col("dot_q"))
   }
 
   /** SemDeDup-shaped semantic dedup: partition the corpus into k-means

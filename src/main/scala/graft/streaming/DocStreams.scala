@@ -130,6 +130,73 @@ object DocStreams {
       .start()
   }
 
+  /** Continuous embedding ingest — the streaming twin of
+    * [[graft.operators.Similarity.incrementalNearDupPairs]] and the
+    * cosine sibling of [[fuzzyIngest]]: each micro-batch of vectors is
+    * near-dup-checked against an on-disk banded-LSH index (band table
+    * + quantized-vector table, both parquet under `stateDir`), emits
+    * its `(id_a, id_b, dot_q)` pairs to `pairsDir`, and appends its
+    * own bands/vectors to the index.
+    *
+    * Per batch the work is batch-sized: only the new vectors quantize
+    * and band, the band join probes the index on 24-byte keys, and
+    * only colliding corpus vectors' quantized rows are read back for
+    * exact cosine verification. Under any batch composition the
+    * accumulated pair set equals the batch
+    * [[graft.operators.Similarity.cosineNearDupPairs]] blocked run
+    * over the full corpus (every pair is new-touching when its later
+    * member arrives — StreamingSpec law).
+    *
+    * Retry semantics: identical to [[fuzzyIngest]] — state appends are
+    * idempotent-by-read (`dropDuplicates` on read), pair output may
+    * duplicate across a replay and downstream consumers key on
+    * `(id_a, id_b)`. `cutDir` as in [[fuzzyIngest]].
+    */
+  def embeddingIngest(
+      vecs: DataFrame,
+      stateDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      cosE6: Long = 400000L,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      cutDir: Option[String] = None): StreamingQuery = {
+    val bandSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("band", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("q", org.apache.spark.sql.types.ArrayType(LongType), nullable = true)))
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readState(sub: String, schema: StructType, keys: Seq[String]): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
+            .dropDuplicates(keys.head, keys.tail: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val sim = graft.operators.Similarity
+        val newQ = graft.operators.Checkpoints.cut(sim.withQuant(batch), cutDir)
+        val newBands = sim.bandTable(batch, bands, rowsPerBand, cutDir)
+        val stateVecs = readState("vecs", vecSchema, Seq("vec_id"))
+        val stateBands = readState("bands", bandSchema, Seq("vec_id", "band", "bucket"))
+        val pairs = sim.incrementalPairsCoreEmb(
+          newQ, newBands, stateBands, cosE6,
+          matchedIds => stateVecs
+            .join(broadcast(matchedIds), Seq("vec_id"), "left_semi")
+            .withColumn("nq", sim.normQ(col("q"))))
+        pairs.write.mode("append").parquet(pairsDir)
+        newBands.write.mode("append").parquet(s"$stateDir/bands")
+        newQ.select(col("vec_id"), col("q")).write.mode("append").parquet(s"$stateDir/vecs")
+      }
+      .start()
+  }
+
   /** Continuous heavy-hitter tokens per source — a Misra-Gries
     * `k`-counter summary in the state store, the streaming twin of
     * [[graft.operators.TextOps.vocabTopK]] for feeds too large/too

@@ -96,6 +96,25 @@ class SimilaritySpec extends SparkSpec {
       "identical vectors must never be missed by bucketing")
   }
 
+  test("incremental near-dup equals the full banded run restricted to new-touching pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val isNew = col("vec_id") % 5 === 0
+    val corpus = emb.filter(!isNew)
+    val incr = rowSet(Similarity.incrementalNearDupPairs(
+      emb.filter(isNew), corpus, Similarity.bandTable(corpus), 400000L))
+    // band buckets depend only on the vector, so the incremental run
+    // must equal the whole-corpus blocked run filtered to pairs
+    // touching the new batch — nothing more (no settled corpus pairs
+    // recomputed), nothing less (no new-touching pair missed)
+    val full = rowSet(Similarity.cosineNearDupPairs(emb, 400000L, blocked = true))
+      .filter(r => r(0).asInstanceOf[Long] % 5 == 0 || r(1).asInstanceOf[Long] % 5 == 0)
+    assert(incr === full)
+    assert(incr.nonEmpty, "fixture should contain new-touching near-dups")
+    // an empty new batch proposes nothing
+    assert(Similarity.incrementalNearDupPairs(
+      emb.filter(lit(false)), corpus, Similarity.bandTable(corpus), 400000L).count() === 0L)
+  }
+
   test("capped blocked near-dup: subset law, exact-dup star floor, no-op at large cap") {
     // the sf0.001 corpus has no exact-duplicate vectors — plant five
     // (copies of vec 0..4 under fresh ids) so the star floor has

@@ -17,6 +17,7 @@ case class FixEv(event_id: Long, user_id: String, event_type: String, ts: Timest
 
 /** Top-level for the same encoder reason as [[FixEv]]. */
 case class FixDoc(doc_id: Long, text: String)
+case class FixVec(vec_id: Long, embedding: Seq[Float])
 case class FixSrcDoc(doc_id: Long, source: String, text: String)
 
 /** Structured Streaming specs via MemoryStream: watermark late-data
@@ -600,6 +601,34 @@ class StreamingSpec extends SparkSpec {
       // the index accumulated band + shingle state for every doc
       val idx = spark.read.parquet(s"$dirs/state/bands")
       assert(idx.select("doc_id").distinct().count() === base.length.toLong)
+    } finally q.stop()
+  }
+
+  test("embedding ingest stream accumulates exactly the batch blocked near-dup pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").as[FixVec].collect().sortBy(_.vec_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_embing").toString
+    val in = MemoryStream[FixVec]
+    val q = graft.streaming.DocStreams.embeddingIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/pairs", s"$dirs/ckpt")
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // every pair surfaces exactly when its later member ingests, so
+      // the accumulated output equals the one-shot batch blocked run
+      val streamed = rowSet(spark.read.parquet(s"$dirs/pairs"))
+      val batch = rowSet(graft.operators.Similarity.cosineNearDupPairs(
+        base.toSeq.toDF("vec_id", "embedding"), 400000L, blocked = true))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "fixture should contain near-dups")
+      // the index accumulated band + quantized-vector state per vector
+      assert(spark.read.parquet(s"$dirs/state/bands")
+        .select("vec_id").distinct().count() === base.length.toLong)
+      assert(spark.read.parquet(s"$dirs/state/vecs")
+        .count() === base.length.toLong)
     } finally q.stop()
   }
 
