@@ -708,6 +708,28 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
     }),
+    // WordPiece greedy longest-match segmentation against a FIXED
+    // corpus-derived vocabulary (frequent whole words + their 2-char
+    // prefix / ##-suffix splits + every corpus character except 'e' in
+    // both forms — 'e'-gaps exercise the all-or-nothing [UNK] rule)
+    "t_wordpiece_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val freq = words.filter(col("n") >= 935).select(col("word"))
+      val chars = words
+        .select(explode(expr("filter(split(word, ''), x -> x != '')")).as("c"))
+        .filter(col("c") =!= "e").distinct()
+      val vocab = freq.select(col("word").as("piece"))
+        .union(words.filter(length(col("word")) >= 4)
+          .select(substring(col("word"), 1, 2).as("piece")))
+        .union(words.filter(length(col("word")) >= 4)
+          .select(concat(lit("##"), expr("substring(word, 3)")).as("piece")))
+        .union(chars.select(col("c").as("piece")))
+        .union(chars.select(concat(lit("##"), col("c")).as("piece")))
+      TextOps.wordpieceSegment(docs, vocab)
+    }),
     // end-to-end tokenize→pack DAG: learn 6 BPE merges, segment the
     // vocabulary, attach per-word piece counts back to the token
     // stream by an 8-byte-ish word join, and pack documents into
@@ -2428,6 +2450,68 @@ object SparkEntry {
 
     "t_bpe_merges" -> bpeSql(6),
     "t_bpe_segment" -> bpeSegmentSql(6),
+
+    // WordPiece greedy longest-match: the per-position longest-match
+    // table resolves set-orientedly (cands × vocab join), and the
+    // per-word left-to-right walk is a recursive CTE stepping
+    // pos → pos + step(pos) — the oracle twin of the engine's
+    // aggregate-HOF walk. Any no-match position fails the whole word
+    // to [UNK] (all-or-nothing, pinned both sides).
+    "t_wordpiece_segment" ->
+      s"""WITH RECURSIVE words AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest($TOKS) AS word FROM documents)
+         |  GROUP BY word),
+         |freq AS (SELECT word FROM words WHERE n >= 935),
+         |chars AS (
+         |  SELECT DISTINCT c FROM (
+         |    SELECT unnest(list_transform(range(1, length(word) + 1),
+         |      i -> substring(word, CAST(i AS INT), 1))) AS c
+         |    FROM words)
+         |  WHERE c <> 'e'),
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT word AS piece FROM freq
+         |    UNION ALL SELECT substring(word, 1, 2) FROM words WHERE length(word) >= 4
+         |    UNION ALL SELECT '##' || substring(word, 3) FROM words WHERE length(word) >= 4
+         |    UNION ALL SELECT c FROM chars
+         |    UNION ALL SELECT '##' || c FROM chars)),
+         |cands AS (
+         |  SELECT word, CAST(c.p AS BIGINT) AS p, CAST(c.l AS BIGINT) AS l, c.piece
+         |  FROM (
+         |    SELECT word, unnest(flatten(list_transform(range(0, length(word)), p ->
+         |      list_transform(range(1, least(16, length(word) - p) + 1), l ->
+         |        struct_pack(p := p, l := l,
+         |          piece := (CASE WHEN p > 0 THEN '##' ELSE '' END)
+         |                   || substring(word, CAST(p AS INT) + 1, CAST(l AS INT))))))) AS c
+         |    FROM words)),
+         |steps AS MATERIALIZED (
+         |  SELECT c.word, c.p, CAST(MAX(c.l) AS BIGINT) AS step
+         |  FROM cands c JOIN vocab v ON v.piece = c.piece
+         |  GROUP BY 1, 2),
+         |walk AS (
+         |  SELECT word, n, CAST(0 AS BIGINT) AS pos,
+         |         CAST([] AS VARCHAR[]) AS pieces, true AS ok
+         |  FROM words
+         |  UNION ALL
+         |  SELECT wk.word, wk.n,
+         |         CASE WHEN s.step IS NULL THEN CAST(length(wk.word) AS BIGINT)
+         |              ELSE wk.pos + s.step END,
+         |         CASE WHEN s.step IS NULL THEN wk.pieces
+         |              ELSE list_append(wk.pieces,
+         |                (CASE WHEN wk.pos > 0 THEN '##' ELSE '' END)
+         |                || substring(wk.word, CAST(wk.pos AS INT) + 1, CAST(s.step AS INT)))
+         |         END,
+         |         s.step IS NOT NULL
+         |  FROM walk wk LEFT JOIN steps s ON s.word = wk.word AND s.p = wk.pos
+         |  WHERE wk.ok AND wk.pos < length(wk.word))
+         |SELECT word, n,
+         |       CASE WHEN ok THEN CAST(len(pieces) AS BIGINT)
+         |            ELSE CAST(1 AS BIGINT) END AS n_pieces,
+         |       CASE WHEN ok THEN array_to_string(pieces, ' ')
+         |            ELSE '[UNK]' END AS segmented
+         |FROM walk
+         |WHERE NOT ok OR pos >= length(word)""".stripMargin,
 
     // the whole tokenize→pack DAG replicated: BPE end state → per-word
     // piece counts → per-doc subword totals → the t_pack_sequences

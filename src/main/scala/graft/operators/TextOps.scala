@@ -598,6 +598,86 @@ object TextOps {
       array_join(col("syms"), " ").as("segmented"))
   }
 
+  /** WordPiece-style greedy longest-match segmentation against a FIXED
+    * vocabulary (Wu et al. 2016, "Google's Neural Machine Translation
+    * System" §4.1; the `tokenizers` WordPiece decode rule) — the other
+    * half of the tokenizer tier beside [[bpeSegment]]: BPE covers
+    * merge-learned tokenizers, this covers the far more common
+    * apply-a-published-vocab deployment. `vocab` is one `piece`
+    * column; continuation pieces carry the standard `##` prefix. Per
+    * word, scan left to right taking at each position the LONGEST
+    * vocab piece that matches (`##`-form at interior positions); if no
+    * piece matches at some position the WHOLE word becomes `unk` —
+    * the pinned all-or-nothing WordPiece failure rule.
+    *
+    * Output is the segmentation vocabulary, [[bpeSegment]]'s shape:
+    * one row per distinct word, `(word, n, n_pieces, segmented)`,
+    * pieces space-joined (`[UNK]` rows report `n_pieces = 1`).
+    *
+    * Spark-first shape — greedy matching is sequential per word but
+    * the heavy work is not: ONE corpus scan reduces text to the
+    * distinct-word table; candidate (position, length) substrings
+    * explode VOCABULARY-side (|words| · len · maxPieceChars rows —
+    * corpus-independent); the vocab join resolves every position's
+    * longest match set-orientedly (map-side against the broadcast
+    * vocab — `broadcastVocab = false` shuffles on the piece string
+    * for beyond-budget vocabularies); and the per-word left-to-right
+    * walk is a codegen'd `aggregate` HOF over the position→step map —
+    * O(len) per word, no driver loop, no per-word shuffle.
+    */
+  def wordpieceSegment(
+      docs: DataFrame,
+      vocab: DataFrame,
+      maxPieceChars: Int = 16,
+      textCol: String = "text",
+      unk: String = "[UNK]",
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(maxPieceChars >= 1, s"maxPieceChars must be >= 1, got $maxPieceChars")
+    val hintV: DataFrame => DataFrame =
+      if (broadcastVocab) broadcast(_) else identity
+    val words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val cands = words.select(col("word"),
+      explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), p ->
+           |  transform(sequence(1, least($maxPieceChars, length(word) - p)), l ->
+           |    struct(cast(p as bigint) as p, cast(l as bigint) as l,
+           |      concat(case when p > 0 then '##' else '' end,
+           |             substring(word, p + 1, l)) as piece))))""".stripMargin)).as("c"))
+      .select(col("word"), col("c.p").as("p"), col("c.l").as("l"),
+        col("c.piece").as("piece"))
+    val steps = cands
+      .join(hintV(vocab.select(col("piece")).distinct()), Seq("piece"))
+      .groupBy(col("word"), col("p")).agg(max(col("l")).as("step"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("step")))).as("m"))
+    words.join(steps, Seq("word"), "left_outer")
+      .withColumn("m", coalesce(col("m"), expr("map()")))
+      .withColumn("res", expr(
+        """aggregate(
+          |  sequence(cast(0 as bigint), cast(length(word) - 1 as bigint)),
+          |  named_struct('pos', cast(0 as bigint),
+          |               'pieces', cast(array() as array<string>),
+          |               'ok', true),
+          |  (acc, i) -> case
+          |    when not acc.ok or i != acc.pos then acc
+          |    when element_at(m, i) is null then
+          |      named_struct('pos', cast(length(word) as bigint),
+          |                   'pieces', acc.pieces, 'ok', false)
+          |    else named_struct(
+          |      'pos', acc.pos + element_at(m, i),
+          |      'pieces', concat(acc.pieces, array(concat(
+          |        case when i > 0 then '##' else '' end,
+          |        substring(word, cast(i as int) + 1, cast(element_at(m, i) as int))))),
+          |      'ok', true)
+          |  end)""".stripMargin))
+      .select(col("word"), col("n"),
+        when(col("res.ok"), size(col("res.pieces")).cast("long"))
+          .otherwise(1L).as("n_pieces"),
+        when(col("res.ok"), array_join(col("res.pieces"), " "))
+          .otherwise(lit(unk)).as("segmented"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its hashed-bigram features are

@@ -92,6 +92,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)
   }
 
+  test("round-13 paths on empty and degenerate inputs") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneEmb = Seq(1L -> Array(1.0f, 2.0f)).toDF("vec_id", "embedding")
+    // incremental embedding near-dup: empty batch, empty corpus, and
+    // both-empty all pass through the band join + verification
+    assert(Similarity.incrementalNearDupPairs(
+      emptyEmb, oneEmb, Similarity.bandTable(oneEmb), 400000L).count() === 0)
+    assert(Similarity.incrementalNearDupPairs(
+      oneEmb, emptyEmb, Similarity.bandTable(emptyEmb), 400000L).count() === 0)
+    assert(Similarity.incrementalNearDupPairs(
+      emptyEmb, emptyEmb, Similarity.bandTable(emptyEmb), 400000L).count() === 0)
+    // wordpiece: empty corpus and empty vocabulary (every word [UNK])
+    val vocab = Seq("a", "##b").toDF("piece")
+    assert(TextOps.wordpieceSegment(emptyDocs, vocab).count() === 0)
+    assert(rowSet(TextOps.wordpieceSegment(
+      Seq(1L -> "ab").toDF("doc_id", "text"),
+      Seq.empty[String].toDF("piece"))) === Set(Seq("ab", 1L, 1L, "[UNK]")))
+    // contamination shuffle fallback on empty probes stays empty
+    assert(Dedup.contamination(
+      Seq(1L -> "a b c d").toDF("doc_id", "text"), emptyDocs,
+      broadcastProbes = false).count() === 0)
+    assert(Dedup.exactSpanContamination(
+      Seq(1L -> "a b c d").toDF("doc_id", "text"), emptyDocs, k = 3,
+      broadcastProbes = false).count() === 0)
+    // salted exact-span on an empty corpus
+    assert(Dedup.exactSpanCoverage(emptyDocs, k = 3, saltFactor = 8).count() === 0)
+  }
+
   test("round-8 paths on empty and degenerate inputs") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     // occupancy-capped blocked near-dup: the sizes aggregate, sub-split,

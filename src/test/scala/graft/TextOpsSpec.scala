@@ -811,6 +811,38 @@ class TextOpsSpec extends SparkSpec {
       rowSet(TextOps.bpeSegment(fix, TextOps.bpeMerges(fix, steps = 3))))
   }
 
+  test("wordpieceSegment: greedy longest match, continuations, all-or-nothing [UNK]") {
+    val docs = Seq((1L, "unhappy cat cat cats scat x")).toDF("doc_id", "text")
+    val vocab = Seq("un", "##happy", "##h", "cat", "##s", "s")
+      .toDF("piece")
+    assert(rowSet(TextOps.wordpieceSegment(docs, vocab)) === Set(
+      // longest match wins at every position: ##happy (5 chars) over ##h
+      Seq("unhappy", 1L, 2L, "un ##happy"),
+      Seq("cat", 2L, 1L, "cat"),
+      // interior positions match only ##-form pieces
+      Seq("cats", 1L, 2L, "cat ##s"),
+      // 's' matches at position 0, but no ##-piece covers 'c' at
+      // position 1 — the WHOLE word fails (pinned all-or-nothing rule)
+      Seq("scat", 1L, 1L, "[UNK]"),
+      Seq("x", 1L, 1L, "[UNK]")))
+    // greedy is greedy, not optimal: 'ab' consumes first even when the
+    // only completable split was 'a ##bcd' — pinned WordPiece behavior
+    val g = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val v2 = Seq("ab", "a", "##bcd", "##c").toDF("piece")
+    assert(rowSet(TextOps.wordpieceSegment(g, v2)) ===
+      Set(Seq("abcd", 1L, 1L, "[UNK]")))
+    // maxPieceChars bounds candidate generation: a piece longer than
+    // the cap can never match
+    val v3 = Seq("abcd", "a", "##b", "##c", "##d").toDF("piece")
+    assert(rowSet(TextOps.wordpieceSegment(g, v3, maxPieceChars = 3)) ===
+      Set(Seq("abcd", 1L, 4L, "a ##b ##c ##d")))
+    assert(rowSet(TextOps.wordpieceSegment(g, v3)) ===
+      Set(Seq("abcd", 1L, 1L, "abcd")))
+    // shuffle-fallback vocab join is row-identical
+    assert(rowSet(TextOps.wordpieceSegment(docs, vocab, broadcastVocab = false))
+      === rowSet(TextOps.wordpieceSegment(docs, vocab)))
+  }
+
   test("packByCount delegates packSequences; tokenize→pack covers every subword") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     // the whitespace form is exactly packByCount over whitespace counts
