@@ -146,4 +146,56 @@ object Pipelines {
     val seeds = teamMembers.filter(col("team_id") === teamId).select(col("person_id"))
     GraphOps.kHop(edges, seeds, k)
   }
+
+  /** The reference `query` binary's nested RESPONSE SHAPE
+    * (cmd/query/main.go:29-50): the DQL engine returns one JSON
+    * document with `hop1_count` — each first-hop person with its
+    * filtered `has_connection` expansion — and `hop2_count`, the flat
+    * second-hop person list. [[hopQuery]] computes the same reachable
+    * sets as relational rows (the oracle-verified form, `j4_two_hop`);
+    * this wraps them into the response document: one row, one `json`
+    * column, arrays sorted by `person_id` so the string is
+    * deterministic (Dgraph orders by uid; person_id is this engine's
+    * vertex key).
+    *
+    * Filters mirror the DQL exactly: hop1 = connections of the team's
+    * members minus the members; hop2 = connections of hop1 minus hop1
+    * minus the members. Hop-1 persons whose expansion filtered to
+    * nothing keep an empty `has_connection` array (explicit, where
+    * Dgraph would drop the field).
+    *
+    * Scale note: the per-person `collect_list` is degree-bounded, but
+    * the final document is a single JSON value — a query RESPONSE
+    * (exactly what the reference prints as `resp.Json`), not a corpus
+    * operator; use [[hopQuery]]'s rows for anything downstream.
+    */
+  def hopQueryJson(edges: DataFrame, teamMembers: DataFrame, teamId: String): DataFrame = {
+    val src = teamMembers.filter(col("team_id") === teamId)
+      .select(col("person_id")).distinct()
+    val e = edges.select(col("src"), col("dst"))
+    val hop1 = e.join(src, e("src") === src("person_id"))
+      .select(e("dst").as("person_id")).distinct()
+      .join(src, Seq("person_id"), "left_anti")
+    val h2edges = e.join(hop1, e("src") === hop1("person_id"))
+      .select(e("src").as("h1"), e("dst").as("person_id"))
+      .distinct()
+      .join(hop1, Seq("person_id"), "left_anti")
+      .join(src, Seq("person_id"), "left_anti")
+    val hop1Rows = hop1.select(col("person_id").as("h1"))
+      .join(h2edges, Seq("h1"), "left_outer")
+      .groupBy(col("h1"))
+      // collect_list skips nulls, so connection-less hop-1 persons
+      // keep an explicit empty array through the left join
+      .agg(array_sort(collect_list(
+        when(col("person_id").isNotNull, struct(col("person_id")))))
+        .as("has_connection"))
+    val h1arr = hop1Rows
+      .agg(array_sort(collect_list(
+        struct(col("h1").as("person_id"), col("has_connection"))))
+        .as("hop1_count"))
+    val h2arr = h2edges.select(col("person_id")).distinct()
+      .agg(array_sort(collect_list(struct(col("person_id")))).as("hop2_count"))
+    h1arr.crossJoin(h2arr)
+      .select(to_json(struct(col("hop1_count"), col("hop2_count"))).as("json"))
+  }
 }

@@ -121,6 +121,28 @@ class PipelinesSpec extends SparkSpec {
     assert(strings(Pipelines.hopQuery(edges, tm, "T1", 2), "person_id") === Set("C"))
   }
 
+  test("hop query JSON projection: golden string of the nested DQL response shape") {
+    val tm = Seq(("T1", "A")).toDF("team_id", "person_id")
+    val edges = GraphOps.mergeMaxEdges(GraphOps.edgesFromDocs(docs.toDF()))
+    // from {A}: hop1 = {B} (A's only connection), hop2 = {C}
+    // (connections of B minus {B} minus {A}) — the nested document
+    // pins field order, array order, and the empty-expansion rule
+    assert(Pipelines.hopQueryJson(edges, tm, "T1").head().getString(0) ===
+      """{"hop1_count":[{"person_id":"B","has_connection":[{"person_id":"C"}]}],"hop2_count":[{"person_id":"C"}]}""")
+    // richer graph: two hop-1 persons, one with an empty (fully
+    // filtered) expansion; hop2 union sorted
+    val e2 = Seq(("A", "B"), ("A", "X"), ("B", "C"), ("B", "A"), ("X", "B"), ("C", "D"))
+      .toDF("src", "dst")
+    assert(Pipelines.hopQueryJson(e2, tm, "T1").head().getString(0) ===
+      """{"hop1_count":[{"person_id":"B","has_connection":[{"person_id":"C"}]},{"person_id":"X","has_connection":[]}],"hop2_count":[{"person_id":"C"}]}""")
+    // the flat hop-2 rows and the document's hop2_count agree (the
+    // oracle-verified j4 semantics are the document's source of truth)
+    assert(strings(Pipelines.hopQuery(e2, tm, "T1", 2), "person_id") === Set("C"))
+    // empty team: both arrays empty, still one well-formed document
+    assert(Pipelines.hopQueryJson(e2, tm, "NOPE").head().getString(0) ===
+      """{"hop1_count":[],"hop2_count":[]}""")
+  }
+
   test("kHop with aggressive checkpointing matches un-checkpointed result") {
     val edges = Seq(
       graft.model.Edge("A", "B", 1), graft.model.Edge("B", "C", 1),
