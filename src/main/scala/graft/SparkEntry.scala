@@ -1063,6 +1063,15 @@ object SparkEntry {
     // as the near-dup brute branch
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)),
+    // occupancy-capped kNN graph: the fixed 4×16-bucket banding
+    // saturates quadratically as the corpus outgrows the bucket space
+    // (the sf10 smoke measured the uncapped form unrunnable at 200k
+    // vectors — ~10^10 candidates); the sub-split bounds every
+    // candidate block, trading tail recall, and is the form a 100 TB
+    // graph build runs
+    "sim_knn_graph_capped" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5,
+        maxBucketSize = Some(8))),
     // one NN-Descent round over the banded seed graph — candidates
     // expand to reverse neighbors + neighbors-of-neighbors, exact
     // re-rank; recovers recall the banding seed loses at O(n·k²)
@@ -3916,6 +3925,51 @@ object SparkEntry {
     // top-5 per source on the ranking cosine
     "sim_knn_graph" ->
       s"""WITH $KNN_RANKED
+         |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // the occupancy-capped kNN twin: same banding over the nq>0
+    // corpus, hot (band, bucket) groups sub-split by the portable
+    // vec_id hash before the DIRECTED candidate join (no star floor —
+    // knnGraph ranks, it does not dedup), exact re-rank top-5
+    "sim_knn_graph_capped" ->
+      s"""WITH $QNORM,
+         |nz AS (SELECT * FROM qn WHERE nq > 0),
+         |s AS (
+         |  SELECT vec_id, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM nz CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |bk AS (
+         |  SELECT vec_id, j // 4 AS band,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, band),
+         |sizes AS (SELECT band, bucket, COUNT(*) AS bkt_n FROM bk GROUP BY band, bucket),
+         |sb AS (
+         |  SELECT b.vec_id, b.band, b.bucket,
+         |         ((b.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007
+         |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
+         |  FROM bk b JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sb a JOIN sb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+         |   AND a.vec_id <> b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         ${dotSql("a.q", "b.q")} AS dot_q,
+         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+         |  FROM cands c
+         |  JOIN nz a ON a.vec_id = c.id_a
+         |  JOIN nz b ON b.vec_id = c.id_b),
+         |ranked AS (
+         |  SELECT id_a, id_b, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY id_a
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM pairs)
          |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
          |FROM ranked WHERE "rank" <= 5""".stripMargin,
 

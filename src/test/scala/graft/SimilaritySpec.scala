@@ -438,6 +438,24 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked(0L).head._1 === 100000L)
   }
 
+  test("capped knnGraph: wide cap no-op; tight cap only restricts candidate lists") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val uncapped = Similarity.knnGraph(emb, k = 5)
+    // a cap larger than the corpus leaves every sub-bucket whole —
+    // exact same output (knnGraph has no star floor to add candidates)
+    assert(rowSet(Similarity.knnGraph(emb, k = 5, maxBucketSize = Some(1000000)))
+      === rowSet(uncapped))
+    // a binding cap can only shrink each source's candidate set: no
+    // source gains neighbors, and the output stays per-source exact
+    val capped = Similarity.knnGraph(emb, k = 5, maxBucketSize = Some(2))
+    val cu = uncapped.groupBy(col("vec_id")).agg(count(lit(1)).as("nu"))
+    val cc = capped.groupBy(col("vec_id")).agg(count(lit(1)).as("nc"))
+    val joined = cc.join(cu, Seq("vec_id"), "left_outer")
+      .filter(col("nu").isNull || col("nc") > col("nu"))
+    assert(joined.count() === 0, "a capped source list outgrew its uncapped list")
+    assert(capped.count() > 0)
+  }
+
   test("nnDescentRefine: rank-wise cosine never degrades, recall only grows") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] = {
