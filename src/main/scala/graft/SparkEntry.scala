@@ -257,7 +257,7 @@ object SparkEntry {
 
     // weight-proportional PageRank over the stored edge scores
     "g_pagerank_weighted" -> ((s, dir) =>
-      GraphOps.pageRankWeighted(mergedOf(s, dir), 3, broadcastRanks = true)),
+      GraphOps.pageRankWeighted(mergedOf(s, dir), 3)),
 
     // U2: except (anti + distinct) — persons that are not trove users
     "u2_except_non_trove" -> ((s, dir) => {
@@ -316,10 +316,11 @@ object SparkEntry {
     }),
 
     // Fixed-iteration integer PageRank over the merged person graph;
-    // ranks/degrees are vertex-sized (bounded by the person universe)
-    // so each round's share table broadcasts — same switch as CC labels
+    // the rank-loop broadcast/shuffle choice is AUTO (one count of the
+    // materialized vertex frame vs BroadcastRanksMaxVertices) — picks
+    // broadcast here, shuffle past the sf10 smoke's measured cliff
     "g_pagerank" -> ((s, dir) =>
-      GraphOps.pageRank(mergedOf(s, dir), 3, broadcastRanks = true)),
+      GraphOps.pageRank(mergedOf(s, dir), 3)),
 
     // personalized PageRank from a deterministic ~5% hash-slice seed
     // set — teleport mass returns to seeds only (Haveliwala 2002),
@@ -328,7 +329,7 @@ object SparkEntry {
       GraphOps.personalizedPageRankByPred(
         mergedOf(s, dir),
         pmod(Hashing.portableHash(col("person_id")), lit(20)) === 0,
-        3, broadcastRanks = true)),
+        3)),
 
     // Bipartite co-occurrence projection: person pairs sharing >= 2
     // distinct neighbors, hub dsts (fanout > 20) dropped before the

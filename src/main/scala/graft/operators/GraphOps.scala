@@ -265,11 +265,22 @@ object GraphOps {
     *    geometrically), so rank lineage stays shallow with a
     *    checkpoint every `checkpointEvery` rounds.
     *
+    * `broadcastRanks`: `Some(true)` broadcasts the per-round rank and
+    * share frames (right when the vertex universe is bounded),
+    * `Some(false)` shuffles them, and `None` — the default —
+    * AUTO-SELECTS by counting the already-materialized vertex frame
+    * once against [[BroadcastRanksMaxVertices]]. The knob exists
+    * because checkpointed frames lose size stats, so Catalyst cannot
+    * make this call; the auto mode exists because the caller usually
+    * can't either — the sf10 smoke measured the broadcast form 12.7×
+    * per data decade at 1.6M vertices (three vertex-sized broadcasts
+    * per round) where the shuffle form stays ~linear.
+    *
     * Callers should pass a distinct edge list (e.g. [[mergeMaxEdges]]
     * output) — duplicate (src,dst) rows would double-count contributions.
     */
   def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false,
+      broadcastRanks: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame =
     // the all-seeds special case of the personalized loop: every
     // vertex seeded ⇒ the recurrence IS the uniform teleport (the
@@ -297,7 +308,7 @@ object GraphOps {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false,
+      broadcastRanks: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame =
     personalizedPageRankImpl(edges, Left(seeds), iters, checkpointEvery,
       broadcastRanks, checkpointDir)
@@ -313,17 +324,40 @@ object GraphOps {
   def personalizedPageRankByPred(edges: DataFrame, seedPred: Column,
       iters: Int,
       checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false,
+      broadcastRanks: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame =
     personalizedPageRankImpl(edges, Right(seedPred), iters, checkpointEvery,
       broadcastRanks, checkpointDir)
+
+  /** Auto-broadcast ceiling for the rank-loop frames: vertex sets at
+    * or below this broadcast (≈ tens of MB with string ids — well
+    * inside executor broadcast budgets, and measured ~3× per-round
+    * saving); above it the loop shuffles. The sf1→sf10 smoke located
+    * the cliff: 160k vertices broadcast-favorable, 1.6M catastrophic
+    * (12.7× per decade — three vertex-sized broadcast builds per
+    * round dominate).
+    */
+  val BroadcastRanksMaxVertices: Long = 500000L
+
+  /** Resolve a rank-loop broadcast knob: explicit value wins; `None`
+    * counts the (already-materialized) vertex frame once — a cheap,
+    * steps-independent driver action on a cut frame.
+    */
+  private def resolveBroadcast(knob: Option[Boolean], verts: DataFrame): Boolean =
+    knob.getOrElse {
+      val n = verts.count()
+      val b = n <= BroadcastRanksMaxVertices
+      log.info(s"pageRank auto-broadcast: $n vertices -> " +
+        (if (b) "broadcast" else "shuffle") + " rank loop")
+      b
+    }
 
   private def personalizedPageRankImpl(
       edges: DataFrame,
       seeds: Either[DataFrame, Column],
       iters: Int,
       checkpointEvery: Int,
-      broadcastRanks: Boolean,
+      broadcastRanksKnob: Option[Boolean],
       checkpointDir: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = edges.select(col("src"), col("dst"))
@@ -341,6 +375,7 @@ object GraphOps {
         .select(col("person_id"), coalesce(pred, lit(false)).as("is_seed"))
     }
     val verts = Checkpoints.cut(marked, checkpointDir)
+    val broadcastRanks = resolveBroadcast(broadcastRanksKnob, verts)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .select(col("src").as("dsrc"), col("out_deg"))
     val degB = if (broadcastRanks) broadcast(deg) else deg
@@ -668,10 +703,11 @@ object GraphOps {
     *
     * Same loop shape as [[pageRank]]: weights attach to the edge list
     * once; with `broadcastRanks` a round's only exchange is the dst
-    * aggregation.
+    * aggregation. The knob carries [[pageRank]]'s `Option` semantics
+    * (`None` = auto by vertex count).
     */
   def pageRankWeighted(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
-      broadcastRanks: Boolean = false,
+      broadcastRanks: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = edges.select(col("src"), col("dst"),
@@ -681,9 +717,10 @@ object GraphOps {
       e.select(col("src").as("person_id"))
         .union(e.select(col("dst").as("person_id")))
         .distinct(), checkpointDir)
+    val bcast = resolveBroadcast(broadcastRanks, verts)
     val tw = e.groupBy(col("src")).agg(sum(col("w_e2")).as("tot_w"))
       .select(col("src").as("dsrc"), col("tot_w"))
-    val twB = if (broadcastRanks) broadcast(tw) else tw
+    val twB = if (bcast) broadcast(tw) else tw
     val ed = Checkpoints.cut(
       e.join(twB, col("src") === col("dsrc"))
         .filter(col("tot_w") > 0)
@@ -691,11 +728,11 @@ object GraphOps {
           expr("(w_e2 * 1000) div tot_w").as("wn")), checkpointDir)
     var pr = verts.select(col("person_id"), lit(1000000000L).as("pr_e9"))
     for (it <- 1 to iters) {
-      val prIn = if (broadcastRanks) broadcast(pr) else pr
+      val prIn = if (bcast) broadcast(pr) else pr
       val inbound = ed.join(prIn, col("esrc") === prIn("person_id"))
         .groupBy(col("dst").as("person_id"))
         .agg(sum(expr("(pr_e9 * wn) div 1000")).as("in_share"))
-      val inB = if (broadcastRanks) broadcast(inbound) else inbound
+      val inB = if (bcast) broadcast(inbound) else inbound
       pr = verts.join(inB, Seq("person_id"), "left_outer")
         .select(col("person_id"),
           (lit(150000000L) +

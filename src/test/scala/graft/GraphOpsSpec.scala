@@ -213,9 +213,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("C") > got("A") && got("A") > got("D"))
     assert(got("D") === 150000000L)
 
-    val broadcastGot = GraphOps.pageRank(edges, 3, broadcastRanks = true)
+    val broadcastGot = GraphOps.pageRank(edges, 3, broadcastRanks = Some(true))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(broadcastGot === ref)
+    // all three knob values agree (auto picked broadcast here — 4
+    // vertices; the knob only moves plan shape, never ranks)
+    assert(GraphOps.pageRank(edges, 3, broadcastRanks = Some(false))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === ref)
   }
 
   test("personalizedPageRank: hand triangle; unreachable stays 0; off-graph seeds inert") {
@@ -231,7 +235,7 @@ class GraphOpsSpec extends SparkSpec {
       "a" -> 150000000L, "b" -> 127500000L, "c" -> 722500000L,
       "d" -> 0L, "e" -> 0L))
     // broadcast form identical
-    assert(GraphOps.personalizedPageRank(edges, seeds, 2, broadcastRanks = true)
+    assert(GraphOps.personalizedPageRank(edges, seeds, 2, broadcastRanks = Some(true))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === got)
     // seeds not in the graph contribute nothing and add no vertices
     val gotOff = GraphOps.personalizedPageRank(
@@ -271,7 +275,7 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === ref)
     // the heavy edge dominates: B far outranks C
     assert(got("B") > got("C"))
-    val broadcastGot = GraphOps.pageRankWeighted(edges, 3, broadcastRanks = true)
+    val broadcastGot = GraphOps.pageRankWeighted(edges, 3, broadcastRanks = Some(true))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(broadcastGot === ref)
   }
