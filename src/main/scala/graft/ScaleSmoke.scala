@@ -324,10 +324,15 @@ object ScaleSmoke {
     * grow faster than their input (near-dup pairs, span coverage rows)
     * — judge the ratio against the rows ratio in the artifact, not
     * against 10 alone.
+    *
+    * The kNN chain runs the occupancy-CAPPED form: the uncapped
+    * `sim_knn_graph` saturates its fixed 4×16-bucket space at 200k
+    * vectors (~10^10 candidates — measured unrunnable at sf10, the
+    * finding that produced `sim_knn_graph_capped`).
     */
   private val Sf10Chains = Seq(
     "pipe_curation", "pipe_curation_scrub", "d_exact_span_cov",
-    "d_star_clusters", "g_pagerank", "sim_knn_graph")
+    "d_star_clusters", "g_pagerank", "sim_knn_graph_capped")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs
