@@ -266,15 +266,17 @@ object GraphOps {
     *    checkpoint every `checkpointEvery` rounds.
     *
     * `broadcastRanks`: `Some(true)` broadcasts the per-round rank and
-    * share frames (right when the vertex universe is bounded),
-    * `Some(false)` shuffles them, and `None` — the default —
-    * AUTO-SELECTS by counting the already-materialized vertex frame
-    * once against [[BroadcastRanksMaxVertices]]. The knob exists
-    * because checkpointed frames lose size stats, so Catalyst cannot
-    * make this call; the auto mode exists because the caller usually
-    * can't either — the sf10 smoke measured the broadcast form 12.7×
-    * per data decade at 1.6M vertices (three vertex-sized broadcasts
-    * per round) where the shuffle form stays ~linear.
+    * share frames, `Some(false)` shuffles them, and `None` — the
+    * default — AUTO-SELECTS by counting the already-materialized
+    * vertex frame once against [[BroadcastRanksMaxVertices]]. The
+    * knob exists because checkpointed frames lose size stats, so
+    * Catalyst cannot make this call; the auto mode exists so the
+    * caller doesn't have to. Measured (sf10 smoke, 1.6M string-keyed
+    * vertices / 60M edges / 3 rounds): broadcast 87 s, shuffle 122 s
+    * — broadcast wins at every size that fits memory, so the auto
+    * ceiling is set where a rank broadcast would threaten the
+    * executor/driver budget (~10⁷ rows ≈ 500 MB with string ids),
+    * not at a wall-clock crossover.
     *
     * Callers should pass a distinct edge list (e.g. [[mergeMaxEdges]]
     * output) — duplicate (src,dst) rows would double-count contributions.
@@ -329,15 +331,16 @@ object GraphOps {
     personalizedPageRankImpl(edges, Right(seedPred), iters, checkpointEvery,
       broadcastRanks, checkpointDir)
 
-  /** Auto-broadcast ceiling for the rank-loop frames: vertex sets at
-    * or below this broadcast (≈ tens of MB with string ids — well
-    * inside executor broadcast budgets, and measured ~3× per-round
-    * saving); above it the loop shuffles. The sf1→sf10 smoke located
-    * the cliff: 160k vertices broadcast-favorable, 1.6M catastrophic
-    * (12.7× per decade — three vertex-sized broadcast builds per
-    * round dominate).
+  /** Auto-broadcast ceiling for the rank-loop frames. Broadcast beat
+    * shuffle at every measured size (160k vertices: 6.9 s vs — ; 1.6M
+    * vertices: 87 s vs 122 s for the 3-round sf10 loop), so the
+    * ceiling is a MEMORY bound, not a wall-clock crossover: ~10⁷
+    * string-keyed rank rows ≈ 500 MB serialized — three such builds
+    * per round is the most a default executor/driver budget should
+    * carry. Above it the loop degrades gracefully to shuffled joins
+    * (~1.4× slower per round at the sizes measured, never OOM).
     */
-  val BroadcastRanksMaxVertices: Long = 500000L
+  val BroadcastRanksMaxVertices: Long = 10000000L
 
   /** Resolve a rank-loop broadcast knob: explicit value wins; `None`
     * counts the (already-materialized) vertex frame once — a cheap,
