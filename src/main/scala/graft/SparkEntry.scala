@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -731,6 +731,30 @@ object SparkEntry {
         .union(chars.select(concat(lit("##"), col("c")).as("piece")))
       TextOps.wordpieceSegment(docs, vocab)
     }),
+    // unigram-LM Viterbi segmentation VALUE against a corpus-derived
+    // scored vocabulary: substrings (len ≤ 3) present in ≥ 2 distinct
+    // words, priced ilog2(tot+1) − ilog2(cnt+1) whole bits — hapax
+    // chars ('j', 'q') drop out, so the unreachable ok=false branch
+    // is live beside the min-cost DP
+    "t_unigram_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select(explode(TextOps.tokens(col("text"))).as("word")).distinct()
+      val pieces = words.select(col("word"),
+        explode(expr(
+          """flatten(transform(sequence(0, length(word) - 1), p ->
+            |  transform(sequence(1, least(3, length(word) - p)), l ->
+            |    substring(word, p + 1, l))))""".stripMargin)).as("piece"))
+      val counted = pieces.groupBy(col("piece"))
+        .agg(countDistinct(col("word")).as("cnt"))
+        .filter(col("cnt") >= 2)
+      def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+      val vocab = counted
+        .crossJoin(broadcast(counted.agg(sum(col("cnt")).as("tot"))))
+        .select(col("piece"),
+          (ilog2(col("tot") + 1) - ilog2(col("cnt") + 1)).as("cost_bits"))
+      TextOps.unigramSegment(docs, vocab)
+    }),
     // end-to-end tokenize→pack DAG: learn 6 BPE merges, segment the
     // vocabulary, attach per-word piece counts back to the token
     // stream by an 8-byte-ish word join, and pack documents into
@@ -1092,6 +1116,18 @@ object SparkEntry {
       Similarity.pqEncode(Tables.embeddings(s, dir))),
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
+
+    // MMR diversified rerank: greedy λ-tradeoff of relevance against
+    // redundancy-to-selected over each query's top-8 cosine pool —
+    // all-integer e6 cosines, pool-sized work after one corpus scan
+    "q_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), col("vec_id") < 8,
+        poolK = 8, selectK = 4, lambdaE3 = 700)),
+    // greedy k-center (farthest-point) coreset selection: exact
+    // integer squared-L2 distances, deterministic lowest-id seed, one
+    // corpus pass per round with a 1-row argmax broadcast back
+    "sim_kcenter_select" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables.embeddings(s, dir), 5)),
 
     // incremental-ingest embedding near-dup: every 5th vector plays the
     // "new batch" against the persisted band index of the rest — the
@@ -2061,6 +2097,146 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, neighbor_id, dot_q, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** e6-floored cosine SQL twin of `Similarity.cosE6` — identical
+    * operand order (`dot·10⁶ / √(nqA·nqB)`), one IEEE
+    * multiply-divide-floor.
+    */
+  private def cosE6Sql(dot: String, nqA: String, nqB: String): String =
+    s"""CAST(floor(CAST($dot AS DOUBLE) * 1000000.0 /
+       |  sqrt(CAST($nqA AS DOUBLE) * CAST($nqB AS DOUBLE))) AS BIGINT)""".stripMargin
+
+  /** MMR greedy-rerank oracle (`Similarity.mmrRerank` twin): top-`poolK`
+    * e6-cosine pool per query (vec_id < 8) and its pairwise sims
+    * materialize once; `selectK` greedy steps unroll as CTEs, each
+    * picking the `(λ·rel − (1000−λ)·max_sim_to_selected)`-argmax of
+    * the not-yet-selected pool (ties by cand_id).
+    */
+  private def mmrSql(poolK: Int, selectK: Int, lambdaE3: Int): String = {
+    val mu = 1000 - lambdaE3
+    val steps = (2 to selectK).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel_e6, CAST($t AS BIGINT) AS step FROM (
+         |    SELECT r.query_id, r.cand_id, r.rel_e6,
+         |           row_number() OVER (PARTITION BY r.query_id
+         |             ORDER BY $lambdaE3*r.rel_e6 - $mu*m.max_sim_e6 DESC,
+         |                      r.cand_id ASC) AS rn
+         |    FROM pool r
+         |    JOIN (SELECT w.query_id, w.cand_id, max(w.sim_e6) AS max_sim_e6
+         |          FROM pw w JOIN sel${t - 1} s
+         |            ON w.query_id = s.query_id AND w.other_id = s.cand_id
+         |          GROUP BY w.query_id, w.cand_id) m
+         |      ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+         |                      WHERE z.query_id = r.query_id AND z.cand_id = r.cand_id))
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $QNORM,
+       |nz AS (SELECT * FROM qn WHERE nq > 0),
+       |rel AS MATERIALIZED (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, c.q, c.nq,
+       |         ${cosE6Sql(dotSql("qq.q", "c.q"), "qq.nq", "c.nq")} AS rel_e6
+       |  FROM nz c JOIN nz qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, cand_id, q, nq, rel_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel_e6 DESC, cand_id ASC) AS rn FROM rel)
+       |  WHERE rn <= $poolK),
+       |pw AS MATERIALIZED (
+       |  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+       |         ${cosE6Sql(dotSql("a.q", "b.q"), "a.nq", "b.nq")} AS sim_e6
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel_e6, CAST(1 AS BIGINT) AS step FROM (
+       |    SELECT query_id, cand_id, rel_e6, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel_e6 DESC, cand_id ASC) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, cand_id, rel_e6, step FROM sel$selectK""".stripMargin
+  }
+
+  /** Unigram-LM Viterbi oracle (`TextOps.unigramSegment` twin): the
+    * query's corpus-derived scored vocab rebuilt in SQL, then `rounds`
+    * unrolled min-relaxation rounds over the `cost·2²⁰ + pieces`
+    * encoded key — integer MIN ≡ lexicographic (cost, pieces) min,
+    * the engine's value contract. `rounds` must be ≥ the max word
+    * length at the verified SF (8 at sf0.01).
+    */
+  private def unigramSql(rounds: Int): String = {
+    val steps = (2 to rounds).map { t =>
+      s"""dp$t AS MATERIALIZED (
+         |  SELECT word, pos, min(k) AS k FROM (
+         |    SELECT word, pos, k FROM dp${t - 1}
+         |    UNION ALL
+         |    SELECT d.word, d.pos + c.l AS pos, d.k + c.cb * 1048576 + 1 AS k
+         |    FROM dp${t - 1} d JOIN cand c ON c.word = d.word AND c.p = d.pos)
+         |  GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest($TOKS) AS word FROM documents)
+       |  GROUP BY word),
+       |sub AS (
+       |  SELECT word, unnest(flatten(list_transform(range(0, length(word)), p ->
+       |    list_transform(range(1, least(3, length(word) - p) + 1), l ->
+       |      substring(word, CAST(p AS INT) + 1, CAST(l AS INT)))))) AS piece
+       |  FROM words),
+       |pc AS MATERIALIZED (
+       |  SELECT piece, CAST(COUNT(DISTINCT word) AS BIGINT) AS cnt
+       |  FROM sub GROUP BY piece HAVING COUNT(DISTINCT word) >= 2),
+       |v AS MATERIALIZED (
+       |  SELECT piece,
+       |         (length(bin(tot + 1)) - 1) - (length(bin(cnt + 1)) - 1) AS cb
+       |  FROM pc, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pc) tt),
+       |cand AS MATERIALIZED (
+       |  SELECT s.word, s.p, s.l, v.cb FROM (
+       |    SELECT word, CAST(c.p AS BIGINT) AS p, CAST(c.l AS BIGINT) AS l, c.piece
+       |    FROM (
+       |      SELECT word, unnest(flatten(list_transform(range(0, length(word)), p ->
+       |        list_transform(range(1, least(16, length(word) - p) + 1), l ->
+       |          struct_pack(p := p, l := l,
+       |            piece := substring(word, CAST(p AS INT) + 1, CAST(l AS INT))))))) AS c
+       |      FROM words)) s
+       |  JOIN v ON v.piece = s.piece),
+       |dp1 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS k FROM words),
+       |$steps
+       |SELECT w.word, w.n, (b.k IS NOT NULL) AS ok,
+       |       CASE WHEN b.k IS NOT NULL THEN b.k // 1048576 END AS cost_bits,
+       |       CASE WHEN b.k IS NOT NULL THEN b.k % 1048576 END AS n_pieces
+       |FROM words w LEFT JOIN dp$rounds b
+       |  ON b.word = w.word AND b.pos = CAST(length(w.word) AS BIGINT)""".stripMargin
+  }
+
+  /** Greedy k-center oracle (`Similarity.kCenterSelect` twin): lowest-id
+    * seed, then `selectK − 1` unrolled rounds, each recomputing every
+    * remaining vector's exact integer min squared-L2 distance to the
+    * selected set and taking the `(md DESC, vec_id ASC)` argmax.
+    */
+  private def kCenterSql(selectK: Int): String = {
+    val steps = (2 to selectK).map { t =>
+      s"""st$t AS MATERIALIZED (
+         |  SELECT vec_id, CAST($t AS BIGINT) AS step, md AS min_dist_q FROM (
+         |    SELECT vec_id, md,
+         |           row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn FROM (
+         |      SELECT c.vec_id, min(c.nq + s.nq - 2*${dotSql("c.q", "s.q")}) AS md
+         |      FROM qn c, qn s
+         |      WHERE s.vec_id IN (SELECT vec_id FROM sel${t - 1})
+         |        AND c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |      GROUP BY c.vec_id))
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM st$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $QNORM,
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS min_dist_q
+       |  FROM qn WHERE vec_id = (SELECT min(vec_id) FROM qn)),
+       |$steps
+       |SELECT vec_id, step, min_dist_q FROM sel$selectK""".stripMargin
+  }
+
   private def extendedOracles: Map[String, String] = Map(
     "t_token_counts" ->
       s"""SELECT doc_id,
@@ -2522,6 +2698,11 @@ object SparkEntry {
          |            ELSE '[UNK]' END AS segmented
          |FROM walk
          |WHERE NOT ok OR pos >= length(word)""".stripMargin,
+
+    // unigram-LM Viterbi VALUE replicated: same corpus-derived scored
+    // vocab, 10 unrolled min-relaxation rounds (≥ the max word length
+    // 8 at sf0.01) over the cost·2^20 + pieces encoding
+    "t_unigram_segment" -> unigramSql(10),
 
     // the whole tokenize→pack DAG replicated: BPE end state → per-word
     // piece counts → per-doc subword totals → the t_pack_sequences
@@ -3739,6 +3920,16 @@ object SparkEntry {
          |FROM bkt""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // MMR: pool + pairwise sims materialized once, then the greedy
+    // steps unrolled as CTEs (the bpeSql device) — scores and ties are
+    // all-integer on the e6-floored cosines
+    "q_mmr_rerank" -> mmrSql(8, 4, 700),
+
+    // greedy k-center: each unrolled round recomputes every remaining
+    // vector's exact integer min-distance to the selected set, then
+    // takes the (md DESC, vec_id ASC) argmax
+    "sim_kcenter_select" -> kCenterSql(5),
 
     // per-label centroid drift: exact (label, dim) integer sums,
     // HUGEINT cross-products ≡ Spark's DECIMAL(38,0), one final double

@@ -1320,4 +1320,158 @@ object Similarity {
       when(a > 0d, floor(x.cast("double") * 127d / a + 0.5d))
         .otherwise(0d).cast("long"))
   }
+
+  /** e6-floored cosine between two quantized vectors:
+    * `floor(dot·10⁶ / √(nqA·nqB))` — the single IEEE
+    * multiply-divide-floor is identical on every engine reading the
+    * same exact-integer operands, so downstream ordering/arithmetic on
+    * the result is all-integer and oracle-hashable.
+    */
+  private def cosE6(dot: Column, nqA: Column, nqB: Column): Column =
+    floor(dot.cast("double") * lit(1e6) /
+      sqrt(nqA.cast("double") * nqB.cast("double"))).cast("long")
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * from each query's brute-cosine top-`poolK` candidate pool,
+    * greedily select `selectK` results maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)` — relevance
+    * traded against redundancy to the results already picked, the
+    * standard diversification pass over a retrieval pool (and the
+    * diverse-example selection device of RAG/few-shot pipelines).
+    * `lambdaE3 = 1000` degenerates to pure relevance order.
+    *
+    * All ordering is integer: cosines floor to e6 once
+    * ([[cosE6]]), the MMR score is
+    * `lambdaE3·rel_e6 − (1000−lambdaE3)·max_sim_e6` in BIGINTs, ties
+    * break by candidate id. Zero-norm vectors (cosine undefined) are
+    * excluded from both sides. Returns
+    * `(query_id, cand_id, rel_e6, step)` — `step` is selection order,
+    * 1-based; queries whose pool is smaller than `selectK` emit only
+    * `pool size` rows.
+    *
+    * Scale shape: ONE corpus pass builds the pool (broadcast query
+    * side, partial window top-k — [[cosineTopK]]'s plan); everything
+    * after is pool-sized by contract (≤ |Q|·poolK rows, ≤ |Q|·poolK²
+    * pairwise sims), so the greedy loop's `selectK` rounds are
+    * broadcast-joined frames that never touch the corpus again.
+    * Selected state is ≤ |Q|·selectK rows, cached per round.
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      queryPred: Column,
+      poolK: Int = 8,
+      selectK: Int = 4,
+      lambdaE3: Int = 700): DataFrame = {
+    require(poolK >= 1, s"mmrRerank: poolK must be >= 1, got $poolK")
+    require(selectK >= 1 && selectK <= poolK,
+      s"mmrRerank: selectK must be in [1, poolK], got $selectK")
+    require(lambdaE3 >= 0 && lambdaE3 <= 1000,
+      s"mmrRerank: lambdaE3 must be in [0, 1000], got $lambdaE3")
+    val corpus = withQuant(embeddings).filter(col("nq") > 0)
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val rel = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("cand_id"), col("q"), col("nq"),
+        cosE6(dotQ(col("qq"), col("q")), col("qn"), col("nq")).as("rel_e6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_e6").desc, col("cand_id").asc)
+    val pool = rel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolK)
+      .select(col("query_id"), col("cand_id"), col("q"), col("nq"), col("rel_e6"))
+      .cache()
+    val pairs = pool.select(col("query_id"), col("cand_id"), col("q"), col("nq"))
+      .join(
+        pool.select(col("query_id"), col("cand_id").as("other_id"),
+          col("q").as("oq"), col("nq").as("onq")),
+        Seq("query_id"))
+      .filter(col("cand_id") =!= col("other_id"))
+      .select(col("query_id"), col("cand_id"), col("other_id"),
+        cosE6(dotQ(col("q"), col("oq")), col("nq"), col("onq")).as("sim_e6"))
+      .cache()
+    val poolSlim = pool.select(col("query_id"), col("cand_id"), col("rel_e6"))
+    // step 1: pure relevance argmax (no redundancy term yet)
+    var selected = poolSlim
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("rel_e6")).as("ns"), col("cand_id").as("cand_id"),
+        col("rel_e6").as("rel_e6"))).as("m"))
+      .select(col("query_id"), col("m.cand_id").as("cand_id"),
+        col("m.rel_e6").as("rel_e6"), lit(1L).as("step"))
+      .cache()
+    for (step <- 2 to selectK) {
+      val maxSim = pairs
+        .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim_e6")).as("max_sim_e6"))
+      val pick = poolSlim
+        .join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "cand_id"))
+        .withColumn("score",
+          lit(lambdaE3.toLong) * col("rel_e6") -
+            lit((1000 - lambdaE3).toLong) * col("max_sim_e6"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("score")).as("ns"), col("cand_id").as("cand_id"),
+          col("rel_e6").as("rel_e6"))).as("m"))
+        .select(col("query_id"), col("m.cand_id").as("cand_id"),
+          col("m.rel_e6").as("rel_e6"), lit(step.toLong).as("step"))
+      selected = selected.union(pick).cache()
+    }
+    selected
+  }
+
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point
+    * traversal, the 2-approximation of the k-center objective): seed
+    * with the lowest vector id, then `selectK − 1` times add the
+    * vector maximizing its minimum exact squared L2 distance to the
+    * points already selected — the classic diverse-coreset /
+    * prototype-selection pass over an embedding corpus (and the
+    * initialization of k-means++-style pipelines, made deterministic).
+    *
+    * Entirely integer: distances are
+    * `‖a‖² + ‖b‖² − 2·a·b` on the quantized vectors — exact BIGINTs —
+    * and argmax ties break by lower vector id. Returns
+    * `(vec_id, step, min_dist_q)` where `min_dist_q` is the selected
+    * vector's min squared distance to the prior selection at pick
+    * time (0 for the seed). Selecting past the corpus size emits
+    * only `corpus size` rows. The farthest-first invariant makes
+    * `min_dist_q` non-increasing in `step` (SimilaritySpec law).
+    *
+    * Scale shape: each round is ONE corpus pass against a broadcast
+    * ≤ `selectK`-row selected frame (distance min is a map-side
+    * grouped aggregate on the corpus key), and the round's winner is
+    * a 1-row argmax aggregate that broadcast-joins back to pick up
+    * its vector — no driver collect anywhere. `selectK` passes total,
+    * the honest cost of greedy k-center at 100 TB; cache the corpus
+    * frame upstream if rounds dominate.
+    */
+  def kCenterSelect(embeddings: DataFrame, selectK: Int): DataFrame = {
+    require(selectK >= 1, s"kCenterSelect: selectK must be >= 1, got $selectK")
+    val corpus = withQuant(embeddings).cache()
+    val seed = corpus
+      .join(broadcast(corpus.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
+    var selected = seed.select(col("vec_id"), col("q"), col("nq"),
+      lit(1L).as("step"), lit(0L).as("min_dist_q")).cache()
+    for (step <- 2 to selectK) {
+      val sel = selected.select(col("vec_id").as("s_id"), col("q").as("sq"),
+        col("nq").as("snq"))
+      val minDist = corpus
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"),
+          (col("nq") + col("snq") - lit(2L) * dotQ(col("q"), col("sq"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("md"))
+      val pick = minDist
+        .agg(max(struct(col("md").as("md"), (-col("vec_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("vec_id"), col("m.md").as("min_dist_q"))
+        .filter(col("vec_id").isNotNull)
+      val attached = corpus.join(broadcast(pick), Seq("vec_id"))
+        .select(col("vec_id"), col("q"), col("nq"),
+          lit(step.toLong).as("step"), col("min_dist_q"))
+      selected = selected.union(attached).cache()
+    }
+    selected.select(col("vec_id"), col("step"), col("min_dist_q"))
+  }
 }

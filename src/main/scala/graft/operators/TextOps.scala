@@ -678,6 +678,96 @@ object TextOps {
           .otherwise(lit(unk)).as("segmented"))
   }
 
+  /** Unigram-LM Viterbi segmentation VALUE (Kudo 2018, "Subword
+    * Regularization" §3 inference) against a fixed scored vocabulary —
+    * the third tokenizer form beside [[bpeSegment]] (merge-learned)
+    * and [[wordpieceSegment]] (greedy fixed-vocab): `vocab` prices
+    * every piece with an integer `cost_bits` (the engine's whole-bit
+    * self-information convention — e.g. `ilog2(total+1) −
+    * ilog2(count+1)` from any count table), and each word segments
+    * along the MINIMUM-total-cost path. Among min-cost paths the piece
+    * COUNT is minimized, so the reported `(cost_bits, n_pieces)` value
+    * is unique and engine-portable even where the argmin path is not —
+    * that value contract is what the oracle hashes. Returns one row
+    * per distinct word: `(word, n, ok, cost_bits, n_pieces)`;
+    * `ok = false` (costs NULL) when no vocab concatenation spells the
+    * word.
+    *
+    * Spark-first shape (the [[wordpieceSegment]] layout): ONE corpus
+    * scan reduces text to the distinct-word table; candidate
+    * `(position, piece)` substrings explode vocabulary-side
+    * (|words|·len·maxPieceChars rows — corpus-independent); one vocab
+    * join prices every candidate (broadcast map-side probe, or
+    * `broadcastVocab = false` to shuffle on the piece string for
+    * beyond-budget vocabularies); and the per-word Viterbi is a
+    * codegen'd `aggregate` HOF — forward DP over an array of
+    * `cost·2²⁰ + pieces` keys, whose integer MIN is exactly the
+    * lexicographic (cost, pieces) min. Pieces have length ≥ 1, so
+    * relaxations from position `i` only ever reach positions `> i` and
+    * the left-to-right pass is exact single-pass DP — O(len²) array
+    * writes per word, no driver loop, no per-word shuffle.
+    *
+    * Encoding bound: a word's total path cost must stay below
+    * `2⁴³` bits (the `10¹⁵` unreachable sentinel over the 2²⁰ piece
+    * field) — ilog2-convention costs are ≤ ~60/piece, 5 orders of
+    * magnitude of headroom.
+    */
+  def unigramSegment(
+      docs: DataFrame,
+      vocab: DataFrame,
+      maxPieceChars: Int = 16,
+      textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(maxPieceChars >= 1, s"maxPieceChars must be >= 1, got $maxPieceChars")
+    val hintV: DataFrame => DataFrame =
+      if (broadcastVocab) broadcast(_) else identity
+    val words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val cands = words.select(col("word"),
+      explode(expr(
+        s"""flatten(transform(sequence(0, length(word) - 1), p ->
+           |  transform(sequence(1, least($maxPieceChars, length(word) - p)), l ->
+           |    struct(cast(p as bigint) as p, cast(l as bigint) as l,
+           |      substring(word, p + 1, l) as piece))))""".stripMargin)).as("c"))
+      .select(col("word"), col("c.p").as("p"), col("c.l").as("l"),
+        col("c.piece").as("piece"))
+    val priced = cands
+      .join(hintV(vocab.select(col("piece"),
+        col("cost_bits").cast("long").as("cb"))), Seq("piece"))
+      .groupBy(col("word"), col("p"))
+      .agg(collect_list(struct(col("l"), col("cb"))).as("opts"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("opts")))).as("m"))
+    words.join(priced, Seq("word"), "left_outer")
+      .withColumn("m", coalesce(col("m"),
+        expr("cast(map() as map<bigint, array<struct<l: bigint, cb: bigint>>>)")))
+      .withColumn("best", expr(
+        """aggregate(
+          |  sequence(cast(0 as bigint), cast(length(word) - 1 as bigint)),
+          |  concat(array(cast(0 as bigint)),
+          |         transform(sequence(1, length(word)),
+          |                   x -> cast(1000000000000000 as bigint))),
+          |  (acc, i) -> case
+          |    when element_at(acc, cast(i as int) + 1) >= 1000000000000000 then acc
+          |    else aggregate(
+          |      coalesce(element_at(m, i),
+          |               cast(array() as array<struct<l: bigint, cb: bigint>>)),
+          |      acc,
+          |      (a, o) -> transform(a, (e, j) ->
+          |        case when j = cast(i + o.l as int)
+          |              and element_at(a, cast(i as int) + 1) + o.cb * 1048576 + 1 < e
+          |             then element_at(a, cast(i as int) + 1) + o.cb * 1048576 + 1
+          |             else e end))
+          |  end,
+          |  acc -> element_at(acc, cast(length(word) as int) + 1))""".stripMargin))
+      .select(col("word"), col("n"),
+        (col("best") < lit(1000000000000000L)).as("ok"),
+        when(col("best") < lit(1000000000000000L),
+          expr("best div 1048576")).as("cost_bits"),
+        when(col("best") < lit(1000000000000000L),
+          pmod(col("best"), lit(1048576L))).as("n_pieces"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its hashed-bigram features are

@@ -87,6 +87,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.cosineTopK(emptyEmb, col("vec_id") < 8, 5).count() === 0)
     assert(Similarity.cosineNearDupPairs(emptyEmb, 400000L).count() === 0)
     assert(Similarity.ivfTopK(emptyEmb, col("vec_id") < 8, 4, 2, 5).count() === 0)
+    assert(Similarity.mmrRerank(emptyEmb, col("vec_id") < 8).count() === 0)
+    assert(Similarity.kCenterSelect(emptyEmb, 3).count() === 0)
     assert(TextOps.tokenCounts(emptyDocs).count() === 0)
     assert(TextOps.langId(emptyDocs).count() === 0)
     assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)
@@ -109,6 +111,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(rowSet(TextOps.wordpieceSegment(
       Seq(1L -> "ab").toDF("doc_id", "text"),
       Seq.empty[String].toDF("piece"))) === Set(Seq("ab", 1L, 1L, "[UNK]")))
+    // unigram: empty corpus and empty vocabulary (every word unreachable)
+    assert(TextOps.unigramSegment(emptyDocs,
+      Seq(("a", 1L)).toDF("piece", "cost_bits")).count() === 0)
+    assert(rowSet(TextOps.unigramSegment(
+      Seq(1L -> "ab").toDF("doc_id", "text"),
+      Seq.empty[(String, Long)].toDF("piece", "cost_bits"))) ===
+      Set(Seq("ab", 1L, false, null, null)))
     // contamination shuffle fallback on empty probes stays empty
     assert(Dedup.contamination(
       Seq(1L -> "a b c d").toDF("doc_id", "text"), emptyDocs,

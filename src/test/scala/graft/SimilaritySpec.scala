@@ -628,4 +628,107 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
     assert(doubled === got.map { case (k, v) => k -> v._3 })
   }
+
+  // -- MMR rerank -----------------------------------------------------------
+
+  // query 0 = (1,0,0); candidates 1 and 2 are IDENTICAL (0.96, 0.28, 0)
+  // — rel_e6 = 960000, mutual sim 10^6 — and 3 = (0.96, 0, 0.28) has the
+  // same relevance but sim(1,3) = 921600 only
+  private def mmrEmb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.96f, 0.28f, 0.0f)),
+    (2L, Array(0.96f, 0.28f, 0.0f)),
+    (3L, Array(0.96f, 0.0f, 0.28f))).toDF("vec_id", "embedding")
+
+  test("mmrRerank defers the duplicate of the first pick") {
+    // step 1: all three tie on rel_e6=960000, id tiebreak picks 1;
+    // step 2: 700·960000 − 300·921600 (cand 3) beats
+    //         700·960000 − 300·1000000 (the duplicate, cand 2);
+    // step 3: the duplicate last
+    val out = Similarity.mmrRerank(mmrEmb, col("vec_id") === 0,
+      poolK = 3, selectK = 3, lambdaE3 = 700)
+    assert(rowSet(out) === Set(
+      Seq(0L, 1L, 960000L, 1L),
+      Seq(0L, 3L, 960000L, 2L),
+      Seq(0L, 2L, 960000L, 3L)))
+  }
+
+  test("mmrRerank at lambdaE3=1000 is pure relevance order") {
+    val out = Similarity.mmrRerank(mmrEmb, col("vec_id") === 0,
+      poolK = 3, selectK = 3, lambdaE3 = 1000)
+    // redundancy term gone: selection = pool rank order (id tiebreak)
+    assert(rowSet(out) === Set(
+      Seq(0L, 1L, 960000L, 1L),
+      Seq(0L, 2L, 960000L, 2L),
+      Seq(0L, 3L, 960000L, 3L)))
+  }
+
+  test("mmrRerank: pool smaller than selectK emits pool-sized selection; zero-norm excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.96f, 0.28f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))). // zero-norm: cosine undefined
+      toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, col("vec_id") === 0,
+      poolK = 8, selectK = 4, lambdaE3 = 700)
+    assert(rowSet(out) === Set(Seq(0L, 1L, 960000L, 1L)))
+  }
+
+  test("mmrRerank handles multiple queries independently") {
+    // two disjoint 2-candidate neighborhoods; each query's selection
+    // stays inside its own pool rows
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.0f, 0.6f, 0.0f)),
+      (3L, Array(0.0f, 0.8f, 0.0f, 0.6f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, col("vec_id") < 2,
+      poolK = 3, selectK = 2, lambdaE3 = 700)
+      .select(col("query_id"), col("cand_id"), col("step"))
+      .as[(Long, Long, Long)].collect().toSet
+    // per query: step 1 = its own aligned candidate (the other
+    // query's pool never bleeds in), and each query emits exactly
+    // selectK rows from its own pool
+    assert(out.filter(_._3 == 1L) === Set((0L, 2L, 1L), (1L, 3L, 1L)))
+    assert(out.count(_._1 == 0L) === 2 && out.count(_._1 == 1L) === 2)
+  }
+
+  // -- greedy k-center ------------------------------------------------------
+
+  test("kCenterSelect walks farthest-first with exact integer distances") {
+    // 1-D points at 0, 10, 1, 6 (ids 0..3): seed = id 0, then id 1
+    // (d²=(10^7)²), then id 3 (min-dist 16·10^12 beats id 2's 10^12),
+    // then id 2
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)),
+      (2L, Array(1.0f)), (3L, Array(6.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(emb, 4)
+    assert(rowSet(out) === Set(
+      Seq(0L, 1L, 0L),
+      Seq(1L, 2L, 100000000000000L),
+      Seq(3L, 3L, 16000000000000L),
+      Seq(2L, 4L, 1000000000000L)))
+  }
+
+  test("kCenterSelect: min_dist_q is non-increasing in step (farthest-first law)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dists = Similarity.kCenterSelect(emb, 6)
+      .orderBy(col("step")).select(col("min_dist_q")).as[Long].collect().toSeq
+    assert(dists.size === 6)
+    // the greedy invariant: each pick's distance to the selected set
+    // can only shrink as the set grows (drop the seed's placeholder 0)
+    val tail = dists.drop(1)
+    assert(tail.zip(tail.drop(1)).forall { case (a, b) => a >= b },
+      s"min_dist_q not non-increasing: $dists")
+  }
+
+  test("kCenterSelect past the corpus size selects everything once") {
+    val emb = Seq(
+      (5L, Array(1.0f, 0.0f)), (7L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(emb, 9)
+    assert(out.count() === 2)
+    assert(rowSet(out) === Set(
+      Seq(5L, 1L, 0L),
+      Seq(7L, 2L, 2000000000000L)))
+  }
 }

@@ -843,6 +843,57 @@ class TextOpsSpec extends SparkSpec {
       === rowSet(TextOps.wordpieceSegment(docs, vocab)))
   }
 
+  test("unigramSegment: min-cost DP value, piece-count tiebreak, unreachable NULLs") {
+    // "abab": ab+ab (7+7=14, 2 pieces) beats a+b+a+b (20, 4 pieces)
+    val docs = Seq((1L, "abab abab xq")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 5L), ("b", 5L), ("ab", 7L)).toDF("piece", "cost_bits")
+    assert(rowSet(TextOps.unigramSegment(docs, vocab)) === Set(
+      Seq("abab", 2L, true, 14L, 2L),
+      // 'x' and 'q' are not in the vocab: no path spells the word
+      Seq("xq", 1L, false, null, null)))
+    // equal-cost paths: ab+ab = a+b+a+b = 20 bits; the reported value
+    // takes the FEWEST pieces among min-cost paths (the 2^20 encoding)
+    val tie = Seq(("a", 5L), ("b", 5L), ("ab", 10L)).toDF("piece", "cost_bits")
+    assert(rowSet(TextOps.unigramSegment(docs, tie)) === Set(
+      Seq("abab", 2L, true, 20L, 2L),
+      Seq("xq", 1L, false, null, null)))
+  }
+
+  test("unigramSegment: DP is optimal where greedy longest-match is not") {
+    // greedy from the left takes "aa" then is stuck with b at 100;
+    // the DP pays 2+3 = 5 via a + ab
+    val docs = Seq((1L, "aab")).toDF("doc_id", "text")
+    val vocab = Seq(("aa", 1L), ("b", 100L), ("a", 2L), ("ab", 3L))
+      .toDF("piece", "cost_bits")
+    assert(rowSet(TextOps.unigramSegment(docs, vocab)) ===
+      Set(Seq("aab", 1L, true, 5L, 2L)))
+    // maxPieceChars caps candidate pieces exactly like wordpieceSegment
+    val long = Seq(("aab", 0L), ("a", 1L), ("b", 1L)).toDF("piece", "cost_bits")
+    assert(rowSet(TextOps.unigramSegment(docs, long, maxPieceChars = 2)) ===
+      Set(Seq("aab", 1L, true, 3L, 3L)))
+    // shuffle-fallback vocab join is row-identical
+    assert(rowSet(TextOps.unigramSegment(docs, vocab, broadcastVocab = false))
+      === rowSet(TextOps.unigramSegment(docs, vocab)))
+  }
+
+  test("unigramSegment: all-chars vocab at cost c prices every word len·c") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chars = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .select(explode(expr("filter(split(word, ''), x -> x != '')")).as("piece"))
+      .distinct().withColumn("cost_bits", lit(3L))
+    val out = TextOps.unigramSegment(docs, chars).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val word = r.getString(0)
+      assert(r.getBoolean(2), s"'$word' should segment under the full char vocab")
+      // single chars only: cost = 3·len is an upper bound the DP can
+      // only meet (no multi-char pieces exist), pieces = len
+      assert(r.getLong(3) === 3L * word.length, s"cost for '$word'")
+      assert(r.getLong(4) === word.length.toLong, s"pieces for '$word'")
+    }
+  }
+
   test("packByCount delegates packSequences; tokenize→pack covers every subword") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     // the whitespace form is exactly packByCount over whitespace counts
