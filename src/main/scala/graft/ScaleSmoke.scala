@@ -146,7 +146,14 @@ object ScaleSmoke {
     "sim_nn_descent_sampled",
     // span-level decontamination: the 10x point checks the broadcast
     // probe window set keeps the corpus stream map-side-filtered
-    "d_exact_span_contam")
+    "d_exact_span_contam",
+    // fixed-vocab segmenters (WordPiece greedy walk, unigram Viterbi
+    // DP): after the one corpus scan that builds word counts, all work
+    // is |distinct words|-bound — the renamed-replica construction
+    // grows the word table ~10x, so the 10x points check the
+    // vocabulary-side candidate explode and the per-word HOF walks
+    // stay word-table-bound, with the corpus scan dominating
+    "t_wordpiece_segment", "t_unigram_segment")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

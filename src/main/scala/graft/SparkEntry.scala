@@ -1360,6 +1360,13 @@ object SparkEntry {
       Dedup.simhashPairs(
         Multimodal.perceptualHash(Tables.documents(s, dir), 16), 3, bits = 32)),
 
+    // audio fingerprint (Haitsma–Kalker energy-delta signs) over the
+    // codec sample stream: 4-sample windows, 60 sign bits packed into
+    // one BIGINT — the audio half of the media near-dup tier
+    "m_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.withPayload(Tables.documents(s, dir)), win = 4)),
+
     // -- as-of join: latest purchase at-or-before each click, per user
     "j_asof_purchase" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -5096,6 +5103,40 @@ object SparkEntry {
         |JOIN sig sa ON sa.doc_id = doc_a
         |JOIN sig sb ON sb.doc_id = doc_b
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
+
+    // StubCodec samples = codepoints; full 4-codepoint windows, energy
+    // = window sum, bit k-1 = energy(k) > energy(k-1) for k ≤ 60;
+    // window-less docs report (0, 0) like the engine
+    "m_audio_fp" ->
+      """WITH cp AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (i - 1) // 4 AS win_no,
+        |         CAST(unicode(substring(text, i, 1)) AS BIGINT) AS cpv
+        |  FROM cp),
+        |e AS (
+        |  SELECT doc_id, win_no, CAST(SUM(cpv) AS BIGINT) AS energy,
+        |         COUNT(*) AS m
+        |  FROM c GROUP BY doc_id, win_no),
+        |f AS (SELECT doc_id, win_no, energy FROM e WHERE m = 4),
+        |d AS (
+        |  SELECT doc_id, win_no, energy,
+        |         lag(energy) OVER (PARTITION BY doc_id ORDER BY win_no)
+        |           AS prev_e
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |         CAST(SUM(CASE WHEN prev_e IS NOT NULL AND win_no <= 60
+        |                         AND energy > prev_e
+        |                       THEN CAST(1 AS BIGINT) << CAST(win_no - 1 AS INT)
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+        |  FROM d GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       coalesce(s.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+        |       coalesce(s.fp, CAST(0 AS BIGINT)) AS fp
+        |FROM documents w LEFT JOIN s USING (doc_id)""".stripMargin,
 
     "m_block_stats" ->
       """WITH cp AS (

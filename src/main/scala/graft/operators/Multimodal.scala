@@ -203,6 +203,57 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Audio fingerprint over the codec sample stream (Haitsma & Kalker
+    * 2002, "A Highly Robust Audio Fingerprinting System" — the
+    * single-band energy-delta-sign form): samples group into
+    * consecutive `win`-sample windows (trailing partial window
+    * dropped), each window's ENERGY is the exact integer sample sum,
+    * and fingerprint bit `i` is `energy(i+1) > energy(i)` for the
+    * first 62 deltas. Sign-of-derivative bits survive volume scaling
+    * and constant offset (both shift every window energy equally),
+    * which is what makes the fingerprint robust; 62 bits keeps the
+    * packed BIGINT positive on every engine. Emits
+    * `(doc_id, n_windows, fp)` — pair `fp` with the engine's Hamming
+    * near-dup machinery exactly like [[perceptualHash]] feeds
+    * `Dedup.simhashPairs`.
+    *
+    * Scale shape: batched per partition over the [[MediaCodec]] sample
+    * ITERATOR — one window of samples in memory at a time, codec state
+    * amortized across the partition, and payload bytes never shuffle
+    * (the fingerprint row is ~24 bytes/doc).
+    */
+  def audioFingerprint(withPayloadDf: DataFrame, win: Int = 4,
+      idCol: String = "doc_id", codec: MediaCodec = StubCodec): DataFrame = {
+    require(win >= 1, s"win must be >= 1, got $win")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = true),
+      StructField("fp", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloadDf.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Row(id, null, null) // SQL-twin parity
+          else {
+            var n = 0L
+            var fp = 0L
+            var prev = 0L
+            codec.samples(payload).grouped(win).foreach { g =>
+              if (g.size == win) { // full windows only
+                val e = g.sum
+                if (n > 0 && n - 1 < 60 && e > prev) fp |= 1L << (n - 1).toInt
+                prev = e
+                n += 1
+              }
+            }
+            Row(id, n, fp)
+          }
+        }
+      }(encoder)
+  }
+
   /** Feature extraction: per-block codepoint statistics (block =
     * `blockSize` consecutive codepoints) — the batched per-partition
     * loop a real embedding/feature extractor uses, with exact integer

@@ -1380,10 +1380,13 @@ object Similarity {
       .filter(col("rn") <= poolK)
       .select(col("query_id"), col("cand_id"), col("q"), col("nq"), col("rel_e6"))
       .cache()
+    // every loop frame below is pool-bounded (≤ |Q|·poolK rows) by the
+    // top-k contract — broadcast explicitly rather than waiting for
+    // stats on unmaterialized caches (planner would SMJ, PlanQualitySpec)
     val pairs = pool.select(col("query_id"), col("cand_id"), col("q"), col("nq"))
       .join(
-        pool.select(col("query_id"), col("cand_id").as("other_id"),
-          col("q").as("oq"), col("nq").as("onq")),
+        broadcast(pool.select(col("query_id"), col("cand_id").as("other_id"),
+          col("q").as("oq"), col("nq").as("onq"))),
         Seq("query_id"))
       .filter(col("cand_id") =!= col("other_id"))
       .select(col("query_id"), col("cand_id"), col("other_id"),
@@ -1400,14 +1403,14 @@ object Similarity {
       .cache()
     for (step <- 2 to selectK) {
       val maxSim = pairs
-        .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
-          Seq("query_id", "other_id"))
+        .join(broadcast(selected.select(col("query_id"),
+          col("cand_id").as("other_id"))), Seq("query_id", "other_id"))
         .groupBy(col("query_id"), col("cand_id"))
         .agg(max(col("sim_e6")).as("max_sim_e6"))
       val pick = poolSlim
-        .join(selected.select(col("query_id"), col("cand_id")),
+        .join(broadcast(selected.select(col("query_id"), col("cand_id"))),
           Seq("query_id", "cand_id"), "left_anti")
-        .join(maxSim, Seq("query_id", "cand_id"))
+        .join(broadcast(maxSim), Seq("query_id", "cand_id"))
         .withColumn("score",
           lit(lambdaE3.toLong) * col("rel_e6") -
             lit((1000 - lambdaE3).toLong) * col("max_sim_e6"))

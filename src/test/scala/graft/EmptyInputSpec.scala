@@ -234,6 +234,8 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String, Long)].toDF("d", "f", "sz"), "d", "f", "sz", 100L)
       .count() === 0)
     assert(Multimodal.perceptualHash(emptyDocs).count() === 0)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.withPayload(emptyDocs)).count() === 0)
     // k-core on empty edges / all-self-loops — both round modes
     assert(GraphOps.kCorePeel(emptyEdges, 2, 2).count() === 0)
     assert(GraphOps.kCorePeel(emptyEdges, 2, -1).count() === 0)

@@ -661,6 +661,55 @@ class PlanQualitySpec extends SparkSpec {
       s"vertex-sized label tables must never sort-merge against the edge list:\n$plan")
   }
 
+  test("mmrRerank: pool-sized greedy loop — no sort-merge, no cartesian, vectors never shuffle") {
+    val out = Similarity.mmrRerank(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4,
+      poolK = 4, selectK = 3)
+    val plan = formatted(out)
+    // every loop join is over cached ≤|Q|·poolK-row frames: broadcast
+    // territory, never a corpus-sized sort-merge or a cartesian
+    assert(!plan.contains("SortMergeJoin"),
+      s"pool-sized loop frames must broadcast, not sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+    // quantized vectors ride only the pool build (scan side + cache);
+    // no exchange repartitions on or carries the vector payload
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"a shuffle carries embedding payload: $parts")
+  }
+
+  test("kCenterSelect: rounds broadcast the selected frame; vectors never shuffle") {
+    val out = Similarity.kCenterSelect(Tables.embeddings(spark, sfDir), 3)
+    val plan = formatted(out)
+    assert(!plan.contains("SortMergeJoin"),
+      s"k-row selected frames must broadcast, not sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the corpus × selected pass must be a broadcast nested loop:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"a shuffle carries embedding payload: $parts")
+  }
+
+  test("unigramSegment: one text reduction, then word/piece-keyed work only") {
+    import spark.implicits._
+    val vocab = Seq(("a", 1L), ("b", 2L), ("ab", 2L)).toDF("piece", "cost_bits")
+    val out = graft.operators.TextOps.unigramSegment(
+      Tables.documents(spark, sfDir), vocab)
+    val plan = formatted(out)
+    // the broadcast vocab join prices candidates map-side — the DP's
+    // inputs shuffle on the word key, never on raw document text
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab should broadcast:\n$plan")
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("text#")),
+      s"a shuffle carries raw document text: $parts")
+  }
+
   test("sourceTvd: pair list broadcasts (nested-loop, never cartesian); token text stays out of later shuffles") {
     val out = graft.operators.TextOps.sourceTvd(Tables.documents(spark, sfDir))
     val plan = formatted(out)

@@ -76,6 +76,42 @@ class RdfSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("multimodal: audio fingerprint packs energy-delta signs, drops the partial window") {
+    // "aaaabbbb": windows (4·97=388, 4·98=392) — one rising delta, bit 0
+    val docs = Seq((1L, "aaaabbbb")).toDF("doc_id", "text")
+    val fp = Multimodal.audioFingerprint(Multimodal.withPayload(docs))
+    assert(rowSet(fp) === Set(Seq(1L, 2L, 1L)))
+    // a trailing partial window never contributes energy or count
+    val partial = Seq((1L, "aaaabbbbcc")).toDF("doc_id", "text")
+    assert(rowSet(Multimodal.audioFingerprint(Multimodal.withPayload(partial)))
+      === Set(Seq(1L, 2L, 1L)))
+    // falling then rising: "bbbbaaaacccc" -> energies 392, 388, 396 ->
+    // bits (0: 388>392 no, 1: 396>388 yes) = 2
+    val wave = Seq((1L, "bbbbaaaacccc")).toDF("doc_id", "text")
+    assert(rowSet(Multimodal.audioFingerprint(Multimodal.withPayload(wave)))
+      === Set(Seq(1L, 3L, 2L)))
+    // constant-offset robustness (the Haitsma–Kalker point): shifting
+    // every sample by +1 codepoint leaves every sign bit unchanged
+    val shifted = Seq((1L, "ccccbbbbdddd")).toDF("doc_id", "text")
+    assert(rowSet(Multimodal.audioFingerprint(Multimodal.withPayload(shifted)))
+      === Set(Seq(1L, 3L, 2L)))
+    // fewer samples than one window: zero windows, zero fingerprint
+    assert(rowSet(Multimodal.audioFingerprint(
+      Multimodal.withPayload(Seq((2L, "ab")).toDF("doc_id", "text"))))
+      === Set(Seq(2L, 0L, 0L)))
+    // composition: fp drops into the banded Hamming near-dup machinery
+    // (60 bits = 4 bands of 15) — the offset-shifted near-copy pairs
+    // with the original at Hamming 0; the reversed-shape doc does not
+    val corpus = Seq(
+      (1L, "bbbbaaaacccc"), (2L, "ccccbbbbdddd"), (3L, "ccccbbbbaaaa"))
+      .toDF("doc_id", "text")
+    val sigs = Multimodal.audioFingerprint(Multimodal.withPayload(corpus))
+      .select(col("doc_id"), col("fp").as("simhash"))
+    val pairs = graft.operators.Dedup.simhashPairs(sigs, maxHamming = 0, bits = 60)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
   test("multimodal: a custom codec injects through the seam, operators unchanged") {
     // a toy "real" codec: fixed 16x16 dims, 3 frames, bytes as samples —
     // every operator must pick it up via the parameter alone
