@@ -804,6 +804,10 @@ object SparkEntry {
     // cumulative distinct tokens in doc_id order (two-phase prefix sum)
     "t_vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(Tables.documents(s, dir), bucketSize = 64)),
+    // Zipf rank–frequency slope: ilog2 whole-bit least squares over
+    // the vocabulary, exact integer sufficient stats, one final double
+    "t_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_quality_topk" -> ((s, dir) =>
       TextOps.qualityTopK(Tables.documents(s, dir), Seq("lang", "source"), 3)),
     // PII scrub over a synthesized contact corpus (the fixture text has
@@ -2778,6 +2782,38 @@ object SparkEntry {
          |FROM pd
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // whole-bit Zipf regression: HUGEINT cross products ≡ Spark's
+    // DECIMAL(38,0), one final double e6-floored; ranks row_number
+    // by (freq DESC, hash ASC) on both engines
+    "t_zipf_slope" ->
+      s"""WITH th AS (
+         |  SELECT ${ph("tok")} AS h
+         |  FROM (SELECT unnest($TOKS) AS tok FROM documents)),
+         |fr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM th GROUP BY h),
+         |xy AS (
+         |  SELECT CAST(length(bin(CAST(row_number() OVER (
+         |           ORDER BY freq DESC, h ASC) AS BIGINT))) - 1 AS BIGINT) AS x,
+         |         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+         |  FROM fr),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |         CAST(SUM(x) AS BIGINT) AS sum_x,
+         |         CAST(SUM(y) AS BIGINT) AS sum_y,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sum_xy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sum_xx
+         |  FROM xy)
+         |SELECT n_vocab, sum_x, sum_y,
+         |       CASE WHEN CAST(n_vocab AS HUGEINT) * sum_xx
+         |                 - CAST(sum_x AS HUGEINT) * sum_x <> 0
+         |            THEN CAST(floor(
+         |              CAST(CAST(n_vocab AS HUGEINT) * sum_xy
+         |                   - CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE)
+         |              * 1000000.0 /
+         |              CAST(CAST(n_vocab AS HUGEINT) * sum_xx
+         |                   - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE))
+         |            AS BIGINT) END AS slope_e6
+         |FROM s""".stripMargin,
 
     // one correctly-rounded IEEE sqrt per SOURCE, then pure integer
     // division; the quota split s·(B div T) + ((B mod T)·s) div T is

@@ -2119,4 +2119,62 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("n_toks"), col("new_toks"),
         col("cum_toks"), col("cum_vocab"))
   }
+
+  /** Zipf rank–frequency slope diagnostic — [[vocabGrowth]]'s
+    * distributional sibling: least-squares fit of
+    * `ilog2(freq) ≈ a + s·ilog2(rank)` over the corpus vocabulary.
+    * Natural text tracks s ≈ −1 (Zipf's law); a corpus drifting flat
+    * (s → 0: templated/boilerplate-heavy, frequencies equalized) or
+    * steep (s ≪ −1: vocabulary collapse onto a few tokens) is a
+    * curation smell worth alerting on. The whole-bit `ilog2(n) =
+    * length(bin(n)) − 1` convention ([[bigramLmScore]]'s device) keeps
+    * every sufficient statistic an exact integer; cross products ride
+    * DECIMAL(38,0) (the `agg_correlation` overflow rule) and the
+    * single final division is one IEEE double, e6-floored.
+    *
+    * Output: ONE row `(n_vocab, sum_x, sum_y, slope_e6)` with
+    * x = ilog2(rank), y = ilog2(freq);
+    * `slope_e6 = floor(10⁶·(n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx))`,
+    * NULL when the variance denominator is 0 (vocabulary of ≤ 1 or
+    * all x equal).
+    *
+    * Scale shape: one corpus scan reduces tokens to 8-byte hashes
+    * before the frequency exchange (text never shuffles); ranking is
+    * a vocabulary-sized sort — the same vocabulary-bound cost tier as
+    * the BPE symbol table (swap in [[vocabGrowth]]'s two-phase bucket
+    * device if a vocabulary ever outgrows one task); the regression
+    * is one map-side-combined aggregate to a single row.
+    */
+  def zipfSlope(
+      docs: DataFrame,
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val freqs = docs
+      .select(explode(graft.functions.NativeOps.shingleHashes(
+        col(textCol), 1, hash.portable)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("h").asc)
+    val xy = freqs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(ilog2(col("rank")).as("x"), ilog2(col("freq")).as("y"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    xy.agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("x")).as("sum_x"),
+      sum(col("y")).as("sum_y"),
+      sum(col("x") * col("y")).as("sum_xy"),
+      sum(col("x") * col("x")).as("sum_xx"))
+      .select(
+        col("n_vocab"), col("sum_x"), col("sum_y"),
+        when(
+          dec(col("n_vocab")) * dec(col("sum_xx")) -
+            dec(col("sum_x")) * dec(col("sum_x")) =!= 0,
+          floor(
+            (dec(col("n_vocab")) * dec(col("sum_xy")) -
+              dec(col("sum_x")) * dec(col("sum_y"))).cast("double") * lit(1e6) /
+            (dec(col("n_vocab")) * dec(col("sum_xx")) -
+              dec(col("sum_x")) * dec(col("sum_x"))).cast("double"))
+            .cast("long")).as("slope_e6"))
+  }
 }

@@ -328,6 +328,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(rowSet(TextOps.vocabGrowth(
       Seq((5L, "sA", "")).toDF("doc_id", "source", "text"))) ===
       Set(Seq("sA", 5L, 0L, 0L, 0L, 0L)))
+    // zipf regression over an empty corpus: the 1-row summary carries
+    // 0 vocab and NULL sums/slope (never a crash, never NaN)
+    assert(rowSet(TextOps.zipfSlope(emptyDocs)) ===
+      Set(Seq(0L, null, null, null)))
     // join-size sketch on two empty sides: exact 0, estimate 0, gate holds
     val emptyKeys = Seq.empty[Long].toDF("user_id")
     assert(rowSet(TextOps.cmsJoinSize(emptyKeys, emptyKeys, "user_id")) ===

@@ -917,6 +917,22 @@ class TextOpsSpec extends SparkSpec {
     assert(total > ws)
   }
 
+  test("zipfSlope: hand regression, flat-corpus zero, degenerate NULL") {
+    // freqs 8,4,2,1 -> ranks 1..4: x = ilog2(rank) = (0,1,1,2),
+    // y = ilog2(freq) = (3,2,1,0); n=4, Σx=4, Σy=6, Σxy=3, Σxx=6 ->
+    // slope = (4·3 − 4·6)/(4·6 − 16) = −12/8 = −1.5
+    val docs = Seq((1L, "a a a a a a a a b b b b c c d")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.zipfSlope(docs)) ===
+      Set(Seq(4L, 4L, 6L, -1500000L)))
+    // equal frequencies: y constant -> numerator 0 -> exactly flat
+    // (and rank-tiebreak-independent: the x multiset is fixed)
+    val flat = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.zipfSlope(flat)) === Set(Seq(4L, 4L, 0L, 0L)))
+    // single-type vocabulary: zero x-variance -> NULL slope
+    val one = Seq((1L, "a a a")).toDF("doc_id", "text")
+    assert(rowSet(TextOps.zipfSlope(one)) === Set(Seq(1L, 0L, 1L, null)))
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
