@@ -2171,8 +2171,11 @@ object SparkEntry {
     * query's corpus-derived scored vocab rebuilt in SQL, then `rounds`
     * unrolled min-relaxation rounds over the `cost·2²⁰ + pieces`
     * encoded key — integer MIN ≡ lexicographic (cost, pieces) min,
-    * the engine's value contract. `rounds` must be ≥ the max word
-    * length at the verified SF (8 at sf0.01).
+    * the engine's value contract. `dp_t` covers paths of ≤ t − 1
+    * pieces (dp1 is the zero-piece start state), and a word can need
+    * up to `length(word)` single-char pieces, so `rounds` must be ≥
+    * the max word length at the verified SF PLUS ONE (8 + 1 at
+    * sf0.01; called with 12 for slack).
     */
   private def unigramSql(rounds: Int): String = {
     val steps = (2 to rounds).map { t =>
@@ -2711,9 +2714,10 @@ object SparkEntry {
          |WHERE NOT ok OR pos >= length(word)""".stripMargin,
 
     // unigram-LM Viterbi VALUE replicated: same corpus-derived scored
-    // vocab, 10 unrolled min-relaxation rounds (≥ the max word length
-    // 8 at sf0.01) over the cost·2^20 + pieces encoding
-    "t_unigram_segment" -> unigramSql(10),
+    // vocab, 12 unrolled min-relaxation rounds (≥ max word length 8
+    // at sf0.01 + 1 — dp_t covers ≤ t−1 pieces — with slack) over the
+    // cost·2^20 + pieces encoding
+    "t_unigram_segment" -> unigramSql(12),
 
     // the whole tokenize→pack DAG replicated: BPE end state → per-word
     // piece counts → per-doc subword totals → the t_pack_sequences
@@ -5170,8 +5174,10 @@ object SparkEntry {
         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
         |  FROM d GROUP BY doc_id)
         |SELECT w.doc_id,
-        |       coalesce(s.n_windows, CAST(0 AS BIGINT)) AS n_windows,
-        |       coalesce(s.fp, CAST(0 AS BIGINT)) AS fp
+        |       CASE WHEN w.text IS NULL THEN NULL
+        |            ELSE coalesce(s.n_windows, CAST(0 AS BIGINT)) END AS n_windows,
+        |       CASE WHEN w.text IS NULL THEN NULL
+        |            ELSE coalesce(s.fp, CAST(0 AS BIGINT)) END AS fp
         |FROM documents w LEFT JOIN s USING (doc_id)""".stripMargin,
 
     "m_block_stats" ->

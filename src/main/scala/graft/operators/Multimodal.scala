@@ -209,13 +209,15 @@ object Multimodal {
     * consecutive `win`-sample windows (trailing partial window
     * dropped), each window's ENERGY is the exact integer sample sum,
     * and fingerprint bit `i` is `energy(i+1) > energy(i)` for the
-    * first 62 deltas. Sign-of-derivative bits survive volume scaling
+    * first 60 deltas. Sign-of-derivative bits survive volume scaling
     * and constant offset (both shift every window energy equally),
-    * which is what makes the fingerprint robust; 62 bits keeps the
-    * packed BIGINT positive on every engine. Emits
-    * `(doc_id, n_windows, fp)` — pair `fp` with the engine's Hamming
-    * near-dup machinery exactly like [[perceptualHash]] feeds
-    * `Dedup.simhashPairs`.
+    * which is what makes the fingerprint robust; 60 bits keeps the
+    * packed BIGINT positive on every engine AND 4-band-divisible, so
+    * `fp.as("simhash")` drops straight into
+    * `Dedup.simhashPairs(_, bits = 60)` for banded Hamming near-dup.
+    * Emits `(doc_id, n_windows, fp)`; a null payload emits null
+    * fingerprint columns (the [[decodeMeta]] null convention — the
+    * SQL twin CASEs on null text to match).
     *
     * Scale shape: batched per partition over the [[MediaCodec]] sample
     * ITERATOR — one window of samples in memory at a time, codec state
@@ -235,7 +237,9 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          if (payload == null) Row(id, null, null) // SQL-twin parity
+          // null payload -> null fingerprint (decodeMeta convention;
+          // the SQL twin CASEs on null text to agree)
+          if (payload == null) Row(id, null, null)
           else {
             var n = 0L
             var fp = 0L

@@ -1354,7 +1354,9 @@ object Similarity {
     * after is pool-sized by contract (≤ |Q|·poolK rows, ≤ |Q|·poolK²
     * pairwise sims), so the greedy loop's `selectK` rounds are
     * broadcast-joined frames that never touch the corpus again.
-    * Selected state is ≤ |Q|·selectK rows, cached per round.
+    * Selected state is ≤ |Q|·selectK rows, cached per round; all
+    * loop caches are released before returning (only the tiny result
+    * frame stays cached).
     */
   def mmrRerank(
       embeddings: DataFrame,
@@ -1394,6 +1396,7 @@ object Similarity {
       .cache()
     val poolSlim = pool.select(col("query_id"), col("cand_id"), col("rel_e6"))
     // step 1: pure relevance argmax (no redundancy term yet)
+    val scaffolding = scala.collection.mutable.ArrayBuffer[DataFrame](pool, pairs)
     var selected = poolSlim
       .groupBy(col("query_id"))
       .agg(min(struct((-col("rel_e6")).as("ns"), col("cand_id").as("cand_id"),
@@ -1402,6 +1405,7 @@ object Similarity {
         col("m.rel_e6").as("rel_e6"), lit(1L).as("step"))
       .cache()
     for (step <- 2 to selectK) {
+      scaffolding += selected
       val maxSim = pairs
         .join(broadcast(selected.select(col("query_id"),
           col("cand_id").as("other_id"))), Seq("query_id", "other_id"))
@@ -1421,6 +1425,11 @@ object Similarity {
           col("m.rel_e6").as("rel_e6"), lit(step.toLong).as("step"))
       selected = selected.union(pick).cache()
     }
+    // materialize the (≤ |Q|·selectK-row) result cache, then release
+    // the pool-sized scaffolding — loop caches must not outlive the
+    // call at corpus scale (only the tiny result stays cached)
+    selected.count()
+    scaffolding.foreach(_.unpersist(false))
     selected
   }
 
@@ -1454,9 +1463,11 @@ object Similarity {
     val corpus = withQuant(embeddings).cache()
     val seed = corpus
       .join(broadcast(corpus.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
+    val scaffolding = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
     var selected = seed.select(col("vec_id"), col("q"), col("nq"),
       lit(1L).as("step"), lit(0L).as("min_dist_q")).cache()
     for (step <- 2 to selectK) {
+      scaffolding += selected
       val sel = selected.select(col("vec_id").as("s_id"), col("q").as("sq"),
         col("nq").as("snq"))
       val minDist = corpus
@@ -1475,6 +1486,11 @@ object Similarity {
           lit(step.toLong).as("step"), col("min_dist_q"))
       selected = selected.union(attached).cache()
     }
+    // materialize the ≤ selectK-row result cache, then release the
+    // corpus-sized quantized cache and the per-round state — loop
+    // caches must not outlive the call at corpus scale
+    selected.count()
+    scaffolding.foreach(_.unpersist(false))
     selected.select(col("vec_id"), col("step"), col("min_dist_q"))
   }
 }

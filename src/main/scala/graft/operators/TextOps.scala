@@ -708,9 +708,10 @@ object TextOps {
     * writes per word, no driver loop, no per-word shuffle.
     *
     * Encoding bound: a word's total path cost must stay below
-    * `2⁴³` bits (the `10¹⁵` unreachable sentinel over the 2²⁰ piece
-    * field) — ilog2-convention costs are ≤ ~60/piece, 5 orders of
-    * magnitude of headroom.
+    * `10¹⁵ / 2²⁰ ≈ 9.5·10⁸` bits (the unreachable sentinel over the
+    * 2²⁰ piece field) — ilog2-convention costs are ≤ ~60/piece, so
+    * even a 10⁶-piece word has headroom; callers supplying e6-scaled
+    * costs (~10⁷/piece) are bounded to ~90-piece paths.
     */
   def unigramSegment(
       docs: DataFrame,

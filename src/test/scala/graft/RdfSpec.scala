@@ -99,6 +99,11 @@ class RdfSpec extends SparkSpec {
     assert(rowSet(Multimodal.audioFingerprint(
       Multimodal.withPayload(Seq((2L, "ab")).toDF("doc_id", "text"))))
       === Set(Seq(2L, 0L, 0L)))
+    // null payload -> null fingerprint columns (decodeMeta convention,
+    // CASEd identically in the SQL twin)
+    assert(rowSet(Multimodal.audioFingerprint(Multimodal.withPayload(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))))
+      === Set(Seq(9L, null, null)))
     // composition: fp drops into the banded Hamming near-dup machinery
     // (60 bits = 4 bands of 15) — the offset-shifted near-copy pairs
     // with the original at Hamming 0; the reversed-shape doc does not
