@@ -380,6 +380,13 @@ object SparkEntry {
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
       GraphOps.harmonicCentrality2(coocPairs(s, dir))),
+    // ANF / neighborhood function (HyperANF): per-vertex HLL ball
+    // sketches advanced 3 hops over the shared cooc graph — O(V)
+    // sketch state where the exact closure is quadratic; the audited
+    // form rides the exact bounded closure + a 5% gate (x_hll_merge
+    // device), the estimates form is the production path (spec-gated)
+    "g_anf" -> ((s, dir) =>
+      GraphOps.neighborhoodFunctionAudited(coocPairs(s, dir), maxT = 3)),
 
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
@@ -3747,6 +3754,41 @@ object SparkEntry {
          |       CAST(COALESCE(n2.n2, 0) AS BIGINT) AS n2,
          |       CAST(1000 * n1.n1 + 500 * COALESCE(n2.n2, 0) AS BIGINT) AS h2_e3
          |FROM n1 LEFT JOIN n2 ON n2.v = n1.v""".stripMargin,
+
+    // exact bounded closure per radius + the always-TRUE sketch gate
+    // (the estimate itself is engine-specific, so the oracle pins the
+    // exact counts and the certification bit — x_hll_merge's device)
+    "g_anf" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS MATERIALIZED (SELECT pa AS v, pb AS u FROM cooc
+         |        UNION SELECT pb, pa FROM cooc),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM sym)),
+         |r1 AS MATERIALIZED (
+         |  SELECT v, u FROM r0
+         |  UNION SELECT s.v, r.u FROM sym s JOIN r0 r ON r.v = s.u),
+         |r2 AS MATERIALIZED (
+         |  SELECT v, u FROM r1
+         |  UNION SELECT s.v, r.u FROM sym s JOIN r1 r ON r.v = s.u),
+         |r3 AS MATERIALIZED (
+         |  SELECT v, u FROM r2
+         |  UNION SELECT s.v, r.u FROM sym s JOIN r2 r ON r.v = s.u)
+         |SELECT CAST(0 AS BIGINT) AS t,
+         |       CAST((SELECT COUNT(*) FROM r0) AS BIGINT) AS exact_pairs,
+         |       TRUE AS anf_ok
+         |UNION ALL SELECT CAST(1 AS BIGINT),
+         |       CAST((SELECT COUNT(*) FROM r1) AS BIGINT), TRUE
+         |UNION ALL SELECT CAST(2 AS BIGINT),
+         |       CAST((SELECT COUNT(*) FROM r2) AS BIGINT), TRUE
+         |UNION ALL SELECT CAST(3 AS BIGINT),
+         |       CAST((SELECT COUNT(*) FROM r3) AS BIGINT), TRUE""".stripMargin,
 
     // modularity of the 2-round LPA partition: exact BIGINT/DECIMAL
     // sufficient stats (4m·Σm_c − ΣD_c²) / 4m², one final double

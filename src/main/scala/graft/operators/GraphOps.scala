@@ -989,4 +989,110 @@ object GraphOps {
               (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double")))
           .otherwise(0L).cast("long").as("q_e6"))
   }
+
+  /** Shared round loop of the ANF / neighborhood-function pair (Boldi &
+    * Vigna 2011, "HyperANF: Approximating the Neighbourhood Function of
+    * Very Large Graphs on a Budget" — itself the HLL re-statement of
+    * Palmer et al. 2002's ANF): per vertex an HLL sketch of the ball
+    * `B(v, t)`, advanced one hop per round by unioning each vertex's
+    * sketch with its neighbors' previous-round sketches — a grouped
+    * `hll_union_agg`, which partial-aggregates map-side like any other
+    * Spark aggregate. Sketch state is O(vertices · sketch bytes)
+    * regardless of how large the balls grow; that bound is the entire
+    * point of ANF — the exact ball-pair state it replaces is the
+    * transitive closure, quadratic in the worst case.
+    *
+    * Returns, per round `t ∈ [0, maxT]`, the 1-row estimate frame
+    * `Σ_v |B(v, t)|` and (audit mode) the exact reachable-pair frame.
+    * The exact path IS the quadratic closure — validation-scale only,
+    * which is why the production entry point ([[anfEstimates]]) never
+    * computes it.
+    */
+  private def anfRounds(
+      pairs: DataFrame,
+      maxT: Int,
+      audit: Boolean,
+      checkpointDir: Option[String]): Seq[(Int, DataFrame, Option[DataFrame])] = {
+    require(maxT >= 0, s"maxT must be >= 0, got $maxT")
+    val sym = Checkpoints.cut(
+      pairs.select(col("person_a").as("v"), col("person_b").as("u"))
+        .union(pairs.select(col("person_b").as("v"), col("person_a").as("u")))
+        .distinct(), checkpointDir)
+    val verts = sym.select(col("v")).distinct()
+    var state = Checkpoints.cut(
+      verts.groupBy(col("v")).agg(hll_sketch_agg(col("v")).as("sk")),
+      checkpointDir)
+    var reach: DataFrame =
+      if (audit) Checkpoints.cut(verts.select(col("v"), col("v").as("u")), checkpointDir)
+      else null
+    val rounds = Seq.newBuilder[(Int, DataFrame, Option[DataFrame])]
+    rounds += ((0, state, Option(reach)))
+    for (t <- 1 to maxT) {
+      val msgs = sym
+        .join(state.withColumnRenamed("v", "w"), col("u") === col("w"))
+        .select(col("v"), col("sk"))
+      state = Checkpoints.cut(
+        state.select(col("v"), col("sk")).union(msgs)
+          .groupBy(col("v")).agg(hll_union_agg(col("sk")).as("sk")),
+        checkpointDir)
+      if (audit) {
+        reach = Checkpoints.cut(
+          reach.union(
+            sym.as("s").join(reach.as("r"), col("s.u") === col("r.v"))
+              .select(col("s.v").as("v"), col("r.u").as("u")))
+            .distinct(), checkpointDir)
+      }
+      rounds += ((t, state, Option(reach)))
+    }
+    rounds.result()
+  }
+
+  /** Neighborhood function estimates — the production ANF entry point:
+    * one row per hop radius `t`,
+    * `(t, est_pairs = Σ_v estimate|B(v, t)|)`. `N(t)`'s growth curve
+    * is the effective-diameter / connectivity profile of the graph
+    * (the t where it saturates is the effective diameter); the cost is
+    * `maxT` rounds of one edge-keyed join + one grouped sketch union,
+    * never the closure. Estimates are HLL doubles — engine-specific,
+    * so this form is spec-gated; the oracle row runs
+    * [[neighborhoodFunctionAudited]].
+    */
+  def anfEstimates(
+      pairs: DataFrame,
+      maxT: Int,
+      checkpointDir: Option[String] = None): DataFrame =
+    anfRounds(pairs, maxT, audit = false, checkpointDir)
+      .map { case (t, state, _) =>
+        state.agg(coalesce(sum(hll_sketch_estimate(col("sk"))), lit(0d))
+          .as("est_pairs"))
+          .select(lit(t.toLong).as("t"), col("est_pairs"))
+      }.reduce(_.unionAll(_))
+
+  /** [[anfEstimates]] with the exact audit riding along (the
+    * `x_hll_merge` device): per radius `t`,
+    * `(t, exact_pairs, anf_ok)` where `exact_pairs` counts the true
+    * reachable pairs within `t` hops (self included) and `anf_ok`
+    * certifies the sketch sum landed within `tolerancePermille` of it.
+    * The exact path materializes the bounded transitive closure —
+    * quadratic state, validation-scale only (the scale story lives in
+    * [[anfEstimates]], which shares the sketch loop bit-for-bit).
+    */
+  def neighborhoodFunctionAudited(
+      pairs: DataFrame,
+      maxT: Int,
+      tolerancePermille: Long = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    anfRounds(pairs, maxT, audit = true, checkpointDir)
+      .map { case (t, state, reach) =>
+        val est = state.agg(
+          coalesce(sum(hll_sketch_estimate(col("sk"))), lit(0d)).as("est"))
+        reach.get.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(est)
+          .select(
+            lit(t.toLong).as("t"),
+            col("exact_pairs"),
+            (abs(col("est") - col("exact_pairs").cast("double")) <=
+              col("exact_pairs").cast("double") * tolerancePermille / 1000d)
+              .as("anf_ok"))
+      }.reduce(_.unionAll(_))
 }

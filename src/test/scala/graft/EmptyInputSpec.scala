@@ -36,6 +36,11 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[String].toDF("person_id_user")).count() === 0)
     assert(GraphOps.triangleCounts(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
+    // ANF on an empty graph: one row per radius, exact 0, gate TRUE
+    // (0-vs-0 certifies trivially — never NULL, never NaN)
+    assert(rowSet(GraphOps.neighborhoodFunctionAudited(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"), maxT = 2)) ===
+      Set(Seq(0L, 0L, true), Seq(1L, 0L, true), Seq(2L, 0L, true)))
     assert(GraphOps.clusteringCoefficients(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     // assortativity on nothing: single (0, 0) row by the guard

@@ -505,4 +505,29 @@ class GraphOpsSpec extends SparkSpec {
     val selfLab = Seq(("A", "A"), ("B", "B"), ("C", "C")).toDF("person_id", "community")
     assert(rowSet(GraphOps.modularity(one, selfLab)) === Set(Seq(3L, 3L, -333334L)))
   }
+
+  test("neighborhood function: exact ball growth, gate holds, saturation") {
+    // path a—b—c plus the separate pair d—e:
+    //   N(0) = 5 (selves); N(1) = 2+3+2+2+2 = 11; N(2) = 3+3+3+2+2 = 13;
+    //   N(3) = 13 (saturated — components never bleed into each other)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e"))
+      .toDF("person_a", "person_b")
+    val out = GraphOps.neighborhoodFunctionAudited(pairs, maxT = 3)
+    assert(rowSet(out) === Set(
+      Seq(0L, 5L, true),
+      Seq(1L, 11L, true),
+      Seq(2L, 13L, true),
+      Seq(3L, 13L, true)))
+    // the production (sketch-only) form tracks the same curve within
+    // the gate tolerance and is monotone non-decreasing in t
+    val est = GraphOps.anfEstimates(pairs, maxT = 3)
+      .orderBy(col("t")).select(col("est_pairs")).as[Double].collect().toSeq
+    val exact = Seq(5d, 11d, 13d, 13d)
+    est.zip(exact).foreach { case (e, x) =>
+      assert(math.abs(e - x) <= x * 0.05, s"estimate $e vs exact $x")
+    }
+    est.zip(est.drop(1)).foreach { case (a, b) =>
+      assert(b >= a, s"N(t) must be non-decreasing: $est")
+    }
+  }
 }
