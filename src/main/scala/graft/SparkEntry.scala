@@ -381,12 +381,12 @@ object SparkEntry {
     "g_harmonic2" -> ((s, dir) =>
       GraphOps.harmonicCentrality2(coocPairs(s, dir))),
     // ANF / neighborhood function (HyperANF): per-vertex HLL ball
-    // sketches advanced 3 hops over the shared cooc graph — O(V)
+    // sketches advanced 2 hops over the shared cooc graph — O(V)
     // sketch state where the exact closure is quadratic; the audited
     // form rides the exact bounded closure + a 5% gate (x_hll_merge
     // device), the estimates form is the production path (spec-gated)
     "g_anf" -> ((s, dir) =>
-      GraphOps.neighborhoodFunctionAudited(coocPairs(s, dir), maxT = 3)),
+      GraphOps.neighborhoodFunctionAudited(coocPairs(s, dir), maxT = 2)),
 
     // Relational agg: TPC-H Q1-shaped pricing summary, exact cents
     "q1_agg" -> ((s, dir) => {
@@ -3776,19 +3776,14 @@ object SparkEntry {
          |  UNION SELECT s.v, r.u FROM sym s JOIN r0 r ON r.v = s.u),
          |r2 AS MATERIALIZED (
          |  SELECT v, u FROM r1
-         |  UNION SELECT s.v, r.u FROM sym s JOIN r1 r ON r.v = s.u),
-         |r3 AS MATERIALIZED (
-         |  SELECT v, u FROM r2
-         |  UNION SELECT s.v, r.u FROM sym s JOIN r2 r ON r.v = s.u)
+         |  UNION SELECT s.v, r.u FROM sym s JOIN r1 r ON r.v = s.u)
          |SELECT CAST(0 AS BIGINT) AS t,
          |       CAST((SELECT COUNT(*) FROM r0) AS BIGINT) AS exact_pairs,
          |       TRUE AS anf_ok
          |UNION ALL SELECT CAST(1 AS BIGINT),
          |       CAST((SELECT COUNT(*) FROM r1) AS BIGINT), TRUE
          |UNION ALL SELECT CAST(2 AS BIGINT),
-         |       CAST((SELECT COUNT(*) FROM r2) AS BIGINT), TRUE
-         |UNION ALL SELECT CAST(3 AS BIGINT),
-         |       CAST((SELECT COUNT(*) FROM r3) AS BIGINT), TRUE""".stripMargin,
+         |       CAST((SELECT COUNT(*) FROM r2) AS BIGINT), TRUE""".stripMargin,
 
     // modularity of the 2-round LPA partition: exact BIGINT/DECIMAL
     // sufficient stats (4m·Σm_c − ΣD_c²) / 4m², one final double

@@ -1019,28 +1019,38 @@ object GraphOps {
         .union(pairs.select(col("person_b").as("v"), col("person_a").as("u")))
         .distinct(), checkpointDir)
     val verts = sym.select(col("v")).distinct()
-    var state = Checkpoints.cut(
-      verts.groupBy(col("v")).agg(hll_sketch_agg(col("v")).as("sk")),
-      checkpointDir)
+    // lgConfigK = 10: ~3.3% per-sketch error (HyperANF's errors are
+    // correlated across vertices — same hash of the same ids — so the
+    // SUM inherits the per-sketch bound; 10 keeps it inside the 5%
+    // gate) at a quarter of the default sketch bytes — the blob size
+    // is the round shuffle's byte multiplier, one sketch per edge
+    val initState = verts.groupBy(col("v"))
+      .agg(hll_sketch_agg(col("v"), lit(10)).as("sk"))
+    // round-0 frames are cheap re-aggregations of the CUT edge list —
+    // they get no cut of their own (each is read at most twice)
+    var state = initState
     var reach: DataFrame =
-      if (audit) Checkpoints.cut(verts.select(col("v"), col("v").as("u")), checkpointDir)
+      if (audit) verts.select(col("v"), col("v").as("u"))
       else null
     val rounds = Seq.newBuilder[(Int, DataFrame, Option[DataFrame])]
     rounds += ((0, state, Option(reach)))
     for (t <- 1 to maxT) {
+      // the last round's frames feed only their own 1-row aggregate —
+      // an eager cut there is a pure extra materialization, skip it
+      val cutRound: DataFrame => DataFrame =
+        if (t < maxT) Checkpoints.cut(_, checkpointDir) else identity
       val msgs = sym
         .join(state.withColumnRenamed("v", "w"), col("u") === col("w"))
         .select(col("v"), col("sk"))
-      state = Checkpoints.cut(
+      state = cutRound(
         state.select(col("v"), col("sk")).union(msgs)
-          .groupBy(col("v")).agg(hll_union_agg(col("sk")).as("sk")),
-        checkpointDir)
+          .groupBy(col("v")).agg(hll_union_agg(col("sk")).as("sk")))
       if (audit) {
-        reach = Checkpoints.cut(
+        reach = cutRound(
           reach.union(
             sym.as("s").join(reach.as("r"), col("s.u") === col("r.v"))
               .select(col("s.v").as("v"), col("r.u").as("u")))
-            .distinct(), checkpointDir)
+            .distinct())
       }
       rounds += ((t, state, Option(reach)))
     }
