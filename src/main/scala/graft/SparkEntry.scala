@@ -1127,6 +1127,12 @@ object SparkEntry {
       Similarity.pqEncode(Tables.embeddings(s, dir))),
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
+    // IVF-PQ two-stage retrieval (the FAISS IVF,PQ composition):
+    // queries probe 4 of 16 coarse cells, candidates score through
+    // their 4 PQ codes only (exact-integer ADC) — closed-form
+    // stand-in tiers on both stages keep the whole index SQL-exact
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
     // MMR diversified rerank: greedy λ-tradeoff of relevance against
     // redundancy-to-selected over each query's top-8 cosine pool —
@@ -4351,6 +4357,63 @@ object SparkEntry {
          |         CAST(qd.nq + p.part AS BIGINT) AS adist_q
          |  FROM parts p JOIN qd ON qd.query_id = p.query_id
          |  WHERE p.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // IVF-PQ: the PQ_CODES codebook/code CTEs + sim_ivf_topk's cell
+    // routing composed — candidates come from probed cells, distances
+    // from codes (cent columns suffixed 2 to dodge cb's cid)
+    "sim_ivfpq_topk" ->
+      s"""WITH $PQ_CODES,
+         |cent AS (SELECT vec_id AS cid2, q AS cq2, nq AS cnq2 FROM qn
+         |         WHERE vec_id < 16 AND nq > 0),
+         |asg AS (
+         |  SELECT vec_id, cid2 FROM (
+         |    SELECT v.vec_id, c.cid2,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM qn v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid2 FROM (
+         |    SELECT v.vec_id AS query_id, c.cid2,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM qn v CROSS JOIN cent c WHERE v.vec_id < 8)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON a.cid2 = p.cid2
+         |  WHERE a.vec_id <> p.query_id),
+         |qd AS (SELECT vec_id AS query_id, q, nq FROM qn WHERE vec_id < 8),
+         |qsub AS (
+         |  SELECT query_id, j,
+         |         list_slice(q, j*(len(q)//4) + 1, (j+1)*(len(q)//4)) AS sq
+         |  FROM qd CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |parts AS (
+         |  SELECT qs.query_id, co.vec_id AS neighbor_id,
+         |         CAST(sum(c.cnq - 2*${dotSql("qs.sq", "c.cq")}) AS BIGINT) AS part
+         |  FROM codes co
+         |  JOIN cb c ON c.j = co.j AND c.cid = co.cid
+         |  JOIN qsub qs ON qs.j = co.j
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |         CAST(qd.nq + p.part AS BIGINT) AS adist_q
+         |  FROM cand cd
+         |  JOIN parts p ON p.query_id = cd.query_id
+         |             AND p.neighbor_id = cd.neighbor_id
+         |  JOIN qd ON qd.query_id = cd.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, adist_q,
          |         CAST(row_number() OVER (

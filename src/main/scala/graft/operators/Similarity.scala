@@ -508,6 +508,97 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
   }
 
+  /** IVF-PQ two-stage retrieval — the composition every large ANN
+    * service actually deploys (Jégou et al. 2011 §IV; the FAISS
+    * `IVF…,PQ…` index family): the IVF coarse quantizer routes each
+    * query to its `nProbe` nearest cells, and within the probed cells
+    * candidates are scored through their `m` PQ codes only
+    * ([[pqTopK]]'s exact-integer ADC), so a probe touches
+    * `corpus/nCentroids · nProbe` rows of `m` codes each — neither
+    * the whole corpus nor any full vector. This is the flat-PQ (non-
+    * residual) variant: codes quantize the raw vectors, not the
+    * cell-relative residuals, so one codebook set serves every cell
+    * and the ADC scores are globally comparable ([[pqTopK]]
+    * restricted to probed cells — the equivalence law SimilaritySpec
+    * pins at full probe).
+    *
+    * `kmeansIters` / `pqIters` pick the coarse/codebook training
+    * tiers exactly as in [[ivfTopK]] / [[pqTopK]] (0 = closed-form
+    * stand-ins, SQL-oracle replicable). Zero-norm corpus vectors
+    * assign to no cell (the [[ivfTopK]] edge) and so never surface,
+    * unlike plain [[pqTopK]] — documented divergence at full probe.
+    * Output `(query_id, neighbor_id, adist_q, rank)`, ascending
+    * distance, ties by neighbor id, self excluded.
+    *
+    * Scale shape: cell assignment and encoding are each ONE narrow
+    * literal-argmin projection over the corpus (no join, no shuffle,
+    * codebooks/centroids are driver-bounded literals); the only
+    * corpus-sized exchange is the candidate join on the cell id; the
+    * scored stream into the per-query partial top-k is codes-sized.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 16,
+      k: Int = 5,
+      kmeansIters: Int = 0,
+      pqIters: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val corpus = withQuant(embeddings)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCentroids, kmeansIters)
+      else corpus.filter(col("vec_id") < nCentroids && col("nq") > 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val cbs = pqCodebooksQ(corpus, m, ksub, pqIters)
+    val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    if (centsArr.isEmpty || cbs.exists(_.isEmpty))
+      return corpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("adist_q"), col("nq").as("rank"))
+    // one pass: cell id + m codes per corpus row, both literal argmins
+    val coded = corpus.select(
+      col("vec_id") +: bestCellExpr(centsArr).as("cid") +:
+        (0 until m).map { j =>
+          val sub = expr(s"slice(q, $j * (size(q) div $m) + 1, size(q) div $m)")
+          bestCodeExpr(cbs(j), sub).as(s"c$j")
+        }: _*)
+    val probes = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      corpus.filter(queryPred).join(broadcast(cents))
+        .withColumn("ccos",
+          dotQ(col("q"), col("cq")).cast("double") /
+            sqrt(col("nq").cast("double") * col("cnq").cast("double")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nProbe)
+        .drop("cq", "cnq", "ccos", "crn")
+    }
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qn"), col("cid"))
+    val adcPart = (0 until m).map { j =>
+      val entry = element_at(typedLit(cbs(j)), (col(s"c$j") + 1).cast("int"))
+      val qSub = expr(s"slice(qq, $j * (size(qq) div $m) + 1, size(qq) div $m)")
+      entry.getField("_3") - lit(2L) * dotQ(qSub, entry.getField("_2"))
+    }.reduce(_ + _)
+    val scored = coded.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qn") + adcPart).as("adist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
+  }
+
   /** Banded-LSH candidate pairs over a quantized corpus — the shared
     * candidate generator behind [[cosineNearDupPairs]] (undirected,
     * `id_a < id_b`) and [[knnGraph]] (directed, `id_a ≠ id_b`: every

@@ -94,6 +94,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfTopK(emptyEmb, col("vec_id") < 8, 4, 2, 5).count() === 0)
     assert(Similarity.mmrRerank(emptyEmb, col("vec_id") < 8).count() === 0)
     assert(Similarity.kCenterSelect(emptyEmb, 3).count() === 0)
+    assert(Similarity.ivfPqTopK(emptyEmb, col("vec_id") < 8).count() === 0)
     assert(TextOps.tokenCounts(emptyDocs).count() === 0)
     assert(TextOps.langId(emptyDocs).count() === 0)
     assert(TextOps.hashSplit(emptyDocs, 800, 100).count() === 0)

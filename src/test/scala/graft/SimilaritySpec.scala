@@ -629,6 +629,31 @@ class SimilaritySpec extends SparkSpec {
     assert(doubled === got.map { case (k, v) => k -> v._3 })
   }
 
+  test("ivfPqTopK: full probe equals plain ADC; restricted probe keeps exact ADC scores") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // probing every cell makes the candidate set the whole (nonzero-
+    // norm) corpus: the two-stage index degenerates to pqTopK exactly
+    // (fixture has no zero-norm vectors — the documented carve-out)
+    val full = Similarity.ivfPqTopK(emb, col("vec_id") < 8,
+      nCentroids = 16, nProbe = 16)
+    val adc = Similarity.pqTopK(emb, col("vec_id") < 8)
+    assert(rowSet(full) === rowSet(adc))
+    // restricted probe: fewer candidates, but every surfaced pair
+    // carries the same exact integer ADC distance the unrestricted
+    // scorer assigns it (scores are globally comparable — flat PQ)
+    val allDists = Similarity.pqTopK(emb, col("vec_id") < 8, k = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    val probed = Similarity.ivfPqTopK(emb, col("vec_id") < 8, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"))
+      .as[(Long, Long, Long)].collect()
+    assert(probed.nonEmpty)
+    probed.foreach { case (q, n, d) =>
+      assert(allDists((q, n)) === d, s"ADC score drifted for ($q, $n)")
+    }
+  }
+
   // -- MMR rerank -----------------------------------------------------------
 
   // query 0 = (1,0,0); candidates 1 and 2 are IDENTICAL (0.96, 0.28, 0)
