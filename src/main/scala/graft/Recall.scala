@@ -92,6 +92,13 @@ object Recall {
         Similarity.pqTopK(emb, pred, m = m, ksub = ksub, k = K, iters = iters)))
       rows += Row("pq/adc", label, "recall@10", r, pq, s)
     }
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val ((r, pq), s) = time(rankedRecall(
+        Similarity.ivfPqTopK(emb, pred, nCentroids = 16, nProbe = nProbe,
+          m = 4, ksub = 16, k = K, kmeansIters = 4, pqIters = 3)))
+      rows += Row("ivf-pq (16 cells, m=4 trained)", s"nProbe=$nProbe",
+        "recall@10", r, pq, s)
+    }
     for (dims <- Seq(8, 16, 32, 64)) {
       val ((r, pq), s) = time(rankedRecall(
         Similarity.matryoshkaTopK(emb, pred, K, dims)))
@@ -135,6 +142,14 @@ object Recall {
     sb ++= "  recall against bucket occupancy. The banded OR-construction\n"
     sb ++= "  (lshBandBuckets, used by the near-dup/knn generators) amplifies\n"
     sb ++= "  recall at multiplied candidate cost.\n"
+    sb ++= "- IVF-PQ multiplies the two budgets: the probed corpus fraction\n"
+    sb ++= "  (~nProbe/16) AND the codes-only payload; at full probe it\n"
+    sb ++= "  converges to the matching pq/adc trained row exactly (the\n"
+    sb ++= "  SimilaritySpec law, visible above). Note recall is NOT monotone\n"
+    sb ++= "  in nProbe under a lossy scorer: extra probed cells add distorted\n"
+    sb ++= "  impostors that can outrank true neighbors the router had already\n"
+    sb ++= "  found — small nProbe acts as an implicit exactness filter, a\n"
+    sb ++= "  known IVFADC effect worth knowing before spending probe budget.\n"
     sb ++= "- Matryoshka prefix recall is the MRL coarse-stage quality curve;\n"
     sb ++= "  dims=64 is the full vector (sanity row, 100%).\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)

@@ -153,7 +153,11 @@ object ScaleSmoke {
     // grows the word table ~10x, so the 10x points check the
     // vocabulary-side candidate explode and the per-word HOF walks
     // stay word-table-bound, with the corpus scan dominating
-    "t_wordpiece_segment", "t_unigram_segment")
+    "t_wordpiece_segment", "t_unigram_segment",
+    // IVF-PQ: the candidate join on the cell id is the one
+    // corpus-sized exchange — the 10x point checks the probed-cell
+    // candidate stream (codes only) tracks corpus/nCentroids · nProbe
+    "sim_ivfpq_topk")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -710,6 +710,32 @@ class PlanQualitySpec extends SparkSpec {
       s"a shuffle carries raw document text: $parts")
   }
 
+  test("zipfSlope: tokens hash before the frequency exchange; regression is one partial agg") {
+    val out = graft.operators.TextOps.zipfSlope(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected the frequency exchange:\n$plan")
+    assert(parts.forall(p => !p.contains("text#") && !p.contains("tok#")),
+      s"a shuffle carries raw text/tokens: $parts")
+    // sufficient statistics partial-aggregate map-side before the
+    // single-row reduction
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("ivfPqTopK: full vectors never re-enter past the scan; candidate join keys on the cell id") {
+    val out = Similarity.ivfPqTopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4, nProbe = 2)
+    val plan = formatted(out)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the probed-candidate stream carries (cid, codes) — the only
+    // corpus exchange partitions on the cell id, never on q
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.forall(p => !p.contains("q#") && !p.contains("embedding#")),
+      s"a shuffle carries vector payload: $parts")
+  }
+
   test("sourceTvd: pair list broadcasts (nested-loop, never cartesian); token text stays out of later shuffles") {
     val out = graft.operators.TextOps.sourceTvd(Tables.documents(spark, sfDir))
     val plan = formatted(out)
