@@ -2140,11 +2140,26 @@ object TextOps {
     * all x equal).
     *
     * Scale shape: one corpus scan reduces tokens to 8-byte hashes
-    * before the frequency exchange (text never shuffles); ranking is
-    * a vocabulary-sized sort — the same vocabulary-bound cost tier as
-    * the BPE symbol table (swap in [[vocabGrowth]]'s two-phase bucket
-    * device if a vocabulary ever outgrows one task); the regression
-    * is one map-side-combined aggregate to a single row.
+    * before the frequency exchange (text never shuffles) — and the
+    * per-token RANK is never materialized at all. Equal-frequency
+    * tokens share one y = ilog2(freq) and occupy a CONTIGUOUS rank
+    * range [base+1, base+cnt] in the (freq DESC, h ASC) order, so
+    * every regression statistic collapses onto the frequency-of-
+    * frequency table via the closed forms
+    * `S(m) = Σ_{r≤m} ilog2(r) = L·(m+1) − 2^(L+1) + 2` and
+    * `Q(m) = Σ_{r≤m} ilog2(r)² = (L²−4L+6)·2^L − 6 + L²·(m−2^L+1)`
+    * (L = ilog2(m)): per distinct frequency, Δx = S(base+cnt)−S(base),
+    * Δxx = Q(base+cnt)−Q(base) — exact integers, tie-order-free (the
+    * h tie-break permutes ranks only WITHIN a constant-y group). The
+    * old global `Window.orderBy(freq DESC)` rank — one task holding
+    * the 10⁸–10⁹-row vocabulary at 100 TB — is gone; `base` comes
+    * from a two-phase prefix (ilog2(freq)-bucket totals, ≤ 64 rows,
+    * joined cross-bucket + a PARTITIONED within-bucket running sum,
+    * the [[vocabGrowth]] device), so no unpartitioned window and no
+    * partition larger than one bucket's distinct frequencies
+    * (≤ √(2·corpus tokens) globally). The regression is one map-side-
+    * combined aggregate to a single row. Headroom: Q ≤ 63²·n_vocab
+    * stays in int64 for any vocabulary below 2.3×10¹⁵ types.
     */
   def zipfSlope(
       docs: DataFrame,
@@ -2155,17 +2170,35 @@ object TextOps {
       .select(explode(graft.functions.NativeOps.shingleHashes(
         col(textCol), 1, hash.portable)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("h").asc)
-    val xy = freqs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(ilog2(col("rank")).as("x"), ilog2(col("freq")).as("y"))
+    val ff = freqs.groupBy(col("freq")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lb", ilog2(col("freq")))
+    // cross-bucket prefix: tokens in any HIGHER ilog2(freq) bucket all
+    // rank earlier (lb is monotone in freq) — ≤ 64 keyed rows, joined
+    val lt = ff.groupBy(col("lb")).agg(sum(col("cnt")).as("tot"))
+    val lbBase = lt.select(col("lb"))
+      .join(lt.select(col("lb").as("lb_hi"), col("tot")),
+        col("lb_hi") > col("lb"), "left_outer")
+      .groupBy(col("lb")).agg(coalesce(sum(col("tot")), lit(0L)).as("lb_base"))
+    // within-bucket prefix: PARTITIONED running sum over the bucket's
+    // distinct frequencies, higher freq first
+    val wIn = Window.partitionBy(col("lb")).orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val based = ff
+      .withColumn("in_base", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .join(broadcast(lbBase), Seq("lb"))
+      .withColumn("base", col("lb_base") + col("in_base"))
     val dec: Column => Column = _.cast("decimal(38,0)")
-    xy.agg(
-      count(lit(1)).as("n_vocab"),
-      sum(col("x")).as("sum_x"),
-      sum(col("y")).as("sum_y"),
-      sum(col("x") * col("y")).as("sum_xy"),
-      sum(col("x") * col("x")).as("sum_xx"))
+    val grouped = based
+      .withColumn("hi", col("base") + col("cnt"))
+      .withColumn("ds", rankLogSum(col("hi")) - rankLogSum(col("base")))
+      .withColumn("dq", rankLogSqSum(col("hi")) - rankLogSqSum(col("base")))
+      .withColumn("y", ilog2(col("freq")))
+    grouped.agg(
+      sum(col("cnt")).as("n_vocab"),
+      sum(col("ds")).as("sum_x"),
+      sum(col("y") * col("cnt")).as("sum_y"),
+      sum(col("y") * col("ds")).as("sum_xy"),
+      sum(col("dq")).as("sum_xx"))
       .select(
         col("n_vocab"), col("sum_x"), col("sum_y"),
         when(
@@ -2178,4 +2211,37 @@ object TextOps {
               dec(col("sum_x")) * dec(col("sum_x"))).cast("double"))
             .cast("long")).as("slope_e6"))
   }
+
+  /** `Σ_{r=1}^{m} ilog2(r)` in closed form (0 for m ≤ 0): with
+    * L = ilog2(m), the ranks below 2^L contribute `Σ_{j<L} j·2^j =
+    * (L−2)·2^L + 2` and the `m − 2^L + 1` ranks at level L contribute
+    * L each — total `L·(m+1) − 2^(L+1) + 2`. Exact BIGINT.
+    */
+  private def rankLogSum(m: Column): Column = {
+    val l = (length(bin(m)) - 1).cast("long")
+    when(m <= 0, lit(0L))
+      .otherwise(l * (m + 1) - lit(2L) * pow2(l) + lit(2L))
+  }
+
+  /** `Σ_{r=1}^{m} ilog2(r)²` in closed form (0 for m ≤ 0): with
+    * L = ilog2(m), `Σ_{j<L} j²·2^j = (L²−4L+6)·2^L − 6`, plus
+    * L²·(m − 2^L + 1) for the level-L ranks. Exact BIGINT.
+    */
+  private def rankLogSqSum(m: Column): Column = {
+    val l = (length(bin(m)) - 1).cast("long")
+    when(m <= 0, lit(0L))
+      .otherwise(
+        (l * l - lit(4L) * l + lit(6L)) * pow2(l) - lit(6L) +
+          l * l * (m - pow2(l) + lit(1L)))
+  }
+
+  /** `2^l` for a COLUMN exponent — the DSL `shiftleft` only takes a
+    * literal shift, so this goes through the catalyst node directly
+    * (l ≤ 63 by construction: exponents here are ilog2 of row counts).
+    */
+  private def pow2(l: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graftbridge.Bridge.expression(lit(1L)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(l.cast("int"))))
 }

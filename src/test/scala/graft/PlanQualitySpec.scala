@@ -721,6 +721,14 @@ class PlanQualitySpec extends SparkSpec {
     // sufficient statistics partial-aggregate map-side before the
     // single-row reduction
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    // NO unpartitioned window anywhere (the r13 verdict's scale
+    // defect): a Window node prints [exprs], [partitionSpec],
+    // [orderSpec] — an unpartitioned one drops the middle group and
+    // would rank the whole 10^8-row vocabulary on one task at 100 TB
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(winLines.nonEmpty, s"expected the within-bucket prefix window:\n$plan")
+    assert(winLines.forall(l => "\\], \\[".r.findAllIn(l).size >= 2),
+      s"unpartitioned window in the zipfSlope plan: $winLines")
   }
 
   test("ivfPqTopK: full vectors never re-enter past the scan; candidate join keys on the cell id") {

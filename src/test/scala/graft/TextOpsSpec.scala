@@ -933,6 +933,56 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.zipfSlope(one)) === Set(Seq(1L, 0L, 1L, null)))
   }
 
+  test("zipfSlope: closed-form rank sums ≡ naive global-window regression") {
+    // frequencies 1..40 spread distinct freqs across six ilog2 buckets
+    // with several distinct freqs per bucket — exercises both prefix
+    // phases (cross-bucket join + within-bucket running sum)
+    val text = (1 to 40).map(i => ("w" + i + " ") * i).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def ilog2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - 1).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("h").asc)
+    val naive = docs
+      .select(explode(graft.functions.NativeOps.shingleHashes(
+        col("text"), 1, graft.functions.Hashing.Fast.portable)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(ilog2(col("rank")).as("x"), ilog2(col("freq")).as("y"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .select(col("n_vocab"), col("sum_x"), col("sum_y"),
+        when(dec(col("n_vocab")) * dec(col("sum_xx")) -
+            dec(col("sum_x")) * dec(col("sum_x")) =!= 0,
+          floor((dec(col("n_vocab")) * dec(col("sum_xy")) -
+            dec(col("sum_x")) * dec(col("sum_y"))).cast("double") * lit(1e6) /
+            (dec(col("n_vocab")) * dec(col("sum_xx")) -
+              dec(col("sum_x")) * dec(col("sum_x"))).cast("double"))
+            .cast("long")).as("slope_e6"))
+    assert(rowSet(TextOps.zipfSlope(docs)) === rowSet(naive))
+    // and on real corpus text (hash ties, freq gaps, multi-doc)
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    assert(rowSet(TextOps.zipfSlope(real)) === rowSet(
+      real.select(explode(graft.functions.NativeOps.shingleHashes(
+          col("text"), 1, graft.functions.Hashing.Fast.portable)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(ilog2(col("rank")).as("x"), ilog2(col("freq")).as("y"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"))
+        .select(col("n_vocab"), col("sum_x"), col("sum_y"),
+          when(dec(col("n_vocab")) * dec(col("sum_xx")) -
+              dec(col("sum_x")) * dec(col("sum_x")) =!= 0,
+            floor((dec(col("n_vocab")) * dec(col("sum_xy")) -
+              dec(col("sum_x")) * dec(col("sum_y"))).cast("double") * lit(1e6) /
+              (dec(col("n_vocab")) * dec(col("sum_xx")) -
+                dec(col("sum_x")) * dec(col("sum_x"))).cast("double"))
+              .cast("long")).as("slope_e6"))))
+  }
+
   test("vocabGrowth: hand curve; two-phase prefix ≡ naive at every bucketSize") {
     val docs = Seq(
       (0L, "A", "a b a"),   // toks 3, new {a,b}=2
