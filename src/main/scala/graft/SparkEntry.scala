@@ -1090,15 +1090,21 @@ object SparkEntry {
     "sim_lsh_neighbors" -> ((s, dir) =>
       Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
     // blocked (LSH-bucketed) near-dup is the gated + benched path — the
-    // brute crossJoin form is O(n²) and lives in SimilaritySpec only
+    // brute crossJoin form is O(n²) and lives in SimilaritySpec only.
+    // maxBucketSize = None is the PINNED uncapped oracle form (the
+    // operator default caps at DefaultBandCap since r14); the
+    // occupancy probe warns when this opt-out runs hot
     "sim_near_dup_blocked" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L, blocked = true)),
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 400000L,
+        blocked = true, maxBucketSize = None)),
     // kNN graph: every vector's top-5 neighbors from the directed
     // banded-LSH candidate set (the graph-ANN build primitive); the
     // exact crossJoin baseline is SimilaritySpec-only, same taxonomy
     // as the near-dup brute branch
+    // (maxBucketSize = None: the pinned uncapped oracle form — the
+    // operator default caps at DefaultBandCap since r14)
     "sim_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)),
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5, maxBucketSize = None)),
     // occupancy-capped kNN graph: the fixed 4×16-bucket banding
     // saturates quadratically as the corpus outgrows the bucket space
     // (the sf10 smoke measured the uncapped form unrunnable at 200k
@@ -1112,14 +1118,15 @@ object SparkEntry {
     // expand to reverse neighbors + neighbors-of-neighbors, exact
     // re-rank; recovers recall the banding seed loses at O(n·k²)
     "sim_nn_descent" -> ((s, dir) =>
-      Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1)),
+      Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1,
+        maxBucketSize = None)),
     // ρ-sampled descent round (Dong et al. §2.3): the hop join reads a
     // deterministically sampled (LCG-ordered) neighbor list on both
     // endpoints, bounding every middle vertex to sampleK² hop
     // candidates — the corpus-scale form of the round
     "sim_nn_descent_sampled" -> ((s, dir) =>
       Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1,
-        sampleK = Some(3))),
+        maxBucketSize = None, sampleK = Some(3))),
     // product quantization: per-subspace integer-L2 codes (the
     // persistable PQ index) and ADC top-k scored through codes only —
     // closed-form stand-in codebooks (iters=0), so both are SQL-exact
@@ -1232,7 +1239,8 @@ object SparkEntry {
     "sim_dedup_clusters" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Dedup.connectedComponents(
-        Similarity.cosineNearDupPairs(emb, 400000L, blocked = true)
+        Similarity.cosineNearDupPairs(emb, 400000L, blocked = true,
+          maxBucketSize = None)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
         emb.select(col("vec_id").as("doc_id")),
         broadcastLabels = true)

@@ -27,6 +27,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Default occupancy cap for the banded-LSH embedding candidate
+    * generators ([[knnGraph]], [[cosineNearDupPairs]],
+    * [[nnDescentRefine]] seeds). The banded self-join emits
+    * ~occupancy² candidates per (band, bucket); the default 4×4-bit
+    * banding has only 16 buckets/band, so occupancy grows LINEARLY
+    * with the corpus and the r13 sf10 smoke measured the uncapped
+    * form unrunnable at 200k vectors (~10¹⁰ candidates). Cap 128
+    * bounds every block to ~128²=16k candidate rows (the 200k-vector
+    * smoke shape sub-splits ~100×) while staying a no-op on corpora
+    * whose buckets hold ≤ 128 vectors. Wider than
+    * [[Dedup.DefaultOccupancyCap]] because embedding bands are
+    * coarser than minhash band signatures: a sub-split here costs
+    * candidate recall directly, so the cap only engages where the
+    * quadratic blow-up is already underway.
+    */
+  val DefaultBandCap: Int = 128
+
   /** `floor(x·1e6 + 0.5)` per element — the exactness contract.
     * Native codegen kernel; the HOF twin
     * `transform(vec, x => floor(x.cast("double")*1e6 + 0.5).cast("long"))`
@@ -606,17 +623,42 @@ object Similarity {
     * kept). Returns raw `(id_a, id_b)` WITHOUT dedup — callers
     * `.distinct()` after any union they apply. `maxBucketSize` is the
     * occupancy guard documented at [[cosineNearDupPairs]].
+    *
+    * The band table is materialized ([[Checkpoints.cut]]) before the
+    * self-join — the two join sides are separate subtrees to Catalyst,
+    * so an uncut plan quantizes and bands the corpus twice (the
+    * [[graft.operators.Dedup.bandTableOf]] rationale; the frame is
+    * 24-byte rows × bands per vector, never vectors) — and then
+    * probed by [[graft.operators.Dedup.occupancyProbe]]: one
+    * key-bounded aggregate job that warns when any bucket exceeds the
+    * active cap (capped run: the sub-split is ACTIVE, in-bucket recall
+    * reduced) or [[DefaultBandCap]] (uncapped opt-out: the self-join
+    * is going quadratic) — the guardrail the r13 sf10 smoke showed
+    * missing when `knnGraph` silently saturated at 200k vectors.
     */
   private[graft] def bandedCandidates(
       corpus: DataFrame,
       bands: Int,
       rowsPerBand: Int,
       maxBucketSize: Option[Int],
-      directed: Boolean): DataFrame = {
-    val withB = corpus.select(
-      col("vec_id"),
-      explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      directed: Boolean,
+      op: String = "bandedCandidates",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val withB = Checkpoints.cut(
+      corpus.select(
+        col("vec_id"),
+        explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      checkpointDir)
+    Dedup.occupancyProbe(
+      withB, Seq("band", "bucket"), maxBucketSize.getOrElse(DefaultBandCap),
+      op, capped = maxBucketSize.isDefined,
+      remedy = maxBucketSize.fold(
+        "Pass maxBucketSize (the operator default caps at " +
+          s"Similarity.DefaultBandCap = $DefaultBandCap) or raise rowsPerBand " +
+          "(more, smaller buckets) and compensate recall with more bands.")(_ =>
+        "Raise rowsPerBand (finer buckets) with more bands to hold recall, " +
+          "or accept the reduced in-bucket recall of the sub-split."))
     // occupancy cap: bucket sizes join back on (band, bucket) — an
     // aggregate of withB itself, key-bounded by bands·2^rowsPerBand,
     // so it shuffles 24-byte keyed rows, never vectors
@@ -674,6 +716,12 @@ object Similarity {
     * the same footing as the near-dup brute branch (not reachable from
     * any shipped query).
     *
+    * `maxBucketSize` DEFAULTS TO [[DefaultBandCap]] (r14, after the
+    * sf10 smoke proved the uncapped default saturates): a 100 TB
+    * graph build gets the bounded form unless it explicitly opts out
+    * with `None` — the uncapped opt-out still runs, but the occupancy
+    * probe warns on every hot bucket it is about to go quadratic on.
+    *
     * Zero-norm vectors have undefined cosine; they are excluded as
     * both sources and neighbors (pinned, same rule as
     * [[semanticDedup]]).
@@ -690,12 +738,13 @@ object Similarity {
       blocked: Boolean = true,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(DefaultBandCap)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val corpus = withQuant(embeddings).filter(col("nq") > 0)
     val paired =
       if (blocked)
-        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize, directed = true)
+        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize,
+          directed = true, op = "knnGraph")
           .distinct()
       else
         corpus.select(col("vec_id").as("id_a"))
@@ -777,7 +826,7 @@ object Similarity {
       blocked: Boolean = true,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      maxBucketSize: Option[Int] = None,
+      maxBucketSize: Option[Int] = Some(DefaultBandCap),
       sampleK: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -863,7 +912,9 @@ object Similarity {
     * to LSH banding itself. Star candidates feed the same exact
     * verification join, so a (≈2⁻¹²⁸, content-addressed-storage
     * assumption) double-hash collision can only propose a candidate,
-    * never emit an unverified pair.
+    * never emit an unverified pair. The cap DEFAULTS ON
+    * ([[DefaultBandCap]], r14): pass `None` to opt out — the
+    * occupancy probe then warns instead of splitting.
     *
     * `blocked = false` is brute force (n² — correctness baseline for
     * specs / small corpora only): a real cross join, NOT a
@@ -876,13 +927,14 @@ object Similarity {
       blocked: Boolean = false,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = Some(DefaultBandCap)): DataFrame = {
     val corpus = withQuant(embeddings)
     val thresh = (dq: Column, nn: Column) =>
       dq.cast("double") >= lit(cosE6.toDouble / 1e6) * sqrt(nn)
     if (blocked) {
       val bandedCands =
-        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize, directed = false)
+        bandedCandidates(corpus, bands, rowsPerBand, maxBucketSize,
+          directed = false, op = "cosineNearDupPairs")
       // exact-dup star floor under the cap: group on two independent
       // 64-bit hashes of the quantized vector (24-byte shuffle keys,
       // vectors never move — the exactDedup device) and propose

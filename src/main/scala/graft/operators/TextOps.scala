@@ -2194,7 +2194,8 @@ object TextOps {
       .withColumn("dq", rankLogSqSum(col("hi")) - rankLogSqSum(col("base")))
       .withColumn("y", ilog2(col("freq")))
     grouped.agg(
-      sum(col("cnt")).as("n_vocab"),
+      // coalesce: the empty corpus pins n_vocab = 0 (count semantics)
+      coalesce(sum(col("cnt")), lit(0L)).as("n_vocab"),
       sum(col("ds")).as("sum_x"),
       sum(col("y") * col("cnt")).as("sum_y"),
       sum(col("y") * col("ds")).as("sum_xy"),

@@ -390,6 +390,44 @@ class SimilaritySpec extends SparkSpec {
     assert(dot(q(0L), q(1L)) > dot(q(0L), q(2L)))
   }
 
+  test("embedding banding occupancy guardrail: probe fires hot, reports the active cap, clears cool") {
+    import graft.operators.Dedup
+    // degenerate hot fixture: 150 identical vectors — every (band,
+    // bucket) holds 150 rows, past DefaultBandCap = 128
+    val hot = (1L to 150L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    // uncapped opt-out: probe warns it is about to go quadratic
+    Dedup.lastOccupancyReport.set(None)
+    Similarity.knnGraph(hot, k = 2, maxBucketSize = None).count()
+    val r = Dedup.lastOccupancyReport.get()
+    assert(r.isDefined, "uncapped probe must fire on the hot fixture")
+    assert(!r.get.capped && r.get.op === "knnGraph")
+    assert(r.get.maxBucket === 150L && r.get.nHot === 4L &&
+      r.get.cap === Similarity.DefaultBandCap)
+    // the DEFAULT is now capped: same fixture reports the cap ACTIVE
+    Similarity.knnGraph(hot, k = 2).count()
+    val c = Dedup.lastOccupancyReport.get()
+    assert(c.isDefined && c.get.capped && c.get.maxBucket === 150L &&
+      c.get.cap === Similarity.DefaultBandCap)
+    // near-dup rides the same generator under its own op name
+    Similarity.cosineNearDupPairs(hot, 400000L, blocked = true,
+      maxBucketSize = None).count()
+    val n = Dedup.lastOccupancyReport.get()
+    assert(n.isDefined && !n.get.capped && n.get.op === "cosineNearDupPairs")
+    // cool fixture: distinct small corpus, every bucket under the cap
+    val cool = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.knnGraph(cool, k = 2).count()
+    assert(Dedup.lastOccupancyReport.get().isEmpty,
+      "probe must clear on a hot-bucket-free corpus")
+    // default-capped output on the hot fixture is still a correct
+    // dedup: all-identical vectors rank each other at cos=1 within
+    // their sub-buckets (no pair invented, candidates only)
+    val capped = Similarity.knnGraph(hot, k = 2)
+    assert(capped.filter(col("rank") === 1L).count() === 150L)
+  }
+
   test("knnGraph exact: full ranking per vector, zero-norm excluded both ways") {
     val embz = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -620,8 +620,12 @@ class StreamingSpec extends SparkSpec {
       // every pair surfaces exactly when its later member ingests, so
       // the accumulated output equals the one-shot batch blocked run
       val streamed = rowSet(spark.read.parquet(s"$dirs/pairs"))
+      // maxBucketSize = None: the streaming incremental core is
+      // uncapped, so its replay twin is the uncapped batch form (the
+      // operator default caps since r14)
       val batch = rowSet(graft.operators.Similarity.cosineNearDupPairs(
-        base.toSeq.toDF("vec_id", "embedding"), 400000L, blocked = true))
+        base.toSeq.toDF("vec_id", "embedding"), 400000L, blocked = true,
+        maxBucketSize = None))
       assert(streamed === batch)
       assert(streamed.nonEmpty, "fixture should contain near-dups")
       // the index accumulated band + quantized-vector state per vector
