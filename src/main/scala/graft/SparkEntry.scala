@@ -376,6 +376,14 @@ object SparkEntry {
       GraphOps.modularity(p, GraphOps.labelPropagation(p, rounds = 2))
     }),
 
+    // Louvain-style modularity optimization on the projected graph:
+    // 2 synchronous local-move rounds (integer gain scores, singleton
+    // min-label swap guard), contraction, 2 weighted rounds — the
+    // modularity-OPTIMIZING sibling of g_label_prop (GraphOpsSpec law:
+    // Q(louvain) >= Q(LPA) on this graph)
+    "g_louvain" -> ((s, dir) =>
+      GraphOps.louvain(coocPairs(s, dir), moveRounds = 2, levels = 2)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -1140,6 +1148,15 @@ object SparkEntry {
     // stand-in tiers on both stages keep the whole index SQL-exact
     "sim_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
+    // residual IVF-PQ + exact refine (the FAISS IVF,PQ,Refine
+    // composition): codes quantize cell-relative residuals, the
+    // top-refineK ADC candidates re-rank by exact cosine — the
+    // recall-monotone production form of the two-stage index.
+    // refineK=10 < the ~125-candidate probe pool, so the ADC
+    // preselection boundary is actually exercised by the oracle
+    "sim_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, dir),
+        col("vec_id") < 8, refineK = 10)),
 
     // MMR diversified rerank: greedy λ-tradeoff of relevance against
     // redundancy-to-selected over each query's top-8 cosine pool —
@@ -1990,6 +2007,47 @@ object SparkEntry {
        |qn AS (SELECT vec_id, q,
        |              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
        |       FROM qv)""".stripMargin
+
+  /** One synchronous Louvain move round as a CTE chain (the unrolled-
+    * rounds oracle device of `g_label_prop`, with the integer gain
+    * score and the singleton min-label swap guard of
+    * [[GraphOps.louvain]]): reads labels from `prev(v, label)`, the
+    * symmetric weighted edges from `sym(v, u, w)`, weighted degrees
+    * from `deg(v, deg)` and the 1-row 2m_w total from `tw(tot_w)`;
+    * emits `out(v, label)`. `tag` uniquifies the intermediate CTEs.
+    */
+  private def louvainRoundSql(
+      prev: String, out: String, sym: String, deg: String, tw: String,
+      tag: String): String =
+    s"""sz$tag AS MATERIALIZED (
+       |  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS tot,
+       |         CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM $prev l JOIN $deg d USING (v) GROUP BY 1),
+       |k$tag AS (
+       |  SELECT s.v, l.label AS c, CAST(SUM(s.w) AS BIGINT) AS kvc
+       |  FROM $sym s JOIN $prev l ON l.v = s.u GROUP BY 1, 2),
+       |c$tag AS (
+       |  SELECT v, c, CAST(SUM(kvc) AS BIGINT) AS kvc FROM (
+       |    SELECT v, c, kvc FROM k$tag
+       |    UNION ALL SELECT v, label AS c, 0 FROM $prev)
+       |  GROUP BY 1, 2),
+       |s$tag AS (
+       |  SELECT cc.v, cc.c,
+       |         (SELECT tot_w FROM $tw) * cc.kvc
+       |           - d.deg * (t.tot - CASE WHEN cc.c = o.label THEN d.deg
+       |                                   ELSE 0 END) AS score
+       |  FROM c$tag cc
+       |  JOIN $prev o ON o.v = cc.v
+       |  JOIN $deg d ON d.v = cc.v
+       |  JOIN sz$tag t ON t.label = cc.c
+       |  JOIN sz$tag osz ON osz.label = o.label
+       |  WHERE cc.c = o.label OR osz.csize > 1 OR t.csize > 1
+       |     OR cc.c < o.label),
+       |$out AS MATERIALIZED (
+       |  SELECT v, c AS label FROM (
+       |    SELECT v, c, row_number() OVER (PARTITION BY v
+       |      ORDER BY score DESC, c ASC) AS rn FROM s$tag)
+       |  WHERE rn = 1)""".stripMargin
 
   /** DuckDB twin of [[Similarity.dotQ]]. */
   private def dotSql(a: String, b: String): String =
@@ -3851,6 +3909,62 @@ object SparkEntry {
          |       ELSE 0 END AS BIGINT) AS q_e6
          |FROM m, mc, ds""".stripMargin,
 
+    // Louvain unrolled: 2 integer-gain move rounds (singleton
+    // min-label swap guard) on the unit-weight cooc graph, community
+    // contraction (intra edges -> self-loops, weights sum, degree =
+    // incident + 2x self), 2 weighted rounds, labels composed
+    "g_louvain" ->
+      s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e1 AS MATERIALIZED (
+         |  SELECT pa AS a, pb AS b, CAST(1 AS BIGINT) AS w FROM cooc),
+         |sym1 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e1
+         |  UNION ALL SELECT b, a, w FROM e1),
+         |deg1 AS MATERIALIZED (
+         |  SELECT v, CAST(SUM(w) AS BIGINT) AS deg FROM sym1 GROUP BY v),
+         |tw1 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg1),
+         |l10 AS MATERIALIZED (
+         |  SELECT v, v AS label FROM (SELECT DISTINCT v FROM sym1)),
+         |${louvainRoundSql("l10", "l11", "sym1", "deg1", "tw1", "11")},
+         |${louvainRoundSql("l11", "l12", "sym1", "deg1", "tw1", "12")},
+         |e2 AS MATERIALIZED (
+         |  SELECT least(la.label, lb.label) AS a,
+         |         greatest(la.label, lb.label) AS b,
+         |         CAST(SUM(e1.w) AS BIGINT) AS w
+         |  FROM e1
+         |  JOIN l12 la ON la.v = e1.a
+         |  JOIN l12 lb ON lb.v = e1.b
+         |  GROUP BY 1, 2),
+         |sym2 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e2 WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
+         |verts2 AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM
+         |    (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)),
+         |deg2 AS MATERIALIZED (
+         |  SELECT vv.v,
+         |         CAST(COALESCE(s.dw, 0) + 2*COALESCE(sl.sw, 0) AS BIGINT) AS deg
+         |  FROM verts2 vv
+         |  LEFT JOIN (SELECT v, SUM(w) AS dw FROM sym2 GROUP BY v) s
+         |    ON s.v = vv.v
+         |  LEFT JOIN (SELECT a AS v, SUM(w) AS sw FROM e2 WHERE a = b
+         |             GROUP BY a) sl ON sl.v = vv.v),
+         |tw2 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg2),
+         |l20 AS MATERIALIZED (SELECT v, v AS label FROM verts2),
+         |${louvainRoundSql("l20", "l21", "sym2", "deg2", "tw2", "21")},
+         |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22")}
+         |SELECT l12.v AS person_id, l22.label AS community
+         |FROM l12 JOIN l22 ON l22.v = l12.label""".stripMargin,
+
     "t_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${ph("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
@@ -4429,6 +4543,101 @@ object SparkEntry {
          |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
          |  FROM scored)
          |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // residual IVF-PQ + refine: assignment (stand-in 16 cells) →
+    // residual to the own-cell centroid → residual codebooks from the
+    // vec_id<16 rows' residuals (codes in vec_id order, the PQ_CODES
+    // convention) → per-cell ADC with the query's probed-cell residual
+    // → top-10 preselect → exact-cosine re-rank top-5
+    "sim_ivfpq_residual" ->
+      s"""WITH $QNORM,
+         |nz AS MATERIALIZED (SELECT vec_id, q, nq FROM qn WHERE nq > 0),
+         |cent AS MATERIALIZED (
+         |  SELECT vec_id AS cid2, q AS cq2, nq AS cnq2 FROM qn
+         |  WHERE vec_id < 16 AND nq > 0),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, cid2, q FROM (
+         |    SELECT v.vec_id, c.cid2, v.q,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM nz v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |res AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cid2,
+         |         list_transform(range(1, len(a.q)+1),
+         |           i -> a.q[i] - c.cq2[i]) AS r
+         |  FROM asg a JOIN cent c ON c.cid2 = a.cid2),
+         |rsub AS MATERIALIZED (
+         |  SELECT vec_id, j,
+         |         list_slice(r, j*(len(r)//4) + 1, (j+1)*(len(r)//4)) AS sq
+         |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |cb AS MATERIALIZED (
+         |  SELECT j,
+         |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+         |              AS BIGINT) AS cid,
+         |         sq AS cq,
+         |         CAST(list_sum(list_transform(sq, x -> x*x)) AS BIGINT) AS cnq
+         |  FROM rsub WHERE vec_id < 16),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT s.vec_id, s.j, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY c.cnq - 2*${dotSql("s.sq", "c.cq")} ASC,
+         |                      c.cid ASC) AS rn
+         |    FROM rsub s JOIN cb c USING (j)) WHERE rn = 1),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, cid2, qres,
+         |         CAST(list_sum(list_transform(qres, x -> x*x)) AS BIGINT) AS qrn
+         |  FROM (
+         |    SELECT v.vec_id AS query_id, c.cid2,
+         |           list_transform(range(1, len(v.q)+1),
+         |             i -> v.q[i] - c.cq2[i]) AS qres,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM nz v CROSS JOIN cent c WHERE v.vec_id < 8)
+         |  WHERE rn <= 4),
+         |qsub AS MATERIALIZED (
+         |  SELECT query_id, cid2, qrn, j,
+         |         list_slice(qres, j*(len(qres)//4) + 1, (j+1)*(len(qres)//4)) AS sq
+         |  FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         |parts AS MATERIALIZED (
+         |  SELECT qs.query_id, co.vec_id AS neighbor_id,
+         |         CAST(any_value(qs.qrn) AS BIGINT) +
+         |           CAST(sum(c.cnq - 2*${dotSql("qs.sq", "c.cq")}) AS BIGINT)
+         |           AS adist_q
+         |  FROM codes co
+         |  JOIN res rr ON rr.vec_id = co.vec_id
+         |  JOIN qsub qs ON qs.j = co.j AND qs.cid2 = rr.cid2
+         |  JOIN cb c ON c.j = co.j AND c.cid = co.cid
+         |  WHERE co.vec_id <> qs.query_id
+         |  GROUP BY 1, 2),
+         |pre AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adist_q ASC, neighbor_id ASC) AS rn
+         |    FROM parts) WHERE rn <= 10),
+         |qd AS (SELECT vec_id AS query_id, q, nq FROM nz WHERE vec_id < 8),
+         |rer AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |         ${dotSql("qd.q", "nb.q")} AS dot_q,
+         |         CAST(qd.nq AS DOUBLE)*CAST(nb.nq AS DOUBLE) AS nn
+         |  FROM pre p
+         |  JOIN qd ON qd.query_id = p.query_id
+         |  JOIN nz nb ON nb.vec_id = p.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC,
+         |                    neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, dot_q, "rank"
          |FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     // capped variant: per-(band,bucket) occupancy sizes drive the same

@@ -885,6 +885,166 @@ object GraphOps {
     lab.select(col("v").as("person_id"), col("label").as("community"))
   }
 
+  /** Louvain-style modularity optimization (Blondel et al. 2008, "Fast
+    * unfolding of communities in large networks") — the
+    * modularity-*optimizing* sibling of [[labelPropagation]] (which
+    * optimizes nothing and is known to produce degenerate labelings):
+    * `levels` rounds of (synchronous local moves → graph contraction).
+    * Each move round every vertex simultaneously adopts the community
+    * maximizing the standard Louvain gain, compared via the exact
+    * integer score `2m_w·k_{v,c} − deg_w(v)·Σtot'_c` (Σtot'_c excludes
+    * v's own degree when c is its current community — the paper's
+    * remove-then-reinsert accounting; the 2m_w/2m² denominators are
+    * common to every candidate and drop out of the argmax). Staying is
+    * always a candidate (k_{v,stay} counts v's edges into its own
+    * community); ties break to the smallest community label — the
+    * deterministic synchronous variant, same taxonomy as the
+    * [[labelPropagation]] mode rule (the classic sequential sweep is
+    * order-dependent and not oracle-replicable). After the move
+    * rounds, communities contract to super-vertices (intra-community
+    * edges become self-loops, weights sum) and the next level runs the
+    * same weighted rounds; vertex labels compose back through the
+    * hierarchy. Self-loops contribute 2w to their vertex's weighted
+    * degree and never appear as move candidates — the Newman
+    * convention [[modularity]] scores.
+    *
+    * Synchronous-update guard: simultaneous moves oscillate on
+    * symmetric graphs (two singleton vertices each move into the
+    * OTHER's old community — the classic parallel-Louvain swap, which
+    * fragments the partition). The fix is the minimum-label heuristic
+    * of parallel Louvain (Lu, Halappanavar & Kalyanaraman 2015,
+    * Grappolo): a vertex in a SINGLETON community may move into
+    * another singleton community only when the destination label is
+    * SMALLER — forbidden candidates drop before the argmax, so swaps
+    * resolve into deterministic min-label sinks while every
+    * non-singleton move stays unrestricted.
+    *
+    * Integer headroom: scores are `2m_w·k ≤ 2m_w·deg_max` — in int64
+    * for any graph with `total edge weight × max weighted degree <
+    * 4.6×10¹⁸` (a 10¹¹-edge graph with 10⁶-degree hubs clears it);
+    * the hub-capped co-occurrence projections this runs on are orders
+    * of magnitude inside the bound.
+    *
+    * Scale shape: per move round ONE edge-sized join attaches neighbor
+    * labels (vertex-sized label table broadcasts under
+    * `broadcastLabels`, the [[pageRank]] switch), then map-side-
+    * combining aggregates on (vertex, community) / community keys; the
+    * 1-row total-weight frame rides a broadcast cross join (the
+    * [[modularity]] device). Candidate rows are bounded by the edge
+    * count (one per distinct neighbor community per vertex). Each
+    * round and each contracted edge list is cut via [[Checkpoints]];
+    * contraction strictly shrinks the graph, so later levels are
+    * cheaper than the first.
+    *
+    * Output: `(person_id, community)` for every vertex of the ORIGINAL
+    * graph (labels composed through all levels).
+    */
+  def louvain(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
+      aCol: String = "person_a", bCol: String = "person_b",
+      broadcastLabels: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var edges = Checkpoints.cut(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      checkpointDir)
+    var mapping: DataFrame = null
+    for (level <- 1 to levels) {
+      val lab = louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir)
+      mapping =
+        if (level == 1)
+          lab.select(col("v").as("person_id"), col("label").as("community"))
+        else
+          mapping.join(
+            lab.select(col("v").as("community"), col("label").as("next_c")),
+            Seq("community"))
+            .select(col("person_id"), col("next_c").as("community"))
+      if (level < levels) {
+        edges = Checkpoints.cut(
+          edges
+            .join(lab.select(col("v").as("a"), col("label").as("la")), Seq("a"))
+            .join(lab.select(col("v").as("b"), col("label").as("lb")), Seq("b"))
+            .select(
+              least(col("la"), col("lb")).as("a"),
+              greatest(col("la"), col("lb")).as("b"), col("w"))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
+          checkpointDir)
+        mapping = Checkpoints.cut(mapping, checkpointDir)
+      }
+    }
+    mapping
+  }
+
+  /** One level of synchronous Louvain local moves over a weighted
+    * undirected edge list `(a ≤ b, w)` with self-loops. Returns
+    * `(v, label)` for every endpoint.
+    */
+  private def louvainMoves(edges: DataFrame, rounds: Int,
+      broadcastLabels: Boolean, checkpointDir: Option[String]): DataFrame = {
+    val nonSelf = edges.filter(col("a") =!= col("b"))
+    val sym = nonSelf.select(col("a").as("v"), col("b").as("u"), col("w"))
+      .unionAll(nonSelf.select(col("b").as("v"), col("a").as("u"), col("w")))
+    val verts = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v"))).distinct()
+    // weighted degree: non-self incident weight + 2x self-loop weight
+    // (the Newman convention modularity() scores)
+    val deg = Checkpoints.cut(
+      verts
+        .join(sym.groupBy(col("v")).agg(sum(col("w")).as("dw")), Seq("v"), "left_outer")
+        .join(edges.filter(col("a") === col("b"))
+          .groupBy(col("a").as("v")).agg(sum(col("w")).as("sw")), Seq("v"), "left_outer")
+        .select(col("v"),
+          (coalesce(col("dw"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L)))
+            .as("deg")),
+      checkpointDir)
+    // 2m_w as a 1-row broadcast (agg over empty still yields one row)
+    val totRow = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("tot_w"))
+    var lab = verts.select(col("v"), col("v").as("label"))
+    for (r <- 1 to rounds) {
+      val labIn = if (broadcastLabels) broadcast(lab) else lab
+      val kvc = sym
+        .join(labIn.select(col("v").as("u"), col("label").as("c")), Seq("u"))
+        .groupBy(col("v"), col("c")).agg(sum(col("w")).as("kvc"))
+      // staying is always a candidate, even with zero edges into the
+      // own community (isolated vertices keep their label)
+      val cands = kvc
+        .unionByName(labIn.select(col("v"), col("label").as("c"), lit(0L).as("kvc")))
+        .groupBy(col("v"), col("c")).agg(sum(col("kvc")).as("kvc"))
+      val sized = labIn.join(deg, Seq("v"))
+        .groupBy(col("label"))
+        .agg(sum(col("deg")).as("tot"), count(lit(1)).as("csize"))
+      val totC = sized.select(col("label").as("c"), col("tot"), col("csize"))
+      val ownC = sized.select(col("label").as("own_c"),
+        col("csize").as("own_size"))
+      lab = cands
+        .join(labIn.select(col("v"), col("label").as("own_c")), Seq("v"))
+        .join(deg, Seq("v"))
+        .join(totC, Seq("c"))
+        .join(ownC, Seq("own_c"))
+        // minimum-label swap guard: singleton -> larger-label singleton
+        // moves are forbidden (dropped pre-argmax; stay is never a
+        // cross-community move, so every vertex keeps >= 1 candidate)
+        .filter(
+          col("c") === col("own_c") ||
+            col("own_size") > 1 || col("csize") > 1 || col("c") < col("own_c"))
+        .crossJoin(broadcast(totRow))
+        .withColumn("score",
+          col("tot_w") * col("kvc") -
+            col("deg") * (col("tot") -
+              when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L))))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("score")).as("ns"), col("c").as("c"))).as("m"))
+        .select(col("v"), col("m.c").as("label"))
+      if (r < rounds) lab = Checkpoints.cut(lab, checkpointDir)
+    }
+    lab
+  }
+
   /** Truncated harmonic centrality (radius 2): `h2_e3 = 1000·n1 +
     * 500·n2` per vertex, where n1/n2 are the exact distance-1 /
     * distance-2 neighborhood sizes — the Σ 1/d centrality cut at the

@@ -616,6 +616,151 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
   }
 
+  /** Residual IVF-PQ with an exact refine re-rank — the production
+    * composition (Jégou et al. 2011 §III.C "IVFADC"; the FAISS
+    * `IVF…,PQ…,Refine` index): where [[ivfPqTopK]]'s flat variant
+    * quantizes RAW vectors (one global codebook, distortion the size
+    * of the vectors themselves — the RECALL.md ~10% ceiling, recall
+    * non-monotone in nProbe), this encodes each vector's RESIDUAL to
+    * its IVF cell centroid. Residuals are small (the coarse quantizer
+    * removed the cell-level component), so the same m·log2(ksub) bits
+    * buy far less distortion; the ADC score against a query's
+    * per-cell residual `‖(q − c) − recon(x − c)‖²` is exactly
+    * `‖q − (c + recon_res(x))‖²` — the two-level reconstruction the
+    * paper deploys.
+    *
+    * Stage 2 (`refineK`): the top-`refineK` ADC candidates per query
+    * re-rank by EXACT cosine over the full quantized vectors (the
+    * repo-wide retrieval metric) and the top-`k` of that exact order
+    * is returned — so quantization distortion can only cost recall
+    * at the preselection boundary, never mis-rank the final list.
+    * With `refineK` ≥ the probed candidate count the output is
+    * exactly the probed-cells cosine top-k, making recall provably
+    * monotone in `nProbe` (candidate sets nest; exact scoring);
+    * SimilaritySpec pins both that law and the
+    * residual-dominates-flat frontier at equal probe budget.
+    *
+    * Tiers as in [[ivfPqTopK]]: `kmeansIters`/`pqIters` = 0 are the
+    * closed-form stand-ins (centroids = `vec_id < nCentroids`,
+    * residual codebooks = the `vec_id < ksub` rows' residuals, codes
+    * 0..ksub−1 in vec_id order) so the whole two-level index is
+    * SQL-oracle replicable; > 0 trains deterministically. Zero-norm
+    * vectors assign to no cell and never surface (the [[ivfTopK]]
+    * edge). Output `(query_id, neighbor_id, dot_q, rank)` — the
+    * [[cosineTopK]] schema: exact integer dot, rank by exact cosine
+    * descending, ties by neighbor id, self excluded.
+    *
+    * Scale shape: assignment, residual, and the m residual codes are
+    * ONE narrow literal-fold projection over the corpus (centroids
+    * and codebooks are driver-bounded literals — no join, no ×k
+    * blowup); the candidate join keys on the cell id against a
+    * broadcast |Q|·nProbe probe frame and the scored stream into the
+    * ADC partial top-k (WindowGroupLimit) carries only
+    * `(query_id, neighbor_id, adist_q)` — codes-sized, vectors never
+    * re-enter past the scan until the refine join attaches them to
+    * the |Q|·refineK surviving rows (query vectors re-attach from a
+    * broadcast |Q|-row frame). The refine stage is the only
+    * vector-sized exchange and it is preselection-bounded.
+    */
+  def ivfPqResidualTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 16,
+      k: Int = 5,
+      refineK: Int = 25,
+      kmeansIters: Int = 0,
+      pqIters: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(refineK >= k, s"refineK must be >= k, got refineK=$refineK k=$k")
+    val corpus = withQuant(embeddings)
+    val nz = corpus.filter(col("nq") > 0)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroidsQ(corpus, nCentroids, kmeansIters)
+      else corpus.filter(col("vec_id") < nCentroids && col("nq") > 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    def emptyOut = corpus.limit(0).select(
+      col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+      col("nq").as("dot_q"), col("nq").as("rank"))
+    if (centsArr.isEmpty) return emptyOut
+    val centLit = typedLit(centsArr)
+    def ownCent(cid: Column): Column =
+      element_at(filter(centLit, c => c.getField("_1") === cid), 1)
+    // one narrow pass: cell id + residual to the own-cell centroid
+    // (the prototypicality literal-refold device — no join)
+    val assigned = nz
+      .withColumn("cid", bestCellExpr(centsArr))
+      .withColumn("r",
+        zip_with(col("q"), ownCent(col("cid")).getField("_2"), (x, y) => x - y))
+    // RESIDUAL codebooks: the pqCodebooksQ machinery over (vec_id, r)
+    val cbs = pqCodebooksQ(
+      assigned.select(col("vec_id"), col("r").as("q")), m, ksub, pqIters)
+    if (cbs.exists(_.isEmpty)) return emptyOut
+    val coded = assigned.select(
+      col("vec_id") +: col("cid") +:
+        (0 until m).map { j =>
+          val sub = expr(s"slice(r, $j * (size(r) div $m) + 1, size(r) div $m)")
+          bestCodeExpr(cbs(j), sub).as(s"c$j")
+        }: _*)
+    // probes carry the query's PER-CELL residual (+ its norm) — the
+    // per-cell comparable ADC operand; query vectors re-attach only
+    // at the refine stage from the |Q|-row frame below
+    val probes = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      nz.filter(queryPred).join(broadcast(cents))
+        .withColumn("ccos",
+          dotQ(col("q"), col("cq")).cast("double") /
+            sqrt(col("nq").cast("double") * col("cnq").cast("double")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= nProbe)
+        .withColumn("qres", zip_with(col("q"), col("cq"), (x, y) => x - y))
+        .select(col("vec_id").as("query_id"), col("cid"),
+          col("qres"), normQ(col("qres")).as("qrn"))
+    }
+    val adcPart = (0 until m).map { j =>
+      val entry = element_at(typedLit(cbs(j)), (col(s"c$j") + 1).cast("int"))
+      val qSub = expr(s"slice(qres, $j * (size(qres) div $m) + 1, size(qres) div $m)")
+      entry.getField("_3") - lit(2L) * dotQ(qSub, entry.getField("_2"))
+    }.reduce(_ + _)
+    val scored = coded.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qrn") + adcPart).as("adist_q"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    val pre = scored
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= refineK)
+      .select(col("query_id"), col("neighbor_id"))
+    // refine: exact cosine over the full quantized vectors, top-k of
+    // the exact order — the |Q|-row query frame broadcasts
+    val queries = nz.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val reranked = pre
+      .join(broadcast(queries), Seq("query_id"))
+      .join(nz.select(col("vec_id").as("neighbor_id"), col("q").as("q_n"),
+        col("nq").as("n_n")), Seq("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        dotQ(col("qq"), col("q_n")).as("dot_q"),
+        (col("qn").cast("double") * col("n_n").cast("double")).as("nn"))
+      .withColumn("cos", col("dot_q").cast("double") / sqrt(col("nn")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    reranked
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"), col("rank"))
+  }
+
   /** Banded-LSH candidate pairs over a quantized corpus — the shared
     * candidate generator behind [[cosineNearDupPairs]] (undirected,
     * `id_a < id_b`) and [[knnGraph]] (directed, `id_a ≠ id_b`: every

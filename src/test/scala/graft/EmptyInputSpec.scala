@@ -53,6 +53,10 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("src", "dst"), 5, 1).count() === 0)
     assert(GraphOps.labelPropagation(
       Seq.empty[(String, String)].toDF("person_a", "person_b"), 2).count() === 0)
+    // louvain on nothing: empty at every level (the contraction and
+    // the 1-row tot_w aggregate both tolerate the empty graph)
+    assert(GraphOps.louvain(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"), 2, 2).count() === 0)
     assert(GraphOps.harmonicCentrality2(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     // modularity on nothing: single (0, 0, 0) row by the m > 0 guard
@@ -172,6 +176,14 @@ class EmptyInputSpec extends SparkSpec {
     // descent round (und/hop/cand2 all empty)
     assert(Similarity.nnDescentRefine(emptyEmb, k = 3).count() === 0)
     assert(Similarity.nnDescentRefine(one, k = 3, rounds = 2).count() === 0)
+    // residual IVF-PQ: empty corpus (no centroids), a single vector
+    // (no non-self candidates), and an all-zero-norm corpus (no cell
+    // assignment) all yield empty
+    assert(Similarity.ivfPqResidualTopK(emptyEmb, lit(true)).count() === 0)
+    assert(Similarity.ivfPqResidualTopK(one, lit(true)).count() === 0)
+    assert(Similarity.ivfPqResidualTopK(
+      Seq(1L -> Array(0.0f, 0.0f), 2L -> Array(0.0f, 0.0f))
+        .toDF("vec_id", "embedding"), lit(true)).count() === 0)
     // PQ: empty corpus -> empty codebooks -> empty outputs (guarded
     // before the element_at lookup, which would throw on code -1);
     // a single-vector corpus encodes but has no non-self neighbors

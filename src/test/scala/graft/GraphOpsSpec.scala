@@ -470,6 +470,68 @@ class GraphOpsSpec extends SparkSpec {
       Seq("D", "D"), Seq("E", "C"), Seq("F", "C")))
   }
 
+  test("louvain: two disjoint triangles collapse to min-label communities") {
+    val tris = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F")
+    ).toDF("person_a", "person_b")
+    // round 1 under the singleton min-label guard: A/D keep their
+    // labels (every target is a larger-label singleton), everyone else
+    // moves to the min-id neighbor — the ideal partition in one round
+    val expected = Set(
+      Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "D"), Seq("E", "D"), Seq("F", "D"))
+    assert(rowSet(GraphOps.louvain(tris, moveRounds = 2, levels = 1)) === expected)
+    // contraction is a no-op on the converged partition (merging the
+    // triangles would lower Q, so level 2 keeps both supers)
+    assert(rowSet(GraphOps.louvain(tris, moveRounds = 2, levels = 2)) === expected)
+    assert(rowSet(GraphOps.louvain(tris, 2, 2, broadcastLabels = true)) === expected)
+  }
+
+  test("louvain: synchronous rounds + swap guard pinned on the bridged graph; contraction merges chased singletons") {
+    val g = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F"),
+      ("C", "D")
+    ).toDF("person_a", "person_b")
+    // level 1 (hand-traced): round 1 — A stays (B, C forbidden
+    // singleton targets), B→A, C→A; D→C (C < D allowed, score 5 > 0),
+    // E→D, F→E (E < F, score 10 beats D's 8). round 2 — the chased
+    // singletons settle: D stays C (both singleton targets now carry
+    // larger labels), E→C, F→D
+    assert(rowSet(GraphOps.louvain(g, moveRounds = 2, levels = 1)) === Set(
+      Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "C"), Seq("E", "C"), Seq("F", "D")))
+    // level 2 contracts {D,E}=C and {F}=D into one super and merges
+    // them (score 18 > 0) — the optimal two-triangle partition
+    assert(rowSet(GraphOps.louvain(g, moveRounds = 2, levels = 2)) === Set(
+      Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
+      Seq("D", "C"), Seq("E", "C"), Seq("F", "C")))
+  }
+
+  test("louvain optimizes modularity: Q(louvain) >= Q(LPA) on the bridged fixture and the cooc graph") {
+    def q(pairs: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(pairs, labels).head().getLong(2)
+    val g = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F"),
+      ("C", "D")
+    ).toDF("person_a", "person_b")
+    val qLouvain = q(g, GraphOps.louvain(g, 2, 2))
+    val qLpa = q(g, GraphOps.labelPropagation(g, 2))
+    assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
+    assert(qLouvain === 357142L, "bridged optimum is the two-triangle split (5/14)")
+    // and on the real projected graph the shipped query runs on
+    val pairs = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(
+        graft.sources.Tables.relationshipDocs(spark, "/root/testdata/sf0.001")),
+      maxFanout = 20, minShared = 2)
+    val qL = q(pairs, GraphOps.louvain(pairs, 2, 2))
+    val qP = q(pairs, GraphOps.labelPropagation(pairs, 2))
+    assert(qL >= qP, s"louvain $qL < lpa $qP on the cooc graph")
+  }
+
   test("harmonicCentrality2: path/star/triangle hand pins") {
     // path A-B-C-D: ends see 1 at d1 + 1 at d2, middles 2 + 1
     val path = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("person_a", "person_b")
