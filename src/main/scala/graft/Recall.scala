@@ -170,11 +170,15 @@ object Recall {
     sb ++= "  the FAISS IVF,PQ,Refine shape): codes quantize cell-relative\n"
     sb ++= "  residuals (same bits, far less distortion) and the top-refineK\n"
     sb ++= "  ADC candidates re-rank by exact cosine, so distortion can only\n"
-    sb ++= "  cost recall at the preselection boundary. Recall is monotone\n"
-    sb ++= "  in nProbe (SimilaritySpec law: candidate sets nest + exact\n"
-    sb ++= "  re-rank) and dominates the flat rows at every probe budget;\n"
-    sb ++= "  refineK is the second budget axis — the refineK sweep shows\n"
-    sb ++= "  the preselection ceiling at fixed nProbe.\n"
+    sb ++= "  cost recall at the preselection boundary. It dominates the\n"
+    sb ++= "  flat rows at every probe budget, and recall is PROVABLY\n"
+    sb ++= "  monotone in nProbe under full refine (the SimilaritySpec law:\n"
+    sb ++= "  candidate sets nest + exact re-rank). At a fixed finite\n"
+    sb ++= "  refineK the boundary itself can dip slightly at large nProbe\n"
+    sb ++= "  (extra probed cells push true neighbors past the ADC\n"
+    sb ++= "  top-refineK — visible above) — the deployed rule is FAISS's:\n"
+    sb ++= "  scale refineK with nProbe. The refineK sweep is that second\n"
+    sb ++= "  budget axis at fixed nProbe.\n"
     sb ++= "- Matryoshka prefix recall is the MRL coarse-stage quality curve;\n"
     sb ++= "  dims=64 is the full vector (sanity row, 100%).\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)

@@ -157,7 +157,21 @@ object ScaleSmoke {
     // IVF-PQ: the candidate join on the cell id is the one
     // corpus-sized exchange — the 10x point checks the probed-cell
     // candidate stream (codes only) tracks corpus/nCentroids · nProbe
-    "sim_ivfpq_topk")
+    "sim_ivfpq_topk",
+    // round-13 second wave: MMR's pool-bounded broadcast rounds and
+    // k-center's selectK corpus passes — their 10x points check the
+    // loop frames stay pool-/k-bounded while only the corpus pass
+    // grows
+    "q_mmr_rerank", "sim_kcenter_select",
+    // round-14 wave: the residual IVF-PQ adds the refine join (the
+    // only vector-sized exchange, preselection-bounded) on top of the
+    // flat chain; Louvain is per-round edge joins + community
+    // aggregates with a shrinking contracted level; the shipped
+    // capped-128 kNN default should track sim_knn_graph until buckets
+    // run hot; the two text screens are pure narrow projections whose
+    // 10x points pin scan-bound growth
+    "sim_ivfpq_residual", "g_louvain", "sim_knn_graph_capped128",
+    "t_html_strip", "t_compress_ratio")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -343,7 +357,13 @@ object ScaleSmoke {
     */
   private val Sf10Chains = Seq(
     "pipe_curation", "pipe_curation_scrub", "d_exact_span_cov",
-    "d_star_clusters", "g_pagerank", "sim_knn_graph_capped")
+    "d_star_clusters", "g_pagerank", "sim_knn_graph_capped",
+    // r14 extension (the r13 verdict's second wave, previously
+    // sf1-only): MMR/k-center loop shapes, the unigram Viterbi
+    // segmenter's word-table bound, and both IVF-PQ variants — flat
+    // and the residual+refine default composition
+    "q_mmr_rerank", "sim_kcenter_select", "t_unigram_segment",
+    "sim_ivfpq_topk", "sim_ivfpq_residual")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

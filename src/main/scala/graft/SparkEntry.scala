@@ -661,6 +661,31 @@ object SparkEntry {
     "t_token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "t_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // compression-ratio quality screen: distinct/total char-4-gram
+    // dictionary ratio, the deterministic LZ-compressibility proxy
+    // (Gopher-family repetition screen; low = machine-generated/
+    // repetitive, ~1000 = incompressible)
+    "t_compress_ratio" -> ((s, dir) =>
+      TextOps.compressionRatio(Tables.documents(s, dir))),
+    // HTML/boilerplate strip over an HTML-ified fixture of the
+    // documents table (script/style + tags, entities, <br>
+    // boilerplate, already-clean — one class per doc_id mod 4), so
+    // every stage of the stripper is oracle-exercised on corpus text
+    "t_html_strip" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val html = when(m === 0, concat(
+          lit("<html><head><style type=\"text/css\">.x{a:b}</style>" +
+            "<script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><div>Home | About | Contact</div></body></html>")))
+        .when(m === 1, concat(
+          lit("Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. "),
+          col("text")))
+        .when(m === 2, concat(col("text"), lit("<br>Nav<br>(c) 2020")))
+        .otherwise(col("text"))
+      TextOps.htmlStrip(
+        Tables.documents(s, dir).select(col("doc_id"), html.as("text")))
+    }),
     "t_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_hash_split" -> ((s, dir) =>
@@ -1122,6 +1147,12 @@ object SparkEntry {
     "sim_knn_graph_capped" -> ((s, dir) =>
       Similarity.knnGraph(Tables.embeddings(s, dir), k = 5,
         maxBucketSize = Some(8))),
+    // the SHIPPED r14 DEFAULT (maxBucketSize = DefaultBandCap = 128):
+    // identical output to the uncapped form until a bucket runs hot,
+    // bounded candidate blocks after — the form a 100 TB graph build
+    // actually gets when it calls knnGraph(emb, k)
+    "sim_knn_graph_capped128" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)),
     // one NN-Descent round over the banded seed graph — candidates
     // expand to reverse neighbors + neighbors-of-neighbors, exact
     // re-rank; recovers recall the banding seed loses at O(n·k²)
@@ -2049,6 +2080,54 @@ object SparkEntry {
        |      ORDER BY score DESC, c ASC) AS rn FROM s$tag)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Occupancy-capped directed kNN oracle, parameterized by the cap:
+    * per-(band, bucket) sizes drive the portable sub-split hash
+    * (the `sim_semantic_dedup_capped` device), candidates collide on
+    * (band, bucket, sub), exact re-rank top-5. `cap = 8` is the
+    * exercised-split fixture; `cap = 128` is the shipped r14 default
+    * ([[graft.operators.Similarity.DefaultBandCap]]).
+    */
+  private def knnCappedSql(cap: Int): String =
+    s"""WITH $QNORM,
+       |nz AS (SELECT * FROM qn WHERE nq > 0),
+       |s AS (
+       |  SELECT vec_id, j,
+       |         list_sum(list_transform(range(1, len(q)+1),
+       |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+       |  FROM nz CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+       |bk AS (
+       |  SELECT vec_id, j // 4 AS band,
+       |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM s GROUP BY vec_id, band),
+       |sizes AS (SELECT band, bucket, COUNT(*) AS bkt_n FROM bk GROUP BY band, bucket),
+       |sb AS (
+       |  SELECT b.vec_id, b.band, b.bucket,
+       |         ((b.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007
+       |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / $cap) AS BIGINT) AS sub
+       |  FROM bk b JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sb a JOIN sb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |   AND a.vec_id <> b.vec_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |         ${dotSql("a.q", "b.q")} AS dot_q,
+       |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+       |  FROM cands c
+       |  JOIN nz a ON a.vec_id = c.id_a
+       |  JOIN nz b ON b.vec_id = c.id_b),
+       |ranked AS (
+       |  SELECT id_a, id_b, dot_q,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY id_a
+       |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
+       |         AS BIGINT) AS "rank"
+       |  FROM pairs)
+       |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+       |FROM ranked WHERE "rank" <= 5""".stripMargin
+
   /** DuckDB twin of [[Similarity.dotQ]]. */
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a)[i]*($b)[i])) AS BIGINT)"
@@ -2357,6 +2436,69 @@ object SparkEntry {
          |       CAST(floor(alpha*1000/nchar) AS BIGINT) AS alpha_ratio_e3,
          |       (ntok >= 5 AND ntok <= 100000 AND stop_hits*1000 >= ntok*10) AS keep
          |FROM t""".stripMargin,
+
+    // char-4-gram dictionary ratio: windows enumerated in-row on both
+    // engines (substring is character-based in both), docs shorter
+    // than the window pin to 1000
+    "t_compress_ratio" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         CAST(greatest(len(text) - 3, 0) AS BIGINT) AS n_windows,
+         |         CASE WHEN len(text) >= 4 THEN
+         |           CAST(len(list_distinct(list_transform(
+         |             range(1, len(text) - 2),
+         |             i -> substring(text, CAST(i AS INTEGER), 4)))) AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, n_windows, n_distinct,
+         |       CASE WHEN n_windows > 0 THEN n_distinct * 1000 // n_windows
+         |            ELSE CAST(1000 AS BIGINT) END AS ratio_e3
+         |FROM g""".stripMargin,
+
+    // the 5-stage strip mirrored in RE2: script/style blocks, break
+    // tags -> newlines, tag strip, entity decode (&amp; LAST), then
+    // the jusText-lite line filter (>= 4 tokens, punct tokens < 1/3)
+    "t_html_strip" ->
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |         CASE CAST(doc_id % 4 AS INTEGER)
+         |           WHEN 0 THEN '<html><head><style type="text/css">.x{a:b}</style><script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>'
+         |                       || text ||
+         |                       '</p><div>Home | About | Contact</div></body></html>'
+         |           WHEN 1 THEN 'Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. ' || text
+         |           WHEN 2 THEN text || '<br>Nav<br>(c) 2020'
+         |           ELSE text END AS html
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(
+         |      html,
+         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |      AS txt
+         |  FROM fx),
+         |ln AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split(txt, chr(10)), x -> trim(x)) AS alll
+         |  FROM st),
+         |kp AS (
+         |  SELECT doc_id, alll,
+         |         list_filter(alll, x ->
+         |           len(regexp_extract_all(x, '\\S+')) >= 4 AND
+         |           3 * len(list_filter(regexp_extract_all(x, '\\S+'),
+         |                 t -> regexp_matches(t, '^[^A-Za-z0-9]+$$')))
+         |             <= len(regexp_extract_all(x, '\\S+'))) AS kept
+         |  FROM ln)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+         |       CAST(len(alll) AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept
+         |FROM kp""".stripMargin,
 
     "t_lang_id" ->
       s"""WITH s AS (
@@ -4336,46 +4478,12 @@ object SparkEntry {
     // corpus, hot (band, bucket) groups sub-split by the portable
     // vec_id hash before the DIRECTED candidate join (no star floor —
     // knnGraph ranks, it does not dedup), exact re-rank top-5
-    "sim_knn_graph_capped" ->
-      s"""WITH $QNORM,
-         |nz AS (SELECT * FROM qn WHERE nq > 0),
-         |s AS (
-         |  SELECT vec_id, j,
-         |         list_sum(list_transform(range(1, len(q)+1),
-         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
-         |  FROM nz CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
-         |bk AS (
-         |  SELECT vec_id, j // 4 AS band,
-         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << (j % 4))
-         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-         |  FROM s GROUP BY vec_id, band),
-         |sizes AS (SELECT band, bucket, COUNT(*) AS bkt_n FROM bk GROUP BY band, bucket),
-         |sb AS (
-         |  SELECT b.vec_id, b.band, b.bucket,
-         |         ((b.vec_id % 1000000007) * 1103515245 + 12345) % 1000000007
-         |           % CAST(ceil(CAST(z.bkt_n AS DOUBLE) / 8) AS BIGINT) AS sub
-         |  FROM bk b JOIN sizes z ON z.band = b.band AND z.bucket = b.bucket),
-         |cands AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sb a JOIN sb b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
-         |   AND a.vec_id <> b.vec_id),
-         |pairs AS (
-         |  SELECT c.id_a, c.id_b,
-         |         ${dotSql("a.q", "b.q")} AS dot_q,
-         |         CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
-         |  FROM cands c
-         |  JOIN nz a ON a.vec_id = c.id_a
-         |  JOIN nz b ON b.vec_id = c.id_b),
-         |ranked AS (
-         |  SELECT id_a, id_b, dot_q,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY id_a
-         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
-         |         AS BIGINT) AS "rank"
-         |  FROM pairs)
-         |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
-         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+    "sim_knn_graph_capped" -> knnCappedSql(8),
+
+    // the SHIPPED DEFAULT since r14: knnGraph's maxBucketSize defaults
+    // to Similarity.DefaultBandCap (128) — same sub-split rule, cap
+    // wide enough to be inactive until a bucket actually runs hot
+    "sim_knn_graph_capped128" -> knnCappedSql(128),
 
     // one NN-Descent round over the banded kNN seed: candidates =
     // undirected current edges ∪ neighbors-of-neighbors (UNION dedups,

@@ -698,9 +698,15 @@ object Similarity {
       .withColumn("cid", bestCellExpr(centsArr))
       .withColumn("r",
         zip_with(col("q"), ownCent(col("cid")).getField("_2"), (x, y) => x - y))
-    // RESIDUAL codebooks: the pqCodebooksQ machinery over (vec_id, r)
-    val cbs = pqCodebooksQ(
-      assigned.select(col("vec_id"), col("r").as("q")), m, ksub, pqIters)
+    // RESIDUAL codebooks: the pqCodebooksQ machinery over (vec_id, r).
+    // Trained tiers iterate m×pqIters Lloyd passes over this frame —
+    // materialize it once so each pass reads 8-byte-array rows instead
+    // of re-evaluating the centroid-literal assignment fold per pass
+    // (measured ~20x on the RECALL.md sweep); consumers are grouped
+    // aggregates only, so the lost size stats demote no broadcast.
+    val resFrame0 = assigned.select(col("vec_id"), col("r").as("q"))
+    val resFrame = if (pqIters > 0) Checkpoints.cut(resFrame0, None) else resFrame0
+    val cbs = pqCodebooksQ(resFrame, m, ksub, pqIters)
     if (cbs.exists(_.isEmpty)) return emptyOut
     val coded = assigned.select(
       col("vec_id") +: col("cid") +:

@@ -2062,6 +2062,115 @@ object TextOps {
         col("inter_est"), col("exact_inter"), col("jaccard_e6"))
   }
 
+  /** HTML/boilerplate strip — the web-corpus front door (the
+    * RefinedWeb/CCNet-shaped stage every `t_*` operator implicitly
+    * assumes already ran): markup removal plus a jusText-lite
+    * line-density boilerplate filter, pinned as a deterministic
+    * 5-stage rewrite so an external SQL engine replicates it
+    * byte-for-byte:
+    *
+    *  1. `<script…>…</script>` and `<style…>…</style>` blocks drop
+    *     whole (dotall, non-greedy — unclosed blocks survive to
+    *     stage 3 and lose only their tags);
+    *  2. line-structuring tags (`<br>`, closing `p/div/li/h1-6/tr`)
+    *     become newlines — the line boundaries stage 5 filters on;
+    *  3. every remaining `<…>` tag becomes a space;
+    *  4. the fixed entity set `&lt; &gt; &quot; &#39; &nbsp;` decodes,
+    *     then `&amp;` LAST (decoding it earlier double-decodes
+    *     `&amp;lt;` — the classic pitfall, pinned here);
+    *  5. lines split on `\n`, trim, and survive iff they carry at
+    *     least `minLineTokens` whitespace tokens AND pure-punctuation
+    *     tokens are under a third of the line (`3·n_punct ≤ n_tok`,
+    *     integer-exact) — the density rule that drops `Home | About |
+    *     Contact` nav rows and short footer lines while passing any
+    *     prose sentence; already-clean text is one long line and
+    *     passes untouched.
+    *
+    * Output `(doc_id, clean_text, n_lines, n_kept)`: surviving lines
+    * re-joined with `\n`, raw/kept line counts for drop-rate
+    * monitoring.
+    *
+    * Scale shape: one narrow codegen projection per document — regex
+    * rewrites and HOF line filters, no shuffle, no UDF; the text
+    * never leaves its row. The regexes are RE2-compatible (no
+    * backrefs), so the oracle twin runs the identical patterns.
+    */
+  def htmlStrip(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minLineTokens: Int = 4): DataFrame = {
+    require(minLineTokens >= 1, s"minLineTokens must be >= 1, got $minLineTokens")
+    val noScript = regexp_replace(col(textCol),
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val withBreaks = regexp_replace(noStyle,
+      "(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+    val lines = transform(split(decoded, "\n"), l => trim(l))
+    val kept = filter(lines, l => {
+      val toks = regexp_extract_all(l, lit("\\S+"), lit(0))
+      size(toks) >= minLineTokens &&
+        size(filter(toks, t => t.rlike("^[^A-Za-z0-9]+$"))) * 3 <= size(toks)
+    })
+    docs.select(
+      col(idCol).as("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
+  /** Compression-ratio quality signal — the one Gopher-family screen
+    * [[repetitionStats]] lacks: the distinct/total ratio of the
+    * document's character `n`-gram stream, the deterministic
+    * dictionary-ratio proxy for LZ compressibility (an LZ78-style
+    * phrase dictionary over the stream is bounded by its distinct
+    * n-grams, so a document whose stream repeats — machine-generated
+    * boilerplate, keyword stuffing, `aaaa…` runs — scores low, while
+    * natural prose sits high and random text at ~1000). Used exactly
+    * like the Gopher repetition rules: as a cheap screen for
+    * machine-generated/repetitive text before any model-based scoring
+    * (Rae et al. 2021 §A1.1 filter family; DataComp-LM ships the
+    * zlib-ratio variant of the same idea — this form is exact,
+    * engine-portable, and needs no codec).
+    *
+    * Output `(doc_id, n_windows, n_distinct, ratio_e3)`:
+    * `n_windows = max(len − n + 1, 0)` character windows,
+    * `ratio_e3 = 1000·n_distinct div n_windows` (documents shorter
+    * than `n` have no stream to compress and pin to 1000 —
+    * incompressible by convention).
+    *
+    * Scale shape: one narrow codegen projection — the window
+    * enumeration, distinct, and ratio all happen INSIDE the row
+    * (sequence/transform/array_distinct HOFs); no shuffle, no UDF,
+    * text never leaves its row.
+    */
+  def compressionRatio(
+      docs: DataFrame,
+      n: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    val nWin = greatest(length(t) - (n - 1), lit(0)).cast("long")
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
+      i => t.substr(i, lit(n)))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWin.as("n_windows"),
+      when(nWin > 0, size(array_distinct(grams)).cast("long"))
+        .otherwise(0L).as("n_distinct"))
+      .withColumn("ratio_e3",
+        when(col("n_windows") > 0,
+          expr("n_distinct * 1000 div n_windows")).otherwise(1000L))
+  }
+
   /** Heaps'-law vocabulary-growth curve per source: for every document
     * (in `doc_id` order within its source) the cumulative token count
     * and cumulative DISTINCT-token count up to and including it — the

@@ -342,6 +342,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.pmiTopK(
       Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), minCount = 1).count() === 0)
     assert(TextOps.vocabGrowth(emptySrc).count() === 0)
+    // r14 text screens: empty corpus -> no rows; the per-doc
+    // degenerate shapes (empty text, no windows) are pinned in
+    // TextOpsSpec
+    assert(TextOps.htmlStrip(emptySrc).count() === 0)
+    assert(TextOps.compressionRatio(emptySrc).count() === 0)
     // empty-text doc still emits its curve row (0 tokens, 0 vocab)
     assert(rowSet(TextOps.vocabGrowth(
       Seq((5L, "sA", "")).toDF("doc_id", "source", "text"))) ===

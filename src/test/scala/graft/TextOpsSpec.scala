@@ -917,6 +917,55 @@ class TextOpsSpec extends SparkSpec {
     assert(total > ws)
   }
 
+  test("compressionRatio: degenerate run low, distinct text high, short-doc convention") {
+    val docs = Seq(
+      (1L, "a" * 100),                    // all windows identical
+      (2L, "abcd"),                       // one window
+      (3L, "abc"),                        // shorter than the window
+      (4L, ""),                           // empty
+      (5L, "the cat the cat the cat"),    // repeated phrase
+      (6L, "abcdefgh")                    // fully distinct stream
+    ).toDF("doc_id", "text")
+    assert(rowSet(TextOps.compressionRatio(docs)) === Set(
+      Seq(1L, 97L, 1L, 10L),      // aaaa... -> ratio ~0 (1000/97)
+      Seq(2L, 1L, 1L, 1000L),
+      Seq(3L, 0L, 0L, 1000L),     // no stream -> incompressible pin
+      Seq(4L, 0L, 0L, 1000L),
+      Seq(5L, 20L, 8L, 400L),     // 8 distinct 4-grams over 20 windows
+      Seq(6L, 5L, 5L, 1000L)))
+    // natural prose sits high (the screen separates it from runs)
+    val prose = Seq((1L, "The quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(TextOps.compressionRatio(prose).head().getLong(3) >= 900L)
+  }
+
+  test("htmlStrip: tags, entities, boilerplate lines, unclosed blocks, clean text") {
+    val docs = Seq(
+      // script block drops whole; nav line fails the punct-ratio rule
+      (1L, "<html><script>var x = 1 < 2;</script><p>one two three four five</p>" +
+        "<div>Home | About | Contact</div></html>"),
+      // entity decode with &amp; LAST: &amp;amp; -> &amp; (no double
+      // decode), decoded <tag> stays (tag strip already ran)
+      (2L, "He said &quot;a&nbsp;b&quot; &amp;amp; can&#39;t &lt;tag&gt; done here"),
+      // clean multi-line: short middle line dropped, rest untouched
+      (3L, "one two three four\nx y\nfive six seven eight nine"),
+      // unclosed script block: only the opening tag strips
+      (4L, "<script>junk forever and ever more")
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("one two three four five", 3L, 1L)))
+    assert(out(2L) ===
+      (("He said \"a b\" &amp; can't <tag> done here", 1L, 1L)))
+    assert(out(3L) ===
+      (("one two three four\nfive six seven eight nine", 3L, 2L)))
+    assert(out(4L) === (("junk forever and ever more", 1L, 1L)))
+    // a style block with markup inside it drops whole
+    val style = Seq((9L, "<style>.a { color: red } </style>real words appear here"))
+      .toDF("doc_id", "text")
+    assert(TextOps.htmlStrip(style).head().getString(1) === "real words appear here")
+  }
+
   test("zipfSlope: hand regression, flat-corpus zero, degenerate NULL") {
     // freqs 8,4,2,1 -> ranks 1..4: x = ilog2(rank) = (0,1,1,2),
     // y = ilog2(freq) = (3,2,1,0); n=4, Σx=4, Σy=6, Σxy=3, Σxx=6 ->
