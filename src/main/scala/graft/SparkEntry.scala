@@ -2477,7 +2477,7 @@ object SparkEntry {
          |      html,
          |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
          |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g'),
+         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
          |      '<[^>]*>', ' ', 'g'),
          |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
          |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
@@ -2492,7 +2492,7 @@ object SparkEntry {
          |         list_filter(alll, x ->
          |           len(regexp_extract_all(x, '\\S+')) >= 4 AND
          |           3 * len(list_filter(regexp_extract_all(x, '\\S+'),
-         |                 t -> regexp_matches(t, '^[^A-Za-z0-9]+$$')))
+         |                 t -> regexp_matches(t, '^[^\\p{L}\\p{N}]+$$')))
          |             <= len(regexp_extract_all(x, '\\S+'))) AS kept
          |  FROM ln)
          |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,

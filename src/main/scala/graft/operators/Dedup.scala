@@ -44,6 +44,17 @@ object Dedup {
   private[graft] val lastOccupancyReport =
     new java.util.concurrent.atomic.AtomicReference[Option[OccupancyReport]](None)
 
+  /** Public accessor for [[lastOccupancyReport]]: the programmatic
+    * active-cap signal (r15). A dedup/kNN consumer that must not
+    * quietly under-merge checks this after materializing a banded
+    * operator's result — `Some(r)` with `r.capped` means the cap
+    * sub-split ≥1 bucket and in-bucket recall is reduced; the log-only
+    * warning was too easy to miss in a pipeline. Query it AFTER the
+    * consuming action: the probe runs at operator-construction time,
+    * so the report describes the most recently CONSTRUCTED banded op.
+    */
+  def occupancyReport: Option[OccupancyReport] = lastOccupancyReport.get()
+
   /** The guardrail probe behind the banded self-joins: one aggregate
     * job over the (already eagerly materialized) banded frame — bucket
     * keys only, never text — recording the hottest bucket and warning

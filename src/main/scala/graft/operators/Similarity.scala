@@ -44,6 +44,25 @@ object Similarity {
     */
   val DefaultBandCap: Int = 128
 
+  /** One-slot registry for the in-memory band table of the most
+    * recent [[bandedCandidates]] call (session-lifetime `.cache()`
+    * frames otherwise accumulate one band table per operator call —
+    * the r14 leak). Each new call unpersists the previous entry;
+    * [[releaseBandCache]] frees the last one. Unpersisting a cached
+    * (not checkpointed) frame is recompute-safe: a still-unconsumed
+    * earlier result just rebuilds its band table from lineage.
+    */
+  private val lastBandCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Free the band table cached by the most recent banded operator
+    * call ([[knnGraph]] / [[cosineNearDupPairs]] / [[nnDescentRefine]]
+    * construction). Harness loops that build many banded plans in one
+    * session should call this after consuming each result.
+    */
+  def releaseBandCache(): Unit =
+    lastBandCache.getAndSet(None).foreach(_.unpersist(blocking = false))
+
   /** `floor(x·1e6 + 0.5)` per element — the exactness contract.
     * Native codegen kernel; the HOF twin
     * `transform(vec, x => floor(x.cast("double")*1e6 + 0.5).cast("long"))`
@@ -775,11 +794,18 @@ object Similarity {
     * `.distinct()` after any union they apply. `maxBucketSize` is the
     * occupancy guard documented at [[cosineNearDupPairs]].
     *
-    * The band table is materialized ([[Checkpoints.cut]]) before the
-    * self-join — the two join sides are separate subtrees to Catalyst,
-    * so an uncut plan quantizes and bands the corpus twice (the
+    * The band table is materialized before the self-join — the two
+    * join sides are separate subtrees to Catalyst, so an
+    * unmaterialized plan quantizes and bands the corpus twice (the
     * [[graft.operators.Dedup.bandTableOf]] rationale; the frame is
-    * 24-byte rows × bands per vector, never vectors) — and then
+    * 24-byte rows × bands per vector, never vectors). In-memory runs
+    * use `.cache()` (keeps size stats, and unpersisting is
+    * recompute-safe) registered in the one-slot [[lastBandCache]] so
+    * repeated operator calls hold at most ONE band table (r15, after
+    * the r14 localCheckpoint form leaked one block set per call);
+    * `checkpointDir` runs keep the durable reliable-checkpoint form
+    * (no executor blocks to leak). The occupancy probe's blocking
+    * aggregate doubles as the cache materializer — and then
     * probed by [[graft.operators.Dedup.occupancyProbe]]: one
     * key-bounded aggregate job that warns when any bucket exceeds the
     * active cap (capped run: the sub-split is ACTIVE, in-bucket recall
@@ -795,12 +821,17 @@ object Similarity {
       directed: Boolean,
       op: String = "bandedCandidates",
       checkpointDir: Option[String] = None): DataFrame = {
-    val withB = Checkpoints.cut(
-      corpus.select(
+    val bandPlan = corpus.select(
         col("vec_id"),
         explode(lshBandBuckets(col("q"), bands, rowsPerBand)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
-      checkpointDir)
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val withB = checkpointDir match {
+      case Some(_) => Checkpoints.cut(bandPlan, checkpointDir)
+      case None =>
+        val cached = bandPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastBandCache.getAndSet(Some(cached)).foreach(_.unpersist(blocking = false))
+        cached
+    }
     Dedup.occupancyProbe(
       withB, Seq("band", "bucket"), maxBucketSize.getOrElse(DefaultBandCap),
       op, capped = maxBucketSize.isDefined,

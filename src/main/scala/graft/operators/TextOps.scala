@@ -2074,6 +2074,8 @@ object TextOps {
     *     stage 3 and lose only their tags);
     *  2. line-structuring tags (`<br>`, closing `p/div/li/h1-6/tr`)
     *     become newlines — the line boundaries stage 5 filters on;
+    *     tag names are `\b`-anchored so `<brand…>`/`</pre>` do NOT
+    *     match the `br`/`/p` alternatives;
     *  3. every remaining `<…>` tag becomes a space;
     *  4. the fixed entity set `&lt; &gt; &quot; &#39; &nbsp;` decodes,
     *     then `&amp;` LAST (decoding it earlier double-decodes
@@ -2084,7 +2086,10 @@ object TextOps {
     *     integer-exact) — the density rule that drops `Home | About |
     *     Contact` nav rows and short footer lines while passing any
     *     prose sentence; already-clean text is one long line and
-    *     passes untouched.
+    *     passes untouched. "Punctuation" is the Unicode complement
+    *     `[^\p{L}\p{N}]` (any-script letters/digits count as words),
+    *     so Cyrillic/CJK/Greek/Arabic prose passes the ratio rule —
+    *     an ASCII-only class would empty every non-Latin document.
     *
     * Output `(doc_id, clean_text, n_lines, n_kept)`: surviving lines
     * re-joined with `\n`, raw/kept line counts for drop-rate
@@ -2106,7 +2111,7 @@ object TextOps {
     val noStyle = regexp_replace(noScript,
       "(?is)<style\\b[^>]*>.*?</style>", " ")
     val withBreaks = regexp_replace(noStyle,
-      "(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+      "(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>", "\n")
     val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -2116,7 +2121,7 @@ object TextOps {
     val kept = filter(lines, l => {
       val toks = regexp_extract_all(l, lit("\\S+"), lit(0))
       size(toks) >= minLineTokens &&
-        size(filter(toks, t => t.rlike("^[^A-Za-z0-9]+$"))) * 3 <= size(toks)
+        size(filter(toks, t => t.rlike("^[^\\p{L}\\p{N}]+$"))) * 3 <= size(toks)
     })
     docs.select(
       col(idCol).as("doc_id"),

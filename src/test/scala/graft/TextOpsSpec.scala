@@ -964,6 +964,28 @@ class TextOpsSpec extends SparkSpec {
     val style = Seq((9L, "<style>.a { color: red } </style>real words appear here"))
       .toDF("doc_id", "text")
     assert(TextOps.htmlStrip(style).head().getString(1) === "real words appear here")
+    // Unicode punct rule: non-Latin prose is NOT pure punctuation —
+    // Cyrillic, Greek, CJK lines all pass the 3·n_punct <= n_tok rule
+    // (an ASCII-only class would drop every one of these lines)
+    val nonLatin = Seq(
+      (10L, "старый пруд лягушка прыгает тихо"),
+      (11L, "η γρήγορη καφέ αλεπού πηδά"),
+      (12L, "古池 蛙 飛び込む 水の音"),
+      // a genuinely-punctuation nav line still fails
+      (13L, "| · | · | · | · |")).toDF("doc_id", "text")
+    val nl = TextOps.htmlStrip(nonLatin).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(nl(10L) === 1L && nl(11L) === 1L && nl(12L) === 1L)
+    assert(nl(13L) === 0L)
+    // \b-anchored break tags: <brand>/</pre> are ordinary tags (one
+    // space, one line), <br> still breaks
+    val anchored = Seq(
+      (14L, "alpha beta <brand x=1>gamma delta</pre> epsilon zeta eta"),
+      (15L, "one two three four<br>five six seven eight")).toDF("doc_id", "text")
+    val an = TextOps.htmlStrip(anchored).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(an(14L) === (("alpha beta  gamma delta  epsilon zeta eta", 1L)))
+    assert(an(15L) === (("one two three four\nfive six seven eight", 2L)))
   }
 
   test("zipfSlope: hand regression, flat-corpus zero, degenerate NULL") {
