@@ -384,6 +384,14 @@ object SparkEntry {
     "g_louvain" -> ((s, dir) =>
       GraphOps.louvain(coocPairs(s, dir), moveRounds = 2, levels = 2)),
 
+    // Leiden-style connectivity refinement of g_louvain: same move
+    // rounds, then each community splits into the connected components
+    // of its induced subgraph before contraction — every output
+    // community is connected and Q never drops vs the unrefined level
+    // (GraphOpsSpec law: Q(leiden) >= Q(louvain) here)
+    "g_leiden" -> ((s, dir) =>
+      GraphOps.leiden(coocPairs(s, dir), moveRounds = 2, levels = 2)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -4106,6 +4114,88 @@ object SparkEntry {
          |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22")}
          |SELECT l12.v AS person_id, l22.label AS community
          |FROM l12 JOIN l22 ON l22.v = l12.label""".stripMargin,
+
+    // g_louvain plus the connectivity refinement after each level's
+    // move rounds: intra-community edges -> exact reachability
+    // (recursive CTE, the d_dedup_clusters device) -> min-member
+    // component labels; level 2 contracts over the REFINED labels
+    "g_leiden" ->
+      s"""WITH RECURSIVE $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e1 AS MATERIALIZED (
+         |  SELECT pa AS a, pb AS b, CAST(1 AS BIGINT) AS w FROM cooc),
+         |sym1 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e1
+         |  UNION ALL SELECT b, a, w FROM e1),
+         |deg1 AS MATERIALIZED (
+         |  SELECT v, CAST(SUM(w) AS BIGINT) AS deg FROM sym1 GROUP BY v),
+         |tw1 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg1),
+         |l10 AS MATERIALIZED (
+         |  SELECT v, v AS label FROM (SELECT DISTINCT v FROM sym1)),
+         |${louvainRoundSql("l10", "l11", "sym1", "deg1", "tw1", "11")},
+         |${louvainRoundSql("l11", "l12", "sym1", "deg1", "tw1", "12")},
+         |in1 AS MATERIALIZED (
+         |  SELECT e1.a, e1.b FROM e1
+         |  JOIN l12 la ON la.v = e1.a
+         |  JOIN l12 lb ON lb.v = e1.b
+         |  WHERE la.label = lb.label AND e1.a <> e1.b),
+         |sy1 AS (SELECT a AS u, b AS v FROM in1
+         |        UNION ALL SELECT b, a FROM in1),
+         |reach1(x, y) AS (
+         |  SELECT v, v FROM l12
+         |  UNION
+         |  SELECT s.u, r.y FROM sy1 s JOIN reach1 r ON r.x = s.v),
+         |r1 AS MATERIALIZED (
+         |  SELECT x AS v, MIN(y) AS label FROM reach1 GROUP BY x),
+         |e2 AS MATERIALIZED (
+         |  SELECT least(la.label, lb.label) AS a,
+         |         greatest(la.label, lb.label) AS b,
+         |         CAST(SUM(e1.w) AS BIGINT) AS w
+         |  FROM e1
+         |  JOIN r1 la ON la.v = e1.a
+         |  JOIN r1 lb ON lb.v = e1.b
+         |  GROUP BY 1, 2),
+         |sym2 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e2 WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
+         |verts2 AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM
+         |    (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)),
+         |deg2 AS MATERIALIZED (
+         |  SELECT vv.v,
+         |         CAST(COALESCE(s.dw, 0) + 2*COALESCE(sl.sw, 0) AS BIGINT) AS deg
+         |  FROM verts2 vv
+         |  LEFT JOIN (SELECT v, SUM(w) AS dw FROM sym2 GROUP BY v) s
+         |    ON s.v = vv.v
+         |  LEFT JOIN (SELECT a AS v, SUM(w) AS sw FROM e2 WHERE a = b
+         |             GROUP BY a) sl ON sl.v = vv.v),
+         |tw2 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg2),
+         |l20 AS MATERIALIZED (SELECT v, v AS label FROM verts2),
+         |${louvainRoundSql("l20", "l21", "sym2", "deg2", "tw2", "21")},
+         |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22")},
+         |in2 AS MATERIALIZED (
+         |  SELECT e2.a, e2.b FROM e2
+         |  JOIN l22 la ON la.v = e2.a
+         |  JOIN l22 lb ON lb.v = e2.b
+         |  WHERE la.label = lb.label AND e2.a <> e2.b),
+         |sy2 AS (SELECT a AS u, b AS v FROM in2
+         |        UNION ALL SELECT b, a FROM in2),
+         |reach2(x, y) AS (
+         |  SELECT v, v FROM l22
+         |  UNION
+         |  SELECT s.u, r.y FROM sy2 s JOIN reach2 r ON r.x = s.v),
+         |r2 AS MATERIALIZED (
+         |  SELECT x AS v, MIN(y) AS label FROM reach2 GROUP BY x)
+         |SELECT r1.v AS person_id, r2.label AS community
+         |FROM r1 JOIN r2 ON r2.v = r1.label""".stripMargin,
 
     "t_pack_sequences" ->
       s"""WITH t AS (

@@ -980,6 +980,153 @@ object GraphOps {
     mapping
   }
 
+  /** Leiden-style connectivity refinement of [[louvain]]. Louvain's
+    * known defect is badly connected — even internally DISCONNECTED —
+    * communities: a label can win the gain argmax for vertex sets
+    * whose only bridges later move away (Traag, Waltman & van Eck
+    * 2019, "From Louvain to Leiden", the guarantee their refinement
+    * phase exists to restore; reference has no graph analytics —
+    * this extends SURVEY §7's curation-graph tier). This is the
+    * deterministic connectivity-refinement variant: after each
+    * level's synchronous move rounds, every community is split into
+    * the CONNECTED COMPONENTS of its induced subgraph, and the
+    * contraction runs over the REFINED partition (Leiden's
+    * aggregate-over-refinement half). Refined labels are min-member
+    * ids — globally unique across communities, no relabel pass.
+    *
+    * Splitting a disconnected community never lowers modularity: no
+    * intra-community edge crosses split parts (they are disconnected
+    * within the community), so Σ_c m_c is unchanged, while
+    * Σ_c D_c² can only shrink ((x+y)² ≥ x²+y² for x,y ≥ 0) — hence
+    * per-level Q(refined) ≥ Q(unrefined), the GraphOpsSpec law, and
+    * every output community is connected in the ORIGINAL graph
+    * (super-vertices are connected vertex sets and super-edges are
+    * witnessed by real edges, so connectivity composes through the
+    * contraction hierarchy).
+    *
+    * Pinned simplifications vs full Leiden (both required for oracle
+    * replicability): refinement is exact connectivity — the
+    * γ-well-connectedness sweep degenerates to its connectivity
+    * floor, deterministically instead of via randomized merges — and
+    * each aggregated level restarts from singleton communities.
+    *
+    * Scale shape: [[louvain]]'s per-round shape plus, per level, one
+    * min-label propagation loop over the intra-community edge subset
+    * (≤ |E| id-only rows; pointer jumping halves the effective
+    * diameter per round, and community diameters are small by
+    * construction). The loop is the [[graft.operators.Dedup.connectedComponents]]
+    * device re-keyed for STRING vertex ids: labels shrink
+    * monotonically in string order, so the fixpoint test rides an
+    * `observe`d 64-bit-hash sum — the (doc, label) multiset changed
+    * iff the sum changed (whp) — instead of the numeric label sum a
+    * string id cannot provide.
+    *
+    * Output: `(person_id, community)` for every vertex, labels
+    * composed through all levels.
+    */
+  def leiden(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
+      aCol: String = "person_a", bCol: String = "person_b",
+      broadcastLabels: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var edges = Checkpoints.cut(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      checkpointDir)
+    var mapping: DataFrame = null
+    for (level <- 1 to levels) {
+      val moved = louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir)
+      val lab = refineConnected(edges, moved, broadcastLabels, checkpointDir)
+      mapping =
+        if (level == 1)
+          lab.select(col("v").as("person_id"), col("label").as("community"))
+        else
+          mapping.join(
+            lab.select(col("v").as("community"), col("label").as("next_c")),
+            Seq("community"))
+            .select(col("person_id"), col("next_c").as("community"))
+      if (level < levels) {
+        edges = Checkpoints.cut(
+          edges
+            .join(lab.select(col("v").as("a"), col("label").as("la")), Seq("a"))
+            .join(lab.select(col("v").as("b"), col("label").as("lb")), Seq("b"))
+            .select(
+              least(col("la"), col("lb")).as("a"),
+              greatest(col("la"), col("lb")).as("b"), col("w"))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
+          checkpointDir)
+        mapping = Checkpoints.cut(mapping, checkpointDir)
+      }
+    }
+    mapping
+  }
+
+  /** [[leiden]]'s refinement kernel: split every community of
+    * `lab(v, label)` into the connected components of its induced
+    * subgraph over `edges(a, b, w)`, returning `(v, label)` with
+    * min-member component ids. Exact min-label propagation with
+    * pointer jumping; convergence via hash-sum equality (see the
+    * [[leiden]] scaladoc for why the numeric-label-sum device does
+    * not port to string vertex ids).
+    */
+  private def refineConnected(edges: DataFrame, lab: DataFrame,
+      broadcastLabels: Boolean, checkpointDir: Option[String],
+      maxRounds: Int = 20): DataFrame = {
+    val la = lab.select(col("v").as("a"), col("label").as("la"))
+    val lb = lab.select(col("v").as("b"), col("label").as("lb"))
+    val intra = edges.filter(col("a") =!= col("b"))
+      .join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb"))
+      .select(col("a"), col("b"))
+    val sym = Checkpoints.cut(
+      intra.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(intra.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("v")),
+      checkpointDir)
+    var labels = lab.select(col("v").as("cv"), col("v").as("clab"))
+    var prevSum: Option[BigDecimal] = None
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      val lside = if (broadcastLabels) broadcast(labels) else labels
+      val stepped = sym
+        .join(lside, sym("v") === lside("cv"))
+        .select(col("u").as("cv"), col("clab"))
+        .unionByName(labels)
+        .groupBy(col("cv"))
+        .agg(min(col("clab")).as("clab"))
+      val lmap0 = stepped.select(col("cv").as("ld"), col("clab").as("ll"))
+      val lmap = if (broadcastLabels) broadcast(lmap0) else lmap0
+      val obs = new org.apache.spark.sql.Observation(s"refine_round_$round")
+      val jumped = Checkpoints.cut(
+        stepped
+          .join(lmap, stepped("clab") === col("ld"), "left_outer")
+          .select(
+            stepped("cv"),
+            least(stepped("clab"), coalesce(col("ll"), stepped("clab"))).as("clab"))
+          .observe(obs,
+            sum(xxhash64(col("cv"), col("clab")).cast("decimal(38,0)"))
+              .as("lab_hash_sum")),
+        checkpointDir)
+      val hashSum = Option(obs.get("lab_hash_sum"))
+        .collect { case d: java.math.BigDecimal => BigDecimal(d) }
+      changed = (hashSum, prevSum) match {
+        case (Some(cur), Some(prev)) => cur != prev
+        case (Some(_), None)         => true
+        case (None, _)               => false
+      }
+      prevSum = hashSum
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("cv").as("v"), col("clab").as("label"))
+  }
+
   /** One level of synchronous Louvain local moves over a weighted
     * undirected edge list `(a ≤ b, w)` with self-loops. Returns
     * `(v, label)` for every endpoint.

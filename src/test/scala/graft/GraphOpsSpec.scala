@@ -532,6 +532,98 @@ class GraphOpsSpec extends SparkSpec {
     assert(qL >= qP, s"louvain $qL < lpa $qP on the cooc graph")
   }
 
+  test("leiden: refinement is a no-op when louvain communities are connected") {
+    val tris = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F")
+    ).toDF("person_a", "person_b")
+    // both louvain communities are (connected) triangles -> identical
+    assert(rowSet(GraphOps.leiden(tris, 2, 2)) ===
+      rowSet(GraphOps.louvain(tris, 2, 2)))
+    val bridged = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F"),
+      ("C", "D")
+    ).toDF("person_a", "person_b")
+    assert(rowSet(GraphOps.leiden(bridged, 2, 2, broadcastLabels = true)) ===
+      rowSet(GraphOps.leiden(bridged, 2, 2)))
+  }
+
+  test("leiden splits the disconnected community synchronous louvain builds on the satellite fixture") {
+    // triangle A-B-C, bridge M-A, satellites M-P / M-Q. Synchronous
+    // round 2: P and Q move INTO M's then-community (label A) while M
+    // simultaneously moves out (to min-label satellite P) — community
+    // A ends {A, C, P, Q} with P/Q connected only through the departed
+    // M: internally disconnected, the exact Louvain defect Traag et
+    // al. 2019 name (fig. 2 there is this shape).
+    val g = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("M", "A"), ("M", "P"), ("M", "Q")
+    ).toDF("person_a", "person_b")
+    val louv = GraphOps.louvain(g, moveRounds = 2, levels = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val commA = louv.collect { case (v, c) if c == louv("P") => v }.toSet
+    assert(louv("P") === louv("Q") && louv("P") === louv("A"),
+      s"fixture drifted: expected P,Q to land in A's community, got $louv")
+    assert(!commA.contains("M"), s"fixture drifted: M stayed, got $louv")
+    // leiden: the same moves, then the community splits into its
+    // connected parts {A,C} / {P} / {Q} (min-member labels)
+    val leid = GraphOps.leiden(g, moveRounds = 2, levels = 1)
+    assert(rowSet(leid).map(_.take(2)).contains(Seq("P", "P")))
+    assert(rowSet(leid).map(_.take(2)).contains(Seq("Q", "Q")))
+    // every leiden community is connected (driver-side union-find on
+    // the 6-vertex fixture)
+    assertCommunitiesConnected(
+      Seq(("A", "B"), ("B", "C"), ("A", "C"), ("M", "A"), ("M", "P"), ("M", "Q")),
+      GraphOps.leiden(g, 2, 1).collect().map(r => r.getString(0) -> r.getString(1)))
+    // and refinement never lowers modularity vs the unrefined level
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(g, labels).head().getLong(2)
+    assert(q(GraphOps.leiden(g, 2, 1)) >= q(GraphOps.louvain(g, 2, 1)))
+  }
+
+  test("leiden laws on the cooc graph: Q(leiden) >= Q(louvain), every community connected") {
+    val pairs = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(
+        graft.sources.Tables.relationshipDocs(spark, "/root/testdata/sf0.001")),
+      maxFanout = 20, minShared = 2)
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.modularity(pairs, labels).head().getLong(2)
+    val qLeiden = q(GraphOps.leiden(pairs, 2, 2))
+    val qLouvain = q(GraphOps.louvain(pairs, 2, 2))
+    assert(qLeiden >= qLouvain, s"leiden $qLeiden < louvain $qLouvain")
+    assertCommunitiesConnected(
+      pairs.collect().map(r => r.getString(0) -> r.getString(1)),
+      GraphOps.leiden(pairs, 2, 2).collect()
+        .map(r => r.getString(0) -> r.getString(1)))
+  }
+
+  /** Driver-side union-find connectivity check: within each community,
+    * the members must form one component of the community-induced
+    * subgraph (test-only; inputs are collected fixture-scale frames).
+    */
+  private def assertCommunitiesConnected(
+      edges: Seq[(String, String)], labels: Seq[(String, String)]): Unit = {
+    val lab = labels.toMap
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    labels.foreach { case (v, _) => parent(v) = v }
+    edges.foreach { case (a, b) =>
+      if (lab.get(a).exists(la => lab.get(b).contains(la))) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    val bad = labels.groupBy(_._2).filter { case (_, vs) =>
+      vs.map(v => find(v._1)).distinct.size > 1
+    }
+    assert(bad.isEmpty,
+      s"disconnected communities: ${bad.keys.take(5).mkString(", ")}")
+  }
+
   test("harmonicCentrality2: path/star/triangle hand pins") {
     // path A-B-C-D: ends see 1 at d1 + 1 at d2, middles 2 + 1
     val path = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("person_a", "person_b")
