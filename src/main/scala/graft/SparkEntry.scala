@@ -898,6 +898,22 @@ object SparkEntry {
         col("source").isin("src0", "src1"), hash = Hashing.Portable)),
     "t_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
+    // URL parse/normalize over a synthetic absolute-URL fixture (one
+    // class per doc_id mod 8: tracking params, userinfo+port+multi-
+    // label suffix, punycode, default ports, uppercase host, fragment,
+    // one non-URL row) — every urlParts stage oracle-exercised
+    "t_url_parts" -> ((s, dir) =>
+      TextOps.urlParts(urlFixture(Tables.documents(s, dir)))),
+    // the web-corpus quota chain: parse URLs -> registered domain ->
+    // deterministic per-domain cap (domainQuota keyed on reg_domain
+    // instead of the assumed-clean source column)
+    "pipe_domain_quota" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rd = TextOps.urlParts(urlFixture(docs))
+        .select(col("doc_id"), col("reg_domain"))
+      TextOps.domainQuota(
+        docs.join(rd, Seq("doc_id")), "reg_domain", 25, hash = Hashing.Portable)
+    }),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
     "t_chunks" -> ((s, dir) =>
       TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),

@@ -2176,6 +2176,117 @@ object TextOps {
           expr("n_distinct * 1000 div n_windows")).otherwise(1000L))
   }
 
+  /** Tracking-parameter names [[urlParts]] strips (plus any `utm_*`):
+    * the ad-click/session identifiers that make one page crawl as
+    * thousands of distinct URLs — the canonical normalization set of
+    * web-corpus pipelines.
+    */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "gclid", "fbclid", "msclkid", "igshid", "mc_eid", "ref", "ref_src")
+
+  /** Multi-label public suffixes [[urlParts]] recognizes when cutting
+    * the registered domain. A pinned, deterministic SUBSET of the
+    * Mozilla Public Suffix List's most common entries (the full PSL is
+    * a live external artifact — pinning keeps the operator
+    * oracle-replicable; swap in the full list for production via the
+    * parameter).
+    */
+  val DefaultMultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
+    "co.in", "co.kr", "co.nz", "co.za")
+
+  /** URL parse + normalization — the web-corpus front door BEFORE
+    * [[htmlStrip]] (the stage between a raw crawl and every
+    * source-keyed curation op: RefinedWeb/CCNet filter by URL and
+    * quota by REGISTERED DOMAIN, not by a pre-cleaned `source`
+    * column). Narrow RE2-compatible projections, pinned:
+    *
+    *  - `scheme`: lowercased `^[A-Za-z][A-Za-z0-9+.-]*` before `://`
+    *    (rows without an absolute URL parse to empty strings/NULL
+    *    port — the "not a URL" signal downstream filters on);
+    *  - `host`: authority minus userinfo (`^[^@/]*@` — RFC 3986 puts
+    *    userinfo before the first `@`) minus a trailing `:port`,
+    *    lowercased; punycode (`xn--`) labels pass through VERBATIM
+    *    (IDNA decoding is out of scope, and mixing decoded/encoded
+    *    forms would split one domain's quota in two);
+    *  - `port`: the trailing digits, NULL when absent (bracketed IPv6
+    *    hosts keep their brackets; `]` blocks the port regex only
+    *    when no port follows);
+    *  - `reg_domain`: last two host labels, or last three when the
+    *    last two form a [[DefaultMultiLabelSuffixes]] entry — the
+    *    quota/overlap key (`domainQuota(groupCol = "reg_domain")`);
+    *  - `path`: after authority, before `?`/`#`;
+    *  - `n_params`/`n_tracking`/`clean_url`: query params split on
+    *    `&`; a param is tracking iff its lowercased name is `utm_*`
+    *    or in `trackingParams`. `clean_url` re-joins the KEPT params
+    *    in ORIGINAL ORDER (re-sorting would merge distinct URLs whose
+    *    servers are order-sensitive and reorder duplicate keys),
+    *    drops the fragment always, and drops the port when it is the
+    *    scheme default (http:80, https:443, ftp:21).
+    *
+    * Scale shape: one narrow codegen projection per row — regex
+    * extracts and array HOFs only; no shuffle, no UDF, the URL never
+    * leaves its row. RE2-compatible patterns, so the oracle twin runs
+    * them verbatim.
+    */
+  def urlParts(
+      docs: DataFrame,
+      urlCol: String = "url",
+      idCol: String = "doc_id",
+      trackingParams: Seq[String] = DefaultTrackingParams,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_replace(auth, "^[^@/]*@", "")
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val portS = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val port = when(length(portS) > 0, portS.cast("long"))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // get() is the null-on-out-of-bounds accessor and concat_ws skips
+    // nulls, so short hosts degrade without ANSI index errors
+    val last2 = concat_ws(".", get(labels, n - 2), get(labels, n - 1))
+    val regDomain =
+      when(n >= 3 && last2.isin(multiLabelSuffixes: _*),
+        concat_ws(".", get(labels, n - 3), last2))
+        .when(n >= 2, last2)
+        .otherwise(host)
+    val params = filter(split(query, "&"), p => length(p) > 0)
+    val kept = filter(params, p => {
+      val nm = lower(regexp_extract(p, "^([^=]*)", 1))
+      !(nm.startsWith("utm_") || nm.isin(trackingParams: _*))
+    })
+    val cleanQuery = array_join(kept, "&")
+    val defaultPort =
+      (scheme === "http" && port === 80) ||
+        (scheme === "https" && port === 443) ||
+        (scheme === "ftp" && port === 21)
+    val cleanUrl = when(length(scheme) > 0, concat(
+      scheme, lit("://"), host,
+      when(port.isNotNull && !defaultPort,
+        concat(lit(":"), port.cast("string"))).otherwise(lit("")),
+      path,
+      when(length(cleanQuery) > 0, concat(lit("?"), cleanQuery))
+        .otherwise(lit("")))).otherwise(lit(""))
+    docs.select(
+      col(idCol).as("doc_id"),
+      scheme.as("scheme"),
+      host.as("host"),
+      port.as("port"),
+      regDomain.as("reg_domain"),
+      path.as("path"),
+      size(params).cast("long").as("n_params"),
+      (size(params) - size(kept)).cast("long").as("n_tracking"),
+      cleanUrl.as("clean_url"))
+  }
+
   /** Heaps'-law vocabulary-growth curve per source: for every document
     * (in `doc_id` order within its source) the cumulative token count
     * and cumulative DISTINCT-token count up to and including it — the
