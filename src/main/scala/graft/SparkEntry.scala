@@ -119,6 +119,31 @@ object SparkEntry {
     Option(sharedGraph.get(dir)).map(_._1)
       .getOrElse(GraphOps.cappedBipartite(edgesOf(s, dir), maxFanout = 20))
 
+  /** Synthetic absolute-URL column over the documents table (one URL
+    * class per `doc_id mod 8`: tracking params, userinfo + port +
+    * multi-label suffix, punycode, an explicit default port, an
+    * uppercase host, a fragment, and one non-URL row) so every
+    * [[TextOps.urlParts]] stage is oracle-exercised on corpus rows —
+    * the `t_html_strip` fixture device.
+    */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(8))
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"),
+      when(m === 0, concat(lit("https://www.example.com/a/"), id,
+          lit("?utm_source=news&q="), id))
+        .when(m === 1, concat(lit("http://user:pw@Blog.Example.co.uk:8080/post/"),
+          id, lit("?id="), id, lit("&utm_campaign=x&ref=tw")))
+        .when(m === 2, concat(lit("https://xn--bcher-kva.example/katalog/"), id))
+        .when(m === 3, concat(lit("ftp://files.example.org:21/pub/"), id, lit(".txt")))
+        .when(m === 4, concat(lit("https://example.com:443/x?b=2&a=1&gclid="), id))
+        .when(m === 5, concat(lit("http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep="), id))
+        .when(m === 6, concat(lit("https://sub.shop.example.com.au/cart?item="), id,
+          lit("&utm_medium=cpc#frag")))
+        .otherwise(concat(lit("doc "), id, lit(" has no url")))
+        .as("url"))
+  }
+
   private def coocPairs(s: SparkSession, dir: String): DataFrame =
     Option(sharedGraph.get(dir)).map(_._2)
       .getOrElse(GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))
@@ -2057,6 +2082,67 @@ object SparkEntry {
       |  FROM embeddings)""".stripMargin
 
   /** QVEC + squared norms ([[Similarity.normQ]]). */
+  /** SQL twin of [[urlFixture]] + [[TextOps.urlParts]]: the parse
+    * chain as CTEs ending in `urlparsed(doc_id, scheme, host, port,
+    * reg_domain, path, params, kept)` — identical RE2 patterns, list
+    * HOFs for the param split, DuckDB 1-based list indexing for the
+    * label cuts (`ls[n-1]` twins Spark's 0-based `get(labels, n-2)`;
+    * invalid indices are NULL and `concat_ws` skips them on both
+    * engines).
+    */
+  private val URLPARSED =
+    """urlfx AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 8 AS INTEGER)
+      |           WHEN 0 THEN 'https://www.example.com/a/' || CAST(doc_id AS VARCHAR) ||
+      |                       '?utm_source=news&q=' || CAST(doc_id AS VARCHAR)
+      |           WHEN 1 THEN 'http://user:pw@Blog.Example.co.uk:8080/post/' ||
+      |                       CAST(doc_id AS VARCHAR) || '?id=' ||
+      |                       CAST(doc_id AS VARCHAR) || '&utm_campaign=x&ref=tw'
+      |           WHEN 2 THEN 'https://xn--bcher-kva.example/katalog/' || CAST(doc_id AS VARCHAR)
+      |           WHEN 3 THEN 'ftp://files.example.org:21/pub/' || CAST(doc_id AS VARCHAR) || '.txt'
+      |           WHEN 4 THEN 'https://example.com:443/x?b=2&a=1&gclid=' || CAST(doc_id AS VARCHAR)
+      |           WHEN 5 THEN 'http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep=' || CAST(doc_id AS VARCHAR)
+      |           WHEN 6 THEN 'https://sub.shop.example.com.au/cart?item=' ||
+      |                       CAST(doc_id AS VARCHAR) || '&utm_medium=cpc#frag'
+      |           ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' has no url' END AS url
+      |  FROM documents),
+      |uraw AS (
+      |  SELECT doc_id,
+      |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |         regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |                        '^[^@/]*@', '') AS hostport,
+      |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |         regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS query
+      |  FROM urlfx),
+      |uhp AS (
+      |  SELECT doc_id, scheme, path, query,
+      |         lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+      |         CAST(NULLIF(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS BIGINT) AS port
+      |  FROM uraw),
+      |ulab AS (
+      |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n,
+      |         concat_ws('.', (string_split(host, '.'))[len(string_split(host, '.')) - 1],
+      |                   (string_split(host, '.'))[len(string_split(host, '.'))]) AS last2
+      |  FROM uhp),
+      |urlparsed AS (
+      |  SELECT doc_id, scheme, host, port, path,
+      |         CASE WHEN n >= 3 AND list_contains(
+      |                ['co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+      |                 'co.jp','ne.jp','or.jp','ac.jp','go.jp',
+      |                 'com.au','net.au','org.au','edu.au','gov.au',
+      |                 'com.br','com.cn','com.mx','com.ar','com.tr','com.sg',
+      |                 'co.in','co.kr','co.nz','co.za'], last2)
+      |              THEN concat_ws('.', ls[n - 2], last2)
+      |              WHEN n >= 2 THEN last2
+      |              ELSE host END AS reg_domain,
+      |         list_filter(string_split(query, '&'), x -> len(x) > 0) AS params,
+      |         list_filter(list_filter(string_split(query, '&'), x -> len(x) > 0),
+      |           x -> NOT (starts_with(lower(regexp_extract(x, '^([^=]*)', 1)), 'utm_')
+      |                 OR list_contains(['gclid','fbclid','msclkid','igshid','mc_eid','ref','ref_src'],
+      |                      lower(regexp_extract(x, '^([^=]*)', 1))))) AS kept
+      |  FROM ulab)""".stripMargin
+
   private val QNORM =
     s"""$QVEC,
        |qn AS (SELECT vec_id, q,
@@ -2653,6 +2739,37 @@ object SparkEntry {
          |           ORDER BY ${ph("text")} ASC, doc_id ASC) AS BIGINT) AS rn
          |  FROM documents)
          |WHERE rn <= 10""".stripMargin,
+
+    // the urlParts projection verbatim: scheme/host/port/reg_domain/
+    // path plus param counts and the normalized clean_url (kept params
+    // in original order, fragment dropped, scheme-default port dropped)
+    "t_url_parts" ->
+      s"""WITH $URLPARSED
+         |SELECT doc_id, scheme, host, port, reg_domain, path,
+         |       CAST(len(params) AS BIGINT) AS n_params,
+         |       CAST(len(params) - len(kept) AS BIGINT) AS n_tracking,
+         |       CASE WHEN len(scheme) > 0 THEN
+         |         scheme || '://' || host ||
+         |         (CASE WHEN port IS NOT NULL AND NOT (
+         |                 (scheme = 'http' AND port = 80) OR
+         |                 (scheme = 'https' AND port = 443) OR
+         |                 (scheme = 'ftp' AND port = 21))
+         |               THEN ':' || CAST(port AS VARCHAR) ELSE '' END) ||
+         |         path ||
+         |         (CASE WHEN len(array_to_string(kept, '&')) > 0
+         |               THEN '?' || array_to_string(kept, '&') ELSE '' END)
+         |       ELSE '' END AS clean_url
+         |FROM urlparsed""".stripMargin,
+
+    "pipe_domain_quota" ->
+      s"""WITH $URLPARSED
+         |SELECT doc_id, reg_domain, rn FROM (
+         |  SELECT d.doc_id, u.reg_domain,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY u.reg_domain
+         |           ORDER BY ${ph("d.text")} ASC, d.doc_id ASC) AS BIGINT) AS rn
+         |  FROM documents d JOIN urlparsed u ON u.doc_id = d.doc_id)
+         |WHERE rn <= 25""".stripMargin,
 
     "t_vocab_topk" ->
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS n

@@ -57,6 +57,9 @@ class EmptyInputSpec extends SparkSpec {
     // the 1-row tot_w aggregate both tolerate the empty graph)
     assert(GraphOps.louvain(
       Seq.empty[(String, String)].toDF("person_a", "person_b"), 2, 2).count() === 0)
+    // leiden: the refinement CC loop converges immediately on nothing
+    assert(GraphOps.leiden(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"), 2, 2).count() === 0)
     assert(GraphOps.harmonicCentrality2(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     // modularity on nothing: single (0, 0, 0) row by the m > 0 guard
@@ -347,6 +350,12 @@ class EmptyInputSpec extends SparkSpec {
     // TextOpsSpec
     assert(TextOps.htmlStrip(emptySrc).count() === 0)
     assert(TextOps.compressionRatio(emptySrc).count() === 0)
+    // r15 URL front door: empty corpus -> no rows; empty STRING url
+    // parses to the all-empty "not a URL" row (never a crash)
+    assert(TextOps.urlParts(
+      Seq.empty[(Long, String)].toDF("doc_id", "url")).count() === 0)
+    assert(rowSet(TextOps.urlParts(Seq((1L, "")).toDF("doc_id", "url"))) ===
+      Set(Seq(1L, "", "", null, "", "", 0L, 0L, "")))
     // empty-text doc still emits its curve row (0 tokens, 0 vocab)
     assert(rowSet(TextOps.vocabGrowth(
       Seq((5L, "sA", "")).toDF("doc_id", "source", "text"))) ===

@@ -188,6 +188,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected a generator node:\n$plan")
   }
 
+  test("urlParts is a narrow projection (no exchange, no UDF)") {
+    val u = graft.operators.TextOps.urlParts(
+      Tables.documents(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://example.com/d/"),
+          org.apache.spark.sql.functions.col("doc_id")).as("url")))
+    val plan = formatted(u)
+    assert(!plan.contains("Exchange"), s"urlParts must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"urlParts must stay codegen built-ins:\n$plan")
+  }
+
   test("int8 quantization is a narrow projection (no exchange, pruned scan)") {
     val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
     val plan = formatted(q)

@@ -988,6 +988,45 @@ class TextOpsSpec extends SparkSpec {
     assert(an(15L) === (("one two three four\nfive six seven eight", 2L)))
   }
 
+  test("urlParts: scheme/host/port/reg-domain/path/params hand pins") {
+    val urls = Seq(
+      // userinfo + uppercase host + port + multi-label suffix
+      (1L, "http://u:p@Blog.Example.co.uk:8080/post?id=7&utm_campaign=x&ref=tw"),
+      // default https port strips; kept params keep ORIGINAL order
+      (2L, "https://example.com:443/x?b=2&a=1&gclid=z"),
+      // punycode passes through verbatim; no query
+      (3L, "https://xn--bcher-kva.example/katalog"),
+      // fragment drops; com.au multi-label suffix; UTM case-insensitive
+      (4L, "https://sub.shop.example.com.au/cart?item=9&UTM_medium=cpc#frag"),
+      // bracketed IPv6 host with port
+      (5L, "http://[2001:db8::1]:8080/p"),
+      // not a URL
+      (6L, "just some text"),
+      // bare host, no path/query; single-label host
+      (7L, "https://localhost")
+    ).toDF("doc_id", "url")
+    val out = TextOps.urlParts(urls).collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4),
+        r.getString(5), r.getLong(6), r.getLong(7), r.getString(8)))).toMap
+    assert(out(1L) === (("http", "blog.example.co.uk", Some(8080L),
+      "example.co.uk", "/post", 3L, 2L,
+      "http://blog.example.co.uk:8080/post?id=7")))
+    assert(out(2L) === (("https", "example.com", Some(443L), "example.com",
+      "/x", 3L, 1L, "https://example.com/x?b=2&a=1")))
+    assert(out(3L) === (("https", "xn--bcher-kva.example", None,
+      "xn--bcher-kva.example", "/katalog", 0L, 0L,
+      "https://xn--bcher-kva.example/katalog")))
+    assert(out(4L) === (("https", "sub.shop.example.com.au", None,
+      "example.com.au", "/cart", 2L, 1L,
+      "https://sub.shop.example.com.au/cart?item=9")))
+    assert(out(5L) === (("http", "[2001:db8::1]", Some(8080L),
+      "[2001:db8::1]", "/p", 0L, 0L, "http://[2001:db8::1]:8080/p")))
+    assert(out(6L) === (("", "", None, "", "", 0L, 0L, "")))
+    assert(out(7L) === (("https", "localhost", None, "localhost", "", 0L, 0L,
+      "https://localhost")))
+  }
+
   test("zipfSlope: hand regression, flat-corpus zero, degenerate NULL") {
     // freqs 8,4,2,1 -> ranks 1..4: x = ilog2(rank) = (0,1,1,2),
     // y = ilog2(freq) = (3,2,1,0); n=4, Σx=4, Σy=6, Σxy=3, Σxx=6 ->
