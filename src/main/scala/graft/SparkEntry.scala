@@ -907,6 +907,13 @@ object SparkEntry {
     "t_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLmScore(Tables.documents(s, dir), maxBitsE3 = 4600,
         hash = Hashing.Portable)),
+    // order-3 stupid-backoff sibling, trained on the 900-permille
+    // hash slice so held-out docs exercise the backoff chain; same
+    // whole-bit ilog2 arithmetic, keep threshold near the corpus
+    // median so both flag branches are exercised
+    "t_trigram_lm" -> ((s, dir) =>
+      TextOps.trigramLmScore(Tables.documents(s, dir), maxBitsE3 = 3600,
+        hash = Hashing.Portable)),
     // DSIR importance weighting against a deterministic target slice
     // (sources src0/src1 ≈ 10% of the corpus) — integer bits via the
     // same ilog2 convention as t_bigram_lm, exact in both engines
@@ -3432,6 +3439,69 @@ object SparkEntry {
          |         AS bits_per_bigram_e3,
          |       (n_bigrams IS NOT NULL AND n_bigrams > 0
          |        AND floor(bits_total*1000/n_bigrams) <= 4600) AS keep
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the trigram instance frame with all five hash roles; counts over
+    // the 900-permille train slice; stupid backoff bits with the
+    // whole-bit convention (backoff level = +1 bit each)
+    "t_trigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |tt AS (SELECT doc_id, toks, ${ph("text")} % 1000 < 900 AS is_train FROM t),
+         |inst AS MATERIALIZED (
+         |  SELECT doc_id, is_train,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> ${ph("array_to_string(toks[i:i+2], ' ')")})) AS t3h,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")})) AS b12h,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> ${ph("array_to_string(toks[i+1:i+2], ' ')")})) AS b23h,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> ${ph("toks[i+1]")})) AS w2h,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> ${ph("toks[i+2]")})) AS w3h
+         |  FROM tt WHERE len(toks) >= 3),
+         |tr AS MATERIALIZED (SELECT * FROM inst WHERE is_train),
+         |c3 AS (SELECT t3h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l3
+         |       FROM tr GROUP BY t3h),
+         |p3 AS (SELECT b12h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp3
+         |       FROM tr GROUP BY b12h),
+         |c2 AS (SELECT b23h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l2
+         |       FROM tr GROUP BY b23h),
+         |p2 AS (SELECT w2h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp2
+         |       FROM tr GROUP BY w2h),
+         |cu AS MATERIALIZED (SELECT w3h, CAST(count(*) AS BIGINT) AS cw
+         |      FROM tr GROUP BY w3h),
+         |tv AS (SELECT CAST(length(bin(CAST(COALESCE(SUM(cw), 0) + COUNT(*)
+         |         AS BIGINT))) - 1 AS BIGINT) AS ltv FROM cu),
+         |ic AS (SELECT doc_id, t3h, b12h, b23h, w2h, w3h,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM inst GROUP BY 1, 2, 3, 4, 5, 6),
+         |sc AS (
+         |  SELECT ic.doc_id, ic.n,
+         |         CASE WHEN l3 IS NOT NULL THEN lp3 - l3
+         |              WHEN l2 IS NOT NULL THEN 1 + lp2 - l2
+         |              ELSE 2 + tv.ltv -
+         |                   CAST(length(bin(COALESCE(cw, 0) + 1)) - 1 AS BIGINT)
+         |         END AS bits,
+         |         CASE WHEN l3 IS NULL THEN ic.n ELSE CAST(0 AS BIGINT) END AS nb
+         |  FROM ic
+         |  LEFT JOIN c3 USING (t3h) LEFT JOIN p3 USING (b12h)
+         |  LEFT JOIN c2 USING (b23h) LEFT JOIN p2 USING (w2h)
+         |  LEFT JOIN cu USING (w3h) CROSS JOIN tv),
+         |pd AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+         |         CAST(SUM(nb) AS BIGINT) AS n_backoff,
+         |         CAST(SUM(n * bits) AS BIGINT) AS bits_total
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |       CAST(COALESCE(n_backoff, 0) AS BIGINT) AS n_backoff,
+         |       CAST(COALESCE(bits_total, 0) AS BIGINT) AS bits_total,
+         |       CAST(CASE WHEN n_trigrams > 0
+         |            THEN floor(bits_total*1000/n_trigrams) ELSE 0 END AS BIGINT)
+         |         AS bits_per_trigram_e3,
+         |       (n_trigrams IS NOT NULL AND n_trigrams > 0
+         |        AND floor(bits_total*1000/n_trigrams) <= 3600) AS keep
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "t_dsir_weights" -> s"$DSIR_CTES\n$DSIR_SELECT",

@@ -249,6 +249,124 @@ object TextOps {
           mean <= maxBitsE3).as("keep"))
   }
 
+  /** Interpolated trigram-LM perplexity screen with stupid backoff —
+    * [[bigramLmScore]] at the order production quality filtering
+    * actually runs (CCNet/DCLM score with an order-5 KenLM; order 3
+    * with backoff is the same estimator family, and the bigram frame
+    * generalizes directly). Counts train on the `trainPermille` hash
+    * slice of the corpus itself (the [[hashSplit]] device — a
+    * SELF-trained model has every trigram in its own counts, which
+    * would leave the backoff path dead code); every document is
+    * scored, so held-out docs exercise the full backoff chain.
+    *
+    * Stupid backoff (Brants et al. 2007, "Large Language Models in
+    * Machine Translation") in the repo's whole-bit ilog2 convention
+    * (`ilog2(n) = length(bin(n)) − 1`, integer-exact in both
+    * engines); each backoff level adds `backoffBits` (default 1 —
+    * α = 1/2, the whole-bit quantization of Brants' α = 0.4):
+    *
+    *  - trigram seen:  `ilog2(c(w1w2·)) − ilog2(c(w1w2w3))`
+    *  - else bigram:   `backoffBits + ilog2(c(w2·)) − ilog2(c(w2w3))`
+    *  - else unigram (Laplace, covers OOV):
+    *                   `2·backoffBits + ilog2(T+V) − ilog2(c(w3)+1)`
+    *
+    * All counts are over the train slice's TRIGRAM-INSTANCE frame
+    * (prefix counts are the proper conditional-MLE denominators, and
+    * one frame derives every table): `c(w1w2·)` = instances with that
+    * prefix bigram, `c(w2w3)` = instances with that suffix bigram,
+    * `c(w2·)` = instances with that middle token, `c(w3)`/`T`/`V` =
+    * final-token counts/total/distinct. If a suffix bigram is seen,
+    * its middle token necessarily is too — the backoff denominators
+    * exist exactly when their branch fires.
+    *
+    * Output: `(doc_id, n_trigrams, n_backoff, bits_total,
+    * bits_per_trigram_e3, keep)`; `n_backoff` counts instances that
+    * missed the trigram table (the backoff-activity signal); `keep` =
+    * has trigrams AND mean bits ≤ `maxBitsE3/1000`. Docs with < 3
+    * tokens score 0 with `keep = false` (no signal ⇒ drop).
+    *
+    * 100 TB shape and CACHING CONTRACT: identical to
+    * [[bigramLmScore]] — one fused shingle scan reduces text to five
+    * 8-byte hash columns (text never shuffles, plan-gated), the count
+    * tables are vocabulary-sized and join back on hash keys, the
+    * cached instance frame feeds the six aggregations, and `T`/`V`
+    * ride a 1-row broadcast.
+    */
+  def trigramLmScore(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      maxBitsE3: Long = 12000,
+      backoffBits: Long = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      s"trainPermille must be in [1, 999], got $trainPermille")
+    import graft.functions.NativeOps.shingleHashes
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("long")
+    // one row per trigram INSTANCE, all five hash roles attached
+    val inst = docs.select(
+        col(idCol).as("doc_id"),
+        (pmod(hash(col(textCol)), lit(1000L)) < trainPermille).as("is_train"),
+        shingleHashes(col(textCol), 1, hash.portable).as("h1"),
+        shingleHashes(col(textCol), 2, hash.portable).as("h2"),
+        posexplode(shingleHashes(col(textCol), 3, hash.portable)))
+      .select(
+        col("doc_id"), col("is_train"),
+        col("col").as("t3h"),
+        element_at(col("h2"), col("pos") + 1).as("b12h"),
+        element_at(col("h2"), col("pos") + 2).as("b23h"),
+        element_at(col("h1"), col("pos") + 2).as("w2h"),
+        element_at(col("h1"), col("pos") + 3).as("w3h"))
+      .cache()
+    val tr = inst.filter(col("is_train"))
+    val c3 = tr.groupBy(col("t3h")).agg(count(lit(1)).as("n3"))
+      .select(col("t3h"), ilog2(col("n3")).as("l3"))
+    val p3 = tr.groupBy(col("b12h")).agg(count(lit(1)).as("np3"))
+      .select(col("b12h"), ilog2(col("np3")).as("lp3"))
+    val c2 = tr.groupBy(col("b23h")).agg(count(lit(1)).as("n2"))
+      .select(col("b23h"), ilog2(col("n2")).as("l2"))
+    val p2 = tr.groupBy(col("w2h")).agg(count(lit(1)).as("np2"))
+      .select(col("w2h"), ilog2(col("np2")).as("lp2"))
+    val cu = tr.groupBy(col("w3h")).agg(count(lit(1)).as("cw"))
+    // T + V from the vocabulary-sized unigram table, one broadcast row
+    val tv = cu.agg(
+      ilog2(coalesce(sum(col("cw")), lit(0L)) + count(lit(1))).as("ltv"))
+    val ic = inst.groupBy(
+        col("doc_id"), col("t3h"), col("b12h"), col("b23h"),
+        col("w2h"), col("w3h"))
+      .agg(count(lit(1)).as("n"))
+    val bits =
+      when(col("l3").isNotNull, col("lp3") - col("l3"))
+        .when(col("l2").isNotNull,
+          lit(backoffBits) + col("lp2") - col("l2"))
+        .otherwise(lit(2 * backoffBits) + col("ltv") -
+          ilog2(coalesce(col("cw"), lit(0L)) + 1))
+    val perDoc = ic
+      .join(c3, Seq("t3h"), "left_outer")
+      .join(p3, Seq("b12h"), "left_outer")
+      .join(c2, Seq("b23h"), "left_outer")
+      .join(p2, Seq("w2h"), "left_outer")
+      .join(cu, Seq("w3h"), "left_outer")
+      .crossJoin(broadcast(tv))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_trigrams"),
+        sum(when(col("l3").isNull, col("n")).otherwise(lit(0L))).as("n_backoff"),
+        sum(col("n") * bits).as("bits_total"))
+    val mean = floor(col("bits_total") * 1000 / col("n_trigrams"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).cast("long").as("n_trigrams"),
+        coalesce(col("n_backoff"), lit(0L)).cast("long").as("n_backoff"),
+        coalesce(col("bits_total"), lit(0L)).cast("long").as("bits_total"),
+        when(col("n_trigrams").isNotNull && col("n_trigrams") > 0, mean)
+          .otherwise(0L).cast("long").as("bits_per_trigram_e3"),
+        (col("n_trigrams").isNotNull && col("n_trigrams") > 0 &&
+          mean <= maxBitsE3).as("keep"))
+  }
+
   /** Self-trained multinomial Naive-Bayes SOURCE classifier — the
     * fastText-shaped quality/domain-classifier stage of a curation
     * pipeline (DCLM, FineWeb-Edu and friends train a cheap linear

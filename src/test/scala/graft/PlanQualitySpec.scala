@@ -572,6 +572,19 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("Partial"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("trigramLmScore: every shuffle keys on doc_id/hashes, never text") {
+    val out = graft.operators.TextOps.trigramLmScore(Tables.documents(spark, sfDir))
+    val plan = formatted(out)
+    val parts = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected hash exchanges:\n$plan")
+    assert(parts.forall(p => !p.contains("text#") &&
+      !p.contains("h1#") && !p.contains("h2#")),
+      s"a shuffle carries token text or a shingle-hash array: $parts")
+    assert("partial_count".r.findAllIn(plan).nonEmpty ||
+      plan.contains("Partial"), s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("shardShuffle: id-only scan, one exchange keyed on the shard id") {
     val out = graft.operators.TextOps.shardShuffle(
       Tables.documents(spark, sfDir), 32)

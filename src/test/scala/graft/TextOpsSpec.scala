@@ -988,6 +988,36 @@ class TextOpsSpec extends SparkSpec {
     assert(an(15L) === (("one two three four\nfive six seven eight", 2L)))
   }
 
+  test("trigramLmScore: hand-computed bits at all three backoff levels") {
+    // portable hashes (h=7; h=h*31+ascii mod 1e9+7; %1000):
+    //   "a b c a b c d" -> 485 (train), "a b x a b c" -> 523+? -> TEST
+    // Train counts (from the train doc's 5 trigram instances):
+    //   c3: abc:2 bca:1 cab:1 bcd:1; p3: ab:2 bc:2 ca:1
+    //   c2 (b23): bc:2 ca:1 ab:1 cd:1; p2 (w2): b:2 c:2 a:1
+    //   cu (w3): c:2 a:1 b:1 d:1 -> T=5 V=4 -> ilog2(9)=3
+    // Train doc bits: abc,abc -> 1-1=0 each; bca -> 1-0=1;
+    //   cab -> 0-0=0; bcd -> 1-0=1  => total 2, mean 400 e3
+    // Test doc "a b x a b c" (4 instances):
+    //   "a b x": unseen tri, unseen b23 "b x", OOV "x" -> 2+3-0 = 5
+    //   "b x a": unseen tri, unseen b23 "x a", cw(a)=1 -> 2+3-1 = 4
+    //   "x a b": unseen tri, SEEN b23 "a b" -> 1 + lp2(a)=0 - l2=0 = 1
+    //   "a b c": seen tri -> lp3(ab)=1 - l3=1 = 0
+    //   => total 10, mean 2500 e3, 3 backoff instances
+    val docs = Seq(
+      (1L, "a b c a b c d"),
+      (2L, "a b x a b c"),
+      (3L, "q q")
+    ).toDF("doc_id", "text")
+    val out = TextOps.trigramLmScore(docs, maxBitsE3 = 1000,
+      hash = graft.functions.Hashing.Portable).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((5L, 0L, 2L, 400L, true)))
+    assert(out(2L) === ((4L, 3L, 10L, 2500L, false)))
+    // < 3 tokens: no signal, keep = false
+    assert(out(3L) === ((0L, 0L, 0L, 0L, false)))
+  }
+
   test("urlParts: scheme/host/port/reg-domain/path/params hand pins") {
     val urls = Seq(
       // userinfo + uppercase host + port + multi-label suffix
