@@ -158,4 +158,83 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(rowSet(Multimodal.frameSample(df, 1, codec = codec)) ===
       Set(Seq(1L, 0L, 1L)))
   }
+
+  // ---- the audio half of the seam: graft.operators.WavCodec --------
+  // Fixtures (src/test/resources, generated with pinned PCM values):
+  //  - tone16.wav: mono 16-bit signed LE, 8000 Hz, 16 samples
+  //    0,100,200,300, 1000x4, -500x4, 3,1,4,1 (76 bytes).
+  //  - stereo8.wav: stereo 8-bit UNSIGNED, 8000 Hz, 4 frames, bytes
+  //    0,255,128,127,10,20,30,40 interleaved L/R (52 bytes).
+
+  private val wav = new graft.operators.WavCodec
+  private lazy val tone16 = resourceBytes("/tone16.wav")
+  private lazy val stereo8 = resourceBytes("/stereo8.wav")
+
+  test("WAV decode: RIFF magic, (sample rate, channels) in the dim slots") {
+    assert(wav.decode(tone16) === ((76L, "52494646", 8000L, 1L)))
+    assert(wav.decode(stereo8) === ((52L, "52494646", 8000L, 2L)))
+  }
+
+  test("WAV samples are the exact PCM integers: 16-bit signed and 8-bit unsigned") {
+    assert(wav.samples(tone16).toSeq === Seq(0L, 100L, 200L, 300L,
+      1000L, 1000L, 1000L, 1000L, -500L, -500L, -500L, -500L, 3L, 1L, 4L, 1L))
+    // unsigned 8-bit stays 0..255, channels interleaved in file order
+    assert(wav.samples(stereo8).toSeq ===
+      Seq(0L, 255L, 128L, 127L, 10L, 20L, 30L, 40L))
+    assert(wav.frameCount(tone16) === 16L)
+    assert(wav.frameCount(stereo8) === 4L) // 8 bytes / 2-byte frames
+  }
+
+  test("undecodable or truncated audio degrades, never fails the task") {
+    val junk = "definitely not audio".getBytes("UTF-8")
+    assert(wav.decode(junk) === ((20L, "64656669", 0L, 0L)))
+    assert(wav.frameCount(junk) === 0L)
+    assert(wav.samples(junk).isEmpty)
+    // truncated header: a claiming reader that then fails also degrades
+    val truncated = tone16.take(10)
+    assert(wav.decode(truncated)._3 === 0L)
+    assert(wav.samples(truncated).isEmpty)
+    // an IMAGE through the audio codec degrades (and vice versa the
+    // image codec rejects WAV) — the two seams don't cross-claim
+    assert(wav.decode(png)._3 === 0L)
+    assert(codec.decode(tone16)._3 === 0L)
+  }
+
+  test("audioFingerprint over the real WAV codec matches hand-computed window energies") {
+    // win=4 over tone16: energies 600, 4000, -2000, 9 ->
+    // delta signs up(1), down(0), up(1) -> fp = 1 | 4 = 5, 4 windows.
+    // The operator is UNCHANGED — only the codec is injected (the
+    // ImageIoCodec precedent: real decode, zero operator edits).
+    val df = payloadDf(1L -> tone16, 2L -> null)
+    assert(rowSet(Multimodal.audioFingerprint(df, win = 4, codec = wav)) ===
+      Set(Seq(1L, 4L, 5L), Seq(2L, null, null)))
+    // volume robustness on real PCM: doubling every sample doubles
+    // every window energy - the delta SIGNS (the fingerprint) survive
+    val doubled = {
+      import java.io.ByteArrayInputStream
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(tone16))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      val out = new java.io.ByteArrayOutputStream()
+      val scaled = new Array[Byte](data.length)
+      var i = 0
+      while (i < data.length / 2) {
+        val v = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+        val d = (v * 2).toShort
+        scaled(2 * i) = (d & 0xff).toByte
+        scaled(2 * i + 1) = ((d >> 8) & 0xff).toByte
+        i += 1
+      }
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(scaled), fmt, scaled.length / fmt.getFrameSize),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val fps = Multimodal.audioFingerprint(
+      payloadDf(1L -> tone16, 2L -> doubled), win = 4, codec = wav)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps(1L) === fps(2L), "fingerprint must survive volume scaling")
+  }
 }
