@@ -1027,6 +1027,18 @@ object SparkEntry {
     // 8-word blocks, reassembled retained text per doc
     "d_span_removal" -> ((s, dir) =>
       Dedup.spanRemoval(Tables.documents(s, dir), 8, hash = Hashing.Portable)),
+    // CCNet line/paragraph dedup over a boilerplate-injected fixture
+    // (per-source header + global footer wrap every doc): keep-first
+    // drops each repeated line everywhere but its first carrier;
+    // rebuilds ride an in-row indexed HOF, text never shuffles
+    "d_line_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fx = docs.select(col("doc_id"), concat(
+        lit("Subscribe to the "), col("source"), lit(" newsletter today"),
+        lit("\n"), col("text"),
+        lit("\nCopyright 2024 all rights reserved worldwide")).as("text"))
+      Dedup.lineDedup(fx, hash = Hashing.Portable)
+    }),
 
     // suffix-array-grade exact-substring coverage: OVERLAPPING k-token
     // windows (every offset tested, unlike the block-aligned
@@ -3581,6 +3593,38 @@ object SparkEntry {
     "d_shingle_sets" ->
       s"""WITH $SHINGLES
          |SELECT doc_id, sh FROM sh""".stripMargin,
+
+    // the keep-first line rank in SQL: parallel-unnest (pos, hash,
+    // len) instances, row_number over the line hash, drops re-joined
+    // as a per-doc position list feeding an indexed list_filter
+    "d_line_dedup" ->
+      s"""WITH fx AS (
+         |  SELECT doc_id,
+         |         'Subscribe to the ' || source || ' newsletter today' || chr(10) ||
+         |         text || chr(10) ||
+         |         'Copyright 2024 all rights reserved worldwide' AS text
+         |  FROM documents),
+         |ln AS MATERIALIZED (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM fx),
+         |inst AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> i - 1)) AS pos,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> ${ph("ls[i]")})) AS h,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> len(ls[i]))) AS ll
+         |  FROM ln),
+         |rk AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM inst WHERE ll >= 5),
+         |dr AS (SELECT doc_id, list(pos) AS drops FROM rk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT l.doc_id,
+         |       CAST(len(ls) AS BIGINT) AS n_lines,
+         |       CAST(COALESCE(len(drops), 0) AS BIGINT) AS n_dropped,
+         |       CASE WHEN drops IS NULL THEN l.text
+         |            ELSE array_to_string(
+         |              list_filter(ls, (x, i) -> NOT list_contains(drops, i - 1)),
+         |              chr(10)) END AS retained_text
+         |FROM ln l LEFT JOIN dr USING (doc_id)""".stripMargin,
 
     "d_incremental" ->
       """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -391,6 +391,65 @@ object Dedup {
         coalesce(col("retained_text"), lit("")).as("retained_text"))
   }
 
+  /** Corpus-wide LINE/paragraph dedup, keep-first — the CCNet stage
+    * (Wenzek et al. 2020 §3.1 dedup by paragraph hash; RefinedWeb
+    * runs the same device line-wise) between [[graft.operators.TextOps.htmlStrip]]
+    * and document-level dedup: repeated boilerplate lines (nav rows,
+    * cookie banners, footers) survive only at their globally FIRST
+    * occurrence, ordered by `(doc_id, line index)` — deterministic
+    * and retry/rerun-stable, the [[spanRemoval]] keep-first
+    * discipline at line granularity. Lines are the exact
+    * `split(text, '\n')` segments (no trim — byte-exact rebuild);
+    * lines shorter than `minChars` are EXEMPT (always kept):
+    * structural short lines dedup into nonsense and carry no
+    * boilerplate signal.
+    *
+    * Output: `(doc_id, n_lines, n_dropped, retained_text)` —
+    * surviving lines re-joined with `\n`.
+    *
+    * Scale shape: the DEDUP exchange never carries text — it ranks
+    * `(h, doc_id, pos)` rows (24 bytes/line) with one window on the
+    * 8-byte line hash — and the rebuild is an in-row indexed-HOF
+    * filter, not [[spanRemoval]]'s re-group of every block. The one
+    * place text can move is the reassembly join: the drop set flows
+    * back as per-doc POSITION ARRAYS keyed on `doc_id` (broadcast
+    * when the dropped-doc set is bounded; at worst one
+    * doc_id-partitioned pass of the corpus — still half
+    * [[spanRemoval]]'s two text-sized exchanges). A corpus-wide
+    * boilerplate line costs its occurrence count linearly (one
+    * window group), never quadratically.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      minChars: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = split(col("text"), "\n")
+    val inst = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")))
+      .filter(length(col("col")) >= minChars)
+      .select(col("doc_id"), col("pos"), hash(col("col")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val drops = inst.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos").cast("int")).as("drop_pos"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(drops, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        when(col("drop_pos").isNull, col("text"))
+          .otherwise(array_join(
+            filter(lines, (l, i) => !array_contains(col("drop_pos"), i)),
+            "\n")).as("retained_text"))
+  }
+
   /** Exact-substring duplicate coverage at suffix-array grade (Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better" — the ExactSubstr discipline): a token position is

@@ -364,6 +364,31 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L, 1L, "a b"), Seq(2L, 1L, 0L, "")))
   }
 
+  test("lineDedup: keep-first line dedup, short-line exemption, in-doc dups") {
+    val docs = Seq(
+      (1L, "hello world line\nunique first body\nfooter line here"),
+      (2L, "hello world line\nsecond body text\nfooter line here"),
+      (3L, "abc\nhello world line"),
+      (4L, "abc\nxy"),
+      (5L, "dup line body\ndup line body"),
+      (6L, "")).toDF("doc_id", "text")
+    assert(rowSet(Dedup.lineDedup(docs)) === Set(
+      // first carrier keeps everything, byte-identical
+      Seq(1L, 3L, 0L, "hello world line\nunique first body\nfooter line here"),
+      // header + footer dropped (both first-seen in doc 1)
+      Seq(2L, 3L, 2L, "second body text"),
+      // "abc" is < 5 chars -> exempt even though repeated in doc 4
+      Seq(3L, 2L, 1L, "abc"),
+      Seq(4L, 2L, 0L, "abc\nxy"),
+      // WITHIN-doc duplicate line: second instance drops
+      Seq(5L, 2L, 1L, "dup line body"),
+      // empty text: one zero-length (exempt) line, untouched
+      Seq(6L, 1L, 0L, "")))
+    // hash-tier blindness: portable tier gives identical rows
+    assert(rowSet(Dedup.lineDedup(docs, hash = graft.functions.Hashing.Portable)) ===
+      rowSet(Dedup.lineDedup(docs)))
+  }
+
   test("editDistancePairs: blocked candidates, verified distance, bucket cap") {
     import org.apache.spark.sql.functions.{col, substring}
     val rows = Seq(

@@ -350,6 +350,8 @@ class EmptyInputSpec extends SparkSpec {
     // TextOpsSpec
     assert(TextOps.htmlStrip(emptySrc).count() === 0)
     assert(TextOps.compressionRatio(emptySrc).count() === 0)
+    // r15 line dedup: empty corpus -> no rows
+    assert(Dedup.lineDedup(emptySrc).count() === 0)
     // r15 URL front door: empty corpus -> no rows; empty STRING url
     // parses to the all-empty "not a URL" row (never a crash)
     assert(TextOps.urlParts(
