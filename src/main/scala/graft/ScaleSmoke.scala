@@ -171,7 +171,16 @@ object ScaleSmoke {
     // run hot; the two text screens are pure narrow projections whose
     // 10x points pin scan-bound growth
     "sim_ivfpq_residual", "g_louvain", "sim_knn_graph_capped128",
-    "t_html_strip", "t_compress_ratio")
+    "t_html_strip", "t_compress_ratio",
+    // round-15 wave: leiden adds a per-level id-only CC loop on top of
+    // louvain's rounds (its 10x point checks the refinement tracks
+    // edges, not community count); line dedup's keep-first window and
+    // single doc_id-keyed reassembly pass; the trigram screen's five-
+    // role instance frame (vs bigram's two); the URL front door and
+    // domain quota are narrow-projection/one-window chains whose 10x
+    // points pin scan-bound growth
+    "g_leiden", "d_line_dedup", "t_trigram_lm", "pipe_domain_quota",
+    "t_url_parts")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -942,7 +942,20 @@ object GraphOps {
   def louvain(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
       broadcastLabels: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    communityLevels(pairs, moveRounds, levels, aCol, bCol,
+      broadcastLabels, checkpointDir, refine = (_, lab) => lab)
+
+  /** Shared level driver of [[louvain]] and [[leiden]]: canonical
+    * weighted edge list → per level `moveRounds` synchronous moves →
+    * `refine(edges, labels)` (identity for louvain, connectivity
+    * split for leiden) → contraction over the (possibly refined)
+    * partition, labels composed through the hierarchy.
+    */
+  private def communityLevels(pairs: DataFrame, moveRounds: Int, levels: Int,
+      aCol: String, bCol: String, broadcastLabels: Boolean,
+      checkpointDir: Option[String],
+      refine: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
     require(levels >= 1, s"levels must be >= 1, got $levels")
     var edges = Checkpoints.cut(
@@ -955,7 +968,8 @@ object GraphOps {
       checkpointDir)
     var mapping: DataFrame = null
     for (level <- 1 to levels) {
-      val lab = louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir)
+      val lab = refine(edges,
+        louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir))
       mapping =
         if (level == 1)
           lab.select(col("v").as("person_id"), col("label").as("community"))
@@ -1027,44 +1041,10 @@ object GraphOps {
   def leiden(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
       broadcastLabels: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
-    require(levels >= 1, s"levels must be >= 1, got $levels")
-    var edges = Checkpoints.cut(
-      pairs.select(
-          least(col(aCol), col(bCol)).as("a"),
-          greatest(col(aCol), col(bCol)).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-        .withColumn("w", lit(1L)),
-      checkpointDir)
-    var mapping: DataFrame = null
-    for (level <- 1 to levels) {
-      val moved = louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir)
-      val lab = refineConnected(edges, moved, broadcastLabels, checkpointDir)
-      mapping =
-        if (level == 1)
-          lab.select(col("v").as("person_id"), col("label").as("community"))
-        else
-          mapping.join(
-            lab.select(col("v").as("community"), col("label").as("next_c")),
-            Seq("community"))
-            .select(col("person_id"), col("next_c").as("community"))
-      if (level < levels) {
-        edges = Checkpoints.cut(
-          edges
-            .join(lab.select(col("v").as("a"), col("label").as("la")), Seq("a"))
-            .join(lab.select(col("v").as("b"), col("label").as("lb")), Seq("b"))
-            .select(
-              least(col("la"), col("lb")).as("a"),
-              greatest(col("la"), col("lb")).as("b"), col("w"))
-            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")),
-          checkpointDir)
-        mapping = Checkpoints.cut(mapping, checkpointDir)
-      }
-    }
-    mapping
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    communityLevels(pairs, moveRounds, levels, aCol, bCol,
+      broadcastLabels, checkpointDir,
+      refine = refineConnected(_, _, broadcastLabels, checkpointDir))
 
   /** [[leiden]]'s refinement kernel: split every community of
     * `lab(v, label)` into the connected components of its induced
@@ -1124,6 +1104,16 @@ object GraphOps {
       labels = jumped
       round += 1
     }
+    // an unconverged stop can emit labels that are NOT connected
+    // components — the exact defect leiden exists to remove — so it
+    // must be loud (the connectedComponents precedent logs + falls
+    // back; here 20 pointer-jumped rounds cover diameter ~2^20 and
+    // community diameters are small by construction, so a warning is
+    // the proportionate response)
+    if (changed)
+      log.warn(s"refineConnected: NO fixpoint after $round rounds " +
+        s"(maxRounds=$maxRounds) - refined communities may still be " +
+        "disconnected; raise maxRounds")
     labels.select(col("cv").as("v"), col("clab").as("label"))
   }
 

@@ -61,7 +61,13 @@ object Similarity {
     * session should call this after consuming each result.
     */
   def releaseBandCache(): Unit =
-    lastBandCache.getAndSet(None).foreach(_.unpersist(blocking = false))
+    lastBandCache.getAndSet(None).foreach { df =>
+      // the slot is static: the frame may belong to an already-stopped
+      // SparkContext (session cycled in-process) — a stale unpersist
+      // must not fail the NEXT session's operator construction
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** `floor(x·1e6 + 0.5)` per element — the exactness contract.
     * Native codegen kernel; the HOF twin
@@ -828,8 +834,15 @@ object Similarity {
     val withB = checkpointDir match {
       case Some(_) => Checkpoints.cut(bandPlan, checkpointDir)
       case None =>
+        // free the PREVIOUS slot BEFORE persisting the new plan: a
+        // repeated identical call (Bench trials) produces a
+        // sameResult-equal plan whose persist() shares the existing
+        // CacheManager entry — unpersisting the old frame afterwards
+        // would delete that shared entry and leave the new call fully
+        // uncached (double-banding, the regression this slot prevents)
+        releaseBandCache()
         val cached = bandPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        lastBandCache.getAndSet(Some(cached)).foreach(_.unpersist(blocking = false))
+        lastBandCache.set(Some(cached))
         cached
     }
     Dedup.occupancyProbe(

@@ -46,6 +46,29 @@ import graft.operators.Multimodal.MediaCodec
   */
 final class WavCodec extends MediaCodec {
 
+  /** Integer-PCM gate shared by the header and full-decode paths. */
+  private def isIntPcm(fmt: AudioFormat): Boolean = {
+    val enc = fmt.getEncoding
+    (enc == AudioFormat.Encoding.PCM_SIGNED ||
+      enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+      fmt.getSampleSizeInBits % 8 == 0 &&
+      fmt.getSampleSizeInBits >= 8 && fmt.getSampleSizeInBits <= 32
+  }
+
+  /** HEADER-ONLY parse — `getAudioFileFormat` reads the container
+    * header without draining the PCM stream, so the metadata methods
+    * ([[decode]], [[frameCount]]) never copy sample bytes (a
+    * metadata-only corpus pass stays O(header), not O(payload)).
+    */
+  private def header(payload: Array[Byte]): Option[javax.sound.sampled.AudioFileFormat] =
+    try {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+      if (isIntPcm(aff.getFormat)) Some(aff) else None
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_)   => None
+    }
+
   /** Decoded `(format, pcmBytes)`, or None for anything a stock
     * reader does not claim or that is not integer PCM. IO/format
     * errors mean "not decodable audio", never "fail the task".
@@ -71,18 +94,30 @@ final class WavCodec extends MediaCodec {
   def decode(payload: Array[Byte]): (Long, String, Long, Long) = {
     val n = payload.length.toLong
     val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-    pcm(payload) match {
-      case Some((fmt, _)) =>
+    header(payload) match {
+      case Some(aff) =>
+        val fmt = aff.getFormat
         (n, magic, fmt.getSampleRate.toLong, fmt.getChannels.toLong)
       case None => (n, magic, 0L, 0L)
     }
   }
 
+  /** Header frame length when the container declares one (WAV always
+    * does); the full-decode byte count is the fallback. Pinned: for a
+    * data-truncated file whose header still parses, this reports the
+    * DECLARED length while [[samples]] streams what is actually there
+    * — metadata describes the container, samples describe the bytes.
+    */
   def frameCount(payload: Array[Byte]): Long =
-    pcm(payload) match {
-      case Some((fmt, bytes)) if fmt.getFrameSize > 0 =>
-        bytes.length.toLong / fmt.getFrameSize
-      case _ => 0L
+    header(payload) match {
+      case Some(aff) if aff.getFrameLength >= 0 => aff.getFrameLength.toLong
+      case Some(_) =>
+        pcm(payload) match {
+          case Some((fmt, bytes)) if fmt.getFrameSize > 0 =>
+            bytes.length.toLong / fmt.getFrameSize
+          case _ => 0L
+        }
+      case None => 0L
     }
 
   def samples(payload: Array[Byte]): Iterator[Long] =

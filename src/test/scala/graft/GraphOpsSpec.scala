@@ -582,16 +582,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(q(GraphOps.leiden(g, 2, 1)) >= q(GraphOps.louvain(g, 2, 1)))
   }
 
-  test("leiden laws on the cooc graph: Q(leiden) >= Q(louvain), every community connected") {
+  test("leiden laws on the cooc graph: per-level Q(leiden) >= Q(louvain), every community connected") {
     val pairs = GraphOps.coOccurrencePairs(
       GraphOps.edgesFromDocs(
         graft.sources.Tables.relationshipDocs(spark, "/root/testdata/sf0.001")),
       maxFanout = 20, minShared = 2)
     def q(labels: org.apache.spark.sql.DataFrame): Long =
       GraphOps.modularity(pairs, labels).head().getLong(2)
-    val qLeiden = q(GraphOps.leiden(pairs, 2, 2))
-    val qLouvain = q(GraphOps.louvain(pairs, 2, 2))
-    assert(qLeiden >= qLouvain, s"leiden $qLeiden < louvain $qLouvain")
+    // the THEOREM is per-level (same moves, then a split that keeps
+    // Sigma m_c and can only shrink Sigma D_c^2) — at levels >= 2 the
+    // two hierarchies contract DIFFERENT graphs and the final-Q
+    // inequality is empirical, not guaranteed, so the law pins level 1
+    val qLeiden1 = q(GraphOps.leiden(pairs, 2, 1))
+    val qLouvain1 = q(GraphOps.louvain(pairs, 2, 1))
+    assert(qLeiden1 >= qLouvain1,
+      s"per-level law violated: leiden $qLeiden1 < louvain $qLouvain1")
+    // connectivity IS a theorem at every depth — check the full run
     assertCommunitiesConnected(
       pairs.collect().map(r => r.getString(0) -> r.getString(1)),
       GraphOps.leiden(pairs, 2, 2).collect()

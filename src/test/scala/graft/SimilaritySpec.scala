@@ -453,6 +453,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("public occupancyReport accessor + releaseBandCache one-slot lifecycle") {
+    import graft.operators.Dedup
+    val hot = (1L to 150L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    Dedup.lastOccupancyReport.set(None)
+    Similarity.knnGraph(hot, k = 2).count()
+    // the public accessor IS the documented consumer-facing signal
+    assert(Dedup.occupancyReport.isDefined &&
+      Dedup.occupancyReport.exists(r => r.capped && r.op == "knnGraph"))
+    val afterOne = spark.sparkContext.getPersistentRDDs.size
+    // one-slot law: a second banded call frees the first band table
+    // before caching its own — the RDD census must not grow
+    Similarity.knnGraph(hot, k = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterOne,
+      "repeated banded calls must not accumulate band-table cache entries")
+    // release frees the last slot; a second release is a no-op
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.releaseBandCache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after === before - 1, s"expected one freed entry, $before -> $after")
+    Similarity.releaseBandCache()
+    assert(spark.sparkContext.getPersistentRDDs.size === after)
+    // clean probe state for neighbors
+    Dedup.lastOccupancyReport.set(None)
+  }
+
   test("embedding banding occupancy guardrail: probe fires hot, reports the active cap, clears cool") {
     import graft.operators.Dedup
     // degenerate hot fixture: 150 identical vectors — every (band,
