@@ -857,6 +857,29 @@ object SparkEntry {
     // counts — the whole row, estimators included, replicates in SQL
     "x_kmv_overlap" -> ((s, dir) =>
       TextOps.kmvOverlap(Tables.documents(s, dir), k = 16)),
+    // Bloom membership sketch: build over the 90% corpus slice, probe
+    // the doc_id%10==0 batch — the sketch-tier admission filter for
+    // incremental dedup; the exact `present` column rides along so the
+    // no-false-negative guarantee is oracle-audited row by row
+    "x_bloom_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      // the probe batch carries KNOWN members too (corpus docs re-ided
+      // +1e6) so the no-false-negative guarantee is audited on rows
+      // where present = true, not vacuously
+      val probe = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val bloom = Dedup.bloomBuild(corpus, hash = Hashing.Portable)
+      val mc = Dedup.bloomMightContain(probe, bloom, hash = Hashing.Portable)
+      val present = probe
+        .join(corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(true).as("present"))
+      mc.join(present, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("might_contain"),
+          coalesce(col("present"), lit(false)).as("present"))
+    }),
     // quantile member of the mergeable-sketch tier: deterministic
     // 1-in-10 hash-rate sample, type-1 quantiles at p50/p90, exact
     // audit columns ride along — whole artifact bit-replicates in SQL
@@ -2935,6 +2958,42 @@ object SparkEntry {
     // sketch union, K = union-sketch members present in both bottom-k
     // sets; jaccard = K/k_u, |A∪B| = 15·P // τ, |A∩B| = K·|A∪B| // k_u
     // — every estimator column bit-matches the engine's
+    // the sketch replicated in SQL: 63-bit words (sign bit never set),
+    // seeded positions ph('<j>#'||text) % m, bit_or build, all-bits
+    // probe with COALESCE(bits, 0) for never-touched words
+    "x_bloom_incremental" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         |probe AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 1),
+         |bpos AS (
+         |  SELECT unnest([
+         |    ${ph("'0#' || text")} % 64512, ${ph("'1#' || text")} % 64512,
+         |    ${ph("'2#' || text")} % 64512, ${ph("'3#' || text")} % 64512]) AS p
+         |  FROM corpus),
+         |words AS MATERIALIZED (
+         |  SELECT p // 63 AS word_idx,
+         |         bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |ppos AS (
+         |  SELECT doc_id, unnest([
+         |    ${ph("'0#' || text")} % 64512, ${ph("'1#' || text")} % 64512,
+         |    ${ph("'2#' || text")} % 64512, ${ph("'3#' || text")} % 64512]) AS p
+         |  FROM probe),
+         |chk AS (
+         |  SELECT doc_id,
+         |         ((COALESCE(w.bits, 0) >> CAST(pp.p % 63 AS INTEGER)) % 2 = 1) AS ok
+         |  FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.p // 63),
+         |mc AS (
+         |  SELECT doc_id,
+         |         (COUNT(CASE WHEN NOT ok THEN 1 END) = 0) AS might_contain
+         |  FROM chk GROUP BY doc_id)
+         |SELECT m.doc_id, m.might_contain,
+         |       (p.text IN (SELECT text FROM corpus)) AS present
+         |FROM mc m JOIN probe p USING (doc_id)""".stripMargin,
+
     "x_kmv_overlap" ->
       s"""WITH h AS (
          |  SELECT DISTINCT source,

@@ -158,6 +158,84 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
   }
 
+  /** Mergeable Bloom membership sketch over document content — the
+    * sketch-tier replacement for [[incrementalNew]]'s exact anti-join
+    * when the corpus key set is too large to move per batch (Bloom
+    * 1970; the standard streaming-ingest admission filter: probe the
+    * sketch first, pay the exact join only for probable hits). The
+    * sketch is `m` bits packed into 63-BIT WORDS (`word = p div 63`,
+    * `bit = p mod 63` — the sign bit is never set, so every word is a
+    * non-negative BIGINT and the whole artifact replicates bit-exactly
+    * in any engine; the [[Multimodal.audioFingerprint]] 60-bit
+    * convention). Position `j` of a document is
+    * `hash("<j>#" + text) mod m`, `j < k` — the seeded-hash device of
+    * the CMS/KMV sketches.
+    *
+    * Returns the DENSE word table `(word_idx, bits)` — `ceil(m/63)`
+    * rows including zero words, so shard sketches MERGE by joining on
+    * `word_idx` and `bit_or`-ing `bits` (absence never means "unknown").
+    *
+    * Scale shape: one map-side-combined `bit_or` aggregate over
+    * `k` position rows per doc (24-byte rows, text hashed at the
+    * scan); the sketch is `m/63` longs — kilobytes — and broadcasts to
+    * every probe.
+    */
+  def bloomBuild(
+      docs: DataFrame,
+      m: Int = 63 * 1024,
+      k: Int = 4,
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(m >= 63, s"m must be >= 63, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val words = spark.range((m + 62L) / 63L).select(col("id").as("word_idx"))
+    val set = docs.select(
+        explode(array((0 until k).map(j =>
+          pmod(hash(concat(lit(s"$j#"), col(textCol))), lit(m.toLong))): _*))
+          .as("p"))
+      .select(expr("p div 63L").as("word_idx"),
+        pmod(col("p"), lit(63L)).cast("int").as("bit"))
+      .select(col("word_idx"), expr("shiftleft(1L, bit)").as("bv"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bv)").as("bits"))
+    words.join(set, Seq("word_idx"), "left_outer")
+      .select(col("word_idx"), coalesce(col("bits"), lit(0L)).as("bits"))
+  }
+
+  /** Probe documents against a [[bloomBuild]] sketch:
+    * `(doc_id, might_contain)` — `might_contain = false` GUARANTEES the
+    * content is absent from the build corpus (no false negatives, by
+    * construction: every set position of a member is set in the
+    * merged words); `true` is probabilistic with the standard
+    * `(1 − e^{−kn/m})^k` false-positive rate. The sketch side is a
+    * broadcast of `m/63` longs; the probe side shuffles `k` 16-byte
+    * rows per doc, never text.
+    */
+  def bloomMightContain(
+      docs: DataFrame,
+      bloom: DataFrame,
+      m: Int = 63 * 1024,
+      k: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    require(m >= 63 && k >= 1, s"need m >= 63, k >= 1; got m=$m k=$k")
+    docs.select(
+        col(idCol).as("doc_id"),
+        explode(array((0 until k).map(j =>
+          pmod(hash(concat(lit(s"$j#"), col(textCol))), lit(m.toLong))): _*))
+          .as("p"))
+      .select(col("doc_id"),
+        expr("p div 63L").as("word_idx"),
+        pmod(col("p"), lit(63L)).cast("int").as("bit"))
+      .join(broadcast(bloom), Seq("word_idx"), "left_outer")
+      .select(col("doc_id"),
+        (expr("shiftright(coalesce(bits, 0L), bit)") % 2L === 1L).as("ok"))
+      .groupBy(col("doc_id"))
+      .agg((count(when(!col("ok"), lit(1))) === 0L).as("might_contain"))
+  }
+
   /** Primary / secondary content keys per hash tier. The portable tier
     * derives the second key by hashing a marker-prefixed text (same
     * closed form in the DuckDB oracle); the fast tier uses xxhash64's

@@ -364,6 +364,36 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, 1L, 1L, "a b"), Seq(2L, 1L, 0L, "")))
   }
 
+  test("bloom sketch: no false negatives, shard merge law, dense zero words") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val corpus = Seq(
+      (1L, "alpha doc one"), (2L, "beta doc two"),
+      (3L, "gamma doc three"), (4L, "delta doc four")).toDF("doc_id", "text")
+    val bloom = Dedup.bloomBuild(corpus)
+    // DENSE word table: ceil(63*1024 / 63) rows, zero words included
+    assert(bloom.count() === 1024L)
+    // no false negatives: every build member probes true
+    val members = Dedup.bloomMightContain(corpus, bloom).collect()
+    assert(members.forall(_.getBoolean(1)), "a member probed false")
+    // non-members at this fill (16 set bits / 64512) essentially never
+    // collide on all 4 positions — pinned false for these fixtures
+    val strangers = Seq(
+      (10L, "epsilon unseen text"), (11L, "zeta unseen text"),
+      (12L, "eta unseen text")).toDF("doc_id", "text")
+    assert(Dedup.bloomMightContain(strangers, bloom).collect()
+      .forall(!_.getBoolean(1)))
+    // MERGE law: bit_or of shard sketches == the whole-corpus build
+    val s1 = Dedup.bloomBuild(corpus.filter(col("doc_id") <= 2))
+    val s2 = Dedup.bloomBuild(corpus.filter(col("doc_id") > 2))
+    val merged = s1.unionByName(s2).groupBy(col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+    assert(rowSet(merged) === rowSet(bloom))
+    // hash-tier blindness of the LAWS (values differ, laws hold)
+    val pb = Dedup.bloomBuild(corpus, hash = graft.functions.Hashing.Portable)
+    assert(Dedup.bloomMightContain(corpus, pb,
+      hash = graft.functions.Hashing.Portable).collect().forall(_.getBoolean(1)))
+  }
+
   test("lineDedup: keep-first line dedup, short-line exemption, in-doc dups") {
     val docs = Seq(
       (1L, "hello world line\nunique first body\nfooter line here"),

@@ -350,6 +350,12 @@ class EmptyInputSpec extends SparkSpec {
     // TextOpsSpec
     assert(TextOps.htmlStrip(emptySrc).count() === 0)
     assert(TextOps.compressionRatio(emptySrc).count() === 0)
+    // r15 bloom: empty corpus builds the all-zero DENSE word table
+    // (mergeable identity), and probing it can only say "absent"
+    val eb = Dedup.bloomBuild(emptySrc)
+    assert(eb.count() === 1024L)
+    assert(eb.agg(sum(col("bits"))).head().getLong(0) === 0L)
+    assert(Dedup.bloomMightContain(emptySrc, eb).count() === 0)
     // r15 line dedup: empty corpus -> no rows
     assert(Dedup.lineDedup(emptySrc).count() === 0)
     // r15 URL front door: empty corpus -> no rows; empty STRING url
