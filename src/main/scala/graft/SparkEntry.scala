@@ -144,6 +144,27 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** HTML-ified fixture of the documents table (one markup class per
+    * `doc_id mod 4`: full page w/ script+style+nav, entities, `<br>`
+    * boilerplate, already-clean) — every [[TextOps.htmlStrip]] stage
+    * exercised on corpus text; shared by `t_html_strip` and the
+    * composed `pipe_web_curation` chain.
+    */
+  private def htmlFixture(docs: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val html = when(m === 0, concat(
+        lit("<html><head><style type=\"text/css\">.x{a:b}</style>" +
+          "<script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>"),
+        col("text"),
+        lit("</p><div>Home | About | Contact</div></body></html>")))
+      .when(m === 1, concat(
+        lit("Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. "),
+        col("text")))
+      .when(m === 2, concat(col("text"), lit("<br>Nav<br>(c) 2020")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), html.as("text"))
+  }
+
   private def coocPairs(s: SparkSession, dir: String): DataFrame =
     Option(sharedGraph.get(dir)).map(_._2)
       .getOrElse(GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))
@@ -704,21 +725,8 @@ object SparkEntry {
     // documents table (script/style + tags, entities, <br>
     // boilerplate, already-clean — one class per doc_id mod 4), so
     // every stage of the stripper is oracle-exercised on corpus text
-    "t_html_strip" -> ((s, dir) => {
-      val m = pmod(col("doc_id"), lit(4))
-      val html = when(m === 0, concat(
-          lit("<html><head><style type=\"text/css\">.x{a:b}</style>" +
-            "<script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>"),
-          col("text"),
-          lit("</p><div>Home | About | Contact</div></body></html>")))
-        .when(m === 1, concat(
-          lit("Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. "),
-          col("text")))
-        .when(m === 2, concat(col("text"), lit("<br>Nav<br>(c) 2020")))
-        .otherwise(col("text"))
-      TextOps.htmlStrip(
-        Tables.documents(s, dir).select(col("doc_id"), html.as("text")))
-    }),
+    "t_html_strip" -> ((s, dir) =>
+      TextOps.htmlStrip(htmlFixture(Tables.documents(s, dir)))),
     "t_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir), hash = Hashing.Portable)),
     "t_hash_split" -> ((s, dir) =>
@@ -968,6 +976,15 @@ object SparkEntry {
         .select(col("doc_id"), col("reg_domain"))
       TextOps.domainQuota(
         docs.join(rd, Seq("doc_id")), "reg_domain", 25, hash = Hashing.Portable)
+    }),
+    // the COMPOSED web front door (RefinedWeb §3 / CCNet): URL gate ->
+    // registered domain, HTML strip, corpus-wide keep-first line
+    // dedup, per-domain quota — one whole-chain oracle over the URL
+    // and HTML fixtures together
+    "pipe_web_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val webDocs = urlFixture(docs).join(htmlFixture(docs), Seq("doc_id"))
+      graft.pipelines.Curation.webCurate(webDocs, hash = Hashing.Portable)
     }),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
     "t_chunks" -> ((s, dir) =>
@@ -3574,6 +3591,79 @@ object SparkEntry {
          |       (n_trigrams IS NOT NULL AND n_trigrams > 0
          |        AND floor(bits_total*1000/n_trigrams) <= 3600) AS keep
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the whole front-door chain in SQL: urlparsed (URL gate + reg
+    // domain), the t_html_strip regex chain, the d_line_dedup
+    // keep-first chain over the STRIPPED text, then the domain-keyed
+    // quota window — each stage the verbatim device of its own oracle
+    "pipe_web_curation" ->
+      s"""WITH $URLPARSED,
+         |hfx AS (
+         |  SELECT doc_id,
+         |         CASE CAST(doc_id % 4 AS INTEGER)
+         |           WHEN 0 THEN '<html><head><style type="text/css">.x{a:b}</style><script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>'
+         |                       || text ||
+         |                       '</p><div>Home | About | Contact</div></body></html>'
+         |           WHEN 1 THEN 'Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. ' || text
+         |           WHEN 2 THEN text || '<br>Nav<br>(c) 2020'
+         |           ELSE text END AS html
+         |  FROM documents),
+         |hst AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(
+         |      html,
+         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+         |      AS txt
+         |  FROM hfx),
+         |hkp AS (
+         |  SELECT doc_id,
+         |         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+         |           x -> len(regexp_extract_all(x, '\\S+')) >= 4 AND
+         |                3 * len(list_filter(regexp_extract_all(x, '\\S+'),
+         |                      t -> regexp_matches(t, '^[^\\p{L}\\p{N}]+$$')))
+         |                  <= len(regexp_extract_all(x, '\\S+'))) AS kept
+         |  FROM hst),
+         |ext AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+         |  FROM hkp WHERE len(kept) > 0),
+         |dls AS MATERIALIZED (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM ext),
+         |dinst AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> i - 1)) AS pos,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> ${ph("ls[i]")})) AS h,
+         |         unnest(list_transform(range(1, len(ls) + 1), i -> len(ls[i]))) AS ll
+         |  FROM dls),
+         |drk AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM dinst WHERE ll >= 5),
+         |ddr AS (SELECT doc_id, list(pos) AS drops FROM drk WHERE rn > 1 GROUP BY doc_id),
+         |ret AS MATERIALIZED (
+         |  SELECT l.doc_id,
+         |         CASE WHEN drops IS NULL THEN l.text
+         |              ELSE array_to_string(
+         |                list_filter(ls, (x, i) -> NOT list_contains(drops, i - 1)),
+         |                chr(10)) END AS text
+         |  FROM dls l LEFT JOIN ddr USING (doc_id)),
+         |adm AS (
+         |  SELECT r.doc_id, u.reg_domain, r.text
+         |  FROM ret r JOIN urlparsed u ON u.doc_id = r.doc_id
+         |  WHERE len(r.text) > 0 AND len(u.scheme) > 0)
+         |SELECT doc_id, reg_domain, rn FROM (
+         |  SELECT doc_id, reg_domain,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY reg_domain
+         |           ORDER BY ${ph("text")} ASC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM adm)
+         |WHERE rn <= 25""".stripMargin,
 
     "t_dsir_weights" -> s"$DSIR_CTES\n$DSIR_SELECT",
 

@@ -66,6 +66,54 @@ object Curation {
     *    [[DefaultMaxBucketSize]] by default since the uncapped band
     *    join is quadratic in hot buckets; `None` opts out.
     */
+  /** The web-corpus FRONT of the curation DAG (RefinedWeb §3's
+    * URL-filter → extract → line-dedup → balance; CCNet's paragraph
+    * dedup) composed from the r15 front-door operators — the stages
+    * [[curate]] assumes already ran by the time it receives a clean
+    * `(doc_id, source, text)` corpus:
+    *
+    *  1. URL gate: [[TextOps.urlParts]] over `urlCol`; rows without an
+    *     absolute URL drop, and the REGISTERED DOMAIN becomes the
+    *     balancing key (not an assumed-clean `source` column);
+    *  2. extraction: [[TextOps.htmlStrip]] — markup off, jusText-lite
+    *     boilerplate line filter; documents with no surviving line
+    *     drop;
+    *  3. line dedup: [[Dedup.lineDedup]] keep-first across the corpus;
+    *     documents whose every line deduped away drop;
+    *  4. domain quota: [[TextOps.domainQuota]] keyed by registered
+    *     domain — at most `domainK` docs per domain, deterministic
+    *     content-hash ranking.
+    *
+    * Output: `(doc_id, reg_domain, rn)` — admitted documents with
+    * their quota rank; feed the survivors into [[curate]] for the
+    * quality/dedup/split tail.
+    *
+    * Scale shape: the union of each stage's own contract — two narrow
+    * regex/HOF projections, one 24-byte line-hash window + one
+    * doc_id-keyed reassembly join, one reg_domain window with the
+    * partial WindowGroupLimit. No stage adds a new exchange class.
+    */
+  def webCurate(
+      docs: DataFrame,
+      domainK: Int = 25,
+      urlCol: String = "url",
+      textCol: String = "text",
+      minLineChars: Int = 5,
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    val parts = TextOps.urlParts(docs.select(col("doc_id"), col(urlCol)), urlCol)
+      .filter(length(col("scheme")) > 0)
+      .select(col("doc_id"), col("reg_domain"))
+    val stripped = TextOps.htmlStrip(
+        docs.select(col("doc_id"), col(textCol).as("text")))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val deduped = Dedup.lineDedup(stripped, minLineChars, hash = hash)
+      .filter(length(col("retained_text")) > 0)
+      .select(col("doc_id"), col("retained_text").as("text"))
+    TextOps.domainQuota(
+      deduped.join(parts, Seq("doc_id")), "reg_domain", domainK, hash = hash)
+  }
+
   def curate(
       docs: DataFrame,
       trainPermille: Int = 800,

@@ -112,6 +112,32 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curate(sourced, 800, 100, 3, Hashing.Portable).count() === 4L)
   }
 
+  test("webCurate: URL gate, strip, line dedup, and domain quota compose") {
+    val web = Seq(
+      // two docs on one domain sharing a boilerplate line: the second
+      // keeps only its body after line dedup
+      (1L, "https://a.example.com/p1",
+        "<p>shared cookie banner text here</p><p>first unique body line</p>"),
+      (2L, "https://b.example.com/p2?utm_source=x",
+        "<p>shared cookie banner text here</p><p>second unique body line</p>"),
+      // no URL -> dropped at the gate even with fine text
+      (3L, "not a url", "<p>perfectly good body text here</p>"),
+      // all-boilerplate page: nothing survives the strip -> dropped
+      (4L, "https://c.example.com/nav", "<div>Home | About | Contact</div>"),
+      // page whose EVERY line deduped away -> dropped after stage 3
+      (5L, "https://d.example.com/copy",
+        "<p>shared cookie banner text here</p>")
+    ).toDF("doc_id", "url", "text")
+    val out = Curation.webCurate(web, domainK = 10, hash = Hashing.Portable)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 2L), s"got $out")
+    assert(out(1L) === "example.com" && out(2L) === "example.com")
+    // the quota binds per REGISTERED domain: k=1 admits only one of
+    // the two example.com docs
+    assert(Curation.webCurate(web, domainK = 1, hash = Hashing.Portable)
+      .count() === 1L)
+  }
+
   test("reliable-checkpoint mode is result-identical for curate and leakageSafeSplit") {
     val ckpt = Some(TestSpark.ckptDir)
     assert(rowSet(Curation.curate(docs, 800, 100, 3, Hashing.Portable,
