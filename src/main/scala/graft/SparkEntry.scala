@@ -438,6 +438,14 @@ object SparkEntry {
     "g_leiden" -> ((s, dir) =>
       GraphOps.leiden(coocPairs(s, dir), moveRounds = 2, levels = 2)),
 
+    // k-truss peel on the projected graph: synchronous edge-support
+    // rounds, round-8 snapshot contract (the oracle unrolls exactly 8
+    // recursive rounds; the operator's fixpoint early-stop is
+    // idempotent past convergence). k = 72 sits inside the dense cooc
+    // support range so the peel cascades for several rounds
+    "g_ktruss" -> ((s, dir) =>
+      GraphOps.kTruss(coocPairs(s, dir), k = 72, maxRounds = 8)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -4510,6 +4518,34 @@ object SparkEntry {
          |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22")}
          |SELECT l12.v AS person_id, l22.label AS community
          |FROM l12 JOIN l22 ON l22.v = l12.label""".stripMargin,
+
+    // the bounded recursive peel (the g_kcore_fixpoint device) at EDGE
+    // granularity: each round keeps an edge iff its endpoints share
+    // >= k-2 = 70 neighbors among the CURRENT survivors; the working
+    // table is the previous round only, so the correlated support
+    // subquery counts against the right level
+    "g_ktruss" ->
+      s"""WITH RECURSIVE $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |peel(iter, a, b) AS (
+         |  SELECT 0, pa, pb FROM cooc
+         |  UNION ALL
+         |  SELECT iter + 1, p.a, p.b FROM peel p
+         |  WHERE p.iter < 8 AND (
+         |    SELECT COUNT(*)
+         |    FROM (SELECT CASE WHEN x.a = p.a THEN x.b ELSE x.a END AS c
+         |          FROM peel x WHERE x.a = p.a OR x.b = p.a) na
+         |    JOIN (SELECT CASE WHEN y.a = p.b THEN y.b ELSE y.a END AS c
+         |          FROM peel y WHERE y.a = p.b OR y.b = p.b) nb
+         |    USING (c)) >= 70
+         |)
+         |SELECT a AS person_a, b AS person_b FROM peel WHERE iter = 8""".stripMargin,
 
     // g_louvain plus the connectivity refinement after each level's
     // move rounds: intra-community edges -> exact reachability

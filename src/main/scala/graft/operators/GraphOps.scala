@@ -834,6 +834,85 @@ object GraphOps {
     */
   val KCoreMaxRounds: Int = 1000
 
+  /** k-truss peel (Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis") — [[kCorePeel]]'s EDGE-level sibling: the
+    * maximal subgraph where every surviving edge closes ≥ k−2
+    * triangles WITHIN the survivors. Stricter than a k-core (every
+    * k-truss edge's endpoints sit in a (k−1)-core) and the standard
+    * community-core primitive that degree alone cannot express (a hub
+    * with many degree-1 followers has high core number but zero
+    * support). Synchronous rounds: per round every edge's support is
+    * counted against the CURRENT edge set and all below-threshold
+    * edges drop together — deterministic and oracle-replicable, and
+    * after a fixpoint further rounds are no-ops (the bounded
+    * recursive-peel oracle device of `g_kcore_fixpoint`: the SQL twin
+    * always runs `maxRounds` rounds, idempotent past convergence, so
+    * the operator's early-stop ≡ the oracle's fixed unroll).
+    *
+    * Returns the surviving canonical edge list
+    * `(person_a < person_b)`. Degenerate cases pinned: `k ≤ 2` keeps
+    * every edge (support ≥ 0 always holds); triangle-free graphs
+    * empty at the first round for `k ≥ 3`.
+    *
+    * Scale shape: per round ONE wedge join (edge list vs the
+    * symmetric neighbor view on the shared endpoint — Σ deg² rows on
+    * the hub-capped projections this targets, the [[triangleCounts]]
+    * shape), a map-side-combined (a, b) support aggregate, and a
+    * semi-join filter; ids only, no payload. Each round's shrinking
+    * edge list is checkpoint-cut, and the edge-count convergence
+    * metric rides the cut job's `observe` (no extra count pass —
+    * the [[kCorePeel]] device).
+    */
+  def kTruss(pairs: DataFrame, k: Int, maxRounds: Int = 20,
+      aCol: String = "person_a", bCol: String = "person_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = Checkpoints.cut(
+      pairs.select(
+          least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct(), checkpointDir)
+    var prevEdges: Option[Long] = None
+    var changed = k > 2 // k <= 2: support >= 0 is vacuous, skip the loop
+    var round = 0
+    while (changed && round < maxRounds) {
+      val sym = e.select(col("a").as("v"), col("b").as("u"))
+        .union(e.select(col("b").as("v"), col("a").as("u")))
+      // support(a, b) = |N(a) ∩ N(b)| over the current survivors: the
+      // wedge join attaches a's neighbors as c, then keeps rows where
+      // (b, c) is also an edge
+      val supp = e
+        .join(sym.select(col("v").as("a"), col("u").as("c")), Seq("a"))
+        .join(sym.select(col("v").as("b"), col("u").as("c")), Seq("b", "c"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      val kept = e.join(
+        supp.filter(col("supp") >= k - 2).select(col("a"), col("b")),
+        Seq("a", "b"), "left_semi")
+      val obs = new org.apache.spark.sql.Observation(s"ktruss_round_$round")
+      e = Checkpoints.cut(
+        kept.observe(obs, count(lit(1)).as("n_edges")), checkpointDir)
+      val nEdges = Option(obs.get("n_edges"))
+        .collect { case l: java.lang.Long => l.longValue() }
+      changed = (nEdges, prevEdges) match {
+        case (Some(cur), Some(prev)) => cur < prev
+        case (Some(cur), None)       => cur > 0
+        case (None, _) =>
+          log.warn(s"kTruss: convergence metric absent at round $round; " +
+            "stopping - result may not be a fixpoint")
+          false
+      }
+      prevEdges = nEdges
+      round += 1
+    }
+    if (changed && round >= maxRounds)
+      log.warn(s"kTruss: hit the $maxRounds-round bound still unconverged - " +
+        "result is the round-" + maxRounds + " snapshot (the oracle contract), " +
+        "not necessarily the fixpoint")
+    e.select(col("a").as("person_a"), col("b").as("person_b"))
+  }
+
   /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) over
     * an undirected pair graph — community detection where a connected
     * component ([[graft.operators.Dedup.connectedComponents]]) is too

@@ -60,6 +60,9 @@ class EmptyInputSpec extends SparkSpec {
     // leiden: the refinement CC loop converges immediately on nothing
     assert(GraphOps.leiden(
       Seq.empty[(String, String)].toDF("person_a", "person_b"), 2, 2).count() === 0)
+    // kTruss: empty graph peels to nothing at any k
+    assert(GraphOps.kTruss(
+      Seq.empty[(String, String)].toDF("person_a", "person_b"), 4).count() === 0)
     assert(GraphOps.harmonicCentrality2(
       Seq.empty[(String, String)].toDF("person_a", "person_b")).count() === 0)
     // modularity on nothing: single (0, 0, 0) row by the m > 0 guard

@@ -532,6 +532,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(qL >= qP, s"louvain $qL < lpa $qP on the cooc graph")
   }
 
+  test("kTruss: support peel, cascade to empty, vacuous k, pendant drop") {
+    // two triangles ABC / BCD sharing edge B-C, plus pendant D-E
+    val g = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("B", "D"), ("C", "D"), ("D", "E")
+    ).toDF("person_a", "person_b")
+    // k=3 (support >= 1): every triangle edge survives, the pendant
+    // D-E (support 0) drops; the survivor set is already a fixpoint
+    assert(rowSet(GraphOps.kTruss(g, k = 3)) === Set(
+      Seq("A", "B"), Seq("A", "C"), Seq("B", "C"),
+      Seq("B", "D"), Seq("C", "D")))
+    // k=4 (support >= 2): round 1 keeps only B-C (the shared edge,
+    // support 2); round 2 its support is 0 among survivors -> empty.
+    // The synchronous cascade, not just one filtering pass.
+    assert(GraphOps.kTruss(g, k = 4).count() === 0L)
+    // k=2 is vacuous: every edge kept, including the pendant
+    assert(GraphOps.kTruss(g, k = 2).count() === 6L)
+    // round-bound contract: maxRounds=1 returns the round-1 snapshot
+    // (B-C alone), NOT the fixpoint
+    assert(rowSet(GraphOps.kTruss(g, k = 4, maxRounds = 1)) ===
+      Set(Seq("B", "C")))
+    // k-truss edges sit inside the (k-1)-core (Cohen 2008): every
+    // k=3 survivor endpoint has degree >= 2 in the survivor graph
+    val surv = GraphOps.kTruss(g, k = 3)
+    val degs = surv.select(col("person_a").as("v"))
+      .unionAll(surv.select(col("person_b").as("v")))
+      .groupBy("v").count().collect().map(_.getLong(1))
+    assert(degs.forall(_ >= 2L))
+  }
+
   test("leiden: refinement is a no-op when louvain communities are connected") {
     val tris = Seq(
       ("A", "B"), ("B", "C"), ("A", "C"),
