@@ -180,7 +180,12 @@ object ScaleSmoke {
     // domain quota are narrow-projection/one-window chains whose 10x
     // points pin scan-bound growth
     "g_leiden", "d_line_dedup", "t_trigram_lm", "pipe_domain_quota",
-    "t_url_parts")
+    "t_url_parts",
+    // the composed web front door: URL gate + strip + line dedup +
+    // domain quota — its 10x point checks the whole-chain cost stays
+    // the sum of its stages (two projections, one line-hash window,
+    // one quota window), with no cross-stage blowup
+    "pipe_web_curation")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -126,23 +126,32 @@ object SparkEntry {
     * [[TextOps.urlParts]] stage is oracle-exercised on corpus rows —
     * the `t_html_strip` fixture device.
     */
-  private def urlFixture(docs: DataFrame): DataFrame = {
+  private def urlFixtureExpr: Column = {
     val m = pmod(col("doc_id"), lit(8))
     val id = col("doc_id").cast("string")
-    docs.select(col("doc_id"),
-      when(m === 0, concat(lit("https://www.example.com/a/"), id,
-          lit("?utm_source=news&q="), id))
-        .when(m === 1, concat(lit("http://user:pw@Blog.Example.co.uk:8080/post/"),
-          id, lit("?id="), id, lit("&utm_campaign=x&ref=tw")))
-        .when(m === 2, concat(lit("https://xn--bcher-kva.example/katalog/"), id))
-        .when(m === 3, concat(lit("ftp://files.example.org:21/pub/"), id, lit(".txt")))
-        .when(m === 4, concat(lit("https://example.com:443/x?b=2&a=1&gclid="), id))
-        .when(m === 5, concat(lit("http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep="), id))
-        .when(m === 6, concat(lit("https://sub.shop.example.com.au/cart?item="), id,
-          lit("&utm_medium=cpc#frag")))
-        .otherwise(concat(lit("doc "), id, lit(" has no url")))
-        .as("url"))
+    when(m === 0, concat(lit("https://www.example.com/a/"), id,
+        lit("?utm_source=news&q="), id))
+      .when(m === 1, concat(lit("http://user:pw@Blog.Example.co.uk:8080/post/"),
+        id, lit("?id="), id, lit("&utm_campaign=x&ref=tw")))
+      .when(m === 2, concat(lit("https://xn--bcher-kva.example/katalog/"), id))
+      .when(m === 3, concat(lit("ftp://files.example.org:21/pub/"), id, lit(".txt")))
+      .when(m === 4, concat(lit("https://example.com:443/x?b=2&a=1&gclid="), id))
+      .when(m === 5, concat(lit("http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep="), id))
+      .when(m === 6, concat(lit("https://sub.shop.example.com.au/cart?item="), id,
+        lit("&utm_medium=cpc#frag")))
+      .otherwise(concat(lit("doc "), id, lit(" has no url")))
   }
+
+  private def urlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlFixtureExpr.as("url"))
+
+  /** URL + HTML fixtures in ONE projection (both are row-local column
+    * derivations — a doc_id self-join here would put a corpus-sized
+    * exchange in front of the chain under test).
+    */
+  private def webFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlFixtureExpr.as("url"),
+      htmlFixtureExpr.as("text"))
 
   /** HTML-ified fixture of the documents table (one markup class per
     * `doc_id mod 4`: full page w/ script+style+nav, entities, `<br>`
@@ -150,9 +159,9 @@ object SparkEntry {
     * exercised on corpus text; shared by `t_html_strip` and the
     * composed `pipe_web_curation` chain.
     */
-  private def htmlFixture(docs: DataFrame): DataFrame = {
+  private def htmlFixtureExpr: Column = {
     val m = pmod(col("doc_id"), lit(4))
-    val html = when(m === 0, concat(
+    when(m === 0, concat(
         lit("<html><head><style type=\"text/css\">.x{a:b}</style>" +
           "<script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>"),
         col("text"),
@@ -162,8 +171,10 @@ object SparkEntry {
         col("text")))
       .when(m === 2, concat(col("text"), lit("<br>Nav<br>(c) 2020")))
       .otherwise(col("text"))
-    docs.select(col("doc_id"), html.as("text"))
   }
+
+  private def htmlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), htmlFixtureExpr.as("text"))
 
   private def coocPairs(s: SparkSession, dir: String): DataFrame =
     Option(sharedGraph.get(dir)).map(_._2)
@@ -889,8 +900,9 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val bloom = Dedup.bloomBuild(corpus, hash = Hashing.Portable)
       val mc = Dedup.bloomMightContain(probe, bloom, hash = Hashing.Portable)
+      // left_semi already deduplicates the build side — no distinct()
       val present = probe
-        .join(corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .join(corpus.select(col("text")), Seq("text"), "left_semi")
         .select(col("doc_id"), lit(true).as("present"))
       mc.join(present, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("might_contain"),
@@ -989,11 +1001,9 @@ object SparkEntry {
     // registered domain, HTML strip, corpus-wide keep-first line
     // dedup, per-domain quota — one whole-chain oracle over the URL
     // and HTML fixtures together
-    "pipe_web_curation" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val webDocs = urlFixture(docs).join(htmlFixture(docs), Seq("doc_id"))
-      graft.pipelines.Curation.webCurate(webDocs, hash = Hashing.Portable)
-    }),
+    "pipe_web_curation" -> ((s, dir) =>
+      graft.pipelines.Curation.webCurate(
+        webFixture(Tables.documents(s, dir)), hash = Hashing.Portable)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir), 20)),
     "t_chunks" -> ((s, dir) =>
       TextOps.charChunks(Tables.documents(s, dir), 64, 48, hash = Hashing.Portable)),
@@ -2210,6 +2220,83 @@ object SparkEntry {
       |                      lower(regexp_extract(x, '^([^=]*)', 1))))) AS kept
       |  FROM ulab)""".stripMargin
 
+  /** SQL twin of [[htmlFixture]]: emits `<out>(doc_id, html)` from
+    * `<src>(doc_id, text)` — shared by `t_html_strip` and
+    * `pipe_web_curation` so the fixture can never drift between them
+    * (the [[htmlFixture]] rationale on the SQL side).
+    */
+  private def htmlFixtureSql(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 4 AS INTEGER)
+       |           WHEN 0 THEN '<html><head><style type="text/css">.x{a:b}</style><script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>' ||
+       |                       text ||
+       |                       '</p><div>Home | About | Contact</div></body></html>'
+       |           WHEN 1 THEN 'Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. ' || text
+       |           WHEN 2 THEN text || '<br>Nav<br>(c) 2020'
+       |           ELSE text END AS html
+       |  FROM $src)""".stripMargin
+
+  /** SQL twin of the [[TextOps.htmlStrip]] 5-stage rewrite: emits
+    * `<out>(doc_id, alll, kept)` (all trimmed lines / surviving
+    * lines) from `<src>(doc_id, html)`; `tag` uniquifies the
+    * intermediate CTE.
+    */
+  private def htmlStripSql(src: String, out: String, tag: String): String =
+    s"""hs$tag AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(
+       |      html,
+       |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
+       |      '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+       |      AS txt
+       |  FROM $src),
+       |$out AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(txt, chr(10)), x -> trim(x)) AS alll,
+       |         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+       |           x -> len(regexp_extract_all(x, '\\S+')) >= 4 AND
+       |                3 * len(list_filter(regexp_extract_all(x, '\\S+'),
+       |                      t -> regexp_matches(t, '^[^\\p{L}\\p{N}]+$$')))
+       |                  <= len(regexp_extract_all(x, '\\S+'))) AS kept
+       |  FROM hs$tag)""".stripMargin
+
+  /** SQL twin of [[graft.operators.Dedup.lineDedup]] (keep-first,
+    * `minChars = 5`): emits `<out>(doc_id, n_lines, n_dropped,
+    * retained_text)` from `<src>(doc_id, text)`; `tag` uniquifies the
+    * intermediate CTEs.
+    */
+  private def lineDedupSql(src: String, out: String, tag: String): String =
+    s"""ls$tag AS MATERIALIZED (
+       |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM $src),
+       |li$tag AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ls) + 1), i -> i - 1)) AS pos,
+       |         unnest(list_transform(range(1, len(ls) + 1), i -> ${ph("ls[i]")})) AS h,
+       |         unnest(list_transform(range(1, len(ls) + 1), i -> len(ls[i]))) AS ll
+       |  FROM ls$tag),
+       |lr$tag AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM li$tag WHERE ll >= 5),
+       |ld$tag AS (
+       |  SELECT doc_id, list(pos) AS drops FROM lr$tag WHERE rn > 1 GROUP BY doc_id),
+       |$out AS (
+       |  SELECT l.doc_id,
+       |         CAST(len(ls) AS BIGINT) AS n_lines,
+       |         CAST(COALESCE(len(drops), 0) AS BIGINT) AS n_dropped,
+       |         CASE WHEN drops IS NULL THEN l.text
+       |              ELSE array_to_string(
+       |                list_filter(ls, (x, i) -> NOT list_contains(drops, i - 1)),
+       |                chr(10)) END AS retained_text
+       |  FROM ls$tag l LEFT JOIN ld$tag USING (doc_id))""".stripMargin
+
   private val QNORM =
     s"""$QVEC,
        |qn AS (SELECT vec_id, q,
@@ -2632,46 +2719,11 @@ object SparkEntry {
          |            ELSE CAST(1000 AS BIGINT) END AS ratio_e3
          |FROM g""".stripMargin,
 
-    // the 5-stage strip mirrored in RE2: script/style blocks, break
-    // tags -> newlines, tag strip, entity decode (&amp; LAST), then
-    // the jusText-lite line filter (>= 4 tokens, punct tokens < 1/3)
+    // the 5-stage strip mirrored in RE2 (shared htmlFixtureSql /
+    // htmlStripSql fragments — pipe_web_curation chains the same ones)
     "t_html_strip" ->
-      s"""WITH fx AS (
-         |  SELECT doc_id,
-         |         CASE CAST(doc_id % 4 AS INTEGER)
-         |           WHEN 0 THEN '<html><head><style type="text/css">.x{a:b}</style><script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>'
-         |                       || text ||
-         |                       '</p><div>Home | About | Contact</div></body></html>'
-         |           WHEN 1 THEN 'Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. ' || text
-         |           WHEN 2 THEN text || '<br>Nav<br>(c) 2020'
-         |           ELSE text END AS html
-         |  FROM documents),
-         |st AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(
-         |      html,
-         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
-         |      '<[^>]*>', ' ', 'g'),
-         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
-         |      AS txt
-         |  FROM fx),
-         |ln AS (
-         |  SELECT doc_id,
-         |         list_transform(string_split(txt, chr(10)), x -> trim(x)) AS alll
-         |  FROM st),
-         |kp AS (
-         |  SELECT doc_id, alll,
-         |         list_filter(alll, x ->
-         |           len(regexp_extract_all(x, '\\S+')) >= 4 AND
-         |           3 * len(list_filter(regexp_extract_all(x, '\\S+'),
-         |                 t -> regexp_matches(t, '^[^\\p{L}\\p{N}]+$$')))
-         |             <= len(regexp_extract_all(x, '\\S+'))) AS kept
-         |  FROM ln)
+      s"""WITH ${htmlFixtureSql("documents", "fx")},
+         |${htmlStripSql("fx", "kp", "0")}
          |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
          |       CAST(len(alll) AS BIGINT) AS n_lines,
          |       CAST(len(kept) AS BIGINT) AS n_kept
@@ -3600,71 +3652,27 @@ object SparkEntry {
          |        AND floor(bits_total*1000/n_trigrams) <= 3600) AS keep
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
-    // the whole front-door chain in SQL: urlparsed (URL gate + reg
-    // domain), the t_html_strip regex chain, the d_line_dedup
-    // keep-first chain over the STRIPPED text, then the domain-keyed
-    // quota window — each stage the verbatim device of its own oracle
+    // the whole front-door chain in SQL, each stage the SHARED
+    // fragment of its own oracle: URL gate FIRST (gated-out docs must
+    // not consume keep-first slots), then htmlFixtureSql/htmlStripSql,
+    // then lineDedupSql over the stripped survivors, then the
+    // domain-keyed quota window
     "pipe_web_curation" ->
       s"""WITH $URLPARSED,
-         |hfx AS (
-         |  SELECT doc_id,
-         |         CASE CAST(doc_id % 4 AS INTEGER)
-         |           WHEN 0 THEN '<html><head><style type="text/css">.x{a:b}</style><script>var x = 1 < 2;</script></head><body><h1>Title</h1><p>'
-         |                       || text ||
-         |                       '</p><div>Home | About | Contact</div></body></html>'
-         |           WHEN 1 THEN 'Tom &amp; Jerry &lt;3 say &quot;hi&quot; can&#39;t&nbsp;stop. ' || text
-         |           WHEN 2 THEN text || '<br>Nav<br>(c) 2020'
-         |           ELSE text END AS html
-         |  FROM documents),
-         |hst AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(
-         |      html,
-         |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-         |      '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
-         |      '<[^>]*>', ' ', 'g'),
-         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
-         |      AS txt
-         |  FROM hfx),
-         |hkp AS (
-         |  SELECT doc_id,
-         |         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
-         |           x -> len(regexp_extract_all(x, '\\S+')) >= 4 AND
-         |                3 * len(list_filter(regexp_extract_all(x, '\\S+'),
-         |                      t -> regexp_matches(t, '^[^\\p{L}\\p{N}]+$$')))
-         |                  <= len(regexp_extract_all(x, '\\S+'))) AS kept
-         |  FROM hst),
+         |gdocs AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN urlparsed u
+         |    ON u.doc_id = d.doc_id AND len(u.scheme) > 0),
+         |${htmlFixtureSql("gdocs", "hfx")},
+         |${htmlStripSql("hfx", "hkp", "1")},
          |ext AS MATERIALIZED (
          |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
          |  FROM hkp WHERE len(kept) > 0),
-         |dls AS MATERIALIZED (
-         |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM ext),
-         |dinst AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> i - 1)) AS pos,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> ${ph("ls[i]")})) AS h,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> len(ls[i]))) AS ll
-         |  FROM dls),
-         |drk AS (
-         |  SELECT doc_id, pos,
-         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-         |  FROM dinst WHERE ll >= 5),
-         |ddr AS (SELECT doc_id, list(pos) AS drops FROM drk WHERE rn > 1 GROUP BY doc_id),
-         |ret AS MATERIALIZED (
-         |  SELECT l.doc_id,
-         |         CASE WHEN drops IS NULL THEN l.text
-         |              ELSE array_to_string(
-         |                list_filter(ls, (x, i) -> NOT list_contains(drops, i - 1)),
-         |                chr(10)) END AS text
-         |  FROM dls l LEFT JOIN ddr USING (doc_id)),
+         |${lineDedupSql("ext", "ldout", "1")},
          |adm AS (
-         |  SELECT r.doc_id, u.reg_domain, r.text
-         |  FROM ret r JOIN urlparsed u ON u.doc_id = r.doc_id
-         |  WHERE len(r.text) > 0 AND len(u.scheme) > 0)
+         |  SELECT r.doc_id, u.reg_domain, r.retained_text AS text
+         |  FROM ldout r JOIN urlparsed u ON u.doc_id = r.doc_id
+         |  WHERE len(r.retained_text) > 0)
          |SELECT doc_id, reg_domain, rn FROM (
          |  SELECT doc_id, reg_domain,
          |         CAST(row_number() OVER (
@@ -3751,9 +3759,8 @@ object SparkEntry {
       s"""WITH $SHINGLES
          |SELECT doc_id, sh FROM sh""".stripMargin,
 
-    // the keep-first line rank in SQL: parallel-unnest (pos, hash,
-    // len) instances, row_number over the line hash, drops re-joined
-    // as a per-doc position list feeding an indexed list_filter
+    // the keep-first line rank in SQL (shared lineDedupSql fragment —
+    // pipe_web_curation chains the same one over stripped text)
     "d_line_dedup" ->
       s"""WITH fx AS (
          |  SELECT doc_id,
@@ -3761,27 +3768,8 @@ object SparkEntry {
          |         text || chr(10) ||
          |         'Copyright 2024 all rights reserved worldwide' AS text
          |  FROM documents),
-         |ln AS MATERIALIZED (
-         |  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM fx),
-         |inst AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> i - 1)) AS pos,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> ${ph("ls[i]")})) AS h,
-         |         unnest(list_transform(range(1, len(ls) + 1), i -> len(ls[i]))) AS ll
-         |  FROM ln),
-         |rk AS (
-         |  SELECT doc_id, pos,
-         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-         |  FROM inst WHERE ll >= 5),
-         |dr AS (SELECT doc_id, list(pos) AS drops FROM rk WHERE rn > 1 GROUP BY doc_id)
-         |SELECT l.doc_id,
-         |       CAST(len(ls) AS BIGINT) AS n_lines,
-         |       CAST(COALESCE(len(drops), 0) AS BIGINT) AS n_dropped,
-         |       CASE WHEN drops IS NULL THEN l.text
-         |            ELSE array_to_string(
-         |              list_filter(ls, (x, i) -> NOT list_contains(drops, i - 1)),
-         |              chr(10)) END AS retained_text
-         |FROM ln l LEFT JOIN dr USING (doc_id)""".stripMargin,
+         |${lineDedupSql("fx", "out", "0")}
+         |SELECT doc_id, n_lines, n_dropped, retained_text FROM out""".stripMargin,
 
     "d_incremental" ->
       """WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -211,6 +211,13 @@ object Dedup {
     * `(1 − e^{−kn/m})^k` false-positive rate. The sketch side is a
     * broadcast of `m/63` longs; the probe side shuffles `k` 16-byte
     * rows per doc, never text.
+    *
+    * `m`, `k`, and the hash tier MUST match the build call — a
+    * mismatched `k`/tier silently probes wrong positions (same class
+    * of error as mixing hash tiers anywhere in the sketch family),
+    * but a mismatched `m` is DETECTED: probe positions then fall
+    * outside the dense word table and the query raises instead of
+    * returning false negatives.
     */
   def bloomMightContain(
       docs: DataFrame,
@@ -230,8 +237,17 @@ object Dedup {
         expr("p div 63L").as("word_idx"),
         pmod(col("p"), lit(63L)).cast("int").as("bit"))
       .join(broadcast(bloom), Seq("word_idx"), "left_outer")
+      // a [[bloomBuild]] table is DENSE (every word_idx < ceil(m/63)
+      // present, zeros included), so a probe position with no word row
+      // can only mean the sketch was built with a DIFFERENT m — which
+      // would otherwise surface as silent false negatives against the
+      // scaladoc guarantee. Fail loudly instead.
       .select(col("doc_id"),
-        (expr("shiftright(coalesce(bits, 0L), bit)") % 2L === 1L).as("ok"))
+        when(col("bits").isNull,
+          raise_error(lit("bloomMightContain: probe position outside the " +
+            "sketch's dense word table - m mismatch with bloomBuild"))
+            .cast("boolean"))
+          .otherwise(expr("shiftright(bits, bit)") % 2L === 1L).as("ok"))
       .groupBy(col("doc_id"))
       .agg((count(when(!col("ok"), lit(1))) === 0L).as("might_contain"))
   }

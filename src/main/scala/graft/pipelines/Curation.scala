@@ -45,27 +45,6 @@ object Curation {
     */
   val DefaultMaxBucketSize: Option[Int] = Some(Dedup.DefaultOccupancyCap)
 
-  /** Optional extra gates (both off by default, so the base chain is
-    * unchanged):
-    *  - `maxTopBigramE3 < 1000` adds a repetition gate — docs whose
-    *    single most frequent bigram exceeds the given permille of all
-    *    bigrams are dropped ([[TextOps.repetitionStats]], the
-    *    Gopher-rule redundancy filter);
-    *  - `probes` adds benchmark decontamination — docs sharing ≥
-    *    `minSharedShingles` trigram shingles with ANY probe doc are
-    *    dropped ([[Dedup.contamination]]). Probe docs that are
-    *    themselves in the corpus self-match and are dropped too (the
-    *    usual "remove the benchmark from the training set" behavior);
-    *  - `quota = Some((groupCol, k))` caps each group's (e.g. domain's)
-    *    contribution among the dedup survivors to a deterministic
-    *    hash-ordered sample of `k` docs ([[TextOps.domainQuota]]) — the
-    *    corpus-mixing stage, applied after dedup so quota slots are
-    *    never wasted on duplicates.
-    *  - `maxBucketSize` threads the SimHash occupancy guard
-    *    ([[Dedup.simhashPairs]]) into the near-dup stage — capped at
-    *    [[DefaultMaxBucketSize]] by default since the uncapped band
-    *    join is quadratic in hot buckets; `None` opts out.
-    */
   /** The web-corpus FRONT of the curation DAG (RefinedWeb §3's
     * URL-filter → extract → line-dedup → balance; CCNet's paragraph
     * dedup) composed from the r15 front-door operators — the stages
@@ -103,8 +82,15 @@ object Curation {
     val parts = TextOps.urlParts(docs.select(col("doc_id"), col(urlCol)), urlCol)
       .filter(length(col("scheme")) > 0)
       .select(col("doc_id"), col("reg_domain"))
-    val stripped = TextOps.htmlStrip(
-        docs.select(col("doc_id"), col(textCol).as("text")))
+    // the gate runs FIRST (pinned): gated-out docs must not consume
+    // keep-first slots downstream — a no-URL doc sharing a line with a
+    // gated doc would otherwise claim the line's survivor slot and
+    // then vanish at the join, deleting the content from EVERY output
+    // document; gating first also spares the two expensive stages the
+    // rejected rows
+    val gated = docs.select(col("doc_id"), col(textCol).as("text"))
+      .join(parts.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val stripped = TextOps.htmlStrip(gated)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text").as("text"))
     val deduped = Dedup.lineDedup(stripped, minLineChars, hash = hash)
@@ -114,6 +100,27 @@ object Curation {
       deduped.join(parts, Seq("doc_id")), "reg_domain", domainK, hash = hash)
   }
 
+  /** Optional extra gates (both off by default, so the base chain is
+    * unchanged):
+    *  - `maxTopBigramE3 < 1000` adds a repetition gate — docs whose
+    *    single most frequent bigram exceeds the given permille of all
+    *    bigrams are dropped ([[TextOps.repetitionStats]], the
+    *    Gopher-rule redundancy filter);
+    *  - `probes` adds benchmark decontamination — docs sharing ≥
+    *    `minSharedShingles` trigram shingles with ANY probe doc are
+    *    dropped ([[Dedup.contamination]]). Probe docs that are
+    *    themselves in the corpus self-match and are dropped too (the
+    *    usual "remove the benchmark from the training set" behavior);
+    *  - `quota = Some((groupCol, k))` caps each group's (e.g. domain's)
+    *    contribution among the dedup survivors to a deterministic
+    *    hash-ordered sample of `k` docs ([[TextOps.domainQuota]]) — the
+    *    corpus-mixing stage, applied after dedup so quota slots are
+    *    never wasted on duplicates.
+    *  - `maxBucketSize` threads the SimHash occupancy guard
+    *    ([[Dedup.simhashPairs]]) into the near-dup stage — capped at
+    *    [[DefaultMaxBucketSize]] by default since the uncapped band
+    *    join is quadratic in hot buckets; `None` opts out.
+    */
   def curate(
       docs: DataFrame,
       trainPermille: Int = 800,

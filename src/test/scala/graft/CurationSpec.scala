@@ -126,11 +126,17 @@ class CurationSpec extends SparkSpec {
       (4L, "https://c.example.com/nav", "<div>Home | About | Contact</div>"),
       // page whose EVERY line deduped away -> dropped after stage 3
       (5L, "https://d.example.com/copy",
-        "<p>shared cookie banner text here</p>")
+        "<p>shared cookie banner text here</p>"),
+      // GATE-FIRST pinned: doc 0 has no URL and carries doc 6's ONLY
+      // line with a smaller id — were line dedup to run before the
+      // gate, doc 0 would claim the keep-first slot, then vanish at
+      // the gate, and doc 6 would lose its only line and drop too
+      (0L, "no url here", "<p>only shared line here</p>"),
+      (6L, "https://e.example.com/six", "<p>only shared line here</p>")
     ).toDF("doc_id", "url", "text")
     val out = Curation.webCurate(web, domainK = 10, hash = Hashing.Portable)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.keySet === Set(1L, 2L), s"got $out")
+    assert(out.keySet === Set(1L, 2L, 6L), s"got $out")
     assert(out(1L) === "example.com" && out(2L) === "example.com")
     // the quota binds per REGISTERED domain: k=1 admits only one of
     // the two example.com docs

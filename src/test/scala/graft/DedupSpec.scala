@@ -392,6 +392,13 @@ class DedupSpec extends SparkSpec {
     val pb = Dedup.bloomBuild(corpus, hash = graft.functions.Hashing.Portable)
     assert(Dedup.bloomMightContain(corpus, pb,
       hash = graft.functions.Hashing.Portable).collect().forall(_.getBoolean(1)))
+    // an m mismatch is DETECTED via the dense-table contract (probe
+    // positions fall outside the word table), never a silent false
+    // negative
+    val small = Dedup.bloomBuild(corpus, m = 63 * 16)
+    intercept[Exception] {
+      Dedup.bloomMightContain(corpus, small, m = 63 * 1024).collect()
+    }
   }
 
   test("lineDedup: keep-first line dedup, short-line exemption, in-doc dups") {
