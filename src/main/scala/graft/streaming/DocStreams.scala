@@ -130,6 +130,71 @@ object DocStreams {
       .start()
   }
 
+  /** Continuous Bloom-admission ingest — the streaming face of
+    * [[Dedup.bloomBuild]] / [[Dedup.bloomMightContain]] and the cheap
+    * front guard of [[fuzzyIngest]]/[[firstSeenDedup]]: each
+    * micro-batch probes the on-disk sketch FIRST (classifying every
+    * doc against everything seen in EARLIER batches — `might_contain
+    * = false` is a guaranteed first sight), appends the verdicts to
+    * `outDir`, then ORs its own positions into the sketch. A crawl
+    * front door runs this before paying the exact
+    * [[Dedup.incrementalNew]] join: only `might_contain = true` rows
+    * need the exact check.
+    *
+    * State = the dense `ceil(m/63)`-row word table under
+    * `stateDir/bloom` — kilobytes at any corpus size, rewritten per
+    * batch. REPLAY-IDEMPOTENT BY ALGEBRA, not by provenance: OR-ing a
+    * replayed batch into the sketch is a no-op (`x | x = x`), so
+    * unlike the append-plus-dedup state discipline of the pair
+    * streams a replay cannot corrupt the sketch; re-emitted verdicts
+    * are the usual at-least-once output contract (consumers key on
+    * `doc_id`). Intra-batch duplicates are pinned NOT-seen (the probe
+    * runs against the pre-batch sketch) — the batch twin of a batch's
+    * verdicts is `bloomMightContain(batch, bloomBuild(prior))`.
+    *
+    * The per-batch sketch rewrite COLLECTS the merged word table —
+    * `ceil(m/63)` longs (kilobytes, the documented k-bounded-collect
+    * exception; collecting also breaks the read-overwrite cycle on
+    * the state path, which a lazy overwrite would truncate before
+    * reading).
+    */
+  def bloomIngest(
+      docs: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      m: Int = 63 * 1024,
+      k: Int = 4,
+      hash: Hashing.HashTier = Hashing.Fast): StreamingQuery = {
+    val wordSchema = StructType(Seq(
+      StructField("word_idx", LongType, nullable = false),
+      StructField("bits", LongType, nullable = false)))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/bloom")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val state =
+          if (fs.exists(p)) spark.read.schema(wordSchema).parquet(p.toString)
+          else Dedup.bloomBuild(batch.limit(0), m, k, hash = hash)
+        val cached = batch.select(col("doc_id"), col("text")).cache()
+        try {
+          Dedup.bloomMightContain(cached, state, m, k, hash = hash)
+            .write.mode("append").parquet(outDir)
+          val merged = state
+            .unionByName(Dedup.bloomBuild(cached, m, k, hash = hash))
+            .groupBy(col("word_idx"))
+            .agg(expr("bit_or(bits)").as("bits"))
+            .collect()
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(merged.toSeq, 1), wordSchema)
+            .write.mode("overwrite").parquet(p.toString)
+        } finally cached.unpersist(blocking = false)
+      }
+      .start()
+  }
+
   /** Continuous embedding ingest — the streaming twin of
     * [[graft.operators.Similarity.incrementalNearDupPairs]] and the
     * cosine sibling of [[fuzzyIngest]]: each micro-batch of vectors is

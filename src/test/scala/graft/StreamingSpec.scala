@@ -604,6 +604,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom ingest stream: verdicts twin the batch probe, final sketch = whole-corpus build") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    // make cross-batch repeats certain: chunk 2 replays some of chunk
+    // 1's texts under fresh ids
+    val repeats = base.take(5).zipWithIndex.map { case (d, i) =>
+      FixDoc(900000L + i, d.text)
+    }
+    val all = base ++ repeats
+    val chunks = Seq(base.take(base.length / 2),
+      base.drop(base.length / 2) ++ repeats)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.bloomIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/out", s"$dirs/ckpt")
+    try {
+      var prior = Seq.empty[FixDoc]
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+        prior = prior ++ chunk
+      }
+      val verdicts = spark.read.parquet(s"$dirs/out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts.size === all.length)
+      // NO FALSE NEGATIVES across batches: every replayed text (seen
+      // in an earlier batch) probes true
+      repeats.foreach { d =>
+        assert(verdicts(d.doc_id), s"replayed content ${d.doc_id} probed false")
+      }
+      // batch-twin law per chunk: verdicts equal bloomMightContain
+      // against the PRE-batch corpus
+      val c1 = chunks.head.toSeq.toDF("doc_id", "text")
+      val twin1 = graft.operators.Dedup.bloomMightContain(
+        c1, graft.operators.Dedup.bloomBuild(c1.limit(0))).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      chunks.head.foreach(d => assert(verdicts(d.doc_id) === twin1(d.doc_id)))
+      // final sketch = the whole-corpus batch build (merge algebra)
+      val streamedSketch = rowSet(spark.read.parquet(s"$dirs/state/bloom"))
+      val batchSketch = rowSet(graft.operators.Dedup.bloomBuild(
+        all.toSeq.toDF("doc_id", "text")))
+      assert(streamedSketch === batchSketch)
+    } finally q.stop()
+  }
+
   test("embedding ingest stream accumulates exactly the batch blocked near-dup pairs") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
