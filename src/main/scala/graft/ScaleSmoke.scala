@@ -377,7 +377,12 @@ object ScaleSmoke {
     // segmenter's word-table bound, and both IVF-PQ variants — flat
     // and the residual+refine default composition
     "q_mmr_rerank", "sim_kcenter_select", "t_unigram_segment",
-    "sim_ivfpq_topk", "sim_ivfpq_residual")
+    "sim_ivfpq_topk", "sim_ivfpq_residual",
+    // r15 flagships at the second decade: leiden's per-level CC
+    // refinement must track edges (its move rounds already proved
+    // near-linear at sf1), and the composed web front door must stay
+    // the sum of its scan-bound stages
+    "g_leiden", "pipe_web_curation")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

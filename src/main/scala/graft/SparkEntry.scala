@@ -457,6 +457,15 @@ object SparkEntry {
     "g_ktruss" -> ((s, dir) =>
       GraphOps.kTruss(coocPairs(s, dir), k = 72, maxRounds = 8)),
 
+    // resolution knob (Reichardt-Bornholdt gamma = 1.2): g_louvain's
+    // exact rounds with the null-model term scaled 1.2x -> finer,
+    // non-degenerate communities (3 -> 13 on this graph; gamma >= 2
+    // singleton-izes the near-clique). GraphOpsSpec law: community
+    // count non-decreasing in gamma
+    "g_louvain_res" -> ((s, dir) =>
+      GraphOps.louvain(coocPairs(s, dir), moveRounds = 2, levels = 2,
+        resolutionE3 = 1200L)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -2297,6 +2306,63 @@ object SparkEntry {
        |                chr(10)) END AS retained_text
        |  FROM ls$tag l LEFT JOIN ld$tag USING (doc_id))""".stripMargin
 
+  /** The full g_louvain oracle chain (2 move rounds, contraction,
+    * 2 weighted rounds) parameterized by the resolution gamma —
+    * `g_louvain` is gamma = 1000 (byte-identical to the
+    * pre-resolution oracle), `g_louvain_res` is the scaled form.
+    */
+  private def louvainOracleSql(gammaE3: Long): String =
+    s"""WITH $EDGES,
+         |dedges AS (SELECT DISTINCT src, dst FROM edges),
+         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
+         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
+         |cooc AS (
+         |  SELECT a.src AS pa, b.src AS pb
+         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e1 AS MATERIALIZED (
+         |  SELECT pa AS a, pb AS b, CAST(1 AS BIGINT) AS w FROM cooc),
+         |sym1 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e1
+         |  UNION ALL SELECT b, a, w FROM e1),
+         |deg1 AS MATERIALIZED (
+         |  SELECT v, CAST(SUM(w) AS BIGINT) AS deg FROM sym1 GROUP BY v),
+         |tw1 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg1),
+         |l10 AS MATERIALIZED (
+         |  SELECT v, v AS label FROM (SELECT DISTINCT v FROM sym1)),
+         |${louvainRoundSql("l10", "l11", "sym1", "deg1", "tw1", "11", gammaE3)},
+         |${louvainRoundSql("l11", "l12", "sym1", "deg1", "tw1", "12", gammaE3)},
+         |e2 AS MATERIALIZED (
+         |  SELECT least(la.label, lb.label) AS a,
+         |         greatest(la.label, lb.label) AS b,
+         |         CAST(SUM(e1.w) AS BIGINT) AS w
+         |  FROM e1
+         |  JOIN l12 la ON la.v = e1.a
+         |  JOIN l12 lb ON lb.v = e1.b
+         |  GROUP BY 1, 2),
+         |sym2 AS MATERIALIZED (
+         |  SELECT a AS v, b AS u, w FROM e2 WHERE a <> b
+         |  UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
+         |verts2 AS MATERIALIZED (
+         |  SELECT DISTINCT v FROM
+         |    (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)),
+         |deg2 AS MATERIALIZED (
+         |  SELECT vv.v,
+         |         CAST(COALESCE(s.dw, 0) + 2*COALESCE(sl.sw, 0) AS BIGINT) AS deg
+         |  FROM verts2 vv
+         |  LEFT JOIN (SELECT v, SUM(w) AS dw FROM sym2 GROUP BY v) s
+         |    ON s.v = vv.v
+         |  LEFT JOIN (SELECT a AS v, SUM(w) AS sw FROM e2 WHERE a = b
+         |             GROUP BY a) sl ON sl.v = vv.v),
+         |tw2 AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg2),
+         |l20 AS MATERIALIZED (SELECT v, v AS label FROM verts2),
+         |${louvainRoundSql("l20", "l21", "sym2", "deg2", "tw2", "21", gammaE3)},
+         |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22", gammaE3)}
+         |SELECT l12.v AS person_id, l22.label AS community
+         |FROM l12 JOIN l22 ON l22.v = l12.label""".stripMargin
+
   private val QNORM =
     s"""$QVEC,
        |qn AS (SELECT vec_id, q,
@@ -2313,7 +2379,19 @@ object SparkEntry {
     */
   private def louvainRoundSql(
       prev: String, out: String, sym: String, deg: String, tw: String,
-      tag: String): String =
+      tag: String, gammaE3: Long = 1000L): String = {
+    // gamma = 1000 emits the UNSCALED score so the default oracles
+    // stay byte-identical to the pre-resolution form (the operator's
+    // same branch); scaled rounds mirror GraphOps.louvainMoves
+    val score =
+      if (gammaE3 == 1000L)
+        s"""(SELECT tot_w FROM $tw) * cc.kvc
+       |           - d.deg * (t.tot - CASE WHEN cc.c = o.label THEN d.deg
+       |                                   ELSE 0 END)""".stripMargin
+      else
+        s"""1000 * (SELECT tot_w FROM $tw) * cc.kvc
+       |           - $gammaE3 * d.deg * (t.tot - CASE WHEN cc.c = o.label THEN d.deg
+       |                                   ELSE 0 END)""".stripMargin
     s"""sz$tag AS MATERIALIZED (
        |  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS tot,
        |         CAST(COUNT(*) AS BIGINT) AS csize
@@ -2328,9 +2406,7 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |s$tag AS (
        |  SELECT cc.v, cc.c,
-       |         (SELECT tot_w FROM $tw) * cc.kvc
-       |           - d.deg * (t.tot - CASE WHEN cc.c = o.label THEN d.deg
-       |                                   ELSE 0 END) AS score
+       |         $score AS score
        |  FROM c$tag cc
        |  JOIN $prev o ON o.v = cc.v
        |  JOIN $deg d ON d.v = cc.v
@@ -2343,6 +2419,7 @@ object SparkEntry {
        |    SELECT v, c, row_number() OVER (PARTITION BY v
        |      ORDER BY score DESC, c ASC) AS rn FROM s$tag)
        |  WHERE rn = 1)""".stripMargin
+  }
 
   /** Occupancy-capped directed kNN oracle, parameterized by the cap:
     * per-(band, bucket) sizes drive the portable sub-split hash
@@ -4455,57 +4532,9 @@ object SparkEntry {
     // min-label swap guard) on the unit-weight cooc graph, community
     // contraction (intra edges -> self-loops, weights sum, degree =
     // incident + 2x self), 2 weighted rounds, labels composed
-    "g_louvain" ->
-      s"""WITH $EDGES,
-         |dedges AS (SELECT DISTINCT src, dst FROM edges),
-         |kept AS (SELECT dst FROM dedges GROUP BY dst HAVING COUNT(*) <= 20),
-         |capped AS (SELECT d.src, d.dst FROM dedges d JOIN kept USING (dst)),
-         |cooc AS (
-         |  SELECT a.src AS pa, b.src AS pb
-         |  FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |e1 AS MATERIALIZED (
-         |  SELECT pa AS a, pb AS b, CAST(1 AS BIGINT) AS w FROM cooc),
-         |sym1 AS MATERIALIZED (
-         |  SELECT a AS v, b AS u, w FROM e1
-         |  UNION ALL SELECT b, a, w FROM e1),
-         |deg1 AS MATERIALIZED (
-         |  SELECT v, CAST(SUM(w) AS BIGINT) AS deg FROM sym1 GROUP BY v),
-         |tw1 AS MATERIALIZED (
-         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg1),
-         |l10 AS MATERIALIZED (
-         |  SELECT v, v AS label FROM (SELECT DISTINCT v FROM sym1)),
-         |${louvainRoundSql("l10", "l11", "sym1", "deg1", "tw1", "11")},
-         |${louvainRoundSql("l11", "l12", "sym1", "deg1", "tw1", "12")},
-         |e2 AS MATERIALIZED (
-         |  SELECT least(la.label, lb.label) AS a,
-         |         greatest(la.label, lb.label) AS b,
-         |         CAST(SUM(e1.w) AS BIGINT) AS w
-         |  FROM e1
-         |  JOIN l12 la ON la.v = e1.a
-         |  JOIN l12 lb ON lb.v = e1.b
-         |  GROUP BY 1, 2),
-         |sym2 AS MATERIALIZED (
-         |  SELECT a AS v, b AS u, w FROM e2 WHERE a <> b
-         |  UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
-         |verts2 AS MATERIALIZED (
-         |  SELECT DISTINCT v FROM
-         |    (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)),
-         |deg2 AS MATERIALIZED (
-         |  SELECT vv.v,
-         |         CAST(COALESCE(s.dw, 0) + 2*COALESCE(sl.sw, 0) AS BIGINT) AS deg
-         |  FROM verts2 vv
-         |  LEFT JOIN (SELECT v, SUM(w) AS dw FROM sym2 GROUP BY v) s
-         |    ON s.v = vv.v
-         |  LEFT JOIN (SELECT a AS v, SUM(w) AS sw FROM e2 WHERE a = b
-         |             GROUP BY a) sl ON sl.v = vv.v),
-         |tw2 AS MATERIALIZED (
-         |  SELECT CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS tot_w FROM deg2),
-         |l20 AS MATERIALIZED (SELECT v, v AS label FROM verts2),
-         |${louvainRoundSql("l20", "l21", "sym2", "deg2", "tw2", "21")},
-         |${louvainRoundSql("l21", "l22", "sym2", "deg2", "tw2", "22")}
-         |SELECT l12.v AS person_id, l22.label AS community
-         |FROM l12 JOIN l22 ON l22.v = l12.label""".stripMargin,
+    "g_louvain" -> louvainOracleSql(1000L),
+
+    "g_louvain_res" -> louvainOracleSql(1200L),
 
     // the bounded recursive peel (the g_kcore_fixpoint device) at EDGE
     // granularity: each round keeps an edge iff its endpoints share

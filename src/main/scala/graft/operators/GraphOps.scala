@@ -1021,9 +1021,11 @@ object GraphOps {
   def louvain(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
       broadcastLabels: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      resolutionE3: Long = 1000L): DataFrame =
     communityLevels(pairs, moveRounds, levels, aCol, bCol,
-      broadcastLabels, checkpointDir, refine = (_, lab) => lab)
+      broadcastLabels, checkpointDir, refine = (_, lab) => lab,
+      resolutionE3 = resolutionE3)
 
   /** Shared level driver of [[louvain]] and [[leiden]]: canonical
     * weighted edge list → per level `moveRounds` synchronous moves →
@@ -1034,7 +1036,9 @@ object GraphOps {
   private def communityLevels(pairs: DataFrame, moveRounds: Int, levels: Int,
       aCol: String, bCol: String, broadcastLabels: Boolean,
       checkpointDir: Option[String],
-      refine: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      refine: (DataFrame, DataFrame) => DataFrame,
+      resolutionE3: Long = 1000L): DataFrame = {
+    require(resolutionE3 >= 1, s"resolutionE3 must be >= 1, got $resolutionE3")
     require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
     require(levels >= 1, s"levels must be >= 1, got $levels")
     var edges = Checkpoints.cut(
@@ -1048,7 +1052,8 @@ object GraphOps {
     var mapping: DataFrame = null
     for (level <- 1 to levels) {
       val lab = refine(edges,
-        louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir))
+        louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir,
+          resolutionE3))
       mapping =
         if (level == 1)
           lab.select(col("v").as("person_id"), col("label").as("community"))
@@ -1120,10 +1125,12 @@ object GraphOps {
   def leiden(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
       broadcastLabels: Boolean = false,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      resolutionE3: Long = 1000L): DataFrame =
     communityLevels(pairs, moveRounds, levels, aCol, bCol,
       broadcastLabels, checkpointDir,
-      refine = refineConnected(_, _, broadcastLabels, checkpointDir))
+      refine = refineConnected(_, _, broadcastLabels, checkpointDir),
+      resolutionE3 = resolutionE3)
 
   /** [[leiden]]'s refinement kernel: split every community of
     * `lab(v, label)` into the connected components of its induced
@@ -1201,7 +1208,8 @@ object GraphOps {
     * `(v, label)` for every endpoint.
     */
   private def louvainMoves(edges: DataFrame, rounds: Int,
-      broadcastLabels: Boolean, checkpointDir: Option[String]): DataFrame = {
+      broadcastLabels: Boolean, checkpointDir: Option[String],
+      resolutionE3: Long = 1000L): DataFrame = {
     val nonSelf = edges.filter(col("a") =!= col("b"))
     val sym = nonSelf.select(col("a").as("v"), col("b").as("u"), col("w"))
       .unionAll(nonSelf.select(col("b").as("v"), col("a").as("u"), col("w")))
@@ -1249,10 +1257,22 @@ object GraphOps {
           col("c") === col("own_c") ||
             col("own_size") > 1 || col("csize") > 1 || col("c") < col("own_c"))
         .crossJoin(broadcast(totRow))
+        // resolution gamma (Reichardt-Bornholdt 2006) scales the
+        // null-model term: score = 1000*2m_w*k - gammaE3*deg*Sigma_tot'.
+        // The default gamma = 1000 keeps the UNSCALED expression so the
+        // shipped g_louvain/g_leiden plans, oracles, and the headroom
+        // bound are byte-identical to the pre-resolution form; scaled
+        // runs trade 3 decimal digits of headroom (documented at the
+        // caller) for the knob.
         .withColumn("score",
-          col("tot_w") * col("kvc") -
-            col("deg") * (col("tot") -
-              when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L))))
+          if (resolutionE3 == 1000L)
+            col("tot_w") * col("kvc") -
+              col("deg") * (col("tot") -
+                when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L)))
+          else
+            lit(1000L) * col("tot_w") * col("kvc") -
+              lit(resolutionE3) * col("deg") * (col("tot") -
+                when(col("c") === col("own_c"), col("deg")).otherwise(lit(0L))))
         .groupBy(col("v"))
         .agg(min(struct((-col("score")).as("ns"), col("c").as("c"))).as("m"))
         .select(col("v"), col("m.c").as("label"))

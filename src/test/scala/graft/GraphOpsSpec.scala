@@ -562,6 +562,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(degs.forall(_ >= 2L))
   }
 
+  test("louvain resolution: gamma=1000 is the exact default, community count monotone in gamma") {
+    val bridged = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("D", "E"), ("E", "F"), ("D", "F"),
+      ("C", "D")
+    ).toDF("person_a", "person_b")
+    // the default-gamma branch is the SAME expression, not a scaled
+    // equivalent: bit-equal output
+    assert(rowSet(GraphOps.louvain(bridged, 2, 2, resolutionE3 = 1000L)) ===
+      rowSet(GraphOps.louvain(bridged, 2, 2)))
+    def nComm(labels: org.apache.spark.sql.DataFrame): Long =
+      labels.select("community").distinct().count()
+    // level-2 merges the two triangles at gamma=1; a high enough
+    // gamma forbids the merge (the null-model penalty dominates)
+    val n1 = nComm(GraphOps.louvain(bridged, 2, 2))
+    val n4 = nComm(GraphOps.louvain(bridged, 2, 2, resolutionE3 = 4000L))
+    assert(n1 <= n4, s"gamma=4 produced FEWER communities: $n1 > $n4")
+    assert(n4 >= 2L, "gamma=4 must keep the triangles apart")
+    // and on the real cooc graph (sf0.001): monotone across the
+    // shipped gamma ladder
+    val pairs = GraphOps.coOccurrencePairs(
+      GraphOps.edgesFromDocs(
+        graft.sources.Tables.relationshipDocs(spark, "/root/testdata/sf0.001")),
+      maxFanout = 20, minShared = 2)
+    val c1 = nComm(GraphOps.louvain(pairs, 2, 2))
+    val c12 = nComm(GraphOps.louvain(pairs, 2, 2, resolutionE3 = 1200L))
+    val c3 = nComm(GraphOps.louvain(pairs, 2, 2, resolutionE3 = 3000L))
+    assert(c1 <= c12 && c12 <= c3,
+      s"community count not monotone in gamma: $c1, $c12, $c3")
+    // leiden threads the same knob (refinement composes with gamma)
+    assert(nComm(GraphOps.leiden(pairs, 2, 2, resolutionE3 = 1200L)) >=
+      nComm(GraphOps.leiden(pairs, 2, 2)))
+  }
+
   test("leiden: refinement is a no-op when louvain communities are connected") {
     val tris = Seq(
       ("A", "B"), ("B", "C"), ("A", "C"),
