@@ -998,11 +998,23 @@ object GraphOps {
     * resolve into deterministic min-label sinks while every
     * non-singleton move stays unrestricted.
     *
-    * Integer headroom: scores are `2m_w·k ≤ 2m_w·deg_max` — in int64
-    * for any graph with `total edge weight × max weighted degree <
-    * 4.6×10¹⁸` (a 10¹¹-edge graph with 10⁶-degree hubs clears it);
-    * the hub-capped co-occurrence projections this runs on are orders
-    * of magnitude inside the bound.
+    * `resolutionE3` is the Reichardt–Bornholdt resolution γ in
+    * permille: the argmax compares `1000·2m_w·k − γE3·deg·Σtot'_c`,
+    * so γ > 1 penalizes the null model harder and yields FINER
+    * communities (the standard answer to the resolution limit). The
+    * default `1000` uses the UNSCALED expression — plans, oracles,
+    * and the headroom bound below are exactly the pre-knob form.
+    *
+    * Integer headroom: at the default γ scores are `2m_w·k ≤
+    * 2m_w·deg_max` — in int64 for any graph with `total edge weight ×
+    * max weighted degree < 4.6×10¹⁸` (a 10¹¹-edge graph with
+    * 10⁶-degree hubs clears it); the hub-capped co-occurrence
+    * projections this runs on are orders of magnitude inside the
+    * bound. A NON-default γ multiplies both score terms by ~10³ and
+    * SHRINKS that bound to ~4.6×10¹⁵ — still far above any capped
+    * projection, but a scaled run on a graph near the default bound
+    * would wrap silently (Spark Long arithmetic), so check the
+    * product against the scaled bound before opting in.
     *
     * Scale shape: per move round ONE edge-sized join attaches neighbor
     * labels (vertex-sized label table broadcasts under
@@ -1120,7 +1132,10 @@ object GraphOps {
     * string id cannot provide.
     *
     * Output: `(person_id, community)` for every vertex, labels
-    * composed through all levels.
+    * composed through all levels. `resolutionE3` threads into the
+    * move rounds exactly as in [[louvain]] (same default-unscaled
+    * expression, same scaled-headroom caveat); the connectivity
+    * refinement is resolution-blind.
     */
   def leiden(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
@@ -1262,8 +1277,8 @@ object GraphOps {
         // The default gamma = 1000 keeps the UNSCALED expression so the
         // shipped g_louvain/g_leiden plans, oracles, and the headroom
         // bound are byte-identical to the pre-resolution form; scaled
-        // runs trade 3 decimal digits of headroom (documented at the
-        // caller) for the knob.
+        // runs trade 3 decimal digits of headroom (documented in the
+        // louvain scaladoc's headroom paragraph) for the knob.
         .withColumn("score",
           if (resolutionE3 == 1000L)
             col("tot_w") * col("kvc") -

@@ -157,6 +157,25 @@ object DocStreams {
     * exception; collecting also breaks the read-overwrite cycle on
     * the state path, which a lazy overwrite would truncate before
     * reading).
+    *
+    * State is BATCH-ID VERSIONED (`stateDir/bloom_v<batchId>` — the
+    * batch_id-provenance discipline of [[nbClassifyStream]]/
+    * [[spanIngest]], applied to whole-state snapshots): each batch
+    * probes the newest version with id < its OWN batch id, so a
+    * replayed batch probes the SAME prior sketch and re-emits
+    * IDENTICAL verdicts (true at-least-once duplicates, never flipped
+    * rows), and a crash between the version write and the offset
+    * commit destroys nothing — the half-written version is
+    * overwritten by the replay, and versions older than
+    * `batchId − 1` are only pruned after a successful write (the
+    * replay's read target always survives). A single mutable state
+    * path with `mode("overwrite")` would have neither property.
+    *
+    * Known trade, pinned: the batch's k seeded hashes are computed
+    * twice (once by the probe, once by the merge build) — sharing a
+    * positions frame would halve that per-batch CPU at the cost of a
+    * positions-level API on the batch operators; revisit if a profile
+    * ever shows the hash pass dominating a real ingest.
     */
   def bloomIngest(
       docs: DataFrame,
@@ -169,15 +188,37 @@ object DocStreams {
     val wordSchema = StructType(Seq(
       StructField("word_idx", LongType, nullable = false),
       StructField("bits", LongType, nullable = false)))
+    val nWords = (m + 62L) / 63L
+    val version = "bloom_v(\\d+)".r
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(s"$stateDir/bloom")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val state =
-          if (fs.exists(p)) spark.read.schema(wordSchema).parquet(p.toString)
-          else Dedup.bloomBuild(batch.limit(0), m, k, hash = hash)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        def versions(): Seq[Long] =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+            case version(n) => n.toLong
+          }
+        // the newest snapshot STRICTLY BEFORE this batch: a replay of
+        // batch b must not probe b's own (possibly half-written)
+        // version
+        val prior = versions().filter(_ < batchId).sorted.lastOption
+        val state = prior match {
+          case Some(v) =>
+            val df = spark.read.schema(wordSchema)
+              .parquet(s"$stateDir/bloom_v$v")
+            // the dense-table contract, checked at the stream boundary
+            // too: a state dir built with a LARGER m would otherwise
+            // cover every probe word and silently false-negative (the
+            // batch operators only detect the smaller-build direction)
+            require(df.count() == nWords,
+              s"bloomIngest: state bloom_v$v has ${df.count()} words, " +
+                s"expected $nWords - stateDir was built with a different m")
+            df
+          case None => Dedup.bloomBuild(batch.limit(0), m, k, hash = hash)
+        }
         val cached = batch.select(col("doc_id"), col("text")).cache()
         try {
           Dedup.bloomMightContain(cached, state, m, k, hash = hash)
@@ -189,7 +230,11 @@ object DocStreams {
             .collect()
           spark.createDataFrame(
             spark.sparkContext.parallelize(merged.toSeq, 1), wordSchema)
-            .write.mode("overwrite").parquet(p.toString)
+            .write.mode("overwrite").parquet(s"$stateDir/bloom_v$batchId")
+          // prune AFTER the write commits, and never the replay target
+          versions().filter(_ < batchId - 1).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bloom_v$v"), true)
+          }
         } finally cached.unpersist(blocking = false)
       }
       .start()

@@ -635,15 +635,27 @@ class StreamingSpec extends SparkSpec {
       repeats.foreach { d =>
         assert(verdicts(d.doc_id), s"replayed content ${d.doc_id} probed false")
       }
-      // batch-twin law per chunk: verdicts equal bloomMightContain
-      // against the PRE-batch corpus
+      // batch-twin law in its NON-TRIVIAL form: chunk 2's verdicts
+      // equal bloomMightContain against bloomBuild(chunk 1) — both
+      // truth cells exercised (the repeats probe true, fresh docs
+      // false), so a probe-after-OR gate-ordering regression fails
+      // here, not just the degenerate empty-prior case
       val c1 = chunks.head.toSeq.toDF("doc_id", "text")
-      val twin1 = graft.operators.Dedup.bloomMightContain(
-        c1, graft.operators.Dedup.bloomBuild(c1.limit(0))).collect()
+      val c2 = chunks(1).toSeq.toDF("doc_id", "text")
+      val twin2 = graft.operators.Dedup.bloomMightContain(
+        c2, graft.operators.Dedup.bloomBuild(c1)).collect()
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-      chunks.head.foreach(d => assert(verdicts(d.doc_id) === twin1(d.doc_id)))
-      // final sketch = the whole-corpus batch build (merge algebra)
-      val streamedSketch = rowSet(spark.read.parquet(s"$dirs/state/bloom"))
+      chunks(1).foreach(d => assert(verdicts(d.doc_id) === twin2(d.doc_id),
+        s"chunk-2 twin mismatch at ${d.doc_id}"))
+      assert(twin2.values.exists(identity) && twin2.values.exists(!_),
+        "fixture must exercise both verdict cells")
+      // final sketch (the newest bloom_v* snapshot) = the whole-corpus
+      // batch build (merge algebra); older versions pruned to <= 2
+      val stateDir = new java.io.File(s"$dirs/state")
+      val vs = stateDir.list().filter(_.startsWith("bloom_v")).sorted
+      assert(vs.length <= 2, s"stale versions unpruned: ${vs.toSeq}")
+      val streamedSketch = rowSet(
+        spark.read.parquet(s"$dirs/state/${vs.last}"))
       val batchSketch = rowSet(graft.operators.Dedup.bloomBuild(
         all.toSeq.toDF("doc_id", "text")))
       assert(streamedSketch === batchSketch)
