@@ -179,6 +179,13 @@ object Dedup {
     * `k` position rows per doc (24-byte rows, text hashed at the
     * scan); the sketch is `m/63` longs — kilobytes — and broadcasts to
     * every probe.
+    *
+    * NULL `textCol` rows contribute nothing — filtered explicitly,
+    * because the two hash tiers disagree on null propagation
+    * (`xxhash64(null)` yields the seed hash and would set one
+    * spurious bit; the portable hash yields null and drops out) —
+    * and [[bloomMightContain]] correspondingly pins their verdict
+    * `might_contain = false`.
     */
   def bloomBuild(
       docs: DataFrame,
@@ -190,7 +197,7 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = docs.sparkSession
     val words = spark.range((m + 62L) / 63L).select(col("id").as("word_idx"))
-    val set = docs.select(
+    val set = docs.filter(col(textCol).isNotNull).select(
         explode(array((0 until k).map(j =>
           pmod(hash(concat(lit(s"$j#"), col(textCol))), lit(m.toLong))): _*))
           .as("p"))
@@ -218,6 +225,15 @@ object Dedup {
     * but a mismatched `m` is DETECTED: probe positions then fall
     * outside the dense word table and the query raises instead of
     * returning false negatives.
+    *
+    * NULL `textCol` rows are pinned `might_contain = false`: a null
+    * text contributes nothing in [[bloomBuild]] (its hash is null and
+    * the null group drops out of the word join), so "guaranteed
+    * absent" is exact for it, and the pair stays symmetric — without
+    * the pin a null hash would produce null probe positions, miss the
+    * dense word table, and trip the m-mismatch guard with a misleading
+    * message (killing a whole streaming batch in
+    * [[graft.streaming.DocStreams.bloomIngest]] for one null doc).
     */
   def bloomMightContain(
       docs: DataFrame,
@@ -230,10 +246,14 @@ object Dedup {
     require(m >= 63 && k >= 1, s"need m >= 63, k >= 1; got m=$m k=$k")
     docs.select(
         col(idCol).as("doc_id"),
+        // carried per-row so the one corpus scan serves both the null
+        // pin and the probe (no second docs pass for the null split)
+        col(textCol).isNull.as("null_text"),
         explode(array((0 until k).map(j =>
-          pmod(hash(concat(lit(s"$j#"), col(textCol))), lit(m.toLong))): _*))
+          pmod(hash(concat(lit(s"$j#"), coalesce(col(textCol), lit("")))),
+            lit(m.toLong))): _*))
           .as("p"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("null_text"),
         expr("p div 63L").as("word_idx"),
         pmod(col("p"), lit(63L)).cast("int").as("bit"))
       .join(broadcast(bloom), Seq("word_idx"), "left_outer")
@@ -241,13 +261,17 @@ object Dedup {
       // present, zeros included), so a probe position with no word row
       // can only mean the sketch was built with a DIFFERENT m — which
       // would otherwise surface as silent false negatives against the
-      // scaladoc guarantee. Fail loudly instead.
+      // scaladoc guarantee. Fail loudly instead. (Null text coalesces
+      // to "" above, so its positions are always in-range and can
+      // never reach this guard — the null_text flag overrides the
+      // verdict below instead.)
       .select(col("doc_id"),
         when(col("bits").isNull,
           raise_error(lit("bloomMightContain: probe position outside the " +
             "sketch's dense word table - m mismatch with bloomBuild"))
             .cast("boolean"))
-          .otherwise(expr("shiftright(bits, bit)") % 2L === 1L).as("ok"))
+          .otherwise(!col("null_text") &&
+            (expr("shiftright(bits, bit)") % 2L === 1L)).as("ok"))
       .groupBy(col("doc_id"))
       .agg((count(when(!col("ok"), lit(1))) === 0L).as("might_contain"))
   }

@@ -1199,7 +1199,15 @@ object GraphOps {
       changed = (hashSum, prevSum) match {
         case (Some(cur), Some(prev)) => cur != prev
         case (Some(_), None)         => true
-        case (None, _)               => false
+        case (None, _)               =>
+          // an absent metric stops the loop with labels that may NOT
+          // be connected components — the exact defect refinement
+          // exists to remove — so the stop must be loud (the kTruss /
+          // kCorePeel "convergence metric absent" precedent)
+          log.warn(s"refineConnected: convergence metric absent at " +
+            s"round $round; stopping - refined communities may still " +
+            "be disconnected")
+          false
       }
       prevSum = hashSum
       labels = jumped

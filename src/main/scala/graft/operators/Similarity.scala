@@ -808,7 +808,11 @@ object Similarity {
     * use `.cache()` (keeps size stats, and unpersisting is
     * recompute-safe) registered in the one-slot [[lastBandCache]] so
     * repeated operator calls hold at most ONE band table (r15, after
-    * the r14 localCheckpoint form leaked one block set per call);
+    * the r14 localCheckpoint form leaked one block set per call).
+    * One-slot means CONSUME-BEFORE-NEXT-CONSTRUCTION: constructing a
+    * second banded operator before consuming the first's result
+    * un-caches the first (its band table then rebuilds from lineage —
+    * correct, but the double-banding the slot exists to prevent);
     * `checkpointDir` runs keep the durable reliable-checkpoint form
     * (no executor blocks to leak). The occupancy probe's blocking
     * aggregate doubles as the cache materializer — and then
@@ -842,7 +846,16 @@ object Similarity {
         // uncached (double-banding, the regression this slot prevents)
         releaseBandCache()
         val cached = bandPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        lastBandCache.set(Some(cached))
+        // claim the slot with CAS, not set(): a concurrent
+        // construction that slid between our release and here must not
+        // have its entry silently overwritten (that would leak its
+        // persisted blocks for the session). Losing the race costs
+        // only OUR caching — unpersist is recompute-safe, so the
+        // result stays correct, merely double-banding once.
+        if (!lastBandCache.compareAndSet(None, Some(cached))) {
+          try cached.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         cached
     }
     Dedup.occupancyProbe(
@@ -926,6 +939,12 @@ object Similarity {
     * `row_number ≤ k` filter compiles to WindowGroupLimit, so each
     * shuffle partition keeps only its local top-k per source before
     * the window sort.
+    *
+    * Band-cache ordering (in-memory runs): the blocked form registers
+    * its band table in the one-slot [[lastBandCache]] — CONSUME this
+    * result before constructing the next banded operator, or the next
+    * construction evicts this one's cache and its band table rebuilds
+    * from lineage (correct, but double-banded).
     */
   def knnGraph(
       embeddings: DataFrame,
@@ -1115,6 +1134,10 @@ object Similarity {
     * specs / small corpora only): a real cross join, NOT a
     * constant-key equi-join, which would hash every row into one
     * partition; crossJoin keeps the left side partitioned.
+    *
+    * Band-cache ordering (in-memory blocked runs): the band table
+    * lives in the one-slot [[lastBandCache]] — consume this result
+    * before constructing the next banded operator (see [[knnGraph]]).
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,

@@ -16,6 +16,48 @@ import graft.functions.Hashing
   */
 object TextOps {
 
+  /** One-slot registry for the corpus-sized LM instance frame cached
+    * by the most recent [[bigramLmScore]] / [[trigramLmScore]] call —
+    * the [[Similarity.lastBandCache]] device applied to the LM family
+    * (r16, after ADVICE flagged the same session-lifetime leak class
+    * at a much larger footprint: one cached corpus-sized frame PER
+    * scoring call). Each new call releases the previous entry;
+    * [[releaseLmCache]] frees the last one. Unpersisting a cached
+    * frame is recompute-safe — a still-unconsumed earlier score just
+    * rebuilds its instances from lineage.
+    */
+  private val lastLmCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Free the instance frame cached by the most recent LM scoring
+    * call. Harness loops scoring many corpora in one session should
+    * call this after consuming each result.
+    */
+  def releaseLmCache(): Unit =
+    lastLmCache.getAndSet(None).foreach { df =>
+      // static slot: the frame may belong to an already-stopped
+      // SparkContext (session cycled in-process)
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Release the previous LM cache slot, persist `plan`, and claim the
+    * slot — the unpersist-old-BEFORE-persist-new + CAS discipline of
+    * [[Similarity.bandedCandidates]] (a repeated identical plan is
+    * sameResult-equal and would share the CacheManager entry;
+    * unpersisting old AFTER would kill the shared entry, and a lost
+    * CAS race must cost only our own caching, never leak the winner's).
+    */
+  private def claimLmCache(plan: DataFrame): DataFrame = {
+    releaseLmCache()
+    val cached = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!lastLmCache.compareAndSet(None, Some(cached))) {
+      try cached.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    cached
+  }
+
   /** Whitespace tokens as an array column. */
   def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
 
@@ -200,14 +242,15 @@ object TextOps {
     * CACHING CONTRACT: the per-bigram instance frame stays cached
     * (MEMORY_AND_DISK) after the call so the three aggregations share
     * one tokenize+hash scan — the right trade for a scoring pass that
-    * is consumed once and for repeated re-scoring in a session.
-    * Long-lived services interleaving many corpora should reclaim it
-    * between calls (`spark.sqlContext.clearCache()` or unpersist via
-    * `getPersistentRDDs`); the bench/smoke harnesses already do.
-    * (Contrast [[dsirWeights]], whose bucket model is B-bounded and
-    * therefore collects + broadcasts instead of caching — that shape
-    * is not available here because the count tables are
-    * vocabulary-sized, not parameter-bounded.)
+    * is consumed once and for repeated re-scoring in a session. The
+    * frame is registered in the one-slot [[lastLmCache]] (r16): the
+    * next LM scoring call releases it automatically, so repeated
+    * calls hold at most ONE corpus-sized frame; consume each result
+    * before the next construction, and call [[releaseLmCache]] after
+    * the last. (Contrast [[dsirWeights]], whose bucket model is
+    * B-bounded and therefore collects + broadcasts instead of
+    * caching — that shape is not available here because the count
+    * tables are vocabulary-sized, not parameter-bounded.)
     */
   def bigramLmScore(
       docs: DataFrame,
@@ -217,15 +260,14 @@ object TextOps {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     import graft.functions.NativeOps.shingleHashes
     // one row per bigram INSTANCE: (doc, prefix-token hash, bigram hash)
-    val inst = docs.select(
+    val inst = claimLmCache(docs.select(
         col(idCol).as("doc_id"),
         shingleHashes(col(textCol), 1, hash.portable).as("h1"),
         posexplode(shingleHashes(col(textCol), 2, hash.portable)))
       .select(
         col("doc_id"),
         element_at(col("h1"), col("pos") + 1).as("w1h"),
-        col("col").as("bh"))
-      .cache()
+        col("col").as("bh")))
     val ic = inst.groupBy(col("doc_id"), col("w1h"), col("bh"))
       .agg(count(lit(1)).as("n"))
     val uni = inst.groupBy(col("w1h")).agg(count(lit(1)).as("cu"))
@@ -305,7 +347,7 @@ object TextOps {
     import graft.functions.NativeOps.shingleHashes
     val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("long")
     // one row per trigram INSTANCE, all five hash roles attached
-    val inst = docs.select(
+    val inst = claimLmCache(docs.select(
         col(idCol).as("doc_id"),
         (pmod(hash(col(textCol)), lit(1000L)) < trainPermille).as("is_train"),
         shingleHashes(col(textCol), 1, hash.portable).as("h1"),
@@ -317,8 +359,7 @@ object TextOps {
         element_at(col("h2"), col("pos") + 1).as("b12h"),
         element_at(col("h2"), col("pos") + 2).as("b23h"),
         element_at(col("h1"), col("pos") + 2).as("w2h"),
-        element_at(col("h1"), col("pos") + 3).as("w3h"))
-      .cache()
+        element_at(col("h1"), col("pos") + 3).as("w3h")))
     val tr = inst.filter(col("is_train"))
     val c3 = tr.groupBy(col("t3h")).agg(count(lit(1)).as("n3"))
       .select(col("t3h"), ilog2(col("n3")).as("l3"))

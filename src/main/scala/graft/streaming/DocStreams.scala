@@ -213,8 +213,9 @@ object DocStreams {
             // too: a state dir built with a LARGER m would otherwise
             // cover every probe word and silently false-negative (the
             // batch operators only detect the smaller-build direction)
-            require(df.count() == nWords,
-              s"bloomIngest: state bloom_v$v has ${df.count()} words, " +
+            val stateWords = df.count()
+            require(stateWords == nWords,
+              s"bloomIngest: state bloom_v$v has $stateWords words, " +
                 s"expected $nWords - stateDir was built with a different m")
             df
           case None => Dedup.bloomBuild(batch.limit(0), m, k, hash = hash)

@@ -399,6 +399,19 @@ class DedupSpec extends SparkSpec {
     intercept[Exception] {
       Dedup.bloomMightContain(corpus, small, m = 63 * 1024).collect()
     }
+    // NULL text is symmetric across the pair (r16 ADVICE): build skips
+    // it, probe pins might_contain = false — and it must NOT trip the
+    // m-mismatch guard (one null doc would otherwise kill a whole
+    // bloomIngest micro-batch)
+    val withNull = Seq((20L, Option("alpha doc one")), (21L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val nb = Dedup.bloomBuild(withNull)
+    assert(rowSet(nb) === rowSet(Dedup.bloomBuild(
+      withNull.filter(col("text").isNotNull))))
+    val verdicts = Dedup.bloomMightContain(withNull, bloom).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(20L) === true)   // member of the build corpus
+    assert(verdicts(21L) === false)  // null text: pinned absent
   }
 
   test("lineDedup: keep-first line dedup, short-line exemption, in-doc dups") {
