@@ -181,6 +181,17 @@ object ScaleSmoke {
     // points pin scan-bound growth
     "g_leiden", "d_line_dedup", "t_trigram_lm", "pipe_domain_quota",
     "t_url_parts",
+    // r15 late wave, backfilled r16 (the "ships unmeasured" gap the
+    // r15 verdict flagged twice running): k-truss's per-round wedge
+    // join is Σ deg² on the hub-capped projection — its 10x point
+    // checks the cap actually bounds the candidate stream on a 10x
+    // graph; γ-scaled louvain is byte-identical loop shape to the
+    // smoked g_louvain but with 13 communities instead of 3 — its 10x
+    // point checks the finer community frame doesn't change the
+    // growth class; the bloom incremental chain is a build + broadcast
+    // probe whose 10x point checks cost tracks the corpus scan with a
+    // constant kilobyte sketch
+    "g_ktruss", "g_louvain_res", "x_bloom_incremental",
     // the composed web front door: URL gate + strip + line dedup +
     // domain quota — its 10x point checks the whole-chain cost stays
     // the sum of its stages (two projections, one line-hash window,
@@ -382,7 +393,13 @@ object ScaleSmoke {
     // refinement must track edges (its move rounds already proved
     // near-linear at sf1), and the composed web front door must stay
     // the sum of its scan-bound stages
-    "g_leiden", "pipe_web_curation")
+    "g_leiden", "pipe_web_curation",
+    // r16 backfill: γ-scaled louvain was the 2nd most expensive bench
+    // query with no smoke row — two decades pin its growth class; the
+    // k-truss wedge join is the one r15 shape never measured past
+    // sf0.1 (an uncapped skewed hub would square — the cap is the
+    // guard under test)
+    "g_louvain_res", "g_ktruss")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

@@ -933,6 +933,12 @@ object SparkEntry {
     // tie-break — exact in both engines
     "t_nb_classify" -> ((s, dir) =>
       TextOps.nbSourceClassify(Tables.documents(s, dir), trainPermille = 900)),
+    // hashed linear one-vs-rest classifier (fastText-grade, the
+    // model-based ranker DCLM curation actually ships): hashed
+    // unigram+bigram buckets, closed-form NB log-count-ratio weights
+    // in whole ilog2 bits, odds-argmax with lexicographic tie-break
+    "t_linear_classify" -> ((s, dir) =>
+      TextOps.linearSourceClassify(Tables.documents(s, dir), trainPermille = 900)),
     // Heaps'-law vocabulary growth per source: cumulative tokens vs
     // cumulative distinct tokens in doc_id order (two-phase prefix sum)
     "t_vocab_growth" -> ((s, dir) =>
@@ -3239,6 +3245,66 @@ object SparkEntry {
          |                                ORDER BY bits ASC, cand ASC) AS rn
          |      FROM g)
          |SELECT doc_id, actual, cand AS predicted, bits AS bits_best,
+         |       cand = actual AS correct
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // hashed unigram+bigram buckets (fastText hashing trick,
+    // B = 2^20), per-(cand, bucket) train counts, one-vs-rest
+    // log-count-ratio odds in whole ilog2 bits with the smoothing
+    // denominators hoisted per candidate; odds-argmax, ties by cand
+    "t_linear_classify" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT doc_id, source, $TOKS AS toks,
+         |         (${ph("text")} % 1000) < 900 AS is_train
+         |  FROM documents),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, source, is_train,
+         |         unnest(list_concat(
+         |           list_transform(range(1, len(toks) + 1),
+         |             i -> ${ph("toks[i]")} % 1048576),
+         |           list_transform(range(1, len(toks)),
+         |             i -> ${ph("array_to_string(toks[i:i+1], ' ')")} % 1048576))) AS f
+         |  FROM b WHERE len(toks) >= 1),
+         |cnt AS MATERIALIZED (
+         |  SELECT source AS cand, f, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM feats WHERE is_train GROUP BY 1, 2),
+         |ctot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |tot AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |cs AS (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) AS v,
+         |              CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t_all FROM cnt),
+         |pri AS (SELECT source AS cand, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM b WHERE is_train GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM pri),
+         |cands AS (SELECT p.cand, p.n_docs, t.tot
+         |          FROM pri p JOIN tot t USING (cand)),
+         |ti AS (SELECT doc_id, f FROM feats WHERE NOT is_train),
+         |tb AS (
+         |  SELECT ti.doc_id, cd.cand,
+         |         CAST(COUNT(*) AS BIGINT) AS n_inst,
+         |         CAST(SUM((length(bin(COALESCE(c.c, 0) + 1)) - 1)
+         |                - (length(bin(COALESCE(ct.ct, 0) - COALESCE(c.c, 0) + 1)) - 1))
+         |              AS BIGINT) AS sum_w
+         |  FROM ti CROSS JOIN (SELECT cand FROM cands) cd
+         |  LEFT JOIN cnt c ON c.cand = cd.cand AND c.f = ti.f
+         |  LEFT JOIN ctot ct ON ct.f = ti.f
+         |  GROUP BY 1, 2),
+         |te AS (SELECT doc_id, source AS actual FROM b WHERE NOT is_train),
+         |g AS (
+         |  SELECT te.doc_id, te.actual, cd.cand,
+         |         CAST(COALESCE(tb.sum_w, 0)
+         |              + COALESCE(tb.n_inst, 0) *
+         |                ((length(bin(cs.t_all - cd.tot + cs.v)) - 1)
+         |                 - (length(bin(cd.tot + cs.v)) - 1))
+         |              + (length(bin(cd.n_docs)) - 1)
+         |              - (length(bin(nt.n_train - cd.n_docs + 1)) - 1)
+         |              AS BIGINT) AS odds
+         |  FROM te CROSS JOIN cands cd CROSS JOIN cs CROSS JOIN nt
+         |  LEFT JOIN tb ON tb.doc_id = te.doc_id AND tb.cand = cd.cand),
+         |r AS (SELECT doc_id, actual, cand, odds,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY odds DESC, cand ASC) AS rn
+         |      FROM g)
+         |SELECT doc_id, actual, cand AS predicted, odds AS odds_best,
          |       cand = actual AS correct
          |FROM r WHERE rn = 1""".stripMargin,
 

@@ -510,6 +510,52 @@ object DocStreams {
       .parquet(outDir)
   }
 
+  /** Stream-static hashed-LINEAR classification — [[nbClassifyStream]]
+    * with the frozen [[graft.operators.TextOps.LinearModel]] (the
+    * fastText-grade one-vs-rest odds scorer): score each micro-batch
+    * against a batch-trained, typically `.materialized` model with the
+    * batch scorer. Per batch the work is batch-sized — hashed
+    * unigram+bigram buckets probe the (cand, bucket) count table on
+    * 16-byte keys, the candidate grid broadcasts — exactly the
+    * [[graft.operators.TextOps.linearScore]] plan.
+    *
+    * Retry semantics: identical to [[nbClassifyStream]] —
+    * exactly-once by `batch_id=<epoch>` dynamic partition overwrite.
+    */
+  def linearClassifyStream(
+      docs: DataFrame,
+      model: graft.operators.TextOps.LinearModel,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeLinearScoredBatch(batch, model, outDir, batchId)
+      }
+      .start()
+
+  /** One [[linearClassifyStream]] micro-batch write — the
+    * replay-idempotence seam, mirroring [[writeScoredBatch]].
+    */
+  private[graft] def writeLinearScoredBatch(
+      batch: DataFrame,
+      model: graft.operators.TextOps.LinearModel,
+      outDir: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "linearClassifyStream sink")
+    // the model carries its hash tier AND bucket count — either
+    // changed scorer-side would silently mis-fold every probe
+    graft.operators.TextOps.linearScore(batch, model)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   /** Fail fast when `dir` holds data files OUTSIDE `batch_id=N`
     * partitions — the pre-r12 flat append layout. Resuming a
     * partition-overwrite sink against such a directory would mix flat

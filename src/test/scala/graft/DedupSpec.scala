@@ -437,6 +437,26 @@ class DedupSpec extends SparkSpec {
     // hash-tier blindness: portable tier gives identical rows
     assert(rowSet(Dedup.lineDedup(docs, hash = graft.functions.Hashing.Portable)) ===
       rowSet(Dedup.lineDedup(docs)))
+    // boilerplate-heavy rebuild (the r15 verdict's cliff input): a doc
+    // that is MOSTLY drops, with drops interleaved at every parity —
+    // leading, consecutive, trailing — exercises every empty/non-empty
+    // segment case of the sorted-slice rebuild. 2000 lines, ~1500
+    // drops: the old per-line membership scan paid n_lines × n_drops
+    // here; the rebuild must stay byte-exact regardless.
+    val base = (0 until 500).map(i => s"unique line number $i")
+    val noisy = (0 until 2000).map { i =>
+      if (i % 4 == 0) base(i / 4) else s"repeated boilerplate row ${i % 3}"
+    }.mkString("\n")
+    val heavy = Seq(
+      (1L, "repeated boilerplate row 0\nrepeated boilerplate row 1\nrepeated boilerplate row 2"),
+      (2L, noisy)).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(heavy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 0L, "repeated boilerplate row 0\n" +
+      "repeated boilerplate row 1\nrepeated boilerplate row 2")))
+    // doc 2: all 1500 boilerplate instances drop (first-seen in doc 1);
+    // the 500 unique lines survive in order
+    assert(out(2L) === ((2000L, 1500L, base.mkString("\n"))))
   }
 
   test("editDistancePairs: blocked candidates, verified distance, bucket cap") {

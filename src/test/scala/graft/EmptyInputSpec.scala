@@ -409,6 +409,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.nbSourceClassify(
       Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
       trainPermille = 1).count() === 0)
+    // the linear twin shares the split/model-existence contract
+    assert(TextOps.linearSourceClassify(emptySrc).count() === 0)
+    assert(TextOps.linearSourceClassify(
+      Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
+      trainPermille = 999).count() === 0)
+    assert(TextOps.linearSourceClassify(
+      Seq((1L, "sA", "x y"), (2L, "sB", "z w")).toDF("doc_id", "source", "text"),
+      trainPermille = 1).count() === 0)
     assert(Similarity.labelCentroidDrift(
       Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
       .count() === 0)

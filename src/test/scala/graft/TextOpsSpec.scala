@@ -749,6 +749,64 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_(4) === true))
   }
 
+  test("linearSourceClassify: bigram odds beat unigram NB on correlated features") {
+    // unigram distributions IDENTICAL across classes (16 x, 16 y each)
+    // — only bigram ORDER discriminates: srcA is run-shaped
+    // ("x x.. y y.."), srcB alternates. Unigram NB ties every test doc
+    // and degenerates to the lexicographic tie-break; the hashed
+    // unigram+bigram linear odds classify both exactly.
+    val train = ((1L to 4L).map(i => (i, "srcA", "x x x x y y y y")) ++
+      (5L to 8L).map(i => (i, "srcB", "x y x y x y x y")))
+      .toDF("doc_id", "source", "text")
+    val test = Seq(
+      (101L, "srcA", "x x x y y y"),
+      (102L, "srcB", "x y x y x y")).toDF("doc_id", "source", "text")
+
+    val nb = TextOps.nbScore(test, TextOps.nbTrain(train))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(4))).toMap
+    // NB: identical unigram bits -> tie-break predicts srcA for BOTH
+    assert(nb(101L) === (("srcA", true)))
+    assert(nb(102L) === (("srcA", false)))
+
+    val lin = TextOps.linearScore(test, TextOps.linearTrain(train))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // hand-computed closed form (V=6 features, tot=60 per class,
+    // priors/denominators cancel): doc 101 odds = 2*3 - 2 + 2*3 = 10
+    // for srcA; doc 102 odds = 3*2 + 2*3 = 12 for srcB
+    assert(lin(101L) === (("srcA", 10L, true)))
+    assert(lin(102L) === (("srcB", 12L, true)))
+    // the law the operator exists for: strictly more correct than NB
+    assert(lin.values.count(_._3) > nb.values.count(_._2))
+
+    // hash-split front door: deterministic, partition-invariant, and
+    // the frozen-model round-trip scores identically
+    val docs = (1L to 60L).map { i =>
+      val src = s"src${i % 3}"
+      val word = Seq("alpha", "beta", "gamma")((i % 3).toInt)
+      (i, src, s"$word $word token$i $word")
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.linearSourceClassify(docs, trainPermille = 500)
+      .collect().map(_.toSeq).toSet
+    assert(out.nonEmpty)
+    assert(TextOps.linearSourceClassify(docs.repartition(7), trainPermille = 500)
+      .collect().map(_.toSeq).toSet === out)
+    // disjoint per-source content vocabulary: every held-out doc
+    // classifies to its true source
+    assert(out.forall(_(4) === true))
+    val dir = java.nio.file.Files.createTempDirectory("linmodel").toString
+    val frozen = TextOps.linearTrain(
+      docs.filter(org.apache.spark.sql.functions.pmod(
+        graft.functions.Hashing.Portable(org.apache.spark.sql.functions.col("text")),
+        org.apache.spark.sql.functions.lit(1000L)) < 500)).materialized(dir)
+    val rescored = TextOps.linearScore(
+      docs.filter(org.apache.spark.sql.functions.pmod(
+        graft.functions.Hashing.Portable(org.apache.spark.sql.functions.col("text")),
+        org.apache.spark.sql.functions.lit(1000L)) >= 500), frozen)
+      .collect().map(_.toSeq).toSet
+    assert(rescored === out)
+  }
+
   test("bpeMerges: overlap counting, greedy rewrite, early stop, invariances") {
     // 'aa'(n=2) + 'ab'(n=1): step1 merges (a,a) with count 2, step2
     // (a,b); step3 finds no pairs -> output stops at 2 rows
