@@ -818,6 +818,13 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.bpeSegment(d, TextOps.bpeMerges(d, steps = 6))
     }),
+    // byte-level BPE (GPT-2 mode): train-and-self-segment over the
+    // byte-pre-tokenized corpus — pieces are 2-hex-digit UTF-8 byte
+    // symbols (no UNK by construction, lossless on any input); the
+    // 6-step end state pins the whole merge chain in both engines
+    "t_bpe_bytes" -> ((s, dir) =>
+      TextOps.bpeTrainSegmentation(Tables.documents(s, dir), steps = 6,
+        byteLevel = true)),
     // WordPiece greedy longest-match segmentation against a FIXED
     // corpus-derived vocabulary (frequent whole words + their 2-char
     // prefix / ##-suffix splits + every corpus character except 'e' in
@@ -1856,13 +1863,28 @@ object SparkEntry {
   // O(3^steps) times — measured 259 s for the 6-step segment twin at
   // sf0.01 vs 0.6 s materialized, identical rows. This keeps the
   // driver's whole oracle sweep inside its time budget.
-  private def bpeCtes(steps: Int): String = {
+  private def bpeCtes(steps: Int): String = bpeCtesFrom(steps,
+    s"""WITH st0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       |         list_filter(string_split(word, ''), x -> x != '') AS syms
+       |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)""".stripMargin)
+
+  /** Byte-level st0: GPT-2-ish pre-tokens (RE2-portable subset),
+    * symbols = 2-hex-digit UTF-8 bytes via `hex(encode(word))` — the
+    * DuckDB twin of [[graft.operators.TextOps.byteTokens]] +
+    * hex-pair split.
+    */
+  private def bpeByteCtes(steps: Int): String = bpeCtesFrom(steps,
+    s"""WITH st0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       |         regexp_extract_all(hex(encode(word)), '..') AS syms
+       |  FROM (SELECT unnest(regexp_extract_all(text,
+       |          ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS word
+       |        FROM documents) GROUP BY 1)""".stripMargin)
+
+  private def bpeCtesFrom(steps: Int, st0: String): String = {
     val sb = new StringBuilder
-    sb.append(
-      s"""WITH st0 AS MATERIALIZED (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
-         |         list_filter(string_split(word, ''), x -> x != '') AS syms
-         |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)""".stripMargin)
+    sb.append(st0)
     for (i <- 1 to steps) {
       val p = i - 1
       sb.append(s""",
@@ -3310,6 +3332,10 @@ object SparkEntry {
 
     "t_bpe_merges" -> bpeSql(6),
     "t_bpe_segment" -> bpeSegmentSql(6),
+    "t_bpe_bytes" -> (bpeByteCtes(6) + s"""
+      |SELECT word, n, CAST(len(syms) AS BIGINT) AS n_pieces,
+      |       array_to_string(syms, ' ') AS segmented
+      |FROM st6""".stripMargin),
 
     // WordPiece greedy longest-match: the per-position longest-match
     // table resolves set-orientedly (cands × vocab join), and the

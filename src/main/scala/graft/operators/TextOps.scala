@@ -758,13 +758,39 @@ object TextOps {
     * reassembly aggregate, and a lineage cut. A step with no pairs
     * left yields no merge row and every later step is empty — the
     * output simply stops early.
+    *
+    * `byteLevel = true` is the GPT-2 mode (Radford et al. 2019 §2.2):
+    * pre-tokens come from [[byteTokens]] (the RE2-portable GPT-2
+    * pre-split — leading space attaches to the following run) and the
+    * initial alphabet is the pre-token's UTF-8 BYTES, each rendered
+    * as a 2-hex-digit symbol (a bijective renaming of GPT-2's
+    * printable-unicode byte table that both engines compute natively
+    * via `hex(encode(word))`). Consequences by construction: the
+    * alphabet is closed (≤ 256 symbols — NO UNK on any input,
+    * punctuation/CJK/emoji included), and segmentation is LOSSLESS —
+    * unhex of the concatenated pieces of all pre-tokens in order is
+    * the original text byte-for-byte (spec law). The merge/rewrite
+    * machinery is shared verbatim with the character mode.
     */
   def bpeMerges(
       docs: DataFrame,
       steps: Int = 6,
       textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame =
-    bpeTrain(docs, steps, textCol, checkpointDir)._1
+      checkpointDir: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame =
+    bpeTrain(docs, steps, textCol, checkpointDir, byteLevel)._1
+
+  /** GPT-2-shaped byte-level pre-tokenizer, restricted to the
+    * Java+RE2-portable regex subset (no contraction specials, no
+    * trailing-space lookahead): a leading single space attaches to
+    * the letter / digit / punctuation run it precedes, residual
+    * whitespace runs are their own pre-tokens. Concatenating all
+    * pre-tokens reproduces the text byte-for-byte (every character is
+    * consumed by exactly one alternative).
+    */
+  def byteTokens(text: Column): Column =
+    regexp_extract_all(text,
+      lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"), lit(0))
 
   /** Train AND self-segment in one pass: the training loop's end state
     * IS the segmentation of the training corpus (pinned ≡
@@ -778,27 +804,40 @@ object TextOps {
       docs: DataFrame,
       steps: Int = 6,
       textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame =
-    bpeTrain(docs, steps, textCol, checkpointDir)._2.select(
+      checkpointDir: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame =
+    bpeTrain(docs, steps, textCol, checkpointDir, byteLevel)._2.select(
       col("word"), col("n"),
       size(col("syms")).cast("long").as("n_pieces"),
       array_join(col("syms"), " ").as("segmented"))
+
+  /** The `(word, n, syms)` start state shared by training and
+    * segmentation: distinct pre-tokens with counts, symbolized as
+    * characters (default) or 2-hex-digit UTF-8 bytes (`byteLevel`).
+    */
+  private def bpeWordState(docs: DataFrame, textCol: String,
+      byteLevel: Boolean): DataFrame = {
+    val words = if (byteLevel) byteTokens(col(textCol)) else tokens(col(textCol))
+    val syms =
+      if (byteLevel) expr("regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)")
+      // split(_, "") keeps a trailing "" under Spark's limit=-1 —
+      // filter it so the symbol list is exactly the characters
+      else expr("filter(split(word, ''), x -> x != '')")
+    docs.select(explode(words).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"), syms.as("syms"))
+  }
 
   private def bpeTrain(
       docs: DataFrame,
       steps: Int,
       textCol: String,
-      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
+      checkpointDir: Option[String],
+      byteLevel: Boolean = false): (DataFrame, DataFrame) = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = docs.sparkSession
     var state = Checkpoints.cut(
-      docs.select(explode(tokens(col(textCol))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        // split(_, "") keeps a trailing "" under Spark's limit=-1 —
-        // filter it so the symbol list is exactly the characters
-        .select(col("word"), col("n"),
-          expr("filter(split(word, ''), x -> x != '')").as("syms")),
-      checkpointDir)
+      bpeWordState(docs, textCol, byteLevel), checkpointDir)
     var merges: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -899,7 +938,8 @@ object TextOps {
       docs: DataFrame,
       merges: DataFrame,
       textCol: String = "text",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      byteLevel: Boolean = false): DataFrame = {
     val m = Checkpoints.cut(
       merges.select(col("step"), col("sym_a"), col("sym_b")), checkpointDir)
     // the ACTUAL ranks present, in order — a filtered/re-based merge
@@ -913,11 +953,7 @@ object TextOps {
     require(ranks.distinct.length == ranks.length,
       s"merge table has duplicate step ranks: ${ranks.mkString(",")}")
     var state = Checkpoints.cut(
-      docs.select(explode(tokens(col(textCol))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .select(col("word"), col("n"),
-          expr("filter(split(word, ''), x -> x != '')").as("syms")),
-      checkpointDir)
+      bpeWordState(docs, textCol, byteLevel), checkpointDir)
     for (r <- ranks) {
       val pair = m.filter(col("step") === r)
         .select(col("sym_a").as("a"), col("sym_b").as("b"))

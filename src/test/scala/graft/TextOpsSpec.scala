@@ -869,6 +869,67 @@ class TextOpsSpec extends SparkSpec {
       rowSet(TextOps.bpeSegment(fix, TextOps.bpeMerges(fix, steps = 3))))
   }
 
+  test("byte-level BPE: lossless on CJK/emoji, no UNK, pre-token coverage, pack composes") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    // pre-token coverage law: byteTokens consumes every character
+    // exactly once — concat of pre-tokens reproduces the text
+    val texts = Seq(
+      "Hey  there, 世界! 42x",
+      "café 🚀🚀 日本語\n tabs\tok",
+      "")
+    val cov = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        array_join(TextOps.byteTokens(col("text")), "").as("rejoined"))
+      .collect()
+    cov.foreach(r => assert(r.getString(2) === r.getString(1),
+      s"byteTokens must cover text byte-for-byte: ${r.getLong(0)}"))
+
+    // losslessness + closed alphabet on a CJK/emoji corpus: every
+    // piece is whole hex bytes, and unhex(concat(pieces)) decodes back
+    // to the word — no UNK can exist by construction
+    val docs = Seq(
+      (1L, "日本語 日本語 日本"),
+      (2L, "🚀🚀 café café")).toDF("doc_id", "text")
+    val seg = TextOps.bpeTrainSegmentation(docs, steps = 4, byteLevel = true)
+    val rows = seg.select(col("word"), col("segmented"),
+        sexpr("decode(unhex(replace(segmented, ' ', '')), 'UTF-8')").as("decoded"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pieces = r.getString(1).split(" ")
+      assert(pieces.forall(p => p.length % 2 == 0 &&
+        p.forall(c => "0123456789ABCDEF".contains(c))),
+        s"piece not whole hex bytes: ${r.getString(1)}")
+      assert(r.getString(2) === r.getString(0),
+        s"lossless law broken for word ${r.getString(0)}")
+    }
+    // the repeated 9-byte CJK word collapses under 4 merges: its
+    // piece count strictly drops below its byte count
+    val jp = rows.find(_.getString(0) == "日本語").get
+    assert(jp.getString(1).split(" ").length < 9)
+
+    // self-application law holds in byte mode too
+    assert(rowSet(seg) === rowSet(TextOps.bpeSegment(
+      docs, TextOps.bpeMerges(docs, steps = 4, byteLevel = true),
+      byteLevel = true)))
+
+    // pipe composition: the byte-level segmentation frame drops into
+    // the tokenize→pack DAG exactly like the char-mode one (join by
+    // pre-token, sum subword counts, pack) — every doc packs, with
+    // counts from the byte segmentation
+    val fix = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bseg = TextOps.bpeTrainSegmentation(fix, steps = 3, byteLevel = true)
+    val perDoc = fix
+      .select(col("doc_id"), explode(TextOps.byteTokens(col("text"))).as("word"))
+      .join(bseg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_pieces")).as("n_tok"))
+    val packed = TextOps.packByCount(perDoc, budget = 256, nShards = 8,
+      hash = graft.functions.Hashing.Portable)
+    assert(packed.count() > 0)
+    assert(perDoc.count() === fix.filter(length(col("text")) > 0).count())
+  }
+
   test("wordpieceSegment: greedy longest match, continuations, all-or-nothing [UNK]") {
     val docs = Seq((1L, "unhappy cat cat cats scat x")).toDF("doc_id", "text")
     val vocab = Seq("un", "##happy", "##h", "cat", "##s", "s")
