@@ -120,14 +120,16 @@ object SparkEntry {
       .getOrElse(GraphOps.cappedBipartite(edgesOf(s, dir), maxFanout = 20))
 
   /** Synthetic absolute-URL column over the documents table (one URL
-    * class per `doc_id mod 8`: tracking params, userinfo + port +
+    * class per `doc_id mod 10`: tracking params, userinfo + port +
     * multi-label suffix, punycode, an explicit default port, an
-    * uppercase host, a fragment, and one non-URL row) so every
+    * uppercase host, a fragment, a non-URL row, and — r16 — the
+    * snapshot-PSL classes the 26-entry subset mis-keyed: a `com.hk`
+    * registrant and a `co.id` registrant) so every
     * [[TextOps.urlParts]] stage is oracle-exercised on corpus rows —
     * the `t_html_strip` fixture device.
     */
   private def urlFixtureExpr: Column = {
-    val m = pmod(col("doc_id"), lit(8))
+    val m = pmod(col("doc_id"), lit(10))
     val id = col("doc_id").cast("string")
     when(m === 0, concat(lit("https://www.example.com/a/"), id,
         lit("?utm_source=news&q="), id))
@@ -139,6 +141,10 @@ object SparkEntry {
       .when(m === 5, concat(lit("http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep="), id))
       .when(m === 6, concat(lit("https://sub.shop.example.com.au/cart?item="), id,
         lit("&utm_medium=cpc#frag")))
+      .when(m === 7, concat(lit("https://shop.brandmall.com.hk/item/"), id,
+        lit("?sku="), id))
+      .when(m === 8, concat(lit("http://berita.portalweb.co.id/read/"), id,
+        lit("?utm_source=feed&page=1")))
       .otherwise(concat(lit("doc "), id, lit(" has no url")))
   }
 
@@ -2207,7 +2213,7 @@ object SparkEntry {
   private val URLPARSED =
     """urlfx AS (
       |  SELECT doc_id,
-      |         CASE CAST(doc_id % 8 AS INTEGER)
+      |         CASE CAST(doc_id % 10 AS INTEGER)
       |           WHEN 0 THEN 'https://www.example.com/a/' || CAST(doc_id AS VARCHAR) ||
       |                       '?utm_source=news&q=' || CAST(doc_id AS VARCHAR)
       |           WHEN 1 THEN 'http://user:pw@Blog.Example.co.uk:8080/post/' ||
@@ -2219,6 +2225,10 @@ object SparkEntry {
       |           WHEN 5 THEN 'http://EXAMPLE.COM:8080/Upper/Case?fbclid=1&keep=' || CAST(doc_id AS VARCHAR)
       |           WHEN 6 THEN 'https://sub.shop.example.com.au/cart?item=' ||
       |                       CAST(doc_id AS VARCHAR) || '&utm_medium=cpc#frag'
+      |           WHEN 7 THEN 'https://shop.brandmall.com.hk/item/' ||
+      |                       CAST(doc_id AS VARCHAR) || '?sku=' || CAST(doc_id AS VARCHAR)
+      |           WHEN 8 THEN 'http://berita.portalweb.co.id/read/' ||
+      |                       CAST(doc_id AS VARCHAR) || '?utm_source=feed&page=1'
       |           ELSE 'doc ' || CAST(doc_id AS VARCHAR) || ' has no url' END AS url
       |  FROM documents),
       |uraw AS (
@@ -2241,12 +2251,7 @@ object SparkEntry {
       |  FROM uhp),
       |urlparsed AS (
       |  SELECT doc_id, scheme, host, port, path,
-      |         CASE WHEN n >= 3 AND list_contains(
-      |                ['co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
-      |                 'co.jp','ne.jp','or.jp','ac.jp','go.jp',
-      |                 'com.au','net.au','org.au','edu.au','gov.au',
-      |                 'com.br','com.cn','com.mx','com.ar','com.tr','com.sg',
-      |                 'co.in','co.kr','co.nz','co.za'], last2)
+      |         CASE WHEN n >= 3 AND list_contains(__PSL_SNAPSHOT__, last2)
       |              THEN concat_ws('.', ls[n - 2], last2)
       |              WHEN n >= 2 THEN last2
       |              ELSE host END AS reg_domain,
@@ -2256,6 +2261,12 @@ object SparkEntry {
       |                 OR list_contains(['gclid','fbclid','msclkid','igshid','mc_eid','ref','ref_src'],
       |                      lower(regexp_extract(x, '^([^=]*)', 1))))) AS kept
       |  FROM ulab)""".stripMargin
+      // the same file-driven PSL snapshot the Spark side loads — one
+      // source of truth, inlined as a DuckDB list literal (the
+      // generated-SQL device; ~350 entries, well under literal limits)
+      .replace("__PSL_SNAPSHOT__",
+        TextOps.SnapshotMultiLabelSuffixes.map(s => s"'$s'")
+          .mkString("[", ",", "]"))
 
   /** SQL twin of [[htmlFixture]]: emits `<out>(doc_id, html)` from
     * `<src>(doc_id, text)` — shared by `t_html_strip` and

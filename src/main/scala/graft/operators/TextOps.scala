@@ -2553,10 +2553,10 @@ object TextOps {
 
   /** Multi-label public suffixes [[urlParts]] recognizes when cutting
     * the registered domain. A pinned, deterministic SUBSET of the
-    * Mozilla Public Suffix List's most common entries (the full PSL is
-    * a live external artifact — pinning keeps the operator
-    * oracle-replicable; swap in the full list for production via the
-    * parameter).
+    * Mozilla Public Suffix List's most common entries — kept as the
+    * small documented fallback; [[SnapshotMultiLabelSuffixes]] (the
+    * checked-in file-driven snapshot, ~350 entries) is the operator
+    * default since r16.
     */
   val DefaultMultiLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
@@ -2564,6 +2564,38 @@ object TextOps {
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
     "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
     "co.in", "co.kr", "co.nz", "co.za")
+
+  /** FILE-DRIVEN multi-label suffix set — the production form of the
+    * registered-domain cut, loaded once from the checked-in PSL
+    * snapshot `graft/psl_multilabel_snapshot.txt` (a pinned subset of
+    * the Mozilla Public Suffix List restricted to two-label suffixes,
+    * ICANN + private sections; pinned file ⇒ still oracle-replicable
+    * — the DuckDB twin inlines the same entries). The loader is
+    * strict: PSL-style `//` comments and blanks skipped, entries
+    * lowercased, and anything that is not a plain `label.label` form
+    * (wildcards, exceptions, 1- or 3-label rules) fails loudly rather
+    * than silently mis-keying a quota bucket. Absent a ccTLD's entry
+    * the cut degrades to last-two-labels — one quota bucket per
+    * host-label pair instead of per registrant (the r15-documented
+    * trade, now limited to genuinely rare suffixes).
+    */
+  lazy val SnapshotMultiLabelSuffixes: Seq[String] = {
+    val res = "graft/psl_multilabel_snapshot.txt"
+    val in = Option(getClass.getClassLoader.getResourceAsStream(res))
+      .getOrElse(throw new IllegalStateException(
+        s"PSL snapshot resource $res missing from classpath"))
+    val entries =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toList
+      finally in.close()
+    val bad = entries.filterNot(_.matches("[a-z0-9-]+\\.[a-z0-9-]+"))
+    require(bad.isEmpty,
+      s"PSL snapshot holds non-two-label/wildcard entries: ${bad.take(5).mkString(", ")}")
+    require(entries.distinct.length == entries.length,
+      "PSL snapshot holds duplicate entries")
+    entries
+  }
 
   /** URL parse + normalization — the web-corpus front door BEFORE
     * [[htmlStrip]] (the stage between a raw crawl and every
@@ -2583,7 +2615,8 @@ object TextOps {
     *    hosts keep their brackets; `]` blocks the port regex only
     *    when no port follows);
     *  - `reg_domain`: last two host labels, or last three when the
-    *    last two form a [[DefaultMultiLabelSuffixes]] entry — the
+    *    last two form a multi-label public suffix — by default the
+    *    file-driven [[SnapshotMultiLabelSuffixes]] PSL snapshot — the
     *    quota/overlap key (`domainQuota(groupCol = "reg_domain")`);
     *  - `path`: after authority, before `?`/`#`;
     *  - `n_params`/`n_tracking`/`clean_url`: query params split on
@@ -2604,7 +2637,7 @@ object TextOps {
       urlCol: String = "url",
       idCol: String = "doc_id",
       trackingParams: Seq[String] = DefaultTrackingParams,
-      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+      multiLabelSuffixes: Seq[String] = SnapshotMultiLabelSuffixes): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)

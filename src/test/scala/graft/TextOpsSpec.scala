@@ -1176,6 +1176,39 @@ class TextOpsSpec extends SparkSpec {
       "https://localhost")))
   }
 
+  test("urlParts snapshot PSL: file loads strictly; com.hk/co.id class keying") {
+    // the checked-in snapshot loads, is strictly two-label lowercase,
+    // and supersets the 26-entry documented fallback
+    val snap = TextOps.SnapshotMultiLabelSuffixes
+    assert(snap.size > 300)
+    assert(snap.forall(_.matches("[a-z0-9-]+\\.[a-z0-9-]+")))
+    assert(TextOps.DefaultMultiLabelSuffixes.toSet.subsetOf(snap.toSet))
+    // the exact ccTLD classes the r15 verdict flagged as mis-keyed
+    // under the 26-entry subset
+    Seq("com.hk", "co.id", "com.tw", "co.th", "gob.mx", "github.io")
+      .foreach(s => assert(snap.contains(s), s"snapshot missing $s"))
+    val urls = Seq(
+      (1L, "https://shop.brandmall.com.hk/item/1?sku=1"),
+      (2L, "http://berita.portalweb.co.id/read/2"),
+      (3L, "https://alice.github.io/blog"),
+      (4L, "https://news.site.com.tw/a"),
+      (5L, "http://shop.store.co.th/b")).toDF("doc_id", "url")
+    val rd = TextOps.urlParts(urls).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // one quota bucket per REGISTRANT, not per host label pair
+    assert(rd(1L) === "brandmall.com.hk")
+    assert(rd(2L) === "portalweb.co.id")
+    assert(rd(3L) === "alice.github.io")
+    assert(rd(4L) === "site.com.tw")
+    assert(rd(5L) === "store.co.th")
+    // the documented fallback subset would have mis-keyed these to the
+    // bare suffix pair (the exact defect the snapshot closes)
+    val rdOld = TextOps.urlParts(urls,
+        multiLabelSuffixes = TextOps.DefaultMultiLabelSuffixes).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(rdOld(1L) === "com.hk" && rdOld(2L) === "co.id")
+  }
+
   test("zipfSlope: hand regression, flat-corpus zero, degenerate NULL") {
     // freqs 8,4,2,1 -> ranks 1..4: x = ilog2(rank) = (0,1,1,2),
     // y = ilog2(freq) = (3,2,1,0); n=4, Σx=4, Σy=6, Σxy=3, Σxx=6 ->
