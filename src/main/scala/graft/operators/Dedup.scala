@@ -545,18 +545,53 @@ object Dedup {
       minChars: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id",
-      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame =
+    lineRebuild(docs,
+      lineNonFirst(lineInstances(docs, minChars, textCol, idCol, hash)),
+      textCol, idCol)
+
+  /** One row per line ≥ `minChars` of each document:
+    * `(doc_id, pos, h)` — the [[lineDedup]] dedup-exchange stream,
+    * shared with the streaming twin
+    * [[graft.streaming.DocStreams.lineIngest]] so batch and stream
+    * hash/exempt lines identically.
+    */
+  private[graft] def lineInstances(
+      docs: DataFrame,
+      minChars: Int,
+      textCol: String,
+      idCol: String,
+      hash: Hashing.HashTier): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
-    val lines = split(col("text"), "\n")
-    val inst = docs.select(
+    docs.select(
         col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")))
       .filter(length(col("col")) >= minChars)
       .select(col("doc_id"), col("pos"), hash(col("col")).as("h"))
+  }
+
+  /** The keep-first LOSERS of a [[lineInstances]] stream:
+    * `(doc_id, pos)` rows whose line hash occurred earlier in
+    * `(doc_id, pos)` order — the positions [[lineRebuild]] removes.
+    */
+  private[graft] def lineNonFirst(inst: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val drops = inst.withColumn("rn", row_number().over(w))
+    inst.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Reassemble retained text from per-line drop rows `(doc_id, pos)`
+    * — [[lineDedup]]'s output stage, shared with the streaming twin.
+    */
+  private[graft] def lineRebuild(
+      docs: DataFrame,
+      dropRows: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val drops = dropRows
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos").cast("int")).as("drop_pos"))
     // rebuild by SEGMENT SLICES between sorted drop positions, not a

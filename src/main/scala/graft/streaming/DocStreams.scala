@@ -603,7 +603,8 @@ object DocStreams {
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       idxPath: org.apache.hadoop.fs.Path,
-      batchId: Long): Unit = {
+      batchId: Long,
+      keyCol: String = "wh"): Unit = {
     if (!fs.exists(idxPath)) return
     val settled = fs.listStatus(idxPath).toSeq
       .filter(_.isDirectory)
@@ -617,7 +618,7 @@ object DocStreams {
       val merged = graft.operators.Checkpoints.cut(
         spark.read.parquet(idxPath.toString)
           .filter(col("batch_id") < batchId)
-          .select(col("wh")).distinct(), None)
+          .select(col(keyCol)).distinct(), None)
       merged.withColumn("batch_id", lit(keep))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -731,6 +732,108 @@ object DocStreams {
       .parquet(outDir)
     wins.select(col("wh")).distinct()
       .join(index, Seq("wh"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(idxPath.toString)
+  }
+
+  /** Continuous LINE dedup — the streaming twin of
+    * [[graft.operators.Dedup.lineDedup]] and the crawl-shaped front
+    * door the r15 verdict flagged missing (a web crawl is the one
+    * corpus that genuinely arrives as a stream): each micro-batch's
+    * documents are line-deduped keep-first against everything ingested
+    * BEFORE them (the on-disk line-hash index) plus earlier
+    * occurrences within the batch, emit `(doc_id, n_lines, n_dropped,
+    * retained_text, batch_id)`, and append their NEW first-occurrence
+    * line hashes to the index — the [[spanIngest]] discipline verbatim
+    * at line granularity, sharing [[graft.operators.Dedup.lineInstances]]
+    * / `lineNonFirst` / `lineRebuild` with the batch operator so the
+    * two sides cannot drift (hashing, `minChars` exemption, rebuild).
+    *
+    * First-SEEN semantics: when docs arrive in ascending `doc_id`
+    * order the emitted rows equal the batch operator's global
+    * keep-first output row-for-row (spec-pinned); out-of-order arrival
+    * dedups against arrival order, the only order a stream has.
+    *
+    * State is the distinct 8-byte line-hash set — no text — with
+    * batch-id provenance (reads filter `batch_id < current`) and the
+    * periodic [[compactSpanIndex]] fold, so replayed batches emit
+    * identical rows and the retry contract is [[spanIngest]]'s:
+    * exactly-once by `batch_id` dynamic partition overwrite on both
+    * the sink and the index.
+    *
+    * Scale shape per batch: batch-sized line instances (24-byte rows)
+    * rank one window, probe the index by 8-byte keys (semi + anti
+    * join), and the rebuild is the batch operator's in-row
+    * segment-slice HOF; a corpus-wide boilerplate line costs its
+    * per-batch occurrence count, never index growth (the index holds
+    * each hash once).
+    */
+  def lineIngest(
+      docs: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      minChars: Int = 5,
+      hash: Hashing.HashTier = Hashing.Fast,
+      cutDir: Option[String] = None,
+      compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lineIngestBatch(batch, stateDir, outDir, minChars, hash, cutDir,
+          batchId, compactEvery)
+      }
+      .start()
+
+  /** One [[lineIngest]] micro-batch — the replay-idempotence seam
+    * (same contract as [[spanIngestBatch]]).
+    */
+  private[graft] def lineIngestBatch(
+      batch: DataFrame,
+      stateDir: String,
+      outDir: String,
+      minChars: Int,
+      hash: Hashing.HashTier,
+      cutDir: Option[String],
+      batchId: Long,
+      compactEvery: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val hSchema = StructType(Seq(
+      StructField("h", LongType, nullable = false)))
+    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireBatchPartitionedDir(fs, new org.apache.hadoop.fs.Path(outDir),
+      "lineIngest sink")
+    requireBatchPartitionedDir(fs, idxPath, "lineIngest line-hash index")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactSpanIndex(spark, fs, idxPath, batchId, keyCol = "h")
+    val index =
+      if (fs.exists(idxPath))
+        spark.read.parquet(idxPath.toString)
+          .filter(col("batch_id") < batchId)
+          .select(col("h"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hSchema)
+    val inst = graft.operators.Checkpoints.cut(
+      graft.operators.Dedup.lineInstances(batch, minChars, "text", "doc_id", hash),
+      cutDir)
+    // dropped = later keep-first occurrence within the batch (shared
+    // batch rule) OR line already in the corpus index
+    val drops = graft.operators.Dedup.lineNonFirst(inst)
+      .unionByName(inst.join(index, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos")))
+      .distinct()
+    graft.operators.Dedup.lineRebuild(batch, drops, "text", "doc_id")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    inst.select(col("h")).distinct()
+      .join(index, Seq("h"), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -838,6 +838,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("line ingest stream over ordered fixture slices equals batch lineDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[FixDoc].collect().sortBy(_.doc_id)
+    val dirs = java.nio.file.Files.createTempDirectory("graft_line").toString
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.lineIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/out", s"$dirs/ckpt",
+      hash = graft.functions.Hashing.Portable)
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.read.parquet(s"$dirs/out")
+      // ascending-id ingest makes first-SEEN ≡ the batch operator's
+      // global keep-first: identical rows, one per doc
+      assert(out.count() === base.length.toLong)
+      assert(rowSet(out.drop("batch_id")) ===
+        rowSet(graft.operators.Dedup.lineDedup(
+          base.toSeq.toDF("doc_id", "text"),
+          hash = graft.functions.Hashing.Portable)))
+      // the line-hash index holds each hash exactly once, with batch
+      // provenance for replay-safe reads
+      val idx = spark.read.parquet(s"$dirs/state/lh")
+      assert(idx.columns.toSet === Set("h", "batch_id"))
+      assert(idx.count() === idx.select("h").distinct().count())
+      // replay the LAST batch with its original id: sink and index
+      // byte-for-byte stable
+      val lastBatch = spark.read.parquet(s"$dirs/out")
+        .orderBy(col("batch_id").desc).select("batch_id")
+        .head().getAs[Number](0).longValue()
+      val lastChunk = base.grouped(math.max(base.length / 3, 1)).toSeq.last
+      val before = rowSet(spark.read.parquet(s"$dirs/out"))
+      val idxBefore = rowSet(idx)
+      graft.streaming.DocStreams.lineIngestBatch(
+        lastChunk.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
+        5, graft.functions.Hashing.Portable, None, lastBatch)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
+      assert(rowSet(spark.read.parquet(s"$dirs/state/lh")) === idxBefore)
+    } finally q.stop()
+  }
+
   test("span index compaction coalesces settled partitions without changing results") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
