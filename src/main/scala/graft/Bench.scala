@@ -103,8 +103,15 @@ object Bench {
     // bench_runs/ is additionally cleared whenever a perf-affecting
     // CODE change lands (documented in the round's PERF notes), which
     // the fingerprint cannot see.
+    // round stamp (SPARK_GRAFT_ROUND, e.g. "r16"): min-merged floors
+    // only ever decrease, so the floor diff proves nothing about the
+    // CURRENT build's speed (r15 verdict) — the merge therefore also
+    // emits a per-query MEDIAN over this round's stamped runs, the
+    // regression-honest figure the round notes diff.
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "")
     val fpr = fixtureFingerprint(sfDir)
-    val fprLine = line.replaceFirst("\\{", s"""{"fixture":"$fpr",""")
+    val fprLine = line.replaceFirst("\\{",
+      s"""{"fixture":"$fpr","round":"$round",""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val runsDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "bench_runs"))
@@ -120,7 +127,7 @@ object Bench {
           .maxOption.getOrElse(0) + 1
         java.nio.file.Files.writeString(
           runsDir.resolve(f"run_$next%03d.json"), fprLine + "\n")
-        mergeRuns(runsDir, results.toSeq, fpr, fprLine)
+        mergeRuns(runsDir, results.toSeq, fpr, fprLine, round)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] best-of merge failed, shipping single run: $e")
@@ -185,29 +192,50 @@ object Bench {
     * historical minima; among merged runs, -1 readings never win the
     * min unless every run failed. Emits the same one-line schema plus
     * a `runs` count so consumers can tell a merged artifact from a
-    * single run.
+    * single run, and (r16) a `medians` map + `median_total` computed
+    * over the CURRENT round's stamped runs only — the
+    * regression-honest figure floors cannot provide.
     */
   private def mergeRuns(
       runsDir: java.nio.file.Path, current: Seq[(String, Double)],
-      fpr: String, fallback: String): String = {
+      fpr: String, fallback: String, round: String = ""): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val runs = listJsons(runsDir).sortBy(_.toString)
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
       // a run with no fingerprint predates the fence — treat as stale
       .filter(r => Option(r.get("fixture")).exists(_.asText() == fpr))
-    val best = current.map { case (q, now) =>
-      val vals = runs.flatMap { r =>
+    // this ROUND's runs (matching stamp): the median over them is the
+    // current build's speed; the all-run min is the historical floor
+    val roundRuns =
+      if (round.isEmpty) Seq.empty
+      else runs.filter(r => Option(r.get("round")).exists(_.asText() == round))
+    def valsOf(rs: Seq[com.fasterxml.jackson.databind.JsonNode], q: String) =
+      rs.flatMap { r =>
         Option(r.get("queries")).flatMap(qs => Option(qs.get(q))).map(_.asDouble())
       }.filter(_ >= 0)
+    val best = current.map { case (q, now) =>
+      val vals = valsOf(runs, q)
       q -> (if (now < 0 || vals.isEmpty) -1.0 else vals.min)
+    }
+    // deterministic median: lower-middle of the sorted stamped-run
+    // values (even counts take the smaller — a pessimist would take
+    // the larger, but 2-run rounds would then report the WORSE run
+    // and read as phantom regressions)
+    val medians = current.map { case (q, now) =>
+      val vals = valsOf(roundRuns, q).sorted
+      q -> (if (now < 0 || vals.isEmpty) -1.0 else vals((vals.size - 1) / 2))
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val ms = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val ok = best.map(_._2).filter(_ >= 0)
     val nFailed = best.size - ok.size
     val total = if (ok.nonEmpty) r3(ok.sum) else 0.0
+    val okMed = medians.map(_._2).filter(_ >= 0)
+    val medTotal = if (okMed.nonEmpty) r3(okMed.sum) else 0.0
     val sf = Option(om.readTree(fallback).get("sf")).map(_.asText()).getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"fixture":"$fpr","queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"fixture":"$fpr","round":"$round","round_runs":${roundRuns.size},"median_total":$medTotal,"queries":$qs,"medians":$ms,"sf":"$sf"}"""
   }
 }
