@@ -307,9 +307,31 @@ object Multimodal {
       thresholdE3: Long = 2000,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    sceneCutsFrom(blockStats(docs, blockSize, textCol, idCol), thresholdE3, idCol)
+  }
+
+  /** [[sceneCuts]] over CODEC-DECODED payload samples — the real-media
+    * entry point: with a multi-frame codec
+    * ([[graft.operators.MultiFrameImageCodec]]) and `blockSize` =
+    * pixels per frame, one block = one frame and the mean-delta rule
+    * is a true inter-frame scene-change detector. Same output schema
+    * as the text form; the window rule is shared code so the two
+    * paths cannot drift.
+    */
+  def sceneCutsPayload(withPayloadDf: DataFrame, blockSize: Int = 64,
+      thresholdE3: Long = 2000, idCol: String = "doc_id",
+      codec: MediaCodec = StubCodec): DataFrame =
+    sceneCutsFrom(payloadBlockStats(withPayloadDf, blockSize, idCol, codec),
+      thresholdE3, idCol)
+
+  /** The shared block-mean-delta window rule of [[sceneCuts]] /
+    * [[sceneCutsPayload]].
+    */
+  private def sceneCutsFrom(stats: DataFrame, thresholdE3: Long,
+      idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("block_no"))
-    blockStats(docs, blockSize, textCol, idCol)
+    stats
       .withColumn("mean_e3", expr("(sum_cp * 1000) div n_cp"))
       .withColumn("prev_mean_e3", lag(col("mean_e3"), 1).over(w))
       .filter(col("prev_mean_e3").isNotNull)

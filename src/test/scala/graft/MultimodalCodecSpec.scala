@@ -27,6 +27,11 @@ import graft.operators.{ImageIoCodec, Multimodal}
   *    rows; `b` differs by ONE pixel ((3,2): 30 → 255). With
   *    blockSize=2 their 32-bit aHashes differ in exactly 1 bit — the
   *    real-bytes fixture for the perceptual near-dup chain.
+  *  - `scene4f2x2.gif`: 2×2 FOUR-frame animated GIF, 108 bytes —
+  *    frames 1-2 uniform gray 30, frames 3-4 uniform gray 220 (gray
+  *    survives GIF palettization exactly): the video fixture with a
+  *    hard scene cut at frame 3, for
+  *    [[graft.operators.MultiFrameImageCodec]].
   */
 class MultimodalCodecSpec extends SparkSpec {
 
@@ -236,5 +241,54 @@ class MultimodalCodecSpec extends SparkSpec {
       payloadDf(1L -> tone16, 2L -> doubled), win = 4, codec = wav)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(fps(1L) === fps(2L), "fingerprint must survive volume scaling")
+  }
+
+  // ---- the video half of the seam: graft.operators.MultiFrameImageCodec ----
+  // scene4f2x2.gif: 2×2 four-frame animated GIF (generated through the
+  // JRE's GIF sequence writer with pinned gray values): frames 1-2
+  // uniform gray 30, frames 3-4 uniform gray 220 — a hard scene cut at
+  // frame 3. Gray survives GIF palettization exactly, so lumas are
+  // format-pinned (lossless) across conforming JVMs.
+
+  private val video = new graft.operators.MultiFrameImageCodec
+  private lazy val scene = resourceBytes("/scene4f2x2.gif")
+
+  test("multi-frame codec: container decode, exact frame count, per-frame lumas") {
+    assert(video.decode(scene) === ((108L, "47494638", 2L, 2L)))
+    assert(video.frameCount(scene) === 4L)
+    // frames concatenated in presentation order, 4 lumas per frame
+    assert(video.samples(scene).toSeq ===
+      (Seq.fill(8)(30L) ++ Seq.fill(8)(220L)))
+    // stills are the single-frame degenerate case: identical sample
+    // stream to the stills codec — the strict-superset claim
+    assert(video.frameCount(png) === 1L)
+    assert(video.samples(png).toSeq === codec.samples(png).toSeq)
+    // non-media bytes degrade: 0 frames, empty samples, 0×0 decode
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(video.frameCount(junk) === 0L)
+    assert(video.samples(junk).isEmpty)
+    assert(video.decode(junk)._3 === 0L)
+  }
+
+  test("frameSample + sceneCutsPayload run REAL video frames through unchanged operators") {
+    val df = payloadDf(1L -> scene, 2L -> null)
+    // frameSample with stride 2 over the real 4-frame count
+    assert(rowSet(Multimodal.frameSample(df, stride = 2, codec = video)) ===
+      Set(Seq(1L, 0L, 4L), Seq(1L, 2L, 4L)))
+    // blockSize = 4 pixels = one frame per block: the block-mean-delta
+    // rule becomes a real scene-change detector — exactly one cut, at
+    // the frame-3 boundary (deltas 0, 190000e-3, 0)
+    val cuts = Multimodal.sceneCutsPayload(
+        df, blockSize = 4, thresholdE3 = 2000, codec = video)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(cuts === Map(
+      1L -> ((0L, false)), 2L -> ((190000L, true)), 3L -> ((0L, false))))
+    // the aHash fingerprint also composes over the frame stream:
+    // 4 blocks, dark-dark-bright-bright -> bits 2,3 set
+    val ah = Multimodal.perceptualHashPayload(
+        payloadDf(1L -> scene), blockSize = 4, codec = video)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ah(1L) === 12L)
   }
 }
