@@ -42,7 +42,16 @@ object Bench {
       def trial(): Double = {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // time the UN-PRUNED plan: `df.count()` lets Catalyst prune
+          // all output columns and then ELIMINATE whole subtrees —
+          // narrow projections collapse to a parquet metadata count
+          // and a left-outer join on unique aggregate keys drops its
+          // entire right side (the r16 finding: the LM screens benched
+          // as near-no-ops since r01). `toRdd` fixes the physical plan
+          // to the query's own output columns first, so counting it
+          // executes everything the query computes — the noop-sink
+          // benchmarking idiom with the row count kept as work proof.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
@@ -205,10 +214,12 @@ object Bench {
       // a run with no fingerprint predates the fence — treat as stale
       .filter(r => Option(r.get("fixture")).exists(_.asText() == fpr))
     // this ROUND's runs (matching stamp): the median over them is the
-    // current build's speed; the all-run min is the historical floor
-    val roundRuns =
-      if (round.isEmpty) Seq.empty
-      else runs.filter(r => Option(r.get("round")).exists(_.asText() == round))
+    // current build's speed; the all-run min is the historical floor.
+    // An empty stamp is a stamp too — unstamped dev runs median over
+    // each other (and pre-stamp run files count as "") instead of
+    // emitting an all--1 medians block that reads as total failure
+    val roundRuns = runs.filter(r =>
+      Option(r.get("round")).map(_.asText()).getOrElse("") == round)
     def valsOf(rs: Seq[com.fasterxml.jackson.databind.JsonNode], q: String) =
       rs.flatMap { r =>
         Option(r.get("queries")).flatMap(qs => Option(qs.get(q))).map(_.asDouble())

@@ -474,7 +474,12 @@ object ScaleSmoke {
           case Some(run) => run(spark, dir)
           case None =>
             val t0 = System.nanoTime()
-            val n = SparkEntry.queries(name)(spark, dir).count()
+            // un-pruned plan (the Bench rule, r16): `.count()` lets
+            // Catalyst collapse projection-final and unique-key
+            // left-join-final chains to a metadata count — the smoke
+            // then measures the scan, not the operator
+            val n = SparkEntry.queries(name)(spark, dir)
+              .queryExecution.toRdd.count()
             ((System.nanoTime() - t0) / 1e9, n)
         }
         isolate()
@@ -622,7 +627,9 @@ object ScaleSmoke {
     def time(name: String, dir: String): (Double, Long) = {
       def trial(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        // un-pruned plan — the Bench rule (see the sf1 tier)
+        val n = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.toRdd.count()
         val r = ((System.nanoTime() - t0) / 1e9, n)
         isolate()
         r

@@ -30,7 +30,9 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq else Seq("d_ngram_jaccard")
     time("warmup")(graft.sources.Tables.documents(spark, dir).count())
     for (n <- names; i <- 1 to 3) {
-      time(s"$n r$i")(SparkEntry.queries(n)(spark, dir).count())
+      // un-pruned plan — the Bench rule (r16): plain count() lets
+      // Catalyst collapse projection-final chains to a metadata count
+      time(s"$n r$i")(SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

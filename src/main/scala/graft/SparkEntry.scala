@@ -1010,9 +1010,10 @@ object SparkEntry {
     "t_domain_quota" -> ((s, dir) =>
       TextOps.domainQuota(Tables.documents(s, dir), "source", 10, hash = Hashing.Portable)),
     // URL parse/normalize over a synthetic absolute-URL fixture (one
-    // class per doc_id mod 8: tracking params, userinfo+port+multi-
+    // class per doc_id mod 10: tracking params, userinfo+port+multi-
     // label suffix, punycode, default ports, uppercase host, fragment,
-    // one non-URL row) — every urlParts stage oracle-exercised
+    // com.hk + co.id snapshot-PSL registrants, one non-URL row) —
+    // every urlParts stage oracle-exercised
     "t_url_parts" -> ((s, dir) =>
       TextOps.urlParts(urlFixture(Tables.documents(s, dir)))),
     // the web-corpus quota chain: parse URLs -> registered domain ->
@@ -1875,9 +1876,10 @@ object SparkEntry {
        |         list_filter(string_split(word, ''), x -> x != '') AS syms
        |  FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)""".stripMargin)
 
-  /** Byte-level st0: GPT-2-ish pre-tokens (RE2-portable subset),
-    * symbols = 2-hex-digit UTF-8 bytes via `hex(encode(word))` — the
-    * DuckDB twin of [[graft.operators.TextOps.byteTokens]] +
+  /** Byte-level st0: GPT-2-ish pre-tokens (RE2-portable subset,
+    * explicit whitespace class — Java `\s` includes VT, RE2's does
+    * not), symbols = 2-hex-digit UTF-8 bytes via `hex(encode(word))`
+    * — the DuckDB twin of [[graft.operators.TextOps.byteTokens]] +
     * hex-pair split.
     */
   private def bpeByteCtes(steps: Int): String = bpeCtesFrom(steps,
@@ -1885,7 +1887,7 @@ object SparkEntry {
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
        |         regexp_extract_all(hex(encode(word)), '..') AS syms
        |  FROM (SELECT unnest(regexp_extract_all(text,
-       |          ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS word
+       |          ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+')) AS word
        |        FROM documents) GROUP BY 1)""".stripMargin)
 
   private def bpeCtesFrom(steps: Int, st0: String): String = {

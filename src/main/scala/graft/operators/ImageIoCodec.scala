@@ -94,12 +94,23 @@ final class ImageIoCodec extends MediaCodec {
         for {
           y <- (0 until h).iterator
           x <- (0 until w).iterator
-        } yield {
-          val rgb = img.getRGB(x, y) // sRGB regardless of raster layout
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          (299L * r + 587L * g + 114L * b) / 1000L
-        }
+          // sRGB regardless of raster layout
+        } yield ImageSamples.luma(img.getRGB(x, y))
     }
+}
+
+/** The one Rec.601 luma formula both image codecs share
+  * ([[ImageIoCodec]], [[MultiFrameImageCodec]]) — exact fixed-point
+  * `(299·R + 587·G + 114·B) div 1000`, so perceptual hashes computed
+  * through either codec agree bit-for-bit on the same pixels. A
+  * single definition: a future luma change cannot silently diverge
+  * the codecs' fingerprints.
+  */
+private[operators] object ImageSamples {
+  def luma(rgb: Int): Long = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299L * r + 587L * g + 114L * b) / 1000L
+  }
 }

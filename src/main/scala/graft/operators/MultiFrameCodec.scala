@@ -31,8 +31,11 @@ import graft.operators.Multimodal.MediaCodec
   *    block-mean-delta rule becomes a real inter-frame scene-change
   *    detector (Zhang et al. 1993's pairwise-difference family, in the
   *    repo's integer-exact form). The per-frame stream is produced
-  *    lazily: one decoded frame in memory at a time, reader disposed
-  *    when the iterator drains — the mapPartitions batching contract.
+  *    lazily through ONE reader per payload: one decoded frame in
+  *    memory at a time, O(frames) container parses total, reader
+  *    disposed when the iterator drains; the backing stream is pure
+  *    memory, so an abandoned iterator holds no OS handle — the
+  *    mapPartitions batching contract.
   *
   * Frame compositing scope, pinned: each frame decodes INDEPENDENTLY
   * as its own raster — GIF disposal/offset compositing (partial frames
@@ -83,39 +86,75 @@ final class MultiFrameImageCodec extends MediaCodec {
     withReader(payload, 0L)(_.getNumImages(true).toLong)
 
   def samples(payload: Array[Byte]): Iterator[Long] = {
-    // frame count read eagerly (cheap header scan); frames decode
-    // lazily one at a time as the iterator advances, each through its
-    // own short-lived reader so no stream handle outlives a frame —
-    // iterator lifetime is unbounded inside mapPartitions and a held
-    // handle per row would leak until partition end
-    val n = frameCount(payload)
-    (0L until n).iterator.flatMap { i =>
-      withReader(payload, Iterator.empty: Iterator[Long]) { r =>
+    // ONE reader for the whole drain (a per-frame reader would re-parse
+    // frames 0..i to seek frame i — O(frames²) container parses per
+    // payload), decoding lazily one frame at a time and disposing when
+    // the iterator drains. The stream is a MemoryCacheImageInputStream
+    // over the payload bytes — pure memory, no temp-file cache — so an
+    // iterator abandoned mid-drain holds no OS handle and is plain
+    // garbage for the collector.
+    val frames: Iterator[Array[Long]] = new Iterator[Array[Long]] {
+      private var opened = false
+      private var closed = false
+      private var reader: javax.imageio.ImageReader = null
+      private var stream: javax.imageio.stream.ImageInputStream = null
+      private var n = 0
+      private var i = 0
+      private def open(): Unit = if (!opened) {
+        opened = true
+        try {
+          val s = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(payload))
+          val rs = ImageIO.getImageReaders(s)
+          if (!rs.hasNext) { s.close(); closed = true }
+          else {
+            reader = rs.next()
+            reader.setInput(s)
+            stream = s
+            n = reader.getNumImages(true)
+          }
+        } catch { case scala.util.control.NonFatal(_) => close() }
+      }
+      private def close(): Unit = if (!closed) {
+        closed = true
+        try if (reader != null) reader.dispose()
+        catch { case scala.util.control.NonFatal(_) => () }
+        try if (stream != null) stream.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        reader = null
+        stream = null
+      }
+      def hasNext: Boolean = {
+        open()
+        val h = !closed && i < n
+        if (!h) close()
+        h
+      }
+      def next(): Array[Long] = {
+        if (!hasNext) throw new NoSuchElementException("frames drained")
         val img =
-          try r.read(i.toInt)
+          try reader.read(i)
           catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) Iterator.empty
+        i += 1
+        if (img == null) Array.emptyLongArray
         else {
           val w = img.getWidth
           val h = img.getHeight
-          // materialize the frame's lumas before the reader disposes
+          // materialize this frame's lumas; only one frame in memory
           val out = new Array[Long](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val red = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              out(y * w + x) = (299L * red + 587L * g + 114L * b) / 1000L
+              out(y * w + x) = ImageSamples.luma(img.getRGB(x, y))
               x += 1
             }
             y += 1
           }
-          out.iterator
+          out
         }
       }
     }
+    frames.flatMap(_.iterator)
   }
 }

@@ -846,16 +846,15 @@ object Similarity {
         // uncached (double-banding, the regression this slot prevents)
         releaseBandCache()
         val cached = bandPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // claim the slot with CAS, not set(): a concurrent
-        // construction that slid between our release and here must not
-        // have its entry silently overwritten (that would leak its
-        // persisted blocks for the session). Losing the race costs
-        // only OUR caching — unpersist is recompute-safe, so the
-        // result stays correct, merely double-banding once.
-        if (!lastBandCache.compareAndSet(None, Some(cached))) {
-          try cached.unpersist(blocking = false)
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
+        // CAS-RETRY, never set() and never self-unpersist: set() would
+        // silently overwrite a concurrent construction's entry (leaking
+        // its persisted blocks for the session), and unpersisting our
+        // own frame on a lost race would also kill a sameResult-SHARED
+        // CacheManager entry (identical concurrent plans persist onto
+        // one entry), destroying the winner's caching too. Evict the
+        // other claim and retry — last claim wins, the sequential
+        // one-slot semantics.
+        while (!lastBandCache.compareAndSet(None, Some(cached))) releaseBandCache()
         cached
     }
     Dedup.occupancyProbe(

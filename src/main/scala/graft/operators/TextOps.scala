@@ -51,10 +51,14 @@ object TextOps {
   private def claimLmCache(plan: DataFrame): DataFrame = {
     releaseLmCache()
     val cached = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (!lastLmCache.compareAndSet(None, Some(cached))) {
-      try cached.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // CAS-RETRY, never self-unpersist: if a concurrent construction
+    // slid into the slot between our release and here, evict IT and
+    // claim again — last claim wins, exactly the sequential one-slot
+    // semantics. Unpersisting our own frame on a lost race would also
+    // kill a sameResult-SHARED CacheManager entry (identical
+    // concurrent plans persist onto one entry) and destroy the
+    // winner's caching along with ours.
+    while (!lastLmCache.compareAndSet(None, Some(cached))) releaseLmCache()
     cached
   }
 
@@ -787,10 +791,19 @@ object TextOps {
     * whitespace runs are their own pre-tokens. Concatenating all
     * pre-tokens reproduces the text byte-for-byte (every character is
     * consumed by exactly one alternative).
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\f\r]`, not `\s`: Java's
+    * `\s` includes vertical tab (U+000B) while RE2's does not, so a
+    * `\s`-based pattern pre-tokenizes VT differently in the two
+    * engines (whitespace run vs punctuation run) and breaks the
+    * oracle twin despite both sides covering the text. With the
+    * explicit class both engines put VT (and NBSP etc.) in the
+    * punctuation alternative.
     */
   def byteTokens(text: Column): Column =
     regexp_extract_all(text,
-      lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"), lit(0))
+      lit(" ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"),
+      lit(0))
 
   /** Train AND self-segment in one pass: the training loop's end state
     * IS the segmentation of the training corpus (pinned ≡

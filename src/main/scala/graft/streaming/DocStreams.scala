@@ -699,8 +699,13 @@ object DocStreams {
     val whSchema = StructType(Seq(
       StructField("wh", LongType, nullable = false)))
     val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
-    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-    requireBatchPartitionedDir(fs, new org.apache.hadoop.fs.Path(outDir),
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = idxPath.getFileSystem(conf)
+    // each dir's check runs against ITS OWN filesystem: state and sink
+    // may legitimately live on different schemes (local state, object-
+    // store sink), and the index FS would throw Wrong-FS on the other
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
       "spanIngest coverage sink")
     requireBatchPartitionedDir(fs, idxPath, "spanIngest window-hash index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -804,8 +809,12 @@ object DocStreams {
     val hSchema = StructType(Seq(
       StructField("h", LongType, nullable = false)))
     val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
-    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-    requireBatchPartitionedDir(fs, new org.apache.hadoop.fs.Path(outDir),
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = idxPath.getFileSystem(conf)
+    // per-path filesystems (the spanIngestBatch rule): state and sink
+    // may live on different schemes
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
       "lineIngest sink")
     requireBatchPartitionedDir(fs, idxPath, "lineIngest line-hash index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

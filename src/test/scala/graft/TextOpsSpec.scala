@@ -749,6 +749,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_(4) === true))
   }
 
+  test("LM instance cache: one-slot lifecycle across bigram/trigram scoring calls") {
+    // the Similarity.releaseBandCache device applied to the LM family
+    // (r16 ADVICE): repeated scoring calls hold at most ONE cached
+    // corpus-sized instance frame, and releaseLmCache frees the last
+    val docs = (1L to 20L)
+      .map(i => (i, s"alpha beta gamma delta tok$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    TextOps.releaseLmCache()
+    // materialize through the UN-PRUNED plan: a plain .count() lets
+    // Catalyst eliminate the scorer's final unique-key left-outer join
+    // and with it the whole cached-instances subtree — the cache then
+    // never materializes and the census reads 0 (the r16 finding that
+    // also re-based the bench action)
+    TextOps.bigramLmScore(docs).queryExecution.toRdd.count()
+    val afterOne = spark.sparkContext.getPersistentRDDs.size
+    assert(afterOne >= 1, "scoring must materialize the cached instance frame")
+    // a second call (even of the other order) evicts the first frame
+    // before caching its own — the RDD census must not grow
+    TextOps.trigramLmScore(docs).queryExecution.toRdd.count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= afterOne,
+      "repeated LM scoring must not accumulate instance-frame cache entries")
+    // release frees the slot; a second release is a no-op
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TextOps.releaseLmCache()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after === before - 1, s"expected one freed entry, $before -> $after")
+    TextOps.releaseLmCache()
+    assert(spark.sparkContext.getPersistentRDDs.size === after)
+    // an evicted (unpersisted) earlier result is recompute-safe: the
+    // second score's rows equal a fresh computation's
+    assert(rowSet(TextOps.trigramLmScore(docs)) ===
+      rowSet(TextOps.trigramLmScore(docs)))
+    TextOps.releaseLmCache()
+  }
+
   test("linearSourceClassify: bigram odds beat unigram NB on correlated features") {
     // unigram distributions IDENTICAL across classes (16 x, 16 y each)
     // — only bigram ORDER discriminates: srcA is run-shaped
@@ -876,6 +911,10 @@ class TextOpsSpec extends SparkSpec {
     val texts = Seq(
       "Hey  there, 世界! 42x",
       "café 🚀🚀 日本語\n tabs\tok",
+      // vertical tab: in Java's \s but NOT RE2's — the explicit
+      // whitespace class routes it to the punctuation run in BOTH
+      // engines (and NBSP likewise)
+      "a" + 11.toChar + "b c" + 160.toChar + "d",
       "")
     val cov = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
