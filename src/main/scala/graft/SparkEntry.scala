@@ -151,6 +151,35 @@ object SparkEntry {
   private def urlFixture(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), urlFixtureExpr.as("url"))
 
+  /** Directed person graph for [[GraphOps.sccLabels]]: hash-sliced
+    * C→S interaction edges (1/12 of the distinct pairs) plus
+    * same-nation S→C back-edges (1/60 of the supplier×customer
+    * same-nation pairs) — two real joins over the base tables whose
+    * composition has genuine directed cycles and a non-trivial
+    * condensation (at sf0.01: ~4.1k edges, 3 multi-vertex SCCs,
+    * largest 151). The MERGED person graph is symmetric by
+    * construction (P4 emits both directions), where SCC degenerates
+    * to connected components — this fixture is the directed shape the
+    * operator exists for (the `urlFixture` device).
+    */
+  private def sccFixture(s: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.relationshipDocs(s, dir)
+      .select(col("from_person_id").as("src"), col("to_person_id").as("dst"))
+      .distinct()
+      .filter(pmod(Hashing.portableHash(
+        concat(col("src"), lit("|"), col("dst"))), lit(12)) === 0)
+    val bwd = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("s_nationkey") === col("c_nationkey"))
+      .select(
+        concat(lit("S"), col("s_suppkey").cast("string")).as("src"),
+        concat(lit("C"), col("c_custkey").cast("string")).as("dst"))
+      .filter(pmod(Hashing.portableHash(
+        concat(col("src"), lit(">"), col("dst"))), lit(60)) === 0)
+    fwd.unionAll(bwd)
+  }
+
   /** URL + HTML fixtures in ONE projection (both are row-local column
     * derivations — a doc_id self-join here would put a corpus-sized
     * exchange in front of the chain under test).
@@ -471,6 +500,13 @@ object SparkEntry {
     "g_louvain_res" -> ((s, dir) =>
       GraphOps.louvain(coocPairs(s, dir), moveRounds = 2, levels = 2,
         resolutionE3 = 1200L)),
+
+    // strongly connected components over the genuinely DIRECTED
+    // fixture graph (FW-BW-Trim coloring to fixpoint); the oracle is
+    // the DEFINITION — recursive-CTE transitive closure -> mutual
+    // reachability -> min-member labels — so a pass certifies the
+    // whole peel/color/backward loop, not a round count
+    "g_scc" -> ((s, dir) => GraphOps.sccLabels(sccFixture(s, dir))),
 
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
@@ -993,6 +1029,12 @@ object SparkEntry {
     "t_trigram_lm" -> ((s, dir) =>
       TextOps.trigramLmScore(Tables.documents(s, dir), maxBitsE3 = 3600,
         hash = Hashing.Portable)),
+    // CCNet §3.3 head/middle/tail perplexity terciles over the trigram
+    // scores: thresholds are VALUES off a score-histogram cumulative
+    // (never a corpus-wide rank), no-signal docs pin to tail
+    "t_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(Tables.documents(s, dir), maxBitsE3 = 3600,
+        hash = Hashing.Portable)),
     // DSIR importance weighting against a deterministic target slice
     // (sources src0/src1 ≈ 10% of the corpus) — integer bits via the
     // same ilog2 convention as t_bigram_lm, exact in both engines
@@ -1343,6 +1385,19 @@ object SparkEntry {
     "sim_ivfpq_residual" -> ((s, dir) =>
       Similarity.ivfPqResidualTopK(Tables.embeddings(s, dir),
         col("vec_id") < 8, refineK = 10)),
+    // SQ8 scalar quantization (the FAISS SQ8 tier): per-dimension
+    // [mn,mx] 8-bit codes — no codebook, the bounds aggregate is the
+    // entire training — scored asymmetrically against the dequantized
+    // reconstruction; all-integer floor-division arithmetic, so both
+    // the codes and the top-k replicate exactly in SQL
+    "sim_sq8_codes" -> ((s, dir) =>
+      // exploded to (vec_id, dim, code) rows for the oracle hash (the
+      // sim_pq_codes convention — arrays don't cross the compare)
+      Similarity.sq8Encode(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))),
+    "sim_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
     // MMR diversified rerank: greedy λ-tradeoff of relevance against
     // redundancy-to-selected over each query's top-8 cosine pool —
@@ -1841,6 +1896,74 @@ object SparkEntry {
 
   /** DuckDB twin of [[TextOps.tokens]]. */
   private val TOKS = """regexp_extract_all(text, '\S+')"""
+
+  /** [[TextOps.trigramLmScore]] as a shared CTE chain ending in
+    * `lm_scored(doc_id, n_trigrams, n_backoff, bits_total,
+    * bits_per_trigram_e3, keep)` — `t_trigram_lm` selects it
+    * directly; `t_ppl_buckets` layers the CCNet tercile cut on top.
+    * Pins the query parameters (train 900‰, backoff 1 bit, keep ≤
+    * 3600 e3-bits).
+    */
+  private lazy val TRIGRAM_LM_CTES =
+    s"""t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+       |tt AS (SELECT doc_id, toks, ${ph("text")} % 1000 < 900 AS is_train FROM t),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, is_train,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> ${ph("array_to_string(toks[i:i+2], ' ')")})) AS t3h,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")})) AS b12h,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> ${ph("array_to_string(toks[i+1:i+2], ' ')")})) AS b23h,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> ${ph("toks[i+1]")})) AS w2h,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> ${ph("toks[i+2]")})) AS w3h
+       |  FROM tt WHERE len(toks) >= 3),
+       |tr AS MATERIALIZED (SELECT * FROM inst WHERE is_train),
+       |c3 AS (SELECT t3h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l3
+       |       FROM tr GROUP BY t3h),
+       |p3 AS (SELECT b12h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp3
+       |       FROM tr GROUP BY b12h),
+       |c2 AS (SELECT b23h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l2
+       |       FROM tr GROUP BY b23h),
+       |p2 AS (SELECT w2h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp2
+       |       FROM tr GROUP BY w2h),
+       |cu AS MATERIALIZED (SELECT w3h, CAST(count(*) AS BIGINT) AS cw
+       |      FROM tr GROUP BY w3h),
+       |tv AS (SELECT CAST(length(bin(CAST(COALESCE(SUM(cw), 0) + COUNT(*)
+       |         AS BIGINT))) - 1 AS BIGINT) AS ltv FROM cu),
+       |ic AS (SELECT doc_id, t3h, b12h, b23h, w2h, w3h,
+       |              CAST(count(*) AS BIGINT) AS n
+       |       FROM inst GROUP BY 1, 2, 3, 4, 5, 6),
+       |sc AS (
+       |  SELECT ic.doc_id, ic.n,
+       |         CASE WHEN l3 IS NOT NULL THEN lp3 - l3
+       |              WHEN l2 IS NOT NULL THEN 1 + lp2 - l2
+       |              ELSE 2 + tv.ltv -
+       |                   CAST(length(bin(COALESCE(cw, 0) + 1)) - 1 AS BIGINT)
+       |         END AS bits,
+       |         CASE WHEN l3 IS NULL THEN ic.n ELSE CAST(0 AS BIGINT) END AS nb
+       |  FROM ic
+       |  LEFT JOIN c3 USING (t3h) LEFT JOIN p3 USING (b12h)
+       |  LEFT JOIN c2 USING (b23h) LEFT JOIN p2 USING (w2h)
+       |  LEFT JOIN cu USING (w3h) CROSS JOIN tv),
+       |pd AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+       |         CAST(SUM(nb) AS BIGINT) AS n_backoff,
+       |         CAST(SUM(n * bits) AS BIGINT) AS bits_total
+       |  FROM sc GROUP BY doc_id),
+       |lm_scored AS (
+       |  SELECT d.doc_id,
+       |         CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |         CAST(COALESCE(n_backoff, 0) AS BIGINT) AS n_backoff,
+       |         CAST(COALESCE(bits_total, 0) AS BIGINT) AS bits_total,
+       |         CAST(CASE WHEN n_trigrams > 0
+       |              THEN floor(bits_total*1000/n_trigrams) ELSE 0 END AS BIGINT)
+       |           AS bits_per_trigram_e3,
+       |         (n_trigrams IS NOT NULL AND n_trigrams > 0
+       |          AND floor(bits_total*1000/n_trigrams) <= 3600) AS keep
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id))""".stripMargin
 
   /** DuckDB twin of [[TextOps.bpeMerges]]: `steps` unrolled
     * count → argmax → run-parity-rewrite stages over the word table —
@@ -3775,64 +3898,31 @@ object SparkEntry {
     // the 900-permille train slice; stupid backoff bits with the
     // whole-bit convention (backoff level = +1 bit each)
     "t_trigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
-         |tt AS (SELECT doc_id, toks, ${ph("text")} % 1000 < 900 AS is_train FROM t),
-         |inst AS MATERIALIZED (
-         |  SELECT doc_id, is_train,
-         |         unnest(list_transform(range(1, len(toks) - 1),
-         |           i -> ${ph("array_to_string(toks[i:i+2], ' ')")})) AS t3h,
-         |         unnest(list_transform(range(1, len(toks) - 1),
-         |           i -> ${ph("array_to_string(toks[i:i+1], ' ')")})) AS b12h,
-         |         unnest(list_transform(range(1, len(toks) - 1),
-         |           i -> ${ph("array_to_string(toks[i+1:i+2], ' ')")})) AS b23h,
-         |         unnest(list_transform(range(1, len(toks) - 1),
-         |           i -> ${ph("toks[i+1]")})) AS w2h,
-         |         unnest(list_transform(range(1, len(toks) - 1),
-         |           i -> ${ph("toks[i+2]")})) AS w3h
-         |  FROM tt WHERE len(toks) >= 3),
-         |tr AS MATERIALIZED (SELECT * FROM inst WHERE is_train),
-         |c3 AS (SELECT t3h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l3
-         |       FROM tr GROUP BY t3h),
-         |p3 AS (SELECT b12h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp3
-         |       FROM tr GROUP BY b12h),
-         |c2 AS (SELECT b23h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS l2
-         |       FROM tr GROUP BY b23h),
-         |p2 AS (SELECT w2h, CAST(length(bin(count(*))) - 1 AS BIGINT) AS lp2
-         |       FROM tr GROUP BY w2h),
-         |cu AS MATERIALIZED (SELECT w3h, CAST(count(*) AS BIGINT) AS cw
-         |      FROM tr GROUP BY w3h),
-         |tv AS (SELECT CAST(length(bin(CAST(COALESCE(SUM(cw), 0) + COUNT(*)
-         |         AS BIGINT))) - 1 AS BIGINT) AS ltv FROM cu),
-         |ic AS (SELECT doc_id, t3h, b12h, b23h, w2h, w3h,
-         |              CAST(count(*) AS BIGINT) AS n
-         |       FROM inst GROUP BY 1, 2, 3, 4, 5, 6),
-         |sc AS (
-         |  SELECT ic.doc_id, ic.n,
-         |         CASE WHEN l3 IS NOT NULL THEN lp3 - l3
-         |              WHEN l2 IS NOT NULL THEN 1 + lp2 - l2
-         |              ELSE 2 + tv.ltv -
-         |                   CAST(length(bin(COALESCE(cw, 0) + 1)) - 1 AS BIGINT)
-         |         END AS bits,
-         |         CASE WHEN l3 IS NULL THEN ic.n ELSE CAST(0 AS BIGINT) END AS nb
-         |  FROM ic
-         |  LEFT JOIN c3 USING (t3h) LEFT JOIN p3 USING (b12h)
-         |  LEFT JOIN c2 USING (b23h) LEFT JOIN p2 USING (w2h)
-         |  LEFT JOIN cu USING (w3h) CROSS JOIN tv),
-         |pd AS (
-         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
-         |         CAST(SUM(nb) AS BIGINT) AS n_backoff,
-         |         CAST(SUM(n * bits) AS BIGINT) AS bits_total
-         |  FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
-         |       CAST(COALESCE(n_backoff, 0) AS BIGINT) AS n_backoff,
-         |       CAST(COALESCE(bits_total, 0) AS BIGINT) AS bits_total,
-         |       CAST(CASE WHEN n_trigrams > 0
-         |            THEN floor(bits_total*1000/n_trigrams) ELSE 0 END AS BIGINT)
-         |         AS bits_per_trigram_e3,
-         |       (n_trigrams IS NOT NULL AND n_trigrams > 0
-         |        AND floor(bits_total*1000/n_trigrams) <= 3600) AS keep
-         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)""".stripMargin,
+      s"""WITH $TRIGRAM_LM_CTES
+         |SELECT doc_id, n_trigrams, n_backoff, bits_total,
+         |       bits_per_trigram_e3, keep
+         |FROM lm_scored""".stripMargin,
+
+    // CCNet terciles over the shared trigram-LM chain: histogram of
+    // score VALUES -> cumulative -> value thresholds t1/t2 -> CASE
+    "t_ppl_buckets" ->
+      s"""WITH $TRIGRAM_LM_CTES,
+         |hist AS (SELECT bits_per_trigram_e3 AS s,
+         |                CAST(count(*) AS BIGINT) AS c
+         |         FROM lm_scored WHERE n_trigrams > 0 GROUP BY 1),
+         |cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM hist),
+         |tot AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n FROM hist),
+         |th AS (SELECT min(CASE WHEN cum*3 >= n THEN s END) AS t1,
+         |              min(CASE WHEN cum*3 >= 2*n THEN s END) AS t2
+         |       FROM cum CROSS JOIN tot)
+         |SELECT doc_id, n_trigrams, bits_per_trigram_e3,
+         |       CASE WHEN n_trigrams = 0 THEN 'tail'
+         |            WHEN bits_per_trigram_e3 <= t1 THEN 'head'
+         |            WHEN bits_per_trigram_e3 <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM lm_scored CROSS JOIN th""".stripMargin,
 
     // the whole front-door chain in SQL, each stage the SHARED
     // fragment of its own oracle: URL gate FIRST (gated-out docs must
@@ -4669,6 +4759,40 @@ object SparkEntry {
          |)
          |SELECT a AS person_a, b AS person_b FROM peel WHERE iter = 8""".stripMargin,
 
+    // SCC by DEFINITION: transitive closure (recursive CTE), mutual
+    // reachability, label = least mutually reachable vertex (self
+    // included via the dir_e vertex rows) — algorithm-independent, so
+    // it certifies the operator's FW-BW-Trim loop at any round count
+    "g_scc" ->
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+         |                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |fwd_s AS (SELECT src, dst FROM fwd
+         |          WHERE ${ph("src || '|' || dst")} % 12 = 0),
+         |bwd AS (
+         |  SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
+         |                  'C' || CAST(c_custkey AS VARCHAR) AS dst
+         |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
+         |bwd_s AS (SELECT src, dst FROM bwd
+         |          WHERE ${ph("src || '>' || dst")} % 60 = 0),
+         |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT src, dst FROM dir_e
+         |    UNION
+         |    SELECT r.src, e.dst FROM r JOIN dir_e e ON e.src = r.dst)
+         |  SELECT src, dst FROM r),
+         |mutual AS (
+         |  SELECT a.src AS v, a.dst AS u
+         |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+         |scc AS (
+         |  SELECT v, least(min(u), v) AS scc_label FROM (
+         |    SELECT v, u FROM mutual
+         |    UNION SELECT src AS v, src AS u FROM dir_e
+         |    UNION SELECT dst AS v, dst AS u FROM dir_e) GROUP BY v)
+         |SELECT v AS person_id, scc_label FROM scc""".stripMargin,
+
     // g_louvain plus the connectivity refinement after each level's
     // move rounds: intra-community edges -> exact reachability
     // (recursive CTE, the d_dedup_clusters device) -> min-member
@@ -5288,6 +5412,64 @@ object SparkEntry {
          |  JOIN parts p ON p.query_id = cd.query_id
          |             AND p.neighbor_id = cd.neighbor_id
          |  JOIN qd ON qd.query_id = cd.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // SQ8 codes: per-dimension [mn,mx] over the whole corpus (the
+    // entire "training"), code = ((q_i-mn)*255) // (mx-mn) — floor
+    // division on non-negative BIGINTs, matching the operator's exact
+    // integer divQ
+    "sim_sq8_codes" ->
+      s"""WITH $QNORM,
+         |mm AS (
+         |  SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+         |    SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+         |    FROM qn) t GROUP BY pos),
+         |ml AS (SELECT list(mn ORDER BY pos) AS mnl,
+         |              list(mx ORDER BY pos) AS mxl FROM mm)
+         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |       CAST(CASE WHEN mxl[i] = mnl[i] THEN 0
+         |            ELSE ((q[i] - mnl[i]) * 255) // (mxl[i] - mnl[i])
+         |            END AS BIGINT) AS code
+         |FROM qn CROSS JOIN ml,
+         |     UNNEST(range(1, CAST(len(q) AS BIGINT) + 1)) AS t(i)""".stripMargin,
+
+    // SQ8 top-k: score against the dequantized reconstruction
+    // recon_i = mn_i + (code_i*(mx_i-mn_i)) // 255 (a constant
+    // dimension reconstructs to mn_i exactly — the CASE 0 code times
+    // zero span)
+    "sim_sq8_topk" ->
+      s"""WITH $QNORM,
+         |mm AS (
+         |  SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+         |    SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+         |    FROM qn) t GROUP BY pos),
+         |ml AS (SELECT list(mn ORDER BY pos) AS mnl,
+         |              list(mx ORDER BY pos) AS mxl FROM mm),
+         |rec AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, len(q)+1), i ->
+         |           mnl[i] + ((CASE WHEN mxl[i] = mnl[i] THEN 0
+         |                      ELSE ((q[i] - mnl[i]) * 255) //
+         |                           (mxl[i] - mnl[i]) END)
+         |                     * (mxl[i] - mnl[i])) // 255) AS recon
+         |  FROM qn CROSS JOIN ml),
+         |rn AS (SELECT vec_id, recon,
+         |              CAST(list_sum(list_transform(recon, x -> x*x))
+         |                   AS BIGINT) AS rnq FROM rec),
+         |qd AS (SELECT vec_id AS query_id, q AS qq, nq AS qn2
+         |       FROM qn WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT qd.query_id, r.vec_id AS neighbor_id,
+         |         CAST(qd.qn2 + r.rnq
+         |              - 2 * ${dotSql("qd.qq", "r.recon")} AS BIGINT) AS adist_q
+         |  FROM rn r CROSS JOIN qd WHERE r.vec_id <> qd.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, adist_q,
          |         CAST(row_number() OVER (

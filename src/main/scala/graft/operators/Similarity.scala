@@ -1853,4 +1853,121 @@ object Similarity {
     scaffolding.foreach(_.unpersist(false))
     selected.select(col("vec_id"), col("step"), col("min_dist_q"))
   }
+
+  /** Exact non-negative integer floor division (`a ≥ 0, b > 0`) that
+    * replicates bit-for-bit in SQL: `(a − a mod b) / b` — the
+    * numerator is exactly divisible, so the one IEEE divide is exact
+    * for quotients < 2⁵³ (all SQ8 quotients are ≤ 255·span, far
+    * below). DuckDB twin: `(a - a % b) / b` cast to BIGINT.
+    */
+  private def divQ(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Per-dimension SQ8 bounds `(mn, mx)` over the quantized corpus —
+    * the trained half of scalar quantization. One posexplode +
+    * map-side-combining min/max aggregate (d rows per partition cross
+    * the exchange, never the corpus), collected as two dim-length
+    * literal arrays (driver-bounded like every codebook in this file).
+    */
+  private[graft] def sq8Bounds(corpus: DataFrame): (Seq[Long], Seq[Long]) = {
+    val rows = corpus.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("pos").asc)
+      .collect()
+    (rows.map(_.getLong(1)).toSeq, rows.map(_.getLong(2)).toSeq)
+  }
+
+  /** SQ8 scalar-quantization encode: each dimension of the quantized
+    * vector maps to an 8-bit code against the corpus per-dimension
+    * `[mn, mx]` range (the FAISS `SQ8` tier — 4 bytes/dim down to 1;
+    * the uniform-quantizer sibling of [[pqEncode]]'s codebook tier):
+    * `code_i = ((q_i − mn_i)·255) div (mx_i − mn_i)` (0 when the
+    * dimension is constant). Output `(vec_id, codes)` — the
+    * persistable index. All arithmetic is exact integer
+    * ([[divQ]]), so the encode replicates in SQL; zero-norm vectors
+    * are valid (L2 family, the [[pqEncode]] convention).
+    *
+    * Scale shape: the bounds aggregate is one narrow pass (d rows per
+    * partition cross the exchange); encoding is one codegen'd
+    * index-aware HOF projection against two dim-length literal
+    * arrays — no join, no shuffle, no row blowup.
+    */
+  def sq8Encode(embeddings: DataFrame): DataFrame = {
+    val corpus = withQuant(embeddings)
+    val (mn, mx) = sq8Bounds(corpus)
+    if (mn.isEmpty)
+      return corpus.limit(0).select(col("vec_id"), col("q").as("codes"))
+    val mnL = typedLit(mn)
+    val mxL = typedLit(mx)
+    corpus.select(
+      col("vec_id"),
+      transform(col("q"), (x, i) => {
+        val lo = element_at(mnL, i + 1)
+        val hi = element_at(mxL, i + 1)
+        when(hi === lo, lit(0L))
+          .otherwise(divQ((x - lo) * 255L, hi - lo))
+      }).as("codes"))
+  }
+
+  /** SQ8 approximate top-k — asymmetric scoring against the 8-bit
+    * reconstruction: `adist(q, x) = ‖q‖² + ‖recon(x)‖² − 2·q·recon(x)`
+    * where `recon_i = mn_i + (code_i·(mx_i − mn_i)) div 255`, exactly
+    * the L2 distance to x's dequantized form ([[pqTopK]]'s ADC
+    * contract at the scalar tier). Ascending distance, ties by
+    * neighbor id, self excluded; output
+    * `(query_id, neighbor_id, adist_q, rank)` — all BIGINT.
+    *
+    * Scale shape — where SQ8 sits in the ANN family: the index is d
+    * BYTES per vector (vs d·4 raw, vs m codes for [[pqTopK]]) with no
+    * codebook training at all — the bounds aggregate is the entire
+    * "training". Encode and reconstruction are narrow HOF projections
+    * (recon never shuffles past the scan); scoring streams
+    * codes-sized rows against the broadcast query set and the
+    * per-query partial top-k (WindowGroupLimit) keeps k rows per
+    * (query, partition). The 4× compression costs ≤ span/510 per-
+    * dimension reconstruction error — recall sits between brute force
+    * and PQ (RECALL.md quantifies).
+    */
+  def sq8TopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = withQuant(embeddings)
+    val (mn, mx) = sq8Bounds(corpus)
+    if (mn.isEmpty)
+      return corpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("adist_q"), col("nq").as("rank"))
+    val mnL = typedLit(mn)
+    val mxL = typedLit(mx)
+    // encode→reconstruct in ONE projection: at 100 TB the codes are
+    // what persists; recon derives from them in the scan projection
+    // and never re-enters the plan past it
+    val recon = corpus.select(
+      col("vec_id"),
+      transform(col("q"), (x, i) => {
+        val lo = element_at(mnL, i + 1)
+        val hi = element_at(mxL, i + 1)
+        val code = when(hi === lo, lit(0L))
+          .otherwise(divQ((x - lo) * 255L, hi - lo))
+        lo + divQ(code * (hi - lo), lit(255L))
+      }).as("recon"))
+      .withColumn("rnq", normQ(col("recon")))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val scored = recon.join(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qn") + col("rnq") - lit(2L) * dotQ(col("qq"), col("recon")))
+          .as("adist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
+  }
 }

@@ -412,6 +412,65 @@ object TextOps {
           mean <= maxBitsE3).as("keep"))
   }
 
+  /** CCNet perplexity buckets (Wenzek et al. 2020 §3.3): every
+    * document labeled `head` / `middle` / `tail` by which TERCILE of
+    * the corpus perplexity distribution it falls in — the screen
+    * CCNet actually ships (the thresholded [[trigramLmScore]] `keep`
+    * is the cruder binary form; CCNet keeps the buckets so downstream
+    * mixing can weight them). Scores come from [[trigramLmScore]]
+    * (same stupid-backoff estimator, same train slice); thresholds
+    * are VALUES, not per-document ranks: `t1` = the smallest
+    * `bits_per_trigram_e3` whose cumulative count covers ≥ 1/3 of the
+    * scored docs, `t2` likewise for 2/3, and every doc with the same
+    * score lands in the same bucket (no id tiebreak inside a score
+    * value — tied docs are indistinguishable to the model). Docs with
+    * no trigrams (< 3 tokens) carry no signal and pin to `tail`.
+    *
+    * Scale shape: the tercile cut does NOT rank the corpus — it
+    * aggregates a HISTOGRAM keyed by the score value
+    * (`bits_per_trigram_e3` is integer whole-bits ×1000, a few
+    * thousand distinct values no matter the corpus size), runs the
+    * cumulative sum on that bounded table (the one single-partition
+    * window in the operator — histogram-sized by construction), and
+    * broadcasts the two thresholds back as a 1-row frame. A
+    * percentile over 100 TB of docs costs one map-side-combining
+    * count aggregate, never a global sort.
+    *
+    * Output: `(doc_id, n_trigrams, bits_per_trigram_e3, bucket)`, one
+    * row per input document.
+    */
+  def pplBuckets(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      maxBitsE3: Long = 12000,
+      backoffBits: Long = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trigramLmScore(docs, trainPermille, maxBitsE3, backoffBits,
+      textCol, idCol, hash)
+      .select(col("doc_id"), col("n_trigrams"), col("bits_per_trigram_e3"))
+    val hist = scored.filter(col("n_trigrams") > 0)
+      .groupBy(col("bits_per_trigram_e3").as("s"))
+      .agg(count(lit(1)).as("c"))
+    // single-partition window is SAFE here: `hist` is score-value-
+    // bounded (whole bits ×1000), not corpus-sized
+    val wcum = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val th = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("s"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("s"))).as("t2"))
+    scored.crossJoin(broadcast(th)).select(
+      col("doc_id"), col("n_trigrams"), col("bits_per_trigram_e3"),
+      when(col("n_trigrams") === 0, "tail")
+        .when(col("bits_per_trigram_e3") <= col("t1"), "head")
+        .when(col("bits_per_trigram_e3") <= col("t2"), "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** Self-trained multinomial Naive-Bayes SOURCE classifier — the
     * fastText-shaped quality/domain-classifier stage of a curation
     * pipeline (DCLM, FineWeb-Edu and friends train a cheap linear

@@ -883,4 +883,82 @@ class SimilaritySpec extends SparkSpec {
       Seq(5L, 1L, 0L),
       Seq(7L, 2L, 2000000000000L)))
   }
+
+  test("sq8Encode: hand-checked codes; constant dimension codes to 0") {
+    // dim 0 spans [0, 1e6]; dim 1 is constant (span 0)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.5f)),
+      (1L, Array(0.5f, 0.5f)),
+      (2L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val codes = Similarity.sq8Encode(emb)
+      .as[(Long, Seq[Long])].collect().toMap
+    // code = ((q - mn) * 255) div span: 0, (5e5*255) div 1e6 = 127, 255
+    assert(codes(0L) === Seq(0L, 0L))
+    assert(codes(1L) === Seq(127L, 0L))
+    assert(codes(2L) === Seq(255L, 0L))
+  }
+
+  /** In-JVM SQ8 reference: quantize, bounds, codes, reconstruction. */
+  private def sq8Recon(vecs: Map[Long, Array[Float]]): Map[Long, Seq[Long]] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toSeq }
+    val d = q.head._2.length
+    val mn = (0 until d).map(i => q.values.map(_(i)).min)
+    val mx = (0 until d).map(i => q.values.map(_(i)).max)
+    q.map { case (id, v) =>
+      id -> (0 until d).map { i =>
+        val span = mx(i) - mn(i)
+        if (span == 0L) mn(i)
+        else {
+          val code = (v(i) - mn(i)) * 255L / span
+          mn(i) + code * span / 255L
+        }
+      }
+    }
+  }
+
+  test("sq8TopK: adist is exactly the squared distance to the SQ8 reconstruction") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 12L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f)).toMap
+    val emb = vecs.toSeq.toDF("vec_id", "embedding")
+    val recon = sq8Recon(vecs)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toSeq }
+    val out = Similarity.sq8TopK(emb, col("vec_id") < 3, k = 11)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 3 * 11)
+    for ((qid, nid, adist, _) <- out) {
+      val expected = q(qid).zip(recon(nid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adist === expected, s"query $qid neighbor $nid")
+    }
+    // ranking law: ascending adist with neighbor-id tiebreak, self excluded
+    for ((qid, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)).sliding(2).forall {
+        case Array((a, na), (b, nb)) => a < b || (a == b && na < nb)
+        case _ => true
+      }, s"query $qid")
+      assert(!rows.exists(_._2 == qid))
+    }
+  }
+
+  test("sq8 reconstruction law: never overshoots, error bounded by span/255 + 1") {
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 20L).map(id =>
+      id -> Array.fill(3)(rnd.nextFloat() * 4f - 2f)).toMap
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toSeq }
+    val d = 3
+    val mn = (0 until d).map(i => q.values.map(_(i)).min)
+    val mx = (0 until d).map(i => q.values.map(_(i)).max)
+    val recon = sq8Recon(vecs)
+    for ((id, v) <- q; i <- 0 until d) {
+      val err = v(i) - recon(id)(i)
+      val bound = (mx(i) - mn(i)) / 255L + 1L
+      assert(err >= 0L && err <= bound,
+        s"vec $id dim $i: err $err bound $bound")
+    }
+  }
 }

@@ -1332,4 +1332,40 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 1)) === expected)
     assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 3)) === expected)
   }
+
+  test("pplBuckets: differential vs the tercile definition on trigramLmScore; no-signal docs pin to tail") {
+    // spread corpus: repeated common phrases (low bits), rarer tails
+    // (higher bits), plus a < 3-token doc (no signal)
+    val docs = ((0L until 30L).map { i =>
+      val body =
+        if (i % 3 == 0) "the cat sat on the mat " * 3
+        else if (i % 3 == 1) s"the cat sat on chair$i near mat$i end$i"
+        else s"zebra$i quark$i flux$i vortex$i prism$i"
+      (i, body.trim)
+    } :+ (99L, "too short")).toDF("doc_id", "text")
+    val scored = TextOps.trigramLmScore(docs)
+      .select("doc_id", "n_trigrams", "bits_per_trigram_e3")
+      .as[(Long, Long, Long)].collect()
+    // reference thresholds straight from the definition
+    val sig = scored.filter(_._2 > 0).map(_._3).sorted
+    val n = sig.length.toLong
+    val cum = sig.distinct.map(s => s -> sig.count(_ <= s).toLong)
+    val t1 = cum.collectFirst { case (s, c) if c * 3 >= n => s }.get
+    val t2 = cum.collectFirst { case (s, c) if c * 3 >= 2 * n => s }.get
+    val expected = scored.map { case (id, nt, s) =>
+      id -> (if (nt == 0) "tail"
+             else if (s <= t1) "head"
+             else if (s <= t2) "middle" else "tail")
+    }.toMap
+    val got = TextOps.pplBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got === expected)
+    assert(got(99L) === "tail")
+    // the spread corpus must actually exercise all three buckets
+    assert(got.values.toSet === Set("head", "middle", "tail"))
+    // equal scores never split across buckets
+    val byScore = scored.filter(_._2 > 0).groupBy(_._3)
+    for ((_, rows) <- byScore)
+      assert(rows.map(r => got(r._1)).toSet.size === 1)
+  }
 }
