@@ -196,7 +196,16 @@ object ScaleSmoke {
     // domain quota — its 10x point checks the whole-chain cost stays
     // the sum of its stages (two projections, one line-hash window,
     // one quota window), with no cross-stage blowup
-    "pipe_web_curation")
+    "pipe_web_curation",
+    // r16 wave (smoke rows ship WITH the operators, the r16 rule):
+    // SCC's cost is (outer peels × color/mark steps) of edge-sized
+    // joins — its 10x point checks rounds track the condensation
+    // depth, not the vertex count, on a 10x directed fixture; SQ8 is
+    // an encode projection + broadcast top-k (the PQ cost class with
+    // a d-byte stream); the perplexity terciles add one histogram
+    // aggregate + 1-row threshold broadcast on top of the smoked
+    // trigram screen — the 10x point pins the cut at scan cost
+    "g_scc", "sim_sq8_topk", "t_ppl_buckets")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -399,7 +408,12 @@ object ScaleSmoke {
     // k-truss wedge join is the one r15 shape never measured past
     // sf0.1 (an uncapped skewed hub would square — the cap is the
     // guard under test)
-    "g_louvain_res", "g_ktruss")
+    "g_louvain_res", "g_ktruss",
+    // r16: SCC at the second decade — the one new exchange shape of
+    // the wave (directed color/mark propagation with peeling); two
+    // decades separate "rounds track condensation depth" from
+    // "rounds creep with vertex count"
+    "g_scc")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

@@ -806,8 +806,6 @@ object DocStreams {
       batchId: Long,
       compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val hSchema = StructType(Seq(
-      StructField("h", LongType, nullable = false)))
     val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
     val conf = spark.sessionState.newHadoopConf()
     val fs = idxPath.getFileSystem(conf)
@@ -819,6 +817,41 @@ object DocStreams {
     requireBatchPartitionedDir(fs, idxPath, "lineIngest line-hash index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       compactSpanIndex(spark, fs, idxPath, batchId, keyCol = "h")
+    val (rebuilt, newHashes) =
+      lineDedupVsIndex(batch, fs, idxPath, batchId, minChars, hash, cutDir)
+    rebuilt
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    newHashes
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(idxPath.toString)
+  }
+
+  /** The line-dedup-against-index core shared by [[lineIngestBatch]]
+    * and [[webIngestBatch]]: dedup `batch` keep-first against the
+    * on-disk line-hash index (entries with `batch_id < batchId`) plus
+    * earlier occurrences within the batch, and derive the NEW
+    * first-occurrence hashes to append. Returns
+    * `(rebuilt(doc_id, n_lines, n_dropped, retained_text),
+    * newHashes(h))` — both unwritten, so each caller owns its sinks.
+    */
+  private[graft] def lineDedupVsIndex(
+      batch: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      idxPath: org.apache.hadoop.fs.Path,
+      batchId: Long,
+      minChars: Int,
+      hash: Hashing.HashTier,
+      cutDir: Option[String]): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val hSchema = StructType(Seq(
+      StructField("h", LongType, nullable = false)))
     val index =
       if (fs.exists(idxPath))
         spark.read.parquet(idxPath.toString)
@@ -835,19 +868,190 @@ object DocStreams {
       .unionByName(inst.join(index, Seq("h"), "left_semi")
         .select(col("doc_id"), col("pos")))
       .distinct()
-    graft.operators.Dedup.lineRebuild(batch, drops, "text", "doc_id")
+    val rebuilt = graft.operators.Dedup.lineRebuild(batch, drops, "text", "doc_id")
+    val newHashes = inst.select(col("h")).distinct()
+      .join(index, Seq("h"), "left_anti")
+    (rebuilt, newHashes)
+  }
+
+  /** Continuous WEB FRONT DOOR — the streaming twin of
+    * [[graft.pipelines.Curation.webCurate]] (RefinedWeb §3's
+    * URL-filter → extract → line-dedup → balance over a crawl that
+    * genuinely arrives as a stream). Per micro-batch, the batch
+    * pipeline's stages in the batch pipeline's PINNED order:
+    *
+    *  1. URL gate ([[graft.operators.TextOps.urlParts]]) — runs FIRST
+    *     so gated-out docs never claim keep-first line slots (the
+    *     webCurate ordering rule, same rationale);
+    *  2. extraction ([[graft.operators.TextOps.htmlStrip]]), docs with
+    *     no surviving line drop;
+    *  3. line dedup against the corpus line-hash index
+    *     ([[lineDedupVsIndex]] — BYTE-shared with [[lineIngest]] and
+    *     the batch operator);
+    *  4. domain quota against the on-disk per-domain ADMISSION COUNT
+    *     index: within the batch candidates rank by the batch
+    *     operator's own deterministic rule (content hash of the
+    *     deduped text, doc_id tiebreak), and a candidate admits iff
+    *     `prior_admissions + in_batch_rank ≤ domainK`.
+    *
+    * Semantics vs batch: stages 1–3 match [[lineIngest]]'s contract
+    * (ascending single-batch arrival ≡ batch, spec-pinned). The quota
+    * stage is keep-FIRST across batches — the only admission rule a
+    * stream can implement without revoking — so a single-batch run
+    * equals `webCurate` ROW-FOR-ROW (prior = 0 makes the hash-rank
+    * rule identical), while multi-batch runs guarantee ≤ `domainK`
+    * docs per domain with earlier batches holding seniority.
+    *
+    * State: the line-hash index (8-byte keys) plus one
+    * `(reg_domain, n)` row per domain per batch — both batch-id-
+    * versioned parquet with `batch_id < current` reads and dynamic
+    * partition overwrite, so replayed batches emit identical rows and
+    * identical state (the [[spanIngest]] exactly-once contract); both
+    * fold periodically ([[compactSpanIndex]] / [[compactQuotaIndex]]).
+    *
+    * Output per batch: `(doc_id, reg_domain, rn, batch_id)` — admitted
+    * documents with their global quota rank.
+    */
+  def webIngest(
+      docs: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      domainK: Int = 25,
+      urlCol: String = "url",
+      textCol: String = "text",
+      minLineChars: Int = 5,
+      hash: Hashing.HashTier = Hashing.Fast,
+      cutDir: Option[String] = None,
+      compactEvery: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        webIngestBatch(batch, stateDir, outDir, domainK, urlCol, textCol,
+          minLineChars, hash, cutDir, batchId, compactEvery)
+      }
+      .start()
+
+  /** One [[webIngest]] micro-batch — the replay-idempotence seam. */
+  private[graft] def webIngestBatch(
+      batch: DataFrame,
+      stateDir: String,
+      outDir: String,
+      domainK: Int,
+      urlCol: String,
+      textCol: String,
+      minLineChars: Int,
+      hash: Hashing.HashTier,
+      cutDir: Option[String],
+      batchId: Long,
+      compactEvery: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
+      "webIngest sink")
+    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
+    val idxFs = idxPath.getFileSystem(conf)
+    requireBatchPartitionedDir(idxFs, idxPath, "webIngest line-hash index")
+    val dqPath = new org.apache.hadoop.fs.Path(s"$stateDir/dq")
+    val dqFs = dqPath.getFileSystem(conf)
+    requireBatchPartitionedDir(dqFs, dqPath, "webIngest domain-quota index")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactSpanIndex(spark, idxFs, idxPath, batchId, keyCol = "h")
+      compactQuotaIndex(spark, dqFs, dqPath, batchId)
+    }
+    // 1) URL gate (FIRST — the webCurate pinned ordering)
+    val parts = graft.operators.TextOps.urlParts(
+        batch.select(col("doc_id"), col(urlCol)), urlCol)
+      .filter(length(col("scheme")) > 0)
+      .select(col("doc_id"), col("reg_domain"))
+    val gated = batch.select(col("doc_id"), col(textCol).as("text"))
+      .join(parts.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // 2) extraction
+    val stripped = graft.operators.TextOps.htmlStrip(gated)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // 3) line dedup vs the corpus index (shared core)
+    val (rebuilt, newHashes) = lineDedupVsIndex(
+      stripped, idxFs, idxPath, batchId, minLineChars, hash, cutDir)
+    // 4) domain quota vs prior admissions; cut so the sink write and
+    // the count-index write compute the ranking window once
+    val prior =
+      if (dqFs.exists(dqPath))
+        spark.read.parquet(dqPath.toString)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("reg_domain"))
+          .agg(sum(col("n")).as("prior"))
+      else spark.emptyDataFrame
+        .select(lit("").as("reg_domain"), lit(0L).as("prior")).limit(0)
+    val w = Window.partitionBy(col("reg_domain"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    val admitted = graft.operators.Checkpoints.cut(
+      rebuilt
+        .filter(length(col("retained_text")) > 0)
+        .select(col("doc_id"), hash(col("retained_text")).as("hkey"))
+        .join(parts, Seq("doc_id"))
+        .withColumn("bn", row_number().over(w).cast("long"))
+        .join(prior, Seq("reg_domain"), "left_outer")
+        .select(col("doc_id"), col("reg_domain"),
+          (col("bn") + coalesce(col("prior"), lit(0L))).as("rn"))
+        .filter(col("rn") <= domainK),
+      cutDir)
+    admitted
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-    inst.select(col("h")).distinct()
-      .join(index, Seq("h"), "left_anti")
+    newHashes
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(idxPath.toString)
+    admitted.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dqPath.toString)
+  }
+
+  /** Fold settled `(reg_domain, n, batch_id)` quota-index partitions
+    * into one SUM row per domain at the max settled batch id — the
+    * [[compactSpanIndex]] discipline with a sum-fold instead of a
+    * distinct-fold (admission counts are additive across batches).
+    */
+  private[graft] def compactQuotaIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dqPath: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    if (!fs.exists(dqPath)) return
+    val settled = fs.listStatus(dqPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        "^batch_id=(-?\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+          .map(m => (m.group(1).toLong, st.getPath))
+      }
+      .filter(_._1 < batchId)
+    if (settled.size > 1) {
+      val keep = settled.map(_._1).max
+      val merged = graft.operators.Checkpoints.cut(
+        spark.read.parquet(dqPath.toString)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("reg_domain"))
+          .agg(sum(col("n")).cast("long").as("n")), None)
+      merged.withColumn("batch_id", lit(keep))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(dqPath.toString)
+      merged.unpersist()
+      settled.filter(_._1 != keep).foreach { case (_, p) => fs.delete(p, true) }
+    }
   }
 
   /** Stream-static blocklist filter: drop stream documents whose

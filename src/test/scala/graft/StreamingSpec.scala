@@ -17,6 +17,7 @@ case class FixEv(event_id: Long, user_id: String, event_type: String, ts: Timest
 
 /** Top-level for the same encoder reason as [[FixEv]]. */
 case class FixDoc(doc_id: Long, text: String)
+case class FixWebDoc(doc_id: Long, url: String, text: String)
 case class FixVec(vec_id: Long, embedding: Seq[Float])
 case class FixSrcDoc(doc_id: Long, source: String, text: String)
 
@@ -879,6 +880,124 @@ class StreamingSpec extends SparkSpec {
       assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
       assert(rowSet(spark.read.parquet(s"$dirs/state/lh")) === idxBefore)
     } finally q.stop()
+  }
+
+  /** webIngest fixture: 3 registered domains × 6 docs, each doc one
+    * unique line + one corpus-wide boilerplate line, plus 2 docs with
+    * no URL (gated out — their lines must never claim keep-first
+    * slots) and 1 doc that is ONLY boilerplate (dedups away past the
+    * first batch).
+    */
+  private def webDocs: Seq[FixWebDoc] = {
+    val boiler = "subscribe to our newsletter for daily updates today"
+    (0L until 18L).map { i =>
+      FixWebDoc(i, s"https://shop${i % 3}.com/item/$i",
+        s"unique line number $i with enough characters to keep\n$boiler")
+    } ++ Seq(
+      FixWebDoc(90L, "no url on this row", s"gated doc shares this\n$boiler"),
+      FixWebDoc(91L, "also not a url", "gated unique line that must vanish"),
+      FixWebDoc(92L, s"https://shop0.com/item/92", boiler))
+  }
+
+  test("webIngest single batch equals batch webCurate row-for-row") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft_web1").toString
+    val docs = webDocs.toDF()
+    graft.streaming.DocStreams.webIngestBatch(
+      docs, s"$dirs/state", s"$dirs/out", 3, "url", "text", 5,
+      graft.functions.Hashing.Portable, None, 0L)
+    val streamed = spark.read.parquet(s"$dirs/out").drop("batch_id")
+    val batch = graft.pipelines.Curation.webCurate(
+      docs, domainK = 3, hash = graft.functions.Hashing.Portable)
+    assert(rowSet(streamed) === rowSet(batch))
+    assert(streamed.count() > 0)
+    // the all-boilerplate doc (92) lost every line to dedup -> absent;
+    // the gated docs (90, 91) never reached any stage
+    assert(streamed.filter(col("doc_id") >= 90L).count() === 0)
+  }
+
+  test("webIngest multi-batch: quota law, seniority, replay idempotence") {
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft_web2").toString
+    val in = MemoryStream[FixWebDoc]
+    val q = graft.streaming.DocStreams.webIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/out", s"$dirs/ckpt",
+      domainK = 3, hash = graft.functions.Hashing.Portable)
+    try {
+      webDocs.grouped(7).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      val out = spark.read.parquet(s"$dirs/out")
+      // quota law: never more than domainK admissions per domain, and
+      // the global ranks per domain are exactly 1..count (prior counts
+      // only admitted docs, so ranks stay contiguous across batches)
+      val perDomain = out.groupBy("reg_domain")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.collect_list("rn").as("rns"))
+        .as[(String, Long, Seq[Long])].collect()
+      assert(perDomain.nonEmpty)
+      for ((dom, n, rns) <- perDomain) {
+        assert(n <= 3, s"$dom over quota")
+        assert(rns.sorted === (1L to n).toSeq, s"$dom ranks $rns")
+      }
+      // seniority: a batch never evicts an earlier admission — every
+      // (doc, domain) admitted in batch b keeps rn < any batch b' > b
+      // admission of the same domain
+      val byDom = out.select("reg_domain", "batch_id", "rn")
+        .as[(String, Long, Long)].collect().groupBy(_._1)
+      for ((dom, rows) <- byDom; Array(a, b) <- rows.sortBy(_._3).sliding(2))
+        assert(a._2 <= b._2, s"$dom: rank order crosses batch seniority")
+      // gated docs never admitted
+      assert(out.filter(col("doc_id") >= 90L).count() === 0)
+      // replay the LAST batch: sink and both indexes byte-stable. The
+      // batch id comes from the chunk count, NOT the sink — the last
+      // batch admitted nothing (its domains were already at quota) so
+      // it has no sink partition, only index entries
+      val chunks = webDocs.grouped(7).toSeq
+      val lastBatch = (chunks.size - 1).toLong
+      val lastChunk = chunks.last
+      val before = rowSet(spark.read.parquet(s"$dirs/out"))
+      val lhBefore = rowSet(spark.read.parquet(s"$dirs/state/lh"))
+      val dqBefore = rowSet(spark.read.parquet(s"$dirs/state/dq"))
+      graft.streaming.DocStreams.webIngestBatch(
+        lastChunk.toDF(), s"$dirs/state", s"$dirs/out", 3, "url", "text", 5,
+        graft.functions.Hashing.Portable, None, lastBatch)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
+      assert(rowSet(spark.read.parquet(s"$dirs/state/lh")) === lhBefore)
+      assert(rowSet(spark.read.parquet(s"$dirs/state/dq")) === dqBefore)
+    } finally q.stop()
+  }
+
+  test("webIngest quota-index compaction sums settled counts without changing admissions") {
+    val dirs = java.nio.file.Files.createTempDirectory("graft_web3").toString
+    val dirsRef = java.nio.file.Files.createTempDirectory("graft_web3r").toString
+    val chunks = webDocs.grouped(5).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      graft.streaming.DocStreams.webIngestBatch(
+        chunk.toDF(), s"$dirs/state", s"$dirs/out", 3, "url", "text", 5,
+        graft.functions.Hashing.Portable, None, i.toLong, compactEvery = 2)
+      graft.streaming.DocStreams.webIngestBatch(
+        chunk.toDF(), s"$dirsRef/state", s"$dirsRef/out", 3, "url", "text", 5,
+        graft.functions.Hashing.Portable, None, i.toLong, compactEvery = 0)
+    }
+    // identical admissions with and without mid-run compaction
+    assert(rowSet(spark.read.parquet(s"$dirs/out")) ===
+      rowSet(spark.read.parquet(s"$dirsRef/out")))
+    // the compacted quota index folded settled partitions
+    val parts = new java.io.File(s"$dirs/state/dq").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    val refParts = new java.io.File(s"$dirsRef/state/dq").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    assert(parts.size < refParts.size,
+      s"expected folded quota index: ${parts.map(_.getName).sorted}")
+    // and the folded counts still sum to the true admission totals
+    val folded = spark.read.parquet(s"$dirs/state/dq")
+      .groupBy("reg_domain")
+      .agg(org.apache.spark.sql.functions.sum("n").cast("long").as("n"))
+    val truth = spark.read.parquet(s"$dirs/out")
+      .groupBy("reg_domain")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(rowSet(folded) === rowSet(truth))
   }
 
   test("span index compaction coalesces settled partitions without changing results") {
