@@ -92,6 +92,13 @@ object Recall {
         Similarity.pqTopK(emb, pred, m = m, ksub = ksub, k = K, iters = iters)))
       rows += Row("pq/adc", label, "recall@10", r, pq, s)
     }
+    locally {
+      // SQ8 has no probe knob: 255 levels per dimension is the whole
+      // budget (d bytes/vector — 4x compression, vs pq m=4's 16x)
+      val ((r, pq), s) = time(rankedRecall(Similarity.sq8TopK(emb, pred, k = K)))
+      rows += Row("sq8 scalar quantization", "8 bits/dim (fixed)",
+        "recall@10", r, pq, s)
+    }
     for (nProbe <- Seq(1, 2, 4, 8, 16)) {
       val ((r, pq), s) = time(rankedRecall(
         Similarity.ivfPqTopK(emb, pred, nCentroids = 16, nProbe = nProbe,
@@ -154,6 +161,13 @@ object Recall {
     sb ++= "  low-rank structure for the codebooks to spend bits on), so\n"
     sb ++= "  these absolute numbers are a floor; the per-budget ORDERING is\n"
     sb ++= "  the tracked signal.\n"
+    sb ++= "- SQ8 keeps PER-DIMENSION resolution (uniform 8-bit grid over each\n"
+    sb ++= "  dimension's corpus range) instead of PQ's shared subspace\n"
+    sb ++= "  codebooks, at d bytes/vector (4x compression vs pq m=4's 16x) —\n"
+    sb ++= "  on isotropic vectors its distortion (< span/255 + 1 per dim,\n"
+    sb ++= "  never overshooting) is far below any 4-subspace codebook's, so\n"
+    sb ++= "  its single row sits well above the whole pq/adc sweep: the\n"
+    sb ++= "  memory-vs-recall rung between raw vectors and PQ.\n"
     sb ++= "- LSH single-bucket probes ~n/2^planes candidates; planes trades\n"
     sb ++= "  recall against bucket occupancy. The banded OR-construction\n"
     sb ++= "  (lshBandBuckets, used by the near-dup/knn generators) amplifies\n"

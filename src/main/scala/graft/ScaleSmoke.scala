@@ -205,7 +205,12 @@ object ScaleSmoke {
     // a d-byte stream); the perplexity terciles add one histogram
     // aggregate + 1-row threshold broadcast on top of the smoked
     // trigram screen — the 10x point pins the cut at scan cost
-    "g_scc", "sim_sq8_topk", "t_ppl_buckets")
+    "g_scc", "sim_sq8_topk", "t_ppl_buckets",
+    // the unigram TRAINER: after the one corpus scan the epochs are
+    // word-table-bound (distinct words grow sub-linearly, Heaps) —
+    // its 10x point checks the double-DP E-step stays word-bound
+    // while only the word-count scan grows with the corpus
+    "t_unigram_train")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -373,6 +378,25 @@ object ScaleSmoke {
       }.toSeq: _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$genDir/orders.parquet")
+
+    // supplier + customer (the g_scc fixture's back-edge join): entity
+    // keys shift like their lineitem/orders counterparts; NATION keys
+    // shift too — replicas must join only their own replica's nations,
+    // or the same-nation supplier×customer pair space would grow with
+    // the SQUARE of the replica count (nReps² cross-replica pairs)
+    // while every other table grows linearly
+    for ((name, shift) <- Seq(
+        "supplier" -> Seq("s_suppkey", "s_nationkey"),
+        "customer" -> Seq("c_custkey", "c_nationkey"))) {
+      val t = spark.read.parquet(s"$srcDir/$name.parquet")
+      t.crossJoin(reps)
+        .select(t.columns.map { c =>
+          if (shift.contains(c)) (col(c) + col("rep") * lit(KeyStride)).as(c)
+          else col(c)
+        }.toSeq: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$genDir/$name.parquet")
+    }
   }
 
   /** Second-decade tier: the six headline chains re-measured sf1→sf10
@@ -463,10 +487,12 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // embeddings.parquet is the newest generated table — its absence
-    // means a pre-existing gen dir from an older harness must be rebuilt
+    // supplier.parquet is the newest generated table (r16, the g_scc
+    // fixture) — its absence means a pre-existing gen dir from an
+    // older harness must be rebuilt
     if (!new java.io.File(s"$genDir/documents.parquet").exists() ||
-        !new java.io.File(s"$genDir/embeddings.parquet").exists()) {
+        !new java.io.File(s"$genDir/embeddings.parquet").exists() ||
+        !new java.io.File(s"$genDir/supplier.parquet").exists()) {
       val t0 = System.nanoTime()
       generate(spark, srcDir, genDir)
       System.err.println(f"[smoke] generated 10x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -625,7 +651,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     for ((dir, n) <- Seq(gen1 -> 10, gen10 -> 100))
       if (!new java.io.File(s"$dir/documents.parquet").exists() ||
-          !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+          !new java.io.File(s"$dir/embeddings.parquet").exists() ||
+          !new java.io.File(s"$dir/supplier.parquet").exists()) {
         val t0 = System.nanoTime()
         generate(spark, srcDir, dir, n)
         System.err.println(

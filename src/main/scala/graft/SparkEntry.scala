@@ -784,6 +784,9 @@ object SparkEntry {
     // -- text analysis ------------------------------------------------------
     "t_token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "t_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // the Gopher rule bundle (Rae et al. 2021 App. A): every rule its
+    // own integer signal + composite keep — one narrow HOF projection
+    "t_gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // compression-ratio quality screen: distinct/total char-4-gram
     // dictionary ratio, the deterministic LZ-compressibility proxy
@@ -913,6 +916,15 @@ object SparkEntry {
           (ilog2(col("tot") + 1) - ilog2(col("cnt") + 1)).as("cost_bits"))
       TextOps.unigramSegment(docs, vocab)
     }),
+    // unigram-LM VOCABULARY TRAINING (the SentencePiece trainer
+    // quadrant): seed substrings + char coverage, then hard-EM epochs
+    // of forward/backward packed Viterbi DP -> on-optimal-path usage
+    // counts -> whole-bit re-pricing -> top-vocabSize prune (chars
+    // exempt). The oracle unrolls both DPs per epoch with the
+    // t_unigram_segment dp device
+    "t_unigram_train" -> ((s, dir) =>
+      TextOps.unigramTrain(Tables.documents(s, dir), vocabSize = 64,
+        epochs = 2)),
     // end-to-end tokenize→pack DAG: learn 6 BPE merges, segment the
     // vocabulary, attach per-word piece counts back to the token
     // stream by an 8-byte-ish word join, and pack documents into
@@ -2840,6 +2852,101 @@ object SparkEntry {
     * the max word length at the verified SF PLUS ONE (8 + 1 at
     * sf0.01; called with 12 for slack).
     */
+  /** DuckDB twin of [[TextOps.unigramTrain]]: the `unigramSql` dp
+    * device run in BOTH directions per epoch — forward `f` (prefix
+    * minima) and backward `b` (suffix minima) — so a candidate slot is
+    * "used" iff `f[p] + pack + b[p+l] = f[len]` (the packed values add
+    * across concatenation). `dpRounds` must exceed the longest optimal
+    * path (= longest word, all-chars case); sf0.01's longest word is 8
+    * chars, 10 leaves margin.
+    */
+  private def unigramTrainSql(
+      epochs: Int, vocabSize: Int, maxLen: Int, minWords: Int,
+      dpRounds: Int): String = {
+    def fwdSteps(e: Int) = (2 to dpRounds).map { t =>
+      s"""f${e}_$t AS MATERIALIZED (
+         |  SELECT word, pos, min(k) AS k FROM (
+         |    SELECT word, pos, k FROM f${e}_${t - 1}
+         |    UNION ALL
+         |    SELECT c.word, f.pos + c.l AS pos, f.k + c.cb * 1048576 + 1 AS k
+         |    FROM f${e}_${t - 1} f JOIN cand$e c ON c.word = f.word AND c.p = f.pos)
+         |  GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    def bwdSteps(e: Int) = (2 to dpRounds).map { t =>
+      s"""b${e}_$t AS MATERIALIZED (
+         |  SELECT word, pos, min(k) AS k FROM (
+         |    SELECT word, pos, k FROM b${e}_${t - 1}
+         |    UNION ALL
+         |    SELECT c.word, c.p AS pos, c.cb * 1048576 + 1 + b.k AS k
+         |    FROM b${e}_${t - 1} b JOIN cand$e c
+         |      ON c.word = b.word AND b.pos = c.p + c.l)
+         |  GROUP BY word, pos)""".stripMargin
+    }.mkString(",\n")
+    def epoch(e: Int) =
+      s"""cand$e AS MATERIALIZED (
+         |  SELECT c.word, c.p, c.l, c.piece, v.cb
+         |  FROM cand0 c JOIN v${e - 1} v USING (piece)),
+         |f${e}_1 AS (SELECT word, CAST(0 AS BIGINT) AS pos,
+         |            CAST(0 AS BIGINT) AS k FROM words),
+         |${fwdSteps(e)},
+         |b${e}_1 AS (SELECT word, CAST(length(word) AS BIGINT) AS pos,
+         |            CAST(0 AS BIGINT) AS k FROM words),
+         |${bwdSteps(e)},
+         |fend$e AS (SELECT word, k FROM f${e}_$dpRounds
+         |           WHERE pos = CAST(length(word) AS BIGINT)),
+         |used$e AS MATERIALIZED (
+         |  SELECT c.piece, CAST(SUM(w.n) AS BIGINT) AS cnt
+         |  FROM cand$e c
+         |  JOIN f${e}_$dpRounds f ON f.word = c.word AND f.pos = c.p
+         |  JOIN b${e}_$dpRounds b ON b.word = c.word AND b.pos = c.p + c.l
+         |  JOIN fend$e fe ON fe.word = c.word
+         |  JOIN words w ON w.word = c.word
+         |  WHERE f.k + c.cb * 1048576 + 1 + b.k = fe.k
+         |  GROUP BY c.piece),
+         |counted$e AS (
+         |  SELECT ch.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT piece FROM v${e - 1} WHERE length(piece) = 1) ch
+         |  LEFT JOIN used$e u USING (piece)
+         |  UNION ALL
+         |  SELECT u.piece, u.cnt FROM used$e u WHERE length(u.piece) > 1),
+         |pruned$e AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM counted$e)
+         |  WHERE rn <= $vocabSize OR length(piece) = 1),
+         |v$e AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |         CAST((length(bin(tot + 1)) - 1)
+         |              - (length(bin(cnt + 1)) - 1) AS BIGINT) AS cb
+         |  FROM pruned$e,
+         |       (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tot
+         |        FROM pruned$e) t$e)""".stripMargin
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest($TOKS) AS word FROM documents) GROUP BY word),
+       |cand0 AS MATERIALIZED (
+       |  SELECT word, CAST(c.p AS BIGINT) AS p, CAST(c.l AS BIGINT) AS l, c.piece
+       |  FROM (
+       |    SELECT word, unnest(flatten(list_transform(range(0, length(word)), p ->
+       |      list_transform(range(1, least($maxLen, length(word) - p) + 1), l ->
+       |        struct_pack(p := p, l := l,
+       |          piece := substring(word, CAST(p AS INT) + 1, CAST(l AS INT))))))) AS c
+       |    FROM words)),
+       |pw AS (SELECT piece, CAST(COUNT(DISTINCT word) AS BIGINT) AS cnt
+       |       FROM cand0 GROUP BY piece),
+       |seed AS (SELECT piece, cnt FROM pw
+       |         WHERE cnt >= $minWords OR length(piece) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         CAST((length(bin(tot + 1)) - 1)
+       |              - (length(bin(cnt + 1)) - 1) AS BIGINT) AS cb
+       |  FROM seed,
+       |       (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS tot FROM seed) t0),
+       |${(1 to epochs).map(epoch).mkString(",\n")}
+       |SELECT piece, cnt, cb AS cost_bits FROM v$epochs""".stripMargin
+  }
+
   private def unigramSql(rounds: Int): String = {
     val steps = (2 to rounds).map { t =>
       s"""dp$t AS MATERIALIZED (
@@ -2941,6 +3048,57 @@ object SparkEntry {
          |       CAST(floor(alpha*1000/nchar) AS BIGINT) AS alpha_ratio_e3,
          |       (ntok >= 5 AND ntok <= 100000 AND stop_hits*1000 >= ntok*10) AS keep
          |FROM t""".stripMargin,
+
+    // Gopher rule bundle: same in-row list HOFs (word-char mean,
+    // #/ellipsis symbol ratio, bullet/ellipsis line fractions over
+    // non-empty lines, alpha-word fraction, >= 2 distinct gopher
+    // stops), e3 fixed point, composite keep
+    "t_gopher_rules" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text, $TOKS AS toks,
+         |         list_filter(string_split(text, chr(10)),
+         |           l -> length(trim(l)) > 0) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS ntok,
+         |         CAST(COALESCE(list_sum(list_transform(toks,
+         |           t -> length(t))), 0) AS BIGINT) AS wchars,
+         |         CAST(len(regexp_extract_all(text, '#')) +
+         |              len(regexp_extract_all(text, '(\\.\\.\\.|…)'))
+         |           AS BIGINT) AS nsym,
+         |         CAST(len(lines) AS BIGINT) AS nlines,
+         |         CAST(len(list_filter(lines, l -> regexp_matches(
+         |           trim(l), '^[•\\-\\*]'))) AS BIGINT) AS nbullet,
+         |         CAST(len(list_filter(lines, l -> regexp_matches(
+         |           trim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS nellline,
+         |         CAST(len(list_filter(toks, t -> regexp_matches(
+         |           t, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+         |         CAST(len(list_intersect(list_distinct(toks),
+         |           ['the','be','to','of','and','that','have','with']))
+         |           AS BIGINT) AS nstops
+         |  FROM s)
+         |SELECT doc_id, ntok AS n_tokens,
+         |       CAST(CASE WHEN ntok > 0 THEN floor(wchars*1000/ntok)
+         |            ELSE 0 END AS BIGINT) AS mean_word_len_e3,
+         |       CAST(CASE WHEN ntok > 0 THEN floor(nsym*1000/ntok)
+         |            ELSE 0 END AS BIGINT) AS symbol_ratio_e3,
+         |       CAST(CASE WHEN nlines > 0 THEN floor(nbullet*1000/nlines)
+         |            ELSE 0 END AS BIGINT) AS bullet_lines_e3,
+         |       CAST(CASE WHEN nlines > 0 THEN floor(nellline*1000/nlines)
+         |            ELSE 0 END AS BIGINT) AS ellipsis_lines_e3,
+         |       CAST(CASE WHEN ntok > 0 THEN floor(nalpha*1000/ntok)
+         |            ELSE 0 END AS BIGINT) AS alpha_word_e3,
+         |       nstops AS n_gopher_stops,
+         |       (ntok >= 50 AND ntok <= 100000
+         |        AND (CASE WHEN ntok > 0 THEN floor(wchars*1000/ntok) ELSE 0 END)
+         |              BETWEEN 3000 AND 10000
+         |        AND (CASE WHEN ntok > 0 THEN floor(nsym*1000/ntok) ELSE 0 END) <= 100
+         |        AND (CASE WHEN nlines > 0 THEN floor(nbullet*1000/nlines) ELSE 0 END) <= 900
+         |        AND (CASE WHEN nlines > 0 THEN floor(nellline*1000/nlines) ELSE 0 END) <= 300
+         |        AND (CASE WHEN ntok > 0 THEN floor(nalpha*1000/ntok) ELSE 0 END) >= 800
+         |        AND nstops >= 2) AS keep
+         |FROM m""".stripMargin,
 
     // char-4-gram dictionary ratio: windows enumerated in-row on both
     // engines (substring is character-based in both), docs shorter
@@ -3540,6 +3698,8 @@ object SparkEntry {
     // at sf0.01 + 1 — dp_t covers ≤ t−1 pieces — with slack) over the
     // cost·2^20 + pieces encoding
     "t_unigram_segment" -> unigramSql(12),
+    "t_unigram_train" -> unigramTrainSql(
+      epochs = 2, vocabSize = 64, maxLen = 3, minWords = 2, dpRounds = 10),
 
     // the whole tokenize→pack DAG replicated: BPE end state → per-word
     // piece counts → per-doc subword totals → the t_pack_sequences

@@ -1333,6 +1333,74 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSet(TextOps.vocabGrowth(docs, bucketSize = 3)) === expected)
   }
 
+  test("unigramTrain: hand-traced EM epoch on a toy corpus") {
+    // corpus "ab ab abab cd": seed = chars {a,b,c,d} + "ab" (the only
+    // multi-char substring in >= 2 distinct words). All seed costs tie
+    // at 2 bits, so Viterbi picks the fewest-pieces path: "ab" covers
+    // word 'ab' (n=2) once and 'abab' (n=1) twice -> cnt 4; chars a/b
+    // fall off every optimal path (0), c/d carry 'cd' (1 each)
+    val docs = Seq((1L, "ab ab"), (2L, "abab cd")).toDF("doc_id", "text")
+    val v = TextOps.unigramTrain(docs, vocabSize = 3, epochs = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v.keySet === Set("ab", "a", "b", "c", "d"))
+    assert(v("ab")._1 === 4L)
+    assert(v("c")._1 === 1L && v("d")._1 === 1L)
+    assert(v("a")._1 === 0L && v("b")._1 === 0L)
+    // M-step prices: tot=6 -> ab: ilog2(7)-ilog2(5)=0; c/d: 2-1=1; a/b: 2
+    assert(v("ab")._2 === 0L)
+    assert(v("c")._2 === 1L && v("d")._2 === 1L)
+    assert(v("a")._2 === 2L && v("b")._2 === 2L)
+  }
+
+  test("unigramTrain: coverage law — trained vocab segments every corpus word; two epochs stay covered") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextOps.unigramTrain(docs, vocabSize = 48, epochs = 2)
+      .select(col("piece"), col("cost_bits"))
+    val seg = TextOps.unigramSegment(docs, vocab)
+    assert(seg.count() > 0)
+    assert(seg.filter(!col("ok")).count() === 0L,
+      "trained vocab left a word unsegmentable — the char-coverage guarantee broke")
+    // pruning actually bites: multi-char pieces are capped at vocabSize
+    val multi = vocab.filter(length(col("piece")) > 1).count()
+    assert(multi <= 48L)
+  }
+
+  test("gopherRules: every rule hand-pinned; composite keep") {
+    val good = ("the cat and dog have fun with that red ball of yarn " +
+      "they be running to the park and that was good fun for all of them ") * 3
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "tiny doc"),                             // fails token bound
+      (3L, ("# " * 30) + good),                     // symbol ratio blows
+      (4L, (1 to 10).map(i => s"- bullet item $i with the and of that be have with to words repeated enough here").mkString("\n")), // 100% bullet lines
+      (5L, good.replace(" ", " … \n... \n"))        // ellipsis storm
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: sane ratios, >= 2 gopher stops, keep
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("n_gopher_stops") >= 2L)
+    assert(out(1L).getAs[Long]("alpha_word_e3") === 1000L)
+    assert(out(1L).getAs[Long]("bullet_lines_e3") === 0L)
+    // doc 2: 2 tokens — token bound fails, ratios still defined
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Long]("n_tokens") === 2L)
+    // doc 3: 30 hashes over ~30+n words -> symbol ratio > 100 e3
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("symbol_ratio_e3") > 100L)
+    // doc 4: every line is a bullet -> 1000 e3 > the 900 cap
+    assert(!out(4L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Long]("bullet_lines_e3") === 1000L)
+    // doc 5: most lines end with ellipsis
+    assert(!out(5L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Long]("ellipsis_lines_e3") > 300L)
+    // empty doc: ratios pin 0, no crash
+    val empty = TextOps.gopherRules(Seq((9L, "")).toDF("doc_id", "text"))
+      .collect().head
+    assert(empty.getAs[Long]("n_tokens") === 0L)
+    assert(!empty.getAs[Boolean]("keep"))
+  }
+
   test("pplBuckets: differential vs the tercile definition on trigramLmScore; no-signal docs pin to tail") {
     // spread corpus: repeated common phrases (low bits), rarer tails
     // (higher bits), plus a < 3-token doc (no signal)
