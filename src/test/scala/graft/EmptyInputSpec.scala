@@ -437,4 +437,25 @@ class EmptyInputSpec extends SparkSpec {
     val out = AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("rid"), "rid")
     assert(rowSet(out) === Set(Seq(1L, "k", new java.sql.Timestamp(1000), null)))
   }
+
+  test("round-16 operators on empty and degenerate inputs") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // SQ8: empty corpus -> empty codes, empty top-k (no NPE from the
+    // bounds collect)
+    assert(Similarity.sq8Encode(emptyVecs).count() === 0)
+    assert(Similarity.sq8TopK(emptyVecs, col("vec_id") < 8).count() === 0)
+    // gopher rules: empty frame and empty-text row
+    assert(TextOps.gopherRules(emptyDocs).count() === 0)
+    // perplexity terciles: empty corpus -> no rows; no-signal-only
+    // corpus -> everything tail
+    assert(TextOps.pplBuckets(emptyDocs).count() === 0)
+    assert(rowSet(TextOps.pplBuckets(Seq((1L, "one two")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("bucket"))) === Set(Seq(1L, "tail")))
+    // unigram trainer: empty corpus -> empty vocab, no throw
+    assert(TextOps.unigramTrain(emptyDocs, vocabSize = 4, epochs = 1).count() === 0)
+    // SCC: empty edges covered in SccSpec; empty-string vertices valid
+    assert(rowSet(GraphOps.sccLabels(
+      Seq(("", "x"), ("x", "")).toDF("src", "dst"))) ===
+      Set(Seq("", ""), Seq("x", "")))
+  }
 }

@@ -869,4 +869,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(parts.nonEmpty && parts.forall(p => !p.contains("text#") && !p.contains("tok#")),
       s"a shuffle carries raw text/tokens (hash at the scan instead): $parts")
   }
+
+  test("gopherRules is a narrow projection (no exchange, no UDF)") {
+    val g = graft.operators.TextOps.gopherRules(Tables.documents(spark, sfDir))
+    val plan = formatted(g)
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"gopherRules must stay codegen built-ins:\n$plan")
+  }
+
+  test("sq8 encode is a narrow projection over literal bounds (no join, no shuffle)") {
+    // the bounds aggregate runs as its own bounded job at CONSTRUCTION;
+    // the returned encode plan must be join- and exchange-free — codes
+    // derive from two dim-length literal arrays in the scan projection
+    val codes = Similarity.sq8Encode(Tables.embeddings(spark, sfDir))
+    val plan = formatted(codes)
+    assert(!plan.contains("Exchange"), s"sq8 encode must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"sq8 encode must not join:\n$plan")
+  }
+
+  test("sq8 top-k broadcasts the query side and gets the partial window group limit") {
+    val topk = Similarity.sq8TopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 8)
+    val plan = formatted(topk)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"sq8 top-k must broadcast the query set:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"sq8 top-k should get the partial window group limit:\n$plan")
+  }
+
+  test("pplBuckets: the only single-partition exchange feeds the histogram, never the corpus") {
+    val b = graft.operators.TextOps.pplBuckets(Tables.documents(spark, sfDir))
+    val plan = formatted(b)
+    // SinglePartition exchanges are legal ONLY on the score-histogram
+    // branch (bounded by distinct score values); the corpus-sized
+    // branches must shuffle on hash keys. The histogram aggregate
+    // keys on the score value, so a single-partition exchange whose
+    // input carries doc_id would mean the corpus is being globally
+    // sorted — the exact plan pplBuckets exists to avoid.
+    val single = "Exchange SinglePartition[^\\n]*\\n([^\\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(single.forall(l => !l.contains("doc_id#")),
+      s"a single-partition exchange carries per-document rows:\n$single")
+  }
 }
