@@ -1331,6 +1331,13 @@ object SparkEntry {
       Similarity.mipsTopK(Tables.embeddings(s, dir), col("vec_id") < 8, 5)),
     "sim_lsh_neighbors" -> ((s, dir) =>
       Similarity.lshBucketedNeighbors(Tables.embeddings(s, dir), col("vec_id") < 8, 8)),
+    // multi-probe LSH (Lv et al. 2007): own bucket + the 3 single-bit
+    // flips of smallest |projection| — the recall knob that doesn't
+    // rebuild the index; strict candidate superset of sim_lsh_neighbors
+    // (spec law)
+    "sim_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshMultiProbeNeighbors(Tables.embeddings(s, dir),
+        col("vec_id") < 8, planes = 8, probes = 3)),
     // blocked (LSH-bucketed) near-dup is the gated + benched path — the
     // brute crossJoin form is O(n²) and lives in SimilaritySpec only.
     // maxBucketSize = None is the PINNED uncapped oracle form (the
@@ -5331,6 +5338,38 @@ object SparkEntry {
          |       ${dotSql("qq.q", "c.q")} AS dot_q
          |FROM bk c JOIN bk qq
          |  ON c.bucket = qq.bucket AND qq.vec_id < 8 AND c.vec_id <> qq.vec_id""".stripMargin,
+
+    // multi-probe LSH: the sim_lsh_neighbors bucket CTEs + per-query
+    // flip ranking by (|sv| asc, j asc) -> own bucket ∪ top-3 single-
+    // bit flips; a corpus vector lives in one bucket so probes never
+    // duplicate candidates
+    "sim_lsh_multiprobe" ->
+      s"""WITH $QVEC,
+         |s AS MATERIALIZED (
+         |  SELECT vec_id, q, j,
+         |         list_sum(list_transform(range(1, len(q)+1),
+         |           i -> q[i] * ((i*1103515245 + (j+1)*12345) % 2001 - 1000))) AS sv
+         |  FROM qv CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         |bk AS MATERIALIZED (
+         |  SELECT vec_id, q,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << j)
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s GROUP BY vec_id, q),
+         |fl AS (
+         |  SELECT s.vec_id, xor(bk.bucket, (CAST(1 AS BIGINT) << s.j)) AS pb,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY abs(s.sv) ASC, s.j ASC) AS rn
+         |  FROM s JOIN bk ON bk.vec_id = s.vec_id
+         |  WHERE s.vec_id < 8),
+         |probes AS (
+         |  SELECT vec_id, bucket AS pb FROM bk WHERE vec_id < 8
+         |  UNION ALL
+         |  SELECT vec_id, pb FROM fl WHERE rn <= 3)
+         |SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       ${dotSql("qq.q", "c.q")} AS dot_q
+         |FROM probes p
+         |JOIN bk qq ON qq.vec_id = p.vec_id
+         |JOIN bk c ON c.bucket = p.pb AND c.vec_id <> p.vec_id""".stripMargin,
 
     // banded-LSH candidates (4 bands × 4 planes, OR-construction; the
     // portable planeWeight closed form reproduces Similarity.lshBandBuckets

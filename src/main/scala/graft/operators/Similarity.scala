@@ -216,6 +216,61 @@ object Similarity {
         dotQ(col("qq"), col("q")).as("dot_q"))
   }
 
+  /** MULTI-PROBE LSH (Lv et al. 2007, "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search"): queries probe
+    * their own bucket PLUS the `probes` buckets reached by flipping
+    * the sign bits with the smallest projection MAGNITUDE — the bits
+    * most likely wrong for a true near neighbor sitting just across a
+    * hyperplane. Recall rises with `probes` at probe-proportional
+    * candidate cost, WITHOUT growing the index (the knob the
+    * single-bucket form lacks: its only recall lever is rebuilding
+    * with fewer planes, which inflates every bucket).
+    *
+    * Deterministic and engine-exact: projections are exact integers
+    * (the [[planeWeight]] closed form), flip order is
+    * `(|projection| asc, plane asc)`, and each corpus vector lives in
+    * exactly ONE bucket so probes never produce duplicate candidates.
+    * Returns the [[lshBucketedNeighbors]] candidate family —
+    * `(query_id, neighbor_id, dot_q)`, self excluded.
+    *
+    * Scale shape: identical to the single-probe form — the corpus is
+    * bucketed in one narrow projection and the query side (now
+    * `probes + 1` rows per query) broadcasts; candidates stream out of
+    * the bucket join at Σ occupancy(probed buckets) per query.
+    */
+  def lshMultiProbeNeighbors(
+      embeddings: DataFrame,
+      queryPred: Column,
+      planes: Int = 16,
+      probes: Int = 4): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes], got $probes")
+    val corpus = withQuant(embeddings)
+      .withColumn("bucket", lshBucket(col("q"), planes))
+    val flips = array((0 until planes).map { j =>
+      val sv = aggregate(
+        zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+          (x, i) => x * planeWeight(i, lit(j.toLong))),
+        lit(0L), (acc, v) => acc + v)
+      struct(abs(sv).as("a"), lit(j.toLong).as("j"),
+        col("bucket").bitwiseXOR(lit(1L << j)).as("fb"))
+    }: _*)
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("bucket"), flips.as("flips"))
+      .select(col("query_id"), col("qq"),
+        explode(concat(
+          array(col("bucket")),
+          transform(slice(array_sort(col("flips")), 1, probes),
+            s => s.getField("fb")))).as("bucket"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("qq"), col("q")).as("dot_q"))
+  }
+
   /** Nearest-cell id as ONE narrow codegen projection: fold over a
     * LITERAL array of `(cid, cq, cnq)` centroids (ascending cid, so
     * strict-`>` keeps the lowest cid on cosine ties — identical to a

@@ -884,6 +884,30 @@ class SimilaritySpec extends SparkSpec {
       Seq(7L, 2L, 2000000000000L)))
   }
 
+  test("lshMultiProbeNeighbors: superset law, probe monotonicity, no duplicate candidates") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") < 8
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshBucketedNeighbors(emb, pred, 8))
+    val mp0 = pairs(Similarity.lshMultiProbeNeighbors(emb, pred, 8, probes = 0))
+    // probes = 0 degenerates to the single-bucket form exactly
+    assert(mp0 === single)
+    // candidate sets are MONOTONE in probes (strict supersets until
+    // the probed buckets stop adding occupants)
+    var prev = mp0
+    for (p <- Seq(1, 2, 4, 8)) {
+      val cur = Similarity.lshMultiProbeNeighbors(emb, pred, 8, probes = p)
+      val curPairs = pairs(cur)
+      assert(prev.subsetOf(curPairs), s"probes=$p lost candidates")
+      // one bucket per corpus vector => no duplicate candidate rows
+      assert(cur.count() === curPairs.size.toLong, s"probes=$p duplicates")
+      prev = curPairs
+    }
+    // the extra probes actually recruit candidates on this fixture
+    assert(prev.size > single.size, "multi-probe never widened the pool")
+  }
+
   test("sq8Encode: hand-checked codes; constant dimension codes to 0") {
     // dim 0 spans [0, 1e6]; dim 1 is constant (span 0)
     val emb = Seq(
