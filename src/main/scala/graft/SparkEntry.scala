@@ -507,6 +507,12 @@ object SparkEntry {
     // reachability -> min-member labels — so a pass certifies the
     // whole peel/color/backward loop, not a round count
     "g_scc" -> ((s, dir) => GraphOps.sccLabels(sccFixture(s, dir))),
+    // the condensation DAG: SCCs contracted to vertices, distinct
+    // between-component edges — acyclic by the definition of SCC
+    "g_scc_condensation" -> ((s, dir) => {
+      val fixture = sccFixture(s, dir)
+      GraphOps.condensationEdges(fixture, GraphOps.sccLabels(fixture))
+    }),
 
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
@@ -1906,6 +1912,41 @@ object SparkEntry {
   )
 
   // -- DuckDB oracle fragments for the extended surface ----------------------
+
+  /** The `g_scc` closure-by-definition CTE chain (directed fixture →
+    * recursive transitive closure → mutual reachability → min-member
+    * `scc(v, scc_label)`), shared by `g_scc` and `g_scc_condensation`
+    * — `tail` is the final SELECT over `scc` (and `dir_e`).
+    */
+  private def sccOracleSql(tail: String): String =
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+       |                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |fwd_s AS (SELECT src, dst FROM fwd
+       |          WHERE ${ph("src || '|' || dst")} % 12 = 0),
+       |bwd AS (
+       |  SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
+       |                  'C' || CAST(c_custkey AS VARCHAR) AS dst
+       |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
+       |bwd_s AS (SELECT src, dst FROM bwd
+       |          WHERE ${ph("src || '>' || dst")} % 60 = 0),
+       |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM dir_e
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN dir_e e ON e.src = r.dst)
+       |  SELECT src, dst FROM r),
+       |mutual AS (
+       |  SELECT a.src AS v, a.dst AS u
+       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+       |scc AS (
+       |  SELECT v, least(min(u), v) AS scc_label FROM (
+       |    SELECT v, u FROM mutual
+       |    UNION SELECT src AS v, src AS u FROM dir_e
+       |    UNION SELECT dst AS v, dst AS u FROM dir_e) GROUP BY v)
+       |$tail""".stripMargin
 
   /** DuckDB twin of [[Hashing.portableHash]]. */
   private def ph(s: String): String =
@@ -4930,35 +4971,17 @@ object SparkEntry {
     // reachability, label = least mutually reachable vertex (self
     // included via the dir_e vertex rows) — algorithm-independent, so
     // it certifies the operator's FW-BW-Trim loop at any round count
-    "g_scc" ->
-      s"""WITH fwd AS (
-         |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
-         |                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |fwd_s AS (SELECT src, dst FROM fwd
-         |          WHERE ${ph("src || '|' || dst")} % 12 = 0),
-         |bwd AS (
-         |  SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS src,
-         |                  'C' || CAST(c_custkey AS VARCHAR) AS dst
-         |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
-         |bwd_s AS (SELECT src, dst FROM bwd
-         |          WHERE ${ph("src || '>' || dst")} % 60 = 0),
-         |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT src, dst FROM dir_e
-         |    UNION
-         |    SELECT r.src, e.dst FROM r JOIN dir_e e ON e.src = r.dst)
-         |  SELECT src, dst FROM r),
-         |mutual AS (
-         |  SELECT a.src AS v, a.dst AS u
-         |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
-         |scc AS (
-         |  SELECT v, least(min(u), v) AS scc_label FROM (
-         |    SELECT v, u FROM mutual
-         |    UNION SELECT src AS v, src AS u FROM dir_e
-         |    UNION SELECT dst AS v, dst AS u FROM dir_e) GROUP BY v)
-         |SELECT v AS person_id, scc_label FROM scc""".stripMargin,
+    "g_scc" -> sccOracleSql(
+      "SELECT v AS person_id, scc_label FROM scc"),
+
+    // condensation: the same closure-derived labels contracted onto
+    // the edge list — distinct between-component pairs
+    "g_scc_condensation" -> sccOracleSql(
+      """SELECT DISTINCT ls.scc_label AS src_scc, ld.scc_label AS dst_scc
+        |FROM dir_e e
+        |JOIN scc ls ON ls.v = e.src
+        |JOIN scc ld ON ld.v = e.dst
+        |WHERE ls.scc_label <> ld.scc_label""".stripMargin),
 
     // g_louvain plus the connectivity refinement after each level's
     // move rounds: intra-community edges -> exact reachability

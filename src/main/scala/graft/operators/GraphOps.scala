@@ -1755,4 +1755,37 @@ object GraphOps {
     }
     done.select(col("v").as("person_id"), col("scc_label"))
   }
+
+  /** Condensation DAG of a directed graph: contract every SCC (from
+    * [[sccLabels]] output) to one vertex and keep the distinct
+    * BETWEEN-component edges — the acyclic component-dependency graph
+    * (by the definition of SCC the condensation has no cycles: a cycle
+    * of components would itself be one component). This is the
+    * structure downstream processing actually wants from a directed
+    * graph — topological stage order over data/citation/dependency
+    * flows — and the same contraction device as louvain's level step,
+    * one level, label-keyed.
+    *
+    * Scale shape: two label-attach joins on the vertex key (the label
+    * frame is vertex-sized and id-only) + one distinct on the
+    * contracted pair — no new exchange class beyond the edge list's.
+    *
+    * Output: `(src_scc, dst_scc)`, distinct, self-pairs dropped.
+    */
+  def condensationEdges(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val lab = labels.select(
+      col("person_id").as("v"), col("scc_label"))
+    edges.select(col(srcCol).as("sv"), col(dstCol).as("dv"))
+      .join(lab.select(col("v").as("sv"), col("scc_label").as("src_scc")),
+        Seq("sv"))
+      .join(lab.select(col("v").as("dv"), col("scc_label").as("dst_scc")),
+        Seq("dv"))
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .select(col("src_scc"), col("dst_scc"))
+      .distinct()
+  }
 }

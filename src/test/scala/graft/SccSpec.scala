@@ -61,6 +61,30 @@ class SccSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("condensationEdges: contracted DAG of the hand graph; acyclic") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "e", "e" -> "d",
+      "c" -> "d", "f" -> "a", "h" -> "a").toDF("src", "dst")
+    val labels = GraphOps.sccLabels(edges)
+    val cond = GraphOps.condensationEdges(edges, labels)
+      .as[(String, String)].collect().toSet
+    assert(cond === Set(("a", "d"), ("f", "a"), ("h", "a")))
+    // acyclicity (the SCC definition guarantees it): the contracted
+    // closure must contain no mutual pair
+    var closure = cond
+    var grew = true
+    while (grew) {
+      val next = closure ++ (for {
+        (x, y) <- closure; (y2, z) <- closure if y2 == y
+      } yield (x, z))
+      grew = next.size > closure.size
+      closure = next
+    }
+    assert(!closure.exists { case (x, y) => closure.contains((y, x)) },
+      s"condensation has a cycle: $closure")
+  }
+
   /** Mutual-reachability ground truth: Floyd–Warshall closure, label =
     * min mutually reachable vertex (the oracle's definition).
     */
