@@ -421,23 +421,55 @@ object TextOps {
       hash: Hashing.HashTier = Hashing.Fast): DataFrame = {
     require(trainPermille >= 1 && trainPermille <= 999,
       s"trainPermille must be in [1, 999], got $trainPermille")
+    // one row per trigram INSTANCE, all five hash roles attached; the
+    // is_train flag rides the SAME projection (it needs the text
+    // column, which the instance frame drops)
+    val inst = claimLmCache(
+      trigramInst(docs, textCol, idCol, hash, Some(trainPermille)))
+    val (c3, p3, c2, p2, cu, tv) = trigramTables(inst.filter(col("is_train")))
+    val ic = inst.groupBy(
+        col("doc_id"), col("t3h"), col("b12h"), col("b23h"),
+        col("w2h"), col("w3h"))
+      .agg(count(lit(1)).as("n"))
+    trigramScoreTail(docs.select(col(idCol).as("doc_id")), ic,
+      c3, p3, c2, p2, cu, tv, maxBitsE3, backoffBits)
+  }
+
+  /** Five-role trigram instance frame — one row per trigram instance
+    * with `(doc_id[, is_train], t3h, b12h, b23h, w2h, w3h)` — shared
+    * by the monolithic [[trigramLmScore]], [[trigramLmTrain]] and
+    * [[trigramLmScoreWith]] so hashing/role extraction cannot drift.
+    */
+  private def trigramInst(docs: DataFrame, textCol: String, idCol: String,
+      hash: Hashing.HashTier, trainPermille: Option[Int]): DataFrame = {
     import graft.functions.NativeOps.shingleHashes
-    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("long")
-    // one row per trigram INSTANCE, all five hash roles attached
-    val inst = claimLmCache(docs.select(
-        col(idCol).as("doc_id"),
-        (pmod(hash(col(textCol)), lit(1000L)) < trainPermille).as("is_train"),
+    val base: Seq[Column] =
+      Seq(col(idCol).as("doc_id")) ++
+      trainPermille.map(p =>
+        (pmod(hash(col(textCol)), lit(1000L)) < p).as("is_train")).toSeq ++
+      Seq(
         shingleHashes(col(textCol), 1, hash.portable).as("h1"),
         shingleHashes(col(textCol), 2, hash.portable).as("h2"),
         posexplode(shingleHashes(col(textCol), 3, hash.portable)))
-      .select(
-        col("doc_id"), col("is_train"),
+    val roles: Seq[Column] =
+      Seq(col("doc_id")) ++
+      trainPermille.map(_ => col("is_train")).toSeq ++
+      Seq(
         col("col").as("t3h"),
         element_at(col("h2"), col("pos") + 1).as("b12h"),
         element_at(col("h2"), col("pos") + 2).as("b23h"),
         element_at(col("h1"), col("pos") + 2).as("w2h"),
-        element_at(col("h1"), col("pos") + 3).as("w3h")))
-    val tr = inst.filter(col("is_train"))
+        element_at(col("h1"), col("pos") + 3).as("w3h"))
+    docs.select(base: _*).select(roles: _*)
+  }
+
+  /** The six count tables of the stupid-backoff estimator from a
+    * TRAIN instance frame (vocabulary-sized each; `tv` is the 1-row
+    * `ilog2(T + V)` broadcast).
+    */
+  private def trigramTables(tr: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("long")
     val c3 = tr.groupBy(col("t3h")).agg(count(lit(1)).as("n3"))
       .select(col("t3h"), ilog2(col("n3")).as("l3"))
     val p3 = tr.groupBy(col("b12h")).agg(count(lit(1)).as("np3"))
@@ -447,13 +479,21 @@ object TextOps {
     val p2 = tr.groupBy(col("w2h")).agg(count(lit(1)).as("np2"))
       .select(col("w2h"), ilog2(col("np2")).as("lp2"))
     val cu = tr.groupBy(col("w3h")).agg(count(lit(1)).as("cw"))
-    // T + V from the vocabulary-sized unigram table, one broadcast row
     val tv = cu.agg(
       ilog2(coalesce(sum(col("cw")), lit(0L)) + count(lit(1))).as("ltv"))
-    val ic = inst.groupBy(
-        col("doc_id"), col("t3h"), col("b12h"), col("b23h"),
-        col("w2h"), col("w3h"))
-      .agg(count(lit(1)).as("n"))
+    (c3, p3, c2, p2, cu, tv)
+  }
+
+  /** The scoring tail shared by the monolithic screen and the
+    * frozen-model scorer: per-(doc, role-tuple) counts `ic` against
+    * the six tables → backoff-chain bits → per-doc totals → the
+    * all-docs left-outer final projection.
+    */
+  private def trigramScoreTail(ids: DataFrame, ic: DataFrame,
+      c3: DataFrame, p3: DataFrame, c2: DataFrame, p2: DataFrame,
+      cu: DataFrame, tv: DataFrame,
+      maxBitsE3: Long, backoffBits: Long): DataFrame = {
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("long")
     val bits =
       when(col("l3").isNotNull, col("lp3") - col("l3"))
         .when(col("l2").isNotNull,
@@ -473,7 +513,7 @@ object TextOps {
         sum(when(col("l3").isNull, col("n")).otherwise(lit(0L))).as("n_backoff"),
         sum(col("n") * bits).as("bits_total"))
     val mean = floor(col("bits_total") * 1000 / col("n_trigrams"))
-    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+    ids.join(perDoc, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).cast("long").as("n_trigrams"),
@@ -483,6 +523,70 @@ object TextOps {
           .otherwise(0L).cast("long").as("bits_per_trigram_e3"),
         (col("n_trigrams").isNotNull && col("n_trigrams") > 0 &&
           mean <= maxBitsE3).as("keep"))
+  }
+
+  /** Frozen trigram-LM artifact — the six stupid-backoff count tables
+    * plus the hash tier and backoff penalty they were trained with
+    * (the [[NbModel]] deployment contract: a scorer-side tier or
+    * penalty could silently mismatch every probe). Train once on the
+    * REFERENCE corpus, score forever — CCNet's actual deployment shape
+    * (the model is trained on Wikipedia, not on the crawl it filters;
+    * the self-trained [[trigramLmScore]] is the self-contained oracle
+    * form).
+    */
+  case class TrigramLmModel(c3: DataFrame, p3: DataFrame, c2: DataFrame,
+      p2: DataFrame, cu: DataFrame, tv: DataFrame,
+      hash: Hashing.HashTier, backoffBits: Long) {
+    /** Write all six frames under `dir` and reload — training executes
+      * once; every later scorer pays a parquet scan of
+      * vocabulary-sized tables, never a corpus re-aggregation.
+      */
+    def materialized(dir: String): TrigramLmModel = {
+      def rt(df: DataFrame, sub: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$dir/$sub")
+        df.sparkSession.read.parquet(s"$dir/$sub")
+      }
+      TrigramLmModel(rt(c3, "c3"), rt(p3, "p3"), rt(c2, "c2"),
+        rt(p2, "p2"), rt(cu, "cu"), rt(tv, "tv"), hash, backoffBits)
+    }
+  }
+
+  /** Train the stupid-backoff trigram tables on `train` (see
+    * [[trigramLmScore]] for the estimator). The caller picks the
+    * training slice — `docs.filter(pmod(hash(text), 1000) < p)`
+    * reproduces the monolithic screen's slice exactly (spec law:
+    * train + [[trigramLmScoreWith]] ≡ [[trigramLmScore]] row-for-row).
+    */
+  def trigramLmTrain(
+      train: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hash: Hashing.HashTier = Hashing.Fast,
+      backoffBits: Long = 1): TrigramLmModel = {
+    val (c3, p3, c2, p2, cu, tv) =
+      trigramTables(trigramInst(train, textCol, idCol, hash, None))
+    TrigramLmModel(c3, p3, c2, p2, cu, tv, hash, backoffBits)
+  }
+
+  /** Score `docs` against a frozen [[TrigramLmModel]] — the
+    * deployment half of [[trigramLmScore]] (same output schema). The
+    * per-batch/per-partition cost is one fused shingle scan of `docs`
+    * plus vocabulary-sized hash-key joins; the model never recomputes.
+    */
+  def trigramLmScoreWith(
+      docs: DataFrame,
+      model: TrigramLmModel,
+      maxBitsE3: Long = 12000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ic = trigramInst(docs, textCol, idCol, model.hash, None)
+      .groupBy(
+        col("doc_id"), col("t3h"), col("b12h"), col("b23h"),
+        col("w2h"), col("w3h"))
+      .agg(count(lit(1)).as("n"))
+    trigramScoreTail(docs.select(col(idCol).as("doc_id")), ic,
+      model.c3, model.p3, model.c2, model.p2, model.cu, model.tv,
+      maxBitsE3, model.backoffBits)
   }
 
   /** CCNet perplexity buckets (Wenzek et al. 2020 §3.3): every

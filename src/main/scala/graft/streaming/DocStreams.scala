@@ -556,6 +556,71 @@ object DocStreams {
       .parquet(outDir)
   }
 
+  /** Streaming PERPLEXITY screen — CCNet at ingest: score each
+    * micro-batch against a FROZEN
+    * [[graft.operators.TextOps.TrigramLmModel]] (trained offline on
+    * the reference corpus, typically `.materialized`) with the batch
+    * scorer, and label head/middle/tail against FROZEN tercile
+    * thresholds (`t1E3`/`t2E3`, taken from an offline
+    * [[graft.operators.TextOps.pplBuckets]] run — CCNet computes its
+    * cutoffs on the reference distribution once, not per shard). This
+    * is the missing streaming face of the LM-screen tier: the
+    * classifier screens got their stream twins in r16
+    * ([[linearClassifyStream]]), the LM screen gets its here.
+    *
+    * Per batch the work is batch-sized: one fused shingle scan +
+    * vocabulary-sized hash-key probes — exactly the
+    * [[graft.operators.TextOps.trigramLmScoreWith]] plan plus one
+    * literal-threshold CASE. Stateless; exactly-once by `batch_id`
+    * dynamic partition overwrite (the [[linearClassifyStream]]
+    * contract).
+    *
+    * Output per batch: `(doc_id, n_trigrams, n_backoff, bits_total,
+    * bits_per_trigram_e3, keep, bucket, batch_id)`.
+    */
+  def pplIngest(
+      docs: DataFrame,
+      model: graft.operators.TextOps.TrigramLmModel,
+      t1E3: Long,
+      t2E3: Long,
+      outDir: String,
+      checkpointDir: String,
+      maxBitsE3: Long = 12000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePplScoredBatch(batch, model, t1E3, t2E3, maxBitsE3, outDir, batchId)
+      }
+      .start()
+
+  /** One [[pplIngest]] micro-batch write — the replay-idempotence
+    * seam, mirroring [[writeLinearScoredBatch]].
+    */
+  private[graft] def writePplScoredBatch(
+      batch: DataFrame,
+      model: graft.operators.TextOps.TrigramLmModel,
+      t1E3: Long,
+      t2E3: Long,
+      maxBitsE3: Long,
+      outDir: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "pplIngest sink")
+    graft.operators.TextOps.trigramLmScoreWith(batch, model, maxBitsE3)
+      .withColumn("bucket",
+        when(col("n_trigrams") === 0, "tail")
+          .when(col("bits_per_trigram_e3") <= t1E3, "head")
+          .when(col("bits_per_trigram_e3") <= t2E3, "middle")
+          .otherwise("tail"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   /** Fail fast when `dir` holds data files OUTSIDE `batch_id=N`
     * partitions — the pre-r12 flat append layout. Resuming a
     * partition-overwrite sink against such a directory would mix flat

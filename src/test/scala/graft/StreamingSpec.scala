@@ -968,6 +968,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pplIngest: frozen model + frozen thresholds — stream equals batch scorer and pplBuckets; replay stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val P = graft.functions.Hashing.Portable
+    // offline: train on the 900-permille slice, freeze model +
+    // tercile thresholds (the CCNet deployment order)
+    val model = graft.operators.TextOps.trigramLmTrain(
+      docs.filter(pmod(P(col("text")), lit(1000L)) < 900), hash = P)
+      .materialized(
+        java.nio.file.Files.createTempDirectory("graft_ppl_m").toString)
+    val scored = graft.operators.TextOps.trigramLmScoreWith(docs, model)
+      .select("doc_id", "n_trigrams", "bits_per_trigram_e3")
+      .as[(Long, Long, Long)].collect()
+    val sig = scored.filter(_._2 > 0).map(_._3).sorted
+    val n = sig.length.toLong
+    val cum = sig.distinct.map(s => s -> sig.count(_ <= s).toLong)
+    val t1 = cum.collectFirst { case (s, c) if c * 3 >= n => s }.get
+    val t2 = cum.collectFirst { case (s, c) if c * 3 >= 2 * n => s }.get
+    val dirs = java.nio.file.Files.createTempDirectory("graft_ppl").toString
+    val in = MemoryStream[FixDoc]
+    val base = docs.as[FixDoc].collect().sortBy(_.doc_id)
+    val q = graft.streaming.DocStreams.pplIngest(
+      in.toDF(), model, t1, t2, s"$dirs/out", s"$dirs/ckpt")
+    try {
+      base.grouped(math.max(base.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.read.parquet(s"$dirs/out")
+      // stateless scorer: the union over batches IS the batch scorer
+      assert(rowSet(out.drop("batch_id").drop("bucket")) ===
+        rowSet(graft.operators.TextOps.trigramLmScoreWith(docs, model)))
+      // frozen thresholds from the same corpus reproduce pplBuckets
+      val expected = graft.operators.TextOps.pplBuckets(docs, hash = P)
+        .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+      val got = out.select("doc_id", "bucket")
+        .as[(Long, String)].collect().toMap
+      assert(got === expected)
+      // replay the LAST batch: byte-stable sink
+      val chunks = base.grouped(math.max(base.length / 3, 1)).toSeq
+      val before = rowSet(spark.read.parquet(s"$dirs/out"))
+      graft.streaming.DocStreams.writePplScoredBatch(
+        chunks.last.toSeq.toDF("doc_id", "text"), model, t1, t2, 12000L,
+        s"$dirs/out", (chunks.size - 1).toLong)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
+    } finally q.stop()
+  }
+
   test("webIngest quota-index compaction sums settled counts without changing admissions") {
     val dirs = java.nio.file.Files.createTempDirectory("graft_web3").toString
     val dirsRef = java.nio.file.Files.createTempDirectory("graft_web3r").toString

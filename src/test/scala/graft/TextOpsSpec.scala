@@ -1365,6 +1365,25 @@ class TextOpsSpec extends SparkSpec {
     assert(multi <= 48L)
   }
 
+  test("trigramLmTrain + trigramLmScoreWith equals the monolithic screen; frozen reload identical") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mono = TextOps.trigramLmScore(docs, maxBitsE3 = 3600,
+      hash = graft.functions.Hashing.Portable)
+    // the caller-side slice reproduces the monolith's train split
+    val slice = docs.filter(
+      pmod(graft.functions.Hashing.Portable(col("text")), lit(1000L)) < 900)
+    val model = TextOps.trigramLmTrain(slice,
+      hash = graft.functions.Hashing.Portable)
+    val split = TextOps.trigramLmScoreWith(docs, model, maxBitsE3 = 3600)
+    assert(rowSet(split) === rowSet(mono))
+    // freeze/reload: scoring against the parquet round-trip is
+    // row-identical (the deployment shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+    val frozen = model.materialized(dir)
+    assert(rowSet(TextOps.trigramLmScoreWith(docs, frozen, maxBitsE3 = 3600)) ===
+      rowSet(mono))
+  }
+
   test("gopherRules: every rule hand-pinned; composite keep") {
     val good = ("the cat and dog have fun with that red ball of yarn " +
       "they be running to the park and that was good fun for all of them ") * 3
