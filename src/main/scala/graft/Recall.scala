@@ -101,6 +101,13 @@ object Recall {
     }
     for (nProbe <- Seq(1, 2, 4, 8, 16)) {
       val ((r, pq), s) = time(rankedRecall(
+        Similarity.ivfSq8TopK(emb, pred, nCentroids = 16, nProbe = nProbe,
+          k = K, kmeansIters = 4)))
+      rows += Row("ivf-sq8 (kmeans, 16 cells)", s"nProbe=$nProbe",
+        "recall@10", r, pq, s)
+    }
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val ((r, pq), s) = time(rankedRecall(
         Similarity.ivfPqTopK(emb, pred, nCentroids = 16, nProbe = nProbe,
           m = 4, ksub = 16, k = K, kmeansIters = 4, pqIters = 3)))
       rows += Row("ivf-pq (16 cells, m=4 trained)", s"nProbe=$nProbe",

@@ -1423,6 +1423,12 @@ object SparkEntry {
         .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))),
     "sim_sq8_topk" -> ((s, dir) =>
       Similarity.sq8TopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
+    // IVF-SQ8 (the FAISS IVF,SQ8 family): coarse cells route queries,
+    // candidates score against the 8-bit reconstruction — the
+    // recall-heavy sibling of sim_ivfpq_topk at 4x (not 16x)
+    // compression; stand-in cells keep the whole index SQL-exact
+    "sim_ivfsq8_topk" -> ((s, dir) =>
+      Similarity.ivfSq8TopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
     // MMR diversified rerank: greedy λ-tradeoff of relevance against
     // redundancy-to-selected over each query's top-8 cosine pool —
@@ -5692,6 +5698,72 @@ object SparkEntry {
          |         CAST(qd.qn2 + r.rnq
          |              - 2 * ${dotSql("qd.qq", "r.recon")} AS BIGINT) AS adist_q
          |  FROM rn r CROSS JOIN qd WHERE r.vec_id <> qd.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // IVF-SQ8: the sim_sq8_topk recon CTEs + the ivf stand-in cell
+    // routing (nz-filtered assignment — zero-norm vectors join no
+    // cell, the operator's cid -1 edge) + per-candidate asymmetric
+    // distance within probed cells
+    "sim_ivfsq8_topk" ->
+      s"""WITH $QNORM,
+         |mm AS (
+         |  SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+         |    SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+         |    FROM qn) t GROUP BY pos),
+         |ml AS (SELECT list(mn ORDER BY pos) AS mnl,
+         |              list(mx ORDER BY pos) AS mxl FROM mm),
+         |rec AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, len(q)+1), i ->
+         |           mnl[i] + ((CASE WHEN mxl[i] = mnl[i] THEN 0
+         |                      ELSE ((q[i] - mnl[i]) * 255) //
+         |                           (mxl[i] - mnl[i]) END)
+         |                     * (mxl[i] - mnl[i])) // 255) AS recon
+         |  FROM qn CROSS JOIN ml),
+         |rrn AS (SELECT vec_id, recon,
+         |               CAST(list_sum(list_transform(recon, x -> x*x))
+         |                    AS BIGINT) AS rnq FROM rec),
+         |nz AS (SELECT vec_id, q, nq FROM qn WHERE nq > 0),
+         |cent AS (SELECT vec_id AS cid2, q AS cq2, nq AS cnq2 FROM qn
+         |         WHERE vec_id < 16 AND nq > 0),
+         |asg AS (
+         |  SELECT vec_id, cid2 FROM (
+         |    SELECT v.vec_id, c.cid2,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM nz v CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid2 FROM (
+         |    SELECT v.vec_id AS query_id, c.cid2,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${dotSql("v.q", "c.cq2")} AS DOUBLE) /
+         |               sqrt(CAST(v.nq AS DOUBLE)*CAST(c.cnq2 AS DOUBLE)) DESC,
+         |             c.cid2 ASC) AS rn
+         |    FROM qn v CROSS JOIN cent c WHERE v.vec_id < 8)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON a.cid2 = p.cid2
+         |  WHERE a.vec_id <> p.query_id),
+         |qd AS (SELECT vec_id AS query_id, q AS qq, nq AS qn2
+         |       FROM qn WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(qd.qn2 + r.rnq
+         |              - 2 * ${dotSql("qd.qq", "r.recon")} AS BIGINT) AS adist_q
+         |  FROM cand c
+         |  JOIN rrn r ON r.vec_id = c.neighbor_id
+         |  JOIN qd ON qd.query_id = c.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, adist_q,
          |         CAST(row_number() OVER (

@@ -968,6 +968,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSq8TopK: full probe over an all-nonzero corpus equals sq8TopK exactly") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 16L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() + 0.1f)).toSeq
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 3
+    val full = Similarity.ivfSq8TopK(emb, pred, nCentroids = 4, nProbe = 4, k = 3)
+    assert(rowSet(full) === rowSet(Similarity.sq8TopK(emb, pred, k = 3)))
+    // restricted probe: a subset of the full-probe candidate set per
+    // query, still exactly k rows while candidates suffice
+    val narrow = Similarity.ivfSq8TopK(emb, pred, nCentroids = 4, nProbe = 1, k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val fullPairs = full.as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    // adist values are model-identical — any narrow-probe pair that
+    // also survives at full probe carries the same distance
+    for ((qid, nid, d, _) <- narrow
+         if fullPairs.exists(p => p._1 == qid && p._2 == nid))
+      assert(fullPairs.contains((qid, nid, d)))
+  }
+
   test("sq8 reconstruction law: never overshoots, error bounded by span/255 + 1") {
     val rnd = new scala.util.Random(21)
     val vecs = (0L until 20L).map(id =>
