@@ -185,6 +185,13 @@ object Recall {
     sb ++= "  recall against bucket occupancy. The banded OR-construction\n"
     sb ++= "  (lshBandBuckets, used by the near-dup/knn generators) amplifies\n"
     sb ++= "  recall at multiplied candidate cost.\n"
+    sb ++= "- IVF-SQ8 composes the IVF router with the SQ8 scorer: its probe\n"
+    sb ++= "  curve tracks flat IVF's almost exactly (the router dominates)\n"
+    sb ++= "  and converges to SQ8's ceiling — not 100% — at full probe,\n"
+    sb ++= "  the quantization-distortion residue. Contrast IVF-PQ's flat\n"
+    sb ++= "  ~9%: at 4 subspaces the scorer, not the router, is the recall\n"
+    sb ++= "  bottleneck; at 8 bits/dim the router is. That one comparison\n"
+    sb ++= "  is the memory-budget decision at 100 TB.\n"
     sb ++= "- MULTI-PROBE (Lv et al. 2007) is the third LSH axis: same index,\n"
     sb ++= "  same planes, but each query also probes the buckets reached by\n"
     sb ++= "  flipping its lowest-|projection| sign bits — candidate recall\n"

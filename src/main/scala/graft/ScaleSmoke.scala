@@ -210,7 +210,14 @@ object ScaleSmoke {
     // word-table-bound (distinct words grow sub-linearly, Heaps) —
     // its 10x point checks the double-DP E-step stays word-bound
     // while only the word-count scan grows with the corpus
-    "t_unigram_train")
+    "t_unigram_train",
+    // r16 late wave (same rule, same session): condensation re-runs
+    // the smoked SCC loop + two id-only label joins; IVF-SQ8 is the
+    // smoked ivf candidate join + the smoked sq8 recon projection
+    // composed; multi-probe is the single-probe shape with a
+    // (probes+1)-row query side — each still gets its OWN row so the
+    // "ships unmeasured" gap cannot recur on a technicality
+    "g_scc_condensation", "sim_ivfsq8_topk", "sim_lsh_multiprobe")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
