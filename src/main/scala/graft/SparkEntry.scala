@@ -3108,11 +3108,12 @@ object SparkEntry {
     // non-empty lines, alpha-word fraction, >= 2 distinct gopher
     // stops), e3 fixed point, composite keep
     "t_gopher_rules" ->
-      s"""WITH s AS (
+      s"""WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+         |s AS (
          |  SELECT doc_id, text, $TOKS AS toks,
          |         list_filter(string_split(text, chr(10)),
          |           l -> length(trim(l)) > 0) AS lines
-         |  FROM documents),
+         |  FROM d0),
          |m AS (
          |  SELECT doc_id,
          |         CAST(len(toks) AS BIGINT) AS ntok,

@@ -1743,12 +1743,11 @@ object GraphOps {
     }
     if (remaining) {
       log.warn(s"sccLabels: hit the $maxRounds-round bound with edges " +
-        "remaining - unpeeled vertices get their COLOR as a label, which " +
-        "may merge distinct SCCs; raise maxRounds")
-      // color may be stale (scoped to the last round) — recompute
-      // nothing; label leftovers by vertex id so the defect is visible
-      // (two mutually-reachable leftovers get different labels) rather
-      // than silently merged
+        "remaining - unpeeled vertices get their OWN ID as a label, " +
+        "which SPLITS (never merges) their true SCCs; raise maxRounds")
+      // label leftovers by vertex id so the defect is visible (two
+      // mutually-reachable leftovers get DIFFERENT labels) rather than
+      // silently merged — the warning above states exactly this
       val leftover = e.select(col("s").as("v"))
         .unionAll(e.select(col("d").as("v"))).distinct()
       done = done.unionAll(leftover.select(col("v"), col("v").as("scc_label")))

@@ -1918,6 +1918,30 @@ object Similarity {
   private def divQ(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** SQ8 code of one quantized element against its dimension's
+    * `[lo, hi]` range: `((x − lo)·255) div (hi − lo)`, 0 on a constant
+    * dimension. ONE definition shared by [[sq8Encode]] / [[sq8TopK]] /
+    * [[ivfSq8TopK]] — the full-probe-equivalence spec law and the
+    * three oracles all assume the copies cannot diverge.
+    */
+  private def sq8CodeExpr(x: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0L)).otherwise(divQ((x - lo) * 255L, hi - lo))
+
+  /** Per-element SQ8 codes of a quantized vector. */
+  private def sq8CodesCol(q: Column, mnL: Column, mxL: Column): Column =
+    transform(q, (x, i) =>
+      sq8CodeExpr(x, element_at(mnL, i + 1), element_at(mxL, i + 1)))
+
+  /** Encode→dequantize in one HOF:
+    * `recon_i = lo + (code_i·(hi − lo)) div 255`.
+    */
+  private def sq8ReconCol(q: Column, mnL: Column, mxL: Column): Column =
+    transform(q, (x, i) => {
+      val lo = element_at(mnL, i + 1)
+      val hi = element_at(mxL, i + 1)
+      lo + divQ(sq8CodeExpr(x, lo, hi) * (hi - lo), lit(255L))
+    })
+
   /** Per-dimension SQ8 bounds `(mn, mx)` over the quantized corpus —
     * the trained half of scalar quantization. One posexplode +
     * map-side-combining min/max aggregate (d rows per partition cross
@@ -1957,12 +1981,7 @@ object Similarity {
     val mxL = typedLit(mx)
     corpus.select(
       col("vec_id"),
-      transform(col("q"), (x, i) => {
-        val lo = element_at(mnL, i + 1)
-        val hi = element_at(mxL, i + 1)
-        when(hi === lo, lit(0L))
-          .otherwise(divQ((x - lo) * 255L, hi - lo))
-      }).as("codes"))
+      sq8CodesCol(col("q"), mnL, mxL).as("codes"))
   }
 
   /** SQ8 approximate top-k — asymmetric scoring against the 8-bit
@@ -2002,13 +2021,7 @@ object Similarity {
     // and never re-enters the plan past it
     val recon = corpus.select(
       col("vec_id"),
-      transform(col("q"), (x, i) => {
-        val lo = element_at(mnL, i + 1)
-        val hi = element_at(mxL, i + 1)
-        val code = when(hi === lo, lit(0L))
-          .otherwise(divQ((x - lo) * 255L, hi - lo))
-        lo + divQ(code * (hi - lo), lit(255L))
-      }).as("recon"))
+      sq8ReconCol(col("q"), mnL, mxL).as("recon"))
       .withColumn("rnq", normQ(col("recon")))
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
@@ -2075,16 +2088,16 @@ object Similarity {
       .sortBy(_._1).toSeq
     val mnL = typedLit(mn)
     val mxL = typedLit(mx)
+    // zero-norm guard is EXPLICIT: a zero-norm vector's cell cosine is
+    // NaN for every cell, and Spark orders NaN LARGEST, so the bare
+    // argmax would hand it the lowest cid (not the scaladoc'd "no
+    // cell") — the r16 review finding; the when-guard pins cid −1,
+    // matching the oracle's nz-filtered assignment
     val recon = corpus
-      .withColumn("cid", bestCellExpr(centsArr))
+      .withColumn("cid",
+        when(col("nq") > 0, bestCellExpr(centsArr)).otherwise(lit(-1L)))
       .select(col("vec_id"), col("cid"),
-        transform(col("q"), (x, i) => {
-          val lo = element_at(mnL, i + 1)
-          val hi = element_at(mxL, i + 1)
-          val code = when(hi === lo, lit(0L))
-            .otherwise(divQ((x - lo) * 255L, hi - lo))
-          lo + divQ(code * (hi - lo), lit(255L))
-        }).as("recon"))
+        sq8ReconCol(col("q"), mnL, mxL).as("recon"))
       .withColumn("rnq", normQ(col("recon")))
     val probes = {
       val w = Window.partitionBy(col("vec_id"))

@@ -173,14 +173,18 @@ object TextOps {
       minTokens: Long = 50,
       maxTokens: Long = 100000,
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // null text pins to the empty-doc row (n_tokens 0, ratios 0, keep
+    // false) — Spark's size(null) = −1 would otherwise leak a nonsense
+    // signal value and diverge from the oracle's NULL (r16 review)
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = tokens(txt)
     val nTok = size(toks).cast("long")
     val wordChars = aggregate(
       transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v)
-    val nHash = regexp_count(col(textCol), lit("#")).cast("long")
-    val nEll = regexp_count(col(textCol), lit("(\\.\\.\\.|…)")).cast("long")
+    val nHash = regexp_count(txt, lit("#")).cast("long")
+    val nEll = regexp_count(txt, lit("(\\.\\.\\.|…)")).cast("long")
     val lines = filter(
-      split(col(textCol), "\n"), l => length(trim(l)) > 0)
+      split(txt, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines,
       l => trim(l).rlike("^[•\\-\\*]"))).cast("long")

@@ -968,11 +968,15 @@ object DocStreams {
     * docs per domain with earlier batches holding seniority.
     *
     * State: the line-hash index (8-byte keys) plus one
-    * `(reg_domain, n)` row per domain per batch — both batch-id-
-    * versioned parquet with `batch_id < current` reads and dynamic
-    * partition overwrite, so replayed batches emit identical rows and
-    * identical state (the [[spanIngest]] exactly-once contract); both
-    * fold periodically ([[compactSpanIndex]] / [[compactQuotaIndex]]).
+    * `(reg_domain, doc_id)` row per ADMISSION (bounded by
+    * `domainK × domains`; readers DISTINCT before counting, so a
+    * compaction crash that leaves stale partitions is harmless — an
+    * additive count index would double-count that window) — both
+    * batch-id-versioned parquet with `batch_id < current` reads and
+    * dynamic partition overwrite, so replayed batches emit identical
+    * rows and identical state (the [[spanIngest]] exactly-once
+    * contract); both fold periodically ([[compactSpanIndex]] /
+    * [[compactQuotaIndex]]).
     *
     * Output per batch: `(doc_id, reg_domain, rn, batch_id)` — admitted
     * documents with their global quota rank.
@@ -1041,13 +1045,21 @@ object DocStreams {
     val (rebuilt, newHashes) = lineDedupVsIndex(
       stripped, idxFs, idxPath, batchId, minLineChars, hash, cutDir)
     // 4) domain quota vs prior admissions; cut so the sink write and
-    // the count-index write compute the ranking window once
+    // the admission-index write compute the ranking window once.
+    // The index stores one (reg_domain, doc_id) row per ADMISSION —
+    // bounded by domainK × domains — and the prior DISTINCTs before
+    // counting, so a compaction that crashed between its fold write
+    // and its partition deletes leaves duplicate rows that collapse
+    // harmlessly (the compactSpanIndex existence-read safety argument;
+    // an additive count index would double-count that crash window —
+    // the r16 review finding)
     val prior =
       if (dqFs.exists(dqPath))
         spark.read.parquet(dqPath.toString)
           .filter(col("batch_id") < batchId)
+          .select(col("reg_domain"), col("doc_id")).distinct()
           .groupBy(col("reg_domain"))
-          .agg(sum(col("n")).as("prior"))
+          .agg(count(lit(1)).as("prior"))
       else spark.emptyDataFrame
         .select(lit("").as("reg_domain"), lit(0L).as("prior")).limit(0)
     val w = Window.partitionBy(col("reg_domain"))
@@ -1075,8 +1087,7 @@ object DocStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(idxPath.toString)
-    admitted.groupBy(col("reg_domain"))
-      .agg(count(lit(1)).as("n"))
+    admitted.select(col("reg_domain"), col("doc_id"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1084,10 +1095,14 @@ object DocStreams {
       .parquet(dqPath.toString)
   }
 
-  /** Fold settled `(reg_domain, n, batch_id)` quota-index partitions
-    * into one SUM row per domain at the max settled batch id — the
-    * [[compactSpanIndex]] discipline with a sum-fold instead of a
-    * distinct-fold (admission counts are additive across batches).
+  /** Fold settled `(reg_domain, doc_id, batch_id)` admission-index
+    * partitions into one DISTINCT row set at the max settled batch id
+    * — the [[compactSpanIndex]] discipline on the composite admission
+    * key. Crash-safe by the same argument: a fold written but with
+    * stale partitions not yet deleted leaves DUPLICATE rows, and every
+    * reader distincts before counting, so duplicates are harmless (a
+    * sum-folded count index would double-count that window — the r16
+    * review finding).
     */
   private[graft] def compactQuotaIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1107,8 +1122,7 @@ object DocStreams {
       val merged = graft.operators.Checkpoints.cut(
         spark.read.parquet(dqPath.toString)
           .filter(col("batch_id") < batchId)
-          .groupBy(col("reg_domain"))
-          .agg(sum(col("n")).cast("long").as("n")), None)
+          .select(col("reg_domain"), col("doc_id")).distinct(), None)
       merged.withColumn("batch_id", lit(keep))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -968,6 +968,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSq8TopK: zero-norm corpus vector assigns to no cell and never surfaces") {
+    val rnd = new scala.util.Random(13)
+    val emb = ((0L until 10L).map(id =>
+      id -> Array.fill(3)(rnd.nextFloat() + 0.1f)) :+
+      (99L -> Array(0f, 0f, 0f))).toSeq.toDF("vec_id", "embedding")
+    // full probe, k past the corpus size: every ASSIGNED vector
+    // surfaces; the zero-norm one must not (its NaN cell cosine would
+    // otherwise hand it the lowest cid — the r16 review edge)
+    val out = Similarity.ivfSq8TopK(emb, col("vec_id") < 2,
+      nCentroids = 4, nProbe = 4, k = 20)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!out.contains(99L), "zero-norm vector surfaced as a candidate")
+    assert(out.nonEmpty)
+  }
+
   test("ivfSq8TopK: full probe over an all-nonzero corpus equals sq8TopK exactly") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 16L).map(id =>

@@ -1039,14 +1039,39 @@ class StreamingSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
     assert(parts.size < refParts.size,
       s"expected folded quota index: ${parts.map(_.getName).sorted}")
-    // and the folded counts still sum to the true admission totals
+    // and the folded admission rows still reproduce the true totals
+    // (reads DISTINCT before counting — the crash-window safety rule)
     val folded = spark.read.parquet(s"$dirs/state/dq")
+      .select("reg_domain", "doc_id").distinct()
       .groupBy("reg_domain")
-      .agg(org.apache.spark.sql.functions.sum("n").cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     val truth = spark.read.parquet(s"$dirs/out")
       .groupBy("reg_domain")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     assert(rowSet(folded) === rowSet(truth))
+    // the crash window itself: duplicate a settled partition's rows
+    // into a fresh batch partition (exactly what a fold-then-crash
+    // leaves behind) — admissions must be unaffected
+    val dup = spark.read.parquet(s"$dirs/state/dq")
+      .orderBy(col("batch_id").asc).limit(2)
+      .select("reg_domain", "doc_id")
+      .withColumn("batch_id", lit(98L))
+    dup.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dirs/state/dq")
+    val outBefore = rowSet(spark.read.parquet(s"$dirs/out"))
+    graft.streaming.DocStreams.webIngestBatch(
+      webDocs.take(3).toDF(), s"$dirs/state", s"$dirs/out", 3, "url", "text",
+      5, graft.functions.Hashing.Portable, None, 99L)
+    // batch 99 re-offers already-admitted docs: the duplicated index
+    // rows must not change the prior counts, so nothing over-admits
+    // and nothing previously admitted is recounted
+    val after = spark.read.parquet(s"$dirs/out")
+    val perDom = after.groupBy("reg_domain")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    for ((dom, n) <- perDom) assert(n <= 3, s"$dom over quota after dup rows")
+    assert(rowSet(after.filter(col("batch_id") < 98L)) === outBefore)
   }
 
   test("span index compaction coalesces settled partitions without changing results") {

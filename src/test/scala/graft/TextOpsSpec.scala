@@ -1413,11 +1413,15 @@ class TextOpsSpec extends SparkSpec {
     // doc 5: most lines end with ellipsis
     assert(!out(5L).getAs[Boolean]("keep"))
     assert(out(5L).getAs[Long]("ellipsis_lines_e3") > 300L)
-    // empty doc: ratios pin 0, no crash
-    val empty = TextOps.gopherRules(Seq((9L, "")).toDF("doc_id", "text"))
-      .collect().head
-    assert(empty.getAs[Long]("n_tokens") === 0L)
-    assert(!empty.getAs[Boolean]("keep"))
+    // empty and NULL text both pin to the zero row (size(null) = -1
+    // would otherwise leak a nonsense n_tokens — the r16 review edge)
+    val degenerate = TextOps.gopherRules(
+      Seq((9L, ""), (10L, null: String)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(9L, 10L)) {
+      assert(degenerate(id).getAs[Long]("n_tokens") === 0L, s"doc $id")
+      assert(!degenerate(id).getAs[Boolean]("keep"), s"doc $id")
+    }
   }
 
   test("pplBuckets: differential vs the tercile definition on trigramLmScore; no-signal docs pin to tail") {

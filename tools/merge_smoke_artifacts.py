@@ -19,8 +19,15 @@ def main(artifact_path, run_path):
     run = json.load(open(run_path))
     sec_keys = [k for k in next(iter(run["queries"].values()))
                 if k.endswith("_sec")]
-    lo, hi = sorted(sec_keys, key=lambda k: float(
-        "".join(c for c in k if c.isdigit() or c == ".") or 0))[:2]
+    # EXPLICIT scale order — "sf01" and "sf1" both digit-extract to 1,
+    # so a numeric sort would silently ride JSON key insertion order
+    # and could invert every ratio (r16 review finding)
+    SCALE_ORDER = ["sf01_sec", "sf1_sec", "sf10_sec"]
+    unknown = [k for k in sec_keys if k not in SCALE_ORDER]
+    if unknown or len(sec_keys) != 2:
+        raise SystemExit(f"unrecognized scale keys {sec_keys}; "
+                         f"expected two of {SCALE_ORDER}")
+    lo, hi = sorted(sec_keys, key=SCALE_ORDER.index)
     for chain, row in run["queries"].items():
         prev = art["queries"].get(chain)
         if prev is None:
