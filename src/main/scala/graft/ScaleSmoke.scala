@@ -444,7 +444,14 @@ object ScaleSmoke {
     // the wave (directed color/mark propagation with peeling); two
     // decades separate "rounds track condensation depth" from
     // "rounds creep with vertex count"
-    "g_scc")
+    "g_scc",
+    // r16 second wave at the second decade: the trigram screen +
+    // tercile cut (five-role instance frame must stay scan-bound with
+    // a histogram-sized cut on top), and the unigram trainer (its
+    // epochs are distinct-word bound — the renamed-replica
+    // construction grows the word table ~10x per decade, so this is
+    // the WORST case for the Heaps argument, not the friendly one)
+    "t_ppl_buckets", "t_unigram_train")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs
