@@ -106,6 +106,15 @@ object Recall {
       rows += Row("ivf-sq8 (kmeans, 16 cells)", s"nProbe=$nProbe",
         "recall@10", r, pq, s)
     }
+    for (rerankK <- Seq(10, 20, 50, 100)) {
+      // the 1-bit end of the quantization axis: 32x compression, the
+      // shortlist budget (rerankK) is the knob — recall climbs toward
+      // exact as the Hamming shortlist widens
+      val ((r, pq), s) = time(rankedRecall(
+        Similarity.bqTopK(emb, pred, k = K, rerankK = rerankK)))
+      rows += Row("binary quantization + exact rerank",
+        s"rerankK=$rerankK", "recall@10", r, pq, s)
+    }
     for (nProbe <- Seq(1, 2, 4, 8, 16)) {
       val ((r, pq), s) = time(rankedRecall(
         Similarity.ivfPqTopK(emb, pred, nCentroids = 16, nProbe = nProbe,

@@ -217,7 +217,20 @@ object ScaleSmoke {
     // composed; multi-probe is the single-probe shape with a
     // (probes+1)-row query side — each still gets its OWN row so the
     // "ships unmeasured" gap cannot recur on a technicality
-    "g_scc_condensation", "sim_ivfsq8_topk", "sim_lsh_multiprobe")
+    "g_scc_condensation", "sim_ivfsq8_topk", "sim_lsh_multiprobe",
+    // r16 third wave (smoke rows ship with the operators): HITS is
+    // two edge-sized joins + 1-row max broadcasts per round (the
+    // pagerank loop class on the directed fixture — its 10x point
+    // checks the alternating half-rounds track edges); random walks
+    // add the per-src adjacency rank window ONCE plus a per-step
+    // frontier⋈adjacency join whose fanout the rank filter collapses
+    // — the 10x point checks the hub window sort and the walk joins
+    // track edges, not walks × degree; BQ top-k streams 1-bit code
+    // rows into the broadcast-query Hamming stage and joins raw
+    // vectors only for the rerankK shortlist — the 10x point checks
+    // the candidate stream stays bit-sized; the C4 bundle is the
+    // t_gopher_rules narrow-projection class, pinned scan-bound
+    "g_hits", "g_random_walks", "sim_bq_topk", "t_c4_rules")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -451,7 +464,12 @@ object ScaleSmoke {
     // epochs are distinct-word bound — the renamed-replica
     // construction grows the word table ~10x per decade, so this is
     // the WORST case for the Heaps argument, not the friendly one)
-    "t_ppl_buckets", "t_unigram_train")
+    "t_ppl_buckets", "t_unigram_train",
+    // r16 third wave at the second decade: the walk generator's
+    // per-step rank-filtered join is the one NEW exchange shape of
+    // the wave (frontier fanout collapsed in-stage) — two decades
+    // separate "tracks edges" from "walks × hub-degree creep"
+    "g_random_walks")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

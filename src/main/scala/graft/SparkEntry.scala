@@ -211,6 +211,35 @@ object SparkEntry {
   private def htmlFixture(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), htmlFixtureExpr.as("text"))
 
+  /** Multi-line fixture of the documents table for [[TextOps.c4Rules]]
+    * (the corpus text is single-line and punctuation-free, so the raw
+    * table exercises nothing) — one rule per `doc_id mod 6` class:
+    * all-kept clean page; a no-terminal-punct line (and only 2
+    * surviving sentences — the minSentences gate); a <5-word line; a
+    * "JavaScript" boilerplate line; a "Lorem Ipsum" page gate; a
+    * curly-brace code-leak gate. The `htmlFixture` device.
+    */
+  private def c4FixtureExpr: Column = {
+    val m = pmod(col("doc_id"), lit(6))
+    val a = substring(col("text"), 1, 60)
+    val b = substring(col("text"), 61, 60)
+    val c = substring(col("text"), 121, 60)
+    when(m === 0, concat(a, lit(".\n"), b, lit("!\n"), c, lit("?\nTiny.")))
+      .when(m === 1, concat(a, lit("\n"), b, lit(".\n"), c, lit("!")))
+      .when(m === 2, concat(lit("One two three.\n"), a, lit(".\n"), b,
+        lit("?\n"), c, lit(".")))
+      .when(m === 3, concat(
+        lit("This page requires JavaScript enabled to work.\n"), a,
+        lit(".\n"), b, lit("!\n"), c, lit("?")))
+      .when(m === 4, concat(lit("Lorem Ipsum dolor sit amet consectetur.\n"),
+        a, lit(".\n"), b, lit(".\n"), c, lit(".")))
+      .otherwise(concat(lit("if (x) { return 1; }\n"), a, lit(".\n"), b,
+        lit(".\n"), c, lit(".")))
+  }
+
+  private def c4Fixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), c4FixtureExpr.as("text"))
+
   private def coocPairs(s: SparkSession, dir: String): DataFrame =
     Option(sharedGraph.get(dir)).map(_._2)
       .getOrElse(GraphOps.coOccurrencePairs(edgesOf(s, dir), maxFanout = 20, minShared = 2))
@@ -514,6 +543,19 @@ object SparkEntry {
       GraphOps.condensationEdges(fixture, GraphOps.sccLabels(fixture))
     }),
 
+    // HITS hubs & authorities over the same directed fixture (the
+    // symmetric merged graph would degenerate hub ≡ auth) — 2 rounds,
+    // e6 integer scores, per-round max-rescale in place of L2
+    "g_hits" -> ((s, dir) => GraphOps.hits(sccFixture(s, dir), 2)),
+
+    // deterministic DeepWalk corpus: 2 walks × 3 steps from a ~4%
+    // hash-slice of the merged person graph; step t moves to the
+    // hash(walk:t:cur) mod outdeg ranked neighbor (oracle unrolls)
+    "g_random_walks" -> ((s, dir) =>
+      GraphOps.randomWalks(mergedOf(s, dir),
+        pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+        walkLen = 3, walksPerVertex = 2)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -793,6 +835,12 @@ object SparkEntry {
     // the Gopher rule bundle (Rae et al. 2021 App. A): every rule its
     // own integer signal + composite keep — one narrow HOF projection
     "t_gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
+    // the C4 bundle (Raffel et al. 2020 §2.2): line-level scrub
+    // (terminal punct, ≥5 words, no "javascript") + doc gates (lorem
+    // ipsum, curly brace, ≥3 sentences) over a multi-line fixture —
+    // one class per doc_id mod 6, each exercising one rule
+    "t_c4_rules" -> ((s, dir) =>
+      TextOps.c4Rules(c4Fixture(Tables.documents(s, dir)))),
     "t_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // compression-ratio quality screen: distinct/total char-4-gram
     // dictionary ratio, the deterministic LZ-compressibility proxy
@@ -1430,6 +1478,17 @@ object SparkEntry {
     "sim_ivfsq8_topk" -> ((s, dir) =>
       Similarity.ivfSq8TopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
 
+    // binary quantization (1 bit/dim, corpus-mean threshold): the 32×
+    // end of the scalar-quantization family — codes as (vec_id, dim,
+    // bit) rows, the sim_sq8_codes convention
+    "sim_bq_codes" -> ((s, dir) =>
+      Similarity.bqEncode(Tables.embeddings(s, dir))),
+    // BQ two-stage retrieval: Hamming-distance candidates over the
+    // bit codes (popc(a)+popc(b)-2·a·b — the dotQ kernel IS the
+    // scorer), exact L2 rerank of the top-20 shortlist
+    "sim_bq_topk" -> ((s, dir) =>
+      Similarity.bqTopK(Tables.embeddings(s, dir), col("vec_id") < 8)),
+
     // MMR diversified rerank: greedy λ-tradeoff of relevance against
     // redundancy-to-selected over each query's top-8 cosine pool —
     // all-integer e6 cosines, pool-sized work after one corpus scan
@@ -1924,8 +1983,12 @@ object SparkEntry {
     * `scc(v, scc_label)`), shared by `g_scc` and `g_scc_condensation`
     * — `tail` is the final SELECT over `scc` (and `dir_e`).
     */
-  private def sccOracleSql(tail: String): String =
-    s"""WITH fwd AS (
+  /** SQL twin of the directed [[sccFixture]] graph — the `dir_e(src,
+    * dst)` CTE chain shared by every directed-graph oracle (`g_scc`,
+    * `g_scc_condensation`, `g_hits`).
+    */
+  private def dirECtes: String =
+    s"""fwd AS (
        |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
        |                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -1937,7 +2000,34 @@ object SparkEntry {
        |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
        |bwd_s AS (SELECT src, dst FROM bwd
        |          WHERE ${ph("src || '>' || dst")} % 60 = 0),
-       |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s),
+       |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s)""".stripMargin
+
+  /** One max-rescaled HITS half-round as a CTE chain (the
+    * [[louvainRoundSql]] device for [[GraphOps.hits]]): sums `score`
+    * from `prev(person_id, score)` across `dir_e` — inward (authority
+    * update) or outward (hub update) — then rescales to e6 by the
+    * round max; emits `$out(person_id, score)`.
+    */
+  private def hitsHalfSql(prev: String, out: String, inward: Boolean): String = {
+    val (grp, key) = if (inward) ("e.dst", "e.src") else ("e.src", "e.dst")
+    s"""r$out AS (
+       |  SELECT $grp AS person_id, CAST(SUM(p.score) AS BIGINT) AS s
+       |  FROM dir_e e JOIN $prev p ON p.person_id = $key
+       |  GROUP BY 1),
+       |f$out AS (
+       |  SELECT v.person_id, CAST(COALESCE(r.s, 0) AS BIGINT) AS s
+       |  FROM hverts v LEFT JOIN r$out r USING (person_id)),
+       |m$out AS (SELECT MAX(s) AS mx FROM f$out),
+       |$out AS (
+       |  SELECT person_id,
+       |         CAST(CASE WHEN (SELECT mx FROM m$out) > 0
+       |              THEN (s * 1000000) // (SELECT mx FROM m$out)
+       |              ELSE 0 END AS BIGINT) AS score
+       |  FROM f$out)""".stripMargin
+  }
+
+  private def sccOracleSql(tail: String): String =
+    s"""WITH $dirECtes,
        |reach AS (
        |  WITH RECURSIVE r(src, dst) AS (
        |    SELECT src, dst FROM dir_e
@@ -3154,6 +3244,68 @@ object SparkEntry {
          |        AND (CASE WHEN ntok > 0 THEN floor(nalpha*1000/ntok) ELSE 0 END) >= 800
          |        AND nstops >= 2) AS keep
          |FROM m""".stripMargin,
+
+    // C4 bundle over the multi-line fixture (one rule class per
+    // doc_id mod 6): line keep = terminal punct AND >= 5 words
+    // (explicit [ \t]+ class, the engine-portable split) AND no
+    // "javascript"; doc keep = no lorem-ipsum / no brace / >= 3
+    // sentences in the RETAINED text
+    "t_c4_rules" ->
+      s"""WITH c4f AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN substr(text,1,60) || '.' || chr(10) ||
+         |        substr(text,61,60) || '!' || chr(10) ||
+         |        substr(text,121,60) || '?' || chr(10) || 'Tiny.'
+         |      WHEN 1 THEN substr(text,1,60) || chr(10) ||
+         |        substr(text,61,60) || '.' || chr(10) ||
+         |        substr(text,121,60) || '!'
+         |      WHEN 2 THEN 'One two three.' || chr(10) ||
+         |        substr(text,1,60) || '.' || chr(10) ||
+         |        substr(text,61,60) || '?' || chr(10) ||
+         |        substr(text,121,60) || '.'
+         |      WHEN 3 THEN 'This page requires JavaScript enabled to work.'
+         |        || chr(10) || substr(text,1,60) || '.' || chr(10) ||
+         |        substr(text,61,60) || '!' || chr(10) ||
+         |        substr(text,121,60) || '?'
+         |      WHEN 4 THEN 'Lorem Ipsum dolor sit amet consectetur.'
+         |        || chr(10) || substr(text,1,60) || '.' || chr(10) ||
+         |        substr(text,61,60) || '.' || chr(10) ||
+         |        substr(text,121,60) || '.'
+         |      ELSE 'if (x) { return 1; }' || chr(10) ||
+         |        substr(text,1,60) || '.' || chr(10) ||
+         |        substr(text,61,60) || '.' || chr(10) ||
+         |        substr(text,121,60) || '.'
+         |    END AS orig
+         |  FROM documents),
+         |lx AS (
+         |  SELECT doc_id, orig,
+         |         list_filter(string_split(orig, chr(10)),
+         |           l -> length(trim(l)) > 0) AS lines
+         |  FROM c4f),
+         |kx AS (
+         |  SELECT doc_id, orig, lines,
+         |         list_filter(lines, l ->
+         |           regexp_matches(trim(l), '[.!?"]$$')
+         |           AND len(string_split_regex(trim(l), '[ \t]+')) >= 5
+         |           AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM lx),
+         |fin AS (
+         |  -- array_to_string([]) is NULL in DuckDB (Spark array_join
+         |  -- gives '') — coalesce pins the empty-retention docs
+         |  SELECT doc_id, orig,
+         |         COALESCE(array_to_string(kept, chr(10)), '') AS text,
+         |         CAST(len(lines) AS BIGINT) AS n_lines,
+         |         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |         CAST(len(regexp_extract_all(
+         |           COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]'))
+         |           AS BIGINT) AS n_sentences
+         |  FROM kx)
+         |SELECT doc_id, text, n_lines, n_lines_kept, n_sentences,
+         |       (NOT contains(lower(orig), 'lorem ipsum')
+         |        AND NOT contains(orig, '{')
+         |        AND n_sentences >= 3) AS keep
+         |FROM fin""".stripMargin,
 
     // char-4-gram dictionary ratio: windows enumerated in-row on both
     // engines (substring is character-based in both), docs shorter
@@ -4990,6 +5142,62 @@ object SparkEntry {
         |JOIN scc ld ON ld.v = e.dst
         |WHERE ls.scc_label <> ld.scc_label""".stripMargin),
 
+    // HITS, 2 unrolled rounds over the directed fixture: authority
+    // half-round (sum hub over in-edges, max-rescale to e6) then hub
+    // half-round (sum auth over out-edges, rescale), twice
+    "g_hits" ->
+      s"""WITH $dirECtes,
+         |hverts AS (SELECT src AS person_id FROM dir_e
+         |           UNION SELECT dst FROM dir_e),
+         |h0 AS (SELECT person_id, CAST(1000000 AS BIGINT) AS score
+         |       FROM hverts),
+         |${hitsHalfSql("h0", "a1", inward = true)},
+         |${hitsHalfSql("a1", "h1", inward = false)},
+         |${hitsHalfSql("h1", "a2", inward = true)},
+         |${hitsHalfSql("a2", "h2", inward = false)}
+         |SELECT h2.person_id, h2.score AS hub_e6, a2.score AS auth_e6
+         |FROM h2 JOIN a2 USING (person_id)""".stripMargin,
+
+    // deterministic random walks, 3 unrolled steps: dst-sorted
+    // adjacency ranks + per-src outdeg once, then each step joins the
+    // frontier to the neighbor whose rank is hash(walk:t:cur) mod
+    // outdeg (the ph twin) — walk corpus = union of per-step frames
+    "g_random_walks" ->
+      s"""WITH $MERGED,
+         |adj AS (
+         |  SELECT src, dst,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY src ORDER BY dst ASC) AS BIGINT) AS nbr_rank,
+         |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS out_deg
+         |  FROM merged),
+         |verts AS (SELECT src AS person_id FROM merged
+         |          UNION SELECT dst FROM merged),
+         |starts AS (SELECT person_id FROM verts
+         |           WHERE ${ph("person_id")} % 25 = 0),
+         |f0 AS (
+         |  SELECT person_id || '#' || CAST(r AS VARCHAR) AS walk_id,
+         |         person_id AS cur
+         |  FROM starts CROSS JOIN (SELECT unnest(range(0, 2)) AS r) t),
+         |s1 AS (
+         |  SELECT f.walk_id, a.dst AS cur
+         |  FROM f0 f JOIN adj a ON a.src = f.cur
+         |   AND a.nbr_rank = ${ph("f.walk_id || ':1:' || f.cur")} % a.out_deg + 1),
+         |s2 AS (
+         |  SELECT f.walk_id, a.dst AS cur
+         |  FROM s1 f JOIN adj a ON a.src = f.cur
+         |   AND a.nbr_rank = ${ph("f.walk_id || ':2:' || f.cur")} % a.out_deg + 1),
+         |s3 AS (
+         |  SELECT f.walk_id, a.dst AS cur
+         |  FROM s2 f JOIN adj a ON a.src = f.cur
+         |   AND a.nbr_rank = ${ph("f.walk_id || ':3:' || f.cur")} % a.out_deg + 1)
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS person_id FROM f0
+         |UNION ALL
+         |SELECT walk_id, CAST(1 AS BIGINT), cur FROM s1
+         |UNION ALL
+         |SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
+         |UNION ALL
+         |SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3""".stripMargin,
+
     // g_louvain plus the connectivity refinement after each level's
     // move rounds: intra-community edges -> exact reachability
     // (recursive CTE, the d_dedup_clusters device) -> min-member
@@ -5706,6 +5914,72 @@ object SparkEntry {
          |           ORDER BY adist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
          |  FROM scored)
          |SELECT query_id, neighbor_id, adist_q, "rank"
+         |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // BQ codes: per-dimension corpus SUM + COUNT, bit = strict
+    // integer mean test q_i*n > s_i (no division anywhere)
+    "sim_bq_codes" ->
+      s"""WITH $QNORM,
+         |st AS (
+         |  SELECT pos, CAST(sum(v) AS BIGINT) AS sv,
+         |         CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+         |    FROM qn) t GROUP BY pos),
+         |sl AS (SELECT list(sv ORDER BY pos) AS svl, min(cnt) AS bn FROM st)
+         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |       CAST(CASE WHEN q[i] * bn > svl[i] THEN 1 ELSE 0 END
+         |            AS BIGINT) AS bit
+         |FROM qn CROSS JOIN sl,
+         |     UNNEST(range(1, CAST(len(q) AS BIGINT) + 1)) AS t(i)""".stripMargin,
+
+    // BQ top-k: Hamming candidates over the bit lists
+    // (popc(a)+popc(b)-2*dot), top-20 shortlist per query, exact
+    // integer L2 rerank of the shortlist
+    "sim_bq_topk" ->
+      s"""WITH $QNORM,
+         |st AS (
+         |  SELECT pos, CAST(sum(v) AS BIGINT) AS sv,
+         |         CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+         |    FROM qn) t GROUP BY pos),
+         |sl AS (SELECT list(sv ORDER BY pos) AS svl, min(cnt) AS bn FROM st),
+         |bp AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, len(q)+1),
+         |           i -> CASE WHEN q[i] * bn > svl[i] THEN CAST(1 AS BIGINT)
+         |                     ELSE CAST(0 AS BIGINT) END) AS bits
+         |  FROM qn CROSS JOIN sl),
+         |bp2 AS (SELECT vec_id, bits,
+         |               CAST(list_sum(bits) AS BIGINT) AS popc FROM bp),
+         |qb AS (SELECT vec_id AS query_id, bits AS qbits, popc AS qpopc
+         |       FROM bp2 WHERE vec_id < 8),
+         |ham AS (
+         |  SELECT qb.query_id, b.vec_id AS neighbor_id,
+         |         CAST(qb.qpopc + b.popc
+         |              - 2 * ${dotSql("qb.qbits", "b.bits")} AS BIGINT) AS ham
+         |  FROM bp2 b CROSS JOIN qb WHERE b.vec_id <> qb.query_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY ham ASC, neighbor_id ASC) AS rn FROM ham)
+         |  WHERE rn <= 20),
+         |qd AS (SELECT vec_id AS query_id, q AS qq, nq AS qn2
+         |       FROM qn WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(qd.qn2 + nb.nq
+         |              - 2 * ${dotSql("qd.qq", "nb.q")} AS BIGINT) AS dist_q
+         |  FROM cand c
+         |  JOIN qn nb ON nb.vec_id = c.neighbor_id
+         |  JOIN qd ON qd.query_id = c.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, dist_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY dist_q ASC, neighbor_id ASC) AS BIGINT) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, dist_q, "rank"
          |FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     // IVF-SQ8: the sim_sq8_topk recon CTEs + the ivf stand-in cell

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
 
 /** The reference's dataflow operators (SURVEY §2), re-expressed as pure
   * `DataFrame → DataFrame` functions. Every operator is set-oriented and
@@ -1786,5 +1789,147 @@ object GraphOps {
       .filter(col("src_scc") =!= col("dst_scc"))
       .select(col("src_scc"), col("dst_scc"))
       .distinct()
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over a DIRECTED edge list — the
+    * mutual-reinforcement twin of [[pageRank]]: a good hub points at
+    * good authorities, a good authority is pointed at by good hubs.
+    * On link graphs the two scores separate catalog/index pages from
+    * content pages — the curation signal PageRank's single score
+    * conflates. Direction matters: on a symmetric graph hub and
+    * authority converge to the SAME vector (hub runs a half-step
+    * ahead at finite iters), so callers pass a genuinely directed
+    * frame (the [[sccLabels]] fixture class).
+    *
+    * Exact integer arithmetic so every engine agrees bit-for-bit:
+    * scores are e6-scaled longs, `h_0 = 10^6` for every vertex, and
+    * each round computes `a(v) = Σ_{u→v} h(u)` rescaled to
+    * `a'(v) = (a(v)·10^6) div max_v a(v)` (all zero when the round has
+    * no mass), then `h(v) = Σ_{v→w} a'(w)` rescaled the same way. The
+    * per-round MAX-rescale replaces the usual L2 normalization — the
+    * same power iteration on AᵀA/AAᵀ up to scale, but with no
+    * transcendental in the loop, and values stay ≤ 10^6·max_deg so
+    * int64 never overflows at ANY iteration count (unnormalized HITS
+    * grows as λ_max^t and overflows by round ~6 on a dense graph; L2
+    * needs a sqrt the oracle can't replicate exactly).
+    *
+    * Scale shape (the [[pageRank]] family): per round two edge-sized
+    * equi-joins + map-side-combining aggregates (O(E) each, score
+    * payload is one long) and two 1-row max aggregates broadcast back
+    * (the louvain 2m_w device); edges and the vertex frame are cut
+    * once, per-round frames are cut every round ([[Checkpoints]] —
+    * `checkpointDir` selects the executor-loss-durable mode). `iters`
+    * is small and fixed (power iteration converges geometrically).
+    *
+    * Callers should pass a distinct edge list — duplicate (src,dst)
+    * rows double-count endorsements.
+    *
+    * Output: `(person_id, hub_e6, auth_e6)` for every vertex.
+    */
+  def hits(edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), checkpointDir)
+    val verts = Checkpoints.cut(
+      e.select(col("src").as("person_id"))
+        .union(e.select(col("dst").as("person_id")))
+        .distinct(), checkpointDir)
+    // (frame, scoreCol) -> max-rescaled e6 scores over ALL vertices
+    // (missing aggregate rows are zero-score vertices)
+    def rescaled(sums: DataFrame, out: String): DataFrame = {
+      val full = verts.join(sums, Seq("person_id"), "left_outer")
+        .select(col("person_id"), coalesce(col("s"), lit(0L)).as("s"))
+      val mx = full.agg(max(col("s")).as("mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("person_id"),
+          when(col("mx") > 0, expr("(s * 1000000L) div mx"))
+            .otherwise(lit(0L)).as(out))
+    }
+    var hub = verts.select(col("person_id"), lit(1000000L).as("hub_e6"))
+    var auth: DataFrame = verts.select(col("person_id"), lit(0L).as("auth_e6"))
+    for (t <- 1 to iters) {
+      auth = Checkpoints.cut(rescaled(
+        e.join(hub.withColumnRenamed("person_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("person_id"))
+          .agg(sum(col("hub_e6")).as("s")), "auth_e6"), checkpointDir)
+      hub = Checkpoints.cut(rescaled(
+        e.join(auth.withColumnRenamed("person_id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("person_id"))
+          .agg(sum(col("auth_e6")).as("s")), "hub_e6"), checkpointDir)
+    }
+    hub.join(auth, Seq("person_id"))
+      .select(col("person_id"), col("hub_e6"), col("auth_e6"))
+  }
+
+  /** Deterministic random-walk corpus generation — the walk phase of
+    * DeepWalk (Perozzi et al. 2014) / node2vec at p=q=1 (Grover &
+    * Leskovec 2016): `walksPerVertex` fixed-length walks from every
+    * start vertex, the training corpus skip-gram graph embeddings are
+    * fit on. Generation is the data-pipeline half of that stack (the
+    * model fit is a GPU job) and the half that has to scale to the
+    * full graph.
+    *
+    * Determinism: step `t` of a walk moves to the out-neighbor whose
+    * dst-sorted rank is `hash(walk_id ':' t ':' current) mod outdeg`
+    * ([[graft.functions.Hashing.portableHash]]) — the corpus is stable
+    * across runs, partitionings, and engines (the oracle unrolls the
+    * steps with the same hash), and restarts regenerate identical
+    * shards. Walks reaching a sink vertex (no out-edges) truncate —
+    * pinned semantics, matching the reference implementations'
+    * behavior on directed graphs.
+    *
+    * Scale shape: the adjacency is ranked ONCE (`row_number` +
+    * `count` over the per-src window — the one per-hub sort, same
+    * cost class as the merge that built the edge list); each step is
+    * one frontier ⋈ adjacency equi-join on the current vertex whose
+    * fanout the rank filter collapses immediately in the same stage —
+    * O(E) worst case per step, frontier-sized candidates in practice;
+    * walk state is two strings, never neighbor lists. Frontiers cut
+    * per step ([[Checkpoints]]).
+    *
+    * Callers should pass a distinct edge list — duplicate (src,dst)
+    * rows would shift every rank after them.
+    *
+    * Output: `(walk_id, step, person_id)`; step 0 is the start vertex,
+    * `walk_id = start '#' replica`.
+    */
+  def randomWalks(edges: DataFrame, startPred: Column, walkLen: Int,
+      walksPerVertex: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerVertex >= 1,
+      s"walksPerVertex must be >= 1, got $walksPerVertex")
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), checkpointDir)
+    val perSrc = Window.partitionBy(col("src"))
+    val adj = Checkpoints.cut(
+      e.select(col("src"), col("dst"),
+        row_number().over(perSrc.orderBy(col("dst").asc)).cast("long")
+          .as("nbr_rank"),
+        count(lit(1)).over(perSrc).as("out_deg")), checkpointDir)
+    val starts = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+      .filter(startPred)
+    var frontier = starts
+      .select(col("person_id"),
+        explode(sequence(lit(0), lit(walksPerVertex - 1))).as("r"))
+      .select(
+        concat(col("person_id"), lit("#"), col("r").cast("string"))
+          .as("walk_id"),
+        col("person_id").as("cur"))
+    var out = frontier.select(
+      col("walk_id"), lit(0L).as("step"), col("cur").as("person_id"))
+    for (t <- 1 to walkLen) {
+      val pick = pmod(Hashing.portableHash(
+        concat(col("walk_id"), lit(s":$t:"), col("cur"))), col("out_deg")) + 1L
+      frontier = Checkpoints.cut(
+        frontier.join(adj, frontier("cur") === adj("src"))
+          .filter(col("nbr_rank") === pick)
+          .select(col("walk_id"), col("dst").as("cur")), checkpointDir)
+      out = out.unionAll(frontier.select(
+        col("walk_id"), lit(t.toLong).as("step"), col("cur").as("person_id")))
+    }
+    out
   }
 }

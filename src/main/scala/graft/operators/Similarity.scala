@@ -2124,4 +2124,136 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
   }
+
+  /** Per-dimension binary-quantization thresholds: the exact corpus
+    * SUM per dimension plus the corpus COUNT, so the mean-threshold
+    * test is the exact integer comparison `q_i · n > s_i` — no
+    * division ever happens, the comparison IS the mean test, and it
+    * replicates bit-for-bit in SQL. (Headroom: |q_i| ≤ 10⁶ for unit-
+    * scale embeddings, so the product stays in int64 through corpora
+    * of ~9·10¹² vectors — beyond any single index shard.) One
+    * posexplode + map-side-combining sum (d rows per partition cross
+    * the exchange), collected as a dim-length literal array — driver-
+    * bounded like every codebook in this file.
+    */
+  private[graft] def bqStats(corpus: DataFrame): (Seq[Long], Long) = {
+    val rows = corpus.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("pos").asc)
+      .collect()
+    (rows.map(_.getLong(1)).toSeq,
+      if (rows.isEmpty) 0L else rows.head.getLong(2))
+  }
+
+  /** Per-element BQ bits of a quantized vector: 1 iff the element is
+    * STRICTLY above its dimension's corpus mean (so a constant
+    * dimension is all-zero bits — it carries no information and
+    * contributes nothing to any Hamming distance). ONE definition
+    * shared by [[bqEncode]] and [[bqTopK]] — the rerank-equivalence
+    * spec law and both oracles assume the copies cannot diverge.
+    */
+  private def bqBitsCol(q: Column, sL: Column, n: Long): Column =
+    transform(q, (x, i) =>
+      when(x * n > element_at(sL, i + 1), lit(1L)).otherwise(lit(0L)))
+
+  /** Binary-quantization encode: each dimension maps to ONE bit —
+    * above/below the corpus per-dimension mean (Jégou et al. 2008's
+    * sign-binarization tier; the 1-bit end of the scalar-quantization
+    * family next to [[sq8Encode]]'s 8-bit grid). 32× compression over
+    * float32, and Hamming distance over the bits is a pure integer
+    * kernel — the index modern vector stores keep in RAM when even
+    * SQ8 doesn't fit. Output `(vec_id, dim, bit)` rows (the
+    * [[sq8Encode]] persistable-index convention, exploded for the
+    * oracle). Exact integer arithmetic throughout ([[bqStats]]).
+    *
+    * Scale shape: the threshold aggregate is one narrow pass (d rows
+    * per partition cross the exchange); encoding is one codegen'd
+    * index-aware HOF projection against a dim-length literal array —
+    * no join, no shuffle.
+    */
+  def bqEncode(embeddings: DataFrame): DataFrame = {
+    val corpus = withQuant(embeddings)
+    val (s, n) = bqStats(corpus)
+    if (s.isEmpty)
+      return corpus.limit(0).select(
+        col("vec_id"), col("nq").as("dim"), col("nq").as("bit"))
+    val sL = typedLit(s)
+    corpus.select(col("vec_id"),
+      posexplode(bqBitsCol(col("q"), sL, n)).as(Seq("dim", "bit")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("bit"))
+  }
+
+  /** Two-stage binary-quantization retrieval: Hamming-distance
+    * candidates over the 1-bit codes, exact L2 rerank of the top
+    * `rerankK` — the BQ + rescore pattern production vector stores
+    * ship (candidates from the RAM-resident bit index, exact scores
+    * only for the shortlist). Hamming distance computes as
+    * `popc(a) + popc(b) − 2·a·b` so the existing integer dot kernel
+    * ([[dotQ]]) is the whole scorer. Candidate ties break by neighbor
+    * id; rerank output `(query_id, neighbor_id, dist_q, rank)` — all
+    * BIGINT, ascending exact distance.
+    *
+    * At `rerankK ≥ corpus size` this equals exact L2 top-k
+    * (SimilaritySpec law — the [[ivfPqTopK]] full-probe-equivalence
+    * analog); at production rerankK the recall gap is RECALL.md's BQ
+    * rows.
+    *
+    * Scale shape: the Hamming stage streams BIT rows only (the raw
+    * vectors never enter it) against the broadcast query codes, and
+    * the per-query partial top-rerankK (WindowGroupLimit) keeps
+    * rerankK rows per (query, partition); the exact stage joins the
+    * candidate ids back to the raw vectors — candidate-sized, id-
+    * keyed. 32× less index traffic than brute force for the cost of
+    * one shortlist join.
+    */
+  def bqTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int = 5,
+      rerankK: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerankK >= k, s"rerankK must be >= k, got $rerankK < $k")
+    val corpus = withQuant(embeddings)
+    val (s, n) = bqStats(corpus)
+    if (s.isEmpty)
+      return corpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("dist_q"), col("nq").as("rank"))
+    val sL = typedLit(s)
+    def coded(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), bqBitsCol(col("q"), sL, n).as("bits"))
+      .withColumn("popc", aggregate(col("bits"), lit(0L), (a, v) => a + v))
+    val corpusBits = coded(corpus)
+    val queryBits = coded(corpus.filter(queryPred))
+      .select(col("vec_id").as("query_id"),
+        col("bits").as("qbits"), col("popc").as("qpopc"))
+    val ham = corpusBits.join(broadcast(queryBits))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qpopc") + col("popc") - lit(2L) * dotQ(col("qbits"), col("bits")))
+          .as("ham"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val cands = ham
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= rerankK)
+      .select(col("query_id"), col("neighbor_id"))
+    val nbrs = corpus.select(
+      col("vec_id").as("neighbor_id"), col("q").as("nv"), col("nq").as("nn"))
+    val qd = corpus.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val exact = cands
+      .join(nbrs, Seq("neighbor_id"))
+      .join(broadcast(qd), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qn") + col("nn") - lit(2L) * dotQ(col("qq"), col("nv")))
+          .as("dist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_q").asc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist_q"), col("rank"))
+  }
 }

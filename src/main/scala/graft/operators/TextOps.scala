@@ -214,6 +214,63 @@ object TextOps {
         col("n_gopher_stops") >= 2)
   }
 
+  /** The C4 cleaning-rule bundle (Raffel et al. 2020 §2.2 — the
+    * Colossal Clean Crawled Corpus filters, the other canonical
+    * rule-based web cleaner next to [[gopherRules]]; where Gopher
+    * scores the DOCUMENT, C4 scrubs LINES and then gates the doc):
+    *
+    *  - a line is KEPT only when (all three) it ends in a terminal
+    *    punctuation mark (`.` `!` `?` `"`), contains at least
+    *    `minWordsPerLine` words (default 5, the paper's value), and
+    *    does not mention "javascript" (any case — the paper's warning-
+    *    boilerplate rule);
+    *  - the document is KEPT only when the retained text still has at
+    *    least `minSentences` sentences (terminal-punctuation count;
+    *    default 3, the paper's value) and the ORIGINAL text contains
+    *    neither "lorem ipsum" (any case) nor a curly brace (the
+    *    paper's placeholder-text and code-leak page gates).
+    *
+    * The paper's remaining rule — the "bad words" blocklist — is a
+    * deployment-specific wordlist, not an algorithm; it composes as a
+    * [[graft.streaming.DocStreams.blocklistFilter]]-style stage.
+    *
+    * Word splitting uses the explicit `[ \t]+` class, NOT `\s` —
+    * Java's `\s` includes VT where RE2's does not (the byte-BPE
+    * pre-tokenizer lesson, PERF_r16 §4), and line content never
+    * carries `\n`. Lines are non-empty-trimmed before every rule.
+    *
+    * One narrow codegen projection — lines/words are in-row HOFs, no
+    * explode, no shuffle, no UDF: the 100 TB cost is the scan (the
+    * [[gopherRules]] class).
+    *
+    * Output: `(doc_id, text, n_lines, n_lines_kept, n_sentences,
+    * keep)` — `text` is the retained lines re-joined with `\n` (empty
+    * when nothing survives).
+    */
+  def c4Rules(
+      docs: DataFrame,
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    // null text pins to the empty-doc row (the gopherRules convention)
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = filter(split(txt, "\n"), l => length(trim(l)) > 0)
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "[ \\t]+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val keptText = array_join(kept, "\n")
+    val nSentences = regexp_count(keptText, lit("[.!?]")).cast("long")
+    docs.select(
+      col("doc_id"),
+      keptText.as("text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      (!lower(txt).contains("lorem ipsum") && !txt.contains("{") &&
+        nSentences >= minSentences).as("keep"))
+  }
+
   private val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "and", "of"),
     "es" -> Seq("el", "la", "los", "de", "que"),

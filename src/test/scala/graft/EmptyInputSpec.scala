@@ -458,4 +458,24 @@ class EmptyInputSpec extends SparkSpec {
       Seq(("", "x"), ("x", "")).toDF("src", "dst"))) ===
       Set(Seq("", ""), Seq("x", "")))
   }
+
+  test("round-16 third-wave operators on empty and degenerate inputs") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // BQ: empty corpus -> empty codes / empty top-k (no NPE from the
+    // threshold collect)
+    assert(Similarity.bqEncode(emptyVecs).count() === 0)
+    assert(Similarity.bqTopK(emptyVecs, col("vec_id") < 8).count() === 0)
+    // HITS: empty edge list -> empty output, no max-of-nothing throw
+    assert(GraphOps.hits(emptyEdges.select(col("src"), col("dst")), 2)
+      .count() === 0)
+    // random walks: empty graph -> no walks; empty start slice -> none
+    assert(GraphOps.randomWalks(
+      emptyEdges.select(col("src"), col("dst")), lit(true), 3).count() === 0)
+    assert(GraphOps.randomWalks(
+      Seq(("a", "b")).toDF("src", "dst"), lit(false), 3).count() === 0)
+    // c4 rules: empty frame and empty-text row
+    assert(TextOps.c4Rules(emptyDocs).count() === 0)
+    assert(rowSet(TextOps.c4Rules(Seq((1L, "")).toDF("doc_id", "text"))) ===
+      Set(Seq(1L, "", 0L, 0L, 0L, false)))
+  }
 }

@@ -754,4 +754,83 @@ class GraphOpsSpec extends SparkSpec {
       assert(b >= a, s"N(t) must be non-decreasing: $est")
     }
   }
+
+  test("hits: hand-pinned chain; symmetric graph degenerates hub = auth") {
+    // a->b, d->b, b->c: b is THE authority (two hubs point at it),
+    // a/d are the hubs; every half-round max-rescales to e6
+    val e = Seq(("a", "b"), ("b", "c"), ("d", "b")).toDF("src", "dst")
+    val out = GraphOps.hits(e, 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // round 1: a_raw(b)=2e6, a_raw(c)=1e6 -> a1(b)=1e6, a1(c)=5e5;
+    //          h_raw(a)=h_raw(d)=1e6, h_raw(b)=5e5 -> h1 same (max 1e6)
+    // round 2: a_raw(b)=2e6, a_raw(c)=5e5 -> a2(b)=1e6, a2(c)=25e4;
+    //          h_raw(a)=h_raw(d)=1e6, h_raw(b)=25e4 -> h2 same
+    assert(out("a") === ((1000000L, 0L)))
+    assert(out("d") === ((1000000L, 0L)))
+    assert(out("b") === ((250000L, 1000000L)))
+    assert(out("c") === ((0L, 250000L)))
+    // on a REGULAR symmetric graph the uniform vector is the shared
+    // fixpoint of both half-rounds: hub = auth = 1e6 everywhere (the
+    // alternating iteration leaves hub a half-step ahead of auth on
+    // non-regular symmetric graphs, so equality only holds pointwise
+    // at the fixpoint — the triangle is already there)
+    val sym = Seq(("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"),
+      ("z", "x"), ("x", "z")).toDF("src", "dst")
+    GraphOps.hits(sym, 3).collect().foreach { r =>
+      assert(r.getLong(1) === 1000000L, s"hub ${r.getString(0)}")
+      assert(r.getLong(2) === 1000000L, s"auth ${r.getString(0)}")
+    }
+  }
+
+  test("hits: max-rescale law (both score maxima are exactly 1e6); iters invariance of the argmax") {
+    val rnd = new scala.util.Random(5)
+    val verts = ('a' to 'j').map(_.toString)
+    val e = (for (_ <- 1 to 30) yield
+      (verts(rnd.nextInt(10)), verts(rnd.nextInt(10))))
+      .distinct.filter(p => p._1 != p._2).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val out = GraphOps.hits(e, iters).as[(String, Long, Long)].collect()
+      assert(out.map(_._2).max === 1000000L, s"iters=$iters hub max")
+      assert(out.map(_._3).max === 1000000L, s"iters=$iters auth max")
+      assert(out.forall(r => r._2 >= 0L && r._3 >= 0L))
+    }
+  }
+
+  test("randomWalks: edges followed, determinism, replicas, step-0 starts") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b"))
+      .toDF("src", "dst")
+    val walks = GraphOps.randomWalks(e, lit(true), walkLen = 4,
+      walksPerVertex = 2)
+    val rows = walks.as[(String, Long, String)].collect()
+    // 3 vertices x 2 replicas, no sinks -> every walk has steps 0..4
+    val byWalk = rows.groupBy(_._1)
+    assert(byWalk.size === 6)
+    byWalk.foreach { case (wid, steps) =>
+      assert(steps.map(_._2).sorted.toSeq === (0L to 4L), s"walk $wid")
+      // step 0 is the start vertex encoded in the walk id
+      assert(steps.find(_._2 == 0L).get._3 === wid.takeWhile(_ != '#'))
+    }
+    // every consecutive (step, step+1) pair is a real edge
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b"))
+    for ((_, steps) <- byWalk) {
+      val path = steps.sortBy(_._2).map(_._3)
+      path.zip(path.tail).foreach(p => assert(edgeSet.contains(p), s"$path"))
+    }
+    // deterministic: a second construction is row-identical
+    assert(rowSet(walks) === rowSet(
+      GraphOps.randomWalks(e, lit(true), walkLen = 4, walksPerVertex = 2)))
+  }
+
+  test("randomWalks: sink vertices truncate; predicate restricts starts") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val walks = GraphOps.randomWalks(e, lit(true), walkLen = 3)
+      .as[(String, Long, String)].collect()
+    // a#0: a -> b then b is a sink; b#0: just the start row
+    assert(walks.toSet === Set(
+      ("a#0", 0L, "a"), ("a#0", 1L, "b"), ("b#0", 0L, "b")))
+    val only = GraphOps.randomWalks(e, col("person_id") === "b", walkLen = 3)
+      .as[(String, Long, String)].collect()
+    assert(only.toSet === Set(("b#0", 0L, "b")))
+  }
 }

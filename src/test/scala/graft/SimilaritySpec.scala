@@ -1021,4 +1021,69 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id dim $i: err $err bound $bound")
     }
   }
+
+  test("bqEncode: strict corpus-mean bit test; constant dimension is all-zero") {
+    // dim 0 values {0, 0.5, 1.0} -> mean 0.5: strict > keeps only 1.0
+    // (the 0.5 row sits exactly ON the mean and must code to 0);
+    // dim 1 constant -> zero bits everywhere
+    val emb3 = Seq(
+      (0L, Array(0.0f, 0.7f)),
+      (1L, Array(0.5f, 0.7f)),
+      (2L, Array(1.0f, 0.7f))).toDF("vec_id", "embedding")
+    val bits = Similarity.bqEncode(emb3)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(bits(0L) === Seq(0L, 0L))
+    assert(bits(1L) === Seq(0L, 0L))
+    assert(bits(2L) === Seq(1L, 0L))
+  }
+
+  test("bqTopK: rerankK covering the corpus equals exact integer L2 top-k") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 14L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f)).toMap
+    val embDf = vecs.toSeq.toDF("vec_id", "embedding")
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toSeq }
+    def dist(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val out = Similarity.bqTopK(embDf, col("vec_id") < 3, k = 4, rerankK = 14)
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = (0L until 3L).flatMap { qid =>
+      q.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, dist(qid, nid)))
+        .sortBy { case (nid, d) => (d, nid) }
+        .take(4).zipWithIndex
+        .map { case ((nid, d), i) => (qid, nid, d, i.toLong + 1L) }
+    }.toSet
+    assert(out.toSet === expected)
+  }
+
+  test("bqTopK: narrow shortlist still returns k exact-distance rows per query") {
+    val rnd = new scala.util.Random(33)
+    val vecs = (0L until 20L).map(id =>
+      id -> Array.fill(4)(rnd.nextFloat() * 2f - 1f)).toMap
+    val embDf = vecs.toSeq.toDF("vec_id", "embedding")
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toSeq }
+    val out = Similarity.bqTopK(embDf, col("vec_id") < 2, k = 3, rerankK = 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 2 * 3)
+    for ((qid, nid, d, _) <- out) {
+      assert(nid !== qid)
+      val expected = q(qid).zip(q(nid))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d === expected, s"query $qid neighbor $nid")
+    }
+    // per query: ranks are 1..k in ascending (dist, id) order
+    for ((qid, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to 3L))
+      assert(sorted.map(r => (r._3, r._2)).sliding(2).forall {
+        case Array((a, na), (b, nb)) => a < b || (a == b && na < nb)
+        case _ => true
+      }, s"query $qid")
+    }
+  }
 }

@@ -1459,4 +1459,63 @@ class TextOpsSpec extends SparkSpec {
     for ((_, rows) <- byScore)
       assert(rows.map(r => got(r._1)).toSet.size === 1)
   }
+
+  test("c4Rules: per-rule line scrub and doc gates") {
+    val docs = Seq(
+      // all three lines survive -> keep
+      (0L, "This is a good clean sentence right here.\n" +
+        "Another fine long sentence follows right after!\n" +
+        "And a third one to pass the sentence gate?"),
+      // first line lacks terminal punct -> only 2 sentences -> drop
+      (1L, "no terminal punctuation on this line at all\n" +
+        "Good long sentence that ends properly here.\n" +
+        "Second good long sentence that also ends."),
+      // <5-word line dropped, three good lines survive -> keep
+      (2L, "Too few words.\n" +
+        "This one has plenty of words and ends well.\n" +
+        "So does this other one with many words too.\n" +
+        "And a third long enough sentence to pass!"),
+      // javascript boilerplate line dropped regardless of its shape
+      (3L, "Please enable JavaScript to view this page properly.\n" +
+        "Real content sentence with enough words here.\n" +
+        "More real content also phrased long enough here.\n" +
+        "A third real sentence keeps the document alive."),
+      // lorem-ipsum page gate: lines survive, doc does not
+      (4L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "Second fine sentence with plenty of words here.\n" +
+        "Third fine sentence with plenty of words too."),
+      // brace page gate
+      (5L, "Code sample { return x; } appears on this page.\n" +
+        "Second fine sentence with plenty of words here.\n" +
+        "Third fine sentence with plenty of words too.\n" +
+        "Fourth fine sentence with plenty of words also."),
+      // null text pins to the empty-doc row
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Rules(docs)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._6 && out(0L)._4 === 3L && out(0L)._5 === 3L)
+    assert(!out(1L)._6 && out(1L)._4 === 2L && out(1L)._5 === 2L)
+    assert(out(2L)._6 && out(2L)._3 === 4L && out(2L)._4 === 3L)
+    assert(out(3L)._6 && out(3L)._4 === 3L)
+    assert(!out(3L)._2.toLowerCase.contains("javascript"))
+    assert(!out(4L)._6 && out(4L)._4 === 3L) // lines fine, page gated
+    assert(!out(5L)._6)
+    // the brace rule is a PAGE gate, not a line rule: the brace line
+    // itself ends in terminal punctuation and survives the line scrub
+    assert(out(5L)._4 === 4L && out(5L)._3 === 4L)
+    assert(out(6L) === ((6L, "", 0L, 0L, 0L, false)))
+    // retained text is the kept lines re-joined in order
+    assert(out(2L)._2.split("\n").length === 3)
+    assert(!out(2L)._2.contains("Too few words"))
+    // internal punctuation counts toward n_sentences
+    val multi = TextOps.c4Rules(Seq(
+      (0L, "Dr. Smith said yes to the new plan today.\n" +
+        "What? No! That cannot be true at all times.\n" +
+        "Calm long sentence to close the document out."))
+      .toDF("doc_id", "text"))
+      .select("n_sentences").as[Long].head()
+    assert(multi === 2L + 3L + 1L)
+  }
 }
