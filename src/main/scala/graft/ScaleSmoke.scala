@@ -230,7 +230,23 @@ object ScaleSmoke {
     // vectors only for the rerankK shortlist — the 10x point checks
     // the candidate stream stays bit-sized; the C4 bundle is the
     // t_gopher_rules narrow-projection class, pinned scan-bound
-    "g_hits", "g_random_walks", "sim_bq_topk", "t_c4_rules")
+    "g_hits", "g_random_walks", "sim_bq_topk", "t_c4_rules",
+    // r16 fourth wave: walk-context pairing adds one walk_id-keyed
+    // self-join on top of the smoked walk chain (fanout ≤ len·2w) —
+    // its 10x point checks pair cost tracks walks; hard negatives
+    // ride the bm25 multiquery plan with a 10x query slice and its
+    // 10x-larger broadcast term vocabulary — the point checks the
+    // query-vocab probe stays map-side; the Gopher repetition table
+    // is a 5-per-token instance explode + hash-keyed aggregates (the
+    // d_exact_span_cov cost class) — the point checks instances and
+    // the dup-coverage join-back stay token-linear
+    "g_walk_contexts", "q_hard_negatives", "t_gopher_ngram_rep",
+    // node2vec: the uniform walk joins plus, per step, a distinct-
+    // edge marker join on the (prev, next) pair and a per-walk
+    // cumulative-weight window (≤ deg rows per partition) — its 10x
+    // point checks the biased step stays candidate-stream-bound with
+    // no global sort creeping in via the window
+    "g_node2vec_walks")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -469,7 +485,11 @@ object ScaleSmoke {
     // per-step rank-filtered join is the one NEW exchange shape of
     // the wave (frontier fanout collapsed in-stage) — two decades
     // separate "tracks edges" from "walks × hub-degree creep"
-    "g_random_walks")
+    "g_random_walks",
+    // node2vec at the second decade: the biased step adds the
+    // (prev, next) marker join + per-walk weight window — two decades
+    // check the window partitions stay deg-bounded on 100x hubs
+    "g_node2vec_walks")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

@@ -556,6 +556,24 @@ object SparkEntry {
         pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
         walkLen = 3, walksPerVertex = 2)),
 
+    // skip-gram (center, context, offset) pairs over the SAME walk
+    // corpus (window 2) — the word2vec-style training pairs DeepWalk
+    // actually feeds the embedding fit
+    "g_walk_contexts" -> ((s, dir) =>
+      GraphOps.walkContexts(
+        GraphOps.randomWalks(mergedOf(s, dir),
+          pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+          walkLen = 3, walksPerVertex = 2),
+        window = 2)),
+
+    // node2vec biased walks (integer weights 250/1000/500 ≈ p=4, q=2):
+    // second-order transitions — returns discounted, distance-1
+    // neighbors favored; step 1 is the uniform DeepWalk hop
+    "g_node2vec_walks" -> ((s, dir) =>
+      GraphOps.node2vecWalks(mergedOf(s, dir),
+        pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+        walkLen = 3)),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -835,6 +853,11 @@ object SparkEntry {
     // the Gopher rule bundle (Rae et al. 2021 App. A): every rule its
     // own integer signal + composite keep — one narrow HOF projection
     "t_gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
+    // the FULL Gopher repetition table (Rae 2021 Table A1): top-2/3/4
+    // n-gram char-coverage + dup-5/10 overlap-deduped char coverage,
+    // one multi-n generator pass + hash-keyed aggregates
+    "t_gopher_ngram_rep" -> ((s, dir) =>
+      TextOps.gopherRepetition(Tables.documents(s, dir))),
     // the C4 bundle (Raffel et al. 2020 §2.2): line-level scrub
     // (terminal punct, ≥5 words, no "javascript") + doc gates (lorem
     // ipsum, curly brace, ≥3 sentences) over a multi-line fixture —
@@ -1159,6 +1182,13 @@ object SparkEntry {
         3L -> "query").toDF("query_id", "term")
       TextOps.bm25MultiQuery(Tables.documents(s, dir), q, 20)
     }),
+    // DPR-style hard-negative mining: each ~1% hash-slice query doc
+    // retrieves its BM25 top-20, same-source docs (weak positives)
+    // and self drop, top-5 survivors re-ranked — the contrastive-
+    // training negative set
+    "q_hard_negatives" -> ((s, dir) =>
+      TextOps.hardNegatives(Tables.documents(s, dir),
+        col("doc_id") % 97 === 0, poolK = 20, k = 5)),
     // tokenizer coverage: OOV permille vs the corpus's own top-20 vocab
     "t_oov_rate" -> ((s, dir) =>
       TextOps.oovRateTopVocab(Tables.documents(s, dir), 20)),
@@ -2025,6 +2055,75 @@ object SparkEntry {
        |              ELSE 0 END AS BIGINT) AS score
        |  FROM f$out)""".stripMargin
   }
+
+  /** The `g_random_walks` CTE chain (dst-sorted adjacency ranks +
+    * per-src outdeg once, then 3 hash-driven unrolled steps) ending in
+    * `walks(walk_id, step, cur)` — `tail` selects over it; shared by
+    * `g_random_walks` and `g_walk_contexts`.
+    */
+  private def randomWalksSql(tail: String): String =
+    s"""WITH $MERGED,
+       |adj AS (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY src ORDER BY dst ASC) AS BIGINT) AS nbr_rank,
+       |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS out_deg
+       |  FROM merged),
+       |verts AS (SELECT src AS person_id FROM merged
+       |          UNION SELECT dst FROM merged),
+       |starts AS (SELECT person_id FROM verts
+       |           WHERE ${ph("person_id")} % 25 = 0),
+       |f0 AS (
+       |  SELECT person_id || '#' || CAST(r AS VARCHAR) AS walk_id,
+       |         person_id AS cur
+       |  FROM starts CROSS JOIN (SELECT unnest(range(0, 2)) AS r) t),
+       |s1 AS (
+       |  SELECT f.walk_id, a.dst AS cur
+       |  FROM f0 f JOIN adj a ON a.src = f.cur
+       |   AND a.nbr_rank = ${ph("f.walk_id || ':1:' || f.cur")} % a.out_deg + 1),
+       |s2 AS (
+       |  SELECT f.walk_id, a.dst AS cur
+       |  FROM s1 f JOIN adj a ON a.src = f.cur
+       |   AND a.nbr_rank = ${ph("f.walk_id || ':2:' || f.cur")} % a.out_deg + 1),
+       |s3 AS (
+       |  SELECT f.walk_id, a.dst AS cur
+       |  FROM s2 f JOIN adj a ON a.src = f.cur
+       |   AND a.nbr_rank = ${ph("f.walk_id || ':3:' || f.cur")} % a.out_deg + 1),
+       |walks AS (
+       |  SELECT walk_id, CAST(0 AS BIGINT) AS step, cur FROM f0
+       |  UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM s1
+       |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
+       |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3)
+       |$tail""".stripMargin
+
+  /** One biased node2vec step as a CTE chain: candidates = `prev`
+    * frame ⋈ `adj`, weight CASE back(250)/side(1000)/forward(500) via
+    * the distinct-edge marker `em`, per-walk cumulative-weight window,
+    * coin = ph(walk ':t:' prev '>' cur) mod total; emits
+    * `out(walk_id, prev, cur)`. Zero-total candidate sets truncate.
+    */
+  private def n2vStepSql(prev: String, out: String, t: Int): String =
+    s"""c$out AS (
+       |  SELECT f.walk_id, f.prev, f.cur, a.dst AS nxt, a.nbr_rank,
+       |         CASE WHEN a.dst = f.prev THEN 250
+       |              WHEN m.is_side THEN 1000
+       |              ELSE 500 END AS w
+       |  FROM $prev f
+       |  JOIN adj a ON a.src = f.cur
+       |  LEFT JOIN em m ON m.msrc = f.prev AND m.mdst = a.dst),
+       |w$out AS (
+       |  SELECT *,
+       |         CAST(SUM(w) OVER (PARTITION BY walk_id
+       |           ORDER BY nbr_rank) AS BIGINT) AS cum,
+       |         CAST(SUM(w) OVER (PARTITION BY walk_id) AS BIGINT) AS tot
+       |  FROM c$out),
+       |$out AS (
+       |  SELECT walk_id, cur AS prev, nxt AS cur FROM w$out
+       |  WHERE tot > 0
+       |    AND ${ph(s"walk_id || ':$t:' || prev || '>' || cur")} % tot
+       |          >= cum - w
+       |    AND ${ph(s"walk_id || ':$t:' || prev || '>' || cur")} % tot
+       |          < cum)""".stripMargin
 
   private def sccOracleSql(tail: String): String =
     s"""WITH $dirECtes,
@@ -4210,6 +4309,131 @@ object SparkEntry {
          |SELECT query_id, doc_id, score_e3, "rank" FROM r
          |WHERE "rank" <= 20""".stripMargin,
 
+    // hard negatives: the t_bm25_multiquery scoring CTEs with the
+    // query term sets drawn from the ~1% hash-slice docs' own distinct
+    // tokens; pool rank <= 20, self + same-source dropped, survivors
+    // re-ranked top-5
+    "q_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct($TOKS)) AS term
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |pd AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl
+         |       FROM documents),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(dl) AS BIGINT) AS tot_tok FROM pd),
+         |hits AS (
+         |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+         |  WHERE tok IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, tok),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM hits GROUP BY term),
+         |sc AS (
+         |  SELECT h.doc_id, h.term,
+         |    ((1000*(2*n_docs - 2*df + 1)) // (2*df + 1) * tf * 2200)
+         |      // (tf*1000 + (1200*(250 + (750*dl*n_docs) // tot_tok)) // 1000)
+         |      AS s
+         |  FROM hits h JOIN dfs USING (term) JOIN pd USING (doc_id)
+         |       CROSS JOIN c),
+         |qs AS (
+         |  SELECT q.query_id, sc.doc_id, CAST(SUM(sc.s) AS BIGINT) AS score_e3
+         |  FROM q JOIN sc ON q.term = sc.term
+         |  GROUP BY q.query_id, sc.doc_id),
+         |pool AS (
+         |  SELECT query_id, doc_id, score_e3,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_e3 DESC, doc_id ASC) AS rn
+         |  FROM qs),
+         |filt AS (
+         |  SELECT p.query_id, p.doc_id, p.score_e3
+         |  FROM pool p
+         |  JOIN documents a ON a.doc_id = p.query_id
+         |  JOIN documents b ON b.doc_id = p.doc_id
+         |  WHERE p.rn <= 20 AND p.doc_id <> p.query_id
+         |    AND a.source <> b.source),
+         |r AS (
+         |  SELECT query_id, doc_id, score_e3,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_e3 DESC, doc_id ASC) AS BIGINT) AS "rank"
+         |  FROM filt)
+         |SELECT query_id, doc_id, score_e3, "rank" FROM r
+         |WHERE "rank" <= 5""".stripMargin,
+
+    // the FULL Gopher repetition table: one instance CTE for every n
+    // (top grams by max count*chars; dup grams by within-doc count>=2
+    // with overlap-deduped position coverage), char base = word chars
+    "t_gopher_ngram_rep" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(list_sum(list_transform(toks,
+         |           x -> length(x))), 0) AS BIGINT) AS char_base
+         |  FROM t),
+         |inst AS (
+         |  SELECT doc_id, n, pos,
+         |         ${ph("array_to_string(toks[pos+1:pos+n], ' ')")} AS h,
+         |         CAST(list_sum(list_transform(toks[pos+1:pos+n],
+         |           x -> length(x))) AS BIGINT) AS clen
+         |  FROM t,
+         |       UNNEST([CAST(2 AS BIGINT), 3, 4, 5, 10]) AS tn(n),
+         |       UNNEST(range(0, len(toks) - n + 1)) AS tp(pos)),
+         |cnt AS (
+         |  SELECT doc_id, n, h, CAST(COUNT(*) AS BIGINT) AS c,
+         |         MAX(clen) AS clen
+         |  FROM inst GROUP BY 1, 2, 3),
+         |tops AS (
+         |  SELECT doc_id, n, CAST(MAX(c * clen) AS BIGINT) AS cov
+         |  FROM cnt WHERE n IN (2, 3, 4) GROUP BY 1, 2),
+         |dh AS (SELECT doc_id, n, h FROM cnt
+         |       WHERE n IN (5, 10) AND c >= 2),
+         |dp AS (
+         |  SELECT DISTINCT i.doc_id, i.n, pp AS p
+         |  FROM inst i
+         |  JOIN dh ON dh.doc_id = i.doc_id AND dh.n = i.n AND dh.h = i.h,
+         |       UNNEST(range(i.pos, i.pos + i.n)) AS u(pp)),
+         |lens AS (
+         |  SELECT doc_id,
+         |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS p,
+         |         CAST(length(unnest(toks)) AS BIGINT) AS len
+         |  FROM t),
+         |dcov AS (
+         |  SELECT dp.doc_id, dp.n, CAST(SUM(len) AS BIGINT) AS cov
+         |  FROM dp JOIN lens ON lens.doc_id = dp.doc_id AND lens.p = dp.p
+         |  GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT doc_id,
+         |         MAX(CASE WHEN n = 2 THEN cov END) AS cov2,
+         |         MAX(CASE WHEN n = 3 THEN cov END) AS cov3,
+         |         MAX(CASE WHEN n = 4 THEN cov END) AS cov4,
+         |         MAX(CASE WHEN n = 5 THEN cov END) AS covd1,
+         |         MAX(CASE WHEN n = 10 THEN cov END) AS covd2
+         |  FROM (SELECT * FROM tops UNION ALL SELECT * FROM dcov)
+         |  GROUP BY doc_id),
+         |e AS (
+         |  SELECT b.doc_id, b.n_tokens,
+         |    CAST(CASE WHEN char_base > 0
+         |      THEN floor(COALESCE(cov2, 0)*1000/char_base) ELSE 0 END
+         |      AS BIGINT) AS top2_chars_e3,
+         |    CAST(CASE WHEN char_base > 0
+         |      THEN floor(COALESCE(cov3, 0)*1000/char_base) ELSE 0 END
+         |      AS BIGINT) AS top3_chars_e3,
+         |    CAST(CASE WHEN char_base > 0
+         |      THEN floor(COALESCE(cov4, 0)*1000/char_base) ELSE 0 END
+         |      AS BIGINT) AS top4_chars_e3,
+         |    CAST(CASE WHEN char_base > 0
+         |      THEN floor(COALESCE(covd1, 0)*1000/char_base) ELSE 0 END
+         |      AS BIGINT) AS dup5_chars_e3,
+         |    CAST(CASE WHEN char_base > 0
+         |      THEN floor(COALESCE(covd2, 0)*1000/char_base) ELSE 0 END
+         |      AS BIGINT) AS dup10_chars_e3
+         |  FROM base b LEFT JOIN wide w ON w.doc_id = b.doc_id)
+         |SELECT doc_id, n_tokens, top2_chars_e3, top3_chars_e3,
+         |       top4_chars_e3, dup5_chars_e3, dup10_chars_e3,
+         |       (top2_chars_e3 <= 200 AND top3_chars_e3 <= 180
+         |        AND top4_chars_e3 <= 160 AND dup5_chars_e3 <= 150
+         |        AND dup10_chars_e3 <= 100) AS keep
+         |FROM e""".stripMargin,
+
     "t_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |base AS (
@@ -5162,7 +5386,24 @@ object SparkEntry {
     // adjacency ranks + per-src outdeg once, then each step joins the
     // frontier to the neighbor whose rank is hash(walk:t:cur) mod
     // outdeg (the ph twin) — walk corpus = union of per-step frames
-    "g_random_walks" ->
+    "g_random_walks" -> randomWalksSql(
+      "SELECT walk_id, step, cur AS person_id FROM walks"),
+
+    // skip-gram pairs over the same walk chain: ordered same-walk
+    // position pairs at |Δstep| <= 2 — the multiset of (center,
+    // context, offset) training examples
+    "g_walk_contexts" -> randomWalksSql(
+      """SELECT a.cur AS center, b.cur AS context,
+        |       CAST(b.step - a.step AS BIGINT) AS "offset"
+        |FROM walks a JOIN walks b
+        |  ON a.walk_id = b.walk_id AND a.step <> b.step
+        | AND abs(a.step - b.step) <= 2""".stripMargin),
+
+    // node2vec: uniform first hop, then per step a candidate frame
+    // (frontier x adjacency) classified back/side/forward via a
+    // distinct-edge marker join, cumulative-weight window per walk,
+    // coin = ph(walk:t:prev>cur) mod total
+    "g_node2vec_walks" ->
       s"""WITH $MERGED,
          |adj AS (
          |  SELECT src, dst,
@@ -5170,33 +5411,23 @@ object SparkEntry {
          |           PARTITION BY src ORDER BY dst ASC) AS BIGINT) AS nbr_rank,
          |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS out_deg
          |  FROM merged),
+         |em AS (SELECT src AS msrc, dst AS mdst, TRUE AS is_side FROM merged),
          |verts AS (SELECT src AS person_id FROM merged
          |          UNION SELECT dst FROM merged),
          |starts AS (SELECT person_id FROM verts
          |           WHERE ${ph("person_id")} % 25 = 0),
-         |f0 AS (
-         |  SELECT person_id || '#' || CAST(r AS VARCHAR) AS walk_id,
-         |         person_id AS cur
-         |  FROM starts CROSS JOIN (SELECT unnest(range(0, 2)) AS r) t),
+         |f0 AS (SELECT person_id || '#0' AS walk_id, person_id AS cur
+         |       FROM starts),
          |s1 AS (
-         |  SELECT f.walk_id, a.dst AS cur
+         |  SELECT f.walk_id, f.cur AS prev, a.dst AS cur
          |  FROM f0 f JOIN adj a ON a.src = f.cur
          |   AND a.nbr_rank = ${ph("f.walk_id || ':1:' || f.cur")} % a.out_deg + 1),
-         |s2 AS (
-         |  SELECT f.walk_id, a.dst AS cur
-         |  FROM s1 f JOIN adj a ON a.src = f.cur
-         |   AND a.nbr_rank = ${ph("f.walk_id || ':2:' || f.cur")} % a.out_deg + 1),
-         |s3 AS (
-         |  SELECT f.walk_id, a.dst AS cur
-         |  FROM s2 f JOIN adj a ON a.src = f.cur
-         |   AND a.nbr_rank = ${ph("f.walk_id || ':3:' || f.cur")} % a.out_deg + 1)
+         |${n2vStepSql("s1", "s2", 2)},
+         |${n2vStepSql("s2", "s3", 3)}
          |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS person_id FROM f0
-         |UNION ALL
-         |SELECT walk_id, CAST(1 AS BIGINT), cur FROM s1
-         |UNION ALL
-         |SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
-         |UNION ALL
-         |SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3""".stripMargin,
+         |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM s1
+         |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
+         |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3""".stripMargin,
 
     // g_louvain plus the connectivity refinement after each level's
     // move rounds: intra-community edges -> exact reachability

@@ -1821,6 +1821,13 @@ object GraphOps {
     * once, per-round frames are cut every round ([[Checkpoints]] —
     * `checkpointDir` selects the executor-loss-durable mode). `iters`
     * is small and fixed (power iteration converges geometrically).
+    * `broadcastScores` is the [[pageRank]] rank-loop switch (explicit,
+    * or auto by the counted [[BroadcastRanksMaxVertices]] ceiling);
+    * each half-round's summed frame is CUT before its 1-row max reads
+    * it — the max rides a broadcast subquery that would otherwise
+    * re-execute the edge join a second time (this fix + the broadcast
+    * switch measured 7.2× → 3.9× per-decade smoke ratio, sf1 wall
+    * 30.9 → 12.1 s).
     *
     * Callers should pass a distinct edge list — duplicate (src,dst)
     * rows double-count endorsements.
@@ -1828,6 +1835,7 @@ object GraphOps {
     * Output: `(person_id, hub_e6, auth_e6)` for every vertex.
     */
   def hits(edges: DataFrame, iters: Int,
+      broadcastScores: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = Checkpoints.cut(edges.select(col("src"), col("dst")), checkpointDir)
@@ -1835,11 +1843,22 @@ object GraphOps {
       e.select(col("src").as("person_id"))
         .union(e.select(col("dst").as("person_id")))
         .distinct(), checkpointDir)
-    // (frame, scoreCol) -> max-rescaled e6 scores over ALL vertices
-    // (missing aggregate rows are zero-score vertices)
+    // the pageRank rank-loop switch: checkpointed frames lose size
+    // stats, so the vertex-sized score frames broadcast under the
+    // same counted ceiling
+    val bcast = resolveBroadcast(broadcastScores, verts)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // sum frame -> max-rescaled e6 scores over ALL vertices (missing
+    // aggregate rows are zero-score vertices). The completed frame is
+    // CUT before the 1-row max reads it: the max rides a broadcast
+    // subquery, and without the cut that subquery re-executes the
+    // edge-sized join+agg a second time per half-round (the
+    // pplBuckets double-execution class, caught by the smoke ratio)
     def rescaled(sums: DataFrame, out: String): DataFrame = {
-      val full = verts.join(sums, Seq("person_id"), "left_outer")
-        .select(col("person_id"), coalesce(col("s"), lit(0L)).as("s"))
+      val full = Checkpoints.cut(
+        verts.join(hint(sums), Seq("person_id"), "left_outer")
+          .select(col("person_id"), coalesce(col("s"), lit(0L)).as("s")),
+        checkpointDir)
       val mx = full.agg(max(col("s")).as("mx"))
       full.crossJoin(broadcast(mx))
         .select(col("person_id"),
@@ -1850,11 +1869,11 @@ object GraphOps {
     var auth: DataFrame = verts.select(col("person_id"), lit(0L).as("auth_e6"))
     for (t <- 1 to iters) {
       auth = Checkpoints.cut(rescaled(
-        e.join(hub.withColumnRenamed("person_id", "src"), Seq("src"))
+        e.join(hint(hub.withColumnRenamed("person_id", "src")), Seq("src"))
           .groupBy(col("dst").as("person_id"))
           .agg(sum(col("hub_e6")).as("s")), "auth_e6"), checkpointDir)
       hub = Checkpoints.cut(rescaled(
-        e.join(auth.withColumnRenamed("person_id", "dst"), Seq("dst"))
+        e.join(hint(auth.withColumnRenamed("person_id", "dst")), Seq("dst"))
           .groupBy(col("src").as("person_id"))
           .agg(sum(col("auth_e6")).as("s")), "hub_e6"), checkpointDir)
     }
@@ -1931,5 +1950,137 @@ object GraphOps {
         col("walk_id"), lit(t.toLong).as("step"), col("cur").as("person_id")))
     }
     out
+  }
+
+  /** node2vec biased walk corpus (Grover & Leskovec 2016) — the
+    * [[randomWalks]] generator with the paper's SECOND-ORDER
+    * transition bias: the unnormalized weight of stepping cur → next,
+    * given the walk arrived from prev, is `wBack` when next = prev
+    * (the 1/p return term), `wSide` when next is ALSO a neighbor of
+    * prev (the distance-1 "stay local" term the paper weights 1), and
+    * `wFwd` otherwise (the 1/q exploration term). Integer weights in
+    * place of 1/p, 1, 1/q keep the draw exact in every engine: the
+    * coin is `hash(walk:t:prev '>' cur) mod Σw` and the step takes
+    * the first dst-sorted neighbor whose cumulative weight exceeds
+    * the coin. Step 1 has no prev and draws uniformly with the
+    * [[randomWalks]] coin, so the two generators share their first
+    * hop's semantics. A candidate set whose total weight is zero
+    * (all-zero weights reachable, e.g. `wBack = 0` at a vertex whose
+    * only neighbor is prev) truncates the walk — pinned, like the
+    * sink rule.
+    *
+    * Scale shape: [[randomWalks]]' per-step frontier⋈adjacency join
+    * plus, per step, one marker LEFT join of the candidates against
+    * the distinct edge list on the (prev, next) pair (edge-sized,
+    * id-only — the distance-1 test) and one cumulative-sum window
+    * PARTITIONED BY walk (walk-local, ≤ deg(cur) rows per partition —
+    * never a global sort). Candidates are frontier × deg rows, the
+    * same stream the uniform generator's rank filter scans.
+    *
+    * Output: `(walk_id, step, person_id)`, step 0 = the start vertex.
+    */
+  def node2vecWalks(edges: DataFrame, startPred: Column, walkLen: Int,
+      wBack: Long = 250L, wSide: Long = 1000L, wFwd: Long = 500L,
+      walksPerVertex: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    require(walksPerVertex >= 1,
+      s"walksPerVertex must be >= 1, got $walksPerVertex")
+    require(wBack >= 0 && wSide >= 0 && wFwd >= 0 &&
+      (wBack + wSide + wFwd) > 0,
+      s"weights must be non-negative, not all zero: $wBack/$wSide/$wFwd")
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), checkpointDir)
+    val perSrc = Window.partitionBy(col("src"))
+    val adj = Checkpoints.cut(
+      e.select(col("src"), col("dst"),
+        row_number().over(perSrc.orderBy(col("dst").asc)).cast("long")
+          .as("nbr_rank"),
+        count(lit(1)).over(perSrc).as("out_deg")), checkpointDir)
+    val sideMark = e.select(col("src").as("msrc"), col("dst").as("mdst"),
+      lit(true).as("is_side"))
+    val starts = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+      .filter(startPred)
+    val f0 = starts
+      .select(col("person_id"),
+        explode(sequence(lit(0), lit(walksPerVertex - 1))).as("r"))
+      .select(
+        concat(col("person_id"), lit("#"), col("r").cast("string"))
+          .as("walk_id"),
+        col("person_id").as("cur"))
+    var out = f0.select(
+      col("walk_id"), lit(0L).as("step"), col("cur").as("person_id"))
+    // step 1: uniform, the randomWalks coin (no prev exists yet)
+    val pick1 = pmod(Hashing.portableHash(
+      concat(col("walk_id"), lit(":1:"), col("cur"))), col("out_deg")) + 1L
+    // frontier carries (walk_id, prev, cur) from here on
+    var frontier = Checkpoints.cut(
+      f0.join(adj, f0("cur") === adj("src"))
+        .filter(col("nbr_rank") === pick1)
+        .select(col("walk_id"), f0("cur").as("prev"), col("dst").as("cur")),
+      checkpointDir)
+    out = out.unionAll(frontier.select(
+      col("walk_id"), lit(1L).as("step"), col("cur").as("person_id")))
+    for (t <- 2 to walkLen) {
+      val cand = frontier.join(adj, frontier("cur") === adj("src"))
+        .join(sideMark,
+          frontier("prev") === col("msrc") && adj("dst") === col("mdst"),
+          "left_outer")
+        .select(col("walk_id"), col("prev"), frontier("cur").as("cur"),
+          col("dst").as("nxt"), col("nbr_rank"),
+          when(col("dst") === col("prev"), lit(wBack))
+            .when(coalesce(col("is_side"), lit(false)), lit(wSide))
+            .otherwise(lit(wFwd)).as("w"))
+      val perWalk = Window.partitionBy(col("walk_id"))
+      val cum = sum(col("w")).over(perWalk.orderBy(col("nbr_rank").asc))
+      val tot = sum(col("w")).over(perWalk)
+      val coin = pmod(Hashing.portableHash(
+        concat(col("walk_id"), lit(s":$t:"), col("prev"), lit(">"),
+          col("cur"))), col("tot"))
+      frontier = Checkpoints.cut(
+        cand.withColumn("cum", cum).withColumn("tot", tot)
+          .filter(col("tot") > 0)
+          .filter(coin >= col("cum") - col("w") && coin < col("cum"))
+          .select(col("walk_id"), col("cur").as("prev"),
+            col("nxt").as("cur")),
+        checkpointDir)
+      out = out.unionAll(frontier.select(
+        col("walk_id"), lit(t.toLong).as("step"), col("cur").as("person_id")))
+    }
+    out
+  }
+
+  /** Skip-gram context pairs from a walk corpus — the second half of
+    * the DeepWalk data pipeline ([[randomWalks]] is the first): for
+    * every walk and every ORDERED pair of positions at distance ≤
+    * `window`, emit `(center, context, offset)` — exactly the
+    * (word, context) training pairs word2vec-style skip-gram fits on,
+    * with the signed offset kept so downstream can weight by distance
+    * or train positional variants.
+    *
+    * Scale shape: the walk frame is cut once (so pairing never
+    * re-executes the walk generation) and the pairing is ONE
+    * self-equi-join on `walk_id` whose per-walk fanout is bounded by
+    * `walkLen·2·window` — output-proportional, no corpus-sized
+    * exchange beyond the walk frame itself. Pairs are a multiset by
+    * design (the same (center, context) pair from different walks is
+    * a real extra training example).
+    */
+  def walkContexts(walks: DataFrame, window: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Checkpoints.cut(
+      walks.select(col("walk_id"), col("step"), col("person_id")),
+      checkpointDir)
+    val a = w.select(col("walk_id"), col("step").as("cstep"),
+      col("person_id").as("center"))
+    val b = w.select(col("walk_id"), col("step").as("xstep"),
+      col("person_id").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("xstep") =!= col("cstep") &&
+        abs(col("xstep") - col("cstep")) <= window)
+      .select(col("center"), col("context"),
+        (col("xstep") - col("cstep")).as("offset"))
   }
 }

@@ -340,6 +340,134 @@ object TextOps {
           .otherwise(0L).cast("long").as("top_bigram_ratio_e3"))
   }
 
+  /** The FULL Gopher repetition table (Rae et al. 2021, Table A1 —
+    * the signals Dolma/FineWeb reproduce; [[repetitionStats]] covers
+    * only the dup-token and top-bigram members): per document,
+    *
+    *  - `top{2,3,4}_chars_e3` — the character-coverage fraction of
+    *    the single most CHARACTER-COVERING n-gram (max over grams of
+    *    `count·gram_chars` — the deterministic, tie-free form of the
+    *    paper's "most frequently-occurring n-gram" fraction);
+    *  - `dup{5,10}_chars_e3` — the fraction of word characters lying
+    *    inside ANY duplicated n-gram (count ≥ 2 within the doc),
+    *    positions counted ONCE under overlap (the paper's "taking
+    *    care not to count characters in overlapping n-grams more than
+    *    once"), for the endpoint `dupNs` of the paper's 5..10 band;
+    *  - `keep` — the Table A1 thresholds for the emitted columns:
+    *    top-2 ≤ 0.20, top-3 ≤ 0.18, top-4 ≤ 0.16, dup-5 ≤ 0.15,
+    *    dup-10 ≤ 0.10 (e3 fixed point, floor — engine-exact).
+    *
+    * The character base is WORD characters (Σ token lengths,
+    * whitespace excluded — the [[gopherRules]] convention). The TOP
+    * fractions use the paper's `count·chars` accounting, which counts
+    * a self-overlapping gram's characters once PER OCCURRENCE — on a
+    * degenerate doc like "ab ab ab ab" the top-2 fraction exceeds
+    * 1000 (spec-pinned); the dup fractions are overlap-deduped and
+    * never exceed 1000.
+    *
+    * Scale shape: ONE generator pass emits every (n, pos, hash,
+    * gram_chars) instance for all five n in a single explode (~Σn
+    * instances per token, 32-byte rows); counting is a map-side-
+    * combining aggregate on (doc, n, hash) — the [[repetitionStats]]
+    * exchange, never text; the dup-coverage tail re-joins dup hashes
+    * to instances on the same key, explodes each dup window to its ≤n
+    * positions, distincts (doc, n, pos), and sums per-position token
+    * lengths from one posexplode of the lengths array — all id+long
+    * keys, output-bounded by dup density. Docs shorter than an n emit
+    * nothing for it (fractions pin to 0).
+    */
+  def gopherRepetition(
+      docs: DataFrame,
+      dupNs: Seq[Int] = Seq(5, 10),
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    require(dupNs.size == 2 && dupNs.head < dupNs.last &&
+      dupNs.forall(n => n >= 5 && n <= 10),
+      s"dupNs must be two distinct ns in the paper's 5..10 band, got $dupNs")
+    require(dupNs.intersect(topNs).isEmpty,
+      s"dupNs overlap the fixed top-gram ns $topNs: $dupNs")
+    // Table A1 dup-gram thresholds interpolate 0.15 (n=5) .. 0.10
+    // (n=10): e3 threshold = 200 - 10n
+    def dupThr(n: Int): Long = 200L - 10L * n
+    val ns = topNs ++ dupNs.distinct.sorted
+    val t = docs.select(col("doc_id"),
+        tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        transform(col("toks"), x => length(x).cast("long")).as("lens"))
+    val base = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      aggregate(col("lens"), lit(0L), (a, v) => a + v).as("char_base"))
+    // one generator for every n: struct(n, pos, h, clen) per window
+    val instArr = flatten(array(ns.map { n =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n), i =>
+          struct(
+            lit(n.toLong).as("n"),
+            i.cast("long").as("pos"),
+            graft.functions.Hashing.portableHash(
+              array_join(slice(col("toks"), i + 1, lit(n)), " ")).as("h"),
+            aggregate(slice(col("lens"), i + 1, lit(n)), lit(0L),
+              (a, v) => a + v).as("clen"))))
+        .otherwise(array().cast(
+          "array<struct<n:bigint,pos:bigint,h:bigint,clen:bigint>>"))
+    }: _*))
+    // BOTH frames are double-consumed (cnt by tops + dupHashes, inst
+    // by cnt + the dup join-back) — without the cuts the multi-n
+    // generator and its aggregate each execute twice (the pplBuckets
+    // double-execution class; measured 15.6 → 5.9 s at sf0.1,
+    // 34.1 → 14.9 s at sf1)
+    val inst = graft.operators.Checkpoints.cut(
+      t.select(col("doc_id"), explode(instArr).as("g"))
+        .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
+          col("g.h").as("h"), col("g.clen").as("clen")), checkpointDir)
+    val cnt = graft.operators.Checkpoints.cut(
+      inst.groupBy(col("doc_id"), col("n"), col("h"))
+        .agg(count(lit(1)).as("c"), max(col("clen")).as("clen")),
+      checkpointDir)
+    val tops = cnt.filter(col("n").isInCollection(topNs.map(_.toLong)))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c") * col("clen")).as("cov"))
+    val dupHashes = cnt
+      .filter(col("n").isInCollection(dupNs.map(_.toLong)) && col("c") >= 2)
+      .select(col("doc_id"), col("n"), col("h"))
+    val dupPos = inst
+      .join(dupHashes, Seq("doc_id", "n", "h"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
+      .distinct()
+    val lensFrame = t.select(col("doc_id"),
+        posexplode(col("lens")).as(Seq("p", "len")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("len"))
+    val dupCov = dupPos.join(lensFrame, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("len")).as("cov"))
+    val wide = tops.unionByName(dupCov)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("cov"))).as("cov2"),
+        max(when(col("n") === 3, col("cov"))).as("cov3"),
+        max(when(col("n") === 4, col("cov"))).as("cov4"),
+        max(when(col("n") === dupNs.head.toLong, col("cov"))).as("covd1"),
+        max(when(col("n") === dupNs.last.toLong, col("cov"))).as("covd2"))
+    val e3 = (cov: Column, cb: Column) =>
+      when(cb > 0, floor(coalesce(cov, lit(0L)) * 1000 / cb))
+        .otherwise(0L).cast("long")
+    val out = base.join(wide, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        e3(col("cov2"), col("char_base")).as("top2_chars_e3"),
+        e3(col("cov3"), col("char_base")).as("top3_chars_e3"),
+        e3(col("cov4"), col("char_base")).as("top4_chars_e3"),
+        e3(col("covd1"), col("char_base")).as(s"dup${dupNs.head}_chars_e3"),
+        e3(col("covd2"), col("char_base")).as(s"dup${dupNs.last}_chars_e3"))
+    out.withColumn("keep",
+      col("top2_chars_e3") <= 200 && col("top3_chars_e3") <= 180 &&
+        col("top4_chars_e3") <= 160 &&
+        col(s"dup${dupNs.head}_chars_e3") <= dupThr(dupNs.head) &&
+        col(s"dup${dupNs.last}_chars_e3") <= dupThr(dupNs.last))
+  }
+
   /** Self-trained bigram-LM perplexity screen — the CCNet-shaped
     * quality signal (Wenzek et al. 2020 score documents by LM
     * perplexity; the reference pipeline has no LM at all, so this is
@@ -2436,6 +2564,58 @@ object TextOps {
     perQueryDoc
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** BM25 hard-negative mining for contrastive retriever training
+    * (the DPR recipe, Karpukhin et al. 2020 §3.2: the negatives that
+    * teach the decision boundary are the LEXICALLY CLOSE documents
+    * with a DIFFERENT label, not random ones): each query document
+    * retrieves its `poolK` BM25-nearest documents ([[bm25MultiQuery]]
+    * with the query doc's own distinct tokens as the term set), the
+    * query doc itself and every SAME-`labelCol` document (the weak
+    * positives) are removed, and the top `k` survivors per query are
+    * the mined hard negatives.
+    *
+    * Scale shape: the retrieval stage is the [[bm25MultiQuery]] plan
+    * unchanged (query-vocabulary broadcast probe, map-side tf
+    * combine, per-query partial top-poolK); the positive filter joins
+    * the pool (|Q|·poolK rows) against the id→label projection on the
+    * id key and the |Q|-row query-label frame broadcasts; the final
+    * rerank is pool-sized. Nothing new shuffles at corpus scale.
+    *
+    * Output: `(query_id, doc_id, score_e3, rank)` — rank recomputed
+    * AFTER the positive filter, so a query whose pool was eaten by
+    * same-label docs yields fewer than `k` rows (visible scarcity
+    * beats silently padding with weaker negatives).
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      queryPred: Column,
+      poolK: Int = 20,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      labelCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(poolK >= k, s"poolK must be >= k, got $poolK < $k")
+    val q = docs.filter(queryPred).select(
+      col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val pool = bm25MultiQuery(docs, q, poolK, textCol = textCol, idCol = idCol)
+    val lab = docs.select(col(idCol).as("doc_id"), col(labelCol).as("__lab"))
+    val qlab = docs.filter(queryPred).select(
+      col(idCol).as("query_id"), col(labelCol).as("__qlab"))
+    val filt = pool
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lab, Seq("doc_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .filter(col("__lab") =!= col("__qlab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e3").desc, col("doc_id").asc)
+    filt
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_e3"), col("rank"))
   }
 
   /** Pairwise total-variation distance between per-source token

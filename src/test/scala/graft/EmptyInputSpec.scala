@@ -477,5 +477,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.c4Rules(emptyDocs).count() === 0)
     assert(rowSet(TextOps.c4Rules(Seq((1L, "")).toDF("doc_id", "text"))) ===
       Set(Seq(1L, "", 0L, 0L, 0L, false)))
+    // walk contexts: empty walk corpus -> no pairs
+    assert(GraphOps.walkContexts(
+      Seq.empty[(String, Long, String)].toDF("walk_id", "step", "person_id"),
+      window = 2).count() === 0)
+    // hard negatives: empty corpus and all-docs-as-queries degenerate
+    val labeledEmpty =
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextOps.hardNegatives(labeledEmpty, lit(true)).count() === 0)
+    // gopher repetition: empty frame; sub-n docs emit zero signals
+    assert(TextOps.gopherRepetition(emptyDocs).count() === 0)
+    // node2vec: empty graph and empty start slice
+    assert(GraphOps.node2vecWalks(
+      emptyEdges.select(col("src"), col("dst")), lit(true), 3).count() === 0)
+    assert(GraphOps.node2vecWalks(
+      Seq(("a", "b")).toDF("src", "dst"), lit(false), 3).count() === 0)
   }
 }

@@ -822,6 +822,65 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.randomWalks(e, lit(true), walkLen = 4, walksPerVertex = 2)))
   }
 
+  test("node2vecWalks: walkLen=1 equals the uniform generator; edges followed; deterministic") {
+    val rnd = new scala.util.Random(9)
+    val verts = ('a' to 'h').map(_.toString)
+    val e = (for (_ <- 1 to 24) yield
+      (verts(rnd.nextInt(8)), verts(rnd.nextInt(8))))
+      .distinct.filter(p => p._1 != p._2).toDF("src", "dst")
+    // the first hop shares the randomWalks coin and walk ids exactly
+    assert(rowSet(GraphOps.node2vecWalks(e, lit(true), walkLen = 1)) ===
+      rowSet(GraphOps.randomWalks(e, lit(true), walkLen = 1)))
+    val walks = GraphOps.node2vecWalks(e, lit(true), walkLen = 3)
+    val rows = walks.as[(String, Long, String)].collect()
+    val edgeSet = e.as[(String, String)].collect().toSet
+    for ((_, steps) <- rows.groupBy(_._1)) {
+      val path = steps.sortBy(_._2).map(_._3)
+      path.zip(path.tail).foreach(p => assert(edgeSet.contains(p), s"$path"))
+      assert(steps.map(_._2).sorted.toSeq ===
+        (0L until steps.length.toLong), "steps must be contiguous from 0")
+    }
+    assert(rowSet(walks) ===
+      rowSet(GraphOps.node2vecWalks(e, lit(true), walkLen = 3)))
+  }
+
+  test("node2vecWalks: back-only weights oscillate; zero-total candidates truncate") {
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // wSide=wFwd=0: from a the walk MUST return at every biased step
+    val osc = GraphOps.node2vecWalks(e, col("person_id") === "a",
+      walkLen = 3, wBack = 1L, wSide = 0L, wFwd = 0L)
+      .as[(String, Long, String)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(osc === Seq("a", "b", "a", "b"))
+    // wBack=0 and prev is the only neighbor: total weight 0 -> truncate
+    // (step1 a->b uniform; step2 b: {a back 0, c fwd 1} -> c; step3 c:
+    // {b back 0} -> tot 0, walk ends at step 2)
+    val tr = GraphOps.node2vecWalks(e, col("person_id") === "a",
+      walkLen = 3, wBack = 0L, wSide = 0L, wFwd = 1L)
+      .as[(String, Long, String)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(tr === Seq("a", "b", "c"))
+  }
+
+  test("walkContexts: window pairs, multiset multiplicity, signed offsets") {
+    val walks = Seq(
+      ("w1", 0L, "a"), ("w1", 1L, "b"), ("w1", 2L, "c"), ("w1", 3L, "a"),
+      ("w2", 0L, "x")).toDF("walk_id", "step", "person_id")
+    val out = GraphOps.walkContexts(walks, window = 2)
+      .as[(String, String, Long)].collect()
+    // a singleton walk emits nothing
+    assert(!out.exists(p => p._1 == "x" || p._2 == "x"))
+    // 4-step walk, window 2: per-center context counts 2+3+3+2
+    assert(out.length === 10)
+    assert(out.count(_ == (("a", "b", 1L))) === 1)
+    assert(out.count(_ == (("b", "a", -1L))) === 1)
+    // the multiset keeps BOTH (a,c) examples: step0→2 and step3→2
+    assert(out.count(p => p._1 == "a" && p._2 == "c") === 2)
+    val w1 = GraphOps.walkContexts(walks, window = 1)
+      .as[(String, String, Long)].collect()
+    assert(w1.length === 6)
+    assert(w1.forall(p => math.abs(p._3) === 1L))
+  }
+
   test("randomWalks: sink vertices truncate; predicate restricts starts") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     val walks = GraphOps.randomWalks(e, lit(true), walkLen = 3)

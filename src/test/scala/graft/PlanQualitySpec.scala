@@ -912,4 +912,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(single.forall(l => !l.contains("doc_id#")),
       s"a single-partition exchange carries per-document rows:\n$single")
   }
+
+  test("c4Rules is a pure narrow projection (no exchange, no UDF)") {
+    val c = graft.operators.TextOps.c4Rules(Tables.documents(spark, sfDir))
+    val plan = formatted(c)
+    assert(!plan.contains("Exchange"), s"c4Rules must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"c4Rules must stay codegen built-ins:\n$plan")
+  }
+
+  test("bqTopK: Hamming exchanges never carry the raw quantized vectors") {
+    val b = Similarity.bqTopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4, k = 3, rerankK = 6)
+    val plan = formatted(b)
+    assert(plan.contains("WindowGroupLimit"),
+      s"bq candidate stage should get the partial window group limit:\n$plan")
+    // the candidate-side hash exchanges (partitioned by query_id for
+    // the shortlist window) must ship (query_id, neighbor_id, ham) —
+    // a raw q/bits array payload there means the bit index isn't
+    // doing its job
+    val hamExchanges = "Exchange hashpartitioning\\(query_id[^\\n]*\\n([^\\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hamExchanges.nonEmpty, s"expected query_id exchanges:\n$plan")
+    assert(hamExchanges.forall(l => !l.contains("q#") && !l.contains("bits#")),
+      s"a per-query exchange carries vector payload:\n$hamExchanges")
+  }
+
+  test("gopherRepetition: gram exchanges ship hashes, never token text") {
+    val g = graft.operators.TextOps.gopherRepetition(
+      Tables.documents(spark, sfDir))
+    val plan = formatted(g)
+    // every hash exchange keys on (doc_id, n, h) or (doc_id, p/pos) —
+    // long columns only; the token arrays stay in the scan stage
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(e => !e.contains("toks#") && !e.contains("text#")),
+      s"a gram exchange carries token text:\n$exchanges")
+  }
 }

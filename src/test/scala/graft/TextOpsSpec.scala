@@ -1460,6 +1460,61 @@ class TextOpsSpec extends SparkSpec {
       assert(rows.map(r => got(r._1)).toSet.size === 1)
   }
 
+  test("hardNegatives: same-label pool docs drop, self excluded, rank recomputed") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "A"),
+      (1L, "alpha beta gamma delta", "A"),       // weak positive: same label
+      (2L, "alpha beta other words", "B"),
+      (3L, "gamma only here", "B"),
+      (4L, "totally unrelated text", "B"),       // shares no query term
+      (5L, "alpha alpha beta gamma", "A")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.hardNegatives(docs, col("doc_id") === 0,
+      poolK = 10, k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val ids = out.map(_._2).toSet
+    assert(!ids.contains(0L), "self survived")
+    assert(!ids.contains(1L) && !ids.contains(5L), "same-label positive survived")
+    assert(ids === Set(2L, 3L))
+    // ranks contiguous from 1 AFTER the filter (no holes from dropped rows)
+    assert(out.sortBy(_._4).map(_._4).toSeq === (1L to out.length))
+    // score order respected
+    assert(out.sortBy(_._4).map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("gopherRepetition: hand fractions, overlap-deduped dup coverage, thresholds") {
+    val docs = Seq(
+      // dup 5-gram doc: "one two three four five" repeats at pos 0 and 6
+      (1L, "one two three four five six one two three four five"),
+      // degenerate self-overlap: top-2 count*chars EXCEEDS the base
+      (2L, "ab ab ab ab"),
+      (3L, ""),
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: char_base 41; top2 = 2*9 ("three four") -> 439;
+    // top3 = 2*13 -> 634; top4 = 2*16 -> 780;
+    // dup5 covers every token but "six" (38 chars, overlap-deduped,
+    // positions counted once) -> 926; no dup 10-gram -> 0
+    val d1 = out(1L)
+    assert(d1._2 === 11L)
+    assert(d1._3 === 439L && d1._4 === 634L && d1._5 === 780L)
+    assert(d1._6 === 926L && d1._7 === 0L)
+    assert(!d1._8)
+    // doc 2: base 8; "ab ab" occurs 3x overlapping, clen 4 -> cov 12
+    // -> 1500 (the paper's per-occurrence accounting, > 1000)
+    assert(out(2L)._3 === 1500L)
+    assert(out(2L)._6 === 0L, "4 tokens have no 5-gram")
+    // empty/null docs: all-zero signals (no repetition to flag)
+    for (id <- Seq(3L, 4L)) {
+      val d = out(id)
+      assert(d._2 === 0L && d._3 === 0L && d._6 === 0L && d._8)
+    }
+  }
+
   test("c4Rules: per-rule line scrub and doc gates") {
     val docs = Seq(
       // all three lines survive -> keep
