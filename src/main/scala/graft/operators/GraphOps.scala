@@ -1977,6 +1977,11 @@ object GraphOps {
     * never a global sort). Candidates are frontier × deg rows, the
     * same stream the uniform generator's rank filter scans.
     *
+    * Callers should pass a DISTINCT edge list (the [[randomWalks]]
+    * contract, twice over here: duplicate (src, dst) rows shift every
+    * adjacency rank after them AND duplicate the distance-1 marker
+    * join's candidate rows, so a step could emit two next-hops).
+    *
     * Output: `(walk_id, step, person_id)`, step 0 = the start vertex.
     */
   def node2vecWalks(edges: DataFrame, startPred: Column, walkLen: Int,

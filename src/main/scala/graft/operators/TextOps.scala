@@ -238,6 +238,10 @@ object TextOps {
     * Java's `\s` includes VT where RE2's does not (the byte-BPE
     * pre-tokenizer lesson, PERF_r16 §4), and line content never
     * carries `\n`. Lines are non-empty-trimmed before every rule.
+    * Lines split on `\n` ONLY — a CRLF corpus keeps its `\r` at line
+    * end, which fails the terminal-punct anchor in BOTH engines
+    * (pinned: normalize line endings upstream, e.g. in the extraction
+    * stage, as the C4 pipeline itself does).
     *
     * One narrow codegen projection — lines/words are in-row HOFs, no
     * explode, no shuffle, no UDF: the 100 TB cost is the scan (the
@@ -380,6 +384,7 @@ object TextOps {
       docs: DataFrame,
       dupNs: Seq[Int] = Seq(5, 10),
       textCol: String = "text",
+      materializeInstances: Boolean = true,
       checkpointDir: Option[String] = None): DataFrame = {
     val topNs = Seq(2, 3, 4)
     require(dupNs.size == 2 && dupNs.head < dupNs.last &&
@@ -416,15 +421,22 @@ object TextOps {
     // by cnt + the dup join-back) — without the cuts the multi-n
     // generator and its aggregate each execute twice (the pplBuckets
     // double-execution class; measured 15.6 → 5.9 s at sf0.1,
-    // 34.1 → 14.9 s at sf1)
-    val inst = graft.operators.Checkpoints.cut(
+    // 34.1 → 14.9 s at sf1). `materializeInstances = false` opts out:
+    // the instance stream is ~Σn rows per TOKEN, and at corpus scales
+    // where a token-order materialization exceeds executor storage
+    // (and no reliable `checkpointDir` with matching scratch exists)
+    // the honest trade is re-running the linear generator per consumer
+    // instead of caching petabytes
+    def cutIf(df: DataFrame): DataFrame =
+      if (materializeInstances) graft.operators.Checkpoints.cut(df, checkpointDir)
+      else df
+    val inst = cutIf(
       t.select(col("doc_id"), explode(instArr).as("g"))
         .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
-          col("g.h").as("h"), col("g.clen").as("clen")), checkpointDir)
-    val cnt = graft.operators.Checkpoints.cut(
+          col("g.h").as("h"), col("g.clen").as("clen")))
+    val cnt = cutIf(
       inst.groupBy(col("doc_id"), col("n"), col("h"))
-        .agg(count(lit(1)).as("c"), max(col("clen")).as("clen")),
-      checkpointDir)
+        .agg(count(lit(1)).as("c"), max(col("clen")).as("clen")))
     val tops = cnt.filter(col("n").isInCollection(topNs.map(_.toLong)))
       .groupBy(col("doc_id"), col("n"))
       .agg(max(col("c") * col("clen")).as("cov"))

@@ -1513,6 +1513,11 @@ class TextOpsSpec extends SparkSpec {
       val d = out(id)
       assert(d._2 === 0L && d._3 === 0L && d._6 === 0L && d._8)
     }
+    // the no-materialization opt-out (the 100 TB storage trade) is
+    // row-identical — the cut is a performance knob, never semantics
+    assert(rowSet(TextOps.gopherRepetition(docs,
+      materializeInstances = false)) ===
+      rowSet(TextOps.gopherRepetition(docs)))
   }
 
   test("c4Rules: per-rule line scrub and doc gates") {
