@@ -246,7 +246,13 @@ object ScaleSmoke {
     // cumulative-weight window (≤ deg rows per partition) — its 10x
     // point checks the biased step stays candidate-stream-bound with
     // no global sort creeping in via the window
-    "g_node2vec_walks")
+    "g_node2vec_walks",
+    // GraphSAGE sampling: per layer a frontier join + (seed, src)
+    // rank window whose output is capped at seeds·Π fanouts — the 10x
+    // point checks the minibatch bound holds while only the layer
+    // joins grow; semantic negatives ride the smoked brute-cosine
+    // pool with pool-sized label joins on top
+    "g_sage_sample", "q_semantic_negatives")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

@@ -574,6 +574,13 @@ object SparkEntry {
         pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
         walkLen = 3)),
 
+    // GraphSAGE layered fanout sample (3, 2) from the same ~4% seed
+    // slice — GNN minibatch computation graphs, generated as data
+    "g_sage_sample" -> ((s, dir) =>
+      GraphOps.sageSample(mergedOf(s, dir),
+        pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+        fanouts = Seq(3, 2))),
+
     // radius-2 harmonic centrality on the projected graph — exact
     // permille 1000·n1 + 500·n2, one wedge self-join + anti-join
     "g_harmonic2" -> ((s, dir) =>
@@ -1189,6 +1196,11 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) =>
       TextOps.hardNegatives(Tables.documents(s, dir),
         col("doc_id") % 97 === 0, poolK = 20, k = 5)),
+    // the same recipe in embedding space: cosine top-20 pool,
+    // same-label weak positives drop, top-5 survivors in pool order
+    "q_semantic_negatives" -> ((s, dir) =>
+      Similarity.semanticNegatives(Tables.embeddings(s, dir),
+        col("vec_id") < 8)),
     // tokenizer coverage: OOV permille vs the corpus's own top-20 vocab
     "t_oov_rate" -> ((s, dir) =>
       TextOps.oovRateTopVocab(Tables.documents(s, dir), 20)),
@@ -5366,6 +5378,38 @@ object SparkEntry {
         |JOIN scc ld ON ld.v = e.dst
         |WHERE ls.scc_label <> ld.scc_label""".stripMargin),
 
+    // GraphSAGE sample, 2 unrolled layers: per (seed, frontier
+    // vertex) the hash-ranked top-fanout neighbors survive; layer-2
+    // frontier = distinct sampled dsts
+    "g_sage_sample" ->
+      s"""WITH $MERGED,
+         |verts AS (SELECT src AS person_id FROM merged
+         |          UNION SELECT dst FROM merged),
+         |seeds AS (SELECT person_id FROM verts
+         |          WHERE ${ph("person_id")} % 25 = 0),
+         |c1 AS (SELECT s.person_id AS seed, m.src, m.dst
+         |       FROM seeds s JOIN merged m ON m.src = s.person_id),
+         |r1 AS (
+         |  SELECT seed, src, dst,
+         |         row_number() OVER (PARTITION BY seed, src
+         |           ORDER BY ${ph("seed || ':1:' || src || ':' || dst")} ASC,
+         |                    dst ASC) AS rn
+         |  FROM c1),
+         |s1 AS (SELECT seed, src, dst FROM r1 WHERE rn <= 3),
+         |f1 AS (SELECT DISTINCT seed, dst AS v FROM s1),
+         |c2 AS (SELECT f.seed, m.src, m.dst
+         |       FROM f1 f JOIN merged m ON m.src = f.v),
+         |r2 AS (
+         |  SELECT seed, src, dst,
+         |         row_number() OVER (PARTITION BY seed, src
+         |           ORDER BY ${ph("seed || ':2:' || src || ':' || dst")} ASC,
+         |                    dst ASC) AS rn
+         |  FROM c2),
+         |s2 AS (SELECT seed, src, dst FROM r2 WHERE rn <= 2)
+         |SELECT seed, CAST(1 AS BIGINT) AS layer, src, dst FROM s1
+         |UNION ALL
+         |SELECT seed, CAST(2 AS BIGINT), src, dst FROM s2""".stripMargin,
+
     // HITS, 2 unrolled rounds over the directed fixture: authority
     // half-round (sum hub over in-edges, max-rescale to e6) then hub
     // half-round (sum auth over out-edges, rescale), twice
@@ -5678,6 +5722,38 @@ object SparkEntry {
          |FROM bkt""".stripMargin,
 
     "sim_cosine_topk" -> BRUTE_TOPK_SQL,
+
+    // semantic hard negatives: the brute cosine pool at poolK=20 with
+    // the label filter (same-label weak positives drop) and the
+    // survivors re-ranked in pool order
+    "q_semantic_negatives" ->
+      s"""WITH $QNORM,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |scored AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("qq.q", "c.q")} AS dot_q,
+         |         CAST(qq.nq AS DOUBLE)*CAST(c.nq AS DOUBLE) AS nn
+         |  FROM qn c JOIN qn qq ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+         |pool AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC,
+         |                    neighbor_id ASC) AS rn
+         |  FROM scored),
+         |filt AS (
+         |  SELECT p.query_id, p.neighbor_id, p.dot_q, p.rn
+         |  FROM pool p
+         |  JOIN lb a ON a.vec_id = p.query_id
+         |  JOIN lb b ON b.vec_id = p.neighbor_id
+         |  WHERE p.rn <= 20 AND a.label <> b.label),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rn ASC) AS BIGINT) AS "rank"
+         |  FROM filt)
+         |SELECT query_id, neighbor_id, dot_q, "rank" FROM r
+         |WHERE "rank" <= 5""".stripMargin,
 
     // MMR: pool + pairwise sims materialized once, then the greedy
     // steps unrolled as CTEs (the bpeSql device) — scores and ties are

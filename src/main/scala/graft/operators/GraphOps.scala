@@ -2056,6 +2056,66 @@ object GraphOps {
     out
   }
 
+  /** GraphSAGE-style layered neighbor sampling (Hamilton, Ying &
+    * Leskovec 2017, "Inductive representation learning on large
+    * graphs" §3.1): for each seed vertex, keep at most `fanouts(l)`
+    * neighbors of every frontier vertex at layer l — the minibatch
+    * computation graph a GNN trains on, materialized as data. This is
+    * the sampler DGL/PyG run inside the training loop; generating it
+    * engine-side ships ready-made minibatch graphs to the GPU job.
+    *
+    * Deterministic: a frontier vertex's neighbors rank by
+    * `hash(seed ':' layer ':' src ':' dst)` (ties impossible — the
+    * hash input embeds dst) and the top-`fanouts(l)` survive, so the
+    * sample is stable across runs/partitionings/engines and the
+    * oracle unrolls the layers. Sampling is per (seed, src): the same
+    * vertex reached from two seeds draws two independent samples, as
+    * in the paper's per-minibatch redraw.
+    *
+    * Scale shape: per layer one frontier⋈adjacency equi-join on the
+    * vertex key and one rank window PARTITIONED BY (seed, src) —
+    * ≤ deg rows per partition, never a global sort, and the partial
+    * WindowGroupLimit keeps fanout rows per partition map-side; the
+    * next frontier is the sampled dst set, distinct on (seed, dst),
+    * so layer l's join is bounded by seeds·Π fanouts — the
+    * minibatch-sized growth the fanout cap exists to guarantee.
+    * Callers pass a distinct edge list (the [[randomWalks]] contract).
+    *
+    * Output: `(seed, layer, src, dst)` — the sampled edges, layer
+    * 1-based; seeds with no out-edges emit nothing at layer 1.
+    */
+  def sageSample(edges: DataFrame, seedPred: Column, fanouts: Seq[Int],
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"fanouts must be non-empty positive, got $fanouts")
+    val e = Checkpoints.cut(edges.select(col("src"), col("dst")), checkpointDir)
+    val seeds = e.select(col("src").as("person_id"))
+      .union(e.select(col("dst").as("person_id")))
+      .distinct()
+      .filter(seedPred)
+    var frontier = seeds.select(col("person_id").as("seed"),
+      col("person_id").as("v"))
+    var out: DataFrame = null
+    for ((f, i) <- fanouts.zipWithIndex) {
+      val l = i + 1
+      val cand = frontier.join(e, frontier("v") === e("src"))
+        .select(col("seed"), col("src"), col("dst"))
+      val w = Window.partitionBy(col("seed"), col("src"))
+        .orderBy(Hashing.portableHash(concat(
+          col("seed"), lit(s":$l:"), col("src"), lit(":"), col("dst"))).asc,
+          col("dst").asc)
+      val sampled = Checkpoints.cut(
+        cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= f)
+          .select(col("seed"), lit(l.toLong).as("layer"),
+            col("src"), col("dst")), checkpointDir)
+      out = if (out == null) sampled else out.unionAll(sampled)
+      if (l < fanouts.length)
+        frontier = sampled.select(col("seed"), col("dst").as("v")).distinct()
+    }
+    out
+  }
+
   /** Skip-gram context pairs from a walk corpus — the second half of
     * the DeepWalk data pipeline ([[randomWalks]] is the first): for
     * every walk and every ORDERED pair of positions at distance ≤

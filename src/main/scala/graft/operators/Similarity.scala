@@ -2125,6 +2125,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
   }
 
+  /** Embedding-space hard-negative mining — the semantic sibling of
+    * [[graft.operators.TextOps.hardNegatives]] (the DPR recipe,
+    * Karpukhin et al. 2020 §3.2, applied with a dense retriever): the
+    * negatives that teach a contrastive model its boundary are the
+    * NEAREST different-`labelCol` vectors. Pool = [[cosineTopK]]'s
+    * top-`poolK` per query; self (already excluded there) and every
+    * same-label vector (the weak positives) drop; the top `k`
+    * survivors re-rank in pool order. A query whose pool is eaten by
+    * same-label vectors yields fewer than `k` rows — visible
+    * scarcity, never padding.
+    *
+    * Scale shape: the pool stage is [[cosineTopK]]'s plan verbatim
+    * (broadcast queries, partial WindowGroupLimit); the label filter
+    * joins the |Q|·poolK pool against the (vec_id, label) projection
+    * on the id key, and the |Q|-row query-label frame broadcasts.
+    *
+    * Output: `(query_id, neighbor_id, dot_q, rank)` — rank recomputed
+    * after the filter.
+    */
+  def semanticNegatives(
+      embeddings: DataFrame,
+      queryPred: Column,
+      poolK: Int = 20,
+      k: Int = 5,
+      labelCol: String = "label"): DataFrame = {
+    require(poolK >= k, s"poolK must be >= k, got $poolK < $k")
+    val pool = cosineTopK(embeddings, queryPred, poolK)
+    val lab = embeddings.select(
+      col("vec_id").as("neighbor_id"), col(labelCol).as("__lab"))
+    val qlab = embeddings.filter(queryPred).select(
+      col("vec_id").as("query_id"), col(labelCol).as("__qlab"))
+    val filt = pool
+      .join(lab, Seq("neighbor_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .filter(col("__lab") =!= col("__qlab"))
+    // the pool's rank IS the cosine order — re-ranking by it avoids
+    // recomputing any norm
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+    filt
+      .withColumn("nrank", row_number().over(w).cast("long"))
+      .filter(col("nrank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"),
+        col("nrank").as("rank"))
+  }
+
   /** Per-dimension binary-quantization thresholds: the exact corpus
     * SUM per dimension plus the corpus COUNT, so the mean-threshold
     * test is the exact integer comparison `q_i · n > s_i` — no

@@ -492,5 +492,15 @@ class EmptyInputSpec extends SparkSpec {
       emptyEdges.select(col("src"), col("dst")), lit(true), 3).count() === 0)
     assert(GraphOps.node2vecWalks(
       Seq(("a", "b")).toDF("src", "dst"), lit(false), 3).count() === 0)
+    // sage sampling: empty graph / empty seed slice
+    assert(GraphOps.sageSample(
+      emptyEdges.select(col("src"), col("dst")), lit(true), Seq(2, 2))
+      .count() === 0)
+    assert(GraphOps.sageSample(
+      Seq(("a", "b")).toDF("src", "dst"), lit(false), Seq(2)).count() === 0)
+    // semantic negatives: empty corpus
+    assert(Similarity.semanticNegatives(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
+      col("vec_id") < 8).count() === 0)
   }
 }

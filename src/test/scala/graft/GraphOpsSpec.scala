@@ -822,6 +822,34 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.randomWalks(e, lit(true), walkLen = 4, walksPerVertex = 2)))
   }
 
+  test("sageSample: fanout bound, layer frontier law, full coverage at wide fanout") {
+    val rnd = new scala.util.Random(17)
+    val verts = ('a' to 'j').map(_.toString)
+    val e = (for (_ <- 1 to 40) yield
+      (verts(rnd.nextInt(10)), verts(rnd.nextInt(10))))
+      .distinct.filter(p => p._1 != p._2).toDF("src", "dst")
+    val edgeSet = e.as[(String, String)].collect().toSet
+    val out = GraphOps.sageSample(e, lit(true), Seq(3, 2))
+      .as[(String, Long, String, String)].collect()
+    // every sampled row is a real edge
+    out.foreach(r => assert(edgeSet.contains((r._3, r._4)), s"$r"))
+    // fanout bound per (seed, layer, src)
+    for (((_, l, _), rows) <- out.groupBy(r => (r._1, r._2, r._3)))
+      assert(rows.length <= (if (l == 1L) 3 else 2))
+    // layer-1 sources are the seed; layer-2 sources are sampled dsts
+    out.filter(_._2 == 1L).foreach(r => assert(r._3 === r._1))
+    val l1dst = out.filter(_._2 == 1L).map(r => (r._1, r._4)).toSet
+    out.filter(_._2 == 2L).foreach(r =>
+      assert(l1dst.contains((r._1, r._3)), s"layer-2 source not sampled: $r"))
+    // deterministic
+    assert(rowSet(GraphOps.sageSample(e, lit(true), Seq(3, 2))) ===
+      rowSet(GraphOps.sageSample(e, lit(true), Seq(3, 2))))
+    // fanout >= max degree: layer 1 IS the seed's full out-adjacency
+    val wide = GraphOps.sageSample(e, lit(true), Seq(100))
+      .as[(String, Long, String, String)].collect()
+    assert(wide.map(r => (r._3, r._4)).toSet === edgeSet)
+  }
+
   test("node2vecWalks: walkLen=1 equals the uniform generator; edges followed; deterministic") {
     val rnd = new scala.util.Random(9)
     val verts = ('a' to 'h').map(_.toString)

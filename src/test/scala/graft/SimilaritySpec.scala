@@ -1022,6 +1022,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticNegatives: same-label pool drops, pool order kept, scarcity visible") {
+    // query 0 (label 1): nearest are 1, 2 (label 1 -> dropped), then
+    // 3, 4 (label 2) in descending cosine; 5 is far
+    val emb6 = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.9f, 0.1f), 2),
+      (4L, Array(0.8f, 0.2f), 2),
+      (5L, Array(0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticNegatives(emb6, col("vec_id") === 0,
+      poolK = 6, k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq === Seq(3L, 4L, 5L))
+    assert(out.map(_._4).toSeq === Seq(1L, 2L, 3L))
+    // scarcity: poolK = 3 leaves only one different-label survivor
+    val scarce = Similarity.semanticNegatives(emb6, col("vec_id") === 0,
+      poolK = 3, k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(scarce.map(_._2).toSeq === Seq(3L))
+  }
+
   test("bqEncode: strict corpus-mean bit test; constant dimension is all-zero") {
     // dim 0 values {0, 0.5, 1.0} -> mean 0.5: strict > keeps only 1.0
     // (the 0.5 row sits exactly ON the mean and must code to 0);
