@@ -938,6 +938,27 @@ class PlanQualitySpec extends SparkSpec {
       s"a per-query exchange carries vector payload:\n$hamExchanges")
   }
 
+  test("walkContexts: pairing join exchanges hash on walk_id, no range sort") {
+    // the in-loop windows of randomWalks/node2vec/sageSample sit
+    // behind checkpoint cuts (their plans execute at construction and
+    // are invisible in the final frame), but walkContexts' pairing
+    // join runs AFTER its cut and its plan is inspectable: the
+    // self-join must ride hashpartitioning(walk_id) — a range
+    // exchange would mean the pair generator globally sorts the walk
+    // corpus
+    import spark.implicits._
+    val walks = Seq(("w1", 0L, "a"), ("w1", 1L, "b"), ("w2", 0L, "c"))
+      .toDF("walk_id", "step", "person_id")
+    val plan = formatted(GraphOps.walkContexts(walks, window = 2))
+    assert(!plan.contains("rangepartitioning"),
+      s"walkContexts planned a global range sort:\n$plan")
+    // tiny corpora broadcast the pair side (strictly better); larger
+    // ones hash-exchange on walk_id — both are equi-join shapes
+    assert(plan.contains("hashpartitioning(walk_id") ||
+      plan.contains("BroadcastHashJoin [walk_id"),
+      s"expected a walk_id equi-join:\n$plan")
+  }
+
   test("gopherRepetition: gram exchanges ship hashes, never token text") {
     val g = graft.operators.TextOps.gopherRepetition(
       Tables.documents(spark, sfDir))
