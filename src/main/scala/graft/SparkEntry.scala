@@ -860,7 +860,7 @@ object SparkEntry {
     // the Gopher rule bundle (Rae et al. 2021 App. A): every rule its
     // own integer signal + composite keep — one narrow HOF projection
     "t_gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
-    // the FULL Gopher repetition table (Rae 2021 Table A1): top-2/3/4
+    // the Gopher repetition table, two-endpoint variant (Rae 2021 Table A1): top-2/3/4
     // n-gram char-coverage + dup-5/10 overlap-deduped char coverage,
     // one multi-n generator pass + hash-keyed aggregates
     "t_gopher_ngram_rep" -> ((s, dir) =>
@@ -3397,7 +3397,7 @@ object SparkEntry {
          |kx AS (
          |  SELECT doc_id, orig, lines,
          |         list_filter(lines, l ->
-         |           regexp_matches(trim(l), '[.!?"]$$')
+         |           regexp_matches(trim(l), '[.!?"]\\z')
          |           AND len(string_split_regex(trim(l), '[ \t]+')) >= 5
          |           AND NOT contains(lower(l), 'javascript')) AS kept
          |  FROM lx),
@@ -4371,7 +4371,7 @@ object SparkEntry {
          |SELECT query_id, doc_id, score_e3, "rank" FROM r
          |WHERE "rank" <= 5""".stripMargin,
 
-    // the FULL Gopher repetition table: one instance CTE for every n
+    // the Gopher repetition table (two-endpoint variant): one instance CTE per n
     // (top grams by max count*chars; dup grams by within-doc count>=2
     // with overlap-deduped position coverage), char base = word chars
     "t_gopher_ngram_rep" ->
@@ -6257,7 +6257,10 @@ object SparkEntry {
          |                     ELSE CAST(0 AS BIGINT) END) AS bits
          |  FROM qn CROSS JOIN sl),
          |bp2 AS (SELECT vec_id, bits,
-         |               CAST(list_sum(bits) AS BIGINT) AS popc FROM bp),
+         |               -- COALESCE: DuckDB list_sum([]) is NULL where the
+         |               -- Spark side's aggregate(bits, 0L, _+_) yields 0 —
+         |               -- a zero-dim embedding row must hash identically
+         |               CAST(COALESCE(list_sum(bits), 0) AS BIGINT) AS popc FROM bp),
          |qb AS (SELECT vec_id AS query_id, bits AS qbits, popc AS qpopc
          |       FROM bp2 WHERE vec_id < 8),
          |ham AS (

@@ -238,10 +238,14 @@ object TextOps {
     * Java's `\s` includes VT where RE2's does not (the byte-BPE
     * pre-tokenizer lesson, PERF_r16 §4), and line content never
     * carries `\n`. Lines are non-empty-trimmed before every rule.
-    * Lines split on `\n` ONLY — a CRLF corpus keeps its `\r` at line
-    * end, which fails the terminal-punct anchor in BOTH engines
-    * (pinned: normalize line endings upstream, e.g. in the extraction
-    * stage, as the C4 pipeline itself does).
+    * Lines split on `\n` ONLY, and the terminal-punct anchor is `\z`
+    * (true end-of-input), NOT `$`: Java's `$` matches BEFORE a
+    * trailing `\r` line terminator while RE2's matches end-of-text
+    * only, so `$` silently KEEPS a CRLF line in Spark that the RE2
+    * oracle drops (r16 ADVICE). With `\z` a CRLF corpus keeps its
+    * `\r` at line end and fails the anchor identically in both
+    * engines (pinned: normalize line endings upstream, e.g. in the
+    * extraction stage, as the C4 pipeline itself does).
     *
     * One narrow codegen projection — lines/words are in-row HOFs, no
     * explode, no shuffle, no UDF: the 100 TB cost is the scan (the
@@ -260,7 +264,7 @@ object TextOps {
     val txt = coalesce(col(textCol), lit(""))
     val lines = filter(split(txt, "\n"), l => length(trim(l)) > 0)
     val kept = filter(lines, l =>
-      trim(l).rlike("[.!?\"]$") &&
+      trim(l).rlike("[.!?\"]\\z") &&
         size(split(trim(l), "[ \\t]+")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     val keptText = array_join(kept, "\n")
@@ -344,9 +348,18 @@ object TextOps {
           .otherwise(0L).cast("long").as("top_bigram_ratio_e3"))
   }
 
-  /** The FULL Gopher repetition table (Rae et al. 2021, Table A1 —
-    * the signals Dolma/FineWeb reproduce; [[repetitionStats]] covers
-    * only the dup-token and top-bigram members): per document,
+  /** The Gopher repetition table, two-endpoint variant (Rae et al.
+    * 2021, Table A1 — the signals Dolma/FineWeb reproduce;
+    * [[repetitionStats]] covers only the dup-token and top-bigram
+    * members). NOT the paper verbatim, two pinned deviations (r16
+    * ADVICE): (1) the dup-gram band emits the two `dupNs` endpoints
+    * (default 5 and 10) rather than all six of 5..10 — the
+    * interpolated `200-10n` thresholds cover any two in-band choices;
+    * (2) the top-gram is the most CHARACTER-COVERING gram
+    * (max `count·chars`, deterministic and tie-free) rather than the
+    * paper's most-FREQUENT gram's coverage, so keep/drop can differ
+    * on docs where a rare long gram out-covers a frequent short one.
+    * Per document,
     *
     *  - `top{2,3,4}_chars_e3` — the character-coverage fraction of
     *    the single most CHARACTER-COVERING n-gram (max over grams of

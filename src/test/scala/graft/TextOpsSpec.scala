@@ -1578,4 +1578,19 @@ class TextOpsSpec extends SparkSpec {
       .select("n_sentences").as[Long].head()
     assert(multi === 2L + 3L + 1L)
   }
+
+  test("c4Rules: CRLF lines fail the terminal-punct anchor (\\z, not $)") {
+    // Java regex `$` matches BEFORE a trailing \r, RE2's does not —
+    // with `$` Spark kept these lines while the DuckDB oracle dropped
+    // them (r16 ADVICE). `\z` drops them in both engines: the pinned
+    // contract is "normalize line endings upstream".
+    val crlf = TextOps.c4Rules(Seq(
+      (0L, "This line ends with punct and a CR here.\r\n" +
+        "So does this second long enough line too!\r\n" +
+        "And the third one closes it out properly?\r"))
+      .toDF("doc_id", "text"))
+      .select("n_lines", "n_lines_kept", "keep")
+      .as[(Long, Long, Boolean)].head()
+    assert(crlf === ((3L, 0L, false)))
+  }
 }
