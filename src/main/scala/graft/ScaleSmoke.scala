@@ -252,7 +252,14 @@ object ScaleSmoke {
     // point checks the minibatch bound holds while only the layer
     // joins grow; semantic negatives ride the smoked brute-cosine
     // pool with pool-sized label joins on top
-    "g_sage_sample", "q_semantic_negatives")
+    "g_sage_sample", "q_semantic_negatives",
+    // r17 wave (smoke rows ship with the operators): the SGNS trainer
+    // rides the smoked walk+context chain, then per epoch ONE scan of
+    // the weighted example frame + two (id, dim)-keyed map-side
+    // aggregates + vocab-sized update joins — its 10x point checks
+    // epoch cost tracks the example count while the model state stays
+    // vocab × dim
+    "g_sgns_train")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own
@@ -495,7 +502,11 @@ object ScaleSmoke {
     // node2vec at the second decade: the biased step adds the
     // (prev, next) marker join + per-walk weight window — two decades
     // check the window partitions stay deg-bounded on 100x hubs
-    "g_node2vec_walks")
+    "g_node2vec_walks",
+    // r16 verdict backfill: both had sf1-caught plan bugs (broadcast-
+    // switch double-execution; generator double-execution), so their
+    // second decade is cheap insurance that the fixes hold at 100x
+    "g_hits", "t_gopher_ngram_rep")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs

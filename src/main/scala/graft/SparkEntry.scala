@@ -566,6 +566,19 @@ object SparkEntry {
           walkLen = 3, walksPerVertex = 2),
         window = 2)),
 
+    // SGNS embedding fit on the walk-context corpus (Mikolov 2013 /
+    // Perozzi 2014 §4.2): dim-4 q10 integer embeddings, 2 full-batch
+    // epochs, 2 hash-coin negatives per pair, hard-sigmoid gradient —
+    // deterministic, so the oracle unrolls both epochs as CTEs
+    "g_sgns_train" -> ((s, dir) =>
+      GraphOps.sgnsTrain(
+        GraphOps.walkContexts(
+          GraphOps.randomWalks(mergedOf(s, dir),
+            pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+            walkLen = 3, walksPerVertex = 2),
+          window = 2),
+        dim = 4, epochs = 2, negatives = 2, lrShift = 2, negBuckets = 8)),
+
     // node2vec biased walks (integer weights 250/1000/500 ≈ p=4, q=2):
     // second-order transitions — returns discounted, distance-1
     // neighbors favored; step 1 is the uniform DeepWalk hop
@@ -2107,6 +2120,46 @@ object SparkEntry {
        |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
        |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3)
        |$tail""".stripMargin
+
+  /** One SGNS full-batch epoch as a CTE chain (the unrolled-epoch
+    * device, `t_unigram_train` class): reads `ex(center, ctx, y, w)`
+    * and the flat model frames `u$p`/`v$p` `(id, d, val)`, emits
+    * `u$e`/`v$e`. Mirrors [[graft.operators.GraphOps.sgnsTrain]]
+    * exactly: q20 dot, hard sigmoid `clamp(2^19 + (dot >> 2), 0,
+    * 2^20)`, update `Σ w·g·other >> 22` (lrShift 2), clamp ±8192 —
+    * BIGINT + arithmetic shifts only, bit-identical to Spark.
+    */
+  private def sgnsEpochSql(p: String, e: String): String =
+    s"""sc$e AS (
+       |  SELECT x.center, x.ctx, x.y, x.w,
+       |         CAST(SUM(u.val * v.val) AS BIGINT) AS dot
+       |  FROM ex x
+       |  JOIN u$p u ON u.id = x.center
+       |  JOIN v$p v ON v.id = x.ctx AND v.d = u.d
+       |  GROUP BY x.center, x.ctx, x.y, x.w),
+       |gr$e AS (
+       |  SELECT center, ctx, w,
+       |         y * 1048576 -
+       |           LEAST(GREATEST(524288 + (dot >> 2), 0), 1048576) AS g
+       |  FROM sc$e),
+       |du$e AS (
+       |  SELECT g.center AS id, v.d,
+       |         CAST(SUM(g.w * g.g * v.val) AS BIGINT) >> 22 AS delta
+       |  FROM gr$e g JOIN v$p v ON v.id = g.ctx
+       |  GROUP BY g.center, v.d),
+       |dv$e AS (
+       |  SELECT g.ctx AS id, u.d,
+       |         CAST(SUM(g.w * g.g * u.val) AS BIGINT) >> 22 AS delta
+       |  FROM gr$e g JOIN u$p u ON u.id = g.center
+       |  GROUP BY g.ctx, u.d),
+       |u$e AS (
+       |  SELECT u.id, u.d,
+       |         LEAST(GREATEST(u.val + COALESCE(t.delta, 0), -8192), 8192) AS val
+       |  FROM u$p u LEFT JOIN du$e t ON t.id = u.id AND t.d = u.d),
+       |v$e AS (
+       |  SELECT v.id, v.d,
+       |         LEAST(GREATEST(v.val + COALESCE(t.delta, 0), -8192), 8192) AS val
+       |  FROM v$p v LEFT JOIN dv$e t ON t.id = v.id AND t.d = v.d)""".stripMargin
 
   /** One biased node2vec step as a CTE chain: candidates = `prev`
     * frame ⋈ `adj`, weight CASE back(250)/side(1000)/forward(500) via
@@ -5442,6 +5495,53 @@ object SparkEntry {
         |FROM walks a JOIN walks b
         |  ON a.walk_id = b.walk_id AND a.step <> b.step
         | AND abs(a.step - b.step) <= 2""".stripMargin),
+
+    // SGNS trainer over the same walk-context corpus: pairs → bucketed
+    // vocab ranks → 2 hash-coin negatives per pair → weighted distinct
+    // examples → hash-init q10 embeddings → 2 unrolled full-batch
+    // epochs (hard-sigmoid gradient, >>-shift learning rate) — every
+    // arithmetic step is BIGINT + arithmetic shift, engine-exact
+    "g_sgns_train" -> randomWalksSql(
+      s""", pr AS (
+         |  SELECT a.cur AS center, b.cur AS context
+         |  FROM walks a JOIN walks b
+         |    ON a.walk_id = b.walk_id AND a.step <> b.step
+         |   AND abs(a.step - b.step) <= 2),
+         |vc AS (SELECT center AS id FROM pr UNION SELECT context FROM pr),
+         |vr AS (
+         |  SELECT id, bucket,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY bucket ORDER BY id ASC) - 1 AS BIGINT) AS vrank,
+         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bsize
+         |  FROM (SELECT id, ${ph("id")} % 8 AS bucket FROM vc)),
+         |nb AS (
+         |  SELECT center, context, j,
+         |         ${ph("center || ':' || context || ':n' || CAST(j AS VARCHAR) || ':b'")} % 8 AS bucket
+         |  FROM pr CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t),
+         |nr AS (
+         |  SELECT n.center, n.bucket,
+         |         ${ph("n.center || ':' || n.context || ':n' || CAST(n.j AS VARCHAR) || ':r'")} % s.bsize AS vrank
+         |  FROM nb n JOIN (SELECT DISTINCT bucket, bsize FROM vr) s USING (bucket)),
+         |ex AS (
+         |  SELECT center, ctx, y, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT center, context AS ctx, CAST(1 AS BIGINT) AS y FROM pr
+         |    UNION ALL
+         |    SELECT n.center, v.id AS ctx, CAST(0 AS BIGINT) AS y
+         |    FROM nr n JOIN vr v ON v.bucket = n.bucket AND v.vrank = n.vrank)
+         |  GROUP BY center, ctx, y),
+         |dd AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS d),
+         |u0 AS (
+         |  SELECT id, d,
+         |         CAST(${ph("id || ':u:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
+         |  FROM vc CROSS JOIN dd),
+         |v0 AS (
+         |  SELECT id, d,
+         |         CAST(${ph("id || ':v:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
+         |  FROM vc CROSS JOIN dd),
+         |${sgnsEpochSql("0", "1")},
+         |${sgnsEpochSql("1", "2")}
+         |SELECT id AS person_id, list(val ORDER BY d) AS emb
+         |FROM u2 GROUP BY id""".stripMargin),
 
     // node2vec: uniform first hop, then per step a candidate frame
     // (frontier x adjacency) classified back/side/forward via a

@@ -2148,4 +2148,151 @@ object GraphOps {
       .select(col("center"), col("context"),
         (col("xstep") - col("cstep")).as("offset"))
   }
+
+  /** Skip-gram-with-negative-sampling embedding trainer (Mikolov et
+    * al. 2013 §2.2) over a [[walkContexts]] pair corpus — the model
+    * fit that completes the DeepWalk stack (Perozzi et al. 2014 §4.2
+    * trains exactly this skip-gram on the walk corpus). Deterministic
+    * full-batch gradient descent in power-of-two fixed point, so the
+    * fit is bit-identical across runs, partitionings, and engines
+    * (the oracle unrolls the epochs as CTEs):
+    *
+    *  - embeddings are BIGINT q10 (value·2^10); dots are q20; every
+    *    "division" is an arithmetic right shift (floor), which Java
+    *    `>>` and DuckDB `>>` compute identically on negatives;
+    *  - the logistic σ is the HARD sigmoid `clamp(1/2 + z/4, 0, 1)`
+    *    (q20: `clamp(2^19 + (dot >> 2), 0, 2^20)`) — rational, hence
+    *    integer-exact, saturating at |dot| ≥ 2;
+    *  - init: `u[d] = pmod(hash(id ':u:' d), 256) - 128` q10 (±1/8),
+    *    `v[d]` likewise with salt `:v:` — hash-deterministic, so a
+    *    restart regenerates the identical fit;
+    *  - per positive pair, `negatives` corrupted pairs (label 0) draw
+    *    the context replacement with two hash coins: bucket =
+    *    `hash(center:context:n j:b) mod negBuckets`, then rank =
+    *    `hash(...:r) mod |bucket|` — a near-uniform vocab draw that
+    *    needs NO global vocab ranking (the per-bucket `row_number`
+    *    window partitions by bucket, never a single-partition sort).
+    *    Negatives are pair-keyed (a repeated pair redraws the same
+    *    negatives — pinned) and accidental true-context hits are not
+    *    excluded (word2vec's own behavior);
+    *  - epoch = ONE scan of the weighted distinct example frame
+    *    (duplicates pre-aggregated to a weight — gradient-equivalent
+    *    and strictly less exchange) + two (id, dim)-keyed map-side-
+    *    combining aggregates + one vocab-sized update join. Gradient
+    *    for example (c, x, y, w): `g = y·2^20 − hardsig(u_c·v_x)`;
+    *    `Δu_c[d] = Σ w·g·v_x[d] >> (20 + lrShift)` (dv symmetric);
+    *    updated values clamp to ±8·2^10, so the state is bounded for
+    *    any epoch count. Per-epoch frames are lineage-cut
+    *    ([[Checkpoints]]) — u, v, and the gradient frame each have
+    *    two consumers (the pplBuckets double-execution class).
+    *
+    * Scale shape: nothing in the loop exceeds examples×dim rows of
+    * (id, dim, long) triples, and the model state is 2·|V|·dim longs —
+    * the exchange is ids and longs, never walks or text. The q30
+    * gradient partials bound |w·g·v| ≤ w·2^33, so a center needs
+    * ~2^29 incident examples to overflow a BIGINT sum — beyond any
+    * real walk corpus fanout (walksPerVertex·walkLen·2·window).
+    *
+    * Output: `(person_id, emb)` — the final CENTER (input) vectors,
+    * `array<bigint>` q10, the convention word2vec ships.
+    */
+  def sgnsTrain(contexts: DataFrame, dim: Int = 4, epochs: Int = 2,
+      negatives: Int = 2, lrShift: Int = 2, negBuckets: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(dim >= 1 && epochs >= 1 && negatives >= 0,
+      s"dim/epochs >= 1, negatives >= 0; got $dim/$epochs/$negatives")
+    require(negBuckets >= 1, s"negBuckets must be >= 1, got $negBuckets")
+    require(lrShift >= 0 && lrShift <= 40, s"lrShift out of range: $lrShift")
+    val pairs = Checkpoints.cut(
+      contexts.select(col("center"), col("context")), checkpointDir)
+    // vocab with bucketed (bucket, rank) coordinates for negative draws
+    val perBucket = Window.partitionBy(col("bucket"))
+    val vocab = Checkpoints.cut(
+      pairs.select(col("center").as("id"))
+        .union(pairs.select(col("context").as("id"))).distinct()
+        .select(col("id"),
+          pmod(Hashing.portableHash(col("id")), lit(negBuckets.toLong))
+            .as("bucket"))
+        .select(col("id"), col("bucket"),
+          (row_number().over(perBucket.orderBy(col("id").asc)) - 1)
+            .cast("long").as("vrank"),
+          count(lit(1)).over(perBucket).as("bsize")), checkpointDir)
+    val bucketSizes = vocab.select(col("bucket"), col("bsize")).distinct()
+    val pos = pairs.select(col("center"), col("context").as("ctx"),
+      lit(1L).as("y"))
+    val neg = if (negatives == 0) pos.limit(0) else {
+      val seed = pairs.select(col("center"), col("context"),
+        explode(sequence(lit(0), lit(negatives - 1))).as("j"))
+      def coin(salt: String) = Hashing.portableHash(concat(
+        col("center"), lit(":"), col("context"), lit(":n"),
+        col("j").cast("string"), lit(s":$salt")))
+      seed
+        .select(col("center"), col("context"), col("j"),
+          pmod(coin("b"), lit(negBuckets.toLong)).as("bucket"))
+        .join(broadcast(bucketSizes), Seq("bucket"))
+        .select(col("center"), col("bucket"),
+          pmod(coin("r"), col("bsize")).as("vrank"))
+        .join(vocab.select(col("bucket"), col("vrank"), col("id")),
+          Seq("bucket", "vrank"))
+        .select(col("center"), col("id").as("ctx"), lit(0L).as("y"))
+    }
+    // duplicate examples collapse to a weight: gradient-equivalent,
+    // and the epoch scans |distinct examples| rows instead of the
+    // raw multiset
+    val examples = Checkpoints.cut(
+      pos.unionByName(neg)
+        .groupBy(col("center"), col("ctx"), col("y"))
+        .agg(count(lit(1)).as("w")), checkpointDir)
+    val dims = sequence(lit(0), lit(dim - 1))
+    def hashInit(salt: String): Column = transform(dims, d =>
+      pmod(Hashing.portableHash(
+        concat(col("id"), lit(s":$salt:"), d.cast("string"))),
+        lit(256L)) - 128L)
+    val ids = vocab.select(col("id"))
+    var u = Checkpoints.cut(
+      ids.select(col("id"), hashInit("u").as("emb")), checkpointDir)
+    var v = Checkpoints.cut(
+      ids.select(col("id"), hashInit("v").as("emb")), checkpointDir)
+    val clampQ10 = 8L * 1024L
+    for (_ <- 1 to epochs) {
+      val scored = examples
+        .join(u.select(col("id").as("center"), col("emb").as("uarr")),
+          Seq("center"))
+        .join(v.select(col("id").as("ctx"), col("emb").as("varr")),
+          Seq("ctx"))
+        .select(col("center"), col("ctx"), col("w"),
+          col("uarr"), col("varr"),
+          (col("y") * lit(1048576L) -
+            least(greatest(
+              lit(524288L) + shiftright(
+                aggregate(zip_with(col("uarr"), col("varr"),
+                  (a, b) => a * b), lit(0L), (acc, x) => acc + x), 2),
+              lit(0L)), lit(1048576L))).as("g"))
+      // two consumers (du and dv) — cut, or the example scan + model
+      // joins execute twice
+      val grad = Checkpoints.cut(scored, checkpointDir)
+      def deltas(idCol: String, arrCol: String): DataFrame = grad
+        .select(col(idCol).as("id"), col("w") * col("g") as "wg",
+          posexplode(col(arrCol)).as(Seq("d", "x")))
+        .groupBy(col("id"), col("d"))
+        .agg(shiftright(sum(col("wg") * col("x")), 20 + lrShift)
+          .as("delta"))
+        .groupBy(col("id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("delta")))),
+          s => s("delta")).as("darr"))
+      def applied(model: DataFrame, d: DataFrame): DataFrame =
+        Checkpoints.cut(
+          model.join(d, Seq("id"), "left_outer")
+            .select(col("id"),
+              zip_with(col("emb"),
+                coalesce(col("darr"), transform(dims, _ => lit(0L))),
+                (a, b) => least(greatest(a + b, lit(-clampQ10)),
+                  lit(clampQ10))).as("emb")), checkpointDir)
+      val (du, dv) = (deltas("center", "varr"), deltas("ctx", "uarr"))
+      u = applied(u, du)
+      v = applied(v, dv)
+    }
+    u.select(col("id").as("person_id"), col("emb"))
+  }
 }

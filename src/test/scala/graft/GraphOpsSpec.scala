@@ -920,4 +920,66 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Long, String)].collect()
     assert(only.toSet === Set(("b#0", 0L, "b")))
   }
+
+  /** Two-topic context fixture: every ordered within-cluster pair,
+    * twice (the multiset weight path), zero cross-cluster pairs.
+    */
+  private def sgnsFixture = {
+    val a = Seq("a1", "a2", "a3", "a4")
+    val b = Seq("b1", "b2", "b3", "b4")
+    val pairs = for {
+      cl <- Seq(a, b); x <- cl; y <- cl if x != y; _ <- 1 to 2
+    } yield (x, y, 1L)
+    pairs.toDF("center", "context", "offset")
+  }
+
+  test("sgnsTrain: within-topic similarity beats cross-topic after training") {
+    val emb = GraphOps.sgnsTrain(sgnsFixture, dim = 4, epochs = 3,
+      negatives = 2, lrShift = 2, negBuckets = 4)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(emb.keySet === Set("a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4"))
+    assert(emb.values.forall(_.length === 4))
+    def dot(x: Seq[Long], y: Seq[Long]): Long =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    def meanDot(ps: Seq[(String, String)]): Double =
+      ps.map { case (x, y) => dot(emb(x), emb(y)).toDouble }.sum / ps.size
+    val within = for {
+      cl <- Seq(Seq("a1", "a2", "a3", "a4"), Seq("b1", "b2", "b3", "b4"))
+      x <- cl; y <- cl if x < y
+    } yield (x, y)
+    val across = for {
+      x <- Seq("a1", "a2", "a3", "a4"); y <- Seq("b1", "b2", "b3", "b4")
+    } yield (x, y)
+    // the Perozzi/Mikolov law the trainer exists for: co-occurring
+    // vertices' center vectors align; unrelated ones don't
+    assert(meanDot(within) > meanDot(across),
+      s"within=${meanDot(within)} across=${meanDot(across)}")
+    // and training MOVED the model: some vector escaped the ±128 init box
+    assert(emb.values.exists(_.exists(x => math.abs(x) > 128L)))
+  }
+
+  test("sgnsTrain: deterministic across runs and checkpoint modes; clamp bound") {
+    val p = sgnsFixture
+    val r1 = GraphOps.sgnsTrain(p, dim = 3, epochs = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val r2 = GraphOps.sgnsTrain(p, dim = 3, epochs = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(r1 === r2)
+    val r3 = GraphOps.sgnsTrain(p, dim = 3, epochs = 2,
+      checkpointDir = Some(TestSpark.ckptDir)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(r1 === r3)
+    assert(r1.values.forall(_.forall(x => math.abs(x) <= 8L * 1024L)))
+  }
+
+  test("sgnsTrain: negatives=0 trains on positives only; singleton vocab") {
+    val out = GraphOps.sgnsTrain(sgnsFixture, dim = 2, epochs = 1,
+      negatives = 0).collect()
+    assert(out.length === 8)
+    // degenerate corpus: one pair, vocab 2, one bucket — still trains
+    val tiny = Seq(("x", "y", 1L)).toDF("center", "context", "offset")
+    val t = GraphOps.sgnsTrain(tiny, dim = 2, epochs = 2, negBuckets = 1)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(t.keySet === Set("x", "y"))
+  }
 }
