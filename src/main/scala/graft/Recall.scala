@@ -154,6 +154,25 @@ object Recall {
       rows += Row("lsh multi-probe (8 planes)", s"probes=$probes",
         "cand-recall", r, pq, s)
     }
+    locally {
+      // graph-navigable beam search: the QUERY path over the built kNN
+      // graph. The graph is the INDEX (built once, cut — like a vector
+      // store's build phase; per-row sec is query cost only, the axis
+      // that matches the other families' probe budgets). rounds=0 is
+      // the 8-plane bucket seed alone — the single-bucket LSH row's
+      // ranked twin — so the rounds sweep isolates what NAVIGATION
+      // adds at +beam·graphK candidates per round per query.
+      val graph = graft.operators.Checkpoints.cut(
+        Similarity.knnGraph(emb, k = 10), None)
+      graph.count()
+      for (rounds <- Seq(0, 1, 2, 4)) {
+        val ((r, pq), s) = time(rankedRecall(
+          Similarity.graphSearchTopK(emb, pred, k = K, graph = graph,
+            beam = 16, rounds = rounds, planes = 8)))
+        rows += Row("graph beam search (kNN k=10, beam=16, 8-plane seeds)",
+          s"rounds=$rounds", "recall@10", r, pq, s)
+      }
+    }
 
     val corpusN = emb.count()
     val sb = new StringBuilder
@@ -232,6 +251,18 @@ object Recall {
     sb ++= "  budget axis at fixed nProbe.\n"
     sb ++= "- Matryoshka prefix recall is the MRL coarse-stage quality curve;\n"
     sb ++= "  dims=64 is the full vector (sanity row, 100%).\n"
+    sb ++= "- GRAPH BEAM SEARCH (r17) is the query path the kNN-graph build\n"
+    sb ++= "  exists for (HNSW-class layer-0, Malkov 2018): rounds=0 is the\n"
+    sb ++= "  ranked single-bucket seed (compare the lsh planes=8 row's\n"
+    sb ++= "  ceiling); each round adds <= beam*graphK candidates per query —\n"
+    sb ++= "  a budget directly comparable to multi-probe's (probes+1)*occupancy\n"
+    sb ++= "  and IVF's nProbe/16 corpus fraction. Per-row sec is query cost\n"
+    sb ++= "  over the prebuilt (cut) graph — the build is the index phase,\n"
+    sb ++= "  paid once like IVF's kmeans or PQ's codebooks. Recall is\n"
+    sb ++= "  provably monotone in rounds (spec law: candidate sets nest +\n"
+    sb ++= "  exact rerank) and converges to the graph's reachable ceiling,\n"
+    sb ++= "  not 100%: seeds or navigation must REACH a true neighbor before\n"
+    sb ++= "  the exact rerank can keep it.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)
     println(sb.toString)
     spark.stop()

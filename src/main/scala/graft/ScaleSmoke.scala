@@ -259,7 +259,20 @@ object ScaleSmoke {
     // aggregates + vocab-sized update joins — its 10x point checks
     // epoch cost tracks the example count while the model state stays
     // vocab × dim
-    "g_sgns_train")
+    "g_sgns_train",
+    // graph-navigable beam search: the smoked knn-graph build + per
+    // round one id-pair equi-join on the beam's cand side, a distinct,
+    // and a broadcast-query exact rerank (WindowGroupLimit per query)
+    // — its 10x point checks the query path stays candidate-stream
+    // bound (beam·graphK per query) while only the graph build grows
+    // with the corpus
+    "sim_graph_search",
+    // trained logistic: per epoch one scan of the hashed (doc, f, n)
+    // frame × the s-row class grid + a (cand, f)-keyed map-side
+    // gradient aggregate + a weight-table outer-join update — its 10x
+    // point checks epoch cost tracks the feature-instance stream
+    // while the weight table stays min(s·buckets, s·vocab)
+    "t_logistic_classify")
 
   /** Chains that are stateful streaming replays, not
     * [[SparkEntry.queries]] lookups. Each runner times its own

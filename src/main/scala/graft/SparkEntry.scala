@@ -1097,6 +1097,13 @@ object SparkEntry {
     // in whole ilog2 bits, odds-argmax with lexicographic tie-break
     "t_linear_classify" -> ((s, dir) =>
       TextOps.linearSourceClassify(Tables.documents(s, dir), trainPermille = 900)),
+    // gradient-TRAINED one-vs-rest logistic on the same hashed
+    // unigram+bigram space (Joulin 2017 by full-batch integer GD):
+    // q20 weights, hard-sigmoid gradient, >>-shift learning rate —
+    // 2 deterministic epochs the oracle unrolls as CTEs
+    "t_logistic_classify" -> ((s, dir) =>
+      TextOps.logisticSourceClassify(Tables.documents(s, dir),
+        trainPermille = 900, epochs = 2, lrShift = 10)),
     // Heaps'-law vocabulary growth per source: cumulative tokens vs
     // cumulative distinct tokens in doc_id order (two-phase prefix sum)
     "t_vocab_growth" -> ((s, dir) =>
@@ -1491,6 +1498,16 @@ object SparkEntry {
     "sim_nn_descent_sampled" -> ((s, dir) =>
       Similarity.nnDescentRefine(Tables.embeddings(s, dir), k = 5, rounds = 1,
         maxBucketSize = None, sampleK = Some(3))),
+    // graph-navigable search (HNSW-class layer-0 beam, Malkov 2018):
+    // LSH-bucket seeds → 2 beam rounds over the built kNN graph →
+    // exact top-5 — the QUERY path for the graph the two builders
+    // above produce (maxBucketSize = None: the pinned oracle form)
+    "sim_graph_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.graphSearchTopK(emb, col("vec_id") < 8, k = 5,
+        graph = Similarity.knnGraph(emb, k = 5, maxBucketSize = None),
+        beam = 8, rounds = 2, planes = 8)
+    }),
     // product quantization: per-subspace integer-L2 codes (the
     // persistable PQ index) and ADC top-k scored through codes only —
     // closed-form stand-in codebooks (iters=0), so both are SQL-exact
@@ -2160,6 +2177,49 @@ object SparkEntry {
        |  SELECT v.id, v.d,
        |         LEAST(GREATEST(v.val + COALESCE(t.delta, 0), -8192), 8192) AS val
        |  FROM v$p v LEFT JOIN dv$e t ON t.id = v.id AND t.d = v.d)""".stripMargin
+
+  /** One full-batch logistic epoch as a CTE chain (the unrolled-epoch
+    * device): reads the per-(doc, f) count frame `fx(doc_id, source,
+    * is_train, f, n)`, train labels `trd(doc_id, src)`, the class
+    * frame `cands(cand)`, and the model `w$p`/`bb$p`; emits
+    * `w$e`/`bb$e`. Mirrors [[graft.operators.TextOps.logisticTrain]]:
+    * q20 weights, hard sigmoid `clamp(2^19 + (score >> 2), 0, 2^20)`,
+    * update `Σ g·n >> lrShift`, clamp ±8·2^20.
+    */
+  private def logisticEpochSql(p: String, e: String, lrShift: Int): String =
+    s"""ldp$e AS (
+       |  SELECT x.doc_id, c.cand,
+       |         CAST(SUM(x.n * COALESCE(w.wq, 0)) AS BIGINT) AS dw
+       |  FROM fx x CROSS JOIN cands c
+       |  LEFT JOIN w$p w ON w.cand = c.cand AND w.f = x.f
+       |  WHERE x.is_train GROUP BY 1, 2),
+       |lg$e AS (
+       |  SELECT t.doc_id, c.cand,
+       |         CAST((CASE WHEN t.src = c.cand THEN 1048576 ELSE 0 END)
+       |           - LEAST(GREATEST(524288
+       |               + ((COALESCE(dp.dw, 0) + bb.bq) >> 2), 0), 1048576)
+       |           AS BIGINT) AS g
+       |  FROM trd t CROSS JOIN cands c
+       |  LEFT JOIN ldp$e dp ON dp.doc_id = t.doc_id AND dp.cand = c.cand
+       |  JOIN bb$p bb ON bb.cand = c.cand),
+       |ldw$e AS (
+       |  SELECT g.cand, x.f,
+       |         CAST(SUM(g.g * x.n) AS BIGINT) >> $lrShift AS delta
+       |  FROM lg$e g JOIN fx x ON x.doc_id = g.doc_id AND x.is_train
+       |  GROUP BY 1, 2),
+       |w$e AS (
+       |  SELECT COALESCE(w.cand, d.cand) AS cand, COALESCE(w.f, d.f) AS f,
+       |         LEAST(GREATEST(COALESCE(w.wq, 0) + COALESCE(d.delta, 0),
+       |           -8388608), 8388608) AS wq
+       |  FROM w$p w FULL OUTER JOIN ldw$e d
+       |    ON d.cand = w.cand AND d.f = w.f),
+       |ldb$e AS (SELECT cand, CAST(SUM(g) AS BIGINT) >> $lrShift AS delta
+       |          FROM lg$e GROUP BY 1),
+       |bb$e AS (
+       |  SELECT bb.cand,
+       |         LEAST(GREATEST(bb.bq + COALESCE(d.delta, 0),
+       |           -8388608), 8388608) AS bq
+       |  FROM bb$p bb LEFT JOIN ldb$e d ON d.cand = bb.cand)""".stripMargin
 
   /** One biased node2vec step as a CTE chain: candidates = `prev`
     * frame ⋈ `adj`, weight CASE back(250)/side(1000)/forward(500) via
@@ -2994,6 +3054,44 @@ object SparkEntry {
        |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
        |         AS BIGINT) AS "rank"
        |  FROM pairs)""".stripMargin
+
+  /** One exact beam rerank as a CTE (the `sim_graph_search` round
+    * device): reads `(query_id, cand)` from `$src`, joins both
+    * vectors from `nz`, keeps each query's cosine top-`$keep` as
+    * `$out(query_id, cand, dot_q)`. Ordering mirrors
+    * [[graft.operators.Similarity.graphSearchTopK]]: cosine double
+    * DESC (ranking only), cand ASC ties.
+    */
+  private def beamRankSql(src: String, out: String, keep: Int): String =
+    s"""$out AS (
+       |  SELECT query_id, cand, dot_q, CAST(rn AS BIGINT) AS rnk FROM (
+       |    SELECT query_id, cand, dot_q,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, cand ASC)
+       |             AS rn
+       |    FROM (
+       |      SELECT f.query_id, f.cand,
+       |             ${dotSql("a.q", "b.q")} AS dot_q,
+       |             CAST(a.nq AS DOUBLE)*CAST(b.nq AS DOUBLE) AS nn
+       |      FROM $src f
+       |      JOIN nz a ON a.vec_id = f.query_id
+       |      JOIN nz b ON b.vec_id = f.cand))
+       |  WHERE rn <= $keep)""".stripMargin
+
+  /** One beam-search expansion round: previous beam ∪ its graph
+    * out-neighbors (self excluded), distinct, exact-reranked to the
+    * beam width. Emits `b$e`; reads `b$p` and the kNN edge frame
+    * `gk(id_a, id_b)`.
+    */
+  private def beamRoundSql(p: Int, e: Int, beam: Int): String =
+    s"""x$e AS (
+       |  SELECT DISTINCT query_id, cand FROM (
+       |    SELECT query_id, cand FROM b$p
+       |    UNION ALL
+       |    SELECT b.query_id, g.id_b AS cand
+       |    FROM b$p b JOIN gk g ON g.id_a = b.cand
+       |    WHERE g.id_b <> b.query_id)),
+       |${beamRankSql(s"x$e", s"b$e", beam)}""".stripMargin
 
   /** Product-quantization CTE chain shared by the `sim_pq_codes` and
     * `sim_pq_topk` oracles: 4 subspaces × 16-entry stand-in codebooks
@@ -3994,6 +4092,56 @@ object SparkEntry {
          |SELECT doc_id, actual, cand AS predicted, odds AS odds_best,
          |       cand = actual AS correct
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // trained logistic: the t_linear_classify feature prologue, then
+    // per-(doc, f) counts, 2 unrolled full-batch epochs (q20 weights,
+    // hard sigmoid, >>10 learning rate, ±8·2^20 clamp — BIGINT +
+    // arithmetic shifts only), then the sparse-probe scoring of the
+    // held-out slice
+    "t_logistic_classify" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT doc_id, source, $TOKS AS toks,
+         |         (${ph("text")} % 1000) < 900 AS is_train
+         |  FROM documents),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, source, is_train,
+         |         unnest(list_concat(
+         |           list_transform(range(1, len(toks) + 1),
+         |             i -> ${ph("toks[i]")} % 1048576),
+         |           list_transform(range(1, len(toks)),
+         |             i -> ${ph("array_to_string(toks[i:i+1], ' ')")} % 1048576))) AS f
+         |  FROM b WHERE len(toks) >= 1),
+         |fx AS MATERIALIZED (
+         |  SELECT doc_id, source, is_train, f,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM feats GROUP BY 1, 2, 3, 4),
+         |trd AS (SELECT doc_id, source AS src FROM b WHERE is_train),
+         |cands AS (SELECT DISTINCT source AS cand FROM b WHERE is_train),
+         |w0 AS (SELECT cand, CAST(NULL AS BIGINT) AS f,
+         |              CAST(0 AS BIGINT) AS wq FROM cands WHERE FALSE),
+         |bb0 AS (SELECT cand, CAST(0 AS BIGINT) AS bq FROM cands),
+         |${logisticEpochSql("0", "1", 10)},
+         |${logisticEpochSql("1", "2", 10)},
+         |tdp AS (
+         |  SELECT x.doc_id, c.cand,
+         |         CAST(SUM(x.n * COALESCE(w.wq, 0)) AS BIGINT) AS dw
+         |  FROM fx x CROSS JOIN cands c
+         |  LEFT JOIN w2 w ON w.cand = c.cand AND w.f = x.f
+         |  WHERE NOT x.is_train GROUP BY 1, 2),
+         |ted AS (SELECT doc_id, source AS actual FROM b WHERE NOT is_train),
+         |scg AS (
+         |  SELECT t.doc_id, t.actual, c.cand,
+         |         CAST(COALESCE(dp.dw, 0) + bb.bq AS BIGINT) AS odds
+         |  FROM ted t CROSS JOIN cands c
+         |  LEFT JOIN tdp dp ON dp.doc_id = t.doc_id AND dp.cand = c.cand
+         |  JOIN bb2 bb ON bb.cand = c.cand),
+         |scr AS (SELECT doc_id, actual, cand, odds,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                 ORDER BY odds DESC, cand ASC) AS rn
+         |        FROM scg)
+         |SELECT doc_id, actual, cand AS predicted, odds AS odds_best,
+         |       cand = actual AS correct
+         |FROM scr WHERE rn = 1""".stripMargin,
 
     "t_bpe_merges" -> bpeSql(6),
     "t_bpe_segment" -> bpeSegmentSql(6),
@@ -6085,6 +6233,30 @@ object SparkEntry {
       s"""WITH $KNN_RANKED
          |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
          |FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // beam search over the built kNN graph: 8-plane LSH bucket seeds
+    // (reusing the first 8 of KNN_RANKED's 16 sign projections —
+    // identical plane weights), exact top-8 beam, 2 unrolled
+    // expand-union-rerank rounds through gk, final exact top-5
+    "sim_graph_search" ->
+      s"""WITH $KNN_RANKED,
+         |gk AS (SELECT id_a, id_b FROM ranked WHERE "rank" <= 5),
+         |qbk AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN sv >= 0 THEN (CAST(1 AS BIGINT) << j)
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM s WHERE j < 8 GROUP BY vec_id),
+         |sd AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand
+         |  FROM qbk q JOIN qbk c
+         |    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |${beamRankSql("sd", "b0", 8)},
+         |${beamRoundSql(0, 1, 8)},
+         |${beamRoundSql(1, 2, 8)},
+         |${beamRankSql("b2", "fin", 5)}
+         |SELECT query_id, cand AS neighbor_id, dot_q, rnk AS "rank"
+         |FROM fin""".stripMargin,
 
     // the occupancy-capped kNN twin: same banding over the nq>0
     // corpus, hot (band, bucket) groups sub-split by the portable

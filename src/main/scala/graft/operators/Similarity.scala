@@ -1140,6 +1140,102 @@ object Similarity {
       col("dot_q"), col("rank"))
   }
 
+  /** Graph-navigable ANN search: batch beam search over a prebuilt
+    * kNN graph (Malkov & Yashunin 2018's layer-0 search loop —
+    * HNSW-class greedy expansion, run as set-oriented rounds), seeded
+    * from each query's LSH bucket. This is the QUERY path the graph
+    * build ([[knnGraph]] / [[nnDescentRefine]]) exists for: retrieval
+    * routes through graph edges instead of probing cells, so recall
+    * grows with `rounds` at graph-degree cost — and a neighbor
+    * OUTSIDE the query's bucket is reachable the moment any bucket
+    * candidate links toward it (the case every cell router misses by
+    * construction).
+    *
+    *  - seeds: same-bucket corpus vectors under `planes` sign
+    *    projections ([[lshBucketedNeighbors]]'s bucket), exact-ranked,
+    *    top-`beam` kept. A query whose bucket is otherwise empty
+    *    emits nothing (pinned — the router's miss case, visible
+    *    rather than padded).
+    *  - round: the beam's graph out-neighbors join the beam, the
+    *    union is exact-reranked, top-`beam` survives. Candidates only
+    *    ever grow a round's ranked prefix, so per (query, rank) the
+    *    cosine is non-decreasing in `rounds` (the [[nnDescentRefine]]
+    *    monotonicity law — spec-gated).
+    *  - `rounds` is FIXED, not convergence-tested: deterministic cost,
+    *    engine-exact (the oracle unrolls the rounds), and the paper's
+    *    own stop rule is a greedy heuristic this batch form replaces.
+    *
+    * Output: `(query_id, neighbor_id, dot_q, rank)`, rank ≤ `k` over
+    * the final beam — the [[cosineTopK]] family contract (ties by
+    * neighbor id, self excluded, zero-norm vectors excluded).
+    *
+    * Scale shape: the graph is id-pair rows; each round moves
+    * (query, cand) id pairs through one equi-join on the beam's cand
+    * side + one distinct + one broadcast-query exact rerank whose
+    * window is per-query (WindowGroupLimit, ≤ beam·(graphK+1) rows
+    * per query) — vectors attach to candidate ids only, the corpus
+    * never reshuffles. Per-round frames are lineage-cut (two
+    * consumers: expansion + union). The candidate budget per query is
+    * bucket-occupancy + rounds·beam·graphK, the number RECALL.md
+    * reports against the cell routers at matched budgets.
+    */
+  def graphSearchTopK(
+      embeddings: DataFrame,
+      queryPred: Column,
+      k: Int,
+      graph: DataFrame,
+      beam: Int = 8,
+      rounds: Int = 2,
+      planes: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val corpus = withQuant(embeddings).filter(col("nq") > 0)
+      .withColumn("bucket", lshBucket(col("q"), planes))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qn"), col("bucket"))
+    val g = Checkpoints.cut(
+      graph.select(col("vec_id").as("gsrc"), col("neighbor_id").as("gdst")),
+      checkpointDir)
+    val cand = corpus.select(col("vec_id").as("cand"), col("q"), col("nq"))
+    def rerank(frontier: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand").asc)
+      frontier
+        .join(cand, Seq("cand"))
+        .join(broadcast(queries.select(col("query_id"), col("qq"), col("qn"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("cand"),
+          dotQ(col("qq"), col("q")).as("dot_q"),
+          (col("qn").cast("double") * col("nq").cast("double")).as("nn"))
+        .withColumn("cos", col("dot_q").cast("double") / sqrt(col("nn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= keep)
+    }
+    val seeds = corpus
+      .join(broadcast(queries.select(col("query_id"), col("bucket"))),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand"))
+    var beamDf = Checkpoints.cut(
+      rerank(seeds, beam).select(col("query_id"), col("cand")), checkpointDir)
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf
+        .join(g, beamDf("cand") === g("gsrc"))
+        .filter(col("gdst") =!= col("query_id"))
+        .select(col("query_id"), col("gdst").as("cand"))
+        .unionByName(beamDf)
+        .distinct()
+      beamDf = Checkpoints.cut(
+        rerank(expanded, beam).select(col("query_id"), col("cand")),
+        checkpointDir)
+    }
+    rerank(beamDf, k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("dot_q"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ τ.
     * `cosE6` threshold is in 1e-6 units (e.g. 950000 = 0.95).
     * Output `(id_a, id_b, dot_q)`, `id_a < id_b`.

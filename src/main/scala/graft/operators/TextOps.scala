@@ -1189,6 +1189,185 @@ object TextOps {
         (col("cand") === col("actual")).as("correct"))
   }
 
+  /** Frozen TRAINED logistic model: sparse one-vs-rest weights
+    * `w(cand, f, wq)` (q20 fixed point, features absent = 0) + per-
+    * class bias `b(cand, bq)` + the s-row candidate frame. Hash tier
+    * and bucket count are artifact properties ([[LinearModel]] rule).
+    */
+  case class LogisticModel(w: DataFrame, b: DataFrame, cands: DataFrame,
+      hash: Hashing.HashTier, featureBuckets: Int) {
+    /** Persist + reload all frames — train once, score forever. */
+    def materialized(dir: String): LogisticModel = {
+      def rt(df: DataFrame, sub: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$dir/$sub")
+        df.sparkSession.read.parquet(s"$dir/$sub")
+      }
+      LogisticModel(rt(w, "w"), rt(b, "b"), rt(cands, "cands"),
+        hash, featureBuckets)
+    }
+  }
+
+  /** ITERATIVELY trained one-vs-rest logistic classifier over the
+    * [[linearFeatures]] hashed unigram+bigram space — the optimizer
+    * [[linearSourceClassify]]'s closed-form NB log-count-ratio
+    * weights lack (Joulin et al. 2017 train exactly this by SGD;
+    * Wang & Manning 2012 §3 note the trained discriminative weights
+    * win where feature correlation, not per-feature count ratios,
+    * carries the signal — e.g. under class imbalance a ubiquitous
+    * feature gets a large count-ratio weight from class size alone,
+    * which gradient descent unlearns because the feature's gradient
+    * cancels against the bias).
+    *
+    * Deterministic full-batch gradient descent in the
+    * [[graft.operators.GraphOps.sgnsTrain]] fixed-point discipline:
+    * weights are BIGINT q20, the logistic σ is the hard sigmoid
+    * `clamp(2^19 + (score >> 2), 0, 2^20)`, the learning rate is the
+    * arithmetic shift `>> lrShift` on the full-batch gradient sums,
+    * and updates clamp to ±8·2^20 — every step BIGINT + arithmetic
+    * shift, bit-identical across runs, partitionings, and engines
+    * (the oracle unrolls the epochs). Per class `s` and doc `d` with
+    * per-feature counts `n_f(d)`: `score = Σ_f n_f·w_s(f) + b_s`;
+    * `g = 1[src(d)=s]·2^20 − hardsig(score)`;
+    * `Δw_s(f) = Σ_d g·n_f(d) >> lrShift`, `Δb_s = Σ_d g >> lrShift`.
+    * Weights init at 0 (the sparse empty frame), so untouched
+    * features stay exactly 0 and the weight table is bounded by
+    * min(s·featureBuckets, s·train-vocab) rows regardless of corpus.
+    *
+    * Scale shape per epoch: ONE scan of the per-(doc, f) count frame
+    * (text never reshuffles — hashed + bucketed at the scan), times
+    * the s-row broadcast candidate grid, a (doc, cand)-keyed score
+    * aggregate, a (cand, f)-keyed map-side-combining gradient
+    * aggregate, and a weight-table-sized outer-join update. Per-epoch
+    * frames are lineage-cut (score and gradient both consume the
+    * model; the gradient frame feeds dw and db).
+    */
+  def logisticTrain(
+      train: DataFrame,
+      epochs: Int = 2,
+      lrShift: Int = 10,
+      featureBuckets: Int = 1 << 20,
+      srcCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable,
+      checkpointDir: Option[String] = None): LogisticModel = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(lrShift >= 0 && lrShift <= 40, s"lrShift out of range: $lrShift")
+    require(featureBuckets >= 2, s"featureBuckets must be >= 2, got $featureBuckets")
+    val clampQ20 = 8L * 1048576L
+    val fx = graft.operators.Checkpoints.cut(
+      train.select(col(idCol).as("doc_id"),
+          explode(linearFeatures(col(textCol), featureBuckets, hash)).as("f"))
+        .groupBy(col("doc_id"), col("f"))
+        .agg(count(lit(1)).as("n")), checkpointDir)
+    val labels = graft.operators.Checkpoints.cut(
+      train.select(col(idCol).as("doc_id"), col(srcCol).as("src")),
+      checkpointDir)
+    val cands = labels.select(col("src").as("cand")).distinct()
+    // zero-init weights as the sparse EMPTY frame: a feature enters
+    // the table only when some epoch's gradient touches it
+    var w = cands.limit(0).select(col("cand"),
+      lit(null).cast("long").as("f"), lit(0L).as("wq"))
+    var b = cands.select(col("cand"), lit(0L).as("bq"))
+    for (_ <- 1 to epochs) {
+      val dots = fx
+        .crossJoin(broadcast(cands))
+        .join(w, Seq("cand", "f"), "left_outer")
+        .groupBy(col("doc_id"), col("cand"))
+        .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
+      val g = graft.operators.Checkpoints.cut(
+        labels.crossJoin(broadcast(cands))
+          .join(dots, Seq("doc_id", "cand"), "left_outer")
+          .join(broadcast(b), Seq("cand"))
+          .select(col("doc_id"), col("cand"),
+            (when(col("src") === col("cand"), lit(1048576L)).otherwise(0L) -
+              least(greatest(lit(524288L) +
+                shiftright(coalesce(col("dw"), lit(0L)) + col("bq"), 2),
+                lit(0L)), lit(1048576L))).as("g")), checkpointDir)
+      val dwu = g.join(fx, Seq("doc_id"))
+        .groupBy(col("cand"), col("f"))
+        .agg(shiftright(sum(col("g") * col("n")), lrShift).as("delta"))
+      w = graft.operators.Checkpoints.cut(
+        w.join(dwu, Seq("cand", "f"), "full_outer")
+          .select(col("cand"), col("f"),
+            least(greatest(
+              coalesce(col("wq"), lit(0L)) + coalesce(col("delta"), lit(0L)),
+              lit(-clampQ20)), lit(clampQ20)).as("wq")), checkpointDir)
+      val dbu = g.groupBy(col("cand"))
+        .agg(shiftright(sum(col("g")), lrShift).as("delta"))
+      b = graft.operators.Checkpoints.cut(
+        b.join(dbu, Seq("cand"), "left_outer")
+          .select(col("cand"),
+            least(greatest(col("bq") + coalesce(col("delta"), lit(0L)),
+              lit(-clampQ20)), lit(clampQ20)).as("bq")), checkpointDir)
+    }
+    LogisticModel(w, b, cands, hash, featureBuckets)
+  }
+
+  /** Score docs against a frozen [[LogisticModel]]: odds = q20 linear
+    * score, prediction = argmax (ties by class name) — the
+    * [[linearScore]] output contract `(doc_id, actual, predicted,
+    * odds_best, correct)`. Probe shape is [[linearScore]]'s: hashed
+    * features probe the sparse weight table on (cand, f) keys, the
+    * candidate grid broadcasts, absent features contribute exactly 0.
+    */
+  def logisticScore(
+      docs: DataFrame,
+      model: LogisticModel,
+      idCol: String = "doc_id",
+      actualCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val test = docs.select(
+      col(idCol).as("doc_id"), col(actualCol).as("actual"),
+      linearFeatures(col(textCol), model.featureBuckets, model.hash).as("fs"))
+    val fx = test
+      .select(col("doc_id"), explode(col("fs")).as("f"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("n"))
+    val dots = fx
+      .crossJoin(broadcast(model.cands))
+      .join(model.w, Seq("cand", "f"), "left_outer")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
+    val grid = test.select(col("doc_id"), col("actual"))
+      .crossJoin(broadcast(model.cands))
+      .join(dots, Seq("doc_id", "cand"), "left_outer")
+      .join(broadcast(model.b), Seq("cand"))
+      .select(col("doc_id"), col("actual"), col("cand"),
+        (coalesce(col("dw"), lit(0L)) + col("bq")).as("odds"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("odds").desc, col("cand").asc)
+    grid.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("actual"), col("cand").as("predicted"),
+        col("odds").as("odds_best"),
+        (col("cand") === col("actual")).as("correct"))
+  }
+
+  /** [[logisticTrain]] + [[logisticScore]] on the deterministic
+    * text-hash split — the [[linearSourceClassify]] harness with the
+    * trained optimizer (same split, same features, same output).
+    */
+  def logisticSourceClassify(
+      docs: DataFrame,
+      trainPermille: Int = 900,
+      epochs: Int = 2,
+      lrShift: Int = 10,
+      featureBuckets: Int = 1 << 20,
+      srcCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hash: Hashing.HashTier = Hashing.Portable,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      s"trainPermille must leave both splits non-empty-able, got $trainPermille")
+    val isTrain = pmod(hash(col(textCol)), lit(1000L)) < trainPermille
+    val model = logisticTrain(docs.filter(isTrain), epochs, lrShift,
+      featureBuckets, srcCol, idCol, textCol, hash, checkpointDir)
+    logisticScore(docs.filter(!isTrain), model, idCol, srcCol, textCol)
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016, "Neural
     * Machine Translation of Rare Words with Subword Units") — the
     * tokenizer-training step of an LLM data pipeline: learn the first

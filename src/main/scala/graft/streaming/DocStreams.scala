@@ -556,6 +556,48 @@ object DocStreams {
       .parquet(outDir)
   }
 
+  /** Stream-static TRAINED-LOGISTIC classification —
+    * [[linearClassifyStream]] with the frozen
+    * [[graft.operators.TextOps.LogisticModel]] (the gradient-trained
+    * one-vs-rest scorer): each micro-batch scores through the batch
+    * scorer's sparse-weight probe plan. Training stays a batch job
+    * (the full-batch epochs need the whole corpus); streaming only
+    * ever SCORES — the frozen-model contract all three classifier
+    * twins share. Retry semantics: exactly-once by
+    * `batch_id=<epoch>` dynamic partition overwrite.
+    */
+  def logisticClassifyStream(
+      docs: DataFrame,
+      model: graft.operators.TextOps.LogisticModel,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeLogisticScoredBatch(batch, model, outDir, batchId)
+      }
+      .start()
+
+  /** One [[logisticClassifyStream]] micro-batch write — the
+    * replay-idempotence seam, mirroring [[writeLinearScoredBatch]].
+    */
+  private[graft] def writeLogisticScoredBatch(
+      batch: DataFrame,
+      model: graft.operators.TextOps.LogisticModel,
+      outDir: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "logisticClassifyStream sink")
+    graft.operators.TextOps.logisticScore(batch, model)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   /** Streaming PERPLEXITY screen — CCNet at ingest: score each
     * micro-batch against a FROZEN
     * [[graft.operators.TextOps.TrigramLmModel]] (trained offline on

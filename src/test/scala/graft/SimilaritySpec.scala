@@ -1108,4 +1108,77 @@ class SimilaritySpec extends SparkSpec {
       }, s"query $qid")
     }
   }
+
+  test("graphSearchTopK: graph hop reaches an out-of-bucket neighbor the bucket router misses") {
+    // Hand geometry in 2-D (8-plane buckets computed offline): the
+    // query (0.5, 0.86) shares bucket 113 with (0.05, 1) only, while
+    // its TRUE nearest neighbor (0.7, 0.7), cos ≈ .967, lands in
+    // bucket 120 — invisible to the bucket router. The bucket mate's
+    // own kNN edges include it, so one beam round navigates across
+    // the bucket boundary.
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.86f)),   // query, bucket 113
+      (1L, Array(0.7f, 0.7f)),    // true NN, bucket 120
+      (2L, Array(0.05f, 1.0f)),   // bucket mate, links to 1
+      (3L, Array(-1.0f, 0.2f)),   // far vector
+      (4L, Array(-1.0f, -0.3f))).toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraph(vecs, k = 2, blocked = false)
+    val bucketOnly = Similarity
+      .lshBucketedNeighbors(vecs, col("vec_id") === 0, planes = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    val searched = Similarity.graphSearchTopK(vecs, col("vec_id") === 0,
+      k = 2, graph = graph, beam = 3, rounds = 2, planes = 8)
+      .orderBy(col("rank")).as[(Long, Long, Long, Long)].collect()
+    val exact = Similarity.cosineTopK(vecs, col("vec_id") === 0, 2)
+      .orderBy(col("rank")).as[(Long, Long, Long, Long)].collect()
+    // the premise: the true NN is NOT a bucket candidate
+    assert(!bucketOnly.contains(exact.head._2),
+      s"fixture broke: exact NN ${exact.head._2} is in the query bucket $bucketOnly")
+    // the law: beam search still finds the exact top-k
+    assert(searched.map(r => (r._1, r._2, r._4)).toSeq ===
+      exact.map(r => (r._1, r._2, r._4)).toSeq)
+  }
+
+  test("graphSearchTopK: per-rank cosine monotone in rounds; recall grows; deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val graph = graft.operators.Checkpoints.cut(
+      Similarity.knnGraph(emb, k = 5, maxBucketSize = None), None)
+    val norms = emb.select(col("vec_id"),
+        Similarity.normQ(Similarity.quantize(col("embedding"))).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r =>
+          (r._2, r._3.toDouble /
+            math.sqrt(norms(r._1).toDouble * norms(r._2).toDouble))).toSeq)
+        .toMap
+    def search(rounds: Int) = lists(
+      Similarity.graphSearchTopK(emb, col("vec_id") < 8, k = 5,
+        graph = graph, beam = 8, rounds = rounds, planes = 8))
+    val Seq(r0, r1, r2) = Seq(0, 1, 2).map(search(_))
+    // candidate sets only grow and the rerank is exact, so per (query,
+    // rank) the cosine never degrades as rounds increase
+    def dominates(hi: Map[Long, Seq[(Long, Double)]],
+        lo: Map[Long, Seq[(Long, Double)]]): Unit =
+      lo.foreach { case (q, ls) =>
+        val hs = hi(q)
+        assert(hs.size >= ls.size, s"query $q lost results")
+        ls.indices.foreach(i => assert(hs(i)._2 >= ls(i)._2 - 1e-12,
+          s"query $q rank ${i + 1}: ${hs(i)} < ${ls(i)}"))
+      }
+    dominates(r1, r0)
+    dominates(r2, r1)
+    // navigation genuinely recovers recall over the seed bucket
+    val exact = lists(Similarity.cosineTopK(emb, col("vec_id") < 8, 5))
+    def hits(m: Map[Long, Seq[(Long, Double)]]): Int =
+      m.map { case (q, ls) =>
+        ls.map(_._1).toSet.intersect(exact(q).map(_._1).toSet).size }.sum
+    assert(hits(r2) > hits(r0),
+      s"beam rounds did not improve recall: r0 ${hits(r0)}, r2 ${hits(r2)}")
+    // determinism across runs and checkpoint modes
+    val again = lists(Similarity.graphSearchTopK(emb, col("vec_id") < 8,
+      k = 5, graph = graph, beam = 8, rounds = 2, planes = 8,
+      checkpointDir = Some(TestSpark.ckptDir)))
+    assert(again === r2)
+  }
 }

@@ -794,6 +794,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("logistic classify stream over a replayed fixture slice equals the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val isTrain = pmod(graft.functions.Hashing.portableHash(col("text")), lit(1000L)) < 900
+    val dirs = java.nio.file.Files.createTempDirectory("graft_logi").toString
+    val model = TextOps.logisticTrain(docs.filter(isTrain), epochs = 2,
+      lrShift = 10).materialized(s"$dirs/model")
+    val test = docs.filter(!isTrain).as[FixSrcDoc].collect().sortBy(_.doc_id)
+    assert(test.nonEmpty, "fixture slice should hold out some docs")
+    val in = MemoryStream[FixSrcDoc]
+    val q = graft.streaming.DocStreams.logisticClassifyStream(
+      in.toDF(), model, s"$dirs/out", s"$dirs/ckpt")
+    try {
+      test.grouped(math.max(test.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.read.parquet(s"$dirs/out").drop("batch_id")
+      val streamed = rowSet(out)
+      assert(out.count() === test.length.toLong)
+      // batch-composition-blind: per-doc scoring against a frozen model
+      assert(streamed === rowSet(TextOps.logisticScore(docs.filter(!isTrain), model)))
+      // and the whole chain equals the monolithic classifier
+      assert(streamed === rowSet(
+        TextOps.logisticSourceClassify(docs, trainPermille = 900,
+          epochs = 2, lrShift = 10)))
+      // replay idempotence (foreachBatch retry): partition replaced,
+      // never appended
+      graft.streaming.DocStreams.writeLogisticScoredBatch(
+        test.take(5).toSeq.toDF("doc_id", "source", "text"), model, s"$dirs/out", 0L)
+      graft.streaming.DocStreams.writeLogisticScoredBatch(
+        test.take(5).toSeq.toDF("doc_id", "source", "text"), model, s"$dirs/out", 0L)
+      val replayed = spark.read.parquet(s"$dirs/out")
+      assert(replayed.filter(col("batch_id") === 0L).count() === 5L)
+    } finally q.stop()
+  }
+
   test("span ingest stream over ordered fixture slices equals batch coverage") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -842,6 +842,53 @@ class TextOpsSpec extends SparkSpec {
     assert(rescored === out)
   }
 
+  test("logisticTrain: gradient epochs beat the closed-form odds under class imbalance") {
+    // 8 'big' docs of pure filler vs 2 'small' docs = filler + two
+    // markers. The closed-form NB log-count-ratio weights give every
+    // FILLER feature ±2 whole bits from class size alone (c_big=8 vs
+    // c_small=2), which the hoisted denominator (+1/-1 per instance)
+    // and prior only partly cancel — hand-computed odds for the small
+    // test doc: big = (7·2 − 4·1) − 11 + 2 = +1, small = (−14 + 4)
+    // + 11 − 2 = −1 → closed form predicts BIG. Gradient descent
+    // unlearns the class-size bias (filler gradients cancel against
+    // the bias as the big scores saturate) while the markers' weights
+    // keep growing — 8 epochs at lrShift=4 classify both test docs.
+    val train = ((1L to 8L).map(i => (i, "big", "alpha beta gamma delta")) ++
+      Seq((9L, "small", "alpha beta gamma delta zz yy"),
+        (10L, "small", "alpha beta gamma delta zz yy")))
+      .toDF("doc_id", "source", "text")
+    val test = Seq(
+      (101L, "big", "alpha beta gamma delta"),
+      (102L, "small", "alpha beta gamma delta zz yy"))
+      .toDF("doc_id", "source", "text")
+    val lin = TextOps.linearScore(test, TextOps.linearTrain(train))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // the premise: closed form gets the minority doc wrong
+    assert(lin(101L) === true && lin(102L) === false,
+      s"fixture premise broke: $lin")
+    val model = TextOps.logisticTrain(train, epochs = 8, lrShift = 4)
+    val logi = TextOps.logisticScore(test, model)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(logi(101L) === true && logi(102L) === true, s"logistic: $logi")
+
+    // determinism across runs, partitionings, and checkpoint modes
+    val again = TextOps.logisticScore(test,
+      TextOps.logisticTrain(train.repartition(7), epochs = 8, lrShift = 4,
+        checkpointDir = Some(TestSpark.ckptDir)))
+      .collect().map(_.toSeq).toSet
+    assert(again === TextOps.logisticScore(test, model).collect().map(_.toSeq).toSet)
+
+    // frozen-model round trip scores identically
+    val dir = java.nio.file.Files.createTempDirectory("logimodel").toString
+    val rescored = TextOps.logisticScore(test, model.materialized(dir))
+      .collect().map(_.toSeq).toSet
+    assert(rescored === again)
+
+    // untrained features stay exactly zero: the weight table holds
+    // only touched (cand, f) rows — s·train-vocab bounded
+    assert(model.w.count() === 2L * 11L)
+  }
+
   test("bpeMerges: overlap counting, greedy rewrite, early stop, invariances") {
     // 'aa'(n=2) + 'ab'(n=1): step1 merges (a,a) with count 2, step2
     // (a,b); step3 finds no pairs -> output stops at 2 rows
