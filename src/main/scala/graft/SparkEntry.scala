@@ -537,7 +537,15 @@ object SparkEntry {
     // whole peel/color/backward loop, not a round count
     "g_scc" -> ((s, dir) => GraphOps.sccLabels(sccFixture(s, dir))),
     // the condensation DAG: SCCs contracted to vertices, distinct
-    // between-component edges — acyclic by the definition of SCC
+    // between-component edges — acyclic by the definition of SCC.
+    // KNOWN DUPLICATE EXECUTION (r16 verdict #3, decision pinned):
+    // this composes over sccLabels, so the bench pays the SCC
+    // fixpoint twice across g_scc + g_scc_condensation (~2×8 s at
+    // sf0.1 — the two most expensive queries). The warm-set memo rule
+    // is ≥5 consumers (PERF_r11 §shared-projection); SCC has exactly
+    // these two. A real user labels once and passes the frame to both
+    // consumers — revisit the warm set the moment a third SCC
+    // consumer registers.
     "g_scc_condensation" -> ((s, dir) => {
       val fixture = sccFixture(s, dir)
       GraphOps.condensationEdges(fixture, GraphOps.sccLabels(fixture))

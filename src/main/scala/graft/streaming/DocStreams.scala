@@ -63,13 +63,14 @@ object DocStreams {
     * rows per doc — the same artifacts the batch pipeline would
     * persist.
     *
-    * Retry semantics: a replayed batch may re-append its band/shingle
-    * rows; every read side dedups (`dropDuplicates` on the full row),
-    * so duplicate state rows never corrupt candidates or Jaccard
-    * counts — appends are idempotent-by-read, the same trick as the
-    * salted-retry design in [[graft.operators.Skew]]. Pair output may
-    * duplicate across a replay; downstream consumers key on
-    * `(doc_a, doc_b)` (pair emission is deterministic).
+    * Retry semantics: the band/shingle tables commit through
+    * [[IndexCommit]] (batch-id segments behind a manifest swap), so a
+    * replayed batch reads exactly the pre-batch index (`maxBatch <
+    * own id`), rewrites its own segment, and republishes an identical
+    * manifest — state cannot duplicate in any crash window. Pair
+    * output may duplicate across a replay; downstream consumers key
+    * on `(doc_a, doc_b)` (pair emission is deterministic). Every
+    * `compactEvery` batches the settled segments fold into one.
     *
     * `cutDir`: RDD-checkpoint dir for the in-batch lineage cuts
     * (shingle frame + band table) — `None` = executor-memory
@@ -92,7 +93,8 @@ object DocStreams {
       rowsPerBand: Int = 2,
       threshE3: Int = 500,
       hash: Hashing.HashTier = Hashing.Fast,
-      cutDir: Option[String] = None): StreamingQuery = {
+      cutDir: Option[String] = None,
+      compactEvery: Int = 16): StreamingQuery = {
     val bandSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("band", LongType, nullable = false),
@@ -102,30 +104,28 @@ object DocStreams {
       StructField("sh", LongType, nullable = false)))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        def readState(sub: String, schema: StructType): DataFrame = {
-          // existence probe through the Hadoop FileSystem API: stateDir
-          // may be HDFS/S3 at cluster scale, where a java.io.File check
-          // would always read absent and silently dedup against an
-          // empty corpus
-          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString).dropDuplicates()
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          IndexCommit.fold(spark, s"$stateDir/bands", batchId, bandSchema,
+            _.distinct())
+          IndexCommit.fold(spark, s"$stateDir/sh", batchId, shSchema,
+            _.distinct())
         }
         val newSh = graft.operators.Checkpoints.cut(
           Dedup.shingles(batch, n, hash = hash), cutDir)
         val newBands = Dedup.bandTableOf(newSh, bands, rowsPerBand, cutDir)
-        val stateSh = readState("sh", shSchema)
-        val stateBands = readState("bands", bandSchema)
+        val stateSh = IndexCommit.readBefore(
+          spark, s"$stateDir/sh", batchId, shSchema)
+        val stateBands = IndexCommit.readBefore(
+          spark, s"$stateDir/bands", batchId, bandSchema)
         val pairs = Dedup.incrementalPairsCore(
           newSh, newBands, stateBands, threshE3,
           matchedIds => stateSh.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"))
         pairs.write.mode("append").parquet(pairsDir)
-        newBands.write.mode("append").parquet(s"$stateDir/bands")
-        newSh.write.mode("append").parquet(s"$stateDir/sh")
+        IndexCommit.commitBatch(newBands, s"$stateDir/bands", batchId)
+        IndexCommit.commitBatch(newSh.select(col("doc_id"), col("sh")),
+          s"$stateDir/sh", batchId)
       }
       .start()
   }
@@ -158,18 +158,18 @@ object DocStreams {
     * the state path, which a lazy overwrite would truncate before
     * reading).
     *
-    * State is BATCH-ID VERSIONED (`stateDir/bloom_v<batchId>` — the
-    * batch_id-provenance discipline of [[nbClassifyStream]]/
-    * [[spanIngest]], applied to whole-state snapshots): each batch
-    * probes the newest version with id < its OWN batch id, so a
-    * replayed batch probes the SAME prior sketch and re-emits
-    * IDENTICAL verdicts (true at-least-once duplicates, never flipped
-    * rows), and a crash between the version write and the offset
-    * commit destroys nothing — the half-written version is
-    * overwritten by the replay, and versions older than
-    * `batchId − 1` are only pruned after a successful write (the
-    * replay's read target always survives). A single mutable state
-    * path with `mode("overwrite")` would have neither property.
+    * State is a CUMULATIVE [[IndexCommit]] store
+    * (`stateDir/bloom/seg_<batchId>` snapshots behind the manifest):
+    * each batch probes the newest committed snapshot with id < its
+    * OWN batch id, so a replayed batch probes the SAME prior sketch
+    * and re-emits IDENTICAL verdicts (true at-least-once duplicates,
+    * never flipped rows); a crash between the snapshot write and the
+    * offset commit destroys nothing — an unpublished snapshot is
+    * invisible, a published one is rewritten identically by the
+    * replay, and the replay's read target (the newest PRIOR snapshot)
+    * survives every prune by the device's cumulative-commit rule. A
+    * single mutable state path with `mode("overwrite")` would have
+    * none of these properties.
     *
     * Known trade, pinned: the batch's k seeded hashes are computed
     * twice (once by the probe, once by the merge build) — sharing a
@@ -189,33 +189,27 @@ object DocStreams {
       StructField("word_idx", LongType, nullable = false),
       StructField("bits", LongType, nullable = false)))
     val nWords = (m + 62L) / 63L
-    val version = "bloom_v(\\d+)".r
+    val root = s"$stateDir/bloom"
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        def versions(): Seq[Long] =
-          if (!fs.exists(root)) Seq.empty
-          else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
-            case version(n) => n.toLong
-          }
-        // the newest snapshot STRICTLY BEFORE this batch: a replay of
-        // batch b must not probe b's own (possibly half-written)
-        // version
-        val prior = versions().filter(_ < batchId).sorted.lastOption
-        val state = prior match {
-          case Some(v) =>
-            val df = spark.read.schema(wordSchema)
-              .parquet(s"$stateDir/bloom_v$v")
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        IndexCommit.requireManifestLayout(
+          rootP.getFileSystem(spark.sessionState.newHadoopConf()), rootP,
+          "bloomIngest sketch store")
+        // the newest committed snapshot STRICTLY BEFORE this batch: a
+        // replay of batch b must not probe b's own snapshot
+        val state = IndexCommit.readLatestBefore(
+            spark, root, batchId, wordSchema) match {
+          case Some(df) =>
             // the dense-table contract, checked at the stream boundary
             // too: a state dir built with a LARGER m would otherwise
             // cover every probe word and silently false-negative (the
             // batch operators only detect the smaller-build direction)
             val stateWords = df.count()
             require(stateWords == nWords,
-              s"bloomIngest: state bloom_v$v has $stateWords words, " +
+              s"bloomIngest: committed sketch has $stateWords words, " +
                 s"expected $nWords - stateDir was built with a different m")
             df
           case None => Dedup.bloomBuild(batch.limit(0), m, k, hash = hash)
@@ -229,13 +223,10 @@ object DocStreams {
             .groupBy(col("word_idx"))
             .agg(expr("bit_or(bits)").as("bits"))
             .collect()
-          spark.createDataFrame(
-            spark.sparkContext.parallelize(merged.toSeq, 1), wordSchema)
-            .write.mode("overwrite").parquet(s"$stateDir/bloom_v$batchId")
-          // prune AFTER the write commits, and never the replay target
-          versions().filter(_ < batchId - 1).foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bloom_v$v"), true)
-          }
+          IndexCommit.commitBatch(
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(merged.toSeq, 1), wordSchema),
+            root, batchId, cumulative = true)
         } finally cached.unpersist(blocking = false)
       }
       .start()
@@ -258,9 +249,10 @@ object DocStreams {
     * over the full corpus (every pair is new-touching when its later
     * member arrives — StreamingSpec law).
     *
-    * Retry semantics: identical to [[fuzzyIngest]] — state appends are
-    * idempotent-by-read (`dropDuplicates` on read), pair output may
-    * duplicate across a replay and downstream consumers key on
+    * Retry semantics: identical to [[fuzzyIngest]] — both index
+    * tables commit through [[IndexCommit]] (replays read the
+    * pre-batch manifest and rewrite their own segment), pair output
+    * may duplicate across a replay and downstream consumers key on
     * `(id_a, id_b)`. `cutDir` as in [[fuzzyIngest]].
     */
   def embeddingIngest(
@@ -281,29 +273,24 @@ object DocStreams {
       StructField("q", org.apache.spark.sql.types.ArrayType(LongType), nullable = true)))
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        def readState(sub: String, schema: StructType, keys: Seq[String]): DataFrame = {
-          val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
-            .dropDuplicates(keys.head, keys.tail: _*)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        }
         val sim = graft.operators.Similarity
         val newQ = graft.operators.Checkpoints.cut(sim.withQuant(batch), cutDir)
         val newBands = sim.bandTable(batch, bands, rowsPerBand, cutDir)
-        val stateVecs = readState("vecs", vecSchema, Seq("vec_id"))
-        val stateBands = readState("bands", bandSchema, Seq("vec_id", "band", "bucket"))
+        val stateVecs = IndexCommit.readBefore(
+          spark, s"$stateDir/vecs", batchId, vecSchema)
+        val stateBands = IndexCommit.readBefore(
+          spark, s"$stateDir/bands", batchId, bandSchema)
         val pairs = sim.incrementalPairsCoreEmb(
           newQ, newBands, stateBands, cosE6,
           matchedIds => stateVecs
             .join(broadcast(matchedIds), Seq("vec_id"), "left_semi")
             .withColumn("nq", sim.normQ(col("q"))))
         pairs.write.mode("append").parquet(pairsDir)
-        newBands.write.mode("append").parquet(s"$stateDir/bands")
-        newQ.select(col("vec_id"), col("q")).write.mode("append").parquet(s"$stateDir/vecs")
+        IndexCommit.commitBatch(newBands, s"$stateDir/bands", batchId)
+        IndexCommit.commitBatch(newQ.select(col("vec_id"), col("q")),
+          s"$stateDir/vecs", batchId)
       }
       .start()
   }
@@ -691,51 +678,6 @@ object DocStreams {
             "into batch_id=N partitions) before resuming.")
     }
 
-  /** Coalesce the settled span-index partitions (`batch_id < current`)
-    * into the single highest settled partition. Safe under streaming's
-    * replay contract: when batch `B` runs, every batch `< B` has
-    * committed and will never re-run, so per-batch provenance below
-    * `B` is only needed collectively (reads filter `batch_id < C` for
-    * `C ≥ B`, and the compacted partition keeps the max settled id, so
-    * every such read still sees it — including a replay of `B`
-    * itself). Idempotent: a replayed compaction finds one settled
-    * partition and no-ops. Crash windows leave either the old
-    * partitions (compacted write incomplete) or transient duplicates
-    * across old + compacted partitions — harmless, since index reads
-    * are existence joins (semi/anti) and the next compaction removes
-    * them. The materializing cut breaks lineage so the overwrite never
-    * reads the files it is replacing.
-    */
-  private[graft] def compactSpanIndex(
-      spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      idxPath: org.apache.hadoop.fs.Path,
-      batchId: Long,
-      keyCol: String = "wh"): Unit = {
-    if (!fs.exists(idxPath)) return
-    val settled = fs.listStatus(idxPath).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        "^batch_id=(-?\\d+)$".r.findFirstMatchIn(st.getPath.getName)
-          .map(m => (m.group(1).toLong, st.getPath))
-      }
-      .filter(_._1 < batchId)
-    if (settled.size > 1) {
-      val keep = settled.map(_._1).max
-      val merged = graft.operators.Checkpoints.cut(
-        spark.read.parquet(idxPath.toString)
-          .filter(col("batch_id") < batchId)
-          .select(col(keyCol)).distinct(), None)
-      merged.withColumn("batch_id", lit(keep))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(idxPath.toString)
-      merged.unpersist()
-      settled.filter(_._1 != keep).foreach { case (_, p) => fs.delete(p, true) }
-    }
-  }
-
   /** Continuous exact-substring ingest — the streaming twin of
     * [[graft.operators.Dedup.exactSpanCoverage]]: each micro-batch's
     * documents are scored for duplicated `k`-token positions against
@@ -762,7 +704,7 @@ object DocStreams {
     * every batch re-reads the whole index — so every `compactEvery`
     * batches the settled partitions (strictly earlier batch_ids,
     * which streaming's replay contract guarantees will never re-run)
-    * are coalesced into one (see [[compactSpanIndex]]);
+    * are folded into one manifest segment (see [[IndexCommit.fold]]);
     * `compactEvery = 0` disables compaction.
     */
   def spanIngest(
@@ -805,25 +747,20 @@ object DocStreams {
     val spark = batch.sparkSession
     val whSchema = StructType(Seq(
       StructField("wh", LongType, nullable = false)))
-    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/wh")
+    val idxRoot = s"$stateDir/wh"
+    val idxPath = new org.apache.hadoop.fs.Path(idxRoot)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = idxPath.getFileSystem(conf)
     // each dir's check runs against ITS OWN filesystem: state and sink
     // may legitimately live on different schemes (local state, object-
     // store sink), and the index FS would throw Wrong-FS on the other
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
       "spanIngest coverage sink")
-    requireBatchPartitionedDir(fs, idxPath, "spanIngest window-hash index")
+    IndexCommit.requireManifestLayout(idxPath.getFileSystem(conf), idxPath,
+      "spanIngest window-hash index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactSpanIndex(spark, fs, idxPath, batchId)
-    val index =
-      if (fs.exists(idxPath))
-        spark.read.parquet(idxPath.toString)
-          .filter(col("batch_id") < batchId)
-          .select(col("wh"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], whSchema)
+      IndexCommit.fold(spark, idxRoot, batchId, whSchema, _.distinct())
+    val index = IndexCommit.readBefore(spark, idxRoot, batchId, whSchema)
     val totals = batch.select(col("doc_id"),
       size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     val wins = graft.operators.Checkpoints.cut(
@@ -842,13 +779,9 @@ object DocStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-    wins.select(col("wh")).distinct()
-      .join(index, Seq("wh"), "left_anti")
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(idxPath.toString)
+    IndexCommit.commitBatch(
+      wins.select(col("wh")).distinct().join(index, Seq("wh"), "left_anti"),
+      idxRoot, batchId)
   }
 
   /** Continuous LINE dedup — the streaming twin of
@@ -871,7 +804,7 @@ object DocStreams {
     *
     * State is the distinct 8-byte line-hash set — no text — with
     * batch-id provenance (reads filter `batch_id < current`) and the
-    * periodic [[compactSpanIndex]] fold, so replayed batches emit
+    * periodic [[IndexCommit.fold]], so replayed batches emit
     * identical rows and the retry contract is [[spanIngest]]'s:
     * exactly-once by `batch_id` dynamic partition overwrite on both
     * the sink and the index.
@@ -913,32 +846,34 @@ object DocStreams {
       batchId: Long,
       compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
+    val idxRoot = s"$stateDir/lh"
+    val idxPath = new org.apache.hadoop.fs.Path(idxRoot)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = idxPath.getFileSystem(conf)
     // per-path filesystems (the spanIngestBatch rule): state and sink
     // may live on different schemes
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
       "lineIngest sink")
-    requireBatchPartitionedDir(fs, idxPath, "lineIngest line-hash index")
+    IndexCommit.requireManifestLayout(idxPath.getFileSystem(conf), idxPath,
+      "lineIngest line-hash index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      compactSpanIndex(spark, fs, idxPath, batchId, keyCol = "h")
+      IndexCommit.fold(spark, idxRoot, batchId, lhSchema, _.distinct())
     val (rebuilt, newHashes) =
-      lineDedupVsIndex(batch, fs, idxPath, batchId, minChars, hash, cutDir)
+      lineDedupVsIndex(batch, idxRoot, batchId, minChars, hash, cutDir)
     rebuilt
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-    newHashes
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(idxPath.toString)
+    IndexCommit.commitBatch(newHashes, idxRoot, batchId)
   }
+
+  /** Schema of the line-hash index segments (shared by
+    * [[lineIngestBatch]] and [[webIngestBatch]]).
+    */
+  private val lhSchema = StructType(Seq(
+    StructField("h", LongType, nullable = false)))
 
   /** The line-dedup-against-index core shared by [[lineIngestBatch]]
     * and [[webIngestBatch]]: dedup `batch` keep-first against the
@@ -950,22 +885,13 @@ object DocStreams {
     */
   private[graft] def lineDedupVsIndex(
       batch: DataFrame,
-      fs: org.apache.hadoop.fs.FileSystem,
-      idxPath: org.apache.hadoop.fs.Path,
+      idxRoot: String,
       batchId: Long,
       minChars: Int,
       hash: Hashing.HashTier,
       cutDir: Option[String]): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val hSchema = StructType(Seq(
-      StructField("h", LongType, nullable = false)))
-    val index =
-      if (fs.exists(idxPath))
-        spark.read.parquet(idxPath.toString)
-          .filter(col("batch_id") < batchId)
-          .select(col("h"))
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hSchema)
+    val index = IndexCommit.readBefore(spark, idxRoot, batchId, lhSchema)
     val inst = graft.operators.Checkpoints.cut(
       graft.operators.Dedup.lineInstances(batch, minChars, "text", "doc_id", hash),
       cutDir)
@@ -1017,8 +943,7 @@ object DocStreams {
     * batch-id-versioned parquet with `batch_id < current` reads and
     * dynamic partition overwrite, so replayed batches emit identical
     * rows and identical state (the [[spanIngest]] exactly-once
-    * contract); both fold periodically ([[compactSpanIndex]] /
-    * [[compactQuotaIndex]]).
+    * contract); both fold periodically through [[IndexCommit.fold]].
     *
     * Output per batch: `(doc_id, reg_domain, rn, batch_id)` — admitted
     * documents with their global quota rank.
@@ -1062,15 +987,17 @@ object DocStreams {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     requireBatchPartitionedDir(outPath.getFileSystem(conf), outPath,
       "webIngest sink")
-    val idxPath = new org.apache.hadoop.fs.Path(s"$stateDir/lh")
-    val idxFs = idxPath.getFileSystem(conf)
-    requireBatchPartitionedDir(idxFs, idxPath, "webIngest line-hash index")
-    val dqPath = new org.apache.hadoop.fs.Path(s"$stateDir/dq")
-    val dqFs = dqPath.getFileSystem(conf)
-    requireBatchPartitionedDir(dqFs, dqPath, "webIngest domain-quota index")
+    val idxRoot = s"$stateDir/lh"
+    val idxPath = new org.apache.hadoop.fs.Path(idxRoot)
+    IndexCommit.requireManifestLayout(idxPath.getFileSystem(conf), idxPath,
+      "webIngest line-hash index")
+    val dqRoot = s"$stateDir/dq"
+    val dqPath = new org.apache.hadoop.fs.Path(dqRoot)
+    IndexCommit.requireManifestLayout(dqPath.getFileSystem(conf), dqPath,
+      "webIngest domain-quota index")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      compactSpanIndex(spark, idxFs, idxPath, batchId, keyCol = "h")
-      compactQuotaIndex(spark, dqFs, dqPath, batchId)
+      IndexCommit.fold(spark, idxRoot, batchId, lhSchema, _.distinct())
+      IndexCommit.fold(spark, dqRoot, batchId, dqSchema, _.distinct())
     }
     // 1) URL gate (FIRST — the webCurate pinned ordering)
     val parts = graft.operators.TextOps.urlParts(
@@ -1085,25 +1012,19 @@ object DocStreams {
       .select(col("doc_id"), col("clean_text").as("text"))
     // 3) line dedup vs the corpus index (shared core)
     val (rebuilt, newHashes) = lineDedupVsIndex(
-      stripped, idxFs, idxPath, batchId, minLineChars, hash, cutDir)
+      stripped, idxRoot, batchId, minLineChars, hash, cutDir)
     // 4) domain quota vs prior admissions; cut so the sink write and
     // the admission-index write compute the ranking window once.
     // The index stores one (reg_domain, doc_id) row per ADMISSION —
-    // bounded by domainK × domains — and the prior DISTINCTs before
-    // counting, so a compaction that crashed between its fold write
-    // and its partition deletes leaves duplicate rows that collapse
-    // harmlessly (the compactSpanIndex existence-read safety argument;
-    // an additive count index would double-count that crash window —
-    // the r16 review finding)
-    val prior =
-      if (dqFs.exists(dqPath))
-        spark.read.parquet(dqPath.toString)
-          .filter(col("batch_id") < batchId)
-          .select(col("reg_domain"), col("doc_id")).distinct()
-          .groupBy(col("reg_domain"))
-          .agg(count(lit(1)).as("prior"))
-      else spark.emptyDataFrame
-        .select(lit("").as("reg_domain"), lit(0L).as("prior")).limit(0)
+    // bounded by domainK × domains. Manifest commits make index reads
+    // exactly-once in every crash window (IndexCommitSpec), so even
+    // an additive count here would be safe — the r16 review finding's
+    // whole class, retired by the device; the DISTINCT survives only
+    // as semantics (an admission is a set member, not a tally).
+    val prior = IndexCommit.readBefore(spark, dqRoot, batchId, dqSchema)
+      .distinct()
+      .groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("prior"))
     val w = Window.partitionBy(col("reg_domain"))
       .orderBy(col("hkey").asc, col("doc_id").asc)
     val admitted = graft.operators.Checkpoints.cut(
@@ -1123,57 +1044,16 @@ object DocStreams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-    newHashes
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(idxPath.toString)
-    admitted.select(col("reg_domain"), col("doc_id"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dqPath.toString)
+    IndexCommit.commitBatch(newHashes, idxRoot, batchId)
+    IndexCommit.commitBatch(
+      admitted.select(col("reg_domain"), col("doc_id")), dqRoot, batchId)
   }
 
-  /** Fold settled `(reg_domain, doc_id, batch_id)` admission-index
-    * partitions into one DISTINCT row set at the max settled batch id
-    * — the [[compactSpanIndex]] discipline on the composite admission
-    * key. Crash-safe by the same argument: a fold written but with
-    * stale partitions not yet deleted leaves DUPLICATE rows, and every
-    * reader distincts before counting, so duplicates are harmless (a
-    * sum-folded count index would double-count that window — the r16
-    * review finding).
-    */
-  private[graft] def compactQuotaIndex(
-      spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      dqPath: org.apache.hadoop.fs.Path,
-      batchId: Long): Unit = {
-    if (!fs.exists(dqPath)) return
-    val settled = fs.listStatus(dqPath).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        "^batch_id=(-?\\d+)$".r.findFirstMatchIn(st.getPath.getName)
-          .map(m => (m.group(1).toLong, st.getPath))
-      }
-      .filter(_._1 < batchId)
-    if (settled.size > 1) {
-      val keep = settled.map(_._1).max
-      val merged = graft.operators.Checkpoints.cut(
-        spark.read.parquet(dqPath.toString)
-          .filter(col("batch_id") < batchId)
-          .select(col("reg_domain"), col("doc_id")).distinct(), None)
-      merged.withColumn("batch_id", lit(keep))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(dqPath.toString)
-      merged.unpersist()
-      settled.filter(_._1 != keep).foreach { case (_, p) => fs.delete(p, true) }
-    }
-  }
+  /** Schema of the domain-quota admission index segments. */
+  private val dqSchema = StructType(Seq(
+    StructField("reg_domain", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("doc_id", LongType, nullable = false)))
 
   /** Stream-static blocklist filter: drop stream documents whose
     * content matches a static blocklist (takedown lists, eval-set

@@ -28,6 +28,25 @@ case class FixSrcDoc(doc_id: Long, source: String, text: String)
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Committed rows of a manifest-layout state index (the
+    * [[graft.streaming.IndexCommit]] stores) — what a reader with no
+    * batch fence sees. Requires at least one committed segment.
+    */
+  private def readIndex(root: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val segs = graft.streaming.IndexCommit.readManifest(fs, p)
+    assert(segs.nonEmpty, s"no committed segments under $root")
+    spark.read.parquet(segs.map(s => s"$root/${s.dir}"): _*)
+  }
+
+  /** seg_/fold_ dir names present on disk under an index root. */
+  private def indexDirs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("seg_") || f.getName.startsWith("fold_")))
+      .map(_.getName)
+
   case class Ev(event_id: Long, user_id: String, event_type: String, ts: Timestamp, value: Double)
 
   private def t(sec: Long) = new Timestamp(sec * 1000)
@@ -600,7 +619,7 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
       assert(streamed.nonEmpty, "fixture should contain near-dups")
       // the index accumulated band + shingle state for every doc
-      val idx = spark.read.parquet(s"$dirs/state/bands")
+      val idx = readIndex(s"$dirs/state/bands")
       assert(idx.select("doc_id").distinct().count() === base.length.toLong)
     } finally q.stop()
   }
@@ -650,13 +669,15 @@ class StreamingSpec extends SparkSpec {
         s"chunk-2 twin mismatch at ${d.doc_id}"))
       assert(twin2.values.exists(identity) && twin2.values.exists(!_),
         "fixture must exercise both verdict cells")
-      // final sketch (the newest bloom_v* snapshot) = the whole-corpus
-      // batch build (merge algebra); older versions pruned to <= 2
-      val stateDir = new java.io.File(s"$dirs/state")
-      val vs = stateDir.list().filter(_.startsWith("bloom_v")).sorted
-      assert(vs.length <= 2, s"stale versions unpruned: ${vs.toSeq}")
+      // final sketch (the newest committed snapshot) = the whole-corpus
+      // batch build (merge algebra); the cumulative store keeps only
+      // the newest snapshot + the replay target
+      val segs = indexDirs(s"$dirs/state/bloom")
+      assert(segs.size <= 2, s"stale snapshots unpruned: $segs")
       val streamedSketch = rowSet(
-        spark.read.parquet(s"$dirs/state/${vs.last}"))
+        graft.streaming.IndexCommit.readLatestBefore(
+          spark, s"$dirs/state/bloom", Long.MaxValue,
+          spark.read.parquet(s"$dirs/state/bloom/${segs.max}").schema).get)
       val batchSketch = rowSet(graft.operators.Dedup.bloomBuild(
         all.toSeq.toDF("doc_id", "text")))
       assert(streamedSketch === batchSketch)
@@ -688,9 +709,9 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
       assert(streamed.nonEmpty, "fixture should contain near-dups")
       // the index accumulated band + quantized-vector state per vector
-      assert(spark.read.parquet(s"$dirs/state/bands")
+      assert(readIndex(s"$dirs/state/bands")
         .select("vec_id").distinct().count() === base.length.toLong)
-      assert(spark.read.parquet(s"$dirs/state/vecs")
+      assert(readIndex(s"$dirs/state/vecs")
         .count() === base.length.toLong)
     } finally q.stop()
   }
@@ -855,10 +876,10 @@ class StreamingSpec extends SparkSpec {
         rowSet(graft.operators.Dedup.exactSpanCoverage(
           base.toSeq.toDF("doc_id", "text"), 16,
           hash = graft.functions.Hashing.Portable)))
-      // the corpus index holds each hash exactly once, with batch
-      // provenance for replay-safe reads
-      val idx = spark.read.parquet(s"$dirs/state/wh")
-      assert(idx.columns.toSet === Set("wh", "batch_id"))
+      // the corpus index holds each hash exactly once, committed
+      // through the manifest device (segments carry batch provenance)
+      val idx = readIndex(s"$dirs/state/wh")
+      assert(idx.columns.toSet === Set("wh"))
       assert(idx.count() === idx.select("wh").distinct().count())
       // replay the LAST batch with its original id: coverage rows and
       // index must be byte-for-byte stable (the batch reads only
@@ -874,7 +895,7 @@ class StreamingSpec extends SparkSpec {
         lastChunk.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
         16, graft.functions.Hashing.Portable, None, lastBatch)
       assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
-      assert(rowSet(spark.read.parquet(s"$dirs/state/wh")) === idxBefore)
+      assert(rowSet(readIndex(s"$dirs/state/wh")) === idxBefore)
     } finally q.stop()
   }
 
@@ -900,10 +921,10 @@ class StreamingSpec extends SparkSpec {
         rowSet(graft.operators.Dedup.lineDedup(
           base.toSeq.toDF("doc_id", "text"),
           hash = graft.functions.Hashing.Portable)))
-      // the line-hash index holds each hash exactly once, with batch
-      // provenance for replay-safe reads
-      val idx = spark.read.parquet(s"$dirs/state/lh")
-      assert(idx.columns.toSet === Set("h", "batch_id"))
+      // the line-hash index holds each hash exactly once, committed
+      // through the manifest device (segments carry batch provenance)
+      val idx = readIndex(s"$dirs/state/lh")
+      assert(idx.columns.toSet === Set("h"))
       assert(idx.count() === idx.select("h").distinct().count())
       // replay the LAST batch with its original id: sink and index
       // byte-for-byte stable
@@ -917,7 +938,7 @@ class StreamingSpec extends SparkSpec {
         lastChunk.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
         5, graft.functions.Hashing.Portable, None, lastBatch)
       assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
-      assert(rowSet(spark.read.parquet(s"$dirs/state/lh")) === idxBefore)
+      assert(rowSet(readIndex(s"$dirs/state/lh")) === idxBefore)
     } finally q.stop()
   }
 
@@ -996,14 +1017,14 @@ class StreamingSpec extends SparkSpec {
       val lastBatch = (chunks.size - 1).toLong
       val lastChunk = chunks.last
       val before = rowSet(spark.read.parquet(s"$dirs/out"))
-      val lhBefore = rowSet(spark.read.parquet(s"$dirs/state/lh"))
-      val dqBefore = rowSet(spark.read.parquet(s"$dirs/state/dq"))
+      val lhBefore = rowSet(readIndex(s"$dirs/state/lh"))
+      val dqBefore = rowSet(readIndex(s"$dirs/state/dq"))
       graft.streaming.DocStreams.webIngestBatch(
         lastChunk.toDF(), s"$dirs/state", s"$dirs/out", 3, "url", "text", 5,
         graft.functions.Hashing.Portable, None, lastBatch)
       assert(rowSet(spark.read.parquet(s"$dirs/out")) === before)
-      assert(rowSet(spark.read.parquet(s"$dirs/state/lh")) === lhBefore)
-      assert(rowSet(spark.read.parquet(s"$dirs/state/dq")) === dqBefore)
+      assert(rowSet(readIndex(s"$dirs/state/lh")) === lhBefore)
+      assert(rowSet(readIndex(s"$dirs/state/dq")) === dqBefore)
     } finally q.stop()
   }
 
@@ -1071,16 +1092,13 @@ class StreamingSpec extends SparkSpec {
     // identical admissions with and without mid-run compaction
     assert(rowSet(spark.read.parquet(s"$dirs/out")) ===
       rowSet(spark.read.parquet(s"$dirsRef/out")))
-    // the compacted quota index folded settled partitions
-    val parts = new java.io.File(s"$dirs/state/dq").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
-    val refParts = new java.io.File(s"$dirsRef/state/dq").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    // the compacted quota index folded settled segments
+    val parts = indexDirs(s"$dirs/state/dq")
+    val refParts = indexDirs(s"$dirsRef/state/dq")
     assert(parts.size < refParts.size,
-      s"expected folded quota index: ${parts.map(_.getName).sorted}")
+      s"expected folded quota index: ${parts.sorted}")
     // and the folded admission rows still reproduce the true totals
-    // (reads DISTINCT before counting — the crash-window safety rule)
-    val folded = spark.read.parquet(s"$dirs/state/dq")
+    val folded = readIndex(s"$dirs/state/dq")
       .select("reg_domain", "doc_id").distinct()
       .groupBy("reg_domain")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -1088,28 +1106,24 @@ class StreamingSpec extends SparkSpec {
       .groupBy("reg_domain")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
     assert(rowSet(folded) === rowSet(truth))
-    // the crash window itself: duplicate a settled partition's rows
-    // into a fresh batch partition (exactly what a fold-then-crash
-    // leaves behind) — admissions must be unaffected
-    val dup = spark.read.parquet(s"$dirs/state/dq")
-      .orderBy(col("batch_id").asc).limit(2)
-      .select("reg_domain", "doc_id")
-      .withColumn("batch_id", lit(98L))
-    dup.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$dirs/state/dq")
+    // the crash window itself: an orphan segment dir on disk that no
+    // manifest references (exactly what a fold-then-crash, or a
+    // commit-then-crash-before-swap, leaves behind) — admissions must
+    // be unaffected because readers resolve through the manifest only
+    readIndex(s"$dirs/state/dq").limit(2)
+      .write.mode("overwrite").parquet(s"$dirs/state/dq/seg_98")
     val outBefore = rowSet(spark.read.parquet(s"$dirs/out"))
     graft.streaming.DocStreams.webIngestBatch(
       webDocs.take(3).toDF(), s"$dirs/state", s"$dirs/out", 3, "url", "text",
       5, graft.functions.Hashing.Portable, None, 99L)
-    // batch 99 re-offers already-admitted docs: the duplicated index
-    // rows must not change the prior counts, so nothing over-admits
+    // batch 99 re-offers already-admitted docs: the orphan segment
+    // must not change the prior counts, so nothing over-admits
     // and nothing previously admitted is recounted
     val after = spark.read.parquet(s"$dirs/out")
     val perDom = after.groupBy("reg_domain")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .as[(String, Long)].collect()
-    for ((dom, n) <- perDom) assert(n <= 3, s"$dom over quota after dup rows")
+    for ((dom, n) <- perDom) assert(n <= 3, s"$dom over quota after orphan rows")
     assert(rowSet(after.filter(col("batch_id") < 98L)) === outBefore)
   }
 
@@ -1131,26 +1145,25 @@ class StreamingSpec extends SparkSpec {
       rowSet(graft.operators.Dedup.exactSpanCoverage(
         base.toSeq.toDF("doc_id", "text"), 16,
         hash = graft.functions.Hashing.Portable)))
-    // the index still holds each hash exactly once, in few partitions:
-    // the last compaction (at the largest even batch id) merged every
-    // earlier partition into one, so only it + later batches remain
-    val idx = spark.read.parquet(s"$dirs/state/wh")
+    // the index still holds each hash exactly once, in few segments:
+    // the last fold (at the largest even batch id) merged every
+    // earlier segment into one, so only it + later batches remain
+    val idx = readIndex(s"$dirs/state/wh")
     assert(idx.count() === idx.select("wh").distinct().count())
-    val parts = new java.io.File(s"$dirs/state/wh").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    val parts = indexDirs(s"$dirs/state/wh")
     val maxId = chunks.size - 1
     val lastCompaction = (maxId / 2) * 2
     val bound = if (lastCompaction > 0) maxId - lastCompaction + 2 else maxId + 1
     assert(parts.size <= bound && parts.size < chunks.size,
-      s"expected compacted index, got ${parts.map(_.getName).sorted}")
-    // replaying the LAST batch after a compaction is still a no-op
-    val before = rowSet(spark.read.parquet(s"$dirs/state/wh"))
+      s"expected folded index, got ${parts.sorted}")
+    // replaying the LAST batch after a fold is still a no-op
+    val before = rowSet(readIndex(s"$dirs/state/wh"))
     val outBefore = rowSet(spark.read.parquet(s"$dirs/out"))
     graft.streaming.DocStreams.spanIngestBatch(
       chunks.last.toSeq.toDF("doc_id", "text"), s"$dirs/state", s"$dirs/out",
       16, graft.functions.Hashing.Portable, None, (chunks.size - 1).toLong,
       compactEvery = 2)
-    assert(rowSet(spark.read.parquet(s"$dirs/state/wh")) === before)
+    assert(rowSet(readIndex(s"$dirs/state/wh")) === before)
     assert(rowSet(spark.read.parquet(s"$dirs/out")) === outBefore)
   }
 
