@@ -2080,7 +2080,7 @@ object SparkEntry {
        |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
        |bwd_s AS (SELECT src, dst FROM bwd
        |          WHERE ${ph("src || '>' || dst")} % 60 = 0),
-       |dir_e AS (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s)""".stripMargin
+       |dir_e AS MATERIALIZED (SELECT src, dst FROM fwd_s UNION SELECT src, dst FROM bwd_s)""".stripMargin
 
   /** One max-rescaled HITS half-round as a CTE chain (the
     * [[louvainRoundSql]] device for [[GraphOps.hits]]): sums `score`
@@ -2098,7 +2098,7 @@ object SparkEntry {
        |  SELECT v.person_id, CAST(COALESCE(r.s, 0) AS BIGINT) AS s
        |  FROM hverts v LEFT JOIN r$out r USING (person_id)),
        |m$out AS (SELECT MAX(s) AS mx FROM f$out),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT person_id,
        |         CAST(CASE WHEN (SELECT mx FROM m$out) > 0
        |              THEN (s * 1000000) // (SELECT mx FROM m$out)
@@ -2162,7 +2162,7 @@ object SparkEntry {
        |  JOIN u$p u ON u.id = x.center
        |  JOIN v$p v ON v.id = x.ctx AND v.d = u.d
        |  GROUP BY x.center, x.ctx, x.y, x.w),
-       |gr$e AS (
+       |gr$e AS MATERIALIZED (
        |  SELECT center, ctx, w,
        |         y * 1048576 -
        |           LEAST(GREATEST(524288 + (dot >> 2), 0), 1048576) AS g
@@ -2177,11 +2177,11 @@ object SparkEntry {
        |         CAST(SUM(g.w * g.g * u.val) AS BIGINT) >> 22 AS delta
        |  FROM gr$e g JOIN u$p u ON u.id = g.center
        |  GROUP BY g.ctx, u.d),
-       |u$e AS (
+       |u$e AS MATERIALIZED (
        |  SELECT u.id, u.d,
        |         LEAST(GREATEST(u.val + COALESCE(t.delta, 0), -8192), 8192) AS val
        |  FROM u$p u LEFT JOIN du$e t ON t.id = u.id AND t.d = u.d),
-       |v$e AS (
+       |v$e AS MATERIALIZED (
        |  SELECT v.id, v.d,
        |         LEAST(GREATEST(v.val + COALESCE(t.delta, 0), -8192), 8192) AS val
        |  FROM v$p v LEFT JOIN dv$e t ON t.id = v.id AND t.d = v.d)""".stripMargin
@@ -5624,7 +5624,7 @@ object SparkEntry {
     // half-round (sum auth over out-edges, rescale), twice
     "g_hits" ->
       s"""WITH $dirECtes,
-         |hverts AS (SELECT src AS person_id FROM dir_e
+         |hverts AS MATERIALIZED (SELECT src AS person_id FROM dir_e
          |           UNION SELECT dst FROM dir_e),
          |h0 AS (SELECT person_id, CAST(1000000 AS BIGINT) AS score
          |       FROM hverts),
@@ -5658,13 +5658,13 @@ object SparkEntry {
     // epochs (hard-sigmoid gradient, >>-shift learning rate) — every
     // arithmetic step is BIGINT + arithmetic shift, engine-exact
     "g_sgns_train" -> randomWalksSql(
-      s""", pr AS (
+      s""", pr AS MATERIALIZED (
          |  SELECT a.cur AS center, b.cur AS context
          |  FROM walks a JOIN walks b
          |    ON a.walk_id = b.walk_id AND a.step <> b.step
          |   AND abs(a.step - b.step) <= 2),
-         |vc AS (SELECT center AS id FROM pr UNION SELECT context FROM pr),
-         |vr AS (
+         |vc AS MATERIALIZED (SELECT center AS id FROM pr UNION SELECT context FROM pr),
+         |vr AS MATERIALIZED (
          |  SELECT id, bucket,
          |         CAST(row_number() OVER (
          |           PARTITION BY bucket ORDER BY id ASC) - 1 AS BIGINT) AS vrank,
@@ -5678,7 +5678,7 @@ object SparkEntry {
          |  SELECT n.center, n.bucket,
          |         ${ph("n.center || ':' || n.context || ':n' || CAST(n.j AS VARCHAR) || ':r'")} % s.bsize AS vrank
          |  FROM nb n JOIN (SELECT DISTINCT bucket, bsize FROM vr) s USING (bucket)),
-         |ex AS (
+         |ex AS MATERIALIZED (
          |  SELECT center, ctx, y, CAST(count(*) AS BIGINT) AS w FROM (
          |    SELECT center, context AS ctx, CAST(1 AS BIGINT) AS y FROM pr
          |    UNION ALL
@@ -5686,11 +5686,11 @@ object SparkEntry {
          |    FROM nr n JOIN vr v ON v.bucket = n.bucket AND v.vrank = n.vrank)
          |  GROUP BY center, ctx, y),
          |dd AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS d),
-         |u0 AS (
+         |u0 AS MATERIALIZED (
          |  SELECT id, d,
          |         CAST(${ph("id || ':u:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
          |  FROM vc CROSS JOIN dd),
-         |v0 AS (
+         |v0 AS MATERIALIZED (
          |  SELECT id, d,
          |         CAST(${ph("id || ':v:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
          |  FROM vc CROSS JOIN dd),
