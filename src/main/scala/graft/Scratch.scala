@@ -29,10 +29,19 @@ object Scratch {
 
     val names = if (args.nonEmpty) args.toSeq else Seq("d_ngram_jaccard")
     time("warmup")(graft.sources.Tables.documents(spark, dir).count())
+    // dev variants not in the registry (profiling knob settings)
+    val extra: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      // the corpus-scale opt-out: no instance materialization — the
+      // generator re-runs per consumer instead of caching ~Σn rows
+      // per token (the sf10 storage-bound case, PERF_r17)
+      "gopher_nomat" -> graft.operators.TextOps.gopherRepetition(
+        graft.sources.Tables.documents(spark, dir),
+        materializeInstances = false))
     for (n <- names; i <- 1 to 3) {
       // un-pruned plan — the Bench rule (r16): plain count() lets
       // Catalyst collapse projection-final chains to a metadata count
-      time(s"$n r$i")(SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())
+      val df = extra.getOrElse(n, SparkEntry.queries(n)(spark, dir))
+      time(s"$n r$i")(df.queryExecution.toRdd.count())
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

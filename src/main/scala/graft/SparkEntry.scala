@@ -1509,11 +1509,15 @@ object SparkEntry {
     // graph-navigable search (HNSW-class layer-0 beam, Malkov 2018):
     // LSH-bucket seeds → 2 beam rounds over the built kNN graph →
     // exact top-5 — the QUERY path for the graph the two builders
-    // above produce (maxBucketSize = None: the pinned oracle form)
+    // above produce. The graph build is the SHIPPED capped default
+    // (DefaultBandCap=128): the uncapped form's banding saturates
+    // quadratically with the corpus (8.9×/decade at the sf1 smoke —
+    // caught by the smoke-row rule in-session), the capped build is
+    // identical until a bucket runs hot and bounded after
     "sim_graph_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.graphSearchTopK(emb, col("vec_id") < 8, k = 5,
-        graph = Similarity.knnGraph(emb, k = 5, maxBucketSize = None),
+        graph = Similarity.knnGraph(emb, k = 5),
         beam = 8, rounds = 2, planes = 8)
     }),
     // product quantization: per-subspace integer-L2 codes (the
@@ -2981,7 +2985,18 @@ object SparkEntry {
     * ([[graft.operators.Similarity.DefaultBandCap]]).
     */
   private def knnCappedSql(cap: Int): String =
-    s"""WITH $QNORM,
+    s"""WITH ${knnCappedCtes(cap)}
+       |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
+       |FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  /** Occupancy-capped banded-kNN CTE chain ending in `ranked(id_a,
+    * id_b, dot_q, rank)` — [[KNN_RANKED]] with the `vec_id`-hash
+    * sub-split on hot (band, bucket) groups; shared by the capped
+    * `sim_knn_graph_*` oracles and `sim_graph_search` (whose shipped
+    * graph build is the capped default).
+    */
+  private def knnCappedCtes(cap: Int): String =
+    s"""$QNORM,
        |nz AS (SELECT * FROM qn WHERE nq > 0),
        |s AS (
        |  SELECT vec_id, j,
@@ -3017,9 +3032,7 @@ object SparkEntry {
        |           PARTITION BY id_a
        |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, id_b ASC)
        |         AS BIGINT) AS "rank"
-       |  FROM pairs)
-       |SELECT id_a AS vec_id, id_b AS neighbor_id, dot_q, "rank"
-       |FROM ranked WHERE "rank" <= 5""".stripMargin
+       |  FROM pairs)""".stripMargin
 
   /** DuckDB twin of [[Similarity.dotQ]]. */
   private def dotSql(a: String, b: String): String =
@@ -6243,11 +6256,12 @@ object SparkEntry {
          |FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     // beam search over the built kNN graph: 8-plane LSH bucket seeds
-    // (reusing the first 8 of KNN_RANKED's 16 sign projections —
-    // identical plane weights), exact top-8 beam, 2 unrolled
-    // expand-union-rerank rounds through gk, final exact top-5
+    // (reusing the first 8 of the banding chain's 16 sign projections
+    // — identical plane weights), exact top-8 beam, 2 unrolled
+    // expand-union-rerank rounds through gk, final exact top-5; the
+    // graph chain is the CAPPED (128) build, the shipped default
     "sim_graph_search" ->
-      s"""WITH $KNN_RANKED,
+      s"""WITH ${knnCappedCtes(128)},
          |gk AS (SELECT id_a, id_b FROM ranked WHERE "rank" <= 5),
          |qbk AS (
          |  SELECT vec_id,
