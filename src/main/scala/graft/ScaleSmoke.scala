@@ -519,7 +519,12 @@ object ScaleSmoke {
     // r16 verdict backfill: both had sf1-caught plan bugs (broadcast-
     // switch double-execution; generator double-execution), so their
     // second decade is cheap insurance that the fixes hold at 100x
-    "g_hits", "t_gopher_ngram_rep")
+    "g_hits", "t_gopher_ngram_rep",
+    // r17 wave at the second decade — all three are genuinely new
+    // exchange shapes (weighted-example epoch scans; beam-frontier
+    // id-pair joins over the capped graph; hashed-feature gradient
+    // epochs), so each buys its own second-decade row
+    "g_sgns_train", "sim_graph_search", "t_logistic_classify")
 
   def main(args: Array[String]): Unit = {
     // merge-only mode: regenerate the artifact from checked-in raw runs
