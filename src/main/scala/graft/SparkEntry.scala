@@ -577,7 +577,10 @@ object SparkEntry {
     // SGNS embedding fit on the walk-context corpus (Mikolov 2013 /
     // Perozzi 2014 §4.2): dim-4 q10 integer embeddings, 2 full-batch
     // epochs, 2 hash-coin negatives per pair, hard-sigmoid gradient —
-    // deterministic, so the oracle unrolls both epochs as CTEs
+    // deterministic, so the oracle unrolls both epochs as CTEs.
+    // The array output flattens to CSV at the registration site (the
+    // a3_team_groups convention): the oracle gate compares scalar
+    // cells only.
     "g_sgns_train" -> ((s, dir) =>
       GraphOps.sgnsTrain(
         GraphOps.walkContexts(
@@ -585,7 +588,9 @@ object SparkEntry {
             pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
             walkLen = 3, walksPerVertex = 2),
           window = 2),
-        dim = 4, epochs = 2, negatives = 2, lrShift = 2, negBuckets = 8)),
+        dim = 4, epochs = 2, negatives = 2, lrShift = 2, negBuckets = 8)
+        .select(col("person_id"),
+          concat_ws(",", col("emb")).as("emb_csv"))),
 
     // node2vec biased walks (integer weights 250/1000/500 ≈ p=4, q=2):
     // second-order transitions — returns discounted, distance-1
@@ -5709,7 +5714,8 @@ object SparkEntry {
          |  FROM vc CROSS JOIN dd),
          |${sgnsEpochSql("0", "1")},
          |${sgnsEpochSql("1", "2")}
-         |SELECT id AS person_id, list(val ORDER BY d) AS emb
+         |SELECT id AS person_id,
+         |       string_agg(CAST(val AS VARCHAR), ',' ORDER BY d) AS emb_csv
          |FROM u2 GROUP BY id""".stripMargin),
 
     // node2vec: uniform first hop, then per step a candidate frame

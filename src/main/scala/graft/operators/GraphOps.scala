@@ -2188,10 +2188,17 @@ object GraphOps {
     *
     * Scale shape: nothing in the loop exceeds examples×dim rows of
     * (id, dim, long) triples, and the model state is 2·|V|·dim longs —
-    * the exchange is ids and longs, never walks or text. The q30
-    * gradient partials bound |w·g·v| ≤ w·2^33, so a center needs
-    * ~2^29 incident examples to overflow a BIGINT sum — beyond any
-    * real walk corpus fanout (walksPerVertex·walkLen·2·window).
+    * the exchange is ids and longs, never walks or text. String ids
+    * are hashed to 8-byte keys ONCE before the epoch loop (the
+    * [[Dedup.exactDedup]] "hash before shuffle" discipline): every
+    * per-epoch exchange — the example scan, both (id, dim) gradient
+    * aggregates, and the model update joins — keys on LongType, and
+    * the text label rejoins only in the final vocab-sized projection.
+    * (The 64-bit key space makes an id collision ~|V|²/2^65 — the
+    * same accepted odds as every other hash-keyed exchange here.)
+    * The q30 gradient partials bound |w·g·v| ≤ w·2^33, so a center
+    * needs ~2^29 incident examples to overflow a BIGINT sum — beyond
+    * any real walk corpus fanout (walksPerVertex·walkLen·2·window).
     *
     * Output: `(person_id, emb)` — the final CENTER (input) vectors,
     * `array<bigint>` q10, the convention word2vec ships.
@@ -2238,9 +2245,14 @@ object GraphOps {
     }
     // duplicate examples collapse to a weight: gradient-equivalent,
     // and the epoch scans |distinct examples| rows instead of the
-    // raw multiset
+    // raw multiset. Hash-before-shuffle: string ids become 8-byte
+    // keys HERE, so this groupBy and every epoch exchange after it
+    // moves LongType keys only — the text label rejoins once, after
+    // the last epoch.
     val examples = Checkpoints.cut(
       pos.unionByName(neg)
+        .select(Hashing.portableHash(col("center")).as("center"),
+          Hashing.portableHash(col("ctx")).as("ctx"), col("y"))
         .groupBy(col("center"), col("ctx"), col("y"))
         .agg(count(lit(1)).as("w")), checkpointDir)
     val dims = sequence(lit(0), lit(dim - 1))
@@ -2248,11 +2260,17 @@ object GraphOps {
       pmod(Hashing.portableHash(
         concat(col("id"), lit(s":$salt:"), d.cast("string"))),
         lit(256L)) - 128L)
+    // init values hash the STRING id (the oracle-visible recipe);
+    // the model frames key on its long hash. TWO selects, not one: a
+    // same-select `ph(id).as("id")` lateral-alias-shadows the child
+    // `id` inside hashInit (Spark LCA resolution), silently hashing
+    // the stringified long instead of the original id.
     val ids = vocab.select(col("id"))
-    var u = Checkpoints.cut(
-      ids.select(col("id"), hashInit("u").as("emb")), checkpointDir)
-    var v = Checkpoints.cut(
-      ids.select(col("id"), hashInit("v").as("emb")), checkpointDir)
+    def initModel(salt: String): DataFrame =
+      ids.select(col("id"), hashInit(salt).as("emb"))
+        .select(Hashing.portableHash(col("id")).as("id"), col("emb"))
+    var u = Checkpoints.cut(initModel("u"), checkpointDir)
+    var v = Checkpoints.cut(initModel("v"), checkpointDir)
     val clampQ10 = 8L * 1024L
     for (_ <- 1 to epochs) {
       val scored = examples
@@ -2293,6 +2311,12 @@ object GraphOps {
       u = applied(u, du)
       v = applied(v, dv)
     }
-    u.select(col("id").as("person_id"), col("emb"))
+    // one vocab-sized label join: long key -> original string id
+    // (rename first, hash second — same LCA-shadowing hazard as init)
+    val labels = vocab.select(col("id").as("person_id"))
+      .select(Hashing.portableHash(col("person_id")).as("id"),
+        col("person_id"))
+    u.join(labels, Seq("id"))
+      .select(col("person_id"), col("emb"))
   }
 }

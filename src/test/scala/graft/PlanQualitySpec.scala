@@ -959,6 +959,62 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a walk_id equi-join:\n$plan")
   }
 
+  test("sgnsTrain: epoch exchanges key on LongType — string shuffles don't grow with epochs") {
+    // sgnsTrain's per-epoch frames execute eagerly behind checkpoint
+    // cuts, so the final frame's plan can't be inspected for them —
+    // capture EVERY executed plan with a QueryExecutionListener
+    // instead. Invariant under test: the string-keyed exchanges are
+    // the constant pre-loop vocab build (ids are hashed to 8-byte
+    // keys before the example groupBy), so their count must NOT grow
+    // with the epoch count, while long-keyed exchanges do.
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+
+    def measure(epochs: Int, sentinel: Long): (Int, Int) = {
+      val plans = new ConcurrentLinkedQueue[SparkPlan]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+          plans.add(qe.executedPlan)
+        override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plain trees
+      spark.listenerManager.register(listener)
+      try {
+        val pairs = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L),
+          ("c", "b", 1L)).toDF("center", "context", "offset")
+        GraphOps.sgnsTrain(pairs, dim = 2, epochs = epochs, negBuckets = 2)
+        // the execution-listener bus is async: run a marker action and
+        // wait until its plan (FIFO-last) lands in the capture queue
+        spark.range(sentinel, sentinel + 1).collect()
+        val deadline = System.nanoTime + 30L * 1000L * 1000L * 1000L
+        while (!plans.asScala.exists(_.toString.contains(sentinel.toString)) &&
+            System.nanoTime < deadline) Thread.sleep(25)
+      } finally {
+        spark.listenerManager.unregister(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      val hps = plans.asScala.toList.flatMap(p =>
+        p.collect { case e: ShuffleExchangeExec => e.outputPartitioning })
+        .collect { case h: HashPartitioning => h }
+      (hps.count(_.expressions.exists(_.dataType == StringType)),
+        hps.count(_.expressions.forall(_.dataType != StringType)))
+    }
+
+    val (s1, l1) = measure(1, 987654301L)
+    val (s3, l3) = measure(3, 987654303L)
+    assert(s3 === s1,
+      s"string-keyed exchanges grew with epochs ($s1 -> $s3): the epoch loop is shuffling text ids")
+    assert(l3 > l1,
+      s"expected long-keyed exchanges to grow with epochs (got $l1 -> $l3) — capture broken?")
+  }
+
   test("gopherRepetition: gram exchanges ship hashes, never token text") {
     val g = graft.operators.TextOps.gopherRepetition(
       Tables.documents(spark, sfDir))

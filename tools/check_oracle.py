@@ -20,6 +20,12 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+#: The driver's comparator factorizes cells with pandas, which CRASHES
+#: on array/map/struct values — this replica must be at least as
+#: strict, or nested outputs ship invisibly (r17: g_sgns_train).
+SCALAR_TYPES = (type(None), bool, int, float, str, bytes)
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -27,6 +33,18 @@ def norm_cell(v):
         return repr(v)  # full precision
     if isinstance(v, bytes):
         return v.hex()
+    if not isinstance(v, SCALAR_TYPES):
+        # lists, dicts, numpy arrays, decimals-as-objects, dates are
+        # fine to *stringify*, but the driver's gate can't hash them —
+        # fail loudly instead of masking the violation
+        import datetime
+        import decimal
+        if not isinstance(v, (datetime.date, datetime.datetime,
+                              datetime.time, decimal.Decimal)):
+            raise TypeError(
+                f"non-scalar cell {type(v).__name__}: {v!r} — the driver's "
+                "gate rejects nested outputs; flatten at the registration "
+                "site (concat_ws / posexplode, the a3_team_groups rule)")
     return str(v)
 
 
