@@ -209,7 +209,12 @@ object Bench {
       runsDir: java.nio.file.Path, current: Seq[(String, Double)],
       fpr: String, fallback: String, round: String = ""): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runs = listJsons(runsDir).sortBy(_.toString)
+    // numeric run order, not lexicographic: "run_1000" < "run_999" as
+    // strings, which would mis-pick the latest stamp at run 1000
+    val runs = listJsons(runsDir)
+      .sortBy(p => ("run_(\\d+)\\.json$".r
+        .findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt).getOrElse(Int.MaxValue), p.toString))
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
       // a run with no fingerprint predates the fence — treat as stale
       .filter(r => Option(r.get("fixture")).exists(_.asText() == fpr))

@@ -172,6 +172,37 @@ object Recall {
         rows += Row("graph beam search (kNN k=10, beam=16, 8-plane seeds)",
           s"rounds=$rounds", "recall@10", r, pq, s)
       }
+      // the multi-probe seed axis (Lv et al. 2007 flips): wider seed
+      // sets without growing graph or index — does richer seeding
+      // beat more navigation at the same candidate budget?
+      for (probes <- Seq(2, 4, 8)) {
+        val ((r, pq), s) = time(rankedRecall(
+          Similarity.graphSearchTopK(emb, pred, k = K, graph = graph,
+            beam = 16, rounds = 2, planes = 8, seedProbes = probes)))
+        rows += Row("graph beam search (kNN k=10, beam=16, multi-probe seeds)",
+          s"probes=$probes rounds=2", "recall@10", r, pq, s)
+      }
+    }
+    // the graph-degree axis: k=10 edges may be too thin to navigate —
+    // denser layer-0 graphs cost build-time only (the frozen-index
+    // phase), not query-time rounds
+    for (gk <- Seq(20, 40)) {
+      val graph = graft.operators.Checkpoints.cut(
+        Similarity.knnGraph(emb, k = gk), None)
+      graph.count()
+      for (rounds <- Seq(1, 2, 4)) {
+        val ((r, pq), s) = time(rankedRecall(
+          Similarity.graphSearchTopK(emb, pred, k = K, graph = graph,
+            beam = 16, rounds = rounds, planes = 8)))
+        rows += Row(s"graph beam search (kNN k=$gk, beam=16, 8-plane seeds)",
+          s"rounds=$rounds", "recall@10", r, pq, s)
+      }
+      // everything on: dense graph + wide beam + probed seeds
+      val ((r, pq), s) = time(rankedRecall(
+        Similarity.graphSearchTopK(emb, pred, k = K, graph = graph,
+          beam = 32, rounds = 4, planes = 8, seedProbes = 8)))
+      rows += Row(s"graph beam search (kNN k=$gk, beam=32, probes=8)",
+        s"rounds=4", "recall@10", r, pq, s)
     }
 
     val corpusN = emb.count()

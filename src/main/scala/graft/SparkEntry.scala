@@ -259,7 +259,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ extendedQueries ++ modeVariantQueries
+    coreQueries ++ extendedQueries ++ modeVariantQueries ++ frozenIndexQueries
 
   def oracleSql: Map[String, String] = {
     val base = coreOracles ++ extendedOracles
@@ -287,7 +287,51 @@ object SparkEntry {
 
   private def modeVariantOracles(base: Map[String, String]): Map[String, String] = Map(
     "d_contam_shuffle" -> base("d_contamination"),
-    "d_span_contam_shuffle" -> base("d_exact_span_contam"))
+    "d_span_contam_shuffle" -> base("d_exact_span_contam"),
+    // frozen-index serving twins: build → .materialized → reload →
+    // probe. Values equal the inline operators by the frozen-reload
+    // law (SimilaritySpec pins it), so the inline SQL is the oracle —
+    // what the green row proves is the persisted-artifact query path
+    // end to end (write, reload, probe) under the full gate.
+    "sim_ivf_frozen" -> base("sim_ivf_topk"),
+    "sim_graph_frozen" -> base("sim_graph_search"),
+    "sim_sq8_frozen" -> base("sim_sq8_topk"),
+    "sim_pq_frozen" -> base("sim_pq_topk"))
+
+  /** Frozen ANN index queries — the `.materialized` train-once/
+    * probe-forever serving path ([[graft.operators.Similarity]]'s
+    * `IvfIndex`/`GraphIndex`/`Sq8Index`/`PqIndex`): each builds its
+    * index, persists it to a fresh temp dir, reloads, and probes with
+    * the same query slice as its inline twin.
+    */
+  private def frozenIndexQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def tmp(name: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    Map(
+      "sim_ivf_frozen" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = Similarity.ivfBuild(emb, 16, kmeansIters = 0)
+          .materialized(tmp("ivf_frozen"))
+        Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 8), nProbe = 4, k = 5)
+      }),
+      "sim_graph_frozen" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = Similarity.graphBuild(emb, graphK = 5, planes = 8)
+          .materialized(tmp("graph_frozen"))
+        Similarity.graphProbe(idx, emb.filter(col("vec_id") < 8),
+          k = 5, beam = 8, rounds = 2)
+      }),
+      "sim_sq8_frozen" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = Similarity.sq8Build(emb).materialized(tmp("sq8_frozen"))
+        Similarity.sq8Probe(idx, emb.filter(col("vec_id") < 8), k = 5)
+      }),
+      "sim_pq_frozen" -> ((s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = Similarity.pqBuild(emb).materialized(tmp("pq_frozen"))
+        Similarity.pqProbe(idx, emb.filter(col("vec_id") < 8), k = 5)
+      }))
+  }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1+T1: watermark-filtered incremental scan (predicate pushes to parquet)
@@ -591,6 +635,36 @@ object SparkEntry {
         dim = 4, epochs = 2, negatives = 2, lrShift = 2, negBuckets = 8)
         .select(col("person_id"),
           concat_ws(",", col("emb")).as("emb_csv"))),
+
+    // DeepWalk END-TO-END: walks → skip-gram contexts → SGNS fit →
+    // the trained q10 vectors enter the similarity tier — per
+    // hash-sliced query vertex, its 5 nearest embedding-space
+    // neighbors (cosineTopKQ: exact integer dots, self excluded,
+    // ties by neighbor id). The composed proof that the engine's
+    // graph-embedding output is directly consumable by its ANN tier.
+    // BUDGET NOTE (pinned): the query side is a 1/10 hash slice of
+    // the trained vocab, so this exact-rank tail is (|V|²/10) —
+    // correct for the oracle, quadratic at corpus scale. The scale
+    // path swaps the tail for the banded/graph tiers (knnGraph /
+    // graphProbe consume the same (id, q, nq) frame); revisit if this
+    // query ever leaves the oracle-proof role.
+    "g_embed_neighbors" -> ((s, dir) => {
+      val emb = GraphOps.sgnsTrain(
+        GraphOps.walkContexts(
+          GraphOps.randomWalks(mergedOf(s, dir),
+            pmod(Hashing.portableHash(col("person_id")), lit(25)) === 0,
+            walkLen = 3, walksPerVertex = 2),
+          window = 2),
+        dim = 4, epochs = 2, negatives = 2, lrShift = 2, negBuckets = 8)
+      val corpus = emb
+        .select(col("person_id").as("vec_id"), col("emb").as("q"))
+        .withColumn("nq", Similarity.normQ(col("q")))
+        // zero-norm vectors cosine-NaN against everything (both
+        // engines sort NaN first desc) — drop them, the mmr rule
+        .filter(col("nq") > 0)
+      Similarity.cosineTopKQ(corpus,
+        pmod(Hashing.portableHash(col("vec_id")), lit(10)) === 0, k = 5)
+    }),
 
     // node2vec biased walks (integer weights 250/1000/500 ≈ p=4, q=2):
     // second-order transitions — returns discounted, distance-1
@@ -2154,6 +2228,53 @@ object SparkEntry {
        |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
        |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3)
        |$tail""".stripMargin
+
+  /** The full SGNS training chain as CTEs appended after `walks`
+    * (shared by the `g_sgns_train` and `g_embed_neighbors` oracles):
+    * skip-gram pairs → bucketed vocab ranks → 2 hash-coin negatives →
+    * weighted distinct examples → hash-init q10 model → 2 unrolled
+    * epochs, ending at `u2(id, d, val)`. Starts with "," — callers
+    * append their own final SELECT (and further CTEs after a ",").
+    */
+  private lazy val sgnsCtes: String =
+    s""", pr AS MATERIALIZED (
+       |  SELECT a.cur AS center, b.cur AS context
+       |  FROM walks a JOIN walks b
+       |    ON a.walk_id = b.walk_id AND a.step <> b.step
+       |   AND abs(a.step - b.step) <= 2),
+       |vc AS MATERIALIZED (SELECT center AS id FROM pr UNION SELECT context FROM pr),
+       |vr AS MATERIALIZED (
+       |  SELECT id, bucket,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY bucket ORDER BY id ASC) - 1 AS BIGINT) AS vrank,
+       |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bsize
+       |  FROM (SELECT id, ${ph("id")} % 8 AS bucket FROM vc)),
+       |nb AS (
+       |  SELECT center, context, j,
+       |         ${ph("center || ':' || context || ':n' || CAST(j AS VARCHAR) || ':b'")} % 8 AS bucket
+       |  FROM pr CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t),
+       |nr AS (
+       |  SELECT n.center, n.bucket,
+       |         ${ph("n.center || ':' || n.context || ':n' || CAST(n.j AS VARCHAR) || ':r'")} % s.bsize AS vrank
+       |  FROM nb n JOIN (SELECT DISTINCT bucket, bsize FROM vr) s USING (bucket)),
+       |ex AS MATERIALIZED (
+       |  SELECT center, ctx, y, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT center, context AS ctx, CAST(1 AS BIGINT) AS y FROM pr
+       |    UNION ALL
+       |    SELECT n.center, v.id AS ctx, CAST(0 AS BIGINT) AS y
+       |    FROM nr n JOIN vr v ON v.bucket = n.bucket AND v.vrank = n.vrank)
+       |  GROUP BY center, ctx, y),
+       |dd AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS d),
+       |u0 AS MATERIALIZED (
+       |  SELECT id, d,
+       |         CAST(${ph("id || ':u:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
+       |  FROM vc CROSS JOIN dd),
+       |v0 AS MATERIALIZED (
+       |  SELECT id, d,
+       |         CAST(${ph("id || ':v:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
+       |  FROM vc CROSS JOIN dd),
+       |${sgnsEpochSql("0", "1")},
+       |${sgnsEpochSql("1", "2")}""".stripMargin
 
   /** One SGNS full-batch epoch as a CTE chain (the unrolled-epoch
     * device, `t_unigram_train` class): reads `ex(center, ctx, y, w)`
@@ -5676,47 +5797,37 @@ object SparkEntry {
     // epochs (hard-sigmoid gradient, >>-shift learning rate) — every
     // arithmetic step is BIGINT + arithmetic shift, engine-exact
     "g_sgns_train" -> randomWalksSql(
-      s""", pr AS MATERIALIZED (
-         |  SELECT a.cur AS center, b.cur AS context
-         |  FROM walks a JOIN walks b
-         |    ON a.walk_id = b.walk_id AND a.step <> b.step
-         |   AND abs(a.step - b.step) <= 2),
-         |vc AS MATERIALIZED (SELECT center AS id FROM pr UNION SELECT context FROM pr),
-         |vr AS MATERIALIZED (
-         |  SELECT id, bucket,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY bucket ORDER BY id ASC) - 1 AS BIGINT) AS vrank,
-         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bsize
-         |  FROM (SELECT id, ${ph("id")} % 8 AS bucket FROM vc)),
-         |nb AS (
-         |  SELECT center, context, j,
-         |         ${ph("center || ':' || context || ':n' || CAST(j AS VARCHAR) || ':b'")} % 8 AS bucket
-         |  FROM pr CROSS JOIN (SELECT unnest(range(0, 2)) AS j) t),
-         |nr AS (
-         |  SELECT n.center, n.bucket,
-         |         ${ph("n.center || ':' || n.context || ':n' || CAST(n.j AS VARCHAR) || ':r'")} % s.bsize AS vrank
-         |  FROM nb n JOIN (SELECT DISTINCT bucket, bsize FROM vr) s USING (bucket)),
-         |ex AS MATERIALIZED (
-         |  SELECT center, ctx, y, CAST(count(*) AS BIGINT) AS w FROM (
-         |    SELECT center, context AS ctx, CAST(1 AS BIGINT) AS y FROM pr
-         |    UNION ALL
-         |    SELECT n.center, v.id AS ctx, CAST(0 AS BIGINT) AS y
-         |    FROM nr n JOIN vr v ON v.bucket = n.bucket AND v.vrank = n.vrank)
-         |  GROUP BY center, ctx, y),
-         |dd AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS d),
-         |u0 AS MATERIALIZED (
-         |  SELECT id, d,
-         |         CAST(${ph("id || ':u:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
-         |  FROM vc CROSS JOIN dd),
-         |v0 AS MATERIALIZED (
-         |  SELECT id, d,
-         |         CAST(${ph("id || ':v:' || CAST(d AS VARCHAR)")} % 256 - 128 AS BIGINT) AS val
-         |  FROM vc CROSS JOIN dd),
-         |${sgnsEpochSql("0", "1")},
-         |${sgnsEpochSql("1", "2")}
+      s"""$sgnsCtes
          |SELECT id AS person_id,
          |       string_agg(CAST(val AS VARCHAR), ',' ORDER BY d) AS emb_csv
          |FROM u2 GROUP BY id""".stripMargin),
+
+    // DeepWalk end-to-end: the SGNS chain's trained u2 vectors feed
+    // the brute-cosine twin — per hash-sliced query vertex the 5
+    // nearest embedding-space neighbors (exact BIGINT dot/norms, the
+    // one double is the shared dot/sqrt(nn) ranking expression)
+    "g_embed_neighbors" -> randomWalksSql(
+      s"""$sgnsCtes,
+         |emb AS MATERIALIZED (
+         |  SELECT id, list(val ORDER BY d) AS q,
+         |         CAST(SUM(val * val) AS BIGINT) AS nq
+         |  FROM u2 GROUP BY id),
+         |nz AS (SELECT * FROM emb WHERE nq > 0),
+         |escored AS (
+         |  SELECT qq.id AS query_id, c.id AS neighbor_id,
+         |         ${dotSql("qq.q", "c.q")} AS dot_q,
+         |         CAST(qq.nq AS DOUBLE) * CAST(c.nq AS DOUBLE) AS nn
+         |  FROM nz c JOIN nz qq
+         |    ON ${ph("qq.id")} % 10 = 0 AND c.id <> qq.id),
+         |eranked AS (
+         |  SELECT query_id, neighbor_id, dot_q,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY query_id
+         |           ORDER BY CAST(dot_q AS DOUBLE)/sqrt(nn) DESC, neighbor_id ASC)
+         |         AS BIGINT) AS "rank"
+         |  FROM escored)
+         |SELECT query_id, neighbor_id, dot_q, "rank"
+         |FROM eranked WHERE "rank" <= 5""".stripMargin),
 
     // node2vec: uniform first hop, then per step a candidate frame
     // (frontier x adjacency) classified back/side/forward via a

@@ -95,8 +95,18 @@ object Similarity {
     * cosine, self excluded, ties broken by neighbor id. Output:
     * `(query_id, neighbor_id, dot_q, rank)` — all exact integers.
     */
-  def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val corpus = withQuant(embeddings)
+  def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame =
+    cosineTopKQ(withQuant(embeddings), queryPred, k)
+
+  /** [[cosineTopK]] over an ALREADY-quantized corpus `(vec_id, q,
+    * nq)` — the entry point for integer embeddings the engine itself
+    * produced (e.g. [[graft.operators.GraphOps.sgnsTrain]]'s q10
+    * vectors feeding the DeepWalk → ANN composition), where
+    * re-quantizing would corrupt the values. Same contract: per query
+    * the `k` nearest corpus vectors by cosine, self excluded, ties by
+    * neighbor id; `vec_id` may be any equality-comparable type.
+    */
+  def cosineTopKQ(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -534,6 +544,84 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
   }
 
+  /** Frozen PQ index: the per-subspace codebooks
+    * `(subspace, cid, cq, cnq)` plus the encoded corpus
+    * `(vec_id, c0..c{m-1})` — m bytes/vector, the persistable ADC
+    * artifact. Same `.materialized` contract as [[IvfIndex]].
+    */
+  case class PqIndex(codebooks: DataFrame, codes: DataFrame, m: Int) {
+    /** Persist + reload both frames — train once, probe forever. */
+    def materialized(dir: String): PqIndex =
+      PqIndex(frozenFrame(codebooks, dir, "codebooks"),
+        frozenFrame(codes, dir, "codes"), m)
+  }
+
+  /** Train the PQ codebooks and encode the corpus (tiers as in
+    * [[pqTopK]]: `iters = 0` closed-form stand-in, `> 0` per-subspace
+    * Lloyd rounds).
+    */
+  def pqBuild(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 0): PqIndex = {
+    require(m >= 1 && ksub >= 1, s"need m, ksub >= 1; got $m, $ksub")
+    val corpus = withQuant(embeddings)
+    val cbs = pqCodebooksQ(corpus, m, ksub, iters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (cid, cq, cnq) => (j.toLong, cid, cq, cnq) }
+    }.toDF("subspace", "cid", "cq", "cnq")
+    val codes =
+      if (cbs.exists(_.isEmpty))
+        corpus.limit(0).select(
+          col("vec_id") +: (0 until m).map(j => col("nq").as(s"c$j")): _*)
+      else corpus.select(
+        col("vec_id") +: (0 until m).map { j =>
+          val sub = expr(s"slice(q, $j * (size(q) div $m) + 1, size(q) div $m)")
+          bestCodeExpr(cbs(j), sub).as(s"c$j")
+        }: _*)
+    PqIndex(cbRows, codes, m)
+  }
+
+  /** Probe a (frozen or inline) PQ index with an external query set
+    * `(vec_id, embedding)`: [[pqTopK]]'s exact-integer ADC over the
+    * frozen codes — the codebooks collect back to expression literals
+    * (ksub·dim longs, driver-bounded by construction).
+    */
+  def pqProbe(index: PqIndex, queryVecs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = index.m
+    val bySub = index.codebooks
+      .select(col("subspace"), col("cid"), col("cq"), col("cnq"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+      .groupBy(_._1)
+    val cbs = (0 until m).map(j =>
+      bySub.getOrElse(j.toLong, Array.empty).map(_._2).sortBy(_._1).toSeq)
+    val qcorpus = withQuant(queryVecs)
+    if (cbs.exists(_.isEmpty))
+      return qcorpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("adist_q"), col("nq").as("rank"))
+    val queries = qcorpus
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val adcPart = (0 until m).map { j =>
+      val entry = element_at(typedLit(cbs(j)), (col(s"c$j") + 1).cast("int"))
+      val qSub = expr(s"slice(qq, $j * (size(qq) div $m) + 1, size(qq) div $m)")
+      entry.getField("_3") - lit(2L) * dotQ(qSub, entry.getField("_2"))
+    }.reduce(_ + _)
+    val scored = index.codes.join(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qn") + adcPart).as("adist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the coarse-
     * quantizer scale path: assign every corpus vector to its nearest of
     * `nCentroids` centroid cells; queries probe only their `nProbe`
@@ -559,6 +647,45 @@ object Similarity {
       nProbe: Int,
       k: Int,
       kmeansIters: Int = 4): DataFrame = {
+    val index = ivfBuild(embeddings, nCentroids, kmeansIters)
+    ivfProbeQ(index,
+      index.assigned.filter(queryPred)
+        .select(col("vec_id"), col("q"), col("nq")),
+      nProbe, k)
+  }
+
+  /** Frozen IVF index — the coarse centroids `(cid, cq, cnq)` plus
+    * the cell-assigned quantized corpus `(vec_id, q, nq, cid)`. The
+    * `.materialized` train-once/probe-forever contract
+    * ([[graft.operators.TextOps.NbModel]] precedent) for the
+    * retrieval tier: a serving path builds the index once, persists
+    * it, and every query batch probes the frozen frames —
+    * [[ivfTopK]] is now exactly `ivfBuild` + [[ivfProbe]] in one
+    * plan, so frozen-reload ≡ inline is a law, not a hope
+    * (SimilaritySpec pins it).
+    */
+  case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+    /** Persist + reload both frames — train once, probe forever. */
+    def materialized(dir: String): IvfIndex =
+      IvfIndex(frozenFrame(centroids, dir, "centroids"),
+        frozenFrame(assigned, dir, "assigned"))
+  }
+
+  /** Parquet round-trip for frozen index frames (the
+    * `NbModel.materialized` device).
+    */
+  private def frozenFrame(df: DataFrame, dir: String, sub: String): DataFrame = {
+    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    df.sparkSession.read.parquet(s"$dir/$sub")
+  }
+
+  /** Train the IVF coarse structure and assign every corpus vector to
+    * its cell. `kmeansIters = 0` uses the closed-form stand-in
+    * centroids (first `nCentroids` nonzero vectors — SQL-replicable),
+    * `> 0` the real k-means tier.
+    */
+  def ivfBuild(embeddings: DataFrame, nCentroids: Int,
+      kmeansIters: Int = 4): IvfIndex = {
     val corpus = withQuant(embeddings)
     // nq > 0 on the stand-in: a zero-norm centroid scores NaN against
     // every vector, and Spark orders NaN largest — the degenerate cell
@@ -575,13 +702,27 @@ object Similarity {
     val centsArr = cents.select(col("cid"), col("cq"), col("cnq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
-    val assigned = corpus.withColumn("cid", bestCellExpr(centsArr))
+    IvfIndex(cents, corpus.withColumn("cid", bestCellExpr(centsArr)))
+  }
+
+  /** Probe a (frozen or inline) IVF index with an external query set
+    * `(vec_id, embedding)`: route each query to its `nProbe` nearest
+    * cells by centroid cosine, exact-rank the probed cells'
+    * candidates. The query path of [[ivfTopK]] divorced from the
+    * build — what a serving deployment runs per batch.
+    */
+  def ivfProbe(index: IvfIndex, queryVecs: DataFrame,
+      nProbe: Int, k: Int): DataFrame =
+    ivfProbeQ(index, withQuant(queryVecs), nProbe, k)
+
+  private[graft] def ivfProbeQ(index: IvfIndex, qcorpus: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     // PROBE side stays join+window: the query set is small and needs
     // top-nProbe cells, not an argmax
     val probes = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)
-      corpus.filter(queryPred).join(broadcast(cents))
+      qcorpus.join(broadcast(index.centroids))
         .withColumn("ccos",
           dotQ(col("q"), col("cq")).cast("double") /
             sqrt(col("nq").cast("double") * col("cnq").cast("double")))
@@ -590,7 +731,7 @@ object Similarity {
         .drop("cq", "cnq", "ccos", "crn")
     }
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"), col("cid"))
-    val scored = assigned.join(probes, Seq("cid"))
+    val scored = index.assigned.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1187,14 +1328,108 @@ object Similarity {
       beam: Int = 8,
       rounds: Int = 2,
       planes: Int = 8,
+      seedProbes: Int = 0,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val corpus = withQuant(embeddings).filter(col("nq") > 0)
       .withColumn("bucket", lshBucket(col("q"), planes))
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nq").as("qn"), col("bucket"))
+    graphSearchCore(corpus, queries,
+      probedSeedBuckets(queries, planes, seedProbes), graph, k, beam,
+      rounds, checkpointDir)
+  }
+
+  /** The seed-bucket frame `(query_id, bucket)` for the beam search:
+    * each query's own bucket plus its `probes` lowest-|projection|
+    * single-bit flips — multi-probe seeding (Lv et al. 2007, the
+    * [[lshMultiProbeNeighbors]] flip rule), the axis that widens the
+    * seed set WITHOUT rebuilding the index or growing the graph.
+    * Buckets are distinct per query (XOR of distinct bits) and each
+    * corpus vector lives in one bucket, so probing never duplicates a
+    * (query, cand) seed.
+    */
+  private def probedSeedBuckets(queries: DataFrame, planes: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      s"seedProbes must be in [0, planes], got $probes")
+    if (probes == 0) queries.select(col("query_id"), col("bucket"))
+    else {
+      val flips = array((0 until planes).map { j =>
+        val sv = aggregate(
+          zip_with(col("qq"), sequence(lit(0), size(col("qq")) - 1),
+            (x, i) => x * planeWeight(i, lit(j.toLong))),
+          lit(0L), (acc, v) => acc + v)
+        struct(abs(sv).as("a"), lit(j.toLong).as("j"),
+          col("bucket").bitwiseXOR(lit(1L << j)).as("fb"))
+      }: _*)
+      queries
+        .select(col("query_id"),
+          explode(concat(
+            array(col("bucket")),
+            transform(slice(array_sort(flips), 1, probes),
+              s => s.getField("fb")))).as("bucket"))
+    }
+  }
+
+  /** Frozen graph-ANN index: the layer-0 kNN graph plus the
+    * LSH-bucketed quantized corpus its seeds probe — the beam-search
+    * sibling of [[IvfIndex]] under the same `.materialized`
+    * train-once/probe-forever contract. `planes` rides along so the
+    * probe side buckets its queries with the index's own seed
+    * geometry.
+    */
+  case class GraphIndex(graph: DataFrame, corpus: DataFrame, planes: Int) {
+    /** Persist + reload both frames — build once, probe forever. */
+    def materialized(dir: String): GraphIndex =
+      GraphIndex(frozenFrame(graph, dir, "graph"),
+        frozenFrame(corpus, dir, "corpus"), planes)
+  }
+
+  /** Build the frozen graph-ANN index: banded-LSH [[knnGraph]] (the
+    * capped, linear layer-0 build) + the bucketed quantized corpus.
+    */
+  def graphBuild(embeddings: DataFrame, graphK: Int = 5, planes: Int = 8,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = Some(DefaultBandCap)): GraphIndex = {
+    val corpus = withQuant(embeddings).filter(col("nq") > 0)
+      .withColumn("bucket", lshBucket(col("q"), planes))
+    val g = knnGraph(embeddings, graphK, blocked = true, bands, rowsPerBand,
+      maxBucketSize)
+      .select(col("vec_id"), col("neighbor_id"))
+    GraphIndex(g, corpus, planes)
+  }
+
+  /** Probe a (frozen or inline) graph-ANN index with an external
+    * query set `(vec_id, embedding)`: LSH-bucket seeds → `rounds` of
+    * expand-and-rerank — [[graphSearchTopK]]'s query path divorced
+    * from the graph build. ~flat per-query cost over a prebuilt
+    * graph (RECALL.md).
+    */
+  def graphProbe(index: GraphIndex, queryVecs: DataFrame, k: Int,
+      beam: Int = 8, rounds: Int = 2, seedProbes: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val queries = withQuant(queryVecs).filter(col("nq") > 0)
+      .withColumn("bucket", lshBucket(col("q"), index.planes))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qn"), col("bucket"))
+    graphSearchCore(index.corpus, queries,
+      probedSeedBuckets(queries, index.planes, seedProbes), index.graph,
+      k, beam, rounds, checkpointDir)
+  }
+
+  private def graphSearchCore(
+      corpus: DataFrame,
+      queries: DataFrame,
+      seedBuckets: DataFrame,
+      graph: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      checkpointDir: Option[String]): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got k=$k beam=$beam")
     val g = Checkpoints.cut(
       graph.select(col("vec_id").as("gsrc"), col("neighbor_id").as("gdst")),
       checkpointDir)
@@ -1214,7 +1449,7 @@ object Similarity {
         .filter(col("rank") <= keep)
     }
     val seeds = corpus
-      .join(broadcast(queries.select(col("query_id"), col("bucket"))),
+      .join(broadcast(seedBuckets.select(col("query_id"), col("bucket"))),
         Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand"))
@@ -2078,6 +2313,80 @@ object Similarity {
     corpus.select(
       col("vec_id"),
       sq8CodesCol(col("q"), mnL, mxL).as("codes"))
+  }
+
+  /** Dequantize SQ8 codes back to the reconstruction grid:
+    * `recon_i = lo_i + (code_i·(hi_i − lo_i)) div 255` — the decode
+    * half of [[sq8ReconCol]], for scoring against FROZEN codes.
+    */
+  private def sq8DecodeCol(codes: Column, mnL: Column, mxL: Column): Column =
+    transform(codes, (c, i) => {
+      val lo = element_at(mnL, i + 1)
+      val hi = element_at(mxL, i + 1)
+      lo + divQ(c * (hi - lo), lit(255L))
+    })
+
+  /** Frozen SQ8 index: the per-dimension bounds `(pos, mn, mx)` plus
+    * the encoded corpus `(vec_id, codes)` — what actually persists at
+    * 100 TB (1 byte/dim). Probing decodes the codes back to the
+    * reconstruction grid, so frozen-reload scoring is bit-identical
+    * to [[sq8TopK]]'s fused encode→recon (`recon = decode(encode(q))`
+    * by construction — SimilaritySpec pins it).
+    */
+  case class Sq8Index(bounds: DataFrame, codes: DataFrame) {
+    /** Persist + reload both frames — train once, probe forever. */
+    def materialized(dir: String): Sq8Index =
+      Sq8Index(frozenFrame(bounds, dir, "bounds"),
+        frozenFrame(codes, dir, "codes"))
+  }
+
+  /** Train the SQ8 bounds and encode the corpus. */
+  def sq8Build(embeddings: DataFrame): Sq8Index = {
+    val corpus = withQuant(embeddings)
+    val (mn, mx) = sq8Bounds(corpus)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bounds = mn.indices.map(i => (i.toLong, mn(i), mx(i)))
+      .toDF("pos", "mn", "mx")
+    val codes =
+      if (mn.isEmpty) corpus.limit(0).select(col("vec_id"), col("q").as("codes"))
+      else corpus.select(col("vec_id"),
+        sq8CodesCol(col("q"), typedLit(mn), typedLit(mx)).as("codes"))
+    Sq8Index(bounds, codes)
+  }
+
+  /** Probe a (frozen or inline) SQ8 index with an external query set
+    * `(vec_id, embedding)`: score each query against every decoded
+    * corpus reconstruction, ascending asymmetric L2, ties by neighbor
+    * id, self excluded — [[sq8TopK]]'s contract over frozen codes.
+    */
+  def sq8Probe(index: Sq8Index, queryVecs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = index.bounds.orderBy(col("pos").asc).collect()
+    val (mn, mx) = (b.map(_.getLong(1)).toSeq, b.map(_.getLong(2)).toSeq)
+    val qcorpus = withQuant(queryVecs)
+    if (mn.isEmpty)
+      return qcorpus.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("nq").as("adist_q"), col("nq").as("rank"))
+    val recon = index.codes.select(
+      col("vec_id"),
+      sq8DecodeCol(col("codes"), typedLit(mn), typedLit(mx)).as("recon"))
+      .withColumn("rnq", normQ(col("recon")))
+    val queries = qcorpus
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("qn"))
+    val scored = recon.join(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qn") + col("rnq") - lit(2L) * dotQ(col("qq"), col("recon")))
+          .as("adist_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_q").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist_q"), col("rank"))
   }
 
   /** SQ8 approximate top-k — asymmetric scoring against the 8-bit

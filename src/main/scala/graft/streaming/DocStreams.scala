@@ -106,6 +106,16 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val hconf = spark.sessionState.newHadoopConf()
+        // layout guard, like spanIngest/lineIngest/webIngest: a
+        // pre-manifest (plain-append) state dir would otherwise read
+        // as an EMPTY index and dedup against nothing
+        Seq(s"$stateDir/bands" -> "fuzzyIngest band index",
+          s"$stateDir/sh" -> "fuzzyIngest shingle index").foreach {
+          case (dir, what) =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            IndexCommit.requireManifestLayout(p.getFileSystem(hconf), p, what)
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           IndexCommit.fold(spark, s"$stateDir/bands", batchId, bandSchema,
             _.distinct())
@@ -115,10 +125,14 @@ object DocStreams {
         val newSh = graft.operators.Checkpoints.cut(
           Dedup.shingles(batch, n, hash = hash), cutDir)
         val newBands = Dedup.bandTableOf(newSh, bands, rowsPerBand, cutDir)
+        // distinct: manifest commits make same-batch replays exactly-
+        // once, but a doc RE-DELIVERED by the source in a different
+        // batch would leave duplicate (doc_id, sh) rows that inflate
+        // Jaccard intersection counts until the next compact fold
         val stateSh = IndexCommit.readBefore(
-          spark, s"$stateDir/sh", batchId, shSchema)
+          spark, s"$stateDir/sh", batchId, shSchema).distinct()
         val stateBands = IndexCommit.readBefore(
-          spark, s"$stateDir/bands", batchId, bandSchema)
+          spark, s"$stateDir/bands", batchId, bandSchema).distinct()
         val pairs = Dedup.incrementalPairsCore(
           newSh, newBands, stateBands, threshE3,
           matchedIds => stateSh.join(broadcast(matchedIds), Seq("doc_id"), "left_semi"))
@@ -195,9 +209,22 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val rootP = new org.apache.hadoop.fs.Path(root)
-        IndexCommit.requireManifestLayout(
-          rootP.getFileSystem(spark.sessionState.newHadoopConf()), rootP,
-          "bloomIngest sketch store")
+        val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+        IndexCommit.requireManifestLayout(fs, rootP, "bloomIngest sketch store")
+        // the pre-r17 sketch lived at $stateDir/bloom_v<N>, NOT under
+        // the new root — a guard on the (absent) new root alone would
+        // pass and the resumed stream would silently restart from an
+        // empty sketch, flipping every probe verdict to 'unseen'
+        val parentP = new org.apache.hadoop.fs.Path(stateDir)
+        if (fs.exists(parentP)) {
+          val legacy = fs.listStatus(parentP).map(_.getPath.getName)
+            .filter(_.matches("bloom_v\\d+"))
+          require(legacy.isEmpty,
+            s"bloomIngest: '$stateDir' holds legacy sketch dirs " +
+              s"${legacy.sorted.mkString(", ")} — migrate the newest " +
+              "(read it, commitBatch it as one cumulative segment under " +
+              s"'$root') before resuming.")
+        }
         // the newest committed snapshot STRICTLY BEFORE this batch: a
         // replay of batch b must not probe b's own snapshot
         val state = IndexCommit.readLatestBefore(
@@ -275,13 +302,22 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val hconf = spark.sessionState.newHadoopConf()
+        // layout guard + cross-batch-redelivery distinct: same
+        // rationale as fuzzyIngest above
+        Seq(s"$stateDir/vecs" -> "embeddingIngest vector index",
+          s"$stateDir/bands" -> "embeddingIngest band index").foreach {
+          case (dir, what) =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            IndexCommit.requireManifestLayout(p.getFileSystem(hconf), p, what)
+        }
         val sim = graft.operators.Similarity
         val newQ = graft.operators.Checkpoints.cut(sim.withQuant(batch), cutDir)
         val newBands = sim.bandTable(batch, bands, rowsPerBand, cutDir)
         val stateVecs = IndexCommit.readBefore(
-          spark, s"$stateDir/vecs", batchId, vecSchema)
+          spark, s"$stateDir/vecs", batchId, vecSchema).distinct()
         val stateBands = IndexCommit.readBefore(
-          spark, s"$stateDir/bands", batchId, bandSchema)
+          spark, s"$stateDir/bands", batchId, bandSchema).distinct()
         val pairs = sim.incrementalPairsCoreEmb(
           newQ, newBands, stateBands, cosE6,
           matchedIds => stateVecs
@@ -509,6 +545,56 @@ object DocStreams {
     * Retry semantics: identical to [[nbClassifyStream]] —
     * exactly-once by `batch_id=<epoch>` dynamic partition overwrite.
     */
+  /** Stream-static ANN serving — the retrieval-tier face of the
+    * [[nbClassifyStream]] train-once/score-forever contract: probe
+    * each micro-batch of query vectors `(vec_id, embedding)` against
+    * a FROZEN [[graft.operators.Similarity.IvfIndex]] (built once
+    * with `ivfBuild`, typically `.materialized` to parquet so the
+    * k-means/assignment plans never re-execute) with the batch probe.
+    * Per batch the work is batch-sized: queries route to their
+    * `nProbe` cells against the broadcast centroid table, candidates
+    * join on the cell id, and the per-query partial top-k
+    * (WindowGroupLimit) keeps k rows per partition.
+    *
+    * Retry semantics: identical to [[nbClassifyStream]] —
+    * exactly-once by `batch_id=<epoch>` dynamic partition overwrite.
+    */
+  def annSearchStream(
+      queries: DataFrame,
+      index: graft.operators.Similarity.IvfIndex,
+      outDir: String,
+      checkpointDir: String,
+      nProbe: Int = 4,
+      k: Int = 5): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeAnnBatch(batch, index, outDir, batchId, nProbe, k)
+      }
+      .start()
+
+  /** One [[annSearchStream]] micro-batch write — the replay-
+    * idempotence seam.
+    */
+  private[graft] def writeAnnBatch(
+      batch: DataFrame,
+      index: graft.operators.Similarity.IvfIndex,
+      outDir: String,
+      batchId: Long,
+      nProbe: Int,
+      k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "annSearchStream sink")
+    graft.operators.Similarity.ivfProbe(index, batch, nProbe, k)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   def linearClassifyStream(
       docs: DataFrame,
       model: graft.operators.TextOps.LinearModel,

@@ -972,6 +972,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1.values.forall(_.forall(x => math.abs(x) <= 8L * 1024L)))
   }
 
+  test("sgnsTrain -> cosineTopKQ: same-topic vectors rank above cross-topic") {
+    // the DeepWalk end-to-end law (g_embed_neighbors): trained center
+    // vectors of co-occurring vertices are nearer in cosine than
+    // unrelated ones — the mean rank of within-topic neighbors beats
+    // cross-topic over the full ranking
+    val corpus = GraphOps.sgnsTrain(sgnsFixture, dim = 4, epochs = 3,
+      negatives = 2, lrShift = 2, negBuckets = 4)
+      .select(col("person_id").as("vec_id"), col("emb").as("q"))
+      .withColumn("nq", graft.operators.Similarity.normQ(col("q")))
+      .filter(col("nq") > 0)
+    val ranked = graft.operators.Similarity
+      .cosineTopKQ(corpus, lit(true), k = 7)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(String, String, Long)].collect()
+    assert(ranked.nonEmpty)
+    def topic(id: String): Char = id.head
+    val (within, across) = ranked.partition {
+      case (q, n, _) => topic(q) == topic(n)
+    }
+    assert(within.nonEmpty && across.nonEmpty)
+    def meanRank(xs: Array[(String, String, Long)]): Double =
+      xs.map(_._3.toDouble).sum / xs.length
+    assert(meanRank(within) < meanRank(across),
+      s"within=${meanRank(within)} across=${meanRank(across)}")
+  }
+
   test("sgnsTrain: negatives=0 trains on positives only; singleton vocab") {
     val out = GraphOps.sgnsTrain(sgnsFixture, dim = 2, epochs = 1,
       negatives = 0).collect()

@@ -1181,4 +1181,92 @@ class SimilaritySpec extends SparkSpec {
       checkpointDir = Some(TestSpark.ckptDir)))
     assert(again === r2)
   }
+
+  test("graphSearchTopK: multi-probe seeds dominate single-bucket at rounds=0") {
+    // at rounds=0 the result is the exact rerank of the seed set, and
+    // probed seed sets are supersets — so per (query, rank) the cosine
+    // is monotone non-decreasing in seedProbes (the rounds-dominance
+    // law on the seeding axis)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val graph = graft.operators.Checkpoints.cut(
+      Similarity.knnGraph(emb, k = 5), None)
+    val norms = emb.select(col("vec_id"),
+        Similarity.normQ(Similarity.quantize(col("embedding"))).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def lists(probes: Int): Map[Long, Seq[(Long, Double)]] =
+      Similarity.graphSearchTopK(emb, col("vec_id") < 8, k = 5,
+        graph = graph, beam = 8, rounds = 0, planes = 8,
+        seedProbes = probes)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r =>
+          (r._2, r._3.toDouble /
+            math.sqrt(norms(r._1).toDouble * norms(r._2).toDouble))).toSeq)
+        .toMap
+    val p0 = lists(0)
+    val p4 = lists(4)
+    assert(p0.nonEmpty)
+    p0.foreach { case (q, ls) =>
+      val hs = p4.getOrElse(q, Nil)
+      assert(hs.size >= ls.size, s"query $q lost results with probing")
+      ls.indices.foreach(i => assert(hs(i)._2 >= ls(i)._2 - 1e-12,
+        s"query $q rank ${i + 1}: ${hs(i)} < ${ls(i)}"))
+    }
+    // and probing genuinely widens some seed set on this fixture
+    assert(p4.values.map(_.size).sum >= p0.values.map(_.size).sum)
+  }
+
+  // ------------- frozen index artifacts: reload ≡ inline laws -------------
+
+  private def frozenDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_frozen_$name").toString
+
+  test("IvfIndex: frozen-reload probe equals the inline ivfTopK") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 8)
+    // real k-means tier — the structure a serving path would persist
+    val inline = rowSet(Similarity.ivfTopK(emb, col("vec_id") < 8, 16, 4, 5,
+      kmeansIters = 4))
+    val frozen = Similarity.ivfBuild(emb, 16, kmeansIters = 4)
+      .materialized(frozenDir("ivf"))
+    assert(rowSet(Similarity.ivfProbe(frozen, queries, nProbe = 4, k = 5))
+      === inline)
+    assert(inline.nonEmpty)
+    // and the reload is genuinely frozen: probing twice is identical
+    assert(rowSet(Similarity.ivfProbe(frozen, queries, nProbe = 4, k = 5))
+      === inline)
+  }
+
+  test("GraphIndex: frozen-reload beam search equals the inline graphSearchTopK") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val inline = rowSet(Similarity.graphSearchTopK(emb, col("vec_id") < 8,
+      k = 5, graph = Similarity.knnGraph(emb, k = 5), beam = 8, rounds = 2,
+      planes = 8))
+    val frozen = Similarity.graphBuild(emb, graphK = 5, planes = 8)
+      .materialized(frozenDir("graph"))
+    assert(rowSet(Similarity.graphProbe(frozen, emb.filter(col("vec_id") < 8),
+      k = 5, beam = 8, rounds = 2)) === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("Sq8Index: frozen codes decode-probe equals the inline sq8TopK") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val inline = rowSet(Similarity.sq8TopK(emb, col("vec_id") < 8, k = 5))
+    val frozen = Similarity.sq8Build(emb).materialized(frozenDir("sq8"))
+    assert(rowSet(Similarity.sq8Probe(frozen, emb.filter(col("vec_id") < 8),
+      k = 5)) === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("PqIndex: frozen ADC probe equals the inline pqTopK (both tiers)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (iters <- Seq(0, 2)) {
+      val inline = rowSet(Similarity.pqTopK(emb, col("vec_id") < 8, k = 5,
+        iters = iters))
+      val frozen = Similarity.pqBuild(emb, iters = iters)
+        .materialized(frozenDir(s"pq$iters"))
+      assert(rowSet(Similarity.pqProbe(frozen, emb.filter(col("vec_id") < 8),
+        k = 5)) === inline, s"iters=$iters")
+      assert(inline.nonEmpty)
+    }
+  }
 }

@@ -716,6 +716,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzy ingest stream refuses a pre-manifest (plain parquet) state dir") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dirs = java.nio.file.Files.createTempDirectory("graft_fuzzy_legacy").toString
+    // a legacy plain-append band index: parquet files directly under
+    // the root, no MANIFEST — silently read as EMPTY before the guard
+    Seq((1L, 0L, 42L)).toDF("doc_id", "band", "band_sig")
+      .write.parquet(s"$dirs/state/bands")
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.fuzzyIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/pairs", s"$dirs/ckpt")
+    try {
+      in.addData(FixDoc(1L, "alpha beta gamma delta"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("non-manifest entries")),
+        s"expected the layout guard, got: ${chain(e).mkString(" | ")}")
+    } finally q.stop()
+  }
+
+  test("bloom ingest stream refuses a legacy bloom_v<N> sketch dir") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dirs = java.nio.file.Files.createTempDirectory("graft_bloom_legacy").toString
+    // the pre-r17 sketch location: $stateDir/bloom_v<N>, NOT under the
+    // new $stateDir/bloom root — absent-root guard alone would pass
+    Seq((0L, 7L)).toDF("word_idx", "bits")
+      .write.parquet(s"$dirs/state/bloom_v3")
+    val in = MemoryStream[FixDoc]
+    val q = graft.streaming.DocStreams.bloomIngest(
+      in.toDF(), s"$dirs/state", s"$dirs/out", s"$dirs/ckpt")
+    try {
+      in.addData(FixDoc(1L, "alpha beta"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(e).exists(m => m != null && m.contains("legacy sketch dirs")),
+        s"expected the legacy-sketch guard, got: ${chain(e).mkString(" | ")}")
+    } finally q.stop()
+  }
+
+  test("ann search stream over a frozen IVF index equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirs = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    // build once, freeze to parquet — the serving shape the op documents
+    val index = graft.operators.Similarity.ivfBuild(emb, 16, kmeansIters = 4)
+      .materialized(s"$dirs/index")
+    val queries = emb.filter(col("vec_id") < 12)
+      .select("vec_id", "embedding").as[FixVec].collect().sortBy(_.vec_id)
+    val in = MemoryStream[FixVec]
+    val q = graft.streaming.DocStreams.annSearchStream(
+      in.toDF(), index, s"$dirs/out", s"$dirs/ckpt", nProbe = 4, k = 5)
+    try {
+      val chunks = queries.grouped(math.max(queries.length / 3, 1)).toSeq
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = rowSet(spark.read.parquet(s"$dirs/out")
+        .select("query_id", "neighbor_id", "dot_q", "rank"))
+      val batch = rowSet(graft.operators.Similarity.ivfProbe(
+        index, queries.toSeq.toDF("vec_id", "embedding"), nProbe = 4, k = 5))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // replaying the last batch overwrites its own partition (the
+      // exactly-once-by-partition contract)
+      graft.streaming.DocStreams.writeAnnBatch(
+        chunks.last.toSeq.toDF("vec_id", "embedding"),
+        index, s"$dirs/out", (chunks.length - 1).toLong, 4, 5)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")
+        .select("query_id", "neighbor_id", "dot_q", "rank")) === batch)
+    } finally q.stop()
+  }
+
   test("fuzzy ingest stream: durable cutDir mode accumulates identical pairs") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
