@@ -294,6 +294,20 @@ object Recall {
     sb ++= "  exact rerank) and converges to the graph's reachable ceiling,\n"
     sb ++= "  not 100%: seeds or navigation must REACH a true neighbor before\n"
     sb ++= "  the exact rerank can keep it.\n"
+    sb ++= "- The r18 sweep answers whether navigation saturates below the\n"
+    sb ++= "  cell routers: NO — the k=10 graph was the binding constraint,\n"
+    sb ++= "  not navigation. Density is the cheapest recall axis (k=10 -> 20\n"
+    sb ++= "  -> 40 at rounds=4: 43 -> 64 -> 76%, query cost ~flat — the\n"
+    sb ++= "  degree rides the build phase); multi-probe seeds add a few\n"
+    sb ++= "  points at LOWER cost than an extra round (probes=8 rounds=2 ≈\n"
+    sb ++= "  rounds=4 recall at ~2/3 the time on the thin graph); and the\n"
+    sb ++= "  composed config (k=40, beam=32, probes=8, rounds=4) reaches\n"
+    sb ++= "  ~95% recall@10 at ~3 s/query-set — past IVF nProbe=8 (79%),\n"
+    sb ++= "  within 2 points of SQ8 (96.8%) at a fraction of a full corpus\n"
+    sb ++= "  scan, the HNSW-class operating point the production papers\n"
+    sb ++= "  report. Remaining gap to 100%: single-layer seeds (an upper\n"
+    sb ++= "  layer would route seeds globally; measured unnecessary at this\n"
+    sb ++= "  corpus size).\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), sb.toString)
     println(sb.toString)
     spark.stop()

@@ -679,9 +679,17 @@ object ScaleSmoke {
       "10x sf0.1")
 
   /** The label-generic merge both tiers share: per-(chain, scale) min
-    * across every raw run file under `runsDir`, row counts required to
-    * agree across runs (the stale-code tripwire), ratio recomputed
-    * from the merged floors. `lo`/`hi` name the JSON fields
+    * across every raw run file under `runsDir` (the floors,
+    * informational), row counts required to agree across runs (the
+    * stale-code tripwire), and — the shipped headline — a SAME-SESSION
+    * ratio: each run's `hi/lo` pair was measured in one session under
+    * one load, so the per-run ratio is load-paired by construction;
+    * the artifact ships the lower-middle MEDIAN of those. The r17
+    * lesson this encodes: min-merging `lo` and `hi` independently can
+    * pair a lucky `lo` from one session with an unlucky `hi` from
+    * another and ship a worst-case-biased ratio no single session
+    * ever measured (t_gopher_ngram_rep read 16.9× while every
+    * same-session pair said ≈4–6×). `lo`/`hi` name the JSON fields
     * (`<lo>_sec`, `<lo>_rows`, …).
     */
   private def mergeRunsLabeled(
@@ -702,13 +710,26 @@ object ScaleSmoke {
         s"$runsDir row counts disagree for $c — stale-code runs present; clear the dir")
       val sLo = entries.map(_.get(s"${lo}_sec").asDouble()).min
       val sHi = entries.map(_.get(s"${hi}_sec").asDouble()).min
-      c -> ((r3(sLo), rowsLo.head, r3(sHi), rowsHi.head, r3(sHi / sLo)))
+      val sessionRatios = entries.map(e =>
+        e.get(s"${hi}_sec").asDouble() / e.get(s"${lo}_sec").asDouble()).sorted
+      val ratio = sessionRatios((sessionRatios.size - 1) / 2)
+      c -> ((r3(sLo), rowsLo.head, r3(sHi), rowsHi.head, r3(ratio)))
     }
     val qs = merged.map { case (n, (sLo, rLo, sHi, rHi, ratio)) =>
       s""""$n":{"${lo}_sec":$sLo,"${lo}_rows":$rLo,"${hi}_sec":$sHi,"${hi}_rows":$rHi,"ratio":$ratio}"""
     }.mkString("{", ",", "}")
     val worst = r3(merged.map(_._2._5).max)
-    s"""{"metric":"$metric","value":$worst,"unit":"x","data":"$dataNote, per-(chain,scale) min of ${runs.size} run(s) (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
+    // the shipped-defaults reading: a chain whose `_capped` twin is
+    // also measured is an UNCAPPED oracle baseline (documented
+    // quadratic — d_simhash_pairs/d_dedup_clusters, PERF_r07) kept for
+    // coverage, not the operator users get; exclude those from the
+    // default-config worst so the headline isn't a baseline artifact
+    val names = merged.map(_._1).toSet
+    val defaults = merged.collect {
+      case (n, t) if !names.contains(s"${n}_capped") => t._5
+    }
+    val defaultWorst = r3(if (defaults.nonEmpty) defaults.max else 0.0)
+    s"""{"metric":"$metric","value":$worst,"unit":"x","default_worst":$defaultWorst,"data":"$dataNote; ratio = median same-session hi/lo pair over ${runs.size} run(s), <lo>_sec/<hi>_sec = per-(chain,scale) min floors; default_worst excludes uncapped oracle baselines that ship a _capped default (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
   }
 
   /** The sf10 tier runner: generates the 10× and 100× corpora (if

@@ -56,6 +56,29 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("run files order numerically: run_1000 is newer than run_999") {
+    val fpr = "cafebabe"
+    val dir = Files.createTempDirectory("benchspec_num")
+    try {
+      // lexicographically "run_1000" < "run_999", so a string sort
+      // would adopt r-old (the run_999 stamp) as the latest; numeric
+      // ordering must adopt r-new from run_1000
+      Files.writeString(dir.resolve("run_999.json"),
+        runLine(fpr, "r-old", Map("q" -> 5.0)) + "\n")
+      Files.writeString(dir.resolve("run_1000.json"),
+        runLine(fpr, "r-new", Map("q" -> 3.0)) + "\n")
+      val cur = runLine(fpr, "", Map("q" -> 3.5))
+      val j = om.readTree(Bench.mergeRuns(dir, Seq("q" -> 3.5), fpr, cur, round = ""))
+      assert(j.get("round").asText() === "r-new")
+      assert(j.get("round_runs").asInt() === 2) // run_1000 + current
+    } finally {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("median_total equals a mechanical recompute from the run files") {
     val fpr = "deadbeef"
     val vals = Map(
