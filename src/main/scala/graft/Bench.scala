@@ -20,6 +20,14 @@ object Bench {
     try {
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // load telemetry (r17 verdict "What's missing #5"): identical plans
+    // measured 42.8/106/87.6 s across three sessions and nothing in the
+    // artifact could say whether that was regression or box load. The
+    // probe is a fixed, data-independent, CPU-bound job timed once per
+    // run and shipped alongside the readings — a reader normalizes
+    // round-over-round drift against calib drift before calling
+    // anything a regression.
+    val calib = calibrate(spark)
     // shared co-occurrence projection: five g_* analytics are
     // downstream of one projection frame, and a real user materializes
     // it once for all of them — the bench models that user. The warm
@@ -120,7 +128,7 @@ object Bench {
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "")
     val fpr = fixtureFingerprint(sfDir)
     val fprLine = line.replaceFirst("\\{",
-      s"""{"fixture":"$fpr","round":"$round",""")
+      s"""{"fixture":"$fpr","round":"$round","calib":${r3(calib)},""")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val runsDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "bench_runs"))
@@ -148,6 +156,26 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), merged + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+  }
+
+  /** The load probe behind the artifact's `calib` field: hash a fixed
+    * 2²⁹-row range and sum — CPU-bound, data-independent, one
+    * whole-stage-codegen pass over every core, no IO and no shuffle
+    * beyond the single-row final aggregate, so its wall-clock tracks
+    * only how much compute the box is giving THIS process right now.
+    * One untimed small pass pays JIT; best-of-2 matches the bench's
+    * own steady-state discipline (a loaded box inflates even the min —
+    * which is exactly the signal). ~1 s quiet at local[32]; readings
+    * across sessions bound how much of a totals drift is box load.
+    */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    def once(n: Long): Double = {
+      val t0 = System.nanoTime()
+      spark.range(n).selectExpr("xxhash64(id) AS h").selectExpr("sum(h)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try { once(1L << 24); math.min(once(1L << 29), once(1L << 29)) }
+    catch { case _: Throwable => -1.0 }
   }
 
   /** All *.json under `dir`, with the directory stream closed (Files
@@ -264,8 +292,13 @@ object Bench {
     val okMed = medians.map(_._2).filter(_ >= 0)
     val medTotal = if (okMed.nonEmpty) r3(okMed.sum) else 0.0
     val sf = Option(om.readTree(fallback).get("sf")).map(_.asText()).getOrElse("")
+    // the cohort's load probes, in run order (runs predating the probe
+    // are skipped): the reader's first check on a drifted median_total
+    // is whether round_calibs drifted with it
+    val cs = roundRuns.flatMap(r => Option(r.get("calib")).map(_.asDouble()))
+      .map(r3).mkString("[", ",", "]")
     // ship the EFFECTIVE stamp: a driver-invoked unstamped run that
     // adopted r17's cohort reports round="r17", round_runs=cohort size
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"fixture":"$fpr","round":"$effRound","round_runs":${roundRuns.size},"median_total":$medTotal,"queries":$qs,"medians":$ms,"sf":"$sf"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"runs":${runs.size},"fixture":"$fpr","round":"$effRound","round_runs":${roundRuns.size},"median_total":$medTotal,"round_calibs":$cs,"queries":$qs,"medians":$ms,"sf":"$sf"}"""
   }
 }

@@ -594,6 +594,9 @@ object ScaleSmoke {
     try SparkEntry.queries("q1_agg")(spark, srcDir).count()
     catch { case _: Throwable => }
     isolate()
+    // load probe ([[Bench.calibrate]]): shipped per raw run so a reader
+    // can tell a loaded-box session's ratios from a regression
+    val calib = Bench.calibrate(spark)
 
     def time(name: String, dir: String): (Double, Long) = {
       def trial(): (Double, Long) = {
@@ -630,7 +633,7 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val worst = r3(results.map(_._2._5).max)
     val line =
-      s"""{"metric":"sf1_smoke_worst_ratio","value":$worst,"unit":"x","data":"10x sf0.1 (see ScaleSmoke scaladoc)","queries":$qs}"""
+      s"""{"metric":"sf1_smoke_worst_ratio","value":$worst,"unit":"x","calib":${r3(calib)},"data":"10x sf0.1 (see ScaleSmoke scaladoc)","queries":$qs}"""
     // same multi-run discipline as Bench: append the raw run under
     // smoke_runs/, ship the per-(chain, scale) MIN across all runs
     // there (the ratio recomputed from clean floors — one load spike
@@ -696,7 +699,13 @@ object ScaleSmoke {
       runsDir: java.nio.file.Path, universe: Seq[String],
       lo: String, hi: String, metric: String, dataNote: String): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runs = listJsons(runsDir).sortBy(_.toString)
+    // numeric run order (the Bench.mergeRuns rule): "run_1000" sorts
+    // before "run_999" lexicographically, which would scramble the
+    // calibs array's session order
+    val runs = listJsons(runsDir)
+      .sortBy(p => ("run_(\\d+)\\.json$".r
+        .findFirstMatchIn(p.getFileName.toString)
+        .map(_.group(1).toInt).getOrElse(Int.MaxValue), p.toString))
       .map(p => om.readTree(java.nio.file.Files.readString(p)))
     require(runs.nonEmpty, s"no raw runs under $runsDir")
     val chainOrder = universe.filter(c =>
@@ -729,7 +738,11 @@ object ScaleSmoke {
       case (n, t) if !names.contains(s"${n}_capped") => t._5
     }
     val defaultWorst = r3(if (defaults.nonEmpty) defaults.max else 0.0)
-    s"""{"metric":"$metric","value":$worst,"unit":"x","default_worst":$defaultWorst,"data":"$dataNote; ratio = median same-session hi/lo pair over ${runs.size} run(s), <lo>_sec/<hi>_sec = per-(chain,scale) min floors; default_worst excludes uncapped oracle baselines that ship a _capped default (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
+    // per-run load probes in run order (pre-probe runs skipped): the
+    // reader's context for any outlier per-run ratio in the median
+    val cs = runs.flatMap(r => Option(r.get("calib")).map(_.asDouble()))
+      .map(r3).mkString("[", ",", "]")
+    s"""{"metric":"$metric","value":$worst,"unit":"x","default_worst":$defaultWorst,"calibs":$cs,"data":"$dataNote; ratio = median same-session hi/lo pair over ${runs.size} run(s), <lo>_sec/<hi>_sec = per-(chain,scale) min floors; default_worst excludes uncapped oracle baselines that ship a _capped default (see ScaleSmoke scaladoc + PERF notes)","queries":$qs}"""
   }
 
   /** The sf10 tier runner: generates the 10× and 100× corpora (if
@@ -773,6 +786,9 @@ object ScaleSmoke {
     try SparkEntry.queries("q1_agg")(spark, gen1).count()
     catch { case _: Throwable => }
     isolate()
+    // load probe ([[Bench.calibrate]]): shipped per raw run so a reader
+    // can tell a loaded-box session's ratios from a regression
+    val calib = Bench.calibrate(spark)
     def time(name: String, dir: String): (Double, Long) = {
       def trial(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -800,7 +816,7 @@ object ScaleSmoke {
     }.mkString("{", ",", "}")
     val worst = r3(results.map(_._2._5).max)
     val line =
-      s"""{"metric":"sf10_smoke_worst_ratio","value":$worst,"unit":"x","data":"100x sf0.1 vs 10x sf0.1 (second decade)","queries":$qs}"""
+      s"""{"metric":"sf10_smoke_worst_ratio","value":$worst,"unit":"x","calib":${r3(calib)},"data":"100x sf0.1 vs 10x sf0.1 (second decade)","queries":$qs}"""
     val merged =
       try {
         val runsDir = java.nio.file.Paths.get(

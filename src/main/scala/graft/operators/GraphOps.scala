@@ -1907,6 +1907,18 @@ object GraphOps {
     * walk state is two strings, never neighbor lists. Frontiers cut
     * per step ([[Checkpoints]]).
     *
+    * The step join BROADCASTS the frontier when it fits (the
+    * [[pageRank]] rank-loop discipline, same
+    * [[BroadcastRanksMaxVertices]] ceiling resolved once off the
+    * materialized start frame — walks never split, so the frontier
+    * only ever shrinks): the ranked adjacency then streams
+    * map-side through every step with NO per-step edge-sized
+    * shuffle — the cost that made the walk chain's wall-clock track
+    * shuffle-spill throughput instead of data size at the second
+    * decade (r18 smoke: 2.2–2.8× session swings on identical
+    * plans). Above the ceiling the join degrades to the shuffled
+    * form, never OOM.
+    *
     * Callers should pass a distinct edge list — duplicate (src,dst)
     * rows would shift every rank after them.
     *
@@ -1915,6 +1927,7 @@ object GraphOps {
     */
   def randomWalks(edges: DataFrame, startPred: Column, walkLen: Int,
       walksPerVertex: Int = 1,
+      broadcastFrontier: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
     require(walksPerVertex >= 1,
@@ -1930,20 +1943,31 @@ object GraphOps {
       .union(e.select(col("dst").as("person_id")))
       .distinct()
       .filter(startPred)
-    var frontier = starts
+    var frontier = Checkpoints.cut(starts
       .select(col("person_id"),
         explode(sequence(lit(0), lit(walksPerVertex - 1))).as("r"))
       .select(
         concat(col("person_id"), lit("#"), col("r").cast("string"))
           .as("walk_id"),
-        col("person_id").as("cur"))
+        col("person_id").as("cur")), checkpointDir)
+    // walks never split, so the frontier only shrinks from here: one
+    // count of the (cut) start frame decides broadcast-vs-shuffle for
+    // every step — the pageRank resolveBroadcast discipline
+    val bcastF = broadcastFrontier.getOrElse {
+      val n = frontier.count()
+      log.info(s"randomWalks auto-broadcast: $n walks -> " +
+        (if (n <= BroadcastRanksMaxVertices) "broadcast" else "shuffle") +
+        " frontier")
+      n <= BroadcastRanksMaxVertices
+    }
+    def fhint(df: DataFrame): DataFrame = if (bcastF) broadcast(df) else df
     var out = frontier.select(
       col("walk_id"), lit(0L).as("step"), col("cur").as("person_id"))
     for (t <- 1 to walkLen) {
       val pick = pmod(Hashing.portableHash(
         concat(col("walk_id"), lit(s":$t:"), col("cur"))), col("out_deg")) + 1L
       frontier = Checkpoints.cut(
-        frontier.join(adj, frontier("cur") === adj("src"))
+        fhint(frontier).join(adj, frontier("cur") === adj("src"))
           .filter(col("nbr_rank") === pick)
           .select(col("walk_id"), col("dst").as("cur")), checkpointDir)
       out = out.unionAll(frontier.select(
@@ -1970,12 +1994,15 @@ object GraphOps {
     * sink rule.
     *
     * Scale shape: [[randomWalks]]' per-step frontier⋈adjacency join
-    * plus, per step, one marker LEFT join of the candidates against
-    * the distinct edge list on the (prev, next) pair (edge-sized,
-    * id-only — the distance-1 test) and one cumulative-sum window
-    * PARTITIONED BY walk (walk-local, ≤ deg(cur) rows per partition —
-    * never a global sort). Candidates are frontier × deg rows, the
-    * same stream the uniform generator's rank filter scans.
+    * (frontier auto-broadcast under the same ceiling — the adjacency
+    * streams map-side, no per-step edge shuffle) plus, per step, one
+    * marker LEFT join of the candidates against the distinct edge
+    * list on the (prev, next) pair (edge-sized, id-only — the
+    * distance-1 test; this one join still shuffles, candidates are
+    * frontier × deg rows) and one cumulative-sum window PARTITIONED
+    * BY walk (walk-local, ≤ deg(cur) rows per partition — never a
+    * global sort). Candidates are frontier × deg rows, the same
+    * stream the uniform generator's rank filter scans.
     *
     * Callers should pass a DISTINCT edge list (the [[randomWalks]]
     * contract, twice over here: duplicate (src, dst) rows shift every
@@ -1987,6 +2014,7 @@ object GraphOps {
   def node2vecWalks(edges: DataFrame, startPred: Column, walkLen: Int,
       wBack: Long = 250L, wSide: Long = 1000L, wFwd: Long = 500L,
       walksPerVertex: Int = 1,
+      broadcastFrontier: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
     require(walksPerVertex >= 1,
@@ -2007,13 +2035,22 @@ object GraphOps {
       .union(e.select(col("dst").as("person_id")))
       .distinct()
       .filter(startPred)
-    val f0 = starts
+    val f0 = Checkpoints.cut(starts
       .select(col("person_id"),
         explode(sequence(lit(0), lit(walksPerVertex - 1))).as("r"))
       .select(
         concat(col("person_id"), lit("#"), col("r").cast("string"))
           .as("walk_id"),
-        col("person_id").as("cur"))
+        col("person_id").as("cur")), checkpointDir)
+    // frontier-broadcast resolution — the [[randomWalks]] rule
+    val bcastF = broadcastFrontier.getOrElse {
+      val n = f0.count()
+      log.info(s"node2vecWalks auto-broadcast: $n walks -> " +
+        (if (n <= BroadcastRanksMaxVertices) "broadcast" else "shuffle") +
+        " frontier")
+      n <= BroadcastRanksMaxVertices
+    }
+    def fhint(df: DataFrame): DataFrame = if (bcastF) broadcast(df) else df
     var out = f0.select(
       col("walk_id"), lit(0L).as("step"), col("cur").as("person_id"))
     // step 1: uniform, the randomWalks coin (no prev exists yet)
@@ -2021,14 +2058,14 @@ object GraphOps {
       concat(col("walk_id"), lit(":1:"), col("cur"))), col("out_deg")) + 1L
     // frontier carries (walk_id, prev, cur) from here on
     var frontier = Checkpoints.cut(
-      f0.join(adj, f0("cur") === adj("src"))
+      fhint(f0).join(adj, f0("cur") === adj("src"))
         .filter(col("nbr_rank") === pick1)
         .select(col("walk_id"), f0("cur").as("prev"), col("dst").as("cur")),
       checkpointDir)
     out = out.unionAll(frontier.select(
       col("walk_id"), lit(1L).as("step"), col("cur").as("person_id")))
     for (t <- 2 to walkLen) {
-      val cand = frontier.join(adj, frontier("cur") === adj("src"))
+      val cand = fhint(frontier).join(adj, frontier("cur") === adj("src"))
         .join(sideMark,
           frontier("prev") === col("msrc") && adj("dst") === col("mdst"),
           "left_outer")

@@ -595,6 +595,62 @@ object DocStreams {
       .parquet(outDir)
   }
 
+  /** Stream-static beam search over a frozen
+    * [[graft.operators.Similarity.GraphIndex]] — [[annSearchStream]]'s
+    * twin for the graph-navigable tier (the engine's highest-recall
+    * retrieval path, RECALL.md). Each micro-batch of query vectors
+    * probes the prebuilt kNN graph via
+    * [[graft.operators.Similarity.graphProbe]]: LSH-bucket (+
+    * `seedProbes` multi-probe flips) seeds → `rounds` of
+    * expand-and-rerank, all against the FROZEN graph + corpus frames —
+    * the graph build (the only corpus-sized cost) never re-runs.
+    * Retry semantics: exactly-once by `batch_id=<epoch>` dynamic
+    * partition overwrite (the [[annSearchStream]] contract).
+    */
+  def graphSearchStream(
+      queries: DataFrame,
+      index: graft.operators.Similarity.GraphIndex,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 2,
+      seedProbes: Int = 0): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeGraphSearchBatch(batch, index, outDir, batchId, k, beam,
+          rounds, seedProbes)
+      }
+      .start()
+
+  /** One [[graphSearchStream]] micro-batch write — the replay-
+    * idempotence seam, mirroring [[writeAnnBatch]]. No checkpoint cut:
+    * a micro-batch's `rounds`-deep lineage over frozen frames is
+    * shallow by construction.
+    */
+  private[graft] def writeGraphSearchBatch(
+      batch: DataFrame,
+      index: graft.operators.Similarity.GraphIndex,
+      outDir: String,
+      batchId: Long,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      seedProbes: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    requireBatchPartitionedDir(
+      p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf()), p,
+      "graphSearchStream sink")
+    graft.operators.Similarity.graphProbe(index, batch, k, beam, rounds,
+      seedProbes)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   def linearClassifyStream(
       docs: DataFrame,
       model: graft.operators.TextOps.LinearModel,

@@ -124,6 +124,24 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("round_calibs carries the cohort's load probes in run order; pre-probe runs skipped") {
+    val fpr = "ca11b4a7"
+    def withCalib(line: String, c: Double): String =
+      line.replaceFirst("\\{", s"""{"calib":$c,""")
+    val lines = Seq(
+      withCalib(runLine(fpr, "r17", Map("q" -> 9.0)), 1.4), // other round: excluded
+      runLine(fpr, "r18", Map("q" -> 2.0)),                 // pre-probe run: skipped
+      withCalib(runLine(fpr, "r18", Map("q" -> 3.0)), 1.1),
+      withCalib(runLine(fpr, "r18", Map("q" -> 4.0)), 2.6))
+    withRuns(lines) { dir =>
+      val j = om.readTree(Bench.mergeRuns(dir, Seq("q" -> 4.0), fpr, lines.last, round = "r18"))
+      val cs = j.get("round_calibs")
+      assert(cs.isArray && cs.size === 2)
+      assert(cs.get(0).asDouble() === 1.1)
+      assert(cs.get(1).asDouble() === 2.6)
+    }
+  }
+
   test("failure-honest: current-run failure ships -1 in both floor and median") {
     val fpr = "ab1e5afe"
     val lines = Seq(runLine(fpr, "r17", Map("q" -> 1.0)))

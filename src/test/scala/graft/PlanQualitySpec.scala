@@ -1015,6 +1015,59 @@ class PlanQualitySpec extends SparkSpec {
       s"expected long-keyed exchanges to grow with epochs (got $l1 -> $l3) — capture broken?")
   }
 
+  test("randomWalks: frontier broadcasts — shuffle count constant in walk length") {
+    // each step's frontier ⋈ adjacency join must broadcast the (small)
+    // frontier so the ranked adjacency streams map-side: shuffles are
+    // the constant pre-loop build (edge cut, adjacency window, starts
+    // distinct, the auto-resolve count), NOT one edge-sized exchange
+    // per step — the cost that made the sf10 walk chain track
+    // shuffle-spill throughput instead of data size (PERF_r18 §3c).
+    // Step frames execute eagerly behind checkpoint cuts, so capture
+    // every executed plan via a QueryExecutionListener (the sgnsTrain
+    // gate's machinery).
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+
+    def measure(walkLen: Int, sentinel: Long): (Int, Int) = {
+      val plans = new ConcurrentLinkedQueue[SparkPlan]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+          plans.add(qe.executedPlan)
+        override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+      }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.listenerManager.register(listener)
+      try {
+        val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+          .toDF("src", "dst")
+        GraphOps.randomWalks(e, lit(true), walkLen, walksPerVertex = 2)
+        spark.range(sentinel, sentinel + 1).collect()
+        val deadline = System.nanoTime + 30L * 1000L * 1000L * 1000L
+        while (!plans.asScala.exists(_.toString.contains(sentinel.toString)) &&
+            System.nanoTime < deadline) Thread.sleep(25)
+      } finally {
+        spark.listenerManager.unregister(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      val ps = plans.asScala.toList
+      (ps.map(p => p.collect { case e: ShuffleExchangeExec => e }.size).sum,
+        ps.map(p => p.collect { case b: BroadcastHashJoinExec => b }.size).sum)
+    }
+
+    val (sh1, bc1) = measure(1, 987654401L)
+    val (sh3, bc3) = measure(3, 987654403L)
+    assert(sh3 === sh1,
+      s"shuffle count grew with walk length ($sh1 -> $sh3): a step join is shuffling the adjacency")
+    assert(bc3 > bc1,
+      s"expected broadcast step joins to grow with walk length (got $bc1 -> $bc3) — capture broken?")
+  }
+
   test("gopherRepetition: gram exchanges ship hashes, never token text") {
     val g = graft.operators.TextOps.gopherRepetition(
       Tables.documents(spark, sfDir))

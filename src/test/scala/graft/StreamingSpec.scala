@@ -793,6 +793,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graph search stream over a frozen kNN-graph index equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dirs = java.nio.file.Files.createTempDirectory("graft_gstream").toString
+    // build once (the only corpus-sized cost), freeze to parquet
+    val index = graft.operators.Similarity.graphBuild(emb, graphK = 5)
+      .materialized(s"$dirs/index")
+    val queries = emb.filter(col("vec_id") < 12)
+      .select("vec_id", "embedding").as[FixVec].collect().sortBy(_.vec_id)
+    val in = MemoryStream[FixVec]
+    val q = graft.streaming.DocStreams.graphSearchStream(
+      in.toDF(), index, s"$dirs/out", s"$dirs/ckpt",
+      k = 5, beam = 8, rounds = 2, seedProbes = 2)
+    try {
+      val chunks = queries.grouped(math.max(queries.length / 3, 1)).toSeq
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = rowSet(spark.read.parquet(s"$dirs/out")
+        .select("query_id", "neighbor_id", "dot_q", "rank"))
+      val batch = rowSet(graft.operators.Similarity.graphProbe(
+        index, queries.toSeq.toDF("vec_id", "embedding"),
+        k = 5, beam = 8, rounds = 2, seedProbes = 2))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // replaying the last batch overwrites its own partition (the
+      // exactly-once-by-partition contract)
+      graft.streaming.DocStreams.writeGraphSearchBatch(
+        chunks.last.toSeq.toDF("vec_id", "embedding"),
+        index, s"$dirs/out", (chunks.length - 1).toLong, 5, 8, 2, 2)
+      assert(rowSet(spark.read.parquet(s"$dirs/out")
+        .select("query_id", "neighbor_id", "dot_q", "rank")) === batch)
+    } finally q.stop()
+  }
+
   test("fuzzy ingest stream: durable cutDir mode accumulates identical pairs") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
