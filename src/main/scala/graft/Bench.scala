@@ -171,7 +171,14 @@ object Bench {
   private[graft] def calibrate(spark: SparkSession): Double = {
     def once(n: Long): Double = {
       val t0 = System.nanoTime()
-      spark.range(n).selectExpr("xxhash64(id) AS h").selectExpr("sum(h)").collect()
+      // mask the hash to 22 bits before summing: 2^29 × 2^22 = 2^51
+      // fits a long at any n this probe uses. The unmasked sum of
+      // random 64-bit values is a ±2^63 random walk that OVERFLOWS,
+      // and Spark 4's default ANSI mode turns that into an
+      // ArithmeticException — every run shipped calib = -1.0 (the
+      // failure sentinel), so the telemetry never measured anything.
+      spark.range(n).selectExpr("xxhash64(id) & 4194303 AS h")
+        .selectExpr("sum(h)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     try { once(1L << 24); math.min(once(1L << 29), once(1L << 29)) }

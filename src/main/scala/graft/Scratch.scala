@@ -38,10 +38,16 @@ object Scratch {
         graft.sources.Tables.documents(spark, dir),
         materializeInstances = false))
     for (n <- names; i <- 1 to 3) {
+      // time the BUILD too (the Bench rule): iterative operators run
+      // their fixpoint jobs eagerly while the DataFrame is constructed
+      // (Checkpoints.cut is eager), so a timer around only the final
+      // count would miss the loop entirely.
       // un-pruned plan — the Bench rule (r16): plain count() lets
       // Catalyst collapse projection-final chains to a metadata count
-      val df = extra.getOrElse(n, SparkEntry.queries(n)(spark, dir))
-      time(s"$n r$i")(df.queryExecution.toRdd.count())
+      time(s"$n r$i") {
+        val df = extra.getOrElse(n, SparkEntry.queries(n)(spark, dir))
+        df.queryExecution.toRdd.count()
+      }
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

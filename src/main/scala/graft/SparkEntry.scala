@@ -591,7 +591,10 @@ object SparkEntry {
     // consumers — revisit the warm set the moment a third SCC
     // consumer registers.
     "g_scc_condensation" -> ((s, dir) => {
-      val fixture = sccFixture(s, dir)
+      // the fixture feeds BOTH the label fixpoint and the contraction
+      // joins — cut it once so its two base-table joins don't execute
+      // twice (within-query reuse, not a cross-query memo)
+      val fixture = graft.operators.Checkpoints.cut(sccFixture(s, dir), None)
       GraphOps.condensationEdges(fixture, GraphOps.sccLabels(fixture))
     }),
 

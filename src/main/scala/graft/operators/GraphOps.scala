@@ -353,8 +353,8 @@ object GraphOps {
     knob.getOrElse {
       val n = verts.count()
       val b = n <= BroadcastRanksMaxVertices
-      log.info(s"pageRank auto-broadcast: $n vertices -> " +
-        (if (b) "broadcast" else "shuffle") + " rank loop")
+      log.info(s"auto-broadcast: $n vertices -> " +
+        (if (b) "broadcast" else "shuffle") + " per-round frames")
       b
     }
 
@@ -776,6 +776,7 @@ object GraphOps {
     * removes O(1) vertices.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      broadcastFrames: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && (rounds >= 1 || rounds == -1),
       s"k must be >= 1 and rounds >= 1 (or -1 = fixpoint), got k=$k rounds=$rounds")
@@ -786,6 +787,13 @@ object GraphOps {
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct(), checkpointDir)
+    // the per-round `keep` filter is vertex-sized; its two semi joins
+    // against the edge list are the round's whole plan — resolve the
+    // broadcast-vs-shuffle call once against the counted vertex set
+    // (the [[pageRank]] auto switch; peeling only shrinks the graph)
+    val bcast = resolveBroadcast(broadcastFrames,
+      e.select(col("a").as("v")).union(e.select(col("b").as("v"))).distinct())
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var prevEdges: Option[Long] = None
     var changed = true
     var round = 0
@@ -796,8 +804,8 @@ object GraphOps {
         .filter(col("deg") >= k)
         .select(col("v"))
       val peeled = e
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .join(h(keep.select(col("v").as("a"))), Seq("a"), "left_semi")
+        .join(h(keep.select(col("v").as("b"))), Seq("b"), "left_semi")
       if (fixpoint) {
         // edge count rides the (eager) cut job — no separate count pass
         val obs = new org.apache.spark.sql.Observation(s"kcore_round_$round")
@@ -942,7 +950,7 @@ object GraphOps {
     */
   def labelPropagation(pairs: DataFrame, rounds: Int,
       aCol: String = "person_a", bCol: String = "person_b",
-      broadcastLabels: Boolean = false,
+      broadcastLabels: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sym = Checkpoints.cut(
@@ -951,12 +959,16 @@ object GraphOps {
         .filter(col("v") =!= col("u"))
         .distinct(),
       checkpointDir)
-    var lab = sym.select(col("v")).distinct()
-      .select(col("v"), col("v").as("label"))
+    val verts = sym.select(col("v")).distinct()
+    // checkpointed frames carry no size stats, so Catalyst cannot make
+    // the per-round broadcast-vs-shuffle call itself — resolve it once
+    // against the counted vertex set (the [[pageRank]] auto switch)
+    val bcastLab = resolveBroadcast(broadcastLabels, verts)
+    var lab = verts.select(col("v"), col("v").as("label"))
     for (r <- 1 to rounds) {
-      val labIn = if (broadcastLabels) broadcast(lab) else lab
+      val labSide = lab.select(col("v").as("u"), col("label"))
       val counts = sym
-        .join(labIn.select(col("v").as("u"), col("label")), Seq("u"))
+        .join(if (bcastLab) broadcast(labSide) else labSide, Seq("u"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
       lab = counts
         .groupBy(col("v"))
@@ -1035,11 +1047,11 @@ object GraphOps {
     */
   def louvain(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
-      broadcastLabels: Boolean = false,
+      broadcastLabels: Option[Boolean] = None,
       checkpointDir: Option[String] = None,
       resolutionE3: Long = 1000L): DataFrame =
     communityLevels(pairs, moveRounds, levels, aCol, bCol,
-      broadcastLabels, checkpointDir, refine = (_, lab) => lab,
+      broadcastLabels, checkpointDir, refine = (_, _, lab) => lab,
       resolutionE3 = resolutionE3)
 
   /** Shared level driver of [[louvain]] and [[leiden]]: canonical
@@ -1049,9 +1061,9 @@ object GraphOps {
     * partition, labels composed through the hierarchy.
     */
   private def communityLevels(pairs: DataFrame, moveRounds: Int, levels: Int,
-      aCol: String, bCol: String, broadcastLabels: Boolean,
+      aCol: String, bCol: String, broadcastLabels: Option[Boolean],
       checkpointDir: Option[String],
-      refine: (DataFrame, DataFrame) => DataFrame,
+      refine: (DataFrame, Boolean, DataFrame) => DataFrame,
       resolutionE3: Long = 1000L): DataFrame = {
     require(resolutionE3 >= 1, s"resolutionE3 must be >= 1, got $resolutionE3")
     require(moveRounds >= 1, s"moveRounds must be >= 1, got $moveRounds")
@@ -1064,24 +1076,32 @@ object GraphOps {
         .distinct()
         .withColumn("w", lit(1L)),
       checkpointDir)
+    // checkpointed frames carry no size stats — resolve the per-round
+    // broadcast-vs-shuffle call once against the counted level-1
+    // vertex set (the [[pageRank]] auto switch); contraction only
+    // shrinks the graph, so the answer holds for every later level
+    val bcastLab = resolveBroadcast(broadcastLabels,
+      edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v"))).distinct())
+    def h(df: DataFrame): DataFrame = if (bcastLab) broadcast(df) else df
     var mapping: DataFrame = null
     for (level <- 1 to levels) {
-      val lab = refine(edges,
-        louvainMoves(edges, moveRounds, broadcastLabels, checkpointDir,
+      val lab = refine(edges, bcastLab,
+        louvainMoves(edges, moveRounds, bcastLab, checkpointDir,
           resolutionE3))
       mapping =
         if (level == 1)
           lab.select(col("v").as("person_id"), col("label").as("community"))
         else
           mapping.join(
-            lab.select(col("v").as("community"), col("label").as("next_c")),
+            h(lab.select(col("v").as("community"), col("label").as("next_c"))),
             Seq("community"))
             .select(col("person_id"), col("next_c").as("community"))
       if (level < levels) {
         edges = Checkpoints.cut(
           edges
-            .join(lab.select(col("v").as("a"), col("label").as("la")), Seq("a"))
-            .join(lab.select(col("v").as("b"), col("label").as("lb")), Seq("b"))
+            .join(h(lab.select(col("v").as("a"), col("label").as("la"))), Seq("a"))
+            .join(h(lab.select(col("v").as("b"), col("label").as("lb"))), Seq("b"))
             .select(
               least(col("la"), col("lb")).as("a"),
               greatest(col("la"), col("lb")).as("b"), col("w"))
@@ -1142,12 +1162,12 @@ object GraphOps {
     */
   def leiden(pairs: DataFrame, moveRounds: Int = 2, levels: Int = 2,
       aCol: String = "person_a", bCol: String = "person_b",
-      broadcastLabels: Boolean = false,
+      broadcastLabels: Option[Boolean] = None,
       checkpointDir: Option[String] = None,
       resolutionE3: Long = 1000L): DataFrame =
     communityLevels(pairs, moveRounds, levels, aCol, bCol,
       broadcastLabels, checkpointDir,
-      refine = refineConnected(_, _, broadcastLabels, checkpointDir),
+      refine = (e, bc, lab) => refineConnected(e, lab, bc, checkpointDir),
       resolutionE3 = resolutionE3)
 
   /** [[leiden]]'s refinement kernel: split every community of
@@ -1161,8 +1181,9 @@ object GraphOps {
   private def refineConnected(edges: DataFrame, lab: DataFrame,
       broadcastLabels: Boolean, checkpointDir: Option[String],
       maxRounds: Int = 20): DataFrame = {
-    val la = lab.select(col("v").as("a"), col("label").as("la"))
-    val lb = lab.select(col("v").as("b"), col("label").as("lb"))
+    def h(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
+    val la = h(lab.select(col("v").as("a"), col("label").as("la")))
+    val lb = h(lab.select(col("v").as("b"), col("label").as("lb")))
     val intra = edges.filter(col("a") =!= col("b"))
       .join(la, Seq("a")).join(lb, Seq("b"))
       .filter(col("la") === col("lb"))
@@ -1254,28 +1275,30 @@ object GraphOps {
       checkpointDir)
     // 2m_w as a 1-row broadcast (agg over empty still yields one row)
     val totRow = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("tot_w"))
+    // hints attach at each JOIN usage (a hinted frame flowing into a
+    // union draws HintErrorLogger noise and binds nothing)
+    def h(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
     var lab = verts.select(col("v"), col("v").as("label"))
     for (r <- 1 to rounds) {
-      val labIn = if (broadcastLabels) broadcast(lab) else lab
       val kvc = sym
-        .join(labIn.select(col("v").as("u"), col("label").as("c")), Seq("u"))
+        .join(h(lab.select(col("v").as("u"), col("label").as("c"))), Seq("u"))
         .groupBy(col("v"), col("c")).agg(sum(col("w")).as("kvc"))
       // staying is always a candidate, even with zero edges into the
       // own community (isolated vertices keep their label)
       val cands = kvc
-        .unionByName(labIn.select(col("v"), col("label").as("c"), lit(0L).as("kvc")))
+        .unionByName(lab.select(col("v"), col("label").as("c"), lit(0L).as("kvc")))
         .groupBy(col("v"), col("c")).agg(sum(col("kvc")).as("kvc"))
-      val sized = labIn.join(deg, Seq("v"))
+      val sized = lab.join(h(deg), Seq("v"))
         .groupBy(col("label"))
         .agg(sum(col("deg")).as("tot"), count(lit(1)).as("csize"))
       val totC = sized.select(col("label").as("c"), col("tot"), col("csize"))
       val ownC = sized.select(col("label").as("own_c"),
         col("csize").as("own_size"))
       lab = cands
-        .join(labIn.select(col("v"), col("label").as("own_c")), Seq("v"))
-        .join(deg, Seq("v"))
-        .join(totC, Seq("c"))
-        .join(ownC, Seq("own_c"))
+        .join(h(lab.select(col("v"), col("label").as("own_c"))), Seq("v"))
+        .join(h(deg), Seq("v"))
+        .join(h(totC), Seq("c"))
+        .join(h(ownC), Seq("own_c"))
         // minimum-label swap guard: singleton -> larger-label singleton
         // moves are forbidden (dropped pre-argmax; stay is never a
         // cross-community move, so every vertex keeps >= 1 candidate)
@@ -1585,6 +1608,7 @@ object GraphOps {
     */
   def sccLabels(edges: DataFrame, maxRounds: Int = 30, maxSteps: Int = 40,
       srcCol: String = "src", dstCol: String = "dst",
+      broadcastFrames: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
@@ -1593,6 +1617,15 @@ object GraphOps {
       edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
         .filter(col("s") =!= col("d"))
         .distinct(), checkpointDir)
+    // per-step color/mark frames are vertex-sized; the loop joins them
+    // against the edge list dozens of times (maxRounds × maxSteps), so
+    // the broadcast-vs-shuffle call is THE per-step plan decision.
+    // Checkpointed frames carry no size stats — resolve once against
+    // the counted vertex set (the [[pageRank]] auto switch); peeling
+    // only shrinks the graph, so the answer holds for every round
+    val bcast = resolveBroadcast(broadcastFrames,
+      e.select(col("s").as("v")).union(e.select(col("d").as("v"))).distinct())
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // self-loop-ONLY vertices are their own SCCs and never enter `e`;
     // a vertex with a self-loop AND other edges is labeled by the main
     // loop (the self-loop does not change mutual reachability), so it
@@ -1612,12 +1645,12 @@ object GraphOps {
         .join(e.select(col("d").as("v")), Seq("v"), "left_semi")
         .join(e.select(col("s").as("v")), Seq("v"), "left_semi")
       done = done.unionAll(
-        verts.join(core, Seq("v"), "left_anti")
+        verts.join(h(core), Seq("v"), "left_anti")
           .select(col("v"), col("v").as("scc_label")))
       val trimObs = new org.apache.spark.sql.Observation(s"scc_trim_$round")
       e = Checkpoints.cut(
-        e.join(core.select(col("v").as("s")), Seq("s"), "left_semi")
-          .join(core.select(col("v").as("d")), Seq("d"), "left_semi")
+        e.join(h(core.select(col("v").as("s"))), Seq("s"), "left_semi")
+          .join(h(core.select(col("v").as("d"))), Seq("d"), "left_semi")
           .select(col("s"), col("d"))
           .observe(trimObs, count(lit(1)).as("n_edges")), checkpointDir)
       // ORPHANS: a core vertex can lose EVERY edge to the trim filter
@@ -1651,12 +1684,12 @@ object GraphOps {
         var coloring = true
         var step = 0
         while (coloring && step < maxSteps) {
-          val msgs = e.join(color.select(col("v").as("s"), col("color")), Seq("s"))
+          val msgs = e.join(h(color.select(col("v").as("s"), col("color"))), Seq("s"))
             .groupBy(col("d").as("v")).agg(min(col("color")).as("mc"))
           val obs = new org.apache.spark.sql.Observation(
             s"scc_color_${round}_$step")
           color = Checkpoints.cut(
-            color.join(msgs, Seq("v"), "left_outer")
+            color.join(h(msgs), Seq("v"), "left_outer")
               .select(col("v"),
                 least(col("color"), coalesce(col("mc"), col("color")))
                   .as("color"))
@@ -1689,9 +1722,9 @@ object GraphOps {
         step = 0
         while (marking && step < maxSteps) {
           val next = e
-            .join(mark.select(col("v").as("d"), col("color").as("mcolor")),
+            .join(h(mark.select(col("v").as("d"), col("color").as("mcolor"))),
               Seq("d"))
-            .join(color.select(col("v").as("s"), col("color")), Seq("s"))
+            .join(h(color.select(col("v").as("s"), col("color"))), Seq("s"))
             .filter(col("color") === col("mcolor"))
             .select(col("s").as("v"), col("color"))
           val obs = new org.apache.spark.sql.Observation(
@@ -1721,8 +1754,8 @@ object GraphOps {
         val markV = mark.select(col("v"))
         val peelObs = new org.apache.spark.sql.Observation(s"scc_peel_$round")
         e = Checkpoints.cut(
-          e.join(markV.select(col("v").as("s")), Seq("s"), "left_anti")
-            .join(markV.select(col("v").as("d")), Seq("d"), "left_anti")
+          e.join(h(markV.select(col("v").as("s"))), Seq("s"), "left_anti")
+            .join(h(markV.select(col("v").as("d"))), Seq("d"), "left_anti")
             .select(col("s"), col("d"))
             .observe(peelObs, count(lit(1)).as("n_edges")), checkpointDir)
         // peel orphans (trim-orphan rationale): unmarked vertices whose
@@ -1730,7 +1763,7 @@ object GraphOps {
         val postPeelVerts = e.select(col("s").as("v"))
           .unionAll(e.select(col("d").as("v")))
         val orphans = color.select(col("v"))
-          .join(markV, Seq("v"), "left_anti")
+          .join(h(markV), Seq("v"), "left_anti")
           .join(postPeelVerts, Seq("v"), "left_anti")
           .select(col("v"), col("v").as("scc_label"))
         done = Checkpoints.cut(
@@ -1778,13 +1811,19 @@ object GraphOps {
       edges: DataFrame,
       labels: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      broadcastLabels: Option[Boolean] = None): DataFrame = {
     val lab = labels.select(
       col("person_id").as("v"), col("scc_label"))
+    // the label frame is vertex-sized and id-only; broadcast both
+    // attach joins when it fits the budget (the [[pageRank]] auto
+    // switch — [[sccLabels]] output is checkpoint-cut and stat-less)
+    val bcast = resolveBroadcast(broadcastLabels, lab)
+    def h(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     edges.select(col(srcCol).as("sv"), col(dstCol).as("dv"))
-      .join(lab.select(col("v").as("sv"), col("scc_label").as("src_scc")),
+      .join(h(lab.select(col("v").as("sv"), col("scc_label").as("src_scc"))),
         Seq("sv"))
-      .join(lab.select(col("v").as("dv"), col("scc_label").as("dst_scc")),
+      .join(h(lab.select(col("v").as("dv"), col("scc_label").as("dst_scc"))),
         Seq("dv"))
       .filter(col("src_scc") =!= col("dst_scc"))
       .select(col("src_scc"), col("dst_scc"))
@@ -2242,6 +2281,7 @@ object GraphOps {
     */
   def sgnsTrain(contexts: DataFrame, dim: Int = 4, epochs: Int = 2,
       negatives: Int = 2, lrShift: Int = 2, negBuckets: Int = 16,
+      broadcastModel: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(dim >= 1 && epochs >= 1 && negatives >= 0,
       s"dim/epochs >= 1, negatives >= 0; got $dim/$epochs/$negatives")
@@ -2262,6 +2302,13 @@ object GraphOps {
             .cast("long").as("vrank"),
           count(lit(1)).over(perBucket).as("bsize")), checkpointDir)
     val bucketSizes = vocab.select(col("bucket"), col("bsize")).distinct()
+    // the model frames (u, v, per-epoch deltas) are vocab-sized while
+    // the example frame is corpus-sized — the parameter-server shape.
+    // Broadcast the model side of every epoch join when the counted
+    // vocab fits the [[BroadcastRanksMaxVertices]] budget (the
+    // [[pageRank]] auto switch; checkpointed frames carry no stats)
+    val bcastModel = resolveBroadcast(broadcastModel, vocab)
+    def h(df: DataFrame): DataFrame = if (bcastModel) broadcast(df) else df
     val pos = pairs.select(col("center"), col("context").as("ctx"),
       lit(1L).as("y"))
     val neg = if (negatives == 0) pos.limit(0) else {
@@ -2276,7 +2323,7 @@ object GraphOps {
         .join(broadcast(bucketSizes), Seq("bucket"))
         .select(col("center"), col("bucket"),
           pmod(coin("r"), col("bsize")).as("vrank"))
-        .join(vocab.select(col("bucket"), col("vrank"), col("id")),
+        .join(h(vocab.select(col("bucket"), col("vrank"), col("id"))),
           Seq("bucket", "vrank"))
         .select(col("center"), col("id").as("ctx"), lit(0L).as("y"))
     }
@@ -2311,9 +2358,9 @@ object GraphOps {
     val clampQ10 = 8L * 1024L
     for (_ <- 1 to epochs) {
       val scored = examples
-        .join(u.select(col("id").as("center"), col("emb").as("uarr")),
+        .join(h(u.select(col("id").as("center"), col("emb").as("uarr"))),
           Seq("center"))
-        .join(v.select(col("id").as("ctx"), col("emb").as("varr")),
+        .join(h(v.select(col("id").as("ctx"), col("emb").as("varr"))),
           Seq("ctx"))
         .select(col("center"), col("ctx"), col("w"),
           col("uarr"), col("varr"),
@@ -2338,7 +2385,7 @@ object GraphOps {
           s => s("delta")).as("darr"))
       def applied(model: DataFrame, d: DataFrame): DataFrame =
         Checkpoints.cut(
-          model.join(d, Seq("id"), "left_outer")
+          model.join(h(d), Seq("id"), "left_outer")
             .select(col("id"),
               zip_with(col("emb"),
                 coalesce(col("darr"), transform(dims, _ => lit(0L))),
@@ -2353,7 +2400,7 @@ object GraphOps {
     val labels = vocab.select(col("id").as("person_id"))
       .select(Hashing.portableHash(col("person_id")).as("id"),
         col("person_id"))
-    u.join(labels, Seq("id"))
+    u.join(h(labels), Seq("id"))
       .select(col("person_id"), col("emb"))
   }
 }

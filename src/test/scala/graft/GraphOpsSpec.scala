@@ -448,7 +448,7 @@ class GraphOpsSpec extends SparkSpec {
       Seq("A", "A"), Seq("B", "A"), Seq("C", "A"),
       Seq("D", "D"), Seq("E", "D"), Seq("F", "D")))
     // broadcastLabels is a cost switch, not a semantics switch
-    assert(rowSet(GraphOps.labelPropagation(tris, rounds = 2, broadcastLabels = true)) ===
+    assert(rowSet(GraphOps.labelPropagation(tris, rounds = 2, broadcastLabels = Some(true))) ===
       rowSet(GraphOps.labelPropagation(tris, rounds = 2)))
   }
 
@@ -485,7 +485,7 @@ class GraphOpsSpec extends SparkSpec {
     // contraction is a no-op on the converged partition (merging the
     // triangles would lower Q, so level 2 keeps both supers)
     assert(rowSet(GraphOps.louvain(tris, moveRounds = 2, levels = 2)) === expected)
-    assert(rowSet(GraphOps.louvain(tris, 2, 2, broadcastLabels = true)) === expected)
+    assert(rowSet(GraphOps.louvain(tris, 2, 2, broadcastLabels = Some(true))) === expected)
   }
 
   test("louvain: synchronous rounds + swap guard pinned on the bridged graph; contraction merges chased singletons") {
@@ -609,7 +609,7 @@ class GraphOpsSpec extends SparkSpec {
       ("D", "E"), ("E", "F"), ("D", "F"),
       ("C", "D")
     ).toDF("person_a", "person_b")
-    assert(rowSet(GraphOps.leiden(bridged, 2, 2, broadcastLabels = true)) ===
+    assert(rowSet(GraphOps.leiden(bridged, 2, 2, broadcastLabels = Some(true))) ===
       rowSet(GraphOps.leiden(bridged, 2, 2)))
   }
 
