@@ -2143,13 +2143,19 @@ object Similarity {
     val poolSlim = pool.select(col("query_id"), col("cand_id"), col("rel_e6"))
     // step 1: pure relevance argmax (no redundancy term yet)
     val scaffolding = scala.collection.mutable.ArrayBuffer[DataFrame](pool, pairs)
-    var selected = poolSlim
+    // per-step selected frames are lineage-CUT, not just cached: a
+    // cached union chain keeps its whole logical history, and by the
+    // terminal action the plan held ~2.4k scan nodes (r18 plan audit,
+    // q_mmr_rerank_before.txt) — Catalyst re-optimizes all of it, so
+    // planning alone dominated the query. The cut bounds the plan at
+    // one step (guide: materialise an intermediate to truncate very
+    // wide plans); the frames are ≤ |Q|·selectK rows.
+    var selected = graft.operators.Checkpoints.cut(poolSlim
       .groupBy(col("query_id"))
       .agg(min(struct((-col("rel_e6")).as("ns"), col("cand_id").as("cand_id"),
         col("rel_e6").as("rel_e6"))).as("m"))
       .select(col("query_id"), col("m.cand_id").as("cand_id"),
-        col("m.rel_e6").as("rel_e6"), lit(1L).as("step"))
-      .cache()
+        col("m.rel_e6").as("rel_e6"), lit(1L).as("step")), None)
     for (step <- 2 to selectK) {
       scaffolding += selected
       val maxSim = pairs
@@ -2169,7 +2175,7 @@ object Similarity {
           col("rel_e6").as("rel_e6"))).as("m"))
         .select(col("query_id"), col("m.cand_id").as("cand_id"),
           col("m.rel_e6").as("rel_e6"), lit(step.toLong).as("step"))
-      selected = selected.union(pick).cache()
+      selected = graft.operators.Checkpoints.cut(selected.union(pick), None)
     }
     // materialize the (≤ |Q|·selectK-row) result cache, then release
     // the pool-sized scaffolding — loop caches must not outlive the
@@ -2210,8 +2216,13 @@ object Similarity {
     val seed = corpus
       .join(broadcast(corpus.agg(min(col("vec_id")).as("vec_id"))), Seq("vec_id"))
     val scaffolding = scala.collection.mutable.ArrayBuffer[DataFrame](corpus)
-    var selected = seed.select(col("vec_id"), col("q"), col("nq"),
-      lit(1L).as("step"), lit(0L).as("min_dist_q")).cache()
+    // per-step selected frames are lineage-CUT, not just cached (the
+    // mmrRerank rationale: the cached union chain reached ~3.6k scan
+    // nodes in the r18 plan audit and planning dominated; cut frames
+    // are ≤ selectK rows)
+    var selected = graft.operators.Checkpoints.cut(
+      seed.select(col("vec_id"), col("q"), col("nq"),
+        lit(1L).as("step"), lit(0L).as("min_dist_q")), None)
     for (step <- 2 to selectK) {
       scaffolding += selected
       val sel = selected.select(col("vec_id").as("s_id"), col("q").as("sq"),
@@ -2230,7 +2241,7 @@ object Similarity {
       val attached = corpus.join(broadcast(pick), Seq("vec_id"))
         .select(col("vec_id"), col("q"), col("nq"),
           lit(step.toLong).as("step"), col("min_dist_q"))
-      selected = selected.union(attached).cache()
+      selected = graft.operators.Checkpoints.cut(selected.union(attached), None)
     }
     // materialize the ≤ selectK-row result cache, then release the
     // corpus-sized quantized cache and the per-round state — loop

@@ -1196,6 +1196,13 @@ object TextOps {
     */
   case class LogisticModel(w: DataFrame, b: DataFrame, cands: DataFrame,
       hash: Hashing.HashTier, featureBuckets: Int) {
+    /** Broadcast-vs-shuffle call for the scorer's weight-probe join,
+      * counted ONCE per model instance (streaming scorers reuse the
+      * model every micro-batch — the decision must not re-count per
+      * batch). Same budget as the trainer's switch.
+      */
+    lazy val broadcastW: Boolean =
+      w.count() <= graft.operators.GraphOps.BroadcastRanksMaxVertices
     /** Persist + reload all frames — train once, score forever. */
     def materialized(dir: String): LogisticModel = {
       def rt(df: DataFrame, sub: String): DataFrame = {
@@ -1264,6 +1271,16 @@ object TextOps {
       train.select(col(idCol).as("doc_id"), col(srcCol).as("src")),
       checkpointDir)
     val cands = labels.select(col("src").as("cand")).distinct()
+    // the weight table is min(s·featureBuckets, s·train-vocab)-row
+    // bounded while the probe side (example-feature grid × classes) is
+    // corpus-sized — the parameter-server shape. Broadcast the model
+    // side of the per-epoch probe join when the counted bound fits the
+    // [[graft.operators.GraphOps.BroadcastRanksMaxVertices]] budget
+    // (cut frames carry no stats, so Catalyst would SMJ regardless of
+    // size); above the bound the join stays shuffled, never OOM
+    val wBound = cands.count() * fx.select(col("f")).distinct().count()
+    val bcastW = wBound <= graft.operators.GraphOps.BroadcastRanksMaxVertices
+    def hw(df: DataFrame): DataFrame = if (bcastW) broadcast(df) else df
     // zero-init weights as the sparse EMPTY frame: a feature enters
     // the table only when some epoch's gradient touches it
     var w = cands.limit(0).select(col("cand"),
@@ -1272,7 +1289,7 @@ object TextOps {
     for (_ <- 1 to epochs) {
       val dots = fx
         .crossJoin(broadcast(cands))
-        .join(w, Seq("cand", "f"), "left_outer")
+        .join(hw(w), Seq("cand", "f"), "left_outer")
         .groupBy(col("doc_id"), col("cand"))
         .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
       val g = graft.operators.Checkpoints.cut(
@@ -1324,9 +1341,13 @@ object TextOps {
       .select(col("doc_id"), explode(col("fs")).as("f"))
       .groupBy(col("doc_id"), col("f"))
       .agg(count(lit(1)).as("n"))
+    // trained weight table vs example-feature probe grid: broadcast
+    // the model side when its counted size fits the budget (the
+    // logisticTrain switch, counted once per model instance)
+    val wB = if (model.broadcastW) broadcast(model.w) else model.w
     val dots = fx
       .crossJoin(broadcast(model.cands))
-      .join(model.w, Seq("cand", "f"), "left_outer")
+      .join(wB, Seq("cand", "f"), "left_outer")
       .groupBy(col("doc_id"), col("cand"))
       .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
     val grid = test.select(col("doc_id"), col("actual"))
@@ -2738,16 +2759,24 @@ object TextOps {
     val consts = perDoc.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
     // inverted index over the query vocabulary only: explode pipelines
-    // into the broadcast probe, partial agg combines map-side
-    val hits = docs
+    // into the broadcast probe, partial agg combines map-side.
+    // CACHED (the one-slot claimLmCache device): the frame has TWO
+    // consumers — the df table and the scoring branch — and the
+    // identical subtrees do NOT share an exchange in practice (the
+    // r18 plan audit found zero ReusedExchange nodes and the corpus
+    // scan + explode + probe + agg executing twice). The frame is the
+    // index restricted to the query vocabulary — query-set-bounded,
+    // never corpus-sized. cache, not localCheckpoint: the plan keeps
+    // its stats (downstream broadcasts survive) and the PlanQuality
+    // gates still see the probe join.
+    val hits = claimLmCache(docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .join(hintQ(vocab), Seq("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df_t = docs containing t = hits rows per term (identical subtree
-    // to the scoring branch below — ReuseExchange shares the scan+agg)
+      .agg(count(lit(1)).as("tf")))
+    // df_t = docs containing t = hits rows per term
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = hits
       .join(hintQ(dfs), Seq("term"))
