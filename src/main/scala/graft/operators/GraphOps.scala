@@ -1673,6 +1673,8 @@ object GraphOps {
       // would silently emit partial labels)
       val nTrimmed = Option(trimObs.get("n_edges"))
         .collect { case l: java.lang.Long => l.longValue() }
+      log.info(s"sccLabels: round $round post-trim edges=" +
+        s"${nTrimmed.getOrElse(-1L)}")
       if (nTrimmed.contains(0L)) { remaining = false }
       else {
         // 2) COLOR — min reaching id, forward fixpoint
@@ -1714,6 +1716,7 @@ object GraphOps {
           log.warn(s"sccLabels: color propagation hit the $maxSteps-step " +
             s"bound unconverged at round $round - labels may not be SCCs; " +
             "raise maxSteps")
+        log.info(s"sccLabels: round $round colorSteps=$step")
         // 3) BACKWARD — mark the root's same-color ancestors
         var mark = Checkpoints.cut(
           color.filter(col("v") === col("color")), checkpointDir)
@@ -1750,6 +1753,8 @@ object GraphOps {
           log.warn(s"sccLabels: backward marking hit the $maxSteps-step " +
             s"bound unconverged at round $round - labels may not be SCCs; " +
             "raise maxSteps")
+        log.info(s"sccLabels: round $round markSteps=$step " +
+          s"marked=${prevN.getOrElse(-1L)}")
         // 4) PEEL the identified SCCs
         val markV = mark.select(col("v"))
         val peelObs = new org.apache.spark.sql.Observation(s"scc_peel_$round")
@@ -2373,16 +2378,25 @@ object GraphOps {
       // two consumers (du and dv) — cut, or the example scan + model
       // joins execute twice
       val grad = Checkpoints.cut(scored, checkpointDir)
-      def deltas(idCol: String, arrCol: String): DataFrame = grad
-        .select(col(idCol).as("id"), col("w") * col("g") as "wg",
-          posexplode(col(arrCol)).as(Seq("d", "x")))
-        .groupBy(col("id"), col("d"))
-        .agg(shiftright(sum(col("wg") * col("x")), 20 + lrShift)
-          .as("delta"))
-        .groupBy(col("id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("d"), col("delta")))),
-          s => s("delta")).as("darr"))
+      // dim-packed gradient aggregate: one per-dim BIGINT sum per id —
+      // a single map-side-combining exchange of vocab-sized partials.
+      // The previous posexplode → groupBy(id, d) → groupBy(id) shape
+      // shuffled examples×dim exploded rows and then re-packed the
+      // array through a second exchange; the per-dim sums are the
+      // same integer totals (BIGINT addition commutes), so the delta
+      // arrays are bit-identical.
+      def deltas(idCol: String, arrCol: String): DataFrame = {
+        val sums = (0 until dim).map(d =>
+          shiftright(sum(col("wg") * element_at(col("x"), d + 1)),
+            20 + lrShift).as(s"_d$d"))
+        grad
+          .select(col(idCol).as("id"), (col("w") * col("g")).as("wg"),
+            col(arrCol).as("x"))
+          .groupBy(col("id"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("id"),
+            array((0 until dim).map(d => col(s"_d$d")): _*).as("darr"))
+      }
       def applied(model: DataFrame, d: DataFrame): DataFrame =
         Checkpoints.cut(
           model.join(h(d), Seq("id"), "left_outer")

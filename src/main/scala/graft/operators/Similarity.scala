@@ -2100,16 +2100,17 @@ object Similarity {
     * after is pool-sized by contract (≤ |Q|·poolK rows, ≤ |Q|·poolK²
     * pairwise sims), so the greedy loop's `selectK` rounds are
     * broadcast-joined frames that never touch the corpus again.
-    * Selected state is ≤ |Q|·selectK rows, cached per round; all
-    * loop caches are released before returning (only the tiny result
-    * frame stays cached).
+    * Selected state is ≤ |Q|·selectK rows, lineage-cut per round; all
+    * loop caches and superseded round blocks are released before
+    * returning (only the tiny result frame's blocks stay).
     */
   def mmrRerank(
       embeddings: DataFrame,
       queryPred: Column,
       poolK: Int = 8,
       selectK: Int = 4,
-      lambdaE3: Int = 700): DataFrame = {
+      lambdaE3: Int = 700,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(poolK >= 1, s"mmrRerank: poolK must be >= 1, got $poolK")
     require(selectK >= 1 && selectK <= poolK,
       s"mmrRerank: selectK must be in [1, poolK], got $selectK")
@@ -2149,13 +2150,26 @@ object Similarity {
     // q_mmr_rerank_before.txt) — Catalyst re-optimizes all of it, so
     // planning alone dominated the query. The cut bounds the plan at
     // one step (guide: materialise an intermediate to truncate very
-    // wide plans); the frames are ≤ |Q|·selectK rows.
-    var selected = graft.operators.Checkpoints.cut(poolSlim
+    // wide plans); the frames are ≤ |Q|·selectK rows. Dataset.unpersist
+    // does NOT release localCheckpoint blocks (they live outside the
+    // CacheManager), so each cut records the persistent-RDD ids it
+    // created (the warmSharedGraph diff device — same single-session
+    // caveat: a concurrent persist would be swept in) and the
+    // superseded steps' blocks are unpersisted explicitly on exit.
+    val sc = embeddings.sparkSession.sparkContext
+    val cutIds = scala.collection.mutable.ArrayBuffer[Set[Int]]()
+    def cutTracked(df: DataFrame): DataFrame = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = graft.operators.Checkpoints.cut(df, checkpointDir)
+      cutIds += (sc.getPersistentRDDs.keySet.toSet -- pre)
+      out
+    }
+    var selected = cutTracked(poolSlim
       .groupBy(col("query_id"))
       .agg(min(struct((-col("rel_e6")).as("ns"), col("cand_id").as("cand_id"),
         col("rel_e6").as("rel_e6"))).as("m"))
       .select(col("query_id"), col("m.cand_id").as("cand_id"),
-        col("m.rel_e6").as("rel_e6"), lit(1L).as("step")), None)
+        col("m.rel_e6").as("rel_e6"), lit(1L).as("step")))
     for (step <- 2 to selectK) {
       scaffolding += selected
       val maxSim = pairs
@@ -2175,13 +2189,16 @@ object Similarity {
           col("rel_e6").as("rel_e6"))).as("m"))
         .select(col("query_id"), col("m.cand_id").as("cand_id"),
           col("m.rel_e6").as("rel_e6"), lit(step.toLong).as("step"))
-      selected = graft.operators.Checkpoints.cut(selected.union(pick), None)
+      selected = cutTracked(selected.union(pick))
     }
     // materialize the (≤ |Q|·selectK-row) result cache, then release
-    // the pool-sized scaffolding — loop caches must not outlive the
-    // call at corpus scale (only the tiny result stays cached)
+    // the pool-sized scaffolding AND the superseded per-step cut
+    // blocks — loop state must not outlive the call at corpus scale
+    // (only the final selected frame's blocks stay)
     selected.count()
     scaffolding.foreach(_.unpersist(false))
+    cutIds.dropRight(1).flatten.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     selected
   }
 
@@ -2210,7 +2227,8 @@ object Similarity {
     * the honest cost of greedy k-center at 100 TB; cache the corpus
     * frame upstream if rounds dominate.
     */
-  def kCenterSelect(embeddings: DataFrame, selectK: Int): DataFrame = {
+  def kCenterSelect(embeddings: DataFrame, selectK: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(selectK >= 1, s"kCenterSelect: selectK must be >= 1, got $selectK")
     val corpus = withQuant(embeddings).cache()
     val seed = corpus
@@ -2219,10 +2237,20 @@ object Similarity {
     // per-step selected frames are lineage-CUT, not just cached (the
     // mmrRerank rationale: the cached union chain reached ~3.6k scan
     // nodes in the r18 plan audit and planning dominated; cut frames
-    // are ≤ selectK rows)
-    var selected = graft.operators.Checkpoints.cut(
+    // are ≤ selectK rows). Cut blocks are tracked and the superseded
+    // steps released on exit — the mmrRerank device (unpersist alone
+    // cannot release localCheckpoint blocks).
+    val sc = embeddings.sparkSession.sparkContext
+    val cutIds = scala.collection.mutable.ArrayBuffer[Set[Int]]()
+    def cutTracked(df: DataFrame): DataFrame = {
+      val pre = sc.getPersistentRDDs.keySet.toSet
+      val out = graft.operators.Checkpoints.cut(df, checkpointDir)
+      cutIds += (sc.getPersistentRDDs.keySet.toSet -- pre)
+      out
+    }
+    var selected = cutTracked(
       seed.select(col("vec_id"), col("q"), col("nq"),
-        lit(1L).as("step"), lit(0L).as("min_dist_q")), None)
+        lit(1L).as("step"), lit(0L).as("min_dist_q")))
     for (step <- 2 to selectK) {
       scaffolding += selected
       val sel = selected.select(col("vec_id").as("s_id"), col("q").as("sq"),
@@ -2241,13 +2269,16 @@ object Similarity {
       val attached = corpus.join(broadcast(pick), Seq("vec_id"))
         .select(col("vec_id"), col("q"), col("nq"),
           lit(step.toLong).as("step"), col("min_dist_q"))
-      selected = graft.operators.Checkpoints.cut(selected.union(attached), None)
+      selected = cutTracked(selected.union(attached))
     }
     // materialize the ≤ selectK-row result cache, then release the
-    // corpus-sized quantized cache and the per-round state — loop
-    // caches must not outlive the call at corpus scale
+    // corpus-sized quantized cache and the superseded per-round cut
+    // blocks — loop state must not outlive the call at corpus scale
+    // (only the final selected frame's blocks stay)
     selected.count()
     scaffolding.foreach(_.unpersist(false))
+    cutIds.dropRight(1).flatten.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     selected.select(col("vec_id"), col("step"), col("min_dist_q"))
   }
 

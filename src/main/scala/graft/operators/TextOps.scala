@@ -29,27 +29,47 @@ object TextOps {
   private val lastLmCache =
     new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
 
-  /** Free the instance frame cached by the most recent LM scoring
-    * call. Harness loops scoring many corpora in one session should
-    * call this after consuming each result.
+  /** One-slot registry for [[bm25MultiQuery]]'s vocabulary-restricted
+    * index frame — its OWN slot, not [[lastLmCache]]: sharing the LM
+    * family's slot meant constructing any bigram/trigram LM score
+    * before the returned retrieval frame executed silently evicted the
+    * index (double corpus scan back), and vice versa (r18 ADVICE).
     */
-  def releaseLmCache(): Unit =
-    lastLmCache.getAndSet(None).foreach { df =>
+  private val lastBm25Cache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  private def releaseSlot(
+      slot: java.util.concurrent.atomic.AtomicReference[Option[DataFrame]])
+      : Unit =
+    slot.getAndSet(None).foreach { df =>
       // static slot: the frame may belong to an already-stopped
       // SparkContext (session cycled in-process)
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  /** Release the previous LM cache slot, persist `plan`, and claim the
+  /** Free the instance frame cached by the most recent LM scoring
+    * call. Harness loops scoring many corpora in one session should
+    * call this after consuming each result.
+    */
+  def releaseLmCache(): Unit = releaseSlot(lastLmCache)
+
+  /** Free the index frame cached by the most recent [[bm25MultiQuery]]
+    * call (same discipline as [[releaseLmCache]]).
+    */
+  def releaseBm25Cache(): Unit = releaseSlot(lastBm25Cache)
+
+  /** Release the slot's previous entry, persist `plan`, and claim the
     * slot — the unpersist-old-BEFORE-persist-new + CAS discipline of
     * [[Similarity.bandedCandidates]] (a repeated identical plan is
     * sameResult-equal and would share the CacheManager entry;
     * unpersisting old AFTER would kill the shared entry, and a lost
     * CAS race must cost only our own caching, never leak the winner's).
     */
-  private def claimLmCache(plan: DataFrame): DataFrame = {
-    releaseLmCache()
+  private def claimSlot(
+      slot: java.util.concurrent.atomic.AtomicReference[Option[DataFrame]],
+      plan: DataFrame): DataFrame = {
+    releaseSlot(slot)
     val cached = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // CAS-RETRY, never self-unpersist: if a concurrent construction
     // slid into the slot between our release and here, evict IT and
@@ -58,9 +78,12 @@ object TextOps {
     // kill a sameResult-SHARED CacheManager entry (identical
     // concurrent plans persist onto one entry) and destroy the
     // winner's caching along with ours.
-    while (!lastLmCache.compareAndSet(None, Some(cached))) releaseLmCache()
+    while (!slot.compareAndSet(None, Some(cached))) releaseSlot(slot)
     cached
   }
+
+  private def claimLmCache(plan: DataFrame): DataFrame =
+    claimSlot(lastLmCache, plan)
 
   /** Whitespace tokens as an array column. */
   def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
@@ -382,16 +405,18 @@ object TextOps {
     * 1000 (spec-pinned); the dup fractions are overlap-deduped and
     * never exceed 1000.
     *
-    * Scale shape: ONE generator pass emits every (n, pos, hash,
-    * gram_chars) instance for all five n in a single explode (~Σn
-    * instances per token, 32-byte rows); counting is a map-side-
-    * combining aggregate on (doc, n, hash) — the [[repetitionStats]]
-    * exchange, never text; the dup-coverage tail re-joins dup hashes
-    * to instances on the same key, explodes each dup window to its ≤n
-    * positions, distincts (doc, n, pos), and sums per-position token
-    * lengths from one posexplode of the lengths array — all id+long
-    * keys, output-bounded by dup density. Docs shorter than an n emit
-    * nothing for it (fractions pin to 0).
+    * Scale shape: ONE tokenize pass (the token/length arrays are cut
+    * and shared by all three consumers), then ONE generator pass
+    * emits every (n, pos, hash, gram_chars) instance for all five n
+    * in a single explode (~Σn instances per token, 32-byte rows) and
+    * streams STRAIGHT into the map-side-combining (doc, n, hash)
+    * count aggregate — the instance frame itself is never
+    * materialized or joined; each window group keeps its position
+    * list, so the dup-coverage tail explodes dup groups to their ≤n·c
+    * positions directly, distincts (doc, n, pos), and sums
+    * per-position token lengths from one posexplode of the lengths
+    * array — all id+long keys, output-bounded by dup density. Docs
+    * shorter than an n emit nothing for it (fractions pin to 0).
     */
   def gopherRepetition(
       docs: DataFrame,
@@ -409,10 +434,19 @@ object TextOps {
     // (n=10): e3 threshold = 200 - 10n
     def dupThr(n: Int): Long = 200L - 10L * n
     val ns = topNs ++ dupNs.distinct.sorted
-    val t = docs.select(col("doc_id"),
+    // BOTH multi-consumer frames are cut under the materialize flag
+    // (below): the tokenized frame `t` feeds three consumers (base,
+    // the instance generator, lensFrame), so the cut runs the regexp
+    // tokenize ONCE instead of three times; it stores token+length
+    // arrays (~2× text), strictly smaller than the ~Σn-rows-per-token
+    // instance frame the pre-r19 shape materialized.
+    def cutIf(df: DataFrame): DataFrame =
+      if (materializeInstances) graft.operators.Checkpoints.cut(df, checkpointDir)
+      else df
+    val t = cutIf(docs.select(col("doc_id"),
         tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .select(col("doc_id"), col("toks"),
-        transform(col("toks"), x => length(x).cast("long")).as("lens"))
+        transform(col("toks"), x => length(x).cast("long")).as("lens")))
     val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       aggregate(col("lens"), lit(0L), (a, v) => a + v).as("char_base"))
@@ -430,34 +464,33 @@ object TextOps {
         .otherwise(array().cast(
           "array<struct<n:bigint,pos:bigint,h:bigint,clen:bigint>>"))
     }: _*))
-    // BOTH frames are double-consumed (cnt by tops + dupHashes, inst
-    // by cnt + the dup join-back) — without the cuts the multi-n
-    // generator and its aggregate each execute twice (the pplBuckets
-    // double-execution class; measured 15.6 → 5.9 s at sf0.1,
-    // 34.1 → 14.9 s at sf1). `materializeInstances = false` opts out:
-    // the instance stream is ~Σn rows per TOKEN, and at corpus scales
-    // where a token-order materialization exceeds executor storage
-    // (and no reliable `checkpointDir` with matching scratch exists)
-    // the honest trade is re-running the linear generator per consumer
-    // instead of caching petabytes
-    def cutIf(df: DataFrame): DataFrame =
-      if (materializeInstances) graft.operators.Checkpoints.cut(df, checkpointDir)
-      else df
-    val inst = cutIf(
+    // the instance stream has ONE consumer (the window-count
+    // aggregate) and is never materialized — the grouped `cnt` frame
+    // carries each window group's POSITION LIST instead, so the dup
+    // tail explodes its own positions rather than joining back
+    // against the ~Σn-rows-per-token instance frame (the r18 shape:
+    // inst was cut AND shuffled whole through an (doc, n, h) SMJ just
+    // to recover positions). `cnt` is the only instance-order frame
+    // that persists, it is double-consumed (tops + the dup tail), and
+    // its position lists sum to exactly the instance count — the same
+    // rows, grouped. `materializeInstances = false` opts out of both
+    // cuts: at corpus scales where token-order materialization
+    // exceeds executor storage the honest trade is re-running the
+    // linear generator per consumer instead of caching petabytes.
+    val inst =
       t.select(col("doc_id"), explode(instArr).as("g"))
         .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
-          col("g.h").as("h"), col("g.clen").as("clen")))
+          col("g.h").as("h"), col("g.clen").as("clen"))
     val cnt = cutIf(
       inst.groupBy(col("doc_id"), col("n"), col("h"))
-        .agg(count(lit(1)).as("c"), max(col("clen")).as("clen")))
+        .agg(count(lit(1)).as("c"), max(col("clen")).as("clen"),
+          collect_list(col("pos")).as("poss")))
     val tops = cnt.filter(col("n").isInCollection(topNs.map(_.toLong)))
       .groupBy(col("doc_id"), col("n"))
       .agg(max(col("c") * col("clen")).as("cov"))
-    val dupHashes = cnt
+    val dupPos = cnt
       .filter(col("n").isInCollection(dupNs.map(_.toLong)) && col("c") >= 2)
-      .select(col("doc_id"), col("n"), col("h"))
-    val dupPos = inst
-      .join(dupHashes, Seq("doc_id", "n", "h"))
+      .select(col("doc_id"), col("n"), explode(col("poss")).as("pos"))
       .select(col("doc_id"), col("n"),
         explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
       .distinct()
@@ -1277,8 +1310,13 @@ object TextOps {
     // side of the per-epoch probe join when the counted bound fits the
     // [[graft.operators.GraphOps.BroadcastRanksMaxVertices]] budget
     // (cut frames carry no stats, so Catalyst would SMJ regardless of
-    // size); above the bound the join stays shuffled, never OOM
-    val wBound = cands.count() * fx.select(col("f")).distinct().count()
+    // size); above the bound the join stays shuffled, never OOM.
+    // The bound reads min(featureBuckets, |fx|) off the already-
+    // materialized cut frame — |fx| ≥ train-vocab, so the count is a
+    // conservative OVER-estimate (never broadcasts something bigger
+    // than counted) and costs one scan of local checkpoint blocks,
+    // not the dedicated distinct-count shuffle pass it replaces.
+    val wBound = cands.count() * math.min(featureBuckets.toLong, fx.count())
     val bcastW = wBound <= graft.operators.GraphOps.BroadcastRanksMaxVertices
     def hw(df: DataFrame): DataFrame = if (bcastW) broadcast(df) else df
     // zero-init weights as the sparse EMPTY frame: a feature enters
@@ -1286,30 +1324,55 @@ object TextOps {
     var w = cands.limit(0).select(col("cand"),
       lit(null).cast("long").as("f"), lit(0L).as("wq"))
     var b = cands.select(col("cand"), lit(0L).as("bq"))
-    for (_ <- 1 to epochs) {
-      val dots = fx
-        .crossJoin(broadcast(cands))
-        .join(hw(w), Seq("cand", "f"), "left_outer")
-        .groupBy(col("doc_id"), col("cand"))
-        .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
+    for (epoch <- 1 to epochs) {
+      // probe the sparse weight table with an INNER join on the
+      // feature key alone: w carries every (cand, wq) row per trained
+      // feature, so joining on f reproduces the crossJoin×(cand, f)
+      // probe's non-zero contributions exactly, and the (doc, cand)
+      // groups the inner join drops are precisely the all-zero sums
+      // the g-frame's left_outer + coalesce(dw, 0) already supplies.
+      // Epoch 1 skips the pass entirely — the weight table is
+      // statically empty, so the old plan scanned the corpus-sized
+      // feature frame once per class to compute sum(n·0) = 0.
+      val grid = labels.crossJoin(broadcast(cands))
+      val gBase = if (epoch == 1) grid.select(
+          col("doc_id"), col("cand"), col("src"), lit(0L).as("dw"))
+        else {
+          val dots = fx
+            .join(hw(w), Seq("f"))
+            .groupBy(col("doc_id"), col("cand"))
+            .agg(sum(col("n") * col("wq")).as("dw"))
+          grid.join(dots, Seq("doc_id", "cand"), "left_outer")
+            .select(col("doc_id"), col("cand"), col("src"),
+              coalesce(col("dw"), lit(0L)).as("dw"))
+        }
       val g = graft.operators.Checkpoints.cut(
-        labels.crossJoin(broadcast(cands))
-          .join(dots, Seq("doc_id", "cand"), "left_outer")
+        gBase
           .join(broadcast(b), Seq("cand"))
           .select(col("doc_id"), col("cand"),
             (when(col("src") === col("cand"), lit(1048576L)).otherwise(0L) -
               least(greatest(lit(524288L) +
-                shiftright(coalesce(col("dw"), lit(0L)) + col("bq"), 2),
+                shiftright(col("dw") + col("bq"), 2),
                 lit(0L)), lit(1048576L))).as("g")), checkpointDir)
       val dwu = g.join(fx, Seq("doc_id"))
         .groupBy(col("cand"), col("f"))
         .agg(shiftright(sum(col("g") * col("n")), lrShift).as("delta"))
-      w = graft.operators.Checkpoints.cut(
-        w.join(dwu, Seq("cand", "f"), "full_outer")
-          .select(col("cand"), col("f"),
-            least(greatest(
-              coalesce(col("wq"), lit(0L)) + coalesce(col("delta"), lit(0L)),
-              lit(-clampQ20)), lit(clampQ20)).as("wq")), checkpointDir)
+      // weight update as union + hash re-aggregate instead of the
+      // previous full-outer sort-merge join (full-outer cannot
+      // broadcast): each (cand, f) key appears at most once per side,
+      // so clamp(sum(side values)) ≡ clamp(coalesce(wq,0) +
+      // coalesce(delta,0)) — one map-side-combining exchange, no sort.
+      // Epoch 1's w is statically empty: skip the union leg.
+      val wNext =
+        if (epoch == 1) dwu.select(col("cand"), col("f"),
+          least(greatest(col("delta"), lit(-clampQ20)), lit(clampQ20))
+            .as("wq"))
+        else w.unionByName(
+            dwu.select(col("cand"), col("f"), col("delta").as("wq")))
+          .groupBy(col("cand"), col("f"))
+          .agg(least(greatest(sum(col("wq")), lit(-clampQ20)),
+            lit(clampQ20)).as("wq"))
+      w = graft.operators.Checkpoints.cut(wNext, checkpointDir)
       val dbu = g.groupBy(col("cand"))
         .agg(shiftright(sum(col("g")), lrShift).as("delta"))
       b = graft.operators.Checkpoints.cut(
@@ -1343,13 +1406,16 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
     // trained weight table vs example-feature probe grid: broadcast
     // the model side when its counted size fits the budget (the
-    // logisticTrain switch, counted once per model instance)
+    // logisticTrain switch, counted once per model instance). INNER
+    // join on the feature key alone — w carries every (cand, wq) row
+    // per trained feature, so this reproduces the crossJoin×(cand, f)
+    // probe's non-zero sums exactly; the dropped all-zero (doc, cand)
+    // groups re-enter as coalesce(dw, 0) in the grid join below.
     val wB = if (model.broadcastW) broadcast(model.w) else model.w
     val dots = fx
-      .crossJoin(broadcast(model.cands))
-      .join(wB, Seq("cand", "f"), "left_outer")
+      .join(wB, Seq("f"))
       .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(col("n") * coalesce(col("wq"), lit(0L))).as("dw"))
+      .agg(sum(col("n") * col("wq")).as("dw"))
     val grid = test.select(col("doc_id"), col("actual"))
       .crossJoin(broadcast(model.cands))
       .join(dots, Seq("doc_id", "cand"), "left_outer")
@@ -2760,7 +2826,9 @@ object TextOps {
       count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
     // inverted index over the query vocabulary only: explode pipelines
     // into the broadcast probe, partial agg combines map-side.
-    // CACHED (the one-slot claimLmCache device): the frame has TWO
+    // CACHED (one-slot device, its OWN lastBm25Cache slot — sharing
+    // the LM family's slot let an interleaved LM construction evict a
+    // still-unconsumed index, r18 ADVICE): the frame has TWO
     // consumers — the df table and the scoring branch — and the
     // identical subtrees do NOT share an exchange in practice (the
     // r18 plan audit found zero ReusedExchange nodes and the corpus
@@ -2769,7 +2837,7 @@ object TextOps {
     // never corpus-sized. cache, not localCheckpoint: the plan keeps
     // its stats (downstream broadcasts survive) and the PlanQuality
     // gates still see the probe join.
-    val hits = claimLmCache(docs
+    val hits = claimSlot(lastBm25Cache, docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
