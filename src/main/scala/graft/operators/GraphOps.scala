@@ -1717,18 +1717,26 @@ object GraphOps {
             s"bound unconverged at round $round - labels may not be SCCs; " +
             "raise maxSteps")
         log.info(s"sccLabels: round $round colorSteps=$step")
-        // 3) BACKWARD — mark the root's same-color ancestors
+        // 3) BACKWARD — mark the root's same-color ancestors. The
+        // same-color edge list (with the shared color attached) is
+        // built ONCE per round: backward marks only travel within a
+        // color class, so each BFS step needs one semi-join against
+        // the marked set — the previous shape re-joined the full edge
+        // list against BOTH the mark and color frames every step.
+        val eSame = Checkpoints.cut(
+          e.join(h(color.select(col("v").as("s"), col("color"))), Seq("s"))
+            .join(h(color.select(col("v").as("d"), col("color").as("dc"))),
+              Seq("d"))
+            .filter(col("color") === col("dc"))
+            .select(col("s"), col("d"), col("color")), checkpointDir)
         var mark = Checkpoints.cut(
           color.filter(col("v") === col("color")), checkpointDir)
         var prevN: Option[Long] = None
         var marking = true
         step = 0
         while (marking && step < maxSteps) {
-          val next = e
-            .join(h(mark.select(col("v").as("d"), col("color").as("mcolor"))),
-              Seq("d"))
-            .join(h(color.select(col("v").as("s"), col("color"))), Seq("s"))
-            .filter(col("color") === col("mcolor"))
+          val next = eSame
+            .join(h(mark.select(col("v").as("d"))), Seq("d"), "left_semi")
             .select(col("s").as("v"), col("color"))
           val obs = new org.apache.spark.sql.Observation(
             s"scc_mark_${round}_$step")
@@ -2258,13 +2266,15 @@ object GraphOps {
     *    excluded (word2vec's own behavior);
     *  - epoch = ONE scan of the weighted distinct example frame
     *    (duplicates pre-aggregated to a weight — gradient-equivalent
-    *    and strictly less exchange) + two (id, dim)-keyed map-side-
-    *    combining aggregates + one vocab-sized update join. Gradient
-    *    for example (c, x, y, w): `g = y·2^20 − hardsig(u_c·v_x)`;
+    *    and strictly less exchange) + ONE (side, id)-keyed map-side-
+    *    combining dim-packed gradient aggregate covering both model
+    *    sides + one (side, id)-keyed update join on the single
+    *    side-tagged model frame. Gradient for example (c, x, y, w):
+    *    `g = y·2^20 − hardsig(u_c·v_x)`;
     *    `Δu_c[d] = Σ w·g·v_x[d] >> (20 + lrShift)` (dv symmetric);
     *    updated values clamp to ±8·2^10, so the state is bounded for
     *    any epoch count. Per-epoch frames are lineage-cut
-    *    ([[Checkpoints]]) — u, v, and the gradient frame each have
+    *    ([[Checkpoints]]) — the model and gradient frames each have
     *    two consumers (the pplBuckets double-execution class).
     *
     * Scale shape: nothing in the loop exceeds examples×dim rows of
@@ -2312,7 +2322,13 @@ object GraphOps {
     // Broadcast the model side of every epoch join when the counted
     // vocab fits the [[BroadcastRanksMaxVertices]] budget (the
     // [[pageRank]] auto switch; checkpointed frames carry no stats)
-    val bcastModel = resolveBroadcast(broadcastModel, vocab)
+    lazy val vocabCount = vocab.count()
+    val bcastModel = broadcastModel.getOrElse {
+      val b = vocabCount <= BroadcastRanksMaxVertices
+      log.info(s"sgnsTrain auto-broadcast: $vocabCount vocab ids -> " +
+        (if (b) "broadcast" else "shuffle") + " model frames")
+      b
+    }
     def h(df: DataFrame): DataFrame = if (bcastModel) broadcast(df) else df
     val pos = pairs.select(col("center"), col("context").as("ctx"),
       lit(1L).as("y"))
@@ -2355,17 +2371,33 @@ object GraphOps {
     // `id` inside hashInit (Spark LCA resolution), silently hashing
     // the stringified long instead of the original id.
     val ids = vocab.select(col("id"))
-    def initModel(salt: String): DataFrame =
+    def initModel(salt: String, side: Int): DataFrame =
       ids.select(col("id"), hashInit(salt).as("emb"))
-        .select(Hashing.portableHash(col("id")).as("id"), col("emb"))
-    var u = Checkpoints.cut(initModel("u"), checkpointDir)
-    var v = Checkpoints.cut(initModel("v"), checkpointDir)
+        .select(lit(side).as("side"),
+          Hashing.portableHash(col("id")).as("id"), col("emb"))
+    // ONE side-tagged model frame holds both the center (side 0) and
+    // context (side 1) embeddings: per epoch that is one state cut
+    // and one (side, id)-keyed update join instead of two of each,
+    // and the du/dv gradients ride ONE union + map-side-combining
+    // aggregate instead of two separate exchanges. Values per
+    // (side, id) are exactly the former u/v frames' — the side tag
+    // only partitions the key space.
+    var uv = Checkpoints.cut(
+      initModel("u", 0).unionByName(initModel("v", 1)), checkpointDir)
+    // the delta frame spans BOTH sides (2·|V| rows) — gate its
+    // broadcast on the doubled count, not the vocab count the
+    // side-filtered probe frames use (an explicit knob governs both)
+    val bcastUv = broadcastModel.getOrElse(
+      2L * vocabCount <= BroadcastRanksMaxVertices)
+    def h2(df: DataFrame): DataFrame = if (bcastUv) broadcast(df) else df
     val clampQ10 = 8L * 1024L
     for (_ <- 1 to epochs) {
       val scored = examples
-        .join(h(u.select(col("id").as("center"), col("emb").as("uarr"))),
+        .join(h(uv.filter(col("side") === 0)
+          .select(col("id").as("center"), col("emb").as("uarr"))),
           Seq("center"))
-        .join(h(v.select(col("id").as("ctx"), col("emb").as("varr"))),
+        .join(h(uv.filter(col("side") === 1)
+          .select(col("id").as("ctx"), col("emb").as("varr"))),
           Seq("ctx"))
         .select(col("center"), col("ctx"), col("w"),
           col("uarr"), col("varr"),
@@ -2375,46 +2407,42 @@ object GraphOps {
                 aggregate(zip_with(col("uarr"), col("varr"),
                   (a, b) => a * b), lit(0L), (acc, x) => acc + x), 2),
               lit(0L)), lit(1048576L))).as("g"))
-      // two consumers (du and dv) — cut, or the example scan + model
-      // joins execute twice
+      // two consumers (the du and dv legs of the gradient union) —
+      // cut, or the example scan + model joins execute twice
       val grad = Checkpoints.cut(scored, checkpointDir)
-      // dim-packed gradient aggregate: one per-dim BIGINT sum per id —
-      // a single map-side-combining exchange of vocab-sized partials.
-      // The previous posexplode → groupBy(id, d) → groupBy(id) shape
-      // shuffled examples×dim exploded rows and then re-packed the
-      // array through a second exchange; the per-dim sums are the
-      // same integer totals (BIGINT addition commutes), so the delta
-      // arrays are bit-identical.
-      def deltas(idCol: String, arrCol: String): DataFrame = {
-        val sums = (0 until dim).map(d =>
-          shiftright(sum(col("wg") * element_at(col("x"), d + 1)),
-            20 + lrShift).as(s"_d$d"))
-        grad
-          .select(col(idCol).as("id"), (col("w") * col("g")).as("wg"),
-            col(arrCol).as("x"))
-          .groupBy(col("id"))
-          .agg(sums.head, sums.tail: _*)
-          .select(col("id"),
-            array((0 until dim).map(d => col(s"_d$d")): _*).as("darr"))
-      }
-      def applied(model: DataFrame, d: DataFrame): DataFrame =
-        Checkpoints.cut(
-          model.join(h(d), Seq("id"), "left_outer")
-            .select(col("id"),
-              zip_with(col("emb"),
-                coalesce(col("darr"), transform(dims, _ => lit(0L))),
-                (a, b) => least(greatest(a + b, lit(-clampQ10)),
-                  lit(clampQ10))).as("emb")), checkpointDir)
-      val (du, dv) = (deltas("center", "varr"), deltas("ctx", "uarr"))
-      u = applied(u, du)
-      v = applied(v, dv)
+      // dim-packed gradient aggregate: one per-dim BIGINT sum per
+      // (side, id) — a single map-side-combining exchange of
+      // vocab-sized partials for BOTH sides. The r18 shape
+      // posexploded to examples×dim rows and re-packed the array
+      // through a second exchange, per side; the per-dim sums are
+      // the same integer totals (BIGINT addition commutes), so the
+      // delta arrays are bit-identical.
+      val sums = (0 until dim).map(d =>
+        shiftright(sum(col("wg") * element_at(col("x"), d + 1)),
+          20 + lrShift).as(s"_d$d"))
+      def gradSide(side: Int, idCol: String, arrCol: String): DataFrame =
+        grad.select(lit(side).as("side"), col(idCol).as("id"),
+          (col("w") * col("g")).as("wg"), col(arrCol).as("x"))
+      val dAll = gradSide(0, "center", "varr")
+        .unionByName(gradSide(1, "ctx", "uarr"))
+        .groupBy(col("side"), col("id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("side"), col("id"),
+          array((0 until dim).map(d => col(s"_d$d")): _*).as("darr"))
+      uv = Checkpoints.cut(
+        uv.join(h2(dAll), Seq("side", "id"), "left_outer")
+          .select(col("side"), col("id"),
+            zip_with(col("emb"),
+              coalesce(col("darr"), transform(dims, _ => lit(0L))),
+              (a, b) => least(greatest(a + b, lit(-clampQ10)),
+                lit(clampQ10))).as("emb")), checkpointDir)
     }
     // one vocab-sized label join: long key -> original string id
     // (rename first, hash second — same LCA-shadowing hazard as init)
     val labels = vocab.select(col("id").as("person_id"))
       .select(Hashing.portableHash(col("person_id")).as("id"),
         col("person_id"))
-    u.join(h(labels), Seq("id"))
+    uv.filter(col("side") === 0).join(h(labels), Seq("id"))
       .select(col("person_id"), col("emb"))
   }
 }
